@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // ICU case-mapping tables take ~90s of CPU to build on first use of
+  // lower()/upper() (CollationAwareUTF8String.<clinit>); JVM mappings
+  // are identical for ASCII data and skip that cost entirely.
+  "-Dspark.sql.icu.caseMappings.enabled=false",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable operator shapes extracted from the reference's seven query
+  * pipelines (SURVEY.md §2.3). Each is a pure `DataFrame => DataFrame`
+  * (or Column combinator) meant to be composed with `.transform(...)` —
+  * the same composition style the reference uses
+  * (reference Consumer.scala:63-68), which is already the idiomatic
+  * Spark pattern: the full pipeline stays one declarative LogicalPlan
+  * so Catalyst can prune columns and push filters into the scan.
+  */
+object Shapes {
+
+  /** Reference Q1 bucketing (Consumer.scala:191-193): case-normalize a
+    * code column against a whitelist, everything else → UNKNOWN.
+    * Pure `CaseWhen` + `In` — constant-folded and codegen'd.
+    */
+  def bucketize(c: Column, valid: Seq[String]): Column =
+    when(lower(c).isin(valid.map(_.toLowerCase): _*), upper(c))
+      .otherwise(lit("UNKNOWN"))
+
+  /** Reference Q2/Q3/Q4 shared shape (Consumer.scala:207,243,255):
+    * head of an array column, with the `^[a-z]{2,3}:` language prefix
+    * stripped. `GetArrayItem` + `RegExpReplace`, both codegen'd.
+    */
+  val langPrefix = "^[a-z]{2,3}:"
+  def firstTagStripped(arr: Column): Column =
+    regexp_replace(arr.getItem(0), langPrefix, "")
+
+  /** Reference Q2 blacklist (Consumer.scala:209-212) applied *after*
+    * the strip — we keep the intent (drop placeholder categories), not
+    * the reference's unreachable pre-strip entries (SURVEY.md §2.3 Q2).
+    */
+  def notPlaceholder(c: Column): Column =
+    c.isNotNull && !c.isin("undefined", "null", "")
+
+  /** group-count: the reference's universal aggregation
+    * (Consumer.scala:196,213,248,260,278). Partial (map-side) + final
+    * HashAggregate — one shuffle on the group keys, which is the
+    * minimal shuffle for this op at any scale.
+    */
+  def groupCount(df: DataFrame, keys: Seq[String], cntName: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as(cntName))
+
+  /** Reference Q6 top-K (Consumer.scala:157-158): orderBy+limit.
+    * Catalyst plans this as TakeOrderedAndProject — per-partition
+    * top-K then a single-partition merge of K·numPartitions rows; no
+    * global sort, so it scales to any input size. Tie-breaks must be
+    * total for oracle determinism — callers pass a full ordering.
+    */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** Reference Q7 per-group argmax (Consumer.scala:109-117):
+    * row_number over (partitionBy group, orderBy measure desc) == 1.
+    * One shuffle on the group key; WindowExec processes each group
+    * streamingly. For a pure argmax, max_by is cheaper (plain hash
+    * aggregate, no sort) — both are provided; argmaxPerGroup keeps the
+    * reference's window shape, maxByPerGroup is the scale-preferred
+    * variant.
+    */
+  def argmaxPerGroup(df: DataFrame, groupCol: String, order: Seq[Column],
+                     rankCol: String = "rn"): DataFrame =
+    df.withColumn(rankCol,
+        row_number().over(Window.partitionBy(col(groupCol)).orderBy(order: _*)))
+      .filter(col(rankCol) === 1)
+      .drop(rankCol)
+
+  /** Dashboard shape (reference streamlit/app.py:153-160): top-N rows
+    * by a count plus an "OTHER" bucket aggregating the remainder.
+    * Computed with one aggregate + one window rank over the (small)
+    * aggregated result — the raw table is never scanned twice.
+    */
+  def topNPlusOther(counts: DataFrame, keyCol: String, cntCol: String,
+                    n: Int, otherLabel: String = "OTHER"): DataFrame = {
+    val w = Window.orderBy(col(cntCol).desc, col(keyCol).asc)
+    val ranked = counts.withColumn("__rank", row_number().over(w))
+    val top = ranked.filter(col("__rank") <= n).drop("__rank")
+    val other = ranked.filter(col("__rank") > n)
+      .agg(sum(col(cntCol)).cast("long").as(cntCol))
+      .select(lit(otherLabel).as(keyCol), col(cntCol))
+      .filter(col(cntCol).isNotNull)
+    top.unionByName(other)
+  }
+}
