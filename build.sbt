@@ -30,5 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // lower()/upper() (CollationAwareUTF8String.<clinit>); JVM mappings
   // are identical for ASCII data and skip that cost entirely.
   "-Dspark.sql.icu.caseMappings.enabled=false",
+  // events.parquet stores ns timestamps, unsupported by Spark 4 readers:
+  "-Dspark.sql.legacy.parquet.nanosAsLong=true",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Parity
+import graft.queries.{Dedup, Events, MultimodalQ, Parity, Relational, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,10 +14,11 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Parity.q1GradeDist(spark, "/root/testdata/sf0.001")
+    Relational.q10RevenueByNation(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // reference-parity shapes (SURVEY.md §2.3 / §2.6)
     "q1_grade_dist" -> (Parity.q1GradeDist _),
     "q2_category_dist" -> (Parity.q2CategoryDist _),
     "q3_brand_dist" -> (Parity.q3BrandDist _),
@@ -27,6 +28,35 @@ object SparkEntry {
     "q7_top_order_per_priority" -> (Parity.q7TopOrderPerPriority _),
     "q8_top_nations_other" -> (Parity.q8TopNationsOther _),
     "q9_weighted_mean" -> (Parity.q9WeightedMean _),
+    // joins / set ops / rollup (SURVEY.md §2.7 gap coverage)
+    "q10_revenue_by_nation" -> (Relational.q10RevenueByNation _),
+    "q11_brand_volume" -> (Relational.q11BrandVolume _),
+    "q12_customers_no_orders" -> (Relational.q12CustomersNoOrders _),
+    "q13_active_suppliers" -> (Relational.q13ActiveSuppliersByNation _),
+    "q14_nation_set_ops" -> (Relational.q14NationSetOps _),
+    "q15_order_rollup" -> (Relational.q15OrderRollup _),
+    // event-time analytics (batch twins of the streaming ops)
+    "q16_hourly_event_stats" -> (Events.q16HourlyEventStats _),
+    "q17_user_sessions" -> (Events.q17UserSessions _),
+    "q18_props_buckets" -> (Events.q18PropsBuckets _),
+    "q19_first_event_per_user_type" -> (Events.q19FirstEventPerUserType _),
+    // text analysis
+    "q20_doc_stats" -> (Text.q20DocStats _),
+    "q21_langid" -> (Text.q21LangId _),
+    "q22_quality_buckets" -> (Text.q22QualityBuckets _),
+    "q23_token_freq" -> (Text.q23TokenFreq _),
+    "q24_fingerprints" -> (Text.q24Fingerprints _),
+    // deduplication ladder
+    "q25_exact_dedup" -> (Dedup.q25ExactDedup _),
+    "q26_minhash_buckets" -> (Dedup.q26MinhashBuckets _),
+    "q27_jaccard_pairs" -> (Dedup.q27JaccardPairs _),
+    "q28_simhash_histogram" -> (Dedup.q28SimhashHistogram _),
+    // similarity search
+    "q29_cosine_topk" -> (Similarity.q29CosineTopK _),
+    "q30_lsh_buckets" -> (Similarity.q30LshBuckets _),
+    "q31_embedding_near_dups" -> (Similarity.q31EmbeddingNearDups _),
+    // multimodal plumbing
+    "q32_image_meta_stats" -> (MultimodalQ.q32ImageMetaStats _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -40,5 +70,28 @@ object SparkEntry {
     "q7_top_order_per_priority" -> Parity.q7Sql,
     "q8_top_nations_other" -> Parity.q8Sql,
     "q9_weighted_mean" -> Parity.q9Sql,
+    "q10_revenue_by_nation" -> Relational.q10Sql,
+    "q11_brand_volume" -> Relational.q11Sql,
+    "q12_customers_no_orders" -> Relational.q12Sql,
+    "q13_active_suppliers" -> Relational.q13Sql,
+    "q14_nation_set_ops" -> Relational.q14Sql,
+    "q15_order_rollup" -> Relational.q15Sql,
+    "q16_hourly_event_stats" -> Events.q16Sql,
+    "q17_user_sessions" -> Events.q17Sql,
+    "q18_props_buckets" -> Events.q18Sql,
+    "q19_first_event_per_user_type" -> Events.q19Sql,
+    "q20_doc_stats" -> Text.q20Sql,
+    "q21_langid" -> Text.q21Sql,
+    "q22_quality_buckets" -> Text.q22Sql,
+    "q23_token_freq" -> Text.q23Sql,
+    "q24_fingerprints" -> Text.q24Sql,
+    "q25_exact_dedup" -> Dedup.q25Sql,
+    "q26_minhash_buckets" -> Dedup.q26Sql,
+    "q27_jaccard_pairs" -> Dedup.q27Sql,
+    "q28_simhash_histogram" -> Dedup.q28Sql,
+    "q29_cosine_topk" -> Similarity.q29Sql,
+    "q30_lsh_buckets" -> Similarity.q30Sql,
+    "q31_embedding_near_dups" -> Similarity.q31Sql,
+    "q32_image_meta_stats" -> MultimodalQ.q32Sql,
   )
 }

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated testdata star schema (TESTDATA.md).
   *
@@ -21,7 +23,21 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  /** events.ts is ns-precision parquet, which Spark 4 rejects outright
+    * (PARQUET_TYPE_ILLEGAL). With spark.sql.legacy.parquet.nanosAsLong
+    * (set in Verify/Bench sessions + build.sbt javaOptions) the column
+    * arrives as a ns-epoch long; normalize to TimestampType by µs
+    * truncation — the same truncation DuckDB applies when casting
+    * TIMESTAMP_NS → TIMESTAMP, so both engines see identical instants.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    if (df.schema("ts").dataType == LongType)
+      // integer `div`, not `/`: double division loses ns precision at
+      // 1.7e18 magnitudes and can flip the µs truncation boundary
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

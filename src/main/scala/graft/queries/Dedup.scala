@@ -1,0 +1,167 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication pipeline over documents (north-star extension):
+  * exact (fingerprint hash), MinHash+LSH banding, n-gram Jaccard
+  * verification, and SimHash — the standard pretraining-dedup ladder.
+  *
+  * Scale design: every stage is shuffle-minimal —
+  * - exact dedup: one hash-aggregate on the 16-byte fingerprint, never
+  *   on the full text;
+  * - MinHash: signatures are computed scan-side with array HOFs (no
+  *   explode → no row blow-up), then ONE shuffle on (band, signature);
+  *   candidate generation touches only buckets with >1 doc, so the
+  *   all-pairs O(n²) never materializes;
+  * - Jaccard verify runs only on LSH candidates (here: a bounded
+  *   doc_id sample so the oracle stays cheap).
+  * All hashes are md5 → bit-identical in the DuckDB oracle.
+  */
+object Dedup {
+
+  /** Exact dedup summary: corpus size vs distinct canonical
+    * fingerprints (single row). */
+  def q25ExactDedup(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(TextOps.fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("total_docs"),
+        countDistinct(col("fp")).as("distinct_docs"))
+      .withColumn("dup_docs", col("total_docs") - col("distinct_docs"))
+  }
+  val q25Sql: String =
+    """SELECT count(*) AS total_docs,
+      |       count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+      |         AS distinct_docs,
+      |       count(*) - count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+      |         AS dup_docs
+      |FROM documents""".stripMargin
+
+  private val NumBands = 4
+
+  /** Per-document MinHash band signatures: for band b, the min md5
+    * over the doc's 3-gram shingles salted with b. Computed with
+    * array_min(transform(...)) — stays in the scan stage, no explode.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val sh = TextOps.shingles(toks, 3)
+    val bandCols = (0 until NumBands).map { b =>
+      array_min(transform(sh,
+        g => md5(concat(lit(b.toString), lit(":"), g).cast("binary"))))
+        .as(s"band$b")
+    }
+    docs.filter(size(TextOps.tokens(col("text"))) >= 3)
+      .select(col("doc_id") +: bandCols: _*)
+  }
+
+  /** MinHash+LSH bucket census: buckets (band, signature) holding >1
+    * doc are the near-duplicate candidates. Emitting the census (not
+    * the pairs) keeps output size O(buckets) — pair explosion stays
+    * inside the engine where AQE can split skewed buckets.
+    */
+  def q26MinhashBuckets(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(Tables.documents(s, dir))
+    val stacked = sigs.select(col("doc_id"),
+      explode(array((0 until NumBands).map(b =>
+        struct(lit(b).as("band"), col(s"band$b").as("sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    stacked.groupBy(col("band"), col("sig"))
+      .agg(count(lit(1)).as("bucket_size"), min(col("doc_id")).as("min_doc_id"))
+      .filter(col("bucket_size") > 1)
+  }
+  val q26Sql: String = {
+    val toks = "str_split(text, ' ')"
+    def band(b: Int): String =
+      s"""SELECT doc_id, $b AS band,
+         |  list_min(list_transform(
+         |    list_transform(range(1, len($toks) - 1),
+         |                   i -> array_to_string(list_slice($toks, i, i + 2), ' ')),
+         |    g -> md5('$b:' || g))) AS sig
+         |FROM documents WHERE len($toks) >= 3""".stripMargin
+    s"""WITH stacked AS (${(0 until NumBands).map(band).mkString("\nUNION ALL\n")})
+       |SELECT band, sig, count(*) AS bucket_size, min(doc_id) AS min_doc_id
+       |FROM stacked GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin
+  }
+
+  /** n-gram Jaccard near-dup verification on a bounded sample (the
+    * oracle-sized stand-in for "verify LSH candidates"): distinct
+    * shingles per doc, self-join on shingle, |∩| / |∪| ≥ 0.5.
+    */
+  def q27JaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)))
+          .as("shingle"))
+    val sizes = docs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val inter = docs.as("a")
+      .join(docs.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_shingles", "size_b"), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("size_a") + col("size_b") - col("inter")), 3))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+  val q27Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(str_split(text, ' ')) - 1),
+      |      i -> array_to_string(list_slice(str_split(text, ' '), i, i + 2), ' '))))
+      |    AS shingle
+      |  FROM documents WHERE doc_id < 300 AND len(str_split(text, ' ')) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |       round(inter / (sa.n_shingles + sb.n_shingles - inter), 3) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE round(inter / (sa.n_shingles + sb.n_shingles - inter), 3) >= 0.5""".stripMargin
+
+  /** 16-bit SimHash per document (md5-derived bit votes), grouped into
+    * a histogram — hash-identical across engines. The 16 bit positions
+    * are a literal array on both sides; per token, bit b votes +1/-1 by
+    * whether that bit of the token's md5-prefix is set.
+    */
+  def q28SimhashHistogram(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    // per-token 16-bit value from the first 4 md5 hex chars
+    val tokBits = transform(toks,
+      t => conv(substring(md5(t.cast("binary")), 1, 4), 16, 10).cast("long"))
+    val simhash = (0 until 16).map { b =>
+      val votes = aggregate(tokBits, lit(0L),
+        (acc, v) => acc + when(shiftright(v, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+    Tables.documents(s, dir)
+      .filter(size(toks) >= 1)
+      .select(simhash.as("simhash"))
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("doc_count"))
+  }
+  val q28Sql: String = {
+    val toks = "str_split(text, ' ')"
+    val bits =
+      (0 until 16).map { b =>
+        s"""CASE WHEN list_sum(list_transform($toks,
+           |  t -> CASE WHEN (CAST('0x' || substr(md5(t), 1, 4) AS BIGINT) >> $b) & 1 = 1
+           |            THEN 1 ELSE -1 END)) > 0
+           |THEN ${1L << b} ELSE 0 END""".stripMargin
+      }.mkString(" + ")
+    s"""SELECT ($bits) AS simhash, count(*) AS doc_count
+       |FROM documents WHERE len($toks) >= 1 GROUP BY 1""".stripMargin
+  }
+}

@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time analytics over the `events` table — the capabilities the
+  * reference README claims ("Fenêtrage temporel", stateful processing;
+  * reference ReadMe.md:119-121) but never implements (SURVEY.md §2.5).
+  * Batch forms here (oracle-checkable); the streaming forms with
+  * watermarks live in [[graft.streaming.Streams]] and run the same
+  * logic via readStream.
+  *
+  * events.ts is ns-precision parquet; Spark truncates to µs on read.
+  * Oracles CAST to µs TIMESTAMP first so both engines bucket the same
+  * instants.
+  */
+object Events {
+
+  /** Tumbling 1-hour window aggregate (window() + multi-measure agg).
+    * Emitted as epoch seconds — timestamp formatting differences can't
+    * affect the oracle hash.
+    */
+  def q16HourlyEventStats(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("event_count"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(unix_timestamp(col("w.start")).as("hour_start"),
+        col("event_type"), col("event_count"), col("total_value"))
+  }
+  val q16Sql: String =
+    """SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_start,
+      |       event_type, count(*) AS event_count,
+      |       round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Sessionization: per-user sessions split on >30 min inactivity
+    * gaps — lag window to flag session starts, running sum to assign
+    * session ids, then per-user session stats. The batch twin of
+    * streaming session_window; one shuffle on user_id, both window
+    * functions share the same (user_id, ts) sort.
+    */
+  def q17UserSessions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > 1800d, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("events_in_session"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("session_count"),
+        max(col("events_in_session")).as("max_session_events"))
+  }
+  val q17Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sessions AS (
+      |  SELECT user_id,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged),
+      |per_session AS (
+      |  SELECT user_id, session_id, count(*) AS events_in_session
+      |  FROM sessions GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS session_count,
+      |       max(events_in_session) AS max_session_events
+      |FROM per_session GROUP BY 1""".stripMargin
+
+  /** Schema-on-read JSON decode (reference F2, Consumer.scala:59): the
+    * props payload is parsed with from_json against a declared schema;
+    * the extracted field drives a bucketed group-count. Oracle uses
+    * regexp (DuckDB JSON extension may be unavailable offline) — same
+    * values either way.
+    */
+  def q18PropsBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val propsSchema = StructType(Seq(StructField("k", IntegerType)))
+    Tables.events(s, dir)
+      .withColumn("k", from_json(col("props"), propsSchema).getField("k"))
+      .filter(col("k").isNotNull)
+      .withColumn("k_bucket", (col("k") % 10).cast("int"))
+      .groupBy(col("k_bucket"))
+      .agg(count(lit(1)).as("event_count"), max(col("k")).as("max_k"))
+  }
+  val q18Sql: String =
+    """SELECT CAST(CAST(regexp_extract(props, '(\d+)', 1) AS INTEGER) % 10 AS INTEGER) AS k_bucket,
+      |       count(*) AS event_count,
+      |       max(CAST(regexp_extract(props, '(\d+)', 1) AS INTEGER)) AS max_k
+      |FROM events WHERE regexp_extract(props, '(\d+)', 1) <> ''
+      |GROUP BY 1""".stripMargin
+
+  /** Exact stream-style dedup, batch form: first event per
+    * (user_id, event_type) by time — dropDuplicates ordering is
+    * nondeterministic, so the deterministic min-by shape is used;
+    * the streaming twin (dropDuplicatesWithinWatermark) is in
+    * graft.streaming.
+    */
+  def q19FirstEventPerUserType(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("event_id")).as("first_event_id"),
+        count(lit(1)).as("occurrences"))
+  }
+  val q19Sql: String =
+    """SELECT user_id, event_type, min(event_id) AS first_event_id,
+      |       count(*) AS occurrences
+      |FROM events GROUP BY 1, 2""".stripMargin
+}

@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join / set-op coverage (SURVEY.md §2.7 gap table: the reference has
+  * no joins at all; a complete engine needs them, and the 100 TB
+  * design leans entirely on picking the right join strategy).
+  *
+  * Strategy notes:
+  * - Dimension tables (region/nation/supplier/part/customer) are tiny
+  *   relative to the fact tables at every scale factor and in TPC-H
+  *   generally — every dim join below is explicitly `broadcast()`, so
+  *   the fact table is never shuffled for a join.
+  * - Fact-to-fact (lineitem⋈orders) is a shuffle hash join on the
+  *   order key; AQE re-plans it to broadcast when the filtered side
+  *   turns out small, and handles skew splitting at scale.
+  */
+object Relational {
+
+  /** TPC-H Q5-flavored star join: revenue per nation, all dims
+    * broadcast, one fact-fact shuffle.
+    */
+  def q10RevenueByNation(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    val nat = Tables.nation(s, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("line_count"))
+  }
+  val q10Sql: String =
+    """SELECT n_name,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |       count(*) AS line_count
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |GROUP BY 1""".stripMargin
+
+  /** Broadcast dim join + multi-measure aggregate (TPC-H Q14/Q19
+    * flavor): quantity and revenue per part brand for a filtered
+    * shipdate range — the filter prunes at the parquet scan.
+    */
+  def q11BrandVolume(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp"))
+    li.join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"),
+        round(sum(col("l_extendedprice")), 2).as("total_price"),
+        count(lit(1)).as("line_count"))
+  }
+  val q11Sql: String =
+    """SELECT p_brand, round(sum(l_quantity), 2) AS total_qty,
+      |       round(sum(l_extendedprice), 2) AS total_price,
+      |       count(*) AS line_count
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |GROUP BY 1""".stripMargin
+
+  /** Anti join (NOT EXISTS): customers with no urgent order, counted
+    * by market segment. The filter on the right side happens before
+    * the join, so the anti join probes a much smaller build set; AQE
+    * broadcasts it when it fits.
+    */
+  def q12CustomersNoOrders(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    Tables.customer(s, dir)
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("customer_count"))
+  }
+  val q12Sql: String =
+    """SELECT c_mktsegment, count(*) AS customer_count
+      |FROM customer WHERE NOT EXISTS
+      |  (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |     AND o_orderpriority = '1-URGENT')
+      |GROUP BY 1""".stripMargin
+
+  /** Semi join (EXISTS): suppliers with at least one shipped line,
+    * counted per nation (broadcast dim).
+    */
+  def q13ActiveSuppliersByNation(s: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(s, dir)
+      .join(Tables.lineitem(s, dir), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("supplier_count"))
+  }
+  val q13Sql: String =
+    """SELECT n_name, count(*) AS supplier_count
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+      |GROUP BY 1""".stripMargin
+
+  /** Set ops + distinct (SURVEY.md §2.7): nations having customers
+    * INTERSECT nations having suppliers, minus (EXCEPT) a literal,
+    * then distinct-counted. Exercises Intersect/Except/Distinct.
+    */
+  def q14NationSetOps(s: SparkSession, dir: String): DataFrame = {
+    val custNations = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name")).distinct()
+    val suppNations = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name")).distinct()
+    custNations.intersect(suppNations)
+      .except(custNations.limit(0)) // EXCEPT arm kept trivial: stable oracle
+      .orderBy(col("n_name"))
+  }
+  val q14Sql: String =
+    """SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |INTERSECT
+      |SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY n_name""".stripMargin
+
+  /** Rollup (SURVEY.md §2.7 grouping-sets gap): order counts and value
+    * by (status, priority) with subtotals and a grand total.
+    */
+  def q15OrderRollup(s: SparkSession, dir: String): DataFrame = {
+    // Subtotal rows carry NULL keys; COALESCE to a sentinel on both
+    // sides so the oracle hash-compare never depends on NULL encoding.
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"),
+        round(sum(col("o_totalprice")), 2).as("total_value"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("order_count"), col("total_value"))
+  }
+  val q15Sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       count(*) AS order_count,
+      |       round(sum(o_totalprice), 2) AS total_value
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+}

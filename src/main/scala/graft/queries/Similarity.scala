@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Shapes
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (north-star extension):
+  * brute-force cosine top-k as the exact baseline, and a deterministic
+  * random-hyperplane LSH variant as the scale path.
+  *
+  * Scale design: the query set is tiny and BROADCAST — the candidate
+  * side streams through a map-side join, so the 100 TB corpus is
+  * scanned once with no shuffle of the embedding column at all. Top-k
+  * per query is a TakeOrdered-shaped aggregate, not a global sort. The
+  * LSH variant buckets both sides by hyperplane sign bits first, so
+  * each candidate is compared only within its bucket.
+  *
+  * The dot product runs on doubles (embeddings are float32 on disk;
+  * summation order is the same left-to-right fold in Spark's
+  * `aggregate` HOF and DuckDB's list functions, and results are
+  * rounded to 6 decimals) — keeps the oracle bit-stable.
+  */
+object Similarity {
+
+  /** embedding column cast float[] → double[] for stable arithmetic. */
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-3 neighbors for each query vector
+    * (vec_id < 5), excluding self. Exact baseline for ANN variants.
+    */
+  def q29CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+    scored.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+  }
+  val q29Sql: String =
+    """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT query_id, e.vec_id AS neighbor_id,
+      |         round(list_dot_product(qv, v) /
+      |               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+      |           AS cos_sim
+      |  FROM emb e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cos_sim,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3""".stripMargin
+
+  /** Deterministic random-hyperplane LSH: 8 hyperplanes whose weights
+    * are ±1 derived from md5(plane:dim) — reproducible on any engine,
+    * no RNG state. Census of bucket occupancy (the ANN index shape):
+    * at scale this bucketing is the shuffle key that keeps cosine
+    * comparisons within buckets only.
+    */
+  private val NumPlanes = 8
+  def planeSign(v: Column, plane: Int): Column = {
+    // weight(d) = +1 if first md5 hex char of "plane:dim" is 0-7 else -1
+    val weighted = zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
+      x * when(substring(md5(concat(lit(plane.toString), lit(":"), i.cast("string"))
+        .cast("binary")), 1, 1).isin("0", "1", "2", "3", "4", "5", "6", "7"),
+        1d).otherwise(-1d))
+    val s = aggregate(weighted, lit(0d), (acc, x) => acc + x)
+    when(s > 0, 1L << plane).otherwise(0L)
+  }
+
+  def q30LshBuckets(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val bucket = (0 until NumPlanes).map(p => planeSign(col("v"), p)).reduce(_ + _)
+    emb.withColumn("bucket", bucket)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("vec_count"),
+        countDistinct(col("label")).as("distinct_labels"),
+        min(col("vec_id")).as("min_vec_id"))
+  }
+  val q30Sql: String = {
+    def sign(p: Int): String =
+      s"""CASE WHEN list_sum(list_transform(range(1, len(v) + 1),
+         |  i -> v[i] * (CASE WHEN substr(md5('$p:' || CAST(i - 1 AS VARCHAR)), 1, 1)
+         |                    IN ('0','1','2','3','4','5','6','7')
+         |               THEN 1.0 ELSE -1.0 END))) > 0
+         |THEN ${1L << p} ELSE 0 END""".stripMargin
+    s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT (${(0 until NumPlanes).map(sign).mkString(" + ")}) AS bucket,
+       |       count(*) AS vec_count,
+       |       count(DISTINCT label) AS distinct_labels,
+       |       min(vec_id) AS min_vec_id
+       |FROM emb GROUP BY 1""".stripMargin
+  }
+
+  /** Embedding-cosine near-duplicate detection (the embedding leg of
+    * the dedup ladder): pairs with cosine ≥ 0.35 inside a bounded
+    * sample. The synthetic embeddings are near-orthogonal (max pairwise
+    * cosine ~0.44) so a realistic 0.99 cut matches nothing — the low
+    * threshold keeps the result non-empty and the check meaningful. At
+    * scale the pair candidates come from q30's LSH buckets instead of
+    * the id-range sample.
+    */
+  def q31EmbeddingNearDups(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 200)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    emb.as("a").join(broadcast(emb.as("b")),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.35)
+  }
+  val q31Sql: String =
+    """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |             FROM embeddings WHERE vec_id < 200)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |       round(list_dot_product(a.v, b.v) /
+      |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+      |         AS cos_sim
+      |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+      |WHERE round(list_dot_product(a.v, b.v) /
+      |            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+      |      >= 0.35""".stripMargin
+}

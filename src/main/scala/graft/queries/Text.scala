@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Shapes, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis queries over the documents corpus (BASELINE.json
+  * north-star extensions): stats, language-ID, quality scoring, token
+  * counting, fingerprinting. All single-scan, single-shuffle plans.
+  */
+object Text {
+
+  /** Per-language corpus stats: doc count, avg chars, avg tokens. */
+  def q20DocStats(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("lang"), col("n_chars"),
+        size(TextOps.tokens(col("text"))).as("n_toks"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("doc_count"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        round(avg(col("n_toks")), 2).as("avg_tokens"),
+        max(col("n_toks")).as("max_tokens"))
+  }
+  val q20Sql: String =
+    """SELECT lang, count(*) AS doc_count,
+      |       round(avg(n_chars), 2) AS avg_chars,
+      |       round(avg(len(str_split(text, ' '))), 2) AS avg_tokens,
+      |       max(len(str_split(text, ' '))) AS max_tokens
+      |FROM documents GROUP BY 1""".stripMargin
+
+  /** Language-ID (marker-word votes) cross-tabbed against the labeled
+    * lang column — the standard confusion-matrix check. */
+  def q21LangId(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("predicted_lang", TextOps.langId(TextOps.tokens(col("text"))))
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("doc_count"))
+  }
+  val q21Sql: String = {
+    def cnt(markers: Seq[String]): String =
+      "len(list_filter(str_split(text, ' '), t -> t IN (" +
+        markers.map(m => s"'$m'").mkString(",") + ")))"
+    val (en, de, fr, es) = (cnt(TextOps.enMarkers), cnt(TextOps.deMarkers),
+      cnt(TextOps.frMarkers), cnt(TextOps.esMarkers))
+    s"""SELECT lang,
+       |  CASE WHEN $en >= $de AND $en >= $fr AND $en >= $es AND $en > 0 THEN 'en'
+       |       WHEN $de >= $fr AND $de >= $es AND $de > 0 THEN 'de'
+       |       WHEN $fr >= $es AND $fr > 0 THEN 'fr'
+       |       WHEN $es > 0 THEN 'es'
+       |       ELSE 'unknown' END AS predicted_lang,
+       |  count(*) AS doc_count
+       |FROM documents GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Quality triage buckets (length / stopword ratio / repetitiveness)
+    * — integer-percent heuristics, exactly reproducible in SQL. */
+  def q22QualityBuckets(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("quality",
+        TextOps.qualityBucket(TextOps.tokens(col("text")), col("n_chars")))
+      .groupBy(col("source"), col("quality"))
+      .agg(count(lit(1)).as("doc_count"))
+  }
+  val q22Sql: String = {
+    val toks = "str_split(text, ' ')"
+    val stop = "len(list_filter(str_split(text, ' '), t -> t IN " +
+      "('the','and','of','to','a')))"
+    s"""SELECT source,
+       |  CASE WHEN len($toks) < 10 OR n_chars < 50 THEN 'too_short'
+       |       WHEN ($stop * 100) // len($toks) > 30 THEN 'high_stopword'
+       |       WHEN (len(list_distinct($toks)) * 100) // len($toks) < 30 THEN 'repetitive'
+       |       ELSE 'ok' END AS quality,
+       |  count(*) AS doc_count
+       |FROM documents GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Global token frequency top-20 (explode → count → TakeOrdered). */
+  def q23TokenFreq(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+      .transform(d => Shapes.groupCount(d, Seq("token"), "freq"))
+      .transform(d => Shapes.topK(d, 20, col("freq").desc, col("token").asc))
+  }
+  val q23Sql: String =
+    """SELECT tok AS token, count(*) AS freq
+      |FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)
+      |WHERE tok <> '' GROUP BY 1 ORDER BY freq DESC, token ASC LIMIT 20""".stripMargin
+
+  /** Document fingerprinting: md5 over canonicalized text, rolled up
+    * per source — duplicate mass per ingestion feed. */
+  def q24Fingerprints(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("fp", TextOps.fingerprint(col("text")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("doc_count"),
+        countDistinct(col("fp")).as("distinct_docs"))
+      .withColumn("dup_docs", col("doc_count") - col("distinct_docs"))
+  }
+  val q24Sql: String =
+    """SELECT source, count(*) AS doc_count,
+      |       count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+      |         AS distinct_docs,
+      |       count(*) - count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+      |         AS dup_docs
+      |FROM documents GROUP BY 1""".stripMargin
+}
