@@ -83,7 +83,7 @@ object FoodPipeline {
     * stripped label, 2-key group-count.
     */
   def novaGroupSummary(df: DataFrame): DataFrame =
-    df.withColumn("tag", col("nova_groups_tags").getItem(0))
+    df.withColumn("tag", get(col("nova_groups_tags"), lit(0)))
       .filter(col("tag").isNotNull && length(col("tag")) > 0)
       .withColumn("nova_group", regexp_extract(col("tag"), "(\\d)", 1).cast("int"))
       .withColumn("nova_label", regexp_replace(col("tag"), Shapes.langPrefix, ""))
@@ -97,7 +97,7 @@ object FoodPipeline {
     */
   def mainName(df: DataFrame): DataFrame =
     df.withColumn("product_name",
-      element_at(filter(col("product_name"), _.getField("lang") === "main"), 1)
+      try_element_at(filter(col("product_name"), _.getField("lang") === "main"), lit(1))
         .getField("text"))
 
   /** Q6 prep (reference Consumer.scala:71-84): one row per (product,
@@ -135,11 +135,11 @@ object FoodPipeline {
     */
   def sugarsByCategory(df: DataFrame): DataFrame =
     df.withColumn("main_category",
-        lower(trim(regexp_replace(col("categories_tags").getItem(0),
+        lower(trim(regexp_replace(get(col("categories_tags"), lit(0)),
           Shapes.langPrefix, ""))))
       .transform(mainName)
       .withColumn("sugar",
-        element_at(filter(col("nutriments"), _.getField("name") === "sugars"), 1)
+        try_element_at(filter(col("nutriments"), _.getField("name") === "sugars"), lit(1))
           .getField("value").cast("double"))
       .filter(col("sugar").isNotNull && col("product_name").isNotNull &&
         Shapes.notPlaceholder(col("main_category")))

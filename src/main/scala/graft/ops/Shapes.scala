@@ -24,11 +24,12 @@ object Shapes {
 
   /** Reference Q2/Q3/Q4 shared shape (Consumer.scala:207,243,255):
     * head of an array column, with the `^[a-z]{2,3}:` language prefix
-    * stripped. `GetArrayItem` + `RegExpReplace`, both codegen'd.
+    * stripped. `get()` (not `getItem`) keeps the reference's Spark 3.5
+    * null-on-empty-array semantics under Spark 4's default ANSI mode.
     */
   val langPrefix = "^[a-z]{2,3}:"
   def firstTagStripped(arr: Column): Column =
-    regexp_replace(arr.getItem(0), langPrefix, "")
+    regexp_replace(get(arr, lit(0)), langPrefix, "")
 
   /** Reference Q2 blacklist (Consumer.scala:209-212) applied *after*
     * the strip — we keep the intent (drop placeholder categories), not

@@ -1,0 +1,211 @@
+package graft.streaming
+
+import graft.ops.FoodPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+/** Streaming wiring: sources, per-query sinks/checkpoints, and the
+  * reference's six concurrently-running aggregation queries
+  * (reference Consumer.scala:86-183) rebuilt on Structured Streaming.
+  *
+  * Batch/stream duality is the design spine: every transform in
+  * [[graft.ops]] is a plain `DataFrame => DataFrame`, so the exact
+  * function verified against the DuckDB oracle in batch is what runs
+  * under `readStream` here — nothing is reimplemented for streaming.
+  *
+  * Scale deltas vs the reference (SURVEY.md §4 physical quirks):
+  * - The reference runs all aggregations in COMPLETE mode and
+  *   drop-and-recreates its JDBC tables every micro-batch — O(distinct
+  *   keys) state held forever and O(full result) written per batch.
+  *   Default here is UPDATE mode + changed-keys-only upsert; complete
+  *   mode stays available for reference-faithful demos.
+  * - Event-time queries carry watermarks, so state is bounded and late
+  *   data has defined semantics (the reference accepts everything
+  *   forever; SURVEY.md §2.5).
+  */
+object Streams {
+
+  // ---------------------------------------------------------------- sources
+
+  /** Kafka source, reference-identical options (Consumer.scala:50-56).
+    * Not exercisable in this offline container — constructed, never
+    * started, in tests. */
+  def kafkaSource(spark: SparkSession, servers: String, topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("failOnDataLoss", "false")
+      .load()
+
+  /** File-drop source: the testbed stand-in for the Kafka topic. Each
+    * dropped JSON file plays one producer page (schema-on-read happens
+    * downstream in FoodPipeline.parsePage, like the reference). */
+  def jsonFileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.format("text").load(dir).withColumnRenamed("value", "value")
+
+  /** Rate source for load/throughput experiments. */
+  def rateSource(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+
+  // ------------------------------------------------------------------ sinks
+
+  /** foreachBatch parquet sink, overwrite-per-batch — the scale-sane
+    * equivalent of the reference's drop-and-recreate JDBC sink
+    * (Consumer.scala:282-300): idempotent on replay, no global lock
+    * (each query owns its directory). */
+  def overwriteParquetSink(df: DataFrame, path: String, checkpoint: String,
+                           mode: OutputMode = OutputMode.Complete())
+      : DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(mode)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(path)
+      }
+
+  /** foreachBatch append sink with batch id column — the reference's
+    * append tables carry batch_id the same way (init.sql:43,51). */
+  def appendParquetSink(df: DataFrame, path: String, checkpoint: String)
+      : DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(path)
+      }
+
+  /** Update-mode upsert sink: writes only the keys whose aggregate
+    * changed this micro-batch, partitioned by batch for idempotent
+    * replay — at scale this writes O(changed keys), not O(all keys).
+    * Readers take the latest batch per key (latestSnapshot below). */
+  def upsertParquetSink(df: DataFrame, path: String, checkpoint: String)
+      : DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(path)
+      }
+
+  /** Batch view reconstructing current state from an upsert log:
+    * latest batch_id wins per key. */
+  def latestSnapshot(spark: SparkSession, path: String, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("batch_id").desc)
+    spark.read.parquet(path)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "batch_id")
+  }
+
+  // ------------------------------------------- the reference's query fleet
+
+  /** All six live reference queries (Q1-Q6; Consumer.scala:63-68)
+    * plus the commented-out Q7, wired source → parse → transform →
+    * sink, each with its own checkpoint subdir — ready to `.start()`
+    * concurrently exactly like the reference's six stream-execution
+    * threads. `complete=true` reproduces the reference's output modes;
+    * default uses update+upsert (bounded writes).
+    */
+  def foodQueryFleet(parsed: DataFrame, outDir: String, checkpointDir: String,
+                     complete: Boolean = false): Seq[DataStreamWriter[Row]] = {
+    def agg(name: String, t: DataFrame => DataFrame): DataStreamWriter[Row] = {
+      val res = parsed.transform(t)
+      if (complete)
+        overwriteParquetSink(res, s"$outDir/$name", s"$checkpointDir/$name")
+      else upsertParquetSink(res, s"$outDir/$name", s"$checkpointDir/$name")
+    }
+    Seq(
+      agg("nutriscore_counts", FoodPipeline.nutriscoreDistribution),
+      agg("category_counts", FoodPipeline.categoryDistribution),
+      agg("brand_counts", FoodPipeline.brandDistribution),
+      agg("packaging_distribution", FoodPipeline.packagingDistribution),
+      agg("nova_group_classification", FoodPipeline.novaGroupSummary),
+      // Q6/Q7 aggregate per-batch inside foreachBatch (reference
+      // semantics: append-mode per-batch top-K, Consumer.scala:147-165)
+      perBatchTopK(parsed, s"$outDir/top_additive_products",
+        s"$checkpointDir/top_additive_products"),
+      perBatchTopSugary(parsed, s"$outDir/top_sugary_products_by_category",
+        s"$checkpointDir/top_sugary_products_by_category"),
+    )
+  }
+
+  /** Q6: the aggregation runs on the per-batch slice inside
+    * foreachBatch (reference Consumer.scala:147-165), so each batch
+    * appends its own top-10. */
+  def perBatchTopK(parsed: DataFrame, path: String, checkpoint: String)
+      : DataStreamWriter[Row] =
+    parsed.transform(FoodPipeline.additivesExploded)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.groupBy(col("product_name"))
+          .agg(count(lit(1)).as("additive_count"),
+            min(col("additive")).as("most_common_additive"))
+          .orderBy(col("additive_count").desc, col("product_name").asc)
+          .limit(10)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(path)
+      }
+
+  /** Q7: per-batch windowed rank (reference Consumer.scala:106-124). */
+  def perBatchTopSugary(parsed: DataFrame, path: String, checkpoint: String)
+      : DataStreamWriter[Row] =
+    parsed.transform(FoodPipeline.sugarsByCategory)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.Shapes.argmaxPerGroup(batch, "main_category",
+            Seq(col("sugar").desc, col("product_name").asc))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(path)
+      }
+
+  // --------------------------------------- event-time ops (beyond reference)
+
+  /** Watermarked tumbling-window counts: bounded state, late events
+    * beyond the watermark are dropped with defined semantics. */
+  def windowedEventCounts(events: DataFrame, watermark: String = "10 minutes",
+                          window_ : String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("event_count"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("event_count"))
+
+  /** Sliding-window variant. */
+  def slidingEventCounts(events: DataFrame, watermark: String = "10 minutes")
+      : DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("event_count"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("event_count"))
+
+  /** Session windows with a 30-minute gap — the streaming twin of the
+    * batch sessionization oracle query (graft.queries.Events.q17). */
+  def sessionWindowStats(events: DataFrame, watermark: String = "10 minutes")
+      : DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("events_in_session"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("events_in_session"))
+
+  /** Streaming exact dedup with bounded state: duplicates arriving
+    * within the watermark horizon are dropped once, state expires
+    * after it. */
+  def dedupedEvents(events: DataFrame, watermark: String = "10 minutes")
+      : DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+}

@@ -1,0 +1,115 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+/** Per-operator semantics of the reference pipeline (SURVEY.md §5.1),
+  * including the pinned edge cases: null grade dropped vs garbage
+  * grade → UNKNOWN; blacklist applied post-strip; explode_outer nulls
+  * re-filtered in Q6; deterministic representative additive.
+  */
+class FoodPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** One producer page as the reference receives it (FIXTURES.md §A). */
+  val page: String =
+    """{"rows":[
+      | {"row":{"nutriscore_grade":"e",
+      |  "categories_tags":["en:spreads","en:sweet-spreads"],
+      |  "nutriments":[{"name":"sugars","value":56.3},{"name":"energy_100g","value":2252.0}],
+      |  "product_name":[{"lang":"main","text":"Nutella"},{"lang":"fr","text":"Nutella FR"}],
+      |  "packaging_tags":["en:glass-jar"],"brands_tags":["ferrero"],
+      |  "additives_tags":["en:e322","en:e476"],
+      |  "nova_groups_tags":["en:4-ultra-processed-food-and-drink-products"]}},
+      | {"row":{"nutriscore_grade":null,
+      |  "categories_tags":["fr:compotes"],
+      |  "nutriments":[{"name":"sugars","value":11.0}],
+      |  "product_name":[{"lang":"main","text":"Compote"}],
+      |  "packaging_tags":[],"brands_tags":[],"additives_tags":[],
+      |  "nova_groups_tags":["en:1-unprocessed-or-minimally-processed-foods"]}},
+      | {"row":{"nutriscore_grade":"garbage",
+      |  "categories_tags":["en:undefined"],
+      |  "nutriments":[],
+      |  "product_name":[{"lang":"en","text":"NoMainName"}],
+      |  "packaging_tags":["fr:carton"],"brands_tags":["en:brandx"],
+      |  "additives_tags":["en:e100"],
+      |  "nova_groups_tags":[]}}
+      |]}""".stripMargin.replaceAll("\n", "")
+
+  lazy val parsed: DataFrame =
+    FoodPipeline.parsePage(Seq(page).toDF("value"))
+
+  test("parsePage flattens one page into one row per product") {
+    assert(parsed.count() === 3)
+    assert(parsed.columns.toSeq === Seq("nutriscore_grade", "categories_tags",
+      "nutriments", "product_name", "packaging_tags", "brands_tags",
+      "additives_tags", "nova_groups_tags"))
+  }
+
+  test("parsePage: malformed JSON yields null row, not a crash (PERMISSIVE)") {
+    val bad = FoodPipeline.parsePage(Seq("{not json").toDF("value"))
+    assert(bad.count() === 0) // explode of null array drops the row
+  }
+
+  test("Q1 nutriscore: null grade dropped, garbage → UNKNOWN, valid upper-cased") {
+    val out = rowsOf(FoodPipeline.nutriscoreDistribution(parsed))
+    assert(out === Seq(Seq("E", "1"), Seq("UNKNOWN", "1")))
+  }
+
+  test("Q2 categories: lang prefix stripped, placeholder 'undefined' filtered") {
+    val out = rowsOf(FoodPipeline.categoryDistribution(parsed))
+    // en:spreads → spreads; fr:compotes → compotes; en:undefined → dropped
+    assert(out === Seq(Seq("compotes", "1"), Seq("spreads", "1")))
+  }
+
+  test("Q3 brands: no-prefix tag passes through; empty array → null dropped") {
+    val out = rowsOf(FoodPipeline.brandDistribution(parsed))
+    assert(out === Seq(Seq("brandx", "1"), Seq("ferrero", "1")))
+  }
+
+  test("Q4 packaging distribution strips prefixes") {
+    val out = rowsOf(FoodPipeline.packagingDistribution(parsed))
+    assert(out === Seq(Seq("carton", "1"), Seq("glass-jar", "1")))
+  }
+
+  test("Q5 nova: digit extracted as int group, label stripped, empty tag dropped") {
+    val out = rowsOf(FoodPipeline.novaGroupSummary(parsed))
+    assert(out === Seq(
+      Seq("1", "1-unprocessed-or-minimally-processed-foods", "1"),
+      Seq("4", "4-ultra-processed-food-and-drink-products", "1")))
+  }
+
+  test("Q6 additives: explode_outer then non-empty filter = inner explode; main name only") {
+    val out = rowsOf(FoodPipeline.additivesExploded(parsed))
+    // Compote: no additives → dropped; NoMainName: no 'main' lang → null name kept? No:
+    // main-name extraction yields null, rows survive (name not filtered here)
+    assert(out === Seq(
+      Seq("Nutella", "e322"), Seq("Nutella", "e476"), Seq("null", "e100")))
+  }
+
+  test("Q6 top products: count + deterministic representative additive") {
+    val out = rowsOf(FoodPipeline.topAdditiveProducts(parsed))
+    assert(out.head === Seq("Nutella", "2", "e322") ||
+      out.contains(Seq("Nutella", "2", "e322")))
+  }
+
+  test("Q7 sugars: main-lang name + sugars nutriment via array filter, no explode") {
+    val out = rowsOf(FoodPipeline.sugarsByCategory(parsed))
+    assert(out === Seq(
+      Seq("compotes", "Compote", "11.0"), Seq("spreads", "Nutella", "56.3")))
+  }
+
+  test("Q7 argmax and max_by variants agree when ties are absent") {
+    val a = rowsOf(FoodPipeline.topSugaryPerCategory(parsed))
+    val b = rowsOf(FoodPipeline.topSugaryPerCategoryMaxBy(parsed))
+    assert(a === b)
+  }
+
+  test("nutriments as map gives O(1) lookup results equal to explode+filter") {
+    import org.apache.spark.sql.functions._
+    val viaMap = FoodPipeline.withNutrimentsMap(parsed)
+      .select(element_at(col("nutriments_map"), "sugars").as("sugar"))
+      .na.drop()
+    assert(rowsOf(viaMap) === Seq(Seq("11.0"), Seq("56.3")))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Prop, Test => SCTest}
+
+class ShapesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(minTests: Int)(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minTests), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("bucketize: whitelist case-normalized, everything else UNKNOWN") {
+    val df = Seq("a", "B", "x", "E").toDF("g")
+      .select(Shapes.bucketize(col("g"), Seq("a", "b", "c", "d", "e")).as("b"))
+    assert(rowsOf(df) === Seq(Seq("A"), Seq("B"), Seq("E"), Seq("UNKNOWN")))
+  }
+
+  test("bucketize law: output is always in whitelist ∪ {UNKNOWN} (property)") {
+    check(20)(Prop.forAll { (xs: List[String]) =>
+      val inputs = xs.filter(_ != null)
+      inputs.isEmpty || {
+        val out = inputs.toDF("g")
+          .select(Shapes.bucketize(col("g"), Seq("a", "b")).as("b"))
+          .collect().map(_.getString(0)).toSet
+        out.subsetOf(Set("A", "B", "UNKNOWN"))
+      }
+    })
+  }
+
+  test("firstTagStripped strips 2-3 letter lang prefixes only") {
+    val df = Seq(Seq("en:snacks"), Seq("fra:chips"), Seq("abcd:keep"), Seq("plain"))
+      .toDF("tags").select(Shapes.firstTagStripped(col("tags")).as("t"))
+    assert(rowsOf(df) === Seq(Seq("abcd:keep"), Seq("chips"), Seq("plain"), Seq("snacks")))
+  }
+
+  test("topNPlusOther: OTHER bucket sums the remainder; no OTHER row when all fit") {
+    val counts = Seq(("a", 5L), ("b", 4L), ("c", 3L), ("d", 1L)).toDF("k", "cnt")
+    val out = rowsOf(Shapes.topNPlusOther(counts, "k", "cnt", 2))
+    assert(out === Seq(Seq("OTHER", "4"), Seq("a", "5"), Seq("b", "4")))
+    val all = rowsOf(Shapes.topNPlusOther(counts, "k", "cnt", 10))
+    assert(all.size === 4 && !all.exists(_.head == "OTHER"))
+  }
+
+  test("groupCount conservation under explode (property)") {
+    check(10)(Prop.forAll { (xs: List[List[Int]]) =>
+      xs.isEmpty || xs.forall(_.isEmpty) || {
+        val df = xs.toDF("arr").select(explode(col("arr")).as("x"))
+        val total = Shapes.groupCount(df, Seq("x"), "c")
+          .agg(sum("c")).collect()(0).getLong(0)
+        total == xs.map(_.size).sum
+      }
+    })
+  }
+
+  test("argmaxPerGroup picks per-group max with deterministic tie-break") {
+    val df = Seq(("g1", "x", 5), ("g1", "a", 5), ("g2", "z", 1))
+      .toDF("g", "name", "v")
+    val out = rowsOf(Shapes.argmaxPerGroup(df, "g",
+      Seq(col("v").desc, col("name").asc)))
+    assert(out === Seq(Seq("g1", "a", "5"), Seq("g2", "z", "1")))
+  }
+}

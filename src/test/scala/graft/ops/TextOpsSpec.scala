@@ -1,0 +1,53 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: k-grams in order; short docs yield empty array, never garbage") {
+    val df = Seq("a b c d", "a b", "").toDF("text")
+      .select(TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+    val got = df.collect().map(_.getSeq[String](0).toList).toList
+    assert(got === List(List("a b c", "b c d"), Nil, Nil))
+  }
+
+  test("fingerprint is whitespace/case-canonical") {
+    val df = Seq("Hello  World", "hello world ", "different").toDF("t")
+      .select(TextOps.fingerprint(col("t")).as("fp"))
+    val fps = df.collect().map(_.getString(0))
+    assert(fps(0) === fps(1)); assert(fps(0) !== fps(2))
+  }
+
+  test("langId: marker votes with deterministic precedence") {
+    val df = Seq(
+      "the cat and the dog", // en
+      "der hund und die katze ist", // de
+      "le chat et la chatte", // fr
+      "el gato que los perros", // es
+      "xyzzy qwerty" // unknown
+    ).toDF("text").select(TextOps.langId(TextOps.tokens(col("text"))).as("l"))
+    assert(df.collect().map(_.getString(0)).toList ===
+      List("en", "de", "fr", "es", "unknown"))
+  }
+
+  test("quality buckets: too_short, high_stopword, repetitive, ok") {
+    val repeats = ("word " * 40).trim // 40 tokens, 1 distinct → repetitive
+    val stopy = ("the and of to a " * 8).trim // all stopwords
+    val okDoc = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      ("tiny doc", 8L), (stopy, 200L), (repeats, 200L), (okDoc, 300L)
+    ).toDF("text", "n_chars")
+      .select(TextOps.qualityBucket(TextOps.tokens(col("text")), col("n_chars")).as("q"))
+    assert(df.collect().map(_.getString(0)).toList ===
+      List("too_short", "high_stopword", "repetitive", "ok"))
+  }
+
+  test("regexTokens keeps punctuation as tokens (BPE-ish pre-tokenizer)") {
+    val df = Seq("hi, world!").toDF("t")
+      .select(TextOps.regexTokens(col("t")).as("toks"))
+    assert(df.collect()(0).getSeq[String](0).toList ===
+      List("hi", ",", "world", "!"))
+  }
+}
