@@ -46,14 +46,22 @@ object Dedup {
     * array_min(transform(...)) — stays in the scan stage, no explode.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    val sh = TextOps.shingles(toks, 3)
+    // PERF: tokens and shingles are staged as real columns, NOT inlined
+    // into the band expressions. An expression inside a higher-order-
+    // function lambda is re-evaluated per array element, so inlining
+    // `split(text)` into the shingle lambda re-tokenizes the doc once
+    // per shingle — O(tokens²) per doc (measured: 124s → 3s at sf0.1).
+    // As attributes, the lambda body reads a row field in O(1), and
+    // CollapseProject keeps the staging (non-cheap exprs referenced
+    // more than once are never collapsed back).
     val bandCols = (0 until NumBands).map { b =>
-      array_min(transform(sh,
+      array_min(transform(col("sh"),
         g => md5(concat(lit(b.toString), lit(":"), g).cast("binary"))))
         .as(s"band$b")
     }
-    docs.filter(size(TextOps.tokens(col("text"))) >= 3)
+    docs.withColumn("toks", TextOps.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", TextOps.shingles(col("toks"), 3))
       .select(col("doc_id") +: bandCols: _*)
   }
 
@@ -92,9 +100,9 @@ object Dedup {
     */
   def q27JaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      .withColumn("toks", TextOps.tokens(col("text"))) // staged: see minhashSignatures
       .select(col("doc_id"),
-        explode(array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)))
-          .as("shingle"))
+        explode(array_distinct(TextOps.shingles(col("toks"), 3))).as("shingle"))
     val sizes = docs.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"))
     val inter = docs.as("a")
@@ -137,17 +145,19 @@ object Dedup {
     * whether that bit of the token's md5-prefix is set.
     */
   def q28SimhashHistogram(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
-    // per-token 16-bit value from the first 4 md5 hex chars
-    val tokBits = transform(toks,
-      t => conv(substring(md5(t.cast("binary")), 1, 4), 16, 10).cast("long"))
+    // per-token 16-bit value from the first 4 md5 hex chars; staged as
+    // a column so the md5 array is computed once, not once per bit
+    // position (see minhashSignatures perf note)
     val simhash = (0 until 16).map { b =>
-      val votes = aggregate(tokBits, lit(0L),
+      val votes = aggregate(col("tok_bits"), lit(0L),
         (acc, v) => acc + when(shiftright(v, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       when(votes > 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
     Tables.documents(s, dir)
-      .filter(size(toks) >= 1)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("tok_bits", transform(col("toks"),
+        t => conv(substring(md5(t.cast("binary")), 1, 4), 16, 10).cast("long")))
       .select(simhash.as("simhash"))
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("doc_count"))
