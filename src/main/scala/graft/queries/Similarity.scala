@@ -26,12 +26,20 @@ object Similarity {
   /** embedding column cast float[] → double[] for stable arithmetic. */
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0d), (acc, x) => acc + x)
+  /** Cosine via the native codegen'd Catalyst expression
+    * ([[graft.functions.CosineSimilarity]]) — the HOF spelling below is
+    * kept as the reference implementation for differential tests. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_similarity(a, b)
 
-  private def norm(a: Column): Column = sqrt(dot(a, a))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Same semantics spelled with `zip_with`/`aggregate` higher-order
+    * functions (CodegenFallback — ~3-4× slower; see VectorExpressions
+    * scaladoc). */
+  def cosineHof(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0d), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
 
   /** Brute-force cosine top-3 neighbors for each query vector
     * (vec_id < 5), excluding self. Exact baseline for ANN variants.
