@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Dedup, Events, MultimodalQ, Parity, Relational, Similarity, Text}
+import graft.queries.{Dedup, Events, MultimodalQ, Parity, Relational, Similarity, Stats, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -57,6 +57,10 @@ object SparkEntry {
     "q31_embedding_near_dups" -> (Similarity.q31EmbeddingNearDups _),
     // multimodal plumbing
     "q32_image_meta_stats" -> (MultimodalQ.q32ImageMetaStats _),
+    // statistical + temporal aggregates
+    "q33_stats_agg" -> (Stats.q33StatsAgg _),
+    "q34_monthly_orders" -> (Stats.q34MonthlyOrders _),
+    "q35_status_priority_cube" -> (Stats.q35StatusPriorityCube _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -93,5 +97,8 @@ object SparkEntry {
     "q30_lsh_buckets" -> Similarity.q30Sql,
     "q31_embedding_near_dups" -> Similarity.q31Sql,
     "q32_image_meta_stats" -> MultimodalQ.q32Sql,
+    "q33_stats_agg" -> Stats.q33Sql,
+    "q34_monthly_orders" -> Stats.q34Sql,
+    "q35_status_priority_cube" -> Stats.q35Sql,
   )
 }

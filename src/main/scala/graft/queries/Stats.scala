@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statistical and temporal aggregates (SURVEY.md §2.7 gap table:
+  * math/date functions beyond cast have no reference coverage; a
+  * complete engine needs them).
+  */
+object Stats {
+
+  /** Moments + correlation per group: avg/stddev/min/max of the
+    * discounted price, corr(quantity, price). Rounded to absorb
+    * accumulation-order float noise (both engines stream in scan
+    * order; round(4) leaves >6 guard digits at these magnitudes).
+    */
+  def q33StatsAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("stddev_price"),
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"))
+  }
+  val q33Sql: String =
+    """SELECT l_returnflag,
+      |       round(avg(l_extendedprice), 4) AS avg_price,
+      |       round(stddev_samp(l_extendedprice), 4) AS stddev_price,
+      |       round(min(l_extendedprice), 2) AS min_price,
+      |       round(max(l_extendedprice), 2) AS max_price,
+      |       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** Calendar rollup: date_trunc/year/month/dayofweek extraction with
+    * a month-over-month order count and value. Covers the date
+    * function family end-to-end against the oracle's calendar.
+    */
+  def q34MonthlyOrders(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .select(year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+        col("o_totalprice"))
+      .groupBy(col("order_year"), col("order_month"))
+      .agg(count(lit(1)).as("order_count"),
+        round(sum(col("o_totalprice")), 2).as("month_value"))
+  }
+  val q34Sql: String =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+      |       CAST(month(o_orderdate) AS INTEGER) AS order_month,
+      |       count(*) AS order_count,
+      |       round(sum(o_totalprice), 2) AS month_value
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
+  /** Cube over two dims (completes grouping-set coverage next to
+    * q15's rollup): all four grouping combinations in one pass. */
+  def q35StatusPriorityCube(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("order_count"))
+  }
+  val q35Sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       count(*) AS order_count
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+}

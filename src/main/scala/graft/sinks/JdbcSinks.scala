@@ -1,0 +1,81 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import java.util.Properties
+
+/** JDBC result-table sinks with the reference's semantics
+  * (reference Consumer.scala:282-320), generalized:
+  *
+  * - The reference's `writeToPostgres` drops and recreates each table
+  *   every micro-batch (`mode("overwrite")`, Consumer.scala:290-292)
+  *   and serializes ALL queries' writes behind one JVM-global lock
+  *   (Consumer.scala:10) while swallowing every exception
+  *   (Consumer.scala:296-298). Kept here verbatim-in-spirit as
+  *   `overwriteLocked` for parity demos.
+  * - `appendBatch` mirrors `appendToPostgres` (Consumer.scala:302-320)
+  *   with the same at-least-once semantics note.
+  * - `upsertStaged` is the scale-correct variant: write the batch to a
+  *   staging table and atomically swap — per-table serialization only,
+  *   no cross-query global lock, no window where readers see an empty
+  *   table (the reference's drop-and-recreate has one).
+  *
+  * Untestable in this container (no database, no JDBC driver jar);
+  * compiled against the stock spark-jdbc API only.
+  */
+object JdbcSinks {
+
+  /** Cross-thread write serialization, as in the reference — a single
+    * JVM-global lock shared by every query thread. Only needed because
+    * drop-and-recreate isn't transactional; upsertStaged does not use
+    * it. */
+  private val globalWriteLock = new Object
+
+  def props(user: String, password: String, driver: String = "org.postgresql.Driver"): Properties = {
+    val p = new Properties()
+    p.setProperty("user", user)
+    p.setProperty("password", password)
+    p.setProperty("driver", driver)
+    p
+  }
+
+  /** Reference-faithful: drop-and-recreate per batch under the global
+    * lock, exceptions logged and swallowed (Consumer.scala:282-300). */
+  def overwriteLocked(df: DataFrame, url: String, table: String, p: Properties): Unit =
+    globalWriteLock.synchronized {
+      try {
+        df.write.mode("overwrite").jdbc(url, table, p)
+        println(s"[graft] ✓ overwrote $table")
+      } catch {
+        case e: Exception => println(s"[graft] ✗ write $table failed: ${e.getMessage}")
+      }
+    }
+
+  /** Reference-faithful append (Consumer.scala:302-320). With
+    * checkpointing this is at-least-once: replayed batches duplicate
+    * rows — readers must dedup on (keys, batch_id). */
+  def appendBatch(df: DataFrame, url: String, table: String, p: Properties): Unit =
+    globalWriteLock.synchronized {
+      try {
+        df.write.mode("append").jdbc(url, table, p)
+        println(s"[graft] ✓ appended to $table")
+      } catch {
+        case e: Exception => println(s"[graft] ✗ append $table failed: ${e.getMessage}")
+      }
+    }
+
+  /** Scale-correct replacement: stage + swap. Readers never observe a
+    * dropped table; failures leave the live table untouched; no
+    * cross-query lock (per-table swap only). */
+  def upsertStaged(df: DataFrame, url: String, table: String, p: Properties): Unit = {
+    val staging = s"${table}_staging"
+    df.write.mode("overwrite").jdbc(url, staging, p)
+    val conn = java.sql.DriverManager.getConnection(url, p)
+    try {
+      val st = conn.createStatement()
+      try {
+        st.execute(s"BEGIN; DROP TABLE IF EXISTS $table; " +
+          s"ALTER TABLE $staging RENAME TO $table; COMMIT;")
+      } finally st.close()
+    } finally conn.close()
+  }
+}
