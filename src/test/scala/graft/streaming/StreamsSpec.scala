@@ -159,6 +159,28 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-drop source: dropped page files stream through the food pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_filedrop")
+    val inDir = dir.resolve("in"); java.nio.file.Files.createDirectory(inDir)
+    def page(grade: String): String =
+      s"""{"rows":[{"row":{"nutriscore_grade":"$grade","categories_tags":[],
+         |"nutriments":[],"product_name":[],"packaging_tags":[],
+         |"brands_tags":[],"additives_tags":[],"nova_groups_tags":[]}}]}"""
+        .stripMargin.replaceAll("\n", "")
+    java.nio.file.Files.writeString(inDir.resolve("page1.json"), page("a"))
+    val counts = FoodPipeline.nutriscoreDistribution(
+      FoodPipeline.parsePage(Streams.jsonFileSource(spark, inDir.toString)))
+    val q = counts.writeStream.format("memory")
+      .queryName("filedrop_counts").outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      assert(rowsOf(sql("SELECT * FROM filedrop_counts")) === Seq(Seq("A", "1")))
+      java.nio.file.Files.writeString(inDir.resolve("page2.json"), page("a"))
+      q.processAllAvailable()
+      assert(rowsOf(sql("SELECT * FROM filedrop_counts")) === Seq(Seq("A", "2")))
+    } finally q.stop()
+  }
+
   // Note: Streams.kafkaSource mirrors the reference's Kafka options
   // 1:1 (Consumer.scala:50-56) but the spark-sql-kafka connector jar is
   // not shipped in this container, so constructing it is untestable
