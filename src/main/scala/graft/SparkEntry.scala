@@ -55,12 +55,15 @@ object SparkEntry {
     "q29_cosine_topk" -> (Similarity.q29CosineTopK _),
     "q30_lsh_buckets" -> (Similarity.q30LshBuckets _),
     "q31_embedding_near_dups" -> (Similarity.q31EmbeddingNearDups _),
+    "q36_ivf_cells" -> (Similarity.q36IvfCells _),
     // multimodal plumbing
     "q32_image_meta_stats" -> (MultimodalQ.q32ImageMetaStats _),
     // statistical + temporal aggregates
     "q33_stats_agg" -> (Stats.q33StatsAgg _),
     "q34_monthly_orders" -> (Stats.q34MonthlyOrders _),
     "q35_status_priority_cube" -> (Stats.q35StatusPriorityCube _),
+    // sketches: approximate by design — rows-only check, no oracle
+    "q37_sketches" -> (Stats.q37Sketches _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -96,6 +99,7 @@ object SparkEntry {
     "q29_cosine_topk" -> Similarity.q29Sql,
     "q30_lsh_buckets" -> Similarity.q30Sql,
     "q31_embedding_near_dups" -> Similarity.q31Sql,
+    "q36_ivf_cells" -> Similarity.q36Sql,
     "q32_image_meta_stats" -> MultimodalQ.q32Sql,
     "q33_stats_agg" -> Stats.q33Sql,
     "q34_monthly_orders" -> Stats.q34Sql,

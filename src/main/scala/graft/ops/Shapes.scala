@@ -70,6 +70,25 @@ object Shapes {
       .filter(col(rankCol) === 1)
       .drop(rankCol)
 
+  /** Skew-resistant group-count: two-stage aggregation through a
+    * random salt. Stage 1 shuffles on (key, salt) — a hot key spreads
+    * over `saltBuckets` reducers instead of melting one — stage 2
+    * merges the per-salt partials (tiny: saltBuckets rows per hot
+    * key). Use when a group key is known-skewed (power-law brands,
+    * null-heavy join keys) and AQE's skew handling can't help (it
+    * splits joins, not aggregations). For plain counts Spark's partial
+    * aggregation already absorbs most skew map-side; salting matters
+    * for aggregates with large per-key state (collect_list,
+    * count_distinct re-aggregation, percentile buffers).
+    */
+  def saltedGroupCount(df: DataFrame, key: String, cntName: String,
+                       saltBuckets: Int = 16): DataFrame =
+    df.withColumn("__salt", (rand(seed = 42) * saltBuckets).cast("int"))
+      .groupBy(col(key), col("__salt"))
+      .agg(count(lit(1)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum(col("__partial")).cast("long").as(cntName))
+
   /** Dashboard shape (reference streamlit/app.py:153-160): top-N rows
     * by a count plus an "OTHER" bucket aggregating the remainder.
     * Computed with one aggregate + one window rank over the (small)

@@ -117,6 +117,56 @@ object Similarity {
        |FROM emb GROUP BY 1""".stripMargin
   }
 
+  /** IVF-style coarse quantization (the other standard ANN scale path
+    * next to q30's LSH): assign every vector to its nearest of K
+    * centroids; search then probes only the query's cell(s).
+    *
+    * The centroids here are the first 8 vectors (deterministic
+    * stand-in for a k-means-trained codebook — training would run on a
+    * sample; the assignment/search plan is what matters). They are
+    * collect()ed to the driver and baked into the plan as literals —
+    * K is always tiny, so cell assignment happens SCAN-SIDE in one
+    * codegen'd pass: no join, no shuffle of the corpus; the only
+    * shuffle is the census groupBy on cell id.
+    */
+  private val NumCells = 8
+  def q36IvfCells(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val centroids: Array[Array[Double]] = emb.filter(col("vec_id") < NumCells)
+      .orderBy(col("vec_id")).collect()
+      .map(_.getSeq[Double](2).toArray)
+    val cosines = array(centroids.map { c =>
+      cosine(col("v"), array(c.map(lit).toSeq: _*))
+    }.toSeq: _*)
+    // argmax = first position of the max (ties → lowest cell id)
+    val cell = (array_position(cosines, array_max(cosines)) - 1).cast("int")
+    emb.withColumn("cell", cell)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("vec_count"),
+        countDistinct(col("label")).as("distinct_labels"),
+        min(col("vec_id")).as("min_vec_id"))
+  }
+  val q36Sql: String =
+    s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < $NumCells),
+       |scored AS (
+       |  SELECT e.vec_id, e.label, c.cid,
+       |         list_dot_product(e.v, c.cv) /
+       |         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+       |           AS cos,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY list_dot_product(e.v, c.cv) /
+       |                              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+       |                              DESC, c.cid ASC) AS rk
+       |  FROM emb e CROSS JOIN cents c),
+       |assign AS (SELECT vec_id, label, CAST(cid AS INTEGER) AS cell
+       |           FROM scored WHERE rk = 1)
+       |SELECT cell, count(*) AS vec_count,
+       |       count(DISTINCT label) AS distinct_labels,
+       |       min(vec_id) AS min_vec_id
+       |FROM assign GROUP BY 1""".stripMargin
+
   /** Embedding-cosine near-duplicate detection (the embedding leg of
     * the dedup ladder): pairs with cosine ≥ 0.35 inside a bounded
     * sample. The synthetic embeddings are near-orthogonal (max pairwise

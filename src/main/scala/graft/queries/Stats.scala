@@ -54,6 +54,24 @@ object Stats {
       |       round(sum(o_totalprice), 2) AS month_value
       |FROM orders GROUP BY 1, 2""".stripMargin
 
+  /** Sketch aggregates — the right answer at 100 TB when exactness
+    * isn't required: HyperLogLog++ distinct counts and quantile
+    * sketches are mergeable, O(1)-memory-per-group, one-pass.
+    * NO ORACLE entry (approximate results differ across engines by
+    * design); the driver records the weaker rows-only check, and the
+    * spec asserts the approximations against exact values.
+    */
+  def q37Sketches(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_median_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000))
+          .as("approx_p99_price"))
+  }
+
   /** Cube over two dims (completes grouping-set coverage next to
     * q15's rollup): all four grouping combinations in one pass. */
   def q35StatusPriorityCube(s: SparkSession, dir: String): DataFrame = {

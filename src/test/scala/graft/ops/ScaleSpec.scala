@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Scale-technique tests: salted aggregation equivalence and bucketed
+  * co-located joins (the shuffle-elimination strategy for repeated
+  * fact-fact joins at 100 TB).
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedGroupCount equals plain groupCount (skew-spread, same totals)") {
+    val df = (Seq.fill(500)("hot") ++ Seq("a", "b", "c")).toDF("k")
+    val plain = rowsOf(Shapes.groupCount(df, Seq("k"), "cnt"))
+    val salted = rowsOf(Shapes.saltedGroupCount(df, "k", "cnt"))
+    assert(salted === plain)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    // (warehouse dir is a temp dir, set statically in SparkSpec)
+    val left = (1L to 1000L).map(i => (i, s"l$i")).toDF("key", "lval")
+    val right = (1L to 1000L).map(i => (i, i * 2.0)).toDF("key", "rval")
+    left.write.bucketBy(8, "key").sortBy("key")
+      .mode("overwrite").saveAsTable("graft_bucketed_left")
+    right.write.bucketBy(8, "key").sortBy("key")
+      .mode("overwrite").saveAsTable("graft_bucketed_right")
+    // force the sort-merge path (broadcast would win on toy sizes and
+    // ignore bucketing — at real scale both sides are too big to
+    // broadcast, which is exactly when bucketing pays)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("graft_bucketed_left")
+        .join(spark.table("graft_bucketed_right"), "key")
+      // co-located bucketed join: both sides pre-partitioned on the
+      // key, so the sort-merge join needs NO shuffle exchange
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(joined.count() === 1000)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.sql("DROP TABLE graft_bucketed_left")
+    spark.sql("DROP TABLE graft_bucketed_right")
+  }
+
+  test("repartition-then-reuse: one shuffle serves two aggregations") {
+    // AQE defers a cached relation's output partitioning until
+    // materialization, so the no-exchange property is asserted on the
+    // non-adaptive plan (the AQE final plan elides it at runtime too).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .repartition(col("user_id"))
+      .cache()
+    try {
+      val a = ev.groupBy("user_id").count()
+      val b = ev.groupBy("user_id").agg(sum("value"))
+      // both consumers read the same cached, pre-partitioned data: the
+      // only exchange is the REPARTITION_BY_COL inside the cached
+      // relation (materialized once); the aggregates above the
+      // InMemoryTableScan add none
+      def aboveCache(df: org.apache.spark.sql.DataFrame): String =
+        df.queryExecution.executedPlan.toString.split("InMemoryRelation")(0)
+      assert(!aboveCache(a).contains("Exchange"), aboveCache(a))
+      assert(!aboveCache(b).contains("Exchange"), aboveCache(b))
+      assert(a.count() > 0 && b.count() > 0)
+    } finally {
+      ev.unpersist()
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+}

@@ -12,11 +12,28 @@ class QueriesSpec extends SparkSpec {
 
   val sf = "/root/testdata/sf0.001"
 
-  test("driver contract: every query has oracle SQL and runs non-empty at sf0.001") {
-    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet)
+  test("driver contract: oracles cover all exact queries; all run non-empty at sf0.001") {
+    // approximate sketch queries are intentionally oracle-less
+    val approxOnly = Set("q37_sketches")
+    assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet -- approxOnly)
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
       assert(n > 0, s"$name returned 0 rows at sf0.001")
+    }
+  }
+
+  test("sketch aggregates land within tolerance of exact answers") {
+    val approx = Stats.q37Sketches(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = sql(
+      s"""SELECT l_returnflag, count(DISTINCT l_orderkey) AS d,
+         |       percentile(l_extendedprice, 0.5) AS m
+         |FROM parquet.`$sf/lineitem.parquet` GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (flag, (d, m)) =>
+      val (ad, am) = approx(flag)
+      assert(math.abs(ad - d).toDouble / d < 0.1, s"$flag distinct: $ad vs $d")
+      assert(math.abs(am - m) / m < 0.1, s"$flag median: $am vs $m")
     }
   }
 
