@@ -52,6 +52,51 @@ object Multimodal {
   def sampleFrameOffsets(payload: Column, everyNBytes: Int): Column =
     sequence(lit(0), greatest(length(payload) - 1, lit(0)), lit(everyNBytes))
 
+  /** Resize stub: rewrites the decoded metadata to a target box
+    * preserving aspect ratio (integer math only — oracle-safe). A real
+    * implementation would transcode payload bytes; the metadata
+    * contract (what downstream sees) is exactly this. */
+  def resizeMeta(meta: Column, maxW: Int, maxH: Int): Column = {
+    val w = meta.getField("width")
+    val h = meta.getField("height")
+    // scale = min(maxW/w, maxH/h) in integer permille to stay exact
+    val scalePm = least(lit(maxW * 1000) / greatest(w, lit(1)),
+      lit(maxH * 1000) / greatest(h, lit(1)),
+      lit(1000)).cast("int")
+    struct(
+      (w * scalePm / 1000).cast("int").as("width"),
+      (h * scalePm / 1000).cast("int").as("height"),
+      meta.getField("channels").as("channels"),
+      meta.getField("format").as("format"))
+  }
+
+  /** The per-partition imperative hook (Scala's equivalent of
+    * mapInPandas/mapInArrow batches): decode payloads partition-wise
+    * with an explicit iterator — the escape hatch for codecs that hold
+    * per-thread native state (decoder contexts, ONNX sessions). The
+    * decoder context is created ONCE per partition, not per row.
+    * Deterministic stub decoder; swap `decodeOne` for a real codec.
+    */
+  def decodePartitionwise(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(docs.schema.fields :+
+      StructField("decoded_len", IntegerType, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    docs.mapPartitions { rows =>
+      // per-partition "decoder context" (stub: a reusable digest)
+      val ctx = java.security.MessageDigest.getInstance("MD5")
+      def decodeOne(payload: Array[Byte]): Int = {
+        ctx.reset()
+        ctx.digest(payload).map(_ & 0xff).sum // stand-in for decode work
+      }
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        Row.fromSeq(r.toSeq :+ decodeOne(payload))
+      }
+    }(enc)
+  }
+
   /** Feature-extraction stub: fixed-size feature vector from payload
     * bytes (real impl: a vision encoder via mapInArrow batches). Eight
     * md5-derived doubles in [0,1). */

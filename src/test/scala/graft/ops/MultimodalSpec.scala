@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq((1L, "hello world"), (2L, "another doc"))
+    .toDF("doc_id", "text").transform(Multimodal.withPayload)
+
+  test("payload is the raw utf-8 bytes; decode stub is deterministic per payload") {
+    val m = docs.withColumn("meta", Multimodal.decodeImageMeta(col("payload")))
+      .select(col("doc_id"), col("meta.width"), col("meta.height"),
+        col("meta.channels"), col("meta.format"))
+    val rows1 = rowsOf(m); val rows2 = rowsOf(m)
+    assert(rows1 === rows2 && rows1.size === 2)
+    val widths = m.collect().map(_.getInt(1))
+    assert(widths.forall(w => w >= 0 && w < 1920))
+  }
+
+  test("resize preserves aspect ratio and never upscales") {
+    val m = docs.withColumn("meta", Multimodal.decodeImageMeta(col("payload")))
+      .withColumn("small", Multimodal.resizeMeta(col("meta"), 64, 64))
+      .select(col("meta.width").as("w"), col("small.width").as("sw"),
+        col("small.height").as("sh"))
+    m.collect().foreach { r =>
+      assert(r.getInt(1) <= 64 && r.getInt(2) <= 64)
+      assert(r.getInt(1) <= r.getInt(0))
+    }
+  }
+
+  test("frame sampling fans out bounded offsets") {
+    val f = docs.select(col("doc_id"),
+      explode(Multimodal.sampleFrameOffsets(col("payload"), 4)).as("off"))
+    val offs = f.filter(col("doc_id") === 1).collect().map(_.getInt(1))
+    assert(offs.head === 0 && offs.forall(_ < "hello world".length))
+  }
+
+  test("partition-wise decode: context per partition, one output row per input") {
+    val out = Multimodal.decodePartitionwise(docs)
+    assert(out.count() === 2)
+    assert(out.columns.contains("decoded_len"))
+    // deterministic across runs
+    assert(rowsOf(out.select("doc_id", "decoded_len")) ===
+      rowsOf(Multimodal.decodePartitionwise(docs).select("doc_id", "decoded_len")))
+  }
+
+  test("feature vector: 8 dims in [0,1)") {
+    val f = docs.select(Multimodal.extractFeatures(col("payload")).as("f"))
+      .collect().map(_.getSeq[Double](0))
+    assert(f.forall(v => v.size === 8 && v.forall(x => x >= 0 && x < 1)))
+  }
+}
