@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Dedup, Events, MultimodalQ, Parity, Relational, Similarity, Stats, Text}
+import graft.queries.{Dedup, Events, MultimodalQ, Parity, Relational, Similarity, Stats, Temporal, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -64,6 +64,9 @@ object SparkEntry {
     "q35_status_priority_cube" -> (Stats.q35StatusPriorityCube _),
     // sketches: approximate by design — rows-only check, no oracle
     "q37_sketches" -> (Stats.q37Sketches _),
+    // temporal: as-of join (composed) + window-function family
+    "q38_asof_join" -> (Temporal.q38AsofJoin _),
+    "q39_window_family" -> (Temporal.q39WindowFamily _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -104,5 +107,7 @@ object SparkEntry {
     "q33_stats_agg" -> Stats.q33Sql,
     "q34_monthly_orders" -> Stats.q34Sql,
     "q35_status_priority_cube" -> Stats.q35Sql,
+    "q38_asof_join" -> Temporal.q38Sql,
+    "q39_window_family" -> Temporal.q39Sql,
   )
 }

@@ -44,6 +44,18 @@ class ScaleSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_bucketed_right")
   }
 
+  test("partitionBy write → partition-pruned read (the 100 TB layout contract)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("event_type") === "purchase")
+    val scan = q.queryExecution.executedPlan.toString
+    // the predicate lands in PartitionFilters: non-matching directories
+    // are never listed, let alone read
+    assert(scan.contains("PartitionFilters: [isnotnull(event_type"), scan)
+    assert(q.count() > 0)
+  }
+
   test("repartition-then-reuse: one shuffle serves two aggregations") {
     // AQE defers a cached relation's output partitioning until
     // materialization, so the no-exchange property is asserted on the
