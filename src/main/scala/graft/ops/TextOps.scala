@@ -42,6 +42,22 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
 
+  /** Polynomial rolling-hash fingerprint over the token sequence
+    * (Rabin-Karp shape): h = Σ tᵢ·Bⁱ mod M with md5-derived token
+    * codes, folded left-to-right in one `aggregate` pass. ORDER-
+    * SENSITIVE — permuted documents get different fingerprints, unlike
+    * [[fingerprint]]'s canonical-text hash; use it when token order is
+    * part of document identity. Constants sized so acc·B + t never
+    * overflows a signed long. Expects a staged token-code column (see
+    * the HOF staging note in graft.queries.Dedup).
+    */
+  val RollB = 31L
+  val RollM = 999999999999989L // < 2^50, prime; 31·M + 2^32 < 2^63
+  def tokenCodes(toks: Column): Column =
+    transform(toks, t => conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long"))
+  def rollingFingerprint(tokCodes: Column): Column =
+    aggregate(tokCodes, lit(0L), (acc, t) => (acc * RollB + t) % RollM)
+
   /** Count of tokens drawn from a marker set (stopword/language
     * votes) — array filter + size, no explode, no shuffle. */
   def markerCount(toks: Column, markers: Seq[String]): Column =

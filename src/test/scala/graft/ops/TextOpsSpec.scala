@@ -44,6 +44,18 @@ class TextOpsSpec extends SparkSpec {
       List("too_short", "high_stopword", "repetitive", "ok"))
   }
 
+  test("rolling fingerprint is order-sensitive; canonical md5 fingerprint is not") {
+    val df = Seq("alpha beta gamma", "gamma beta alpha").toDF("t")
+      .select(
+        TextOps.rollingFingerprint(TextOps.tokenCodes(TextOps.tokens(col("t")))).as("rh"),
+        TextOps.fingerprint(concat_ws(" ",
+          array_sort(TextOps.tokens(col("t"))))).as("bagfp"))
+    val rows = df.collect()
+    assert(rows(0).getLong(0) !== rows(1).getLong(0)) // order matters
+    assert(rows(0).getString(1) === rows(1).getString(1)) // bag-of-words equal
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < TextOps.RollM))
+  }
+
   test("regexTokens keeps punctuation as tokens (BPE-ish pre-tokenizer)") {
     val df = Seq("hi, world!").toDF("t")
       .select(TextOps.regexTokens(col("t")).as("toks"))
