@@ -181,6 +181,23 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join: streaming events enriched against a static dimension") {
+    implicit val sc = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[(Long, Double)]
+    val enriched = in.toDF().toDF("user_id", "value")
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .groupBy(col("tier")).agg(count(lit(1)).as("n"))
+    val q = enriched.writeStream.format("memory")
+      .queryName("enriched").outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData((1L, 5.0), (1L, 6.0), (2L, 1.0), (9L, 0.0))
+      q.processAllAvailable()
+      assert(rowsOf(sql("SELECT * FROM enriched")) ===
+        Seq(Seq("gold", "2"), Seq("null", "1"), Seq("silver", "1")))
+    } finally q.stop()
+  }
+
   test("checkpoint recovery: restarted query resumes state and offsets") {
     val dir = java.nio.file.Files.createTempDirectory("graft_recovery")
     val inDir = dir.resolve("in"); java.nio.file.Files.createDirectory(inDir)
