@@ -33,25 +33,32 @@ object AsOfJoin {
   def leftAsOf(left: DataFrame, right: DataFrame, keyCol: String,
                tsCol: String, payloadCols: Seq[String]): DataFrame = {
     val lCols = left.columns.toSeq
-    // tag: right rows sort BEFORE left rows at equal ts (<= semantics)
+    // The payload travels as ONE struct per right row (null struct for
+    // left rows): last(_, ignoreNulls) then selects the most recent
+    // right ROW as a unit, so (a) a right row whose payload value is
+    // legitimately NULL still wins (field-wise last() would skip it
+    // and resurrect an older value — diverging from ASOF semantics)
+    // and (b) multiple payload columns can never be stitched together
+    // from different right rows.
     val taggedRight = right.select(
-      Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
-        payloadCols.map(c => col(c).as(s"__p_$c")) ++
+      Seq(col(keyCol), col(tsCol), lit(0).as("__side"),
+        struct(payloadCols.map(col): _*).as("__p")) ++
         lCols.filterNot(c => c == keyCol || c == tsCol)
           .map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val payloadType = taggedRight.schema("__p").dataType
     val taggedLeft = left.select(
-      Seq(col(keyCol), col(tsCol), lit(1).as("__side")) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")) ++
+      Seq(col(keyCol), col(tsCol), lit(1).as("__side"),
+        lit(null).cast(payloadType).as("__p")) ++
         lCols.filterNot(c => c == keyCol || c == tsCol).map(col): _*)
+    // right rows sort BEFORE left rows at equal ts (<= semantics)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     taggedRight.unionByName(taggedLeft)
-      .select((Seq(col(keyCol), col(tsCol), col("__side")) ++
-        lCols.filterNot(c => c == keyCol || c == tsCol).map(col) ++
-        payloadCols.map(c =>
-          last(col(s"__p_$c"), ignoreNulls = true).over(w).as(c))): _*)
+      .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side")
+      .select((Seq(col(keyCol), col(tsCol)) ++
+        lCols.filterNot(c => c == keyCol || c == tsCol).map(col) ++
+        payloadCols.map(c => col(s"__asof.$c").as(c))): _*)
   }
 }

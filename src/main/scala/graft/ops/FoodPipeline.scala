@@ -120,7 +120,15 @@ object FoodPipeline {
     * under any partitioning (SURVEY.md §7.4).
     */
   def topAdditiveProducts(df: DataFrame, k: Int = 10): DataFrame =
-    df.transform(additivesExploded)
+    df.transform(additivesExploded).transform(topAdditiveAgg(_, k))
+
+  /** The aggregation half of Q6, over an already-exploded
+    * (product_name, additive) frame — shared by the batch query above
+    * and the streaming per-batch variant
+    * (graft.streaming.Streams.perBatchTopK) so the pinned tie-break
+    * and min() semantics live in exactly one place. */
+  def topAdditiveAgg(exploded: DataFrame, k: Int = 10): DataFrame =
+    exploded
       .groupBy(col("product_name"))
       .agg(count(lit(1)).as("additive_count"),
         min(col("additive")).as("most_common_additive"))

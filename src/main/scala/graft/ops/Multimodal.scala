@@ -50,7 +50,9 @@ object Multimodal {
     * sequence bounded by payload length, exactly how frame extraction
     * fans out one row per sampled frame. */
   def sampleFrameOffsets(payload: Column, everyNBytes: Int): Column =
-    sequence(lit(0), greatest(length(payload) - 1, lit(0)), lit(everyNBytes))
+    when(length(payload) > 0,
+      sequence(lit(0), length(payload) - 1, lit(everyNBytes)))
+      .otherwise(array().cast("array<int>")) // empty payload → zero frames
 
   /** Resize stub: rewrites the decoded metadata to a target box
     * preserving aspect ratio (integer math only — oracle-safe). A real

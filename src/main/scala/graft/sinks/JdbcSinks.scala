@@ -64,18 +64,35 @@ object JdbcSinks {
     }
 
   /** Scale-correct replacement: stage + swap. Readers never observe a
-    * dropped table; failures leave the live table untouched; no
-    * cross-query lock (per-table swap only). */
+    * dropped table; a failed staging write leaves the live table
+    * untouched. Serialized PER TABLE (concurrent upserts to the same
+    * table would race on the shared staging name), not across queries.
+    * Statements are issued one-by-one inside an explicit transaction —
+    * portable across JDBC drivers (multi-statement strings are a
+    * Postgres-ism). Note: the swap replaces the table object, so
+    * table-attached objects (indexes, grants) must be managed by the
+    * reader side or re-applied post-swap.
+    */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def upsertStaged(df: DataFrame, url: String, table: String, p: Properties): Unit = {
-    val staging = s"${table}_staging"
-    df.write.mode("overwrite").jdbc(url, staging, p)
-    val conn = java.sql.DriverManager.getConnection(url, p)
-    try {
-      val st = conn.createStatement()
+    val lock = tableLocks.computeIfAbsent(s"$url#$table", _ => new Object)
+    lock.synchronized {
+      val staging = s"${table}_staging"
+      df.write.mode("overwrite").jdbc(url, staging, p)
+      val conn = java.sql.DriverManager.getConnection(url, p)
       try {
-        st.execute(s"BEGIN; DROP TABLE IF EXISTS $table; " +
-          s"ALTER TABLE $staging RENAME TO $table; COMMIT;")
-      } finally st.close()
-    } finally conn.close()
+        conn.setAutoCommit(false)
+        val st = conn.createStatement()
+        try {
+          st.execute(s"DROP TABLE IF EXISTS $table")
+          st.execute(s"ALTER TABLE $staging RENAME TO $table")
+          conn.commit()
+        } catch {
+          case e: Throwable => conn.rollback(); throw e
+        } finally st.close()
+      } finally conn.close()
+    }
   }
 }

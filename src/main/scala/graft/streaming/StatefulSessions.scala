@@ -41,11 +41,21 @@ object StatefulSessions {
       sorted.foreach { e =>
         val t = e.ts.getTime
         cur match {
-          case Some(s) if t - s.last <= GapMs =>
-            cur = Some(s.copy(last = math.max(s.last, t), count = s.count + 1))
-          case Some(s) =>
+          // within the gap of the session's SPAN (both directions):
+          // a late-but-within-watermark event may precede the current
+          // start — the span extends backwards (start = min)
+          case Some(s) if t >= s.start - GapMs && t <= s.last + GapMs =>
+            cur = Some(SessionState(math.min(s.start, t),
+              math.max(s.last, t), s.count + 1))
+          case Some(s) if t > s.last + GapMs =>
             closed ::= close(s)
             cur = Some(SessionState(t, t, 1))
+          case Some(_) =>
+            // older than start - gap: belongs to an already-gone prior
+            // session; emit it as its own closed singleton (its
+            // neighbors, if any, were in earlier watermark horizons)
+            closed ::= ClosedSession(userId, new java.sql.Timestamp(t),
+              new java.sql.Timestamp(t), 1)
           case None =>
             cur = Some(SessionState(t, t, 1))
         }

@@ -44,7 +44,7 @@ object Streams {
     * dropped JSON file plays one producer page (schema-on-read happens
     * downstream in FoodPipeline.parsePage, like the reference). */
   def jsonFileSource(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.format("text").load(dir).withColumnRenamed("value", "value")
+    spark.readStream.format("text").load(dir) // one 'value' row per line/page
 
   /** Rate source for load/throughput experiments. */
   def rateSource(spark: SparkSession, rowsPerSecond: Int): DataFrame =
@@ -146,11 +146,7 @@ object Streams {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.groupBy(col("product_name"))
-          .agg(count(lit(1)).as("additive_count"),
-            min(col("additive")).as("most_common_additive"))
-          .orderBy(col("additive_count").desc, col("product_name").asc)
-          .limit(10)
+        FoodPipeline.topAdditiveAgg(batch)
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(path)
       }

@@ -37,6 +37,13 @@ class MultimodalSpec extends SparkSpec {
     assert(offs.head === 0 && offs.forall(_ < "hello world".length))
   }
 
+  test("frame sampling: empty payload yields zero frames, not one at offset 0") {
+    val empty = Seq((1L, "")).toDF("doc_id", "text").transform(Multimodal.withPayload)
+    val n = empty.select(explode(
+      Multimodal.sampleFrameOffsets(col("payload"), 4)).as("off")).count()
+    assert(n === 0)
+  }
+
   test("partition-wise decode: context per partition, one output row per input") {
     val out = Multimodal.decodePartitionwise(docs)
     assert(out.count() === 2)

@@ -181,6 +181,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessions: late in-gap event extends the session span backwards") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[StatefulSessions.Event]
+    val q = StatefulSessions.sessionize(in.toDS())
+      .writeStream.format("memory")
+      .queryName("late_sessions").outputMode(OutputMode.Append()).start()
+    try {
+      def t(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+      in.addData(StatefulSessions.Event(1L, t("10:00")))
+      q.processAllAvailable()
+      // late event 5 min EARLIER, still within watermark and gap
+      in.addData(StatefulSessions.Event(1L, t("09:55")))
+      q.processAllAvailable()
+      in.addData(StatefulSessions.Event(2L, t("14:00"))) // trigger timeout
+      q.processAllAvailable()
+      in.addData(StatefulSessions.Event(2L, t("15:00")))
+      q.processAllAvailable()
+      val s = sql("SELECT * FROM late_sessions")
+        .as[StatefulSessions.ClosedSession].collect().filter(_.user_id == 1L)
+      assert(s.length === 1)
+      assert(s(0).session_start === t("09:55"), "span must extend backwards")
+      assert(s(0).session_end === t("10:00") && s(0).event_count === 2)
+    } finally q.stop()
+  }
+
   test("stream-static join: streaming events enriched against a static dimension") {
     implicit val sc = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
