@@ -252,6 +252,70 @@ class StreamsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("the full 7-query fleet runs concurrently off one source (reference architecture)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fleet")
+    val inDir = dir.resolve("in"); java.nio.file.Files.createDirectory(inDir)
+    val page =
+      """{"rows":[
+        | {"row":{"nutriscore_grade":"a","categories_tags":["en:snacks"],
+        |  "nutriments":[{"name":"sugars","value":12.5}],
+        |  "product_name":[{"lang":"main","text":"Chips"}],
+        |  "packaging_tags":["en:bag"],"brands_tags":["en:crisps-co"],
+        |  "additives_tags":["en:e322"],"nova_groups_tags":["en:4-ultra"]}},
+        | {"row":{"nutriscore_grade":"c","categories_tags":["en:drinks"],
+        |  "nutriments":[{"name":"sugars","value":30.0}],
+        |  "product_name":[{"lang":"main","text":"Cola"}],
+        |  "packaging_tags":["en:bottle"],"brands_tags":["en:fizz"],
+        |  "additives_tags":["en:e150d"],"nova_groups_tags":["en:4-ultra"]}}
+        |]}""".stripMargin.replaceAll("\n", "")
+    java.nio.file.Files.writeString(inDir.resolve("p1.json"), page)
+    val parsed = FoodPipeline.parsePage(Streams.jsonFileSource(spark, inDir.toString))
+    val queries = Streams.foodQueryFleet(parsed,
+      s"$dir/out", s"$dir/cp", complete = true).map(_.start())
+    try {
+      queries.foreach(_.processAllAvailable())
+      val tables = Seq("nutriscore_counts", "category_counts", "brand_counts",
+        "packaging_distribution", "nova_group_classification",
+        "top_additive_products", "top_sugary_products_by_category")
+      tables.foreach { t =>
+        val n = spark.read.parquet(s"$dir/out/$t").count()
+        assert(n > 0, s"$t empty")
+      }
+      // spot-check two ends of the fleet
+      assert(rowsOf(spark.read.parquet(s"$dir/out/nutriscore_counts")) ===
+        Seq(Seq("A", "1"), Seq("C", "1")))
+      val sugary = spark.read.parquet(s"$dir/out/top_sugary_products_by_category")
+      assert(sugary.filter(col("main_category") === "drinks")
+        .collect()(0).getAs[String]("product_name") === "Cola")
+    } finally queries.foreach(_.stop())
+  }
+
+  test("RocksDB state store provider sustains a running aggregation") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sc = spark.sqlContext
+    try {
+      val in = MemoryStream[String]
+      def page(grade: String): String =
+        s"""{"rows":[{"row":{"nutriscore_grade":"$grade","categories_tags":[],
+           |"nutriments":[],"product_name":[],"packaging_tags":[],
+           |"brands_tags":[],"additives_tags":[],"nova_groups_tags":[]}}]}"""
+          .stripMargin.replaceAll("\n", "")
+      val q = FoodPipeline.nutriscoreDistribution(FoodPipeline.parsePage(in.toDF()))
+        .writeStream.format("memory").queryName("rocks_counts")
+        .outputMode(OutputMode.Complete()).start()
+      try {
+        in.addData(page("a")); q.processAllAvailable()
+        in.addData(page("a")); q.processAllAvailable()
+        assert(rowsOf(sql("SELECT * FROM rocks_counts")) === Seq(Seq("A", "2")))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   // Note: Streams.kafkaSource mirrors the reference's Kafka options
   // 1:1 (Consumer.scala:50-56) but the spark-sql-kafka connector jar is
   // not shipped in this container, so constructing it is untestable
