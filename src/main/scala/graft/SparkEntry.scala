@@ -62,6 +62,7 @@ object SparkEntry {
     "q33_stats_agg" -> (Stats.q33StatsAgg _),
     "q34_monthly_orders" -> (Stats.q34MonthlyOrders _),
     "q35_status_priority_cube" -> (Stats.q35StatusPriorityCube _),
+    "q40_grouping_sets" -> (Stats.q40GroupingSets _),
     // sketches: approximate by design — rows-only check, no oracle
     "q37_sketches" -> (Stats.q37Sketches _),
     // temporal: as-of join (composed) + window-function family
@@ -108,6 +109,7 @@ object SparkEntry {
     "q34_monthly_orders" -> Stats.q34Sql,
     "q35_status_priority_cube" -> Stats.q35Sql,
     "q38_asof_join" -> Temporal.q38Sql,
+    "q40_grouping_sets" -> Stats.q40Sql,
     "q39_window_family" -> Temporal.q39Sql,
   )
 }

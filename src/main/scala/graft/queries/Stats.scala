@@ -54,6 +54,29 @@ object Stats {
       |       round(sum(o_totalprice), 2) AS month_value
       |FROM orders GROUP BY 1, 2""".stripMargin
 
+  /** Explicit GROUPING SETS (beyond rollup/cube): exactly two
+    * single-dimension groupings in one scan — the "several GROUP BYs
+    * for the price of one pass" form dashboards use. */
+  def q40GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice"))
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"),
+        round(sum(col("o_totalprice")), 2).as("total_value"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("order_count"), col("total_value"))
+  }
+  val q40Sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |       coalesce(o_orderpriority, 'ALL') AS priority,
+      |       count(*) AS order_count,
+      |       round(sum(o_totalprice), 2) AS total_value
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin
+
   /** Sketch aggregates — the right answer at 100 TB when exactness
     * isn't required: HyperLogLog++ distinct counts and quantile
     * sketches are mergeable, O(1)-memory-per-group, one-pass.
