@@ -290,6 +290,30 @@ class StreamsSpec extends SparkSpec {
     } finally queries.foreach(_.stop())
   }
 
+  test("Trigger.AvailableNow: catch-up batch over a stream source terminates by itself") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_avnow")
+    val inDir = dir.resolve("in"); java.nio.file.Files.createDirectory(inDir)
+    (1 to 3).foreach { i =>
+      java.nio.file.Files.writeString(inDir.resolve(s"f$i.json"),
+        s"""{"rows":[{"row":{"nutriscore_grade":"a","categories_tags":[],
+           |"nutriments":[],"product_name":[],"packaging_tags":[],
+           |"brands_tags":[],"additives_tags":[],"nova_groups_tags":[]}}]}"""
+          .stripMargin.replaceAll("\n", ""))
+    }
+    // the nightly-compaction shape: a batch job that drains whatever
+    // the stream source has accumulated, with streaming exactly-once
+    // bookkeeping, then exits
+    val counts = FoodPipeline.nutriscoreDistribution(
+      FoodPipeline.parsePage(Streams.jsonFileSource(spark, inDir.toString)))
+    val q = counts.writeStream.format("memory").queryName("avnow_counts")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", dir.resolve("cp").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(60000), "AvailableNow query should self-terminate")
+    assert(rowsOf(sql("SELECT * FROM avnow_counts")) === Seq(Seq("A", "3")))
+  }
+
   test("RocksDB state store provider sustains a running aggregation") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
