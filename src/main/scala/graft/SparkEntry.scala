@@ -28,6 +28,7 @@ object SparkEntry {
     "q7_top_order_per_priority" -> (Parity.q7TopOrderPerPriority _),
     "q8_top_nations_other" -> (Parity.q8TopNationsOther _),
     "q9_weighted_mean" -> (Parity.q9WeightedMean _),
+    "q42_salted_brand_dist" -> (Parity.q42SaltedBrandDist _),
     // joins / set ops / rollup (SURVEY.md §2.7 gap coverage)
     "q10_revenue_by_nation" -> (Relational.q10RevenueByNation _),
     "q11_brand_volume" -> (Relational.q11BrandVolume _),
@@ -51,6 +52,7 @@ object SparkEntry {
     "q26_minhash_buckets" -> (Dedup.q26MinhashBuckets _),
     "q27_jaccard_pairs" -> (Dedup.q27JaccardPairs _),
     "q28_simhash_histogram" -> (Dedup.q28SimhashHistogram _),
+    "q41_source_simhash" -> (Dedup.q41SourceSimhash _),
     // similarity search
     "q29_cosine_topk" -> (Similarity.q29CosineTopK _),
     "q30_lsh_buckets" -> (Similarity.q30LshBuckets _),
@@ -81,6 +83,7 @@ object SparkEntry {
     "q7_top_order_per_priority" -> Parity.q7Sql,
     "q8_top_nations_other" -> Parity.q8Sql,
     "q9_weighted_mean" -> Parity.q9Sql,
+    "q42_salted_brand_dist" -> Parity.q42Sql,
     "q10_revenue_by_nation" -> Relational.q10Sql,
     "q11_brand_volume" -> Relational.q11Sql,
     "q12_customers_no_orders" -> Relational.q12Sql,
@@ -100,6 +103,7 @@ object SparkEntry {
     "q26_minhash_buckets" -> Dedup.q26Sql,
     "q27_jaccard_pairs" -> Dedup.q27Sql,
     "q28_simhash_histogram" -> Dedup.q28Sql,
+    "q41_source_simhash" -> Dedup.q41Sql,
     "q29_cosine_topk" -> Similarity.q29Sql,
     "q30_lsh_buckets" -> Similarity.q30Sql,
     "q31_embedding_near_dups" -> Similarity.q31Sql,

@@ -135,6 +135,19 @@ object FoodPipeline {
       .transform(d => Shapes.topK(d, k,
         col("additive_count").desc, col("product_name").asc))
 
+  /** Q6 with a TRUE mode aggregate: the reference column is named
+    * "most_common_additive" but computes scan-order `first()`
+    * (SURVEY.md §2.3 Q6); this variant computes the actual mode via
+    * Spark's built-in mode(deterministic=true) — lowest value on
+    * frequency ties, so still reproducible. */
+  def topAdditiveProductsTrueMode(df: DataFrame, k: Int = 10): DataFrame =
+    df.transform(additivesExploded)
+      .groupBy(col("product_name"))
+      .agg(count(lit(1)).as("additive_count"),
+        mode(col("additive"), deterministic = true).as("most_common_additive"))
+      .transform(d => Shapes.topK(d, k,
+        col("additive_count").desc, col("product_name").asc))
+
   /** Q7 category normalization + sugars extraction (reference
     * Consumer.scala:217-237). The reference double-explodes nutriments
     * × product_name (a per-row cross product) and filters both; we

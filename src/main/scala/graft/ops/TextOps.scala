@@ -55,6 +55,10 @@ object TextOps {
   val RollM = 999999999999989L // < 2^50, prime; 31·M + 2^32 < 2^63
   def tokenCodes(toks: Column): Column =
     transform(toks, t => conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long"))
+
+  /** 16-bit md5-derived token codes (the SimHash input domain). */
+  def tokenCodes16(toks: Column): Column =
+    transform(toks, t => conv(substring(md5(t.cast("binary")), 1, 4), 16, 10).cast("long"))
   def rollingFingerprint(tokCodes: Column): Column =
     aggregate(tokCodes, lit(0L), (acc, t) => (acc * RollB + t) % RollM)
 

@@ -174,4 +174,32 @@ object Dedup {
     s"""SELECT ($bits) AS simhash, count(*) AS doc_count
        |FROM documents WHERE len($toks) >= 1 GROUP BY 1""".stripMargin
   }
+
+  /** Group-level SimHash via the custom TypedImperativeAggregate
+    * ([[graft.functions.SimHashAgg]]): one signature per source from
+    * ALL its tokens — partial-aggregated map-side, merged as 16-long
+    * vote buffers across partitions (the rows never shuffle).
+    */
+  def q41SourceSimhash(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("source"),
+        explode(TextOps.tokenCodes16(col("toks"))).as("code"))
+      .groupBy(col("source"))
+      .agg(graft.functions.SimHashAgg.simhash_agg(col("code")).as("source_simhash"),
+        count(lit(1)).as("token_count"))
+  }
+  val q41Sql: String = {
+    val bits = (0 until 16).map { b =>
+      s"""CASE WHEN sum(CASE WHEN (code >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+         |THEN ${1L << b} ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    s"""WITH codes AS (
+       |  SELECT source,
+       |         CAST('0x' || substr(md5(unnest(str_split(text, ' '))), 1, 4) AS BIGINT)
+       |           AS code
+       |  FROM documents)
+       |SELECT source, ($bits) AS source_simhash, count(*) AS token_count
+       |FROM codes GROUP BY source""".stripMargin
+  }
 }

@@ -164,6 +164,19 @@ object Parity {
       |SELECT 'OTHER' AS n_name, CAST(sum(customer_count) AS BIGINT) AS customer_count
       |FROM ranked WHERE rk > 8 HAVING sum(customer_count) IS NOT NULL""".stripMargin
 
+  /** q3 re-run through the skew-resistant two-stage salted
+    * aggregation: the ORACLE IS q3's plain SQL — proving the salted
+    * plan computes exactly what the direct plan computes. (Counts are
+    * salt-invariant; the salt only spreads hot keys over reducers.)
+    */
+  def q42SaltedBrandDist(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir)
+      .select(regexp_replace(col("p_brand"), "^Brand#", "").as("brand"))
+      .filter(col("brand").isNotNull)
+      .transform(df => Shapes.saltedGroupCount(df, "brand", "product_count"))
+  }
+  val q42Sql: String = q3Sql
+
   /** Dashboard analog — weighted mean Σ(x·w)/Σ(w)
     * (reference streamlit/app.py:213-215). Rounded to keep the
     * float-sum oracle comparison stable.

@@ -93,6 +93,21 @@ class FoodPipelineSpec extends SparkSpec {
       out.contains(Seq("Nutella", "2", "e322")))
   }
 
+  test("Q6 true-mode variant: most frequent additive, not first/min") {
+    // product with additives e476, e476, e322 → mode = e476 (min would say e322)
+    val page2 =
+      """{"rows":[{"row":{"nutriscore_grade":"a","categories_tags":[],
+        |"nutriments":[],"product_name":[{"lang":"main","text":"P"}],
+        |"packaging_tags":[],"brands_tags":[],
+        |"additives_tags":["en:e476","en:e476","en:e322"],
+        |"nova_groups_tags":[]}}]}""".stripMargin.replaceAll("\n", "")
+    val parsed2 = FoodPipeline.parsePage(Seq(page2).toDF("value"))
+    val modeOut = rowsOf(FoodPipeline.topAdditiveProductsTrueMode(parsed2))
+    val minOut = rowsOf(FoodPipeline.topAdditiveProducts(parsed2))
+    assert(modeOut === Seq(Seq("P", "3", "e476")))
+    assert(minOut === Seq(Seq("P", "3", "e322")))
+  }
+
   test("Q7 sugars: main-lang name + sugars nutriment via array filter, no explode") {
     val out = rowsOf(FoodPipeline.sugarsByCategory(parsed))
     assert(out === Seq(
