@@ -66,6 +66,12 @@ class QueriesSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
   }
 
+  test("q41 custom aggregate partial-aggregates BEFORE the exchange (rows never shuffle)") {
+    val plan = Dedup.q41SourceSimhash(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_simhash_agg"), plan.take(2000))
+  }
+
   test("q29 broadcast: embeddings scan is joined map-side (no shuffle of corpus)") {
     val plan = Similarity.q29CosineTopK(spark, sf)
       .queryExecution.executedPlan.toString
