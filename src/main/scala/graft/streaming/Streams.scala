@@ -197,6 +197,27 @@ object Streams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("events_in_session"))
 
+  /** Stream-stream interval join: match rows of two live streams on a
+    * key within an event-time window (here: each left event to right
+    * events at most `intervalSeconds` BEFORE it). Both sides carry
+    * watermarks, so join state is bounded — Spark retains only rows
+    * that can still find a partner and evicts the rest as the
+    * watermark advances. The join itself hash-partitions both streams
+    * on the key: at scale this is the one unavoidable shuffle, and
+    * skewed keys split under AQE like any other join.
+    * Column convention: left has (key, lts, ...), right (key, rts, ...).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   intervalSeconds: Long, watermark: String = "10 minutes")
+      : DataFrame = {
+    val l = left.withWatermark("lts", watermark)
+    val r = right.withWatermark("rts", watermark)
+    l.join(r, l(key) === r(key) &&
+      col("rts") <= col("lts") &&
+      col("rts") >= col("lts") - expr(s"INTERVAL $intervalSeconds SECONDS"))
+      .drop(r(key))
+  }
+
   /** Streaming exact dedup with bounded state: duplicates arriving
     * within the watermark horizon are dropped once, state expires
     * after it. */

@@ -206,6 +206,29 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within the window, drops outside it") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val views = MemoryStream[(Long, Timestamp, String)]
+    val joined = Streams.intervalJoin(
+      clicks.toDF().toDF("user_id", "lts", "click_id"),
+      views.toDF().toDF("user_id", "rts", "view_id"),
+      "user_id", intervalSeconds = 600) // 10 minutes
+      .select(col("click_id"), col("view_id"))
+    val q = joined.writeStream.format("memory")
+      .queryName("interval_join").outputMode(OutputMode.Append()).start()
+    try {
+      views.addData((1L, ts(0), "v1"), (1L, ts(30), "v2"), (2L, ts(1), "v3"))
+      clicks.addData((1L, ts(5), "c1"),   // joins v1 (5m before)
+        (1L, ts(35), "c2"),               // joins v2 only (v1 is 35m back)
+        (2L, ts(20), "c3"),               // v3 is 19m back → outside window
+        (3L, ts(9), "c4"))                // no view for user 3
+      q.processAllAvailable()
+      val pairs = rowsOf(sql("SELECT * FROM interval_join"))
+      assert(pairs === Seq(Seq("c1", "v1"), Seq("c2", "v2")))
+    } finally q.stop()
+  }
+
   test("stream-static join: streaming events enriched against a static dimension") {
     implicit val sc = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
