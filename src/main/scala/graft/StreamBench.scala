@@ -29,21 +29,7 @@ object StreamBench {
     implicit val sc = spark.sqlContext
     import spark.implicits._
 
-    val grades = Array("a", "b", "c", "d", "e", "zz", null)
-    def product(i: Int): String = {
-      val g = grades(i % grades.length)
-      val gs = if (g == null) "null" else s""""$g""""
-      s"""{"row":{"nutriscore_grade":$gs,
-         |"categories_tags":["en:cat${i % 50}"],
-         |"nutriments":[{"name":"sugars","value":${i % 90}.5}],
-         |"product_name":[{"lang":"main","text":"Product $i"}],
-         |"packaging_tags":["en:box"],"brands_tags":["en:brand${i % 200}"],
-         |"additives_tags":["en:e${100 + i % 30}"],
-         |"nova_groups_tags":["en:${1 + i % 4}-group"]}}""".stripMargin
-        .replaceAll("\n", "")
-    }
-    def page(p: Int): String =
-      (0 until 100).map(i => product(p * 100 + i)).mkString("""{"rows":[""", ",", "]}")
+    def page(p: Int): String = graft.sources.PagesSource.pageJson(p, 100)
 
     val in = MemoryStream[String]
     val counts = FoodPipeline.nutriscoreDistribution(FoodPipeline.parsePage(in.toDF()))
