@@ -4,6 +4,7 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types.{DataType, LongType}
@@ -34,6 +35,14 @@ case class SimHashAgg(
 
   val Bits = 16
 
+  // analysis-time type contract: a non-long child fails analysis with
+  // a clear message instead of a mid-job executor ClassCastException
+  // (the eval below does an unchecked asInstanceOf[Long])
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash_agg requires a BIGINT input, got ${child.dataType.simpleString}" +
+        " (cast token codes to long, e.g. TextOps.tokenCodes16)")
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = LongType

@@ -32,11 +32,33 @@ object KMeans {
     (array_position(ds, array_min(ds)) - 1).cast("int")
   }
 
+  /** Drop rows that can't participate in training: null vectors or
+    * wrong-dimension vectors (either would crash mid-step — a null
+    * cell NPEs the driver collect, a ragged vector makes element_at
+    * throw under ANSI mode). */
+  def validVectors(emb: DataFrame, dim: Int): DataFrame =
+    emb.filter(col("v").isNotNull && size(col("v")) === dim)
+
+  /** L2-normalize the vector column. REQUIRED before training a
+    * codebook that q36-style COSINE assignment will consume: Lloyd
+    * minimizes L2 distance, and L2-argmin equals cosine-argmax only on
+    * unit vectors — training unnormalized and assigning by cosine puts
+    * large-norm vectors in the wrong cells and silently hurts IVF
+    * recall. (The norm is staged as a column — see the HOF note in
+    * graft.queries.Dedup — so it isn't re-summed per element.) */
+  def l2Normalize(emb: DataFrame): DataFrame =
+    emb.withColumn("__norm",
+        sqrt(aggregate(col("v"), lit(0d), (a, x) => a + x * x)))
+      .withColumn("v",
+        when(col("__norm") > 0, transform(col("v"), x => x / col("__norm")))
+          .otherwise(col("v")))
+      .drop("__norm")
+
   /** One Lloyd step: returns updated centroids (empty cells keep their
     * previous centroid). `emb` needs columns (vec_id, v: array<double>). */
   def step(emb: DataFrame, centroids: Array[Array[Double]]): Array[Array[Double]] = {
     val dim = centroids.head.length
-    val means = emb
+    val means = validVectors(emb, dim)
       .withColumn("cell", assignCell(col("v"), centroids))
       .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("cell"), col("dim"))
@@ -50,13 +72,21 @@ object KMeans {
   }
 
   /** Train k centroids: deterministic init from the k lexicographically
-    * first vec_ids, then `iters` Lloyd steps. */
+    * first vec_ids, then `iters` Lloyd steps. The input is persisted
+    * for the duration — each step re-reads it, and without caching the
+    * full upstream lineage (scan + parse + sample) would re-execute
+    * iters+1 times. */
   def train(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
-    var cs: Array[Array[Double]] = emb.orderBy(col("vec_id")).limit(k)
-      .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
-    require(cs.length == k, s"need >= $k vectors to seed $k centroids")
-    (0 until iters).foreach(_ => cs = step(emb, cs))
-    cs
+    val cached = emb.persist()
+    try {
+      var cs: Array[Array[Double]] = cached
+        .filter(col("v").isNotNull)
+        .orderBy(col("vec_id")).limit(k)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+      require(cs.length == k, s"need >= $k vectors to seed $k centroids")
+      (0 until iters).foreach(_ => cs = step(cached, cs))
+      cs
+    } finally cached.unpersist()
   }
 
   /** Mean squared distance to the assigned centroid — the quantity

@@ -42,8 +42,8 @@ object PagesSource {
 
   private val grades = Array("a", "b", "c", "d", "e", "zz", null)
 
-  def productJson(i: Int): String = {
-    val g = grades(i % grades.length)
+  def productJson(i: Long): String = {
+    val g = grades((i % grades.length).toInt)
     val gs = if (g == null) "null" else s""""$g""""
     s"""{"row":{"nutriscore_grade":$gs,"categories_tags":["en:cat${i % 50}"],""" +
       s""""nutriments":[{"name":"sugars","value":${i % 90}.5}],""" +
@@ -54,7 +54,10 @@ object PagesSource {
   }
 
   def pageJson(page: Int, productsPerPage: Int): String =
-    (0 until productsPerPage).map(i => productJson(page * productsPerPage + i))
+    // Long global index: page * productsPerPage overflows Int past
+    // ~21M pages × 100, which would feed grades() a negative index
+    (0 until productsPerPage)
+      .map(i => productJson(page.toLong * productsPerPage + i))
       .mkString("""{"rows":[""", ",", "]}")
 }
 
@@ -85,8 +88,8 @@ private class PagesScan(pages: Int, productsPerPage: Int, numPartitions: Int)
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(1, math.min(numPartitions, pages))
     (0 until n).map { p =>
-      val start = p * pages / n
-      val end = (p + 1) * pages / n
+      val start = (p.toLong * pages / n).toInt   // Long math: p*pages can
+      val end = ((p + 1).toLong * pages / n).toInt // overflow Int at ~2^31
       PagesInputPartition(start, end, productsPerPage): InputPartition
     }.toArray
   }

@@ -41,10 +41,13 @@ object Streams {
       .load()
 
   /** File-drop source: the testbed stand-in for the Kafka topic. Each
-    * dropped JSON file plays one producer page (schema-on-read happens
-    * downstream in FoodPipeline.parsePage, like the reference). */
+    * dropped file IS one producer page (`wholetext` — a pretty-printed
+    * multi-line page would otherwise split into per-line rows that all
+    * fail from_json and vanish silently under PERMISSIVE parsing).
+    * Schema-on-read happens downstream in FoodPipeline.parsePage, like
+    * the reference. */
   def jsonFileSource(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.format("text").load(dir) // one 'value' row per line/page
+    spark.readStream.format("text").option("wholetext", "true").load(dir)
 
   /** Rate source for load/throughput experiments. */
   def rateSource(spark: SparkSession, rowsPerSecond: Int): DataFrame =
@@ -56,41 +59,54 @@ object Streams {
   /** foreachBatch parquet sink, overwrite-per-batch — the scale-sane
     * equivalent of the reference's drop-and-recreate JDBC sink
     * (Consumer.scala:282-300): idempotent on replay, no global lock
-    * (each query owns its directory). */
-  def overwriteParquetSink(df: DataFrame, path: String, checkpoint: String,
-                           mode: OutputMode = OutputMode.Complete())
+    * (each query owns its directory). Complete mode is hardcoded: with
+    * any partial-output mode, overwriting the directory with only the
+    * changed keys would silently delete every unchanged key's row. */
+  def overwriteParquetSink(df: DataFrame, path: String, checkpoint: String)
       : DataStreamWriter[Row] =
     df.writeStream
-      .outputMode(mode)
+      .outputMode(OutputMode.Complete())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("overwrite").parquet(path)
       }
 
-  /** foreachBatch append sink with batch id column — the reference's
-    * append tables carry batch_id the same way (init.sql:43,51). */
+  /** Replay-idempotent per-batch write: each micro-batch lands in its
+    * own batch_id=N partition via dynamic partition overwrite, so a
+    * batch replayed after a crash-between-commit-and-checkpoint
+    * OVERWRITES its own partition instead of appending duplicates —
+    * exactly-once output from an at-least-once foreachBatch. */
+  private def writeBatchPartition(batch: DataFrame, batchId: Long, path: String): Unit =
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+
+  /** foreachBatch append sink with batch id partition — the reference's
+    * append tables carry batch_id the same way (init.sql:43,51), but
+    * replay-idempotent (see writeBatchPartition). */
   def appendParquetSink(df: DataFrame, path: String, checkpoint: String)
       : DataStreamWriter[Row] =
     df.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(path)
+        writeBatchPartition(batch, batchId, path)
       }
 
   /** Update-mode upsert sink: writes only the keys whose aggregate
-    * changed this micro-batch, partitioned by batch for idempotent
-    * replay — at scale this writes O(changed keys), not O(all keys).
-    * Readers take the latest batch per key (latestSnapshot below). */
+    * changed this micro-batch, one batch_id partition per batch
+    * (replay-idempotent, see writeBatchPartition) — at scale this
+    * writes O(changed keys), not O(all keys). Readers take the latest
+    * batch per key (latestSnapshot below). */
   def upsertParquetSink(df: DataFrame, path: String, checkpoint: String)
       : DataStreamWriter[Row] =
     df.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(path)
+        writeBatchPartition(batch, batchId, path)
       }
 
   /** Batch view reconstructing current state from an upsert log:
@@ -146,9 +162,7 @@ object Streams {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        FoodPipeline.topAdditiveAgg(batch)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(path)
+        writeBatchPartition(FoodPipeline.topAdditiveAgg(batch), batchId, path)
       }
 
   /** Q7: per-batch windowed rank (reference Consumer.scala:106-124). */
@@ -159,10 +173,9 @@ object Streams {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.Shapes.argmaxPerGroup(batch, "main_category",
-            Seq(col("sugar").desc, col("product_name").asc))
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(path)
+        writeBatchPartition(graft.ops.Shapes.argmaxPerGroup(batch,
+          "main_category",
+          Seq(col("sugar").desc, col("product_name").asc)), batchId, path)
       }
 
   // --------------------------------------- event-time ops (beyond reference)

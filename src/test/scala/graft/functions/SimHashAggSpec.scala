@@ -35,6 +35,13 @@ class SimHashAggSpec extends SparkSpec {
     }
   }
 
+  test("non-long input fails at analysis, not mid-job on executors") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("abc").toDF("s").agg(simhash_agg(col("s"))).collect()
+    }
+    assert(e.getMessage.contains("BIGINT"), e.getMessage)
+  }
+
   test("nulls are ignored; empty group yields 0 (no set bits)") {
     val got = Seq[Option[Long]](None, None).toDF("code")
       .agg(simhash_agg(col("code"))).collect()(0).getLong(0)

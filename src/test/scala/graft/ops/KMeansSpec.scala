@@ -44,6 +44,34 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("null and ragged vectors are excluded instead of crashing the step") {
+    val dirty = points.unionByName(
+      Seq((900L, null.asInstanceOf[Seq[Double]]), (901L, Seq(1.0)))
+        .toDF("vec_id", "v"))
+    val cs = KMeans.train(dirty, k = 2, iters = 2)
+    assert(!cs.flatten.exists(_.isNaN))
+  }
+
+  test("l2Normalize makes L2-argmin match cosine-argmax (the IVF contract)") {
+    import graft.queries.Similarity
+    // large-norm vector pointing near cluster-A direction: cosine says A,
+    // raw L2 says B (it sits closer to B in absolute distance)
+    val v = Seq((0L, Seq(30.0, 30.0, 31.0))).toDF("vec_id", "v")
+    val cs = Array(Array(0.1, 0.1, 0.2), Array(10.0, 10.0, 10.0))
+    val rawCell = v.select(KMeans.assignCell(col("v"), cs)).collect()(0).getInt(0)
+    assert(rawCell === 1) // L2 on unnormalized: nearest is B
+    val csN = cs.map { c => val n = math.sqrt(c.map(x => x * x).sum); c.map(_ / n) }
+    val normCell = KMeans.l2Normalize(v)
+      .select(KMeans.assignCell(col("v"), csN)).collect()(0).getInt(0)
+    // after normalizing both sides, L2-argmin == cosine-argmax
+    val cosCell = v.select(
+      when(Similarity.cosine(col("v"),
+        array(csN(0).map(lit).toSeq: _*)) >=
+        Similarity.cosine(col("v"), array(csN(1).map(lit).toSeq: _*)), 0)
+        .otherwise(1)).collect()(0).getInt(0)
+    assert(normCell === cosCell)
+  }
+
   test("empty cells keep their previous centroid (no NaN poisoning)") {
     // both seeds inside cluster A: cluster-B-less cell must survive the step
     val far = Array(Array(0.5, 0.5, 0.5), Array(500.0, 500.0, 500.0))

@@ -313,6 +313,26 @@ class StreamsSpec extends SparkSpec {
     } finally queries.foreach(_.stop())
   }
 
+  test("append sink: per-batch partitions accumulate with batch_id") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_append").toString
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.appendParquetSink(
+      in.toDF().toDF("id", "tag"), s"$dir/out", s"$dir/cp").start()
+    try {
+      in.addData((1L, "a")); q.processAllAvailable()
+      in.addData((2L, "b")); q.processAllAvailable()
+      val log = spark.read.parquet(s"$dir/out")
+      assert(log.count() === 2)
+      // batch_id is a PARTITION column now — replayed batches overwrite
+      // their own partition (idempotent), and readers can prune on it
+      assert(log.select("batch_id").distinct().count() === 2)
+      val plan = spark.read.parquet(s"$dir/out")
+        .filter(col("batch_id") === 1).queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: ["), plan.take(1500))
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow: catch-up batch over a stream source terminates by itself") {
     val dir = java.nio.file.Files.createTempDirectory("graft_avnow")
     val inDir = dir.resolve("in"); java.nio.file.Files.createDirectory(inDir)
