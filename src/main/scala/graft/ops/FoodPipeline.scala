@@ -46,6 +46,30 @@ object FoodPipeline {
       .select(explode(col("data.rows")).as("row"))
       .select("row.row.*")
 
+  /** parsePage with malformed-page accounting: PERMISSIVE from_json
+    * turns a corrupt page into a null struct which explode then drops
+    * — silently, with no metric (the reference has the same blind
+    * spot). This variant tags each page before the explode so corrupt
+    * input is COUNTED instead of vanishing; pipe the second frame to a
+    * monitoring sink.
+    * @return (products, corruptPages) — corruptPages has the raw value
+    *         for quarantine/replay.
+    */
+  def parsePageAccounted(raw: DataFrame, valueCol: String = "value")
+      : (DataFrame, DataFrame) = {
+    val tagged = raw.withColumn("__data",
+      from_json(col(valueCol).cast("string"), apiResponseSchema))
+    // PERMISSIVE from_json yields a struct with NULL FIELDS on
+    // malformed input (not a null struct): "no parsable rows array"
+    // is the corrupt signal
+    val products = tagged.filter(col("__data.rows").isNotNull)
+      .select(explode(col("__data.rows")).as("row"))
+      .select("row.row.*")
+    val corrupt = tagged.filter(col("__data.rows").isNull)
+      .select(col(valueCol).cast("string").as("corrupt_page"))
+    (products, corrupt)
+  }
+
   /** Q1 (reference Consumer.scala:187-199). Order preserved: bucket
     * first, null-filter second — so null grades drop but non-null
     * garbage becomes UNKNOWN.

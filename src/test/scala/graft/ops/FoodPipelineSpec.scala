@@ -51,6 +51,15 @@ class FoodPipelineSpec extends SparkSpec {
     assert(bad.count() === 0) // explode of null array drops the row
   }
 
+  test("parsePageAccounted: corrupt pages are counted and quarantined, not dropped") {
+    val mixed = Seq(page, "{not json", "also-not-json").toDF("value")
+    val (products, corrupt) = FoodPipeline.parsePageAccounted(mixed)
+    assert(products.count() === 3) // the good page's products
+    assert(corrupt.count() === 2)
+    assert(corrupt.collect().map(_.getString(0)).toSet ===
+      Set("{not json", "also-not-json"))
+  }
+
   test("Q1 nutriscore: null grade dropped, garbage → UNKNOWN, valid upper-cased") {
     val out = rowsOf(FoodPipeline.nutriscoreDistribution(parsed))
     assert(out === Seq(Seq("E", "1"), Seq("UNKNOWN", "1")))
