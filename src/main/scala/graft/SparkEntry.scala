@@ -47,6 +47,7 @@ object SparkEntry {
     "q22_quality_buckets" -> (Text.q22QualityBuckets _),
     "q23_token_freq" -> (Text.q23TokenFreq _),
     "q24_fingerprints" -> (Text.q24Fingerprints _),
+    "q43_rolling_fingerprints" -> (Text.q43RollingFingerprints _),
     // deduplication ladder
     "q25_exact_dedup" -> (Dedup.q25ExactDedup _),
     "q26_minhash_buckets" -> (Dedup.q26MinhashBuckets _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "q22_quality_buckets" -> Text.q22Sql,
     "q23_token_freq" -> Text.q23Sql,
     "q24_fingerprints" -> Text.q24Sql,
+    "q43_rolling_fingerprints" -> Text.q43Sql,
     "q25_exact_dedup" -> Dedup.q25Sql,
     "q26_minhash_buckets" -> Dedup.q26Sql,
     "q27_jaccard_pairs" -> Dedup.q27Sql,

@@ -88,6 +88,30 @@ object Text {
       |FROM (SELECT unnest(str_split(text, ' ')) AS tok FROM documents)
       |WHERE tok <> '' GROUP BY 1 ORDER BY freq DESC, token ASC LIMIT 20""".stripMargin
 
+  /** Order-sensitive rolling-hash fingerprints (Rabin-Karp fold over
+    * md5-derived token codes, see TextOps.rollingFingerprint): per
+    * source, how many docs and how many distinct SEQUENCES — the
+    * dedup signal that distinguishes reordered near-copies, which the
+    * bag-of-words md5 fingerprint (q24) cannot. */
+  def q43RollingFingerprints(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("codes", TextOps.tokenCodes(col("toks")))
+      .withColumn("rfp", TextOps.rollingFingerprint(col("codes")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("doc_count"),
+        countDistinct(col("rfp")).as("distinct_sequences"))
+  }
+  val q43Sql: String =
+    s"""SELECT source, count(*) AS doc_count,
+       |  count(DISTINCT list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(str_split(text, ' '),
+       |        t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))),
+       |    (a, b) -> (a * ${TextOps.RollB} + b) % ${TextOps.RollM}))
+       |    AS distinct_sequences
+       |FROM documents GROUP BY 1""".stripMargin
+
   /** Document fingerprinting: md5 over canonicalized text, rolled up
     * per source — duplicate mass per ingestion feed. */
   def q24Fingerprints(s: SparkSession, dir: String): DataFrame = {
