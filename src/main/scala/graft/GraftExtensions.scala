@@ -1,0 +1,39 @@
+package graft
+
+import graft.functions.{CosineSimilarity, DotProduct, SimHashAgg}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Sqrt}
+
+/** SparkSessionExtensions entry point: installs the engine's custom
+  * Catalyst functions at SESSION BUILD time, so any session created
+  * with `spark.sql.extensions=graft.GraftExtensions` (spark-submit
+  * conf, no code changes) has them in SQL — the deployment-grade
+  * alternative to calling VectorFunctions.register() per session.
+  *
+  * This is the same injection surface a custom Rule[LogicalPlan] or
+  * SparkStrategy would use (injectOptimizerRule / injectPlannerStrategy);
+  * per SURVEY.md §7.3 no custom rule is needed — every operator here
+  * lowers to built-in plans — so functions are the honest extent of
+  * plan-level extension.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[DotProduct].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - inner product of two array<double>"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity", "cosine_similarity(a, b) - cosine of two array<double>"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("vector_norm"),
+      info("vector_norm", "vector_norm(a) - L2 norm of an array<double>"),
+      (es: Seq[Expression]) => Sqrt(DotProduct(es(0), es(0)))))
+    ext.injectFunction((FunctionIdentifier("simhash_agg"),
+      info("simhash_agg", "simhash_agg(code) - 16-bit SimHash over grouped BIGINT token codes"),
+      (es: Seq[Expression]) => SimHashAgg(es(0)).toAggregateExpression()))
+  }
+}

@@ -46,6 +46,15 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out(0).isNullAt(0))
   }
 
+  test("GraftExtensions: functions injected at session build, no register() call") {
+    // vector_norm and simhash_agg exist ONLY via spark.sql.extensions
+    val n = sql("SELECT vector_norm(array(3.0d, 4.0d)) AS n").collect()(0).getDouble(0)
+    assert(math.abs(n - 5.0) < 1e-12)
+    val h = sql("SELECT simhash_agg(c) FROM VALUES (5L), (5L) AS t(c)")
+      .collect()(0).getLong(0)
+    assert(h === 5L) // both rows vote the same bits
+  }
+
   test("SQL registration: cosine_similarity usable from spark.sql") {
     VectorFunctions.register(spark)
     vecs.createOrReplaceTempView("vecs_tmp")
