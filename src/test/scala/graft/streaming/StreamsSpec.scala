@@ -383,6 +383,32 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("batch/stream duality: identical results from the same transform over the same data") {
+    // stream the events parquet as a file source and run the SAME
+    // windowed aggregation the batch oracle query runs — the design
+    // spine of the engine (every op is a pure DataFrame => DataFrame)
+    // means the two must agree row-for-row
+    val src = "/root/testdata/sf0.001/events.parquet"
+    val dir = java.nio.file.Files.createTempDirectory("graft_duality")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+      dir.resolve("events.parquet"))
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batchDf = normalize(spark.read.parquet(dir.toString))
+    val streamDf = normalize(
+      spark.readStream.schema(spark.read.parquet(dir.toString).schema)
+        .parquet(dir.toString))
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("event_count"))
+      .select(col("w.start").as("ws"), col("event_type"), col("event_count"))
+    val q = agg(streamDf).writeStream.format("memory")
+      .queryName("duality").outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000))
+    assert(rowsOf(sql("SELECT * FROM duality")) === rowsOf(agg(batchDf)))
+  }
+
   // Note: Streams.kafkaSource mirrors the reference's Kafka options
   // 1:1 (Consumer.scala:50-56) but the spark-sql-kafka connector jar is
   // not shipped in this container, so constructing it is untestable
