@@ -56,6 +56,37 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < TextOps.RollM))
   }
 
+  test("shingle law: n tokens yield max(0, n-k+1) shingles, each of k tokens (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+    val doc = Gen.listOf(word).map(_.mkString(" "))
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20),
+      Prop.forAll(doc) { text =>
+        val sh = Seq(text).toDF("t")
+          .select(TextOps.shingles(TextOps.tokens(col("t")), 3).as("sh"))
+          .collect()(0).getSeq[String](0)
+        val nToks = if (text.isEmpty) 1 else text.split(" ", -1).length
+        sh.length == math.max(0, nToks - 2) &&
+          sh.forall(_.split(" ", -1).length == 3)
+      })
+    assert(res.passed, res.status.toString)
+  }
+
+  test("rolling fingerprint stays in [0, M) for any input (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val doc = Gen.listOf(Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString))
+      .map(_.mkString(" "))
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20),
+      Prop.forAll(doc) { text =>
+        val fp = Seq(text).toDF("t")
+          .select(TextOps.rollingFingerprint(
+            TextOps.tokenCodes(TextOps.tokens(col("t")))).as("fp"))
+          .collect()(0).getLong(0)
+        fp >= 0 && fp < TextOps.RollM
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("regexTokens keeps punctuation as tokens (BPE-ish pre-tokenizer)") {
     val df = Seq("hi, world!").toDF("t")
       .select(TextOps.regexTokens(col("t")).as("toks"))
