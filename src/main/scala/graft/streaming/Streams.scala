@@ -71,6 +71,20 @@ object Streams {
         batch.write.mode("overwrite").parquet(path)
       }
 
+  /** Console debug sink (reference K2, Consumer.scala:89 et al. —
+    * `batchDF.show(1000)` per batch). numRows is capped: the
+    * reference's 1000-row dump per batch per query is log spam at any
+    * real rate; default keeps the first rows as a heartbeat. */
+  def consoleSink(df: DataFrame, checkpoint: String, numRows: Int = 20,
+                  mode: OutputMode = OutputMode.Complete())
+      : DataStreamWriter[Row] =
+    df.writeStream
+      .outputMode(mode)
+      .option("checkpointLocation", checkpoint)
+      .format("console")
+      .option("numRows", numRows.toString)
+      .option("truncate", "false")
+
   /** Replay-idempotent per-batch write: each micro-batch lands in its
     * own batch_id=N partition via dynamic partition overwrite, so a
     * batch replayed after a crash-between-commit-and-checkpoint
