@@ -8,8 +8,15 @@ import org.apache.spark.sql.SparkSession
   * Methodology: one untimed warmup pass at sf0.001 first — JVM class
   * loading + whole-stage-codegen compilation otherwise dominates the
   * first timed query (measured ~40s of one-time overhead in this
-  * container vs <1s warm). Queries execute into the `noop` sink so the
-  * full plan runs without driver-side collection.
+  * container vs <1s warm). Then each query is timed TWICE at the
+  * target SF and the min is reported: under an sbt-forked JVM the
+  * first execution of a CPU-bound generated class runs interpreted /
+  * C1-only and reads 10-45× slow (round-1: q26 83.9s forked vs 1.83s
+  * plain-java, identical config); the second execution reuses the
+  * cached generated class JIT-warm, so best-of-2 reports steady-state
+  * engine time instead of harness JIT noise, and regressions stay
+  * visible. Queries execute into the `noop` sink so the full plan runs
+  * without driver-side collection.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,8 +47,16 @@ object Bench {
     // a failed query reports -1 (unambiguous in the JSON) and logs to
     // stderr — a near-zero "success" time would hide breakage
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { exec(fn, sfDir); name -> (System.nanoTime() - t0) / 1e9 }
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        exec(fn, sfDir)
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        val best = math.min(once(), once())
+        System.err.println(f"[bench] $name%-28s $best%8.2fs")
+        name -> best
+      }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         name -> -1.0

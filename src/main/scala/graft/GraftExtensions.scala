@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, SimHashAgg}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashBands, SimHashAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Sqrt}
@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vector_norm"),
       info("vector_norm", "vector_norm(a) - L2 norm of an array<double>"),
       (es: Seq[Expression]) => Sqrt(DotProduct(es(0), es(0)))))
+    ext.injectFunction((FunctionIdentifier("minhash_bands"),
+      info("minhash_bands", "minhash_bands(shingles, k) - k MinHash values of an array<string>"),
+      (es: Seq[Expression]) => MinHashBands(es(0),
+        es(1).eval().asInstanceOf[Number].intValue())))
     ext.injectFunction((FunctionIdentifier("simhash_agg"),
       info("simhash_agg", "simhash_agg(code) - 16-bit SimHash over grouped BIGINT token codes"),
       (es: Seq[Expression]) => SimHashAgg(es(0)).toAggregateExpression()))

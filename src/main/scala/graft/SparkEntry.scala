@@ -54,6 +54,7 @@ object SparkEntry {
     "q27_jaccard_pairs" -> (Dedup.q27JaccardPairs _),
     "q28_simhash_histogram" -> (Dedup.q28SimhashHistogram _),
     "q41_source_simhash" -> (Dedup.q41SourceSimhash _),
+    "q44_lsh_verified_pairs" -> (Dedup.q44LshVerifiedPairs _),
     // similarity search
     "q29_cosine_topk" -> (Similarity.q29CosineTopK _),
     "q30_lsh_buckets" -> (Similarity.q30LshBuckets _),
@@ -66,8 +67,10 @@ object SparkEntry {
     "q34_monthly_orders" -> (Stats.q34MonthlyOrders _),
     "q35_status_priority_cube" -> (Stats.q35StatusPriorityCube _),
     "q40_grouping_sets" -> (Stats.q40GroupingSets _),
-    // sketches: approximate by design — rows-only check, no oracle
+    // sketches: approximate values checked via in-query tolerance booleans
     "q37_sketches" -> (Stats.q37Sketches _),
+    // true-mode aggregate (the reference's "most_common_additive" intent)
+    "q45_true_mode_tokens" -> (Parity.q45TrueModeTokens _),
     // temporal: as-of join (composed) + window-function family
     "q38_asof_join" -> (Temporal.q38AsofJoin _),
     "q39_window_family" -> (Temporal.q39WindowFamily _),
@@ -117,5 +120,8 @@ object SparkEntry {
     "q38_asof_join" -> Temporal.q38Sql,
     "q40_grouping_sets" -> Stats.q40Sql,
     "q39_window_family" -> Temporal.q39Sql,
+    "q37_sketches" -> Stats.q37Sql,
+    "q44_lsh_verified_pairs" -> Dedup.q44Sql,
+    "q45_true_mode_tokens" -> Parity.q45Sql,
   )
 }

@@ -91,18 +91,36 @@ object Shapes {
 
   /** Dashboard shape (reference streamlit/app.py:153-160): top-N rows
     * by a count plus an "OTHER" bucket aggregating the remainder.
-    * Computed with one aggregate + one window rank over the (small)
-    * aggregated result — the raw table is never scanned twice.
+    *
+    * Scale shape: the top slice is [[topK]] — planned as
+    * TakeOrderedAndProject (per-partition top-N, single-partition merge
+    * of N·numPartitions rows only) — and the OTHER row is total-minus-
+    * top: one global aggregate of `counts` (partial map-side, a few
+    * bytes per partition cross the wire) minus the sum of the already-
+    * tiny top slice. NO window anywhere, so a high-cardinality counts
+    * table (brands/categories at 100 TB: 10⁶-10⁸ keys) never funnels
+    * through a single-partition WindowExec. The `counts` input is
+    * referenced by three branches; it is a post-aggregation frame, and
+    * its shuffle exchange is computed once and reused across branches
+    * (ReusedExchange — asserted in ShapesSpec).
+    *
+    * Correctness at the boundary: topK's (cnt desc, key asc) total
+    * ordering picks the identical top-N set the ranked-window version
+    * picked, and the OTHER row appears only when rows remain below the
+    * cut (`__n > n`), matching the old null-sum filter.
     */
   def topNPlusOther(counts: DataFrame, keyCol: String, cntCol: String,
                     n: Int, otherLabel: String = "OTHER"): DataFrame = {
-    val w = Window.orderBy(col(cntCol).desc, col(keyCol).asc)
-    val ranked = counts.withColumn("__rank", row_number().over(w))
-    val top = ranked.filter(col("__rank") <= n).drop("__rank")
-    val other = ranked.filter(col("__rank") > n)
-      .agg(sum(col(cntCol)).cast("long").as(cntCol))
-      .select(lit(otherLabel).as(keyCol), col(cntCol))
-      .filter(col(cntCol).isNotNull)
+    val top = topK(counts, n, col(cntCol).desc, col(keyCol).asc)
+      .select(col(keyCol), col(cntCol))
+    val totals = counts.agg(
+      sum(col(cntCol)).cast("long").as("__total"),
+      count(lit(1)).as("__n"))
+    val topTotals = top.agg(sum(col(cntCol)).cast("long").as("__top_total"))
+    val other = totals.crossJoin(topTotals)
+      .filter(col("__n") > n)
+      .select(lit(otherLabel).as(keyCol),
+        (col("__total") - col("__top_total")).cast("long").as(cntCol))
     top.unionByName(other)
   }
 }

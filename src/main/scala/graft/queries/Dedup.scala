@@ -44,16 +44,19 @@ object Dedup {
 
   /** Per-document MinHash band signatures with b=4 bands × r=2 hash
     * rows: a band's signature is the concatenation of r independent
-    * min-hashes (salt "band.row:"), so two docs collide in a band only
-    * if ALL r min-hashes agree — the standard (1-(1-s^r)^b) s-curve:
-    * with r=2,b=4, ~89% recall at Jaccard 0.8 but only ~4% at 0.3
-    * (r=1 would flag ~76% of 0.3-similar pairs — far too loose).
-    * Computed with array_min(transform(...)) — stays in the scan
-    * stage, no explode.
+    * min-hashes, so two docs collide in a band only if ALL r min-hashes
+    * agree — the standard (1-(1-s^r)^b) s-curve: with r=2,b=4, ~89%
+    * recall at Jaccard 0.8 but only ~4% at 0.3 (r=1 would flag ~76% of
+    * 0.3-similar pairs — far too loose).
+    *
+    * All 8 min-hashes come from the native one-digest-per-shingle
+    * kernel [[graft.functions.MinHashBands]] (double-hashing family
+    * hₖ = h1 + (k+1)·h2 over the md5 words) — one scan-stage pass, no
+    * explode, no per-hash salting passes.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     // PERF: tokens and shingles are staged as real columns, NOT inlined
-    // into the band expressions. An expression inside a higher-order-
+    // into the kernel call. An expression inside a higher-order-
     // function lambda is re-evaluated per array element, so inlining
     // `split(text)` into the shingle lambda re-tokenizes the doc once
     // per shingle — O(tokens²) per doc (measured: 124s → 3s at sf0.1).
@@ -62,15 +65,27 @@ object Dedup {
     // more than once are never collapsed back).
     val bandCols = (0 until NumBands).map { b =>
       concat_ws("|", (0 until RowsPerBand).map { r =>
-        array_min(transform(col("sh"),
-          g => md5(concat(lit(s"$b.$r"), lit(":"), g).cast("binary"))))
+        col("mh").getItem(b * RowsPerBand + r).cast("string")
       }: _*).as(s"band$b")
     }
     docs.withColumn("toks", TextOps.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .withColumn("sh", TextOps.shingles(col("toks"), 3))
+      .withColumn("mh", graft.functions.MinHashFunctions.minhash_bands(
+        col("sh"), NumBands * RowsPerBand))
       .select(col("doc_id") +: bandCols: _*)
   }
+
+  /** (doc_id, band, sig) — one row per document per band: the LSH
+    * index frame shared by the bucket census (q26) and the end-to-end
+    * verified pipeline (q44). The ×NumBands explode happens AFTER
+    * signatures are reduced scan-side, so what blows up is 4 short
+    * hash strings per doc, never text or shingles. */
+  def bandedSignatures(docs: DataFrame): DataFrame =
+    minhashSignatures(docs).select(col("doc_id"),
+      explode(array((0 until NumBands).map(b =>
+        struct(lit(b).as("band"), col(s"band$b").as("sig"))): _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
 
   /** MinHash+LSH bucket census: buckets (band, signature) holding >1
     * doc are the near-duplicate candidates. Emitting the census (not
@@ -78,35 +93,43 @@ object Dedup {
     * inside the engine where AQE can split skewed buckets.
     */
   def q26MinhashBuckets(s: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(Tables.documents(s, dir))
-    val stacked = sigs.select(col("doc_id"),
-      explode(array((0 until NumBands).map(b =>
-        struct(lit(b).as("band"), col(s"band$b").as("sig"))): _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    stacked.groupBy(col("band"), col("sig"))
+    bandedSignatures(Tables.documents(s, dir))
+      .groupBy(col("band"), col("sig"))
       .agg(count(lit(1)).as("bucket_size"), min(col("doc_id")).as("min_doc_id"))
       .filter(col("bucket_size") > 1)
   }
-  val q26Sql: String = {
+  /** DuckDB spelling of [[bandedSignatures]] — the `stacked` CTE body
+    * shared verbatim by the q26 and q44 oracles. */
+  private val stackedSqlCte: String = {
     val toks = "str_split(text, ' ')"
     val shingles =
       s"""list_transform(range(1, len($toks) - 1),
          |               i -> array_to_string(list_slice($toks, i, i + 2), ' '))""".stripMargin
+    // hₖ(x) = (Aₖ·x + Bₖ) mod P with x the first md5 word — the DuckDB
+    // spelling of graft.functions.MinHashKernel, constants inlined
+    import graft.functions.MinHashKernel.{A, B, Prime}
+    def hash(k: Int): String =
+      s"(${A(k)} * CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) + ${B(k)}) % $Prime"
     def band(b: Int): String = {
       val rows = (0 until RowsPerBand).map { r =>
-        s"list_min(list_transform($shingles, g -> md5('$b.$r:' || g)))"
+        s"CAST(list_min(list_transform($shingles, g -> ${hash(b * RowsPerBand + r)})) AS VARCHAR)"
       }.mkString(" || '|' || ")
       s"""SELECT doc_id, $b AS band, $rows AS sig
          |FROM documents WHERE len($toks) >= 3""".stripMargin
     }
-    s"""WITH stacked AS (${(0 until NumBands).map(band).mkString("\nUNION ALL\n")})
-       |SELECT band, sig, count(*) AS bucket_size, min(doc_id) AS min_doc_id
-       |FROM stacked GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin
+    (0 until NumBands).map(band).mkString("\nUNION ALL\n")
   }
 
-  /** n-gram Jaccard near-dup verification on a bounded sample (the
-    * oracle-sized stand-in for "verify LSH candidates"): distinct
-    * shingles per doc, self-join on shingle, |∩| / |∪| ≥ 0.5.
+  val q26Sql: String =
+    s"""WITH stacked AS ($stackedSqlCte)
+       |SELECT band, sig, count(*) AS bucket_size, min(doc_id) AS min_doc_id
+       |FROM stacked GROUP BY 1, 2 HAVING count(*) > 1""".stripMargin
+
+  /** n-gram Jaccard near-dup verification on a bounded id-range sample:
+    * distinct shingles per doc, self-join on shingle, |∩| / |∪| ≥ 0.5.
+    * This is the standalone Jaccard operator on a dense sample (every
+    * pair in range is considered); the production pipeline — candidates
+    * from LSH, then verified — is [[q44LshVerifiedPairs]].
     */
   def q27JaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
@@ -148,6 +171,69 @@ object Dedup {
       |JOIN sizes sa ON sa.doc_id = doc_a
       |JOIN sizes sb ON sb.doc_id = doc_b
       |WHERE round(inter / (sa.n_shingles + sb.n_shingles - inter), 3) >= 0.5""".stripMargin
+
+  /** The dedup ladder end-to-end in ONE plan — what a pretraining
+    * pipeline actually runs at 100 TB: LSH buckets → candidate pairs →
+    * n-gram Jaccard verification of exactly those candidates.
+    *
+    * Stage shapes:
+    *  1. candidates: self-join of [[bandedSignatures]] on (band, sig)
+    *     with `a.doc_id < b.doc_id` — pairs materialize only INSIDE
+    *     buckets (never all-pairs; a skewed bucket is an AQE skew-join
+    *     split, not a cross product), then `distinct` collapses pairs
+    *     that collide in several bands. Shuffle key: (band, sig).
+    *  2. verify: join the (small) pair list back to per-doc DISTINCT
+    *     shingle sets and score |∩|/|∪| with `array_intersect` — only
+    *     candidate docs' shingle arrays ever cross the wire, once per
+    *     pair occurrence; the corpus text itself never shuffles.
+    * Emits every candidate pair WITH its true Jaccard (no threshold) —
+    * the output is the LSH precision profile; callers cut at their
+    * similarity bar.
+    */
+  def q44LshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val stacked = bandedSignatures(docs)
+    val pairs = stacked.as("a")
+      .join(stacked.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sh = docs
+      .withColumn("toks", TextOps.tokens(col("text"))) // staged: see minhashSignatures
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        array_distinct(TextOps.shingles(col("toks"), 3)).as("shset"))
+    pairs
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("sa.shset"), col("sb.shset"))))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("inter") /
+          (size(col("sa.shset")) + size(col("sb.shset")) - col("inter")), 3)
+          .as("jaccard"))
+  }
+  val q44Sql: String = {
+    val toks = "str_split(text, ' ')"
+    s"""WITH stacked AS ($stackedSqlCte),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM stacked a JOIN stacked b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    list_transform(range(1, len($toks) - 1),
+       |      i -> array_to_string(list_slice($toks, i, i + 2), ' '))) AS shset
+       |  FROM documents WHERE len($toks) >= 3)
+       |SELECT doc_a, doc_b,
+       |       round(len(list_intersect(sa.shset, sb.shset)) /
+       |             (len(sa.shset) + len(sb.shset)
+       |              - len(list_intersect(sa.shset, sb.shset))), 3) AS jaccard
+       |FROM pairs
+       |JOIN sh sa ON doc_a = sa.doc_id
+       |JOIN sh sb ON doc_b = sb.doc_id""".stripMargin
+  }
 
   /** 16-bit SimHash per document (md5-derived bit votes), grouped into
     * a histogram — hash-identical across engines. The 16 bit positions

@@ -177,6 +177,41 @@ object Parity {
   }
   val q42Sql: String = q3Sql
 
+  /** Q6 analog with a TRUE mode aggregate — the reference names its
+    * column "most_common_additive" but computes scan-order `first()`
+    * (reference Consumer.scala:155, SURVEY.md §2.3 Q6); this is the
+    * named intent done right: Spark's built-in
+    * `mode(deterministic = true)` (lowest value on frequency ties, so
+    * reproducible under any partitioning). Same shape on the
+    * OpenFoodFacts schema: [[graft.ops.FoodPipeline.topAdditiveProductsTrueMode]].
+    * The oracle spells the deterministic mode as a per-group argmax
+    * (count desc, token asc) rather than DuckDB's `mode()`, whose
+    * tie-break is unspecified.
+    */
+  def q45TrueModeTokens(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode_outer(split(col("text"), " ")).as("tok"))
+      .filter(col("tok").isNotNull && col("tok") =!= "")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("token_count"),
+        mode(col("tok"), deterministic = true).as("most_common_token"))
+      .transform(df => Shapes.topK(df, 10, col("token_count").desc, col("doc_id").asc))
+  }
+  val q45Sql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok IS NOT NULL AND tok <> '' GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT doc_id, tok, c,
+      |         CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS token_count,
+      |         row_number() OVER (PARTITION BY doc_id
+      |                            ORDER BY c DESC, tok ASC) AS rn
+      |  FROM tf)
+      |SELECT doc_id, token_count, tok AS most_common_token
+      |FROM ranked WHERE rn = 1
+      |ORDER BY token_count DESC, doc_id ASC LIMIT 10""".stripMargin
+
   /** Dashboard analog — weighted mean Σ(x·w)/Σ(w)
     * (reference streamlit/app.py:213-215). Rounded to keep the
     * float-sum oracle comparison stable.

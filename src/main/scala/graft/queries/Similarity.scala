@@ -92,30 +92,37 @@ object Similarity {
     when(s > 0, 1L << plane).otherwise(0L)
   }
 
+  /** The full 8-plane bucket code as one Column over a double[] col. */
+  def bucketCode(v: Column): Column =
+    (0 until NumPlanes).map(p => planeSign(v, p)).reduce(_ + _)
+
+  /** DuckDB spelling of [[planeSign]] over a `v` DOUBLE[] column —
+    * shared by the q30 and q31 oracles. */
+  private def signSql(p: Int): String =
+    s"""CASE WHEN list_sum(list_transform(range(1, len(v) + 1),
+       |  i -> v[i] * (CASE WHEN substr(md5('$p:' || CAST(i - 1 AS VARCHAR)), 1, 1)
+       |                    IN ('0','1','2','3','4','5','6','7')
+       |               THEN 1.0 ELSE -1.0 END))) > 0
+       |THEN ${1L << p} ELSE 0 END""".stripMargin
+  private val bucketSql: String =
+    (0 until NumPlanes).map(signSql).mkString(" + ")
+
   def q30LshBuckets(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-    val bucket = (0 until NumPlanes).map(p => planeSign(col("v"), p)).reduce(_ + _)
-    emb.withColumn("bucket", bucket)
+    emb.withColumn("bucket", bucketCode(col("v")))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("vec_count"),
         countDistinct(col("label")).as("distinct_labels"),
         min(col("vec_id")).as("min_vec_id"))
   }
-  val q30Sql: String = {
-    def sign(p: Int): String =
-      s"""CASE WHEN list_sum(list_transform(range(1, len(v) + 1),
-         |  i -> v[i] * (CASE WHEN substr(md5('$p:' || CAST(i - 1 AS VARCHAR)), 1, 1)
-         |                    IN ('0','1','2','3','4','5','6','7')
-         |               THEN 1.0 ELSE -1.0 END))) > 0
-         |THEN ${1L << p} ELSE 0 END""".stripMargin
+  val q30Sql: String =
     s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
-       |SELECT (${(0 until NumPlanes).map(sign).mkString(" + ")}) AS bucket,
+       |SELECT ($bucketSql) AS bucket,
        |       count(*) AS vec_count,
        |       count(DISTINCT label) AS distinct_labels,
        |       min(vec_id) AS min_vec_id
        |FROM emb GROUP BY 1""".stripMargin
-  }
 
   /** Scalar int8 quantization of an embedding column: per-vector
     * min/max affine map to [0,255] stored as smallint + (lo, scale) —
@@ -193,31 +200,45 @@ object Similarity {
        |FROM assign GROUP BY 1""".stripMargin
 
   /** Embedding-cosine near-duplicate detection (the embedding leg of
-    * the dedup ladder): pairs with cosine ≥ 0.35 inside a bounded
-    * sample. The synthetic embeddings are near-orthogonal (max pairwise
-    * cosine ~0.44) so a realistic 0.99 cut matches nothing — the low
-    * threshold keeps the result non-empty and the check meaningful. At
-    * scale the pair candidates come from q30's LSH buckets instead of
-    * the id-range sample.
+    * the dedup ladder), END-TO-END: candidate pairs come from q30's
+    * hyperplane buckets — self-join on the full 8-plane code, so pairs
+    * materialize only inside buckets, never all-pairs — then each
+    * candidate is verified with the native codegen'd cosine.
+    *
+    * Scale shape: ONE shuffle of (vec_id, v, bucket) on the bucket
+    * code; within a bucket the comparisons are local. A pair exists in
+    * exactly one bucket (the code is the whole signature, not per-band
+    * like q44), so no distinct is needed. NumPlanes scales with corpus
+    * size in production (2^planes buckets must keep per-bucket
+    * cardinality bounded); 8 planes fits the testdata.
+    *
+    * The synthetic embeddings are near-orthogonal (max pairwise cosine
+    * ~0.44), so a realistic 0.99 cut matches nothing — the 0.35
+    * threshold keeps the verified set non-empty and the check
+    * meaningful.
     */
   def q31EmbeddingNearDups(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 200)
+    val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    emb.as("a").join(broadcast(emb.as("b")),
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+    val bucketed = emb.withColumn("bucket", bucketCode(col("v")))
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.bucket").as("bucket"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= 0.35)
   }
   val q31Sql: String =
-    """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
-      |             FROM embeddings WHERE vec_id < 200)
-      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |       round(list_dot_product(a.v, b.v) /
-      |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
-      |         AS cos_sim
-      |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-      |WHERE round(list_dot_product(a.v, b.v) /
-      |            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
-      |      >= 0.35""".stripMargin
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |bucketed AS (SELECT vec_id, v, ($bucketSql) AS bucket FROM emb)
+       |SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       round(list_dot_product(a.v, b.v) /
+       |             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+       |         AS cos_sim
+       |FROM bucketed a JOIN bucketed b
+       |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE round(list_dot_product(a.v, b.v) /
+       |            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+       |      >= 0.35""".stripMargin
 }

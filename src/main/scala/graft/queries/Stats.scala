@@ -80,20 +80,55 @@ object Stats {
   /** Sketch aggregates — the right answer at 100 TB when exactness
     * isn't required: HyperLogLog++ distinct counts and quantile
     * sketches are mergeable, O(1)-memory-per-group, one-pass.
-    * NO ORACLE entry (approximate results differ across engines by
-    * design); the driver records the weaker rows-only check, and the
-    * spec asserts the approximations against exact values.
+    *
+    * Oracle strategy: raw approximate values differ across engines by
+    * design, so the query emits TOLERANCE BOOLEANS instead — each group
+    * computes both the sketch and the exact value in the same pass and
+    * outputs `|approx − exact| / exact ≤ 0.05`. The DuckDB oracle emits
+    * literal trues for the same groups, so a drifting sketch (HLL++ rsd
+    * 0.02 or a 1000-bucket quantile sketch outside 5%) breaks the hash
+    * match — a real check, not rows-only. The exact companions
+    * (count distinct / percentile) are test-scale only; at 100 TB you'd
+    * ship just the sketch half.
+    *
+    * PLAN SHAPE (this matters): the exact countDistinct must NOT share
+    * an aggregate with the typed-imperative sketches. A combined
+    * `agg(countDistinct, percentile, ...)` triggers the distinct-
+    * rewrite Expand, which regroups the partial aggregation on
+    * (flag, l_orderkey) — ~O(distinct orders) groups each holding an
+    * OpenHashMap percentile buffer. That blows past the object-hash
+    * fallback threshold (128 groups) into sort-based aggregation with
+    * per-spill buffer serialization — measured 3+ MINUTES at sf0.1
+    * vs sub-second split. Here: sketches + exact percentile aggregate
+    * over 3 groups (3 long-lived buffers, no fallback), the exact
+    * distinct count is its own pre-distinct codegen hash-agg, and the
+    * two 3-row frames broadcast-join.
     */
   def q37Sketches(s: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_extendedprice"))
+    val sketches = li.groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
           .as("approx_median_price"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000))
-          .as("approx_p99_price"))
+        percentile(col("l_extendedprice"), lit(0.5)).as("exact_median_price"))
+    val exactOrders = li.select(col("l_returnflag"), col("l_orderkey"))
+      .distinct()
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("exact_orders"))
+    sketches.join(broadcast(exactOrders), "l_returnflag")
+      .select(col("l_returnflag"),
+        (abs(col("approx_orders") - col("exact_orders")) /
+          col("exact_orders") <= 0.05).as("hll_within_5pct"),
+        (abs(col("approx_median_price") - col("exact_median_price")) /
+          col("exact_median_price") <= 0.05).as("median_within_5pct"))
   }
+  val q37Sql: String =
+    """SELECT l_returnflag,
+      |       true AS hll_within_5pct,
+      |       true AS median_within_5pct
+      |FROM lineitem GROUP BY 1""".stripMargin
 
   /** Cube over two dims (completes grouping-set coverage next to
     * q15's rollup): all four grouping combinations in one pass. */

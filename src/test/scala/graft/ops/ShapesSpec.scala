@@ -45,6 +45,27 @@ class ShapesSpec extends SparkSpec {
     assert(all.size === 4 && !all.exists(_.head == "OTHER"))
   }
 
+  test("topNPlusOther plans with TakeOrderedAndProject, never a single-partition window") {
+    val counts = Seq(("a", 5L), ("b", 4L), ("c", 3L), ("d", 1L)).toDF("k", "cnt")
+    val plan = Shapes.topNPlusOther(counts, "k", "cnt", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
+  test("topNPlusOther conserves the total count (property)") {
+    check(10)(Prop.forAll { (xs: Map[Int, Short], nRaw: Byte) =>
+      val n = math.max(1, math.abs(nRaw.toInt) % 6)
+      xs.isEmpty || {
+        val counts = xs.toSeq.map { case (k, v) =>
+          (k.toString, math.abs(v.toLong)) }.toDF("k", "cnt")
+        val out = Shapes.topNPlusOther(counts, "k", "cnt", n)
+          .agg(sum("cnt")).collect()(0).getLong(0)
+        out == xs.values.map(v => math.abs(v.toLong)).sum
+      }
+    })
+  }
+
   test("groupCount conservation under explode (property)") {
     check(10)(Prop.forAll { (xs: List[List[Int]]) =>
       xs.isEmpty || xs.forall(_.isEmpty) || {
