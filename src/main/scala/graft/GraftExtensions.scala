@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, MinHashBands, SimHashAgg}
+import graft.functions.{CosineSimilarity, DotProduct, HyperplaneCode, MinHashBands, SimHashAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Sqrt}
@@ -36,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_bands", "minhash_bands(shingles, k) - k MinHash values of an array<string>"),
       (es: Seq[Expression]) => MinHashBands(es(0),
         es(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((FunctionIdentifier("hyperplane_code"),
+      info("hyperplane_code", "hyperplane_code(v) - packed 8-plane LSH bucket code of an array<double>"),
+      (es: Seq[Expression]) => HyperplaneCode(es(0))))
     ext.injectFunction((FunctionIdentifier("simhash_agg"),
       info("simhash_agg", "simhash_agg(code) - 16-bit SimHash over grouped BIGINT token codes"),
       (es: Seq[Expression]) => SimHashAgg(es(0)).toAggregateExpression()))

@@ -48,6 +48,7 @@ object SparkEntry {
     "q23_token_freq" -> (Text.q23TokenFreq _),
     "q24_fingerprints" -> (Text.q24Fingerprints _),
     "q43_rolling_fingerprints" -> (Text.q43RollingFingerprints _),
+    "q47_sequence_packing" -> (Text.q47SequencePacking _),
     // deduplication ladder
     "q25_exact_dedup" -> (Dedup.q25ExactDedup _),
     "q26_minhash_buckets" -> (Dedup.q26MinhashBuckets _),
@@ -55,6 +56,7 @@ object SparkEntry {
     "q28_simhash_histogram" -> (Dedup.q28SimhashHistogram _),
     "q41_source_simhash" -> (Dedup.q41SourceSimhash _),
     "q44_lsh_verified_pairs" -> (Dedup.q44LshVerifiedPairs _),
+    "q46_dedup_clusters" -> (Dedup.q46DedupClusters _),
     // similarity search
     "q29_cosine_topk" -> (Similarity.q29CosineTopK _),
     "q30_lsh_buckets" -> (Similarity.q30LshBuckets _),
@@ -123,5 +125,7 @@ object SparkEntry {
     "q37_sketches" -> Stats.q37Sql,
     "q44_lsh_verified_pairs" -> Dedup.q44Sql,
     "q45_true_mode_tokens" -> Parity.q45Sql,
+    "q46_dedup_clusters" -> Dedup.q46Sql,
+    "q47_sequence_packing" -> Text.q47Sql,
   )
 }

@@ -235,6 +235,78 @@ object Dedup {
        |JOIN sh sb ON doc_b = sb.doc_id""".stripMargin
   }
 
+  /** The dedup ladder's FINAL rung: cluster assignment. Verified
+    * near-dup pairs (q44, Jaccard ≥ 0.5) form an undirected graph;
+    * each connected component is "one document" and every member gets
+    * the component's min doc_id as cluster_id — the thing a pretraining
+    * pipeline actually keeps/drops by (keep cluster_id == doc_id,
+    * drop the rest).
+    *
+    * Algorithm: min-label propagation to fixpoint — labels(x) ←
+    * min(labels(x), min over neighbors' labels) per round, converging
+    * in diameter(G) rounds. Near-dup components are tiny cliques
+    * (diameter 1-2), so 2-3 rounds close the fixpoint; the loop checks
+    * convergence with a changed-row count (the only driver-side value
+    * per round — no row data ever collects). Each round is one
+    * shuffle-join + one aggregate on the EDGE set (O(pairs), not
+    * O(corpus)); at 100 TB with adversarial long-chain components,
+    * swap the round body for alternating large-star/small-star
+    * (O(log n) rounds, same join shapes) — the loop scaffold and
+    * convergence test stay identical.
+    */
+  def q46DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val verified = q44LshVerifiedPairs(s, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    // undirected edge list, both directions — membership comes from it
+    val edges = verified
+      .union(verified.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .persist()
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      require(rounds <= 50, "dedup-cluster propagation failed to converge")
+      val nbrMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(edges("src"))
+        .agg(min(col("cluster_id")).as("nbr_min"))
+      val next = labels.as("l")
+        .join(nbrMin, col("l.doc_id") === nbrMin("src"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.cluster_id"),
+            coalesce(col("nbr_min"), col("l.cluster_id"))).as("cluster_id"))
+        .persist()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+    }
+    edges.unpersist()
+    labels.withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
+  val q46Sql: String =
+    s"""WITH RECURSIVE verified AS ($q44Sql),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM verified WHERE jaccard >= 0.5
+       |  UNION
+       |  SELECT doc_b, doc_a FROM verified WHERE jaccard >= 0.5),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+       |SELECT src AS doc_id,
+       |       least(src, min(dst)) AS cluster_id,
+       |       least(src, min(dst)) = src AS is_canonical
+       |FROM reach GROUP BY src""".stripMargin
+
   /** 16-bit SimHash per document (md5-derived bit votes), grouped into
     * a histogram — hash-identical across engines. The 16 bit positions
     * are a literal array on both sides; per token, bit b votes +1/-1 by

@@ -82,6 +82,9 @@ object Similarity {
     * comparisons within buckets only.
     */
   private val NumPlanes = 8
+  /** Reference HOF spelling of one plane's contribution — kept for
+    * differential tests against the native kernel; the query path is
+    * [[bucketCode]]. */
   def planeSign(v: Column, plane: Int): Column = {
     // weight(d) = +1 if first md5 hex char of "plane:dim" is 0-7 else -1
     val weighted = zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
@@ -92,8 +95,17 @@ object Similarity {
     when(s > 0, 1L << plane).otherwise(0L)
   }
 
-  /** The full 8-plane bucket code as one Column over a double[] col. */
+  /** The full 8-plane bucket code over a double[] col — native
+    * one-loop kernel ([[graft.functions.HyperplaneCode]]): the ±1
+    * weight table is JVM-memoized, so the scan pays n·8 multiply-adds
+    * per vector instead of 8 interpreted HOF passes with per-element
+    * md5 (the HOF reference [[planeSign]] is differential-tested
+    * against it in HyperplaneSpec). */
   def bucketCode(v: Column): Column =
+    graft.functions.HyperplaneFunctions.hyperplane_code(v)
+
+  /** HOF spelling of the full code (differential-test reference). */
+  def bucketCodeHof(v: Column): Column =
     (0 until NumPlanes).map(p => planeSign(v, p)).reduce(_ + _)
 
   /** DuckDB spelling of [[planeSign]] over a `v` DOUBLE[] column —

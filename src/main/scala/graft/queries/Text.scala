@@ -112,6 +112,52 @@ object Text {
        |    AS distinct_sequences
        |FROM documents GROUP BY 1""".stripMargin
 
+  /** Sequence packing — the step between a cleaned corpus and a
+    * trainer: documents are concatenated per source in a deterministic
+    * order (doc_id) and chunked into fixed token-budget context
+    * windows; a doc's bin is where its first token lands
+    * (bin = ⌊exclusive-prefix-sum / budget⌋). Emits the per-bin
+    * manifest (docs, tokens, id range) a dataloader shards by.
+    *
+    * Scale shape: ONE shuffle (hash on source for the window), then
+    * the running sum is a partition-local sort + scan; the aggregate
+    * reuses the same partitioning (no second exchange). At 100 TB with
+    * giant sources, range-partition on (source, doc_id) and carry the
+    * per-range token totals through a second small pass — the bin
+    * arithmetic is unchanged because prefix sums are associative.
+    */
+  val PackBudget = 4096L
+  def q47SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("bin_id",
+        (coalesce(sum(col("n_toks")).over(w), lit(0L)) / PackBudget).cast("long"))
+      .groupBy(col("source"), col("bin_id"))
+      .agg(count(lit(1)).as("doc_count"),
+        sum(col("n_toks")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+  val q47Sql: String =
+    s"""WITH toks AS (
+       |  SELECT source, doc_id, len(str_split(text, ' ')) AS n_toks
+       |  FROM documents),
+       |binned AS (
+       |  SELECT source, doc_id, n_toks,
+       |         CAST(coalesce(sum(n_toks) OVER (
+       |             PARTITION BY source ORDER BY doc_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           // $PackBudget AS BIGINT) AS bin_id
+       |  FROM toks)
+       |SELECT source, bin_id, count(*) AS doc_count,
+       |       CAST(sum(n_toks) AS BIGINT) AS bin_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM binned GROUP BY 1, 2""".stripMargin
+
   /** Document fingerprinting: md5 over canonicalized text, rolled up
     * per source — duplicate mass per ingestion feed. */
   def q24Fingerprints(s: SparkSession, dir: String): DataFrame = {

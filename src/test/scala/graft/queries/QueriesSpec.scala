@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions.{size, split}
 
 /** Smoke + plan-shape assertions for the registered query surface.
   * Value-level correctness is enforced by the driver's DuckDB oracle
@@ -100,6 +101,58 @@ class QueriesSpec extends SparkSpec {
     out.foreach { r =>
       assert(r.getDouble(3) >= 0.35 && r.getDouble(3) <= 1.0)
       assert(r.getLong(1) < r.getLong(2))
+    }
+  }
+
+  test("q46 clusters are the true connected components of the verified pair graph") {
+    import spark.implicits._
+    val edges = Dedup.q44LshVerifiedPairs(spark, sf)
+      .filter($"jaccard" >= 0.5).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    val out = Dedup.q46DedupClusters(spark, sf)
+      .select("doc_id", "cluster_id", "is_canonical").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // driver-side union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    assert(out.keySet === expected.keySet)
+    expected.foreach { case (doc, root) =>
+      assert(out(doc)._1 === root, s"doc $doc")
+      assert(out(doc)._2 === (doc == root))
+    }
+  }
+
+  test("q47 packing: bins fill in doc order and every bin except the last is full") {
+    import spark.implicits._
+    val perDoc = graft.Tables.documents(spark, sf)
+      .select($"source", $"doc_id",
+        size(split($"text", " ")).cast("long").as("n"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val bins = Text.q47SequencePacking(spark, sf)
+      .select("source", "bin_id", "doc_count", "bin_tokens")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    perDoc.foreach { case (src, docs) =>
+      var cum = 0L
+      val expected = scala.collection.mutable.Map[Long, (Long, Long)]()
+      docs.foreach { case (_, _, n) =>
+        val bin = cum / Text.PackBudget
+        val (c, t) = expected.getOrElse(bin, (0L, 0L))
+        expected(bin) = (c + 1, t + n)
+        cum += n
+      }
+      expected.foreach { case (bin, ct) =>
+        assert(bins((src, bin)) === ct, s"$src bin $bin")
+      }
     }
   }
 }
