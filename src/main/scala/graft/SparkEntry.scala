@@ -49,6 +49,7 @@ object SparkEntry {
     "q24_fingerprints" -> (Text.q24Fingerprints _),
     "q43_rolling_fingerprints" -> (Text.q43RollingFingerprints _),
     "q47_sequence_packing" -> (Text.q47SequencePacking _),
+    "q48_stratified_sample" -> (Text.q48StratifiedSample _),
     // deduplication ladder
     "q25_exact_dedup" -> (Dedup.q25ExactDedup _),
     "q26_minhash_buckets" -> (Dedup.q26MinhashBuckets _),
@@ -127,5 +128,6 @@ object SparkEntry {
     "q45_true_mode_tokens" -> Parity.q45Sql,
     "q46_dedup_clusters" -> Dedup.q46Sql,
     "q47_sequence_packing" -> Text.q47Sql,
+    "q48_stratified_sample" -> Text.q48Sql,
   )
 }

@@ -158,6 +158,36 @@ object Text {
        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM binned GROUP BY 1, 2""".stripMargin
 
+  /** Deterministic stratified sampling — the reproducible subsetting a
+    * training-data pipeline needs (ablations, eval splits, per-source
+    * mixing ratios): keep a doc iff the first byte of md5(doc_id) is
+    * below rate·256. Pure scan-side codegen predicate — no RNG state,
+    * no seed plumbing, same sample on every engine and every rerun,
+    * and the sample decision lives with the ROW (a doc keeps its
+    * fate under repartitioning, unlike `DataFrame.sample`, which is
+    * partition-order-dependent). ~51/256 ≈ 19.9% here. Emits per
+    * (source, lang) sample counts with id-range spot checks.
+    */
+  val SampleCut = 51L // of 256 ≈ 19.9%
+  def q48StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val hashByte = conv(
+      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2),
+      16, 10).cast("long")
+    Tables.documents(s, dir)
+      .filter(hashByte < SampleCut)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("sampled_docs"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+  }
+  val q48Sql: String =
+    s"""SELECT source, lang, count(*) AS sampled_docs,
+       |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+       |FROM documents
+       |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT)
+       |      < $SampleCut
+       |GROUP BY 1, 2""".stripMargin
+
   /** Document fingerprinting: md5 over canonicalized text, rolled up
     * per source — duplicate mass per ingestion feed. */
   def q24Fingerprints(s: SparkSession, dir: String): DataFrame = {

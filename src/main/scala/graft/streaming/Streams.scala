@@ -252,4 +252,59 @@ object Streams {
       : DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  // ------------------------------------- incremental near-dup (ingest-side)
+
+  /** Incremental MinHash-LSH dedup against a persistent signature
+    * index — the ingest-side shape of the batch q26→q44 pipeline: each
+    * micro-batch of NEW documents (doc_id, text)
+    *  1. computes band signatures with the native one-digest kernel
+    *     (graft.queries.Dedup.bandedSignatures — per-batch O(new docs),
+    *     the corpus is never re-signed);
+    *  2. joins them against the historical index on (band, sig) and
+    *     emits candidate duplicate pairs — new-vs-history plus
+    *     new-vs-new within the batch — into a batch_id-partitioned
+    *     pairs log (replay-idempotent);
+    *  3. appends its own signatures to the index, also
+    *     batch_id-partitioned, so a replayed batch overwrites itself
+    *     and never double-registers.
+    * At scale the index is O(corpus × 4) short rows bucketed by
+    * (band, sig); the per-batch join is broadcast when the batch is
+    * small (the common ingest case) and AQE-planned otherwise.
+    * Downstream, Jaccard verification and clustering run exactly as in
+    * batch (q44/q46) over the pairs log — batch/stream duality again.
+    */
+  def incrementalLshDedup(docs: DataFrame, indexPath: String,
+                          pairsPath: String, checkpoint: String)
+      : DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val sigs = graft.queries.Dedup.bandedSignatures(batch)
+          .persist()
+        val withinBatch = sigs.as("a")
+          .join(sigs.as("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        val histDir = new java.io.File(indexPath)
+        val candidates =
+          if (histDir.isDirectory && histDir.list().exists(_.startsWith("batch_id="))) {
+            val hist = spark.read.parquet(indexPath)
+              .filter(col("batch_id") =!= batchId) // replayed batch: don't self-match
+            val vsHistory = sigs.as("n")
+              .join(hist.as("h"),
+                col("n.band") === col("h.band") && col("n.sig") === col("h.sig"))
+              .select(
+                least(col("n.doc_id"), col("h.doc_id")).as("doc_a"),
+                greatest(col("n.doc_id"), col("h.doc_id")).as("doc_b"))
+            withinBatch.unionByName(vsHistory)
+          } else withinBatch
+        writeBatchPartition(candidates.distinct(), batchId, pairsPath)
+        writeBatchPartition(sigs, batchId, indexPath)
+        sigs.unpersist()
+        ()
+      }
 }

@@ -104,6 +104,15 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q37 keeps the distinct rewrite OUT of the typed-imperative aggregate (no Expand)") {
+    // regression guard: combining countDistinct with percentile in one
+    // agg regroups partials on (flag, orderkey) and falls back to
+    // sort-based object aggregation — measured 3+ minutes at sf0.1
+    val plan = Stats.q37Sketches(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan.take(3000))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(3000))
+  }
+
   test("q46 clusters are the true connected components of the verified pair graph") {
     import spark.implicits._
     val edges = Dedup.q44LshVerifiedPairs(spark, sf)

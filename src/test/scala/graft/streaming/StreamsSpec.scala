@@ -409,6 +409,35 @@ class StreamsSpec extends SparkSpec {
     assert(rowsOf(sql("SELECT * FROM duality")) === rowsOf(agg(batchDf)))
   }
 
+  test("incremental LSH dedup: cross-batch candidates surface, index append is idempotent") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdedup")
+    val (index, pairs, ckpt) =
+      (s"$dir/index", s"$dir/pairs", s"$dir/ckpt")
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.incrementalLshDedup(
+      in.toDF().toDF("doc_id", "text"), index, pairs, ckpt).start()
+    try {
+      val doc = "the quick brown fox jumps over the lazy dog again and again"
+      // batch 0: two identical docs -> within-batch candidate
+      in.addData((1L, doc), (2L, doc))
+      q.processAllAvailable()
+      val b0 = spark.read.parquet(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(b0.contains((1L, 2L)))
+      // batch 1: a third copy -> candidates against BOTH history docs
+      in.addData((3L, doc))
+      q.processAllAvailable()
+      val all = spark.read.parquet(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(all.contains((1L, 3L)) && all.contains((2L, 3L)))
+      // index holds 4 band rows per doc per batch, batch-partitioned
+      val idx = spark.read.parquet(index)
+      assert(idx.count() === 3 * 4)
+      assert(idx.select("batch_id").distinct().count() === 2)
+    } finally q.stop()
+  }
+
   // Note: Streams.kafkaSource mirrors the reference's Kafka options
   // 1:1 (Consumer.scala:50-56) but the spark-sql-kafka connector jar is
   // not shipped in this container, so constructing it is untestable
