@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Dedup, Events, MultimodalQ, Parity, Relational, Similarity, Stats, Temporal, Text}
+import graft.queries.{Dedup, Events, MultimodalQ, Parity, PipelineQ, Relational, Similarity, Stats, Temporal, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -58,6 +58,8 @@ object SparkEntry {
     "q41_source_simhash" -> (Dedup.q41SourceSimhash _),
     "q44_lsh_verified_pairs" -> (Dedup.q44LshVerifiedPairs _),
     "q46_dedup_clusters" -> (Dedup.q46DedupClusters _),
+    // the complete training-data pipeline, composed end-to-end
+    "q50_training_manifest" -> (PipelineQ.q50TrainingManifest _),
     // similarity search
     "q29_cosine_topk" -> (Similarity.q29CosineTopK _),
     "q30_lsh_buckets" -> (Similarity.q30LshBuckets _),
@@ -129,5 +131,6 @@ object SparkEntry {
     "q46_dedup_clusters" -> Dedup.q46Sql,
     "q47_sequence_packing" -> Text.q47Sql,
     "q48_stratified_sample" -> Text.q48Sql,
+    "q50_training_manifest" -> PipelineQ.q50Sql,
   )
 }

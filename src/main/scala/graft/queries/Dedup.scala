@@ -99,8 +99,9 @@ object Dedup {
       .filter(col("bucket_size") > 1)
   }
   /** DuckDB spelling of [[bandedSignatures]] — the `stacked` CTE body
-    * shared verbatim by the q26 and q44 oracles. */
-  private val stackedSqlCte: String = {
+    * shared by the q26/q44/q46 oracles, parametrized by the corpus
+    * relation so composed pipelines (q50) can band a filtered set. */
+  private def stackedSqlCteFrom(from: String): String = {
     val toks = "str_split(text, ' ')"
     val shingles =
       s"""list_transform(range(1, len($toks) - 1),
@@ -115,10 +116,11 @@ object Dedup {
         s"CAST(list_min(list_transform($shingles, g -> ${hash(b * RowsPerBand + r)})) AS VARCHAR)"
       }.mkString(" || '|' || ")
       s"""SELECT doc_id, $b AS band, $rows AS sig
-         |FROM documents WHERE len($toks) >= 3""".stripMargin
+         |FROM $from WHERE len($toks) >= 3""".stripMargin
     }
     (0 until NumBands).map(band).mkString("\nUNION ALL\n")
   }
+  private val stackedSqlCte: String = stackedSqlCteFrom("documents")
 
   val q26Sql: String =
     s"""WITH stacked AS ($stackedSqlCte)
@@ -190,8 +192,13 @@ object Dedup {
     * the output is the LSH precision profile; callers cut at their
     * similarity bar.
     */
-  def q44LshVerifiedPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  def q44LshVerifiedPairs(s: SparkSession, dir: String): DataFrame =
+    verifiedPairs(Tables.documents(s, dir))
+
+  /** The q44 pipeline parametrized by the corpus frame — composable
+    * into larger pipelines (q50 runs it on the quality-filtered,
+    * exact-deduped survivor set). */
+  def verifiedPairs(docs: DataFrame): DataFrame = {
     val stacked = bandedSignatures(docs)
     val pairs = stacked.as("a")
       .join(stacked.as("b"),
@@ -214,9 +221,12 @@ object Dedup {
           (size(col("sa.shset")) + size(col("sb.shset")) - col("inter")), 3)
           .as("jaccard"))
   }
-  val q44Sql: String = {
+  /** CTE chain `stacked, pairs, sh, scored` spelling [[verifiedPairs]]
+    * over an arbitrary corpus relation — `scored` has
+    * (doc_a, doc_b, jaccard). Shared by the q44/q46/q50 oracles. */
+  def verifiedPairsSqlCtes(from: String): String = {
     val toks = "str_split(text, ' ')"
-    s"""WITH stacked AS ($stackedSqlCte),
+    s"""stacked AS (${stackedSqlCteFrom(from)}),
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM stacked a JOIN stacked b
@@ -225,15 +235,19 @@ object Dedup {
        |  SELECT doc_id, list_distinct(
        |    list_transform(range(1, len($toks) - 1),
        |      i -> array_to_string(list_slice($toks, i, i + 2), ' '))) AS shset
-       |  FROM documents WHERE len($toks) >= 3)
-       |SELECT doc_a, doc_b,
-       |       round(len(list_intersect(sa.shset, sb.shset)) /
-       |             (len(sa.shset) + len(sb.shset)
-       |              - len(list_intersect(sa.shset, sb.shset))), 3) AS jaccard
-       |FROM pairs
-       |JOIN sh sa ON doc_a = sa.doc_id
-       |JOIN sh sb ON doc_b = sb.doc_id""".stripMargin
+       |  FROM $from WHERE len($toks) >= 3),
+       |scored AS (
+       |  SELECT doc_a, doc_b,
+       |         round(len(list_intersect(sa.shset, sb.shset)) /
+       |               (len(sa.shset) + len(sb.shset)
+       |                - len(list_intersect(sa.shset, sb.shset))), 3) AS jaccard
+       |  FROM pairs
+       |  JOIN sh sa ON doc_a = sa.doc_id
+       |  JOIN sh sb ON doc_b = sb.doc_id)""".stripMargin
   }
+  val q44Sql: String =
+    s"""WITH ${verifiedPairsSqlCtes("documents")}
+       |SELECT doc_a, doc_b, jaccard FROM scored""".stripMargin
 
   /** The dedup ladder's FINAL rung: cluster assignment. Verified
     * near-dup pairs (q44, Jaccard ≥ 0.5) form an undirected graph;
@@ -254,8 +268,12 @@ object Dedup {
     * (O(log n) rounds, same join shapes) — the loop scaffold and
     * convergence test stay identical.
     */
-  def q46DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val verified = q44LshVerifiedPairs(s, dir)
+  def q46DedupClusters(s: SparkSession, dir: String): DataFrame =
+    clusters(Tables.documents(s, dir))
+
+  /** q46 parametrized by the corpus frame (see [[verifiedPairs]]). */
+  def clusters(docs: DataFrame): DataFrame = {
+    val verified = verifiedPairs(docs)
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
     // undirected edge list, both directions — membership comes from it
@@ -292,20 +310,27 @@ object Dedup {
     edges.unpersist()
     labels.withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
+  /** CTE chain `edges, reach, clustered` computing connected
+    * components of `scored` (jaccard ≥ 0.5) — `clustered` has
+    * (doc_id, cluster_id). Requires WITH RECURSIVE on the outer
+    * query. Shared by the q46/q50 oracles. */
+  val clustersSqlCtes: String =
+    """edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM scored WHERE jaccard >= 0.5
+      |  UNION
+      |  SELECT doc_b, doc_a FROM scored WHERE jaccard >= 0.5),
+      |reach AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |clustered AS (
+      |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      |  FROM reach GROUP BY src)""".stripMargin
   val q46Sql: String =
-    s"""WITH RECURSIVE verified AS ($q44Sql),
-       |edges AS (
-       |  SELECT doc_a AS src, doc_b AS dst FROM verified WHERE jaccard >= 0.5
-       |  UNION
-       |  SELECT doc_b, doc_a FROM verified WHERE jaccard >= 0.5),
-       |reach AS (
-       |  SELECT src, dst FROM edges
-       |  UNION
-       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-       |SELECT src AS doc_id,
-       |       least(src, min(dst)) AS cluster_id,
-       |       least(src, min(dst)) = src AS is_canonical
-       |FROM reach GROUP BY src""".stripMargin
+    s"""WITH RECURSIVE ${verifiedPairsSqlCtes("documents")},
+       |$clustersSqlCtes
+       |SELECT doc_id, cluster_id, cluster_id = doc_id AS is_canonical
+       |FROM clustered""".stripMargin
 
   /** 16-bit SimHash per document (md5-derived bit votes), grouped into
     * a histogram — hash-identical across engines. The 16 bit positions

@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The COMPLETE training-data pipeline as one oracle-checked query —
+  * the reason this engine exists: everything between a raw crawl and a
+  * trainer's dataloader, composed from the already-verified stages and
+  * hash-matched end-to-end against DuckDB (recursive CTEs included).
+  *
+  * Stages (each independently oracle-checked by its own qNN):
+  *  1. quality triage (q22): keep bucket == "ok"
+  *  2. exact dedup (q25): keep min doc_id per canonical fingerprint
+  *  3. fuzzy dedup (q26→q44→q46): MinHash-LSH candidates → Jaccard
+  *     verify → connected components → keep cluster canonicals
+  *  4. stratified sampling (q48): deterministic md5 cut
+  *  5. sequence packing (q47): concatenate-per-source, chunk by token
+  *     budget
+  * Output: the per-(source, bin) shard manifest a dataloader consumes.
+  *
+  * Scale review, stage by stage: (1) scan-side predicate; (2) one
+  * hash-agg on the 16-byte fingerprint + semi-join back (text never
+  * shuffles); (3) the verified ladder shapes (see PLANS.md q44→q46) on
+  * the SURVIVOR set, so every upstream filter shrinks the expensive
+  * stage; (4) scan-side predicate; (5) one window per source. The
+  * composition adds NO new shuffle beyond the stages' own.
+  */
+object PipelineQ {
+
+  def q50TrainingManifest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+
+    // 1. quality triage — stage toks once, reuse through the pipeline
+    val quality = docs
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .filter(TextOps.qualityBucket(col("toks"), col("n_chars")) === "ok")
+
+    // 2. exact dedup: min doc_id per canonical fingerprint, realized
+    // as a semi-join on (fp, doc_id) — only 16-byte keys aggregate
+    val fp = quality.withColumn("fp", TextOps.fingerprint(col("text")))
+    val exact = fp.join(
+      fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id")),
+      Seq("fp", "doc_id"), "left_semi")
+
+    // 3. fuzzy dedup on the survivors: drop non-canonical cluster members
+    val dropped = Dedup.clusters(exact)
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id"))
+    val kept = exact.join(dropped, Seq("doc_id"), "left_anti")
+
+    // 4. deterministic stratified sample (same cut as q48)
+    val sampled = kept.filter(
+      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2),
+        16, 10).cast("long") < Text.SampleCut)
+
+    // 5. sequence packing (same budget as q47) → shard manifest
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    sampled
+      .select(col("source"), col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"))
+      .withColumn("bin_id",
+        (coalesce(sum(col("n_toks")).over(w), lit(0L)) / Text.PackBudget)
+          .cast("long"))
+      .groupBy(col("source"), col("bin_id"))
+      .agg(count(lit(1)).as("doc_count"),
+        sum(col("n_toks")).as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  val q50Sql: String = {
+    val toks = "str_split(text, ' ')"
+    val stop = s"len(list_filter($toks, t -> t IN ('the','and','of','to','a')))"
+    val canonical = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    s"""WITH RECURSIVE quality AS (
+       |  SELECT source, doc_id, text
+       |  FROM documents
+       |  WHERE CASE WHEN len($toks) < 10 OR n_chars < 50 THEN 'too_short'
+       |             WHEN ($stop * 100) // len($toks) > 30 THEN 'high_stopword'
+       |             WHEN (len(list_distinct($toks)) * 100) // len($toks) < 30
+       |               THEN 'repetitive'
+       |             ELSE 'ok' END = 'ok'),
+       |exact AS (
+       |  SELECT source, doc_id, text FROM quality
+       |  QUALIFY row_number() OVER (PARTITION BY $canonical ORDER BY doc_id) = 1),
+       |${Dedup.verifiedPairsSqlCtes("exact")},
+       |${Dedup.clustersSqlCtes},
+       |kept AS (
+       |  SELECT e.* FROM exact e
+       |  WHERE doc_id NOT IN
+       |    (SELECT doc_id FROM clustered WHERE cluster_id <> doc_id)),
+       |sampled AS (
+       |  SELECT * FROM kept
+       |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT)
+       |        < ${Text.SampleCut}),
+       |binned AS (
+       |  SELECT source, doc_id, len($toks) AS n_toks,
+       |         CAST(coalesce(sum(len($toks)) OVER (
+       |             PARTITION BY source ORDER BY doc_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           // ${Text.PackBudget} AS BIGINT) AS bin_id
+       |  FROM sampled)
+       |SELECT source, bin_id, count(*) AS doc_count,
+       |       CAST(sum(n_toks) AS BIGINT) AS bin_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM binned GROUP BY 1, 2""".stripMargin
+  }
+}
