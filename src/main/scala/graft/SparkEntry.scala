@@ -50,6 +50,7 @@ object SparkEntry {
     "q43_rolling_fingerprints" -> (Text.q43RollingFingerprints _),
     "q47_sequence_packing" -> (Text.q47SequencePacking _),
     "q48_stratified_sample" -> (Text.q48StratifiedSample _),
+    "q49_contamination" -> (Text.q49Contamination _),
     // deduplication ladder
     "q25_exact_dedup" -> (Dedup.q25ExactDedup _),
     "q26_minhash_buckets" -> (Dedup.q26MinhashBuckets _),
@@ -131,6 +132,7 @@ object SparkEntry {
     "q46_dedup_clusters" -> Dedup.q46Sql,
     "q47_sequence_packing" -> Text.q47Sql,
     "q48_stratified_sample" -> Text.q48Sql,
+    "q49_contamination" -> Text.q49Sql,
     "q50_training_manifest" -> PipelineQ.q50Sql,
   )
 }

@@ -188,6 +188,55 @@ object Text {
        |      < $SampleCut
        |GROUP BY 1, 2""".stripMargin
 
+  /** Benchmark-contamination screening — the train/test hygiene check
+    * every pretraining pipeline runs: which training documents share
+    * word 3-grams with a held-out benchmark set (here: doc_id < 20 as
+    * the stand-in benchmark)? Emits per-source contamination counts
+    * and the worst overlap.
+    *
+    * Scale shape: the benchmark's distinct shingle set is aggregated
+    * into ONE row (benchmarks are thousands of docs — a few MB of
+    * n-grams) and broadcast; the corpus is scanned once with a
+    * scan-side `array_intersect` against it — no explode, no shuffle
+    * of corpus shingles, contamination decided inside the scan stage.
+    * For benchmark sets too big to broadcast, the same query flips to
+    * an explode + shuffle-hash semi-join on the shingle hash; the
+    * testdata shape exercises the broadcast path.
+    */
+  def q49Contamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens(col("text"))) // staged (HOF note in Dedup)
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"), col("doc_id"),
+        array_distinct(TextOps.shingles(col("toks"), 3)).as("shset"))
+    val bench = sh.filter(col("doc_id") < 20)
+      .agg(array_distinct(flatten(collect_list(col("shset")))).as("bench_sh"))
+    sh.filter(col("doc_id") >= 20)
+      .crossJoin(broadcast(bench))
+      .withColumn("n_overlap",
+        size(array_intersect(col("shset"), col("bench_sh"))))
+      .filter(col("n_overlap") > 0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("contaminated_docs"),
+        max(col("n_overlap")).as("max_overlap"))
+  }
+  val q49Sql: String = {
+    val toks = "str_split(text, ' ')"
+    s"""WITH sh AS (
+       |  SELECT source, doc_id, list_distinct(
+       |    list_transform(range(1, len($toks) - 1),
+       |      i -> array_to_string(list_slice($toks, i, i + 2), ' '))) AS shset
+       |  FROM documents WHERE len($toks) >= 3),
+       |bench AS (
+       |  SELECT list_distinct(flatten(list(shset))) AS bench_sh
+       |  FROM sh WHERE doc_id < 20),
+       |hits AS (
+       |  SELECT source, len(list_intersect(shset, bench_sh)) AS n_overlap
+       |  FROM sh, bench WHERE doc_id >= 20)
+       |SELECT source, count(*) AS contaminated_docs, max(n_overlap) AS max_overlap
+       |FROM hits WHERE n_overlap > 0 GROUP BY 1""".stripMargin
+  }
+
   /** Document fingerprinting: md5 over canonicalized text, rolled up
     * per source — duplicate mass per ingestion feed. */
   def q24Fingerprints(s: SparkSession, dir: String): DataFrame = {
