@@ -47,19 +47,23 @@ object Bench {
     // a failed query reports -1 (unambiguous in the JSON) and logs to
     // stderr — a near-zero "success" time would hide breakage
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        exec(fn, sfDir)
-        (System.nanoTime() - t0) / 1e9
-      }
-      try {
-        val best = math.min(once(), once())
-        System.err.println(f"[bench] $name%-28s $best%8.2fs")
-        name -> best
-      }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        name -> -1.0
+      // each run fails independently: a crash on the second run still
+      // reports the first run's valid timing, not a phantom failure
+      def once(): Option[Double] =
+        try {
+          val t0 = System.nanoTime()
+          exec(fn, sfDir)
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name run failed: ${e.getMessage}")
+          None
+        }
+      Seq(once(), once()).flatten match {
+        case Nil => name -> -1.0
+        case ts =>
+          val best = ts.min
+          System.err.println(f"[bench] $name%-28s $best%8.2fs")
+          name -> best
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -28,7 +28,9 @@ import java.security.MessageDigest
   * hex char of md5("p:i") is 0-7 — i.e. iff the high nibble of the
   * first digest byte is < 8 — else -1; plane p contributes 1<<p to the
   * code iff Σᵢ v(i)·weight(p, i) > 0. Summation order is the same
-  * left-to-right fold both engines use.
+  * left-to-right fold both engines use. Elements are assumed non-null
+  * (dense embedding vectors, same contract as DotProduct/
+  * CosineSimilarity — matching how embeddings parquet is written).
   */
 object HyperplaneKernel {
   val NumPlanes = 8

@@ -54,26 +54,31 @@ object MinHashKernel {
       ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)
 
   /** k running minima of hⱼ(x) = (Aⱼ·x + Bⱼ) mod P over the shingles;
-    * null for an empty array (no shingles → no signature). */
+    * null elements are skipped (matching `array_min`/`list_min`, which
+    * ignore nulls); null when no non-null shingle exists (no shingles →
+    * no signature). */
   def bands(shingles: ArrayData, k: Int): ArrayData = {
     val n = shingles.numElements()
-    if (n == 0) return null
     val minima = Array.fill(k)(Long.MaxValue)
     val md = digests.get()
+    var seen = false
     var i = 0
     while (i < n) {
-      md.reset()
-      val d = md.digest(shingles.getUTF8String(i).getBytes)
-      val x = word(d, 0)
-      var j = 0
-      while (j < k) {
-        val v = (A(j) * x + B(j)) % Prime
-        if (v < minima(j)) minima(j) = v
-        j += 1
+      if (!shingles.isNullAt(i)) {
+        seen = true
+        md.reset()
+        val d = md.digest(shingles.getUTF8String(i).getBytes)
+        val x = word(d, 0)
+        var j = 0
+        while (j < k) {
+          val v = (A(j) * x + B(j)) % Prime
+          if (v < minima(j)) minima(j) = v
+          j += 1
+        }
       }
       i += 1
     }
-    new GenericArrayData(minima)
+    if (!seen) null else new GenericArrayData(minima)
   }
 }
 

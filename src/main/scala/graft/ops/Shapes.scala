@@ -100,23 +100,30 @@ object Shapes {
     * tiny top slice. NO window anywhere, so a high-cardinality counts
     * table (brands/categories at 100 TB: 10⁶-10⁸ keys) never funnels
     * through a single-partition WindowExec. The `counts` input is
-    * referenced by three branches; it is a post-aggregation frame, and
-    * its shuffle exchange is computed once and reused across branches
-    * (ReusedExchange — asserted in ShapesSpec).
+    * referenced by two branches (top slice and global total), so its
+    * subtree is planned twice; AQE's exchange reuse collapses the two
+    * identical aggregate exchanges at runtime when it can, and either
+    * way the duplicated work is the CHEAP post-aggregation frame, not
+    * the raw table.
     *
     * Correctness at the boundary: topK's (cnt desc, key asc) total
     * ordering picks the identical top-N set the ranked-window version
-    * picked, and the OTHER row appears only when rows remain below the
-    * cut (`__n > n`), matching the old null-sum filter.
+    * picked. Null counts are dropped up front (the old version's
+    * null-sum filter made an all-null remainder emit no OTHER row —
+    * preserved here by counting only non-null rows in `__n`), and
+    * `__top_total` coalesces to 0 so n=0 yields (OTHER, grand total)
+    * exactly as ranking everything below the cut did.
     */
   def topNPlusOther(counts: DataFrame, keyCol: String, cntCol: String,
                     n: Int, otherLabel: String = "OTHER"): DataFrame = {
-    val top = topK(counts, n, col(cntCol).desc, col(keyCol).asc)
+    val clean = counts.filter(col(cntCol).isNotNull)
+    val top = topK(clean, n, col(cntCol).desc, col(keyCol).asc)
       .select(col(keyCol), col(cntCol))
-    val totals = counts.agg(
+    val totals = clean.agg(
       sum(col(cntCol)).cast("long").as("__total"),
       count(lit(1)).as("__n"))
-    val topTotals = top.agg(sum(col(cntCol)).cast("long").as("__top_total"))
+    val topTotals = top.agg(
+      coalesce(sum(col(cntCol)), lit(0L)).cast("long").as("__top_total"))
     val other = totals.crossJoin(topTotals)
       .filter(col("__n") > n)
       .select(lit(otherLabel).as(keyCol),

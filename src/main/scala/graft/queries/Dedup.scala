@@ -50,9 +50,10 @@ object Dedup {
     * 0.3-similar pairs — far too loose).
     *
     * All 8 min-hashes come from the native one-digest-per-shingle
-    * kernel [[graft.functions.MinHashBands]] (double-hashing family
-    * hₖ = h1 + (k+1)·h2 over the md5 words) — one scan-stage pass, no
-    * explode, no per-hash salting passes.
+    * kernel [[graft.functions.MinHashBands]] — the affine permutation
+    * family (Aₖ·x + Bₖ) mod P with DISTINCT multipliers; see the
+    * kernel's scaladoc for why a shared-slope family is wrong — one
+    * scan-stage pass, no explode, no per-hash salting passes.
     */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     // PERF: tokens and shingles are staged as real columns, NOT inlined
@@ -271,7 +272,15 @@ object Dedup {
   def q46DedupClusters(s: SparkSession, dir: String): DataFrame =
     clusters(Tables.documents(s, dir))
 
-  /** q46 parametrized by the corpus frame (see [[verifiedPairs]]). */
+  /** q46 parametrized by the corpus frame (see [[verifiedPairs]]).
+    *
+    * Caching note: the returned frame is backed by the final round's
+    * persisted label set — O(docs-in-verified-pairs) rows, tiny
+    * relative to the corpus. It stays cached so consuming the result
+    * doesn't re-run the propagation rounds; when the caller drops the
+    * returned DataFrame, Spark's ContextCleaner unpersists the backing
+    * RDD automatically, so repeated calls (bench best-of-2, streaming
+    * duals) don't accumulate unbounded storage. */
   def clusters(docs: DataFrame): DataFrame = {
     val verified = verifiedPairs(docs)
       .filter(col("jaccard") >= 0.5)

@@ -50,26 +50,13 @@ object PipelineQ {
       .select(col("doc_id"))
     val kept = exact.join(dropped, Seq("doc_id"), "left_anti")
 
-    // 4. deterministic stratified sample (same cut as q48)
+    // 4. deterministic stratified sample (THE q48 hash — shared helper)
     val sampled = kept.filter(
-      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2),
-        16, 10).cast("long") < Text.SampleCut)
+      Text.sampleHashByte(col("doc_id")) < Text.SampleCut)
 
-    // 5. sequence packing (same budget as q47) → shard manifest
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    sampled
-      .select(col("source"), col("doc_id"),
-        size(col("toks")).cast("long").as("n_toks"))
-      .withColumn("bin_id",
-        (coalesce(sum(col("n_toks")).over(w), lit(0L)) / Text.PackBudget)
-          .cast("long"))
-      .groupBy(col("source"), col("bin_id"))
-      .agg(count(lit(1)).as("doc_count"),
-        sum(col("n_toks")).as("bin_tokens"),
-        min(col("doc_id")).as("first_doc"),
-        max(col("doc_id")).as("last_doc"))
+    // 5. sequence packing (THE q47 kernel — shared helper) → manifest
+    Text.packManifest(sampled.select(col("source"), col("doc_id"),
+      size(col("toks")).cast("long").as("n_toks")))
   }
 
   val q50Sql: String = {
@@ -95,18 +82,7 @@ object PipelineQ {
        |    (SELECT doc_id FROM clustered WHERE cluster_id <> doc_id)),
        |sampled AS (
        |  SELECT * FROM kept
-       |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT)
-       |        < ${Text.SampleCut}),
-       |binned AS (
-       |  SELECT source, doc_id, len($toks) AS n_toks,
-       |         CAST(coalesce(sum(len($toks)) OVER (
-       |             PARTITION BY source ORDER BY doc_id
-       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       |           // ${Text.PackBudget} AS BIGINT) AS bin_id
-       |  FROM sampled)
-       |SELECT source, bin_id, count(*) AS doc_count,
-       |       CAST(sum(n_toks) AS BIGINT) AS bin_tokens,
-       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
-       |FROM binned GROUP BY 1, 2""".stripMargin
+       |  WHERE ${Text.sampleSqlPredicate}),
+       |${Text.packSqlTail("sampled")}""".stripMargin
   }
 }

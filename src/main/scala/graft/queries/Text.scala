@@ -127,13 +127,15 @@ object Text {
     * arithmetic is unchanged because prefix sums are associative.
     */
   val PackBudget = 4096L
-  def q47SequencePacking(s: SparkSession, dir: String): DataFrame = {
+
+  /** Shared packing kernel: per-(source, bin) manifest over a
+    * (source, doc_id, n_toks) frame — used by q47 and the composed
+    * pipeline q50 so their bin arithmetic can never drift apart. */
+  def packManifest(perDoc: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    Tables.documents(s, dir)
-      .select(col("source"), col("doc_id"),
-        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"))
+    perDoc
       .withColumn("bin_id",
         (coalesce(sum(col("n_toks")).over(w), lit(0L)) / PackBudget).cast("long"))
       .groupBy(col("source"), col("bin_id"))
@@ -142,21 +144,27 @@ object Text {
         min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"))
   }
-  val q47Sql: String =
-    s"""WITH toks AS (
-       |  SELECT source, doc_id, len(str_split(text, ' ')) AS n_toks
-       |  FROM documents),
-       |binned AS (
-       |  SELECT source, doc_id, n_toks,
-       |         CAST(coalesce(sum(n_toks) OVER (
+
+  /** DuckDB spelling of [[packManifest]] over a relation with
+    * (source, doc_id, text) — `binned` CTE + final select. */
+  def packSqlTail(from: String): String =
+    s"""binned AS (
+       |  SELECT source, doc_id, len(str_split(text, ' ')) AS n_toks,
+       |         CAST(coalesce(sum(len(str_split(text, ' '))) OVER (
        |             PARTITION BY source ORDER BY doc_id
        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
        |           // $PackBudget AS BIGINT) AS bin_id
-       |  FROM toks)
+       |  FROM $from)
        |SELECT source, bin_id, count(*) AS doc_count,
        |       CAST(sum(n_toks) AS BIGINT) AS bin_tokens,
        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM binned GROUP BY 1, 2""".stripMargin
+
+  def q47SequencePacking(s: SparkSession, dir: String): DataFrame =
+    packManifest(Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks")))
+  val q47Sql: String = s"WITH ${packSqlTail("documents")}"
 
   /** Deterministic stratified sampling — the reproducible subsetting a
     * training-data pipeline needs (ablations, eval splits, per-source
@@ -169,12 +177,19 @@ object Text {
     * (source, lang) sample counts with id-range spot checks.
     */
   val SampleCut = 51L // of 256 ≈ 19.9%
+
+  /** First byte of md5(doc_id) as a long in [0, 256) — the shared
+    * sampling hash (q48 and the composed pipeline q50). */
+  def sampleHashByte(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(docId.cast("string").cast("binary")), 1, 2), 16, 10)
+      .cast("long")
+  /** DuckDB spelling of `sampleHashByte(doc_id) < SampleCut`. */
+  val sampleSqlPredicate: String =
+    s"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) < $SampleCut"
+
   def q48StratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    val hashByte = conv(
-      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2),
-      16, 10).cast("long")
     Tables.documents(s, dir)
-      .filter(hashByte < SampleCut)
+      .filter(sampleHashByte(col("doc_id")) < SampleCut)
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("sampled_docs"),
         min(col("doc_id")).as("min_doc_id"),
@@ -184,8 +199,7 @@ object Text {
     s"""SELECT source, lang, count(*) AS sampled_docs,
        |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
        |FROM documents
-       |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT)
-       |      < $SampleCut
+       |WHERE $sampleSqlPredicate
        |GROUP BY 1, 2""".stripMargin
 
   /** Benchmark-contamination screening — the train/test hygiene check

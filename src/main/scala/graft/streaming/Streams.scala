@@ -289,14 +289,21 @@ object Streams {
             col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        val histDir = new java.io.File(indexPath)
+        // Hadoop FS existence check, not java.io.File — the index lives
+        // on whatever filesystem the path names (s3a://, hdfs://, local)
+        val idxPath = new org.apache.hadoop.fs.Path(indexPath)
+        val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasHistory = fs.exists(idxPath) &&
+          fs.listStatus(idxPath).exists(_.getPath.getName.startsWith("batch_id="))
         val candidates =
-          if (histDir.isDirectory && histDir.list().exists(_.startsWith("batch_id="))) {
+          if (hasHistory) {
             val hist = spark.read.parquet(indexPath)
               .filter(col("batch_id") =!= batchId) // replayed batch: don't self-match
             val vsHistory = sigs.as("n")
               .join(hist.as("h"),
-                col("n.band") === col("h.band") && col("n.sig") === col("h.sig"))
+                col("n.band") === col("h.band") && col("n.sig") === col("h.sig") &&
+                  // a re-ingested doc_id must not pair with itself
+                  col("n.doc_id") =!= col("h.doc_id"))
               .select(
                 least(col("n.doc_id"), col("h.doc_id")).as("doc_a"),
                 greatest(col("n.doc_id"), col("h.doc_id")).as("doc_b"))

@@ -66,6 +66,18 @@ class MinHashSpec extends SparkSpec {
     assert(rows(1L) && !rows(2L))
   }
 
+  test("null elements are skipped like array_min; all-null array yields null") {
+    val df = Seq(
+      (1L, Seq(Option("x y z"), None, Option("a b c"))),
+      (2L, Seq(Option.empty[String], None)))
+      .toDF("id", "sh")
+      .select(col("id"), MinHashFunctions.minhash_bands(col("sh"), 8).as("mh"))
+    val rows = df.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getSeq[Long](1)))).toMap
+    assert(rows(2L).isEmpty)
+    assert(rows(1L).get === reference(Seq("x y z", "a b c"), 8).get)
+  }
+
   test("values stay in [0, P) — no overflow anywhere in the family") {
     check(20)(Prop.forAll { (sh: List[String]) =>
       sh.filter(_.nonEmpty).isEmpty || {
@@ -75,15 +87,16 @@ class MinHashSpec extends SparkSpec {
     })
   }
 
-  test("SQL registration via GraftExtensions surface works") {
-    VectorFunctions.register(spark)
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_bands",
-      exprs => MinHashBands(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+  test("SQL via GraftExtensions injection works (session built with the extension)") {
+    // SparkSpec's session sets spark.sql.extensions=graft.GraftExtensions,
+    // so this exercises the REAL injected builders — including the
+    // es(1).eval() literal extraction for the hash count
     val out = sql("SELECT minhash_bands(array('a b c', 'b c d'), 8) AS mh")
       .collect()(0).getSeq[Long](0)
     assert(out.length === 8)
     assert(out === reference(Seq("a b c", "b c d"), 8).get)
+    val hp = sql("SELECT hyperplane_code(array(1.0D, -2.0D, 3.0D)) AS c")
+      .collect()(0).getLong(0)
+    assert(hp >= 0L && hp < 256L)
   }
 }

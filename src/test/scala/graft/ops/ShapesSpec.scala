@@ -53,6 +53,18 @@ class ShapesSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(3000))
   }
 
+  test("topNPlusOther boundaries: all-null remainder emits no OTHER; n=0 emits full total") {
+    val withNulls = Seq(("a", Some(5L)), ("b", None), ("c", None))
+      .toDF("k", "cnt")
+    val out1 = Shapes.topNPlusOther(withNulls, "k", "cnt", 1).collect()
+    assert(out1.map(_.getString(0)).toSet === Set("a"),
+      "null-count rows below the cut must not produce an OTHER row")
+    val plain = Seq(("a", 5L), ("b", 3L)).toDF("k", "cnt")
+    val out2 = Shapes.topNPlusOther(plain, "k", "cnt", 0).collect()
+    assert(out2.length === 1)
+    assert(out2(0).getString(0) === "OTHER" && out2(0).getLong(1) === 8L)
+  }
+
   test("topNPlusOther conserves the total count (property)") {
     check(10)(Prop.forAll { (xs: Map[Int, Short], nRaw: Byte) =>
       val n = math.max(1, math.abs(nRaw.toInt) % 6)
