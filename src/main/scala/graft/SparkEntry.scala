@@ -66,6 +66,7 @@ object SparkEntry {
     "q30_lsh_buckets" -> (Similarity.q30LshBuckets _),
     "q31_embedding_near_dups" -> (Similarity.q31EmbeddingNearDups _),
     "q36_ivf_cells" -> (Similarity.q36IvfCells _),
+    "q51_multiprobe_ann" -> (Similarity.q51MultiprobeAnn _),
     // multimodal plumbing
     "q32_image_meta_stats" -> (MultimodalQ.q32ImageMetaStats _),
     // statistical + temporal aggregates
@@ -134,5 +135,6 @@ object SparkEntry {
     "q48_stratified_sample" -> Text.q48Sql,
     "q49_contamination" -> Text.q49Sql,
     "q50_training_manifest" -> PipelineQ.q50Sql,
+    "q51_multiprobe_ann" -> Similarity.q51Sql,
   )
 }

@@ -136,6 +136,60 @@ object Similarity {
        |       min(vec_id) AS min_vec_id
        |FROM emb GROUP BY 1""".stripMargin
 
+  /** Multi-probe LSH ANN search — the SCALE path q29's exact scan
+    * trades against: each query probes its own hyperplane bucket plus
+    * all Hamming-distance-1 buckets (flip one of the 8 sign bits —
+    * the standard multi-probe recall boost: a vector near a hyperplane
+    * lands on either side with near-even odds), verifies only those
+    * candidates with the native cosine, and keeps the top-3.
+    *
+    * Plan shape: queries (with their bucket codes) broadcast; the
+    * corpus streams through ONE scan computing its bucket code
+    * scan-side (native kernel) with the probe test
+    * `bit_count(qb ⊕ cb) ≤ 1` as a cheap codegen predicate inside the
+    * broadcast join — the corpus never shuffles, and WindowGroupLimit
+    * pushes the per-query top-3 below the exchange exactly like q29.
+    * At 100 TB the bucket code would come from the ANN index
+    * (pre-computed column), making the probe a partition-pruning
+    * predicate instead of a scan computation.
+    */
+  def q51MultiprobeAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("cb", bucketCode(col("v")))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("cb").as("qb"))
+    val scored = emb.join(broadcast(queries),
+        col("vec_id") =!= col("query_id") &&
+          bit_count(col("cb").bitwiseXOR(col("qb"))) <= 1)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+    scored.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+  }
+  val q51Sql: String =
+    s"""WITH emb0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |emb AS (SELECT vec_id, v, ($bucketSql) AS cb FROM emb0),
+       |q AS (SELECT vec_id AS query_id, v AS qv, cb AS qb FROM emb WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |         round(list_dot_product(qv, v) /
+       |               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+       |           AS cos_sim
+       |  FROM emb e CROSS JOIN q
+       |  WHERE e.vec_id <> q.query_id AND bit_count(xor(e.cb, q.qb)) <= 1),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3""".stripMargin
+
   /** Scalar int8 quantization of an embedding column: per-vector
     * min/max affine map to [0,255] stored as smallint + (lo, scale) —
     * a 4× storage cut for a 100 TB embedding lake (float32 → int8

@@ -113,6 +113,23 @@ class QueriesSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan.take(3000))
   }
 
+  test("q51 multi-probe: every neighbor lies within Hamming-1 of its query's bucket") {
+    import spark.implicits._
+    val codes = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id",
+        Similarity.bucketCode(org.apache.spark.sql.functions.transform(
+          $"embedding", x => x.cast("double"))).as("cb"))
+      .as[(Long, Long)].collect().toMap
+    val out = Similarity.q51MultiprobeAnn(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (q, n) = (r.getLong(0), r.getLong(1))
+      assert(java.lang.Long.bitCount(codes(q) ^ codes(n)) <= 1,
+        s"neighbor $n of query $q outside the probe set")
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 3)
+    }
+  }
+
   test("q46 clusters are the true connected components of the verified pair graph") {
     import spark.implicits._
     val edges = Dedup.q44LshVerifiedPairs(spark, sf)
