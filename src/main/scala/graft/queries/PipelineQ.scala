@@ -38,7 +38,11 @@ object PipelineQ {
       .filter(TextOps.qualityBucket(col("toks"), col("n_chars")) === "ok")
 
     // 2. exact dedup: min doc_id per canonical fingerprint, realized
-    // as a semi-join on (fp, doc_id) — only 16-byte keys aggregate
+    // as a semi-join on (fp, doc_id) — only 16-byte keys aggregate.
+    // The survivor set feeds three consumers; deliberately NOT
+    // persisted — measured at sf0.1, caching these wide rows (text +
+    // staged token arrays) costs more than recomputing the codegen
+    // scan (7.6s cached vs 5.1s recomputed).
     val fp = quality.withColumn("fp", TextOps.fingerprint(col("text")))
     val exact = fp.join(
       fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id")),
