@@ -36,6 +36,8 @@ object SparkEntry {
     "q13_active_suppliers" -> (Relational.q13ActiveSuppliersByNation _),
     "q14_nation_set_ops" -> (Relational.q14NationSetOps _),
     "q15_order_rollup" -> (Relational.q15OrderRollup _),
+    "q52_range_join" -> (Relational.q52RangeJoin _),
+    "q53_pivot" -> (Relational.q53Pivot _),
     // event-time analytics (batch twins of the streaming ops)
     "q16_hourly_event_stats" -> (Events.q16HourlyEventStats _),
     "q17_user_sessions" -> (Events.q17UserSessions _),
@@ -136,5 +138,7 @@ object SparkEntry {
     "q49_contamination" -> Text.q49Sql,
     "q50_training_manifest" -> PipelineQ.q50Sql,
     "q51_multiprobe_ann" -> Similarity.q51Sql,
+    "q52_range_join" -> Relational.q52Sql,
+    "q53_pivot" -> Relational.q53Sql,
   )
 }

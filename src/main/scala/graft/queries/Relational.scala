@@ -143,4 +143,65 @@ object Relational {
       |       count(*) AS order_count,
       |       round(sum(o_totalprice), 2) AS total_value
       |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** Non-equi RANGE join (completes the join family next to equi/
+    * semi/anti/set/as-of/interval): parts banded into price tiers by
+    * `lo ≤ price < hi`. The tier table is a tiny in-plan dimension —
+    * Spark plans BroadcastNestedLoopJoin with the BANDS side
+    * broadcast, so the big side streams map-side exactly like an equi
+    * broadcast join; the non-equi predicate is a codegen comparison,
+    * and the 100 TB side never shuffles. (A big-big range join would
+    * instead bucket both sides by ⌊price/width⌋ and equi-join the
+    * bucket key — the standard range-bucketing rewrite.)
+    */
+  def q52RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // tier bounds sized to the testdata price range (900-920)
+    val bands = Seq(
+      ("budget", 900d, 907d),
+      ("mid", 907d, 914d),
+      ("premium", 914d, 920d)).toDF("tier", "lo", "hi")
+    Tables.part(s, dir).as("p")
+      .join(broadcast(bands).as("b"),
+        col("p.p_retailprice") >= col("b.lo") &&
+          col("p.p_retailprice") < col("b.hi"))
+      .groupBy(col("b.tier"))
+      .agg(count(lit(1)).as("part_count"),
+        round(avg(col("p.p_retailprice")), 2).as("avg_price"),
+        min(col("p.p_partkey")).as("min_partkey"))
+  }
+  val q52Sql: String =
+    """WITH bands(tier, lo, hi) AS (
+      |  VALUES ('budget', 900.0, 907.0), ('mid', 907.0, 914.0),
+      |         ('premium', 914.0, 920.0))
+      |SELECT tier, count(*) AS part_count,
+      |       round(avg(p_retailprice), 2) AS avg_price,
+      |       min(p_partkey) AS min_partkey
+      |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+      |GROUP BY 1""".stripMargin
+
+  /** Pivot (wide-format aggregation — the §2.7 family's last gap):
+    * document counts per source pivoted across languages. The pivot
+    * VALUES are declared explicitly, which is the scale-correct form —
+    * implicit pivot runs a distinct-values job first and caps at
+    * spark.sql.pivotMaxValues; an explicit list keeps it one pass and
+    * the output schema static. Lowers to a regular two-phase hash
+    * aggregate over (source) with CASE-filtered partials — same plan
+    * family as the oracle's FILTER clauses, one shuffle.
+    */
+  def q53Pivot(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .pivot("lang", Seq("en", "de", "fr", "es", "unknown"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+  }
+  val q53Sql: String =
+    """SELECT source,
+      |       count(*) FILTER (lang = 'en') AS en,
+      |       count(*) FILTER (lang = 'de') AS de,
+      |       count(*) FILTER (lang = 'fr') AS fr,
+      |       count(*) FILTER (lang = 'es') AS es,
+      |       count(*) FILTER (lang = 'unknown') AS unknown
+      |FROM documents GROUP BY 1""".stripMargin
 }

@@ -113,6 +113,12 @@ class QueriesSpec extends SparkSpec {
     assert(plan.contains("ObjectHashAggregate"), plan.take(3000))
   }
 
+  test("q52 range join broadcasts the band dimension (big side never shuffles)") {
+    val plan = Relational.q52RangeJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("q51 multi-probe: every neighbor lies within Hamming-1 of its query's bucket") {
     import spark.implicits._
     val codes = graft.Tables.embeddings(spark, sf)
