@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StructField, StructType, StringType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -26,7 +27,18 @@ import scala.jdk.CollectionConverters._
   * (each executor pulls only its page range; no driver funnel).
   *
   * Options: `pages` (default 100), `productsPerPage` (default 100),
-  * `numPartitions` (default 4).
+  * `numPartitions` (default 4), `pagesPerTrigger` (default 10,
+  * streaming only).
+  *
+  * STREAMING: the same table also implements MICRO_BATCH_READ — the
+  * checkpointable offset IS the page number, so
+  * `spark.readStream.format("graft-pages")` replays the topic the way
+  * the reference's Kafka consumer does, with `pagesPerTrigger` as the
+  * admission-controlled batch size (SupportsAdmissionControl — the
+  * restart-safe form: the next batch's end offset derives from the
+  * CHECKPOINTED start offset, never from driver-local mutable state,
+  * so crash-and-restart resumes mid-topic exactly like Kafka's
+  * maxOffsetsPerTrigger).
   */
 class PagesSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-pages"
@@ -66,18 +78,55 @@ private class PagesTable(options: CaseInsensitiveStringMap)
   override def name(): String = "graft_pages"
   override def schema(): StructType = PagesSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new PagesScan(
       o.getInt("pages", options.getInt("pages", 100)),
       o.getInt("productsPerPage", options.getInt("productsPerPage", 100)),
-      o.getInt("numPartitions", options.getInt("numPartitions", 4)))
+      o.getInt("numPartitions", options.getInt("numPartitions", 4)),
+      o.getInt("pagesPerTrigger", options.getInt("pagesPerTrigger", 10)))
 }
 
 private case class PagesInputPartition(startPage: Int, endPage: Int,
                                        productsPerPage: Int) extends InputPartition
 
-private class PagesScan(pages: Int, productsPerPage: Int, numPartitions: Int)
+private object PagesReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PagesInputPartition]
+    new PartitionReader[InternalRow] {
+      private var page = p.startPage - 1
+      override def next(): Boolean = { page += 1; page < p.endPage }
+      override def get(): InternalRow =
+        InternalRow(UTF8String.fromString(
+          PagesSource.pageJson(page, p.productsPerPage)))
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Page-range split shared by the batch and micro-batch paths. */
+private object PagesSplits {
+  def split(startPage: Int, endPage: Int, numPartitions: Int,
+            productsPerPage: Int): Array[InputPartition] = {
+    val span = endPage - startPage
+    if (span <= 0) return Array.empty
+    val n = math.max(1, math.min(numPartitions, span))
+    (0 until n).map { p =>
+      // Long math: p*span can overflow Int at ~2^31
+      val s = startPage + (p.toLong * span / n).toInt
+      val e = startPage + ((p + 1).toLong * span / n).toInt
+      PagesInputPartition(s, e, productsPerPage): InputPartition
+    }.toArray
+  }
+}
+
+/** Streaming offset: "pages [0, page) have been made available". */
+private case class PageOffset(page: Int) extends Offset {
+  override def json(): String = page.toString
+}
+
+private class PagesScan(pages: Int, productsPerPage: Int, numPartitions: Int,
+                        pagesPerTrigger: Int)
     extends ScanBuilder with Scan with Batch {
   override def build(): Scan = this
   override def readSchema(): StructType = PagesSource.schema
@@ -85,27 +134,45 @@ private class PagesScan(pages: Int, productsPerPage: Int, numPartitions: Int)
   override def description(): String =
     s"graft-pages(pages=$pages, productsPerPage=$productsPerPage)"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(1, math.min(numPartitions, pages))
-    (0 until n).map { p =>
-      val start = (p.toLong * pages / n).toInt   // Long math: p*pages can
-      val end = ((p + 1).toLong * pages / n).toInt // overflow Int at ~2^31
-      PagesInputPartition(start, end, productsPerPage): InputPartition
-    }.toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    PagesSplits.split(0, pages, numPartitions, productsPerPage)
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-        val p = partition.asInstanceOf[PagesInputPartition]
-        new PartitionReader[InternalRow] {
-          private var page = p.startPage - 1
-          override def next(): Boolean = { page += 1; page < p.endPage }
-          override def get(): InternalRow =
-            InternalRow(UTF8String.fromString(
-              PagesSource.pageJson(page, p.productsPerPage)))
-          override def close(): Unit = ()
-        }
-      }
-    }
+  override def createReaderFactory(): PartitionReaderFactory = PagesReaderFactory
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new PagesMicroBatchStream(pages, productsPerPage, numPartitions, pagesPerTrigger)
+}
+
+/** Micro-batch stream over the page range: offsets are page numbers.
+  * Admission control derives each batch's end from the checkpointed
+  * START offset (`min(start + pagesPerTrigger, pages)`) — no mutable
+  * driver state, so recovery resumes exactly where the checkpoint
+  * says, the property Kafka's maxOffsetsPerTrigger has. */
+private class PagesMicroBatchStream(pages: Int, productsPerPage: Int,
+                                    numPartitions: Int, pagesPerTrigger: Int)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  // the topic is bounded and static, so AvailableNow's "offset at
+  // prepare time" is simply `pages` — nothing to snapshot
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def initialOffset(): Offset = PageOffset(0)
+  override def deserializeOffset(json: String): Offset = PageOffset(json.toInt)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = PageOffset(pages)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    PageOffset(math.min(start.asInstanceOf[PageOffset].page + pagesPerTrigger, pages))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    PagesSplits.split(start.asInstanceOf[PageOffset].page,
+      end.asInstanceOf[PageOffset].page, numPartitions, productsPerPage)
+
+  override def createReaderFactory(): PartitionReaderFactory = PagesReaderFactory
 }

@@ -38,4 +38,61 @@ class PagesSourceSpec extends SparkSpec {
       .option("pages", 3).option("productsPerPage", 7).load()
     assert(rowsOf(read()) === rowsOf(read()))
   }
+
+  test("streaming: admission control paces pagesPerTrigger pages per micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pages_stream")
+    val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format("graft-pages")
+      .option("pages", 20).option("productsPerPage", 5)
+      .option("pagesPerTrigger", 7)
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.synchronized { batchSizes += batch.count() }
+        ()
+      }.start()
+    assert(q.awaitTermination(60000))
+    // 20 pages at 7/trigger -> batches of 7, 7, 6 pages
+    assert(batchSizes.toSeq.filter(_ > 0).sorted === Seq(6L, 7L, 7L))
+  }
+
+  test("streaming: checkpoint recovery resumes mid-topic without replaying pages") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pages_recover")
+    val out = s"$dir/out"
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-pages")
+        .option("pages", 12).option("productsPerPage", 3)
+        .option("pagesPerTrigger", 5)
+        .load()
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", out).start()
+      assert(q.awaitTermination(60000))
+    }
+    run() // consumes all 12 pages across 3 batches
+    run() // restart from checkpoint: nothing new to consume
+    val rows = spark.read.parquet(out)
+    assert(rows.count() === 12, "each page must land exactly once")
+    assert(rows.distinct().count() === 12)
+  }
+
+  test("streaming pipeline parity: the same parse+aggregate over the streamed topic") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pages_parity")
+    val streamed = spark.readStream.format("graft-pages")
+      .option("pages", 6).option("productsPerPage", 20)
+      .option("pagesPerTrigger", 2).load()
+    val agg = FoodPipeline.nutriscoreDistribution(FoodPipeline.parsePage(streamed))
+    val q = agg.writeStream.format("memory").queryName("pages_stream_counts")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000))
+    val batch = FoodPipeline.nutriscoreDistribution(FoodPipeline.parsePage(
+      spark.read.format("graft-pages")
+        .option("pages", 6).option("productsPerPage", 20).load()))
+    assert(rowsOf(sql("SELECT * FROM pages_stream_counts")) === rowsOf(batch))
+  }
 }
