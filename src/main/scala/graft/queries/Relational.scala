@@ -156,11 +156,13 @@ object Relational {
     */
   def q52RangeJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // tier bounds sized to the testdata price range (900-920)
+    // tier bounds covering the full testdata price range (900-999.9
+    // at sf0.01/sf0.1; sf0.001 tops out at 919.9) — every part lands
+    // in exactly one band, QueriesSpec asserts conservation
     val bands = Seq(
-      ("budget", 900d, 907d),
-      ("mid", 907d, 914d),
-      ("premium", 914d, 920d)).toDF("tier", "lo", "hi")
+      ("budget", 900d, 935d),
+      ("mid", 935d, 970d),
+      ("premium", 970d, 1000d)).toDF("tier", "lo", "hi")
     Tables.part(s, dir).as("p")
       .join(broadcast(bands).as("b"),
         col("p.p_retailprice") >= col("b.lo") &&
@@ -172,8 +174,8 @@ object Relational {
   }
   val q52Sql: String =
     """WITH bands(tier, lo, hi) AS (
-      |  VALUES ('budget', 900.0, 907.0), ('mid', 907.0, 914.0),
-      |         ('premium', 914.0, 920.0))
+      |  VALUES ('budget', 900.0, 935.0), ('mid', 935.0, 970.0),
+      |         ('premium', 970.0, 1000.0))
       |SELECT tier, count(*) AS part_count,
       |       round(avg(p_retailprice), 2) AS avg_price,
       |       min(p_partkey) AS min_partkey
@@ -189,19 +191,22 @@ object Relational {
     * aggregate over (source) with CASE-filtered partials — same plan
     * family as the oracle's FILTER clauses, one shuffle.
     */
+  // the documents corpus's actual label set (all SFs) — QueriesSpec
+  // asserts the pivoted columns conserve the per-source totals, which
+  // catches a drifted list
+  val PivotLangs: Seq[String] = Seq("en", "de", "fr", "es", "zh")
   def q53Pivot(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
       .groupBy(col("source"))
-      .pivot("lang", Seq("en", "de", "fr", "es", "unknown"))
+      .pivot("lang", PivotLangs)
       .agg(count(lit(1)))
       .na.fill(0L)
   }
-  val q53Sql: String =
-    """SELECT source,
-      |       count(*) FILTER (lang = 'en') AS en,
-      |       count(*) FILTER (lang = 'de') AS de,
-      |       count(*) FILTER (lang = 'fr') AS fr,
-      |       count(*) FILTER (lang = 'es') AS es,
-      |       count(*) FILTER (lang = 'unknown') AS unknown
-      |FROM documents GROUP BY 1""".stripMargin
+  val q53Sql: String = {
+    val cols = PivotLangs
+      .map(l => s"count(*) FILTER (lang = '$l') AS $l").mkString(",\n       ")
+    s"""SELECT source,
+       |       $cols
+       |FROM documents GROUP BY 1""".stripMargin
+  }
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StructField, StructType, StringType}
@@ -153,6 +154,10 @@ private class PagesMicroBatchStream(pages: Int, productsPerPage: Int,
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
+  require(pagesPerTrigger > 0,
+    s"pagesPerTrigger must be positive, got $pagesPerTrigger") // 0 would
+  // make latestOffset == start: 'no new data', AvailableNow exits empty
+
   // the topic is bounded and static, so AvailableNow's "offset at
   // prepare time" is simply `pages` — nothing to snapshot
   override def prepareForTriggerAvailableNow(): Unit = ()
@@ -162,13 +167,24 @@ private class PagesMicroBatchStream(pages: Int, productsPerPage: Int,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  // the default limit IS the pacing contract; latestOffset honors
+  // whatever limit the engine actually passes (Trigger.Once passes
+  // allAvailable and must get everything in one batch)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(pagesPerTrigger)
   override def reportLatestOffset(): Offset = PageOffset(pages)
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead of this method")
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    PageOffset(math.min(start.asInstanceOf[PageOffset].page + pagesPerTrigger, pages))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[PageOffset].page
+    val step: Long = limit match {
+      case rl: streaming.ReadMaxRows => rl.maxRows()
+      case _: streaming.ReadAllAvailable => pages.toLong
+      case _ => pagesPerTrigger.toLong
+    }
+    // Long math: from + step can overflow Int near Int.MaxValue pages
+    PageOffset(math.min(from.toLong + step, pages.toLong).toInt)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     PagesSplits.split(start.asInstanceOf[PageOffset].page,

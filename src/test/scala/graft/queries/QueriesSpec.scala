@@ -119,6 +119,26 @@ class QueriesSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("q52 bands partition the corpus: every part lands in exactly one tier") {
+    val total = graft.Tables.part(spark, sf).count()
+    val banded = Relational.q52RangeJoin(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("part_count"))
+      .collect()(0).getLong(0)
+    assert(banded === total, "band bounds must cover the full price range")
+  }
+
+  test("q53 pivot columns conserve the per-source totals (no lang dropped)") {
+    import org.apache.spark.sql.functions.{expr, sum => fsum}
+    val perSource = graft.Tables.documents(spark, sf)
+      .groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Relational.q53Pivot(spark, sf).collect().foreach { r =>
+      val pivotSum = Relational.PivotLangs.indices.map(i => r.getLong(i + 1)).sum
+      assert(pivotSum === perSource(r.getString(0)),
+        s"source ${r.getString(0)}: pivot columns drop languages")
+    }
+  }
+
   test("q51 multi-probe: every neighbor lies within Hamming-1 of its query's bucket") {
     import spark.implicits._
     val codes = graft.Tables.embeddings(spark, sf)

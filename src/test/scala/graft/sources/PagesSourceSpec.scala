@@ -58,6 +58,26 @@ class PagesSourceSpec extends SparkSpec {
     assert(batchSizes.toSeq.filter(_ > 0).sorted === Seq(6L, 7L, 7L))
   }
 
+  test("streaming: an allAvailable limit (Trigger.Once semantics) drains everything in one batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pages_once")
+    val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format("graft-pages")
+      .option("pages", 20).option("productsPerPage", 5)
+      .option("pagesPerTrigger", 7)
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.synchronized { batchSizes += batch.count() }
+        ()
+      }.start()
+    assert(q.awaitTermination(60000))
+    // Trigger.Once passes ReadLimit.allAvailable: the pacing must yield
+    // to the engine's limit and the single batch must carry ALL pages
+    assert(batchSizes.toSeq === Seq(20L))
+  }
+
   test("streaming: checkpoint recovery resumes mid-topic without replaying pages") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pages_recover")
     val out = s"$dir/out"
