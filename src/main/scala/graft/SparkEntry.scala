@@ -53,6 +53,7 @@ object SparkEntry {
     "q47_sequence_packing" -> (Text.q47SequencePacking _),
     "q48_stratified_sample" -> (Text.q48StratifiedSample _),
     "q49_contamination" -> (Text.q49Contamination _),
+    "q54_mixing_rates" -> (Text.q54MixingRates _),
     // deduplication ladder
     "q25_exact_dedup" -> (Dedup.q25ExactDedup _),
     "q26_minhash_buckets" -> (Dedup.q26MinhashBuckets _),
@@ -61,6 +62,7 @@ object SparkEntry {
     "q41_source_simhash" -> (Dedup.q41SourceSimhash _),
     "q44_lsh_verified_pairs" -> (Dedup.q44LshVerifiedPairs _),
     "q46_dedup_clusters" -> (Dedup.q46DedupClusters _),
+    "q55_dedup_clusters_logn" -> (Dedup.q55DedupClustersLogN _),
     // the complete training-data pipeline, composed end-to-end
     "q50_training_manifest" -> (PipelineQ.q50TrainingManifest _),
     // similarity search
@@ -140,5 +142,7 @@ object SparkEntry {
     "q51_multiprobe_ann" -> Similarity.q51Sql,
     "q52_range_join" -> Relational.q52Sql,
     "q53_pivot" -> Relational.q53Sql,
+    "q54_mixing_rates" -> Text.q54Sql,
+    "q55_dedup_clusters_logn" -> Dedup.q55Sql,
   )
 }

@@ -341,6 +341,22 @@ object Dedup {
        |SELECT doc_id, cluster_id, cluster_id = doc_id AS is_canonical
        |FROM clustered""".stripMargin
 
+  /** q46's cluster assignment computed by the O(log n) star-contraction
+    * algorithm instead of diameter-bounded propagation (see
+    * [[graft.ops.ConnectedComponents]]) — the variant that survives
+    * adversarial long-chain components at 100 TB. Same output, same
+    * DuckDB oracle as q46.
+    */
+  def q55DedupClustersLogN(s: SparkSession, dir: String): DataFrame = {
+    val verified = verifiedPairs(Tables.documents(s, dir))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    graft.ops.ConnectedComponents.assign(verified)
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"),
+        (col("node") === col("component")).as("is_canonical"))
+  }
+  val q55Sql: String = q46Sql
+
   /** 16-bit SimHash per document (md5-derived bit votes), grouped into
     * a histogram — hash-identical across engines. The 16 bit positions
     * are a literal array on both sides; per token, bit b votes +1/-1 by

@@ -202,6 +202,39 @@ object Text {
        |WHERE $sampleSqlPredicate
        |GROUP BY 1, 2""".stripMargin
 
+  /** Per-source mixing rates — the data-mixture op behind every
+    * pretraining recipe ("3 epochs of wiki, 0.2 of crawl"): each
+    * source carries its own deterministic keep-rate, applied with the
+    * same row-owned md5 cut as q48, so changing the recipe re-samples
+    * reproducibly without touching the data. The recipe is a literal
+    * map in the plan (broadcast-free — it rides inside codegen);
+    * unlisted sources fall back to the default cut.
+    */
+  val MixCuts: Map[String, Long] =
+    Map("src0" -> 230L, "src1" -> 128L, "src2" -> 26L) // of 256
+  val MixDefaultCut = 64L
+  def q54MixingRates(s: SparkSession, dir: String): DataFrame = {
+    val cut = coalesce(
+      element_at(
+        typedLit(MixCuts),
+        col("source")),
+      lit(MixDefaultCut))
+    Tables.documents(s, dir)
+      .filter(sampleHashByte(col("doc_id")) < cut)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("sampled_docs"),
+        min(col("doc_id")).as("min_doc_id"))
+  }
+  val q54Sql: String = {
+    val cases = MixCuts.toSeq.sorted
+      .map { case (src, c) => s"WHEN source = '$src' THEN $c" }.mkString(" ")
+    s"""SELECT source, count(*) AS sampled_docs, min(doc_id) AS min_doc_id
+       |FROM documents
+       |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT)
+       |      < (CASE $cases ELSE $MixDefaultCut END)
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Benchmark-contamination screening — the train/test hygiene check
     * every pretraining pipeline runs: which training documents share
     * word 3-grams with a held-out benchmark set (here: doc_id < 20 as

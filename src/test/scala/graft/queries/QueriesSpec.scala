@@ -182,6 +182,16 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q47 plans ONE exchange: the aggregate reuses the window's (source) partitioning") {
+    val plan = Text.q47SequencePacking(spark, sf)
+      .queryExecution.executedPlan.toString
+    // HashPartitioning(source) from the window satisfies the
+    // (source, bin_id) clustering of the groupBy — a second exchange
+    // between Window and HashAggregate would be a planner regression
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected 1 exchange, got $exchanges:\n${plan.take(3000)}")
+  }
+
   test("q47 packing: bins fill in doc order and every bin except the last is full") {
     import spark.implicits._
     val perDoc = graft.Tables.documents(spark, sf)

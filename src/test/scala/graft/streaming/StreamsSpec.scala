@@ -438,6 +438,41 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental dedup duality: streamed pairs log equals the batch candidate set") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdedup_dual")
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.incrementalLshDedup(
+      in.toDF().toDF("doc_id", "text"), s"$dir/index", s"$dir/pairs", s"$dir/ckpt")
+      .start()
+    // a corpus with near-dups spread ACROSS batch boundaries
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog today",
+      3L -> "spark engines shuffle data between partitioned executors",
+      4L -> "the quick brown fox jumps over the lazy dog tonight",
+      5L -> "spark engines shuffle data between partitioned executors",
+      6L -> "completely different text with no overlap at all here")
+    try {
+      docs.grouped(2).foreach { g => in.addData(g: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/pairs")
+      .select("doc_a", "doc_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    import spark.implicits._
+    val batchDocs = docs.toDF("doc_id", "text")
+    val sigs = graft.queries.Dedup.bandedSignatures(batchDocs)
+    val batchPairs = sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batchPairs,
+      "incremental ingest must find exactly the batch pipeline's LSH candidates")
+    assert(batchPairs.nonEmpty)
+  }
+
   // Note: Streams.kafkaSource mirrors the reference's Kafka options
   // 1:1 (Consumer.scala:50-56) but the spark-sql-kafka connector jar is
   // not shipped in this container, so constructing it is untestable
