@@ -76,13 +76,16 @@ object ConnectedComponents {
       require(rounds <= 60, "star contraction failed to converge")
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
       // canonical comparison: the star fixpoint is reached when the
-      // (sorted-pair) edge set stops changing
+      // (sorted-pair) edge set stops changing. Both frames are
+      // distinct sets, so |next| == |prev| ∧ next ⊆ prev ⟺ equal —
+      // one except job instead of two (counts are free on the
+      // checkpointed data)
       val nextCanon = next.select(
         least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       val prevCanon = edges.select(
         least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-      converged =
-        nextCanon.except(prevCanon).isEmpty && prevCanon.except(nextCanon).isEmpty
+      converged = next.count() == edges.count() &&
+        nextCanon.except(prevCanon).isEmpty
       edges = next
     }
     // fixpoint edges are stars (member, center) with member > center
