@@ -63,29 +63,28 @@ object ConnectedComponents {
     // which otherwise NESTS per round (two unions + agg + join each) —
     // by ~10 rounds analysis blows the stack. The checkpointed RDDs
     // are reclaimed by ContextCleaner when the frames are dropped.
+    // Seed DOWNHILL (u > v) — both star outputs are downhill too, so
+    // every round's frames share one orientation and set comparison
+    // needs no canonicalization.
     var edges = edgesIn
       .filter(col("u") =!= col("v"))
-      .select(least(col("u"), col("v")).as("u"),
-        greatest(col("u"), col("v")).as("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
       .distinct()
       .localCheckpoint(true)
+    var prevCount = edges.count()
     var converged = false
     var rounds = 0
     while (!converged) {
       rounds += 1
       require(rounds <= 60, "star contraction failed to converge")
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      // canonical comparison: the star fixpoint is reached when the
-      // (sorted-pair) edge set stops changing. Both frames are
-      // distinct sets, so |next| == |prev| ∧ next ⊆ prev ⟺ equal —
-      // one except job instead of two (counts are free on the
-      // checkpointed data)
-      val nextCanon = next.select(
-        least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-      val prevCanon = edges.select(
-        least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-      converged = next.count() == edges.count() &&
-        nextCanon.except(prevCanon).isEmpty
+      // both sides are distinct, identically-oriented sets, so
+      // |next| == |prev| ∧ next ⊆ prev ⟺ equal — one count (the
+      // previous round's is carried) + one except job per round
+      val nextCount = next.count()
+      converged = nextCount == prevCount && next.except(edges).isEmpty
+      prevCount = nextCount
       edges = next
     }
     // fixpoint edges are stars (member, center) with member > center

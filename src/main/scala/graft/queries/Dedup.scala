@@ -272,6 +272,15 @@ object Dedup {
   def q46DedupClusters(s: SparkSession, dir: String): DataFrame =
     clusters(Tables.documents(s, dir))
 
+  /** The verified near-dup edge list (Jaccard ≥ 0.5) — the ONE
+    * definition both clustering algorithms (q46 propagation, q55 star
+    * contraction) consume, so the similarity bar can never drift
+    * between them. */
+  def verifiedEdges(docs: DataFrame): DataFrame =
+    verifiedPairs(docs)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+
   /** q46 parametrized by the corpus frame (see [[verifiedPairs]]).
     *
     * Caching note: the returned frame is backed by the final round's
@@ -282,9 +291,7 @@ object Dedup {
     * RDD automatically, so repeated calls (bench best-of-2, streaming
     * duals) don't accumulate unbounded storage. */
   def clusters(docs: DataFrame): DataFrame = {
-    val verified = verifiedPairs(docs)
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"))
+    val verified = verifiedEdges(docs)
     // undirected edge list, both directions — membership comes from it
     val edges = verified
       .union(verified.select(col("doc_b"), col("doc_a")))
@@ -348,8 +355,7 @@ object Dedup {
     * DuckDB oracle as q46.
     */
   def q55DedupClustersLogN(s: SparkSession, dir: String): DataFrame = {
-    val verified = verifiedPairs(Tables.documents(s, dir))
-      .filter(col("jaccard") >= 0.5)
+    val verified = verifiedEdges(Tables.documents(s, dir))
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
     graft.ops.ConnectedComponents.assign(verified)
       .select(col("node").as("doc_id"), col("component").as("cluster_id"),

@@ -183,9 +183,12 @@ object Text {
   def sampleHashByte(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     conv(substring(md5(docId.cast("string").cast("binary")), 1, 2), 16, 10)
       .cast("long")
+  /** DuckDB spelling of [[sampleHashByte]] over doc_id — composed into
+    * both the q48 predicate and q54's per-source CASE cut. */
+  val sampleHashSql: String =
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT)"
   /** DuckDB spelling of `sampleHashByte(doc_id) < SampleCut`. */
-  val sampleSqlPredicate: String =
-    s"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT) < $SampleCut"
+  val sampleSqlPredicate: String = s"$sampleHashSql < $SampleCut"
 
   def q48StratifiedSample(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
@@ -230,8 +233,7 @@ object Text {
       .map { case (src, c) => s"WHEN source = '$src' THEN $c" }.mkString(" ")
     s"""SELECT source, count(*) AS sampled_docs, min(doc_id) AS min_doc_id
        |FROM documents
-       |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT)
-       |      < (CASE $cases ELSE $MixDefaultCut END)
+       |WHERE $sampleHashSql < (CASE $cases ELSE $MixDefaultCut END)
        |GROUP BY 1""".stripMargin
   }
 
