@@ -34,8 +34,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => Sqrt(DotProduct(es(0), es(0)))))
     ext.injectFunction((FunctionIdentifier("minhash_bands"),
       info("minhash_bands", "minhash_bands(shingles, k) - k MinHash values of an array<string>"),
-      (es: Seq[Expression]) => MinHashBands(es(0),
-        es(1).eval().asInstanceOf[Number].intValue())))
+      (es: Seq[Expression]) => {
+        // the hash count parameterizes codegen, so it must be a plan-time
+        // constant; a column here would otherwise surface as a raw
+        // unbound-reference NPE from eval() instead of an analysis error
+        def nonFoldable(): Nothing = throw new org.apache.spark.sql.AnalysisException(
+          "NON_FOLDABLE_ARGUMENT",
+          Map("funcName" -> "`minhash_bands`", "paramName" -> "`k`",
+            "paramType" -> "\"INT\""),
+          cause = None)
+        val k = es(1) match {
+          case e if e.foldable => e.eval() match {
+            case n: Number => n.intValue()
+            case _ => nonFoldable()
+          }
+          case _ => nonFoldable()
+        }
+        MinHashBands(es(0), k)
+      }))
     ext.injectFunction((FunctionIdentifier("hyperplane_code"),
       info("hyperplane_code", "hyperplane_code(v) - packed 8-plane LSH bucket code of an array<double>"),
       (es: Seq[Expression]) => HyperplaneCode(es(0))))

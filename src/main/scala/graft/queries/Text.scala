@@ -135,9 +135,14 @@ object Text {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // `div`, not `/`: Column `/` is double division, and above 2^53
+    // prefix tokens the rounded double drifts bin boundaries off the
+    // oracle's exact integer arithmetic — the prefix sum stays integral
+    // end to end
     perDoc
-      .withColumn("bin_id",
-        (coalesce(sum(col("n_toks")).over(w), lit(0L)) / PackBudget).cast("long"))
+      .withColumn("__prefix_toks", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+      .withColumn("bin_id", expr(s"__prefix_toks div $PackBudget"))
+      .drop("__prefix_toks")
       .groupBy(col("source"), col("bin_id"))
       .agg(count(lit(1)).as("doc_count"),
         sum(col("n_toks")).as("bin_tokens"),

@@ -177,13 +177,22 @@ private class PagesMicroBatchStream(pages: Int, productsPerPage: Int,
       "latestOffset(Offset, ReadLimit) should be called instead of this method")
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[PageOffset].page
-    val step: Long = limit match {
-      case rl: streaming.ReadMaxRows => rl.maxRows()
-      case _: streaming.ReadAllAvailable => pages.toLong
-      case _ => pagesPerTrigger.toLong
-    }
     // Long math: from + step can overflow Int near Int.MaxValue pages
-    PageOffset(math.min(from.toLong + step, pages.toLong).toInt)
+    PageOffset(math.min(from.toLong + stepFor(limit), pages.toLong).toInt)
+  }
+
+  /** Pages admitted under an engine-requested ReadLimit. Composite
+    * limits (minRows paired with maxRows — what Trigger.AvailableNow
+    * composes) are honored by their tightest maxRows component, the
+    * same extraction Kafka's source does; a composite with no max
+    * bound admits everything (a min-only bound never throttles). */
+  private def stepFor(limit: ReadLimit): Long = limit match {
+    case rl: streaming.ReadMaxRows => rl.maxRows()
+    case _: streaming.ReadAllAvailable => pages.toLong
+    case c: streaming.CompositeReadLimit =>
+      val maxes = c.getReadLimits.collect { case rl: streaming.ReadMaxRows => rl.maxRows() }
+      if (maxes.nonEmpty) maxes.min else pages.toLong
+    case _ => pagesPerTrigger.toLong
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =

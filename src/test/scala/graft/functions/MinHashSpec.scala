@@ -99,4 +99,18 @@ class MinHashSpec extends SparkSpec {
       .collect()(0).getLong(0)
     assert(hp >= 0L && hp < 256L)
   }
+
+  test("SQL minhash_bands rejects a non-literal hash count with an analysis error") {
+    // a column as k would otherwise hit eval() on an unbound reference
+    // and surface as a raw NPE at plan time
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      sql("SELECT minhash_bands(array('a b c'), id) FROM range(3)").collect()
+    }
+    assert(e.getCondition === "NON_FOLDABLE_ARGUMENT", e.getMessage)
+    // null literal: foldable but not a Number — same clean error
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      sql("SELECT minhash_bands(array('a b c'), NULL)").collect()
+    }
+    assert(e2.getCondition === "NON_FOLDABLE_ARGUMENT", e2.getMessage)
+  }
 }

@@ -78,6 +78,24 @@ class PagesSourceSpec extends SparkSpec {
     assert(batchSizes.toSeq === Seq(20L))
   }
 
+  test("admission control honors the maxRows component of a CompositeReadLimit") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val stream = new PagesMicroBatchStream(pages = 100, productsPerPage = 5,
+      numPartitions = 2, pagesPerTrigger = 7)
+    def endFrom(limit: ReadLimit): Int =
+      stream.latestOffset(PageOffset(0), limit).asInstanceOf[PageOffset].page
+    // composite(min, max) — what AvailableNow composes — must be bounded
+    // by its maxRows component, not silently fall back to pagesPerTrigger
+    assert(endFrom(ReadLimit.compositeLimit(
+      Array(ReadLimit.minRows(1, 0L), ReadLimit.maxRows(3)))) === 3)
+    // a min-only composite never throttles: everything is admitted
+    assert(endFrom(ReadLimit.compositeLimit(
+      Array(ReadLimit.minRows(1, 0L)))) === 100)
+    // plain limits unchanged
+    assert(endFrom(ReadLimit.maxRows(4)) === 4)
+    assert(endFrom(ReadLimit.allAvailable()) === 100)
+  }
+
   test("streaming: checkpoint recovery resumes mid-topic without replaying pages") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pages_recover")
     val out = s"$dir/out"
