@@ -90,11 +90,12 @@ object Streams {
     * batch replayed after a crash-between-commit-and-checkpoint
     * OVERWRITES its own partition instead of appending duplicates —
     * exactly-once output from an at-least-once foreachBatch. */
-  private def writeBatchPartition(batch: DataFrame, batchId: Long, path: String): Unit =
+  private def writeBatchPartition(batch: DataFrame, batchId: Long, path: String,
+                                  prefixPartitionCols: Seq[String] = Nil): Unit =
     batch.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
+      .partitionBy(prefixPartitionCols :+ "batch_id": _*)
       .parquet(path)
 
   /** foreachBatch append sink with batch id partition — the reference's
@@ -265,12 +266,17 @@ object Streams {
     *     emits candidate duplicate pairs — new-vs-history plus
     *     new-vs-new within the batch — into a batch_id-partitioned
     *     pairs log (replay-idempotent);
-    *  3. appends its own signatures to the index, also
-    *     batch_id-partitioned, so a replayed batch overwrites itself
+    *  3. appends its own signatures to the index, partitioned by
+    *     (band, batch_id), so a replayed batch overwrites itself
     *     and never double-registers.
-    * At scale the index is O(corpus × 4) short rows bucketed by
-    * (band, sig); the per-batch join is broadcast when the batch is
-    * small (the common ingest case) and AQE-planned otherwise.
+    * At scale the index is O(corpus × 4) short rows PARTITIONED BY
+    * BAND (plus batch_id): the per-batch history read carries literal
+    * partition filters (see [[lshIndexHistory]]) instead of scanning
+    * the whole index, and [[compactLshIndex]] periodically folds the
+    * accumulated batch_id partitions so the file count stays bounded
+    * by the band fan-out, not by ingest age. The per-batch join is
+    * broadcast when the batch is small (the common ingest case) and
+    * AQE-planned otherwise.
     * Downstream, Jaccard verification and clustering run exactly as in
     * batch (q44/q46) over the pairs log — batch/stream duality again.
     */
@@ -294,11 +300,15 @@ object Streams {
         val idxPath = new org.apache.hadoop.fs.Path(indexPath)
         val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val hasHistory = fs.exists(idxPath) &&
-          fs.listStatus(idxPath).exists(_.getPath.getName.startsWith("batch_id="))
+          fs.listStatus(idxPath).exists(_.getPath.getName.startsWith("band="))
         val candidates =
           if (hasHistory) {
-            val hist = spark.read.parquet(indexPath)
-              .filter(col("batch_id") =!= batchId) // replayed batch: don't self-match
+            // the bands this batch actually touched — a bounded collect
+            // (≤ the band fan-out, 4 here) that becomes a LITERAL
+            // partition filter on the history read
+            val batchBands = sigs.select(col("band")).distinct()
+              .collect().map(_.getInt(0)).toSeq
+            val hist = lshIndexHistory(spark, indexPath, batchBands, batchId)
             val vsHistory = sigs.as("n")
               .join(hist.as("h"),
                 col("n.band") === col("h.band") && col("n.sig") === col("h.sig") &&
@@ -310,8 +320,62 @@ object Streams {
             withinBatch.unionByName(vsHistory)
           } else withinBatch
         writeBatchPartition(candidates.distinct(), batchId, pairsPath)
-        writeBatchPartition(sigs, batchId, indexPath)
+        writeBatchPartition(sigs, batchId, indexPath,
+          prefixPartitionCols = Seq("band"))
         sigs.unpersist()
         ()
       }
+
+  /** The per-batch history read of the incremental LSH index: prunes
+    * to the batch's touched band partitions (literal isin → parquet
+    * PartitionFilters) and excludes the current batch_id partition
+    * (a replayed batch must not self-match). Factored out so tests
+    * assert the plan of the EXACT read the ingest path performs. */
+  def lshIndexHistory(spark: SparkSession, indexPath: String,
+                      bands: Seq[Int], excludeBatchId: Long): DataFrame =
+    spark.read.parquet(indexPath)
+      .filter(col("band").isin(bands: _*) && col("batch_id") =!= excludeBatchId)
+
+  /** Folds the incremental index's accumulated per-batch partitions
+    * into one merged batch_id=-1 partition per band, so steady-state
+    * ingest reads O(bands) consolidated partitions instead of
+    * O(ingest age) small files. The LATEST batch partition is kept
+    * live — it is the only one a crash-recovery replay can rewrite;
+    * everything older is immutable and safe to fold. Idempotent
+    * (re-folding includes the previous merged partition), and safe to
+    * crash mid-way: a batch partition that outlives its merged copy
+    * only duplicates signature rows, which at worst re-emit candidate
+    * pairs that the per-batch distinct() already collapses.
+    *
+    * The merged frame is localCheckpoint()ed before the write — the
+    * write overwrites partitions of the same path it reads, which the
+    * file sink (correctly) refuses inside one plan. At a 100 TB index
+    * the same fold runs as a staging-dir write + atomic rename per
+    * band partition; the logic is otherwise unchanged.
+    */
+  def compactLshIndex(spark: SparkSession, indexPath: String,
+                      bandCols: Seq[String] = Seq("band")): Unit = {
+    val idx = spark.read.parquet(indexPath)
+    val batchIds = idx.select(col("batch_id")).distinct()
+      .collect().map(_.get(0).toString.toLong)
+    val latest = batchIds.max
+    val foldable = batchIds.filter(b => b != latest && b != -1L)
+    if (foldable.isEmpty) return
+    val merged = idx.filter(col("batch_id") =!= latest)
+      .drop("batch_id").distinct()
+      .localCheckpoint(true)
+    merged.withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(bandCols :+ "batch_id": _*)
+      .parquet(indexPath)
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root).filter(s => s.isDirectory &&
+        s.getPath.getName.contains("=")).foreach { bandDir =>
+      foldable.foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(bandDir.getPath, s"batch_id=$b"), true)
+      }
+    }
+  }
 }

@@ -473,6 +473,79 @@ class StreamsSpec extends SparkSpec {
     assert(batchPairs.nonEmpty)
   }
 
+  test("incremental LSH index: per-batch history read prunes on band partitions") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdedup_prune")
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.incrementalLshDedup(
+      in.toDF().toDF("doc_id", "text"), s"$dir/index", s"$dir/pairs", s"$dir/ckpt")
+      .start()
+    try {
+      in.addData((1L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+      in.addData((2L, "the quick brown fox jumps over the lazy dog"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the EXACT read the ingest path performs per batch: bands touched
+    // by the batch + exclusion of its own batch_id, BOTH as partition
+    // filters — nothing outside those partitions is scanned
+    val hist = Streams.lshIndexHistory(spark, s"$dir/index", Seq(0, 1), 1L)
+    val plan = hist.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan.take(2000))
+    val pf = plan.substring(plan.indexOf("PartitionFilters: ["))
+    assert(pf.takeWhile(_ != ']').contains("band#"),
+      s"band must be a partition filter, got: ${pf.take(300)}")
+    assert(pf.takeWhile(_ != ']').contains("batch_id#"),
+      s"batch_id must be a partition filter, got: ${pf.take(300)}")
+    // PushedFilters on data columns must NOT carry band (it is a
+    // directory, not a column, in this layout)
+    assert(hist.collect().forall(_.getAs[Long]("doc_id") == 1L))
+  }
+
+  test("incremental LSH index compaction folds old batches; candidates unchanged") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdedup_compact")
+    val (index, pairs) = (s"$dir/index", s"$dir/pairs")
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog today",
+      2L -> "the quick brown fox jumps over the lazy dog today",
+      3L -> "spark engines shuffle data between partitioned executors",
+      4L -> "the quick brown fox jumps over the lazy dog tonight",
+      5L -> "spark engines shuffle data between partitioned executors",
+      6L -> "completely different text with no overlap at all here")
+    // ONE query lineage throughout: compaction runs while the ingest
+    // query is paused and it resumes from the SAME checkpoint — batch
+    // ids keep advancing, which is what replay-idempotence is keyed on
+    val in = MemoryStream[(Long, String)]
+    def start() = Streams.incrementalLshDedup(
+      in.toDF().toDF("doc_id", "text"), index, pairs, s"$dir/ckpt").start()
+    val q1 = start()
+    try docs.take(4).grouped(2).foreach { g => in.addData(g: _*); q1.processAllAvailable() }
+    finally q1.stop() // batches 0, 1 ingested
+    Streams.compactLshIndex(spark, index)   // folds batch 0 into -1; keeps 1
+    val afterFold = spark.read.parquet(index)
+    assert(afterFold.select("batch_id").distinct().collect()
+      .map(_.get(0).toString.toLong).sorted.toSeq === Seq(-1L, 1L))
+    Streams.compactLshIndex(spark, index)   // idempotent: nothing left to fold
+    assert(spark.read.parquet(index).count() === afterFold.count())
+    // ingest resumes against the compacted index
+    val q2 = start()
+    try { in.addData(docs.drop(4): _*); q2.processAllAvailable() }
+    finally q2.stop()
+    val streamed = spark.read.parquet(pairs)
+      .select("doc_a", "doc_b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = graft.queries.Dedup.bandedSignatures(docs.toDF("doc_id", "text"))
+    val batchPairs = sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batchPairs, "compaction must not change the candidate set")
+    assert(batchPairs.nonEmpty)
+  }
+
   // Note: Streams.kafkaSource mirrors the reference's Kafka options
   // 1:1 (Consumer.scala:50-56) but the spark-sql-kafka connector jar is
   // not shipped in this container, so constructing it is untestable
