@@ -71,20 +71,36 @@ object KMeans {
     next
   }
 
+  /** Round every coordinate to `dp` decimals (HALF_UP — the same
+    * semantics as SQL ROUND). Applied between Lloyd steps when a
+    * codebook must be bit-reproducible: `avg` over a shuffle sums in
+    * partition order, so raw step output can differ in the last ulp
+    * across runs/partitionings; the float noise is ~1e-13 relative
+    * while the rounding grid is 1e-6, so rounding collapses every run
+    * onto one canonical codebook (an oracle can then bake the exact
+    * same literals). */
+  def roundCentroids(cs: Array[Array[Double]], dp: Int): Array[Array[Double]] =
+    cs.map(_.map(x =>
+      BigDecimal(x).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble))
+
   /** Train k centroids: deterministic init from the k lexicographically
     * first vec_ids, then `iters` Lloyd steps. The input is persisted
     * for the duration — each step re-reads it, and without caching the
     * full upstream lineage (scan + parse + sample) would re-execute
-    * iters+1 times. */
-  def train(emb: DataFrame, k: Int, iters: Int): Array[Array[Double]] = {
+    * iters+1 times. `roundDp >= 0` rounds seeds and every step's output
+    * (see roundCentroids) so the trained codebook is identical across
+    * runs and partitionings. */
+  def train(emb: DataFrame, k: Int, iters: Int, roundDp: Int = -1): Array[Array[Double]] = {
+    def canon(cs: Array[Array[Double]]): Array[Array[Double]] =
+      if (roundDp >= 0) roundCentroids(cs, roundDp) else cs
     val cached = emb.persist()
     try {
-      var cs: Array[Array[Double]] = cached
+      var cs: Array[Array[Double]] = canon(cached
         .filter(col("v").isNotNull)
         .orderBy(col("vec_id")).limit(k)
-        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toArray))
       require(cs.length == k, s"need >= $k vectors to seed $k centroids")
-      (0 until iters).foreach(_ => cs = step(cached, cs))
+      (0 until iters).foreach(_ => cs = canon(step(cached, cs)))
       cs
     } finally cached.unpersist()
   }

@@ -219,21 +219,52 @@ object Similarity {
     * next to q30's LSH): assign every vector to its nearest of K
     * centroids; search then probes only the query's cell(s).
     *
-    * The centroids here are the first 8 vectors (deterministic
-    * stand-in for a k-means-trained codebook — training would run on a
-    * sample; the assignment/search plan is what matters). They are
-    * collect()ed to the driver and baked into the plan as literals —
-    * K is always tiny, so cell assignment happens SCAN-SIDE in one
-    * codegen'd pass: no join, no shuffle of the corpus; the only
-    * shuffle is the census groupBy on cell id.
+    * The codebook is KMEANS-TRAINED ([[trainedCodebook]]): Lloyd on a
+    * deterministic half-sample of L2-NORMALIZED vectors (normalization
+    * is the IVF contract — L2-argmin equals cosine-argmax only on unit
+    * vectors, see KMeans.l2Normalize), centroids rounded to 6 decimals
+    * per step so the codebook is bit-reproducible across runs and
+    * partitionings. The k×64 doubles are collect()ed to the driver and
+    * baked into the plan as literals — K is always tiny, so cell
+    * assignment happens SCAN-SIDE in one codegen'd pass: no join, no
+    * shuffle of the corpus; the only shuffle is the census groupBy on
+    * cell id. The oracle SQL is GENERATED from the same literals
+    * ([[q36Sql]]), so the hash match verifies assignment + census given
+    * the trained codebook; training determinism itself is asserted in
+    * KMeansSpec (the property the oracle depends on).
     */
   private val NumCells = 8
+  private val TrainIters = 2
+  private val CodebookDp = 6
+
+  private val codebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  @volatile private var lastCodebook: Array[Array[Double]] = _
+
+  /** Train (memoized per dir) the IVF codebook for the embeddings at
+    * `dir`. Deterministic end to end: the training sample is
+    * vec_id %% 2 = 0 (at scale: any row-owned hash cut — the codebook
+    * needs thousands of points per cell, not the corpus), seeds are the
+    * k first vec_ids of the sample, and every step is rounded. */
+  def trainedCodebook(s: SparkSession, dir: String): Array[Array[Double]] = {
+    val cb = codebooks.computeIfAbsent(dir, _ => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .filter(pmod(col("vec_id"), lit(2)) === 0)
+      val dim = emb.filter(col("v").isNotNull)
+        .select(max(size(col("v")))).collect()(0).getInt(0)
+      val unit = graft.ops.KMeans.l2Normalize(
+        graft.ops.KMeans.validVectors(emb, dim))
+      graft.ops.KMeans.train(unit, NumCells, TrainIters, roundDp = CodebookDp)
+    })
+    lastCodebook = cb
+    cb
+  }
+
   def q36IvfCells(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-    val centroids: Array[Array[Double]] = emb.filter(col("vec_id") < NumCells)
-      .orderBy(col("vec_id")).collect()
-      .map(_.getSeq[Double](2).toArray)
+    val centroids = trainedCodebook(s, dir)
     val cosines = array(centroids.map { c =>
       cosine(col("v"), array(c.map(lit).toSeq: _*))
     }.toSeq: _*)
@@ -245,14 +276,19 @@ object Similarity {
         countDistinct(col("label")).as("distinct_labels"),
         min(col("vec_id")).as("min_vec_id"))
   }
-  val q36Sql: String =
+
+  /** The q36 oracle as a function of the codebook: centroids become
+    * list literals — `%.6f` prints the 6-dp-rounded double exactly, and
+    * DuckDB parses the decimal back to the identical double, so both
+    * engines assign against bit-equal centroids. */
+  def q36SqlFor(centroids: Array[Array[Double]]): String = {
+    val cents = centroids.zipWithIndex.map { case (c, i) =>
+      c.map(x => f"$x%.6f").mkString(s"($i, [", ", ", "]::DOUBLE[])")
+    }.mkString(", ")
     s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-       |cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < $NumCells),
+       |cents(cid, cv) AS (VALUES $cents),
        |scored AS (
        |  SELECT e.vec_id, e.label, c.cid,
-       |         list_dot_product(e.v, c.cv) /
-       |         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
-       |           AS cos,
        |         row_number() OVER (PARTITION BY e.vec_id
        |                            ORDER BY list_dot_product(e.v, c.cv) /
        |                              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
@@ -264,6 +300,33 @@ object Similarity {
        |       count(DISTINCT label) AS distinct_labels,
        |       min(vec_id) AS min_vec_id
        |FROM assign GROUP BY 1""".stripMargin
+  }
+
+  /** Oracle SQL for the MOST RECENTLY trained codebook — Verify runs
+    * every query before dumping oracle_sql.json, so by dump time the
+    * codebook for the verified SF dir is in the memo. If q36 never ran
+    * (it crashed mid-verify), fall back to a seed codebook so the dump
+    * itself survives — q36's compare is already failed in that case. */
+  def q36Sql: String = {
+    val cb = lastCodebook
+    if (cb != null) q36SqlFor(cb)
+    else
+      s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < $NumCells),
+         |scored AS (
+         |  SELECT e.vec_id, e.label, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY list_dot_product(e.v, c.cv) /
+         |                              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+         |                              DESC, c.cid ASC) AS rk
+         |  FROM emb e CROSS JOIN cents c),
+         |assign AS (SELECT vec_id, label, CAST(cid AS INTEGER) AS cell
+         |           FROM scored WHERE rk = 1)
+         |SELECT cell, count(*) AS vec_count,
+         |       count(DISTINCT label) AS distinct_labels,
+         |       min(vec_id) AS min_vec_id
+         |FROM assign GROUP BY 1""".stripMargin
+  }
 
   /** Embedding-cosine near-duplicate detection (the embedding leg of
     * the dedup ladder), END-TO-END: candidate pairs come from q30's

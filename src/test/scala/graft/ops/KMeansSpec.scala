@@ -72,6 +72,21 @@ class KMeansSpec extends SparkSpec {
     assert(normCell === cosCell)
   }
 
+  test("rounded training is bit-identical across partitionings (the q36 oracle contract)") {
+    // avg over a shuffle sums in partition order — without per-step
+    // rounding the codebook can differ in the last ulp between runs;
+    // the q36 oracle bakes these exact doubles as literals, so they
+    // must not depend on physical layout.
+    val unit = KMeans.l2Normalize(points)
+    val a = KMeans.train(unit.repartition(1), k = 2, iters = 3, roundDp = 6)
+    val b = KMeans.train(unit.repartition(7), k = 2, iters = 3, roundDp = 6)
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    // and every coordinate sits exactly on the 1e-6 grid
+    a.flatten.foreach { x =>
+      assert(x === BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("empty cells keep their previous centroid (no NaN poisoning)") {
     // both seeds inside cluster A: cluster-B-less cell must survive the step
     val far = Array(Array(0.5, 0.5, 0.5), Array(500.0, 500.0, 500.0))
