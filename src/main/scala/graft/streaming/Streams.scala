@@ -295,14 +295,8 @@ object Streams {
             col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
               col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        // Hadoop FS existence check, not java.io.File — the index lives
-        // on whatever filesystem the path names (s3a://, hdfs://, local)
-        val idxPath = new org.apache.hadoop.fs.Path(indexPath)
-        val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val hasHistory = fs.exists(idxPath) &&
-          fs.listStatus(idxPath).exists(_.getPath.getName.startsWith("band="))
         val candidates =
-          if (hasHistory) {
+          if (partitionedIndexHasHistory(spark, indexPath, "band=")) {
             // the bands this batch actually touched — a bounded collect
             // (≤ the band fan-out, 4 here) that becomes a LITERAL
             // partition filter on the history read
@@ -325,6 +319,93 @@ object Streams {
         sigs.unpersist()
         ()
       }
+
+  /** Incremental hyperplane-LSH ANN near-dup detection against a
+    * persistent bucket index — the ingest-side twin of batch q31
+    * (graft.queries.Similarity.q31EmbeddingNearDups), completing
+    * batch/stream duality for the similarity leg the way
+    * [[incrementalLshDedup]] does for the MinHash leg. Each micro-batch
+    * of NEW embeddings (vec_id, v: array<double>)
+    *  1. computes the 8-plane bucket code SCAN-SIDE with the native
+    *     kernel (per-batch O(new vectors) — the corpus is never
+    *     re-coded);
+    *  2. pairs new-vs-new within the batch and new-vs-history on bucket
+    *     equality, verifies every candidate with the native cosine and
+    *     keeps pairs >= minCosine, writing (bucket, vec_a, vec_b,
+    *     cos_sim) into a batch_id-partitioned pairs log
+    *     (replay-idempotent via writeBatchPartition);
+    *  3. appends (vec_id, v, bucket) to the index partitioned by
+    *     (bucket, batch_id) so a replayed batch overwrites itself.
+    * Unlike the MinHash index the rows carry the vector itself —
+    * cosine verification needs it; that is inherent to ANN, and it is
+    * why the history read pruning matters even more here: the
+    * per-batch join reads only the touched bucket partitions
+    * ([[annIndexHistory]], ≤ 2^planes literal filters), not O(corpus)
+    * vectors. [[compactLshIndex]] folds batch partitions for this
+    * index too (bandCols = Seq("bucket")).
+    */
+  def incrementalAnnNearDups(emb: DataFrame, indexPath: String,
+                             pairsPath: String, checkpoint: String,
+                             minCosine: Double = 0.35)
+      : DataStreamWriter[Row] =
+    emb.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.queries.Similarity.cosine
+        val spark = batch.sparkSession
+        val coded = batch
+          .withColumn("bucket", graft.queries.Similarity.bucketCode(col("v")))
+          .persist()
+        def verified(pairs: DataFrame): DataFrame = pairs
+          .withColumn("cos_sim", round(cosine(col("av"), col("bv")), 6))
+          .filter(col("cos_sim") >= minCosine)
+          .select(col("bucket"), col("vec_a"), col("vec_b"), col("cos_sim"))
+        val withinBatch = verified(coded.as("a")
+          .join(coded.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.bucket").as("bucket"),
+            col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+            col("a.v").as("av"), col("b.v").as("bv")))
+        val candidates =
+          if (partitionedIndexHasHistory(spark, indexPath, "bucket=")) {
+            val batchBuckets = coded.select(col("bucket")).distinct()
+              .collect().map(_.getLong(0)).toSeq
+            val hist = annIndexHistory(spark, indexPath, batchBuckets, batchId)
+            val vsHistory = verified(coded.as("n")
+              .join(hist.as("h"),
+                col("n.bucket") === col("h.bucket") &&
+                  col("n.vec_id") =!= col("h.vec_id"))
+              .select(col("n.bucket").as("bucket"),
+                least(col("n.vec_id"), col("h.vec_id")).as("vec_a"),
+                greatest(col("n.vec_id"), col("h.vec_id")).as("vec_b"),
+                col("n.v").as("av"), col("h.v").as("bv")))
+            withinBatch.unionByName(vsHistory)
+          } else withinBatch
+        writeBatchPartition(candidates.distinct(), batchId, pairsPath)
+        writeBatchPartition(coded, batchId, indexPath,
+          prefixPartitionCols = Seq("bucket"))
+        coded.unpersist()
+        ()
+      }
+
+  /** The per-batch history read of the incremental ANN index: literal
+    * bucket isin → parquet PartitionFilters, current batch excluded
+    * (replay must not self-match). Factored out so tests assert the
+    * plan of the EXACT read the ingest path performs. */
+  def annIndexHistory(spark: SparkSession, indexPath: String,
+                      buckets: Seq[Long], excludeBatchId: Long): DataFrame =
+    spark.read.parquet(indexPath)
+      .filter(col("bucket").isin(buckets: _*) && col("batch_id") =!= excludeBatchId)
+
+  /** Hadoop-FS check (portable across s3a/hdfs/local) that a
+    * partitioned index already has `prefix`-partition directories. */
+  private def partitionedIndexHasHistory(spark: SparkSession, path: String,
+                                         prefix: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith(prefix))
+  }
 
   /** The per-batch history read of the incremental LSH index: prunes
     * to the batch's touched band partitions (literal isin → parquet

@@ -546,6 +546,63 @@ class StreamsSpec extends SparkSpec {
     assert(batchPairs.nonEmpty)
   }
 
+  test("incremental ANN duality: streamed near-dup pairs equal batch q31 on the union corpus") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_incann")
+    val sf = "/root/testdata/sf0.001"
+    // the REAL embeddings table, streamed in batches of ~100 vectors
+    val corpus = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val in = MemoryStream[(Long, Seq[Double])]
+    def start() = Streams.incrementalAnnNearDups(
+      in.toDF().toDF("vec_id", "v"), s"$dir/index", s"$dir/pairs", s"$dir/ckpt")
+      .start()
+    val q1 = start()
+    try corpus.take(300).grouped(100).foreach { g => in.addData(g: _*); q1.processAllAvailable() }
+    finally q1.stop()
+    // compaction between ingest sessions (same generic fold, bucket layout)
+    Streams.compactLshIndex(spark, s"$dir/index", bandCols = Seq("bucket"))
+    val q2 = start()
+    try corpus.drop(300).grouped(100).foreach { g => in.addData(g: _*); q2.processAllAvailable() }
+    finally q2.stop()
+    val streamed = spark.read.parquet(s"$dir/pairs")
+      .select("bucket", "vec_a", "vec_b", "cos_sim").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = graft.queries.Similarity.q31EmbeddingNearDups(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed === batch,
+      "incremental ANN ingest must find exactly the batch q31 near-dup set")
+    assert(batch.nonEmpty)
+  }
+
+  test("incremental ANN index: per-batch history read prunes on bucket partitions") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_incann_prune")
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = Streams.incrementalAnnNearDups(
+      in.toDF().toDF("vec_id", "v"), s"$dir/index", s"$dir/pairs", s"$dir/ckpt")
+      .start()
+    try {
+      in.addData((1L, Seq(1.0, 0.5, -0.25, 0.125)))
+      q.processAllAvailable()
+      in.addData((2L, Seq(1.0, 0.5, -0.25, 0.125)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hist = Streams.annIndexHistory(spark, s"$dir/index", Seq(0L, 7L), 1L)
+    val plan = hist.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan.take(2000))
+    val pf = plan.substring(plan.indexOf("PartitionFilters: ["))
+    assert(pf.takeWhile(_ != ']').contains("bucket#"),
+      s"bucket must be a partition filter, got: ${pf.take(300)}")
+    assert(pf.takeWhile(_ != ']').contains("batch_id#"),
+      s"batch_id must be a partition filter, got: ${pf.take(300)}")
+    assert(spark.read.parquet(s"$dir/pairs").select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)),
+      "identical vector ingested later must pair with its history copy")
+  }
+
   // Note: Streams.kafkaSource mirrors the reference's Kafka options
   // 1:1 (Consumer.scala:50-56) but the spark-sql-kafka connector jar is
   // not shipped in this container, so constructing it is untestable
