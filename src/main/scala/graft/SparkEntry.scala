@@ -53,6 +53,7 @@ object SparkEntry {
     "q47_sequence_packing" -> (Text.q47SequencePacking _),
     "q48_stratified_sample" -> (Text.q48StratifiedSample _),
     "q49_contamination" -> (Text.q49Contamination _),
+    "q56_contamination_joined" -> (Text.q56ContaminationJoined _),
     "q54_mixing_rates" -> (Text.q54MixingRates _),
     // deduplication ladder
     "q25_exact_dedup" -> (Dedup.q25ExactDedup _),
@@ -138,6 +139,8 @@ object SparkEntry {
     "q47_sequence_packing" -> Text.q47Sql,
     "q48_stratified_sample" -> Text.q48Sql,
     "q49_contamination" -> Text.q49Sql,
+    // same oracle as q49 by design: the two paths must agree exactly
+    "q56_contamination_joined" -> Text.q49Sql,
     "q50_training_manifest" -> PipelineQ.q50Sql,
     "q51_multiprobe_ann" -> Similarity.q51Sql,
     "q52_range_join" -> Relational.q52Sql,

@@ -257,12 +257,17 @@ object Text {
     * an explode + shuffle-hash semi-join on the shingle hash; the
     * testdata shape exercises the broadcast path.
     */
-  def q49Contamination(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(s, dir)
+  /** Staged distinct word-3-gram sets per doc — shared front of both
+    * contamination paths. */
+  private def docShingleSets(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .withColumn("toks", TextOps.tokens(col("text"))) // staged (HOF note in Dedup)
       .filter(size(col("toks")) >= 3)
       .select(col("source"), col("doc_id"),
         array_distinct(TextOps.shingles(col("toks"), 3)).as("shset"))
+
+  def q49Contamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingleSets(s, dir)
     val bench = sh.filter(col("doc_id") < 20)
       .agg(array_distinct(flatten(collect_list(col("shset")))).as("bench_sh"))
     sh.filter(col("doc_id") >= 20)
@@ -273,6 +278,49 @@ object Text {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("contaminated_docs"),
         max(col("n_overlap")).as("max_overlap"))
+  }
+
+  /** The BIG-benchmark contamination path — same semantics as q49 for
+    * a benchmark shingle set too large to broadcast as one row: both
+    * sides explode to (doc, shingle) rows and meet in a SHUFFLE-HASH
+    * join on the shingle (hash-partitioned both ways; the hint skips
+    * the sort a merge join would impose on the corpus side, and the
+    * bench side — the smaller one by assumption — builds the hash
+    * table). Matched rows count back up per doc: both shingle sets are
+    * distinct, so `count(*)` per (source, doc_id) is exactly
+    * `|shset ∩ bench_sh|`, and docs with zero overlap drop out of the
+    * inner join — identical output to q49's scan-side intersect, and
+    * oracle-checked against the same SQL.
+    *
+    * Trade at 100 TB: q49 ships O(bench) bytes to every task and never
+    * shuffles the corpus; this path shuffles O(corpus shingles) once
+    * but holds only O(bench / shuffle-partitions) per task — the right
+    * side of the trade once the bench row outgrows broadcast.
+    */
+  def q56ContaminationJoined(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingleSets(s, dir)
+    val benchShingles = sh.filter(col("doc_id") < 20)
+      .select(explode(col("shset")).as("shingle")).distinct()
+    sh.filter(col("doc_id") >= 20)
+      .select(col("source"), col("doc_id"), explode(col("shset")).as("shingle"))
+      .join(benchShingles.hint("shuffle_hash"), "shingle")
+      .groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("contaminated_docs"),
+        max(col("n_overlap")).as("max_overlap"))
+  }
+
+  /** Path selector: counts the benchmark's distinct shingles (a job
+    * bounded by benchmark size — MBs next to the corpus scan it gates)
+    * and picks the broadcast scan under the threshold, the shuffle
+    * join above it. */
+  def contaminationAuto(s: SparkSession, dir: String,
+                        maxBroadcastShingles: Long = 10L * 1000 * 1000): DataFrame = {
+    val nBench = docShingleSets(s, dir).filter(col("doc_id") < 20)
+      .select(explode(col("shset")).as("shingle")).distinct().count()
+    if (nBench <= maxBroadcastShingles) q49Contamination(s, dir)
+    else q56ContaminationJoined(s, dir)
   }
   val q49Sql: String = {
     val toks = "str_split(text, ' ')"

@@ -104,6 +104,28 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q56 takes the shuffle-hash join path and agrees exactly with q49's broadcast path") {
+    val plan = Text.q56ContaminationJoined(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(rowsOf(Text.q56ContaminationJoined(spark, sf)) ===
+      rowsOf(Text.q49Contamination(spark, sf)),
+      "broadcast-intersect and explode-join contamination paths must agree")
+  }
+
+  test("contaminationAuto picks broadcast under the threshold, join above it") {
+    // testdata bench is tiny → broadcast path (scan-side array_intersect)
+    val auto = Text.contaminationAuto(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(auto.contains("BroadcastNestedLoopJoin") && !auto.contains("ShuffledHashJoin"),
+      auto.take(3000))
+    // force the big-bench branch: threshold below the bench shingle count
+    val forced = Text.contaminationAuto(spark, sf, maxBroadcastShingles = 1)
+      .queryExecution.executedPlan.toString
+    assert(forced.contains("ShuffledHashJoin"), forced.take(3000))
+  }
+
   test("q37 keeps the distinct rewrite OUT of the typed-imperative aggregate (no Expand)") {
     // regression guard: combining countDistinct with percentile in one
     // agg regroups partials on (flag, orderkey) and falls back to
