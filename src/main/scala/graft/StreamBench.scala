@@ -8,8 +8,16 @@ import org.apache.spark.sql.streaming.OutputMode
 
 /** Streaming throughput micro-bench: pushes synthetic producer pages
   * (the reference's message shape, 100 products per page) through the
-  * full parse → flatten → aggregate pipeline in complete mode and
-  * reports products/second.
+  * full parse → flatten → aggregate pipeline and reports products/sec
+  * for three configurations:
+  *  - `single`: one complete-mode aggregation (the round-1 number);
+  *  - `fleet`: the reference's FULL 7-query fleet
+  *    ([[Streams.foodQueryFleet]] — 5 update-mode upserts + 2
+  *    per-batch top-K appends) running concurrently off one source,
+  *    default (HDFS-backed) state store;
+  *  - `fleet_rocksdb`: the same fleet on the RocksDB state store
+  *    provider — the provider a production deployment would run, where
+  *    state outgrows the JVM heap.
   *
   * Context: the reference's *designed* ingest rate is ~25 rows/s
   * (100-row page per 4 s of sleeps, BASELINE.md) — its Spark consumer
@@ -17,35 +25,80 @@ import org.apache.spark.sql.streaming.OutputMode
   * the consumer side actually sustains on one node.
   */
 object StreamBench {
-  def main(args: Array[String]): Unit = {
-    val pages = if (args.nonEmpty) args(0).toInt else 500
-    val spark = SparkSession.builder().master("local[4]")
+
+  private def session(rocksdb: Boolean): SparkSession = {
+    val b = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    if (rocksdb)
+      b.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    b.getOrCreate()
+  }
+
+  private def page(p: Int): String = graft.sources.PagesSource.pageJson(p, 100)
+
+  /** One complete-mode aggregation over a memory sink. */
+  private def runSingle(spark: SparkSession, pages: Int, batchSize: Int): Double = {
     implicit val sc = spark.sqlContext
     import spark.implicits._
-
-    def page(p: Int): String = graft.sources.PagesSource.pageJson(p, 100)
-
     val in = MemoryStream[String]
     val counts = FoodPipeline.nutriscoreDistribution(FoodPipeline.parsePage(in.toDF()))
     val q = counts.writeStream.format("memory").queryName("bench_counts")
       .outputMode(OutputMode.Complete()).start()
-    // warmup
-    in.addData(page(0)); q.processAllAvailable()
-
-    val batchSize = if (args.length > 1) args(1).toInt else 50
-    val data = (1 to pages).map(page)
+    in.addData(page(0)); q.processAllAvailable() // warmup
     val t0 = System.nanoTime()
-    data.grouped(batchSize).foreach { g => in.addData(g); q.processAllAvailable() }
+    (1 to pages).map(page).grouped(batchSize).foreach { g =>
+      in.addData(g); q.processAllAvailable()
+    }
     val sec = (System.nanoTime() - t0) / 1e9
     q.stop()
-    val rows = pages * 100L
-    println(f"""{"metric":"stream_products_per_sec","value":${rows / sec}%.0f,"pages":$pages,"seconds":$sec%.2f}""")
+    sec
+  }
+
+  /** The full 7-query fleet off one MemoryStream. Each addData group
+    * is drained by every query before the next lands (the fleet shares
+    * the source, so the slowest member paces the batch — exactly the
+    * production backpressure shape). */
+  private def runFleet(spark: SparkSession, pages: Int, batchSize: Int): Double = {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_streambench")
+    val in = MemoryStream[String]
+    val parsed = FoodPipeline.parsePage(in.toDF())
+    val queries = Streams.foodQueryFleet(parsed, s"$dir/out", s"$dir/ckpt")
+      .map(_.start())
+    try {
+      in.addData(page(0)); queries.foreach(_.processAllAvailable()) // warmup
+      val t0 = System.nanoTime()
+      (1 to pages).map(page).grouped(batchSize).foreach { g =>
+        in.addData(g); queries.foreach(_.processAllAvailable())
+      }
+      (System.nanoTime() - t0) / 1e9
+    } finally queries.foreach(_.stop())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val pages = if (args.nonEmpty) args(0).toInt else 500
+    val batchSize = if (args.length > 1) args(1).toInt else 50
+    val fleetPages = math.max(pages / 5, 20) // 7 concurrent queries — smaller page budget
+
+    val spark = session(rocksdb = false)
+    spark.sparkContext.setLogLevel("ERROR")
+    val singleSec = runSingle(spark, pages, batchSize)
+    val fleetSec = runFleet(spark, fleetPages, batchSize)
     spark.stop()
+
+    val sparkR = session(rocksdb = true)
+    sparkR.sparkContext.setLogLevel("ERROR")
+    val fleetRocksSec = runFleet(sparkR, fleetPages, batchSize)
+    sparkR.stop()
+
+    val singleRate = pages * 100L / singleSec
+    val fleetRate = fleetPages * 100L / fleetSec
+    val fleetRocksRate = fleetPages * 100L / fleetRocksSec
+    println(f"""{"metric":"stream_products_per_sec","value":$singleRate%.0f,"fleet":$fleetRate%.0f,"fleet_rocksdb":$fleetRocksRate%.0f,"pages":$pages,"fleet_pages":$fleetPages,"seconds":$singleSec%.2f,"fleet_seconds":$fleetSec%.2f,"fleet_rocksdb_seconds":$fleetRocksSec%.2f}""")
   }
 }
