@@ -58,7 +58,12 @@ object ConnectedComponents {
     * list: (node, component) with component = the component's min
     * node id. Input columns: (u, v); self-loops ignored.
     */
-  def assign(edgesIn: DataFrame): DataFrame = {
+  def assign(edgesIn: DataFrame): DataFrame = assignCounted(edgesIn)._1
+
+  /** [[assign]] plus the number of contraction rounds it took — the
+    * quantity the O(log n) claim is about; surfaced for StressBench
+    * and convergence monitoring. */
+  def assignCounted(edgesIn: DataFrame): (DataFrame, Int) = {
     // localCheckpoint (eager) per round: truncates the logical plan,
     // which otherwise NESTS per round (two unions + agg + join each) —
     // by ~10 rounds analysis blows the stack. The checkpointed RDDs
@@ -93,6 +98,6 @@ object ConnectedComponents {
       least(col("u"), col("v")).as("component"))
     val centers = members.select(col("component")).distinct()
       .select(col("component").as("node"), col("component"))
-    members.unionByName(centers).distinct()
+    (members.unionByName(centers).distinct(), rounds)
   }
 }

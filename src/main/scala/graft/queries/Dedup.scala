@@ -290,7 +290,12 @@ object Dedup {
     * returned DataFrame, Spark's ContextCleaner unpersists the backing
     * RDD automatically, so repeated calls (bench best-of-2, streaming
     * duals) don't accumulate unbounded storage. */
-  def clusters(docs: DataFrame): DataFrame = {
+  def clusters(docs: DataFrame): DataFrame = clustersCounted(docs)._1
+
+  /** [[clusters]] plus the number of propagation rounds (=
+    * diameter(G) + 1 convergence check) — surfaced for StressBench's
+    * q46-vs-q55 round comparison. */
+  def clustersCounted(docs: DataFrame): (DataFrame, Int) = {
     val verified = verifiedEdges(docs)
     // undirected edge list, both directions — membership comes from it
     val edges = verified
@@ -324,7 +329,7 @@ object Dedup {
       converged = changed == 0
     }
     edges.unpersist()
-    labels.withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+    (labels.withColumn("is_canonical", col("doc_id") === col("cluster_id")), rounds)
   }
   /** CTE chain `edges, reach, clustered` computing connected
     * components of `scored` (jaccard ≥ 0.5) — `clustered` has
