@@ -71,6 +71,7 @@ object SparkEntry {
     "q30_lsh_buckets" -> (Similarity.q30LshBuckets _),
     "q31_embedding_near_dups" -> (Similarity.q31EmbeddingNearDups _),
     "q36_ivf_cells" -> (Similarity.q36IvfCells _),
+    "q57_ivf_search" -> (Similarity.q57IvfSearch _),
     "q51_multiprobe_ann" -> (Similarity.q51MultiprobeAnn _),
     // multimodal plumbing
     "q32_image_meta_stats" -> (MultimodalQ.q32ImageMetaStats _),
@@ -125,6 +126,7 @@ object SparkEntry {
     "q30_lsh_buckets" -> Similarity.q30Sql,
     "q31_embedding_near_dups" -> Similarity.q31Sql,
     "q36_ivf_cells" -> Similarity.q36Sql,
+    "q57_ivf_search" -> Similarity.q57Sql,
     "q32_image_meta_stats" -> MultimodalQ.q32Sql,
     "q33_stats_agg" -> Stats.q33Sql,
     "q34_monthly_orders" -> Stats.q34Sql,

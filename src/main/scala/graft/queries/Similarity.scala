@@ -328,6 +328,98 @@ object Similarity {
          |FROM assign GROUP BY 1""".stripMargin
   }
 
+  /** IVF top-k SEARCH — the query the q36 index exists for, and the
+    * third ANN path next to q29 (exact) and q51 (multi-probe LSH):
+    * every query vector probes its nprobe=2 nearest cells and ranks
+    * only the corpus vectors ASSIGNED to those cells with the native
+    * cosine, keeping the top-3.
+    *
+    * Plan shape: cell assignment is the same scan-side codegen argmax
+    * as q36 (trained-codebook literals, no join, no shuffle); the 5
+    * queries with their probe cells broadcast, so the corpus streams
+    * through one scan and candidates materialize only inside probed
+    * cells. At 100 TB the assignment is a pre-computed partition
+    * column of the ANN index and the probe becomes partition pruning —
+    * the scan touches nprobe/K of the lake.
+    *
+    * nprobe=2 spelled as masked argmax: second-best cell = argmax
+    * after the best cell's score is replaced with -2 (cosine floor is
+    * -1) — first-occurrence tie semantics identical to the oracle's
+    * `row_number ... ORDER BY cos DESC, cid ASC`.
+    */
+  private val NumProbes = 2
+  def q57IvfSearch(s: SparkSession, dir: String): DataFrame = {
+    val centroids = trainedCodebook(s, dir)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cosines = array(centroids.map { c =>
+      cosine(col("v"), array(c.map(lit).toSeq: _*))
+    }.toSeq: _*)
+    val corpus = emb
+      .withColumn("cell",
+        (array_position(cosines, array_max(cosines)) - 1).cast("int"))
+    val withBest = emb.withColumn("cs", cosines)
+      .withColumn("c1", (array_position(col("cs"), array_max(col("cs"))) - 1).cast("int"))
+    val masked = transform(col("cs"),
+      (x, i) => when(i === col("c1"), lit(-2d)).otherwise(x))
+    val queries = withBest.filter(col("vec_id") < 5)
+      .withColumn("ms", masked)
+      .withColumn("c2", (array_position(col("ms"), array_max(col("ms"))) - 1).cast("int"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(array(col("c1"), col("c2"))).as("probe_cell"))
+    val scored = corpus.join(broadcast(queries),
+        col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+    scored.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+  }
+
+  /** q57 oracle from the same codebook literals (see [[q36Sql]] for
+    * the fallback rationale). */
+  def q57Sql: String = {
+    val cb = lastCodebook
+    val cents =
+      if (cb != null)
+        "cents(cid, cv) AS (VALUES " + cb.zipWithIndex.map { case (c, i) =>
+          c.map(x => f"$x%.6f").mkString(s"($i, [", ", ", "]::DOUBLE[])")
+        }.mkString(", ") + ")"
+      else s"cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < $NumCells)"
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$cents,
+       |cellrank AS (
+       |  SELECT e.vec_id, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY list_dot_product(e.v, c.cv) /
+       |                              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+       |                              DESC, c.cid ASC) AS rk
+       |  FROM emb e CROSS JOIN cents c),
+       |assign AS (SELECT vec_id, CAST(cid AS INTEGER) AS cell FROM cellrank WHERE rk = 1),
+       |probes AS (SELECT vec_id AS query_id, CAST(cid AS INTEGER) AS probe_cell
+       |           FROM cellrank WHERE rk <= $NumProbes AND vec_id < 5),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id
+       |  FROM probes p JOIN assign a
+       |    ON a.cell = p.probe_cell AND a.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |         round(list_dot_product(q.v, n.v) /
+       |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6)
+       |           AS cos_sim
+       |  FROM cand JOIN emb q ON q.vec_id = query_id
+       |            JOIN emb n ON n.vec_id = neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3""".stripMargin
+  }
+
   /** Embedding-cosine near-duplicate detection (the embedding leg of
     * the dedup ladder), END-TO-END: candidate pairs come from q30's
     * hyperplane buckets — self-join on the full 8-plane code, so pairs

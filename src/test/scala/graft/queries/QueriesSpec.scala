@@ -126,6 +126,23 @@ class QueriesSpec extends SparkSpec {
     assert(forced.contains("ShuffledHashJoin"), forced.take(3000))
   }
 
+  test("q57 IVF search broadcasts probes; corpus is never shuffled for the join") {
+    val plan = Similarity.q57IvfSearch(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(3000))
+  }
+
+  test("q57 IVF search recalls most of q29's exact top-3 (nprobe=2 of 8 cells)") {
+    def topk(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topk(Similarity.q29CosineTopK(spark, sf))
+    val ivf = topk(Similarity.q57IvfSearch(spark, sf))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, // embeddings are near-orthogonal; cells are a coarse cut
+      s"IVF recall@3 collapsed: $recall (exact=$exact ivf=$ivf)")
+  }
+
   test("q37 keeps the distinct rewrite OUT of the typed-imperative aggregate (no Expand)") {
     // regression guard: combining countDistinct with percentile in one
     // agg regroups partials on (flag, orderkey) and falls back to
