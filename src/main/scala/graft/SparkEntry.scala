@@ -72,6 +72,7 @@ object SparkEntry {
     "q31_embedding_near_dups" -> (Similarity.q31EmbeddingNearDups _),
     "q36_ivf_cells" -> (Similarity.q36IvfCells _),
     "q57_ivf_search" -> (Similarity.q57IvfSearch _),
+    "q58_pq_census" -> (Similarity.q58PqCensus _),
     "q51_multiprobe_ann" -> (Similarity.q51MultiprobeAnn _),
     // multimodal plumbing
     "q32_image_meta_stats" -> (MultimodalQ.q32ImageMetaStats _),
@@ -127,6 +128,7 @@ object SparkEntry {
     "q31_embedding_near_dups" -> Similarity.q31Sql,
     "q36_ivf_cells" -> Similarity.q36Sql,
     "q57_ivf_search" -> Similarity.q57Sql,
+    "q58_pq_census" -> Similarity.q58Sql,
     "q32_image_meta_stats" -> MultimodalQ.q32Sql,
     "q33_stats_agg" -> Stats.q33Sql,
     "q34_monthly_orders" -> Stats.q34Sql,

@@ -420,6 +420,108 @@ object Similarity {
        |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3""".stripMargin
   }
 
+  /** Product-quantization census (see [[graft.ops.ProductQuantizer]]):
+    * encode every vector as M=8 per-subspace codes against K=16
+    * trained centroids each (a 32× storage cut at float32×64 dims) and
+    * census the code space — per (subspace, code): population, min
+    * vec_id, and the worst per-row reconstruction error (max of
+    * per-row ROUNDED distances — an order-free aggregate, so no
+    * cross-engine float summation enters the hash).
+    *
+    * Plan shape: encoding is scan-side codegen over staged subvector
+    * columns (literal codebooks, no join); the per-row M structs
+    * explode to (vec_id, subspace, code, err) and the ONLY shuffle is
+    * the census groupBy on (subspace, code) — M×K=128 groups. At
+    * 100 TB the explode never materializes: the encode writes M code
+    * columns into the ANN/storage index and this census is its
+    * monitoring query.
+    */
+  private val PqM = 8
+  private val PqK = 16
+  private val pqBooksMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+  @volatile private var lastPqBooks: Array[Array[Array[Double]]] = _
+
+  /** Train (memoized per dir) the PQ codebooks — same deterministic
+    * recipe as [[trainedCodebook]]: even-vec_id half-sample, rounded
+    * Lloyd steps, raw (unnormalized) vectors since PQ quantizes in L2. */
+  def pqBooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    val books = pqBooksMemo.computeIfAbsent(dir, _ => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .filter(pmod(col("vec_id"), lit(2)) === 0)
+      val dim = emb.filter(col("v").isNotNull)
+        .select(max(size(col("v")))).collect()(0).getInt(0)
+      graft.ops.ProductQuantizer.train(emb, dim, PqM, PqK, iters = 2, roundDp = CodebookDp)
+    })
+    lastPqBooks = books
+    books
+  }
+
+  def q58PqCensus(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ProductQuantizer
+    val books = pqBooks(s, dir)
+    val subDim = books(0)(0).length
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val staged = ProductQuantizer.withSubvectors(emb, "v", PqM, subDim)
+    val subStructs = array((0 until PqM).map { m =>
+      val (code, err) = ProductQuantizer.codeAndErr(col(s"__sv$m"), books(m))
+      struct(lit(m).as("subspace"), code.as("code"), err.as("err"))
+    }: _*)
+    staged.select(col("vec_id"), explode(subStructs).as("s"))
+      .select(col("vec_id"), col("s.subspace").as("subspace"),
+        col("s.code").as("code"), col("s.err").as("err"))
+      .groupBy(col("subspace"), col("code"))
+      .agg(count(lit(1)).as("vec_count"),
+        min(col("vec_id")).as("min_vec_id"),
+        max(col("err")).as("max_err"))
+  }
+
+  /** q58 oracle from the same codebook literals (fallback rationale:
+    * see [[q36Sql]]). The distance is spelled
+    * `list_sum(list_transform(...))` — the same left-to-right fold as
+    * the unrolled Spark sum, so both engines produce bit-equal
+    * doubles from the bit-equal literal centroids. */
+  def q58Sql: String = {
+    val books = lastPqBooks
+    val subDim = if (books != null) books(0)(0).length else 8
+    val booksRel =
+      if (books != null) {
+        val rows = for {
+          (book, m) <- books.zipWithIndex
+          (c, k) <- book.zipWithIndex
+        } yield c.map(x => f"$x%.6f").mkString(s"($m, $k, [", ", ", "]::DOUBLE[])")
+        "books(sub, cid, cv) AS (VALUES " + rows.mkString(", ") + ")"
+      } else
+        s"""books AS (
+           |  SELECT s.sub, e.vec_id AS cid,
+           |         list_slice(e.v, s.sub * $subDim + 1, s.sub * $subDim + $subDim) AS cv
+           |  FROM emb e CROSS JOIN (SELECT unnest(range($PqM)) AS sub) s
+           |  WHERE e.vec_id < $PqK)""".stripMargin
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$booksRel,
+       |subs AS (
+       |  SELECT vec_id, s.sub,
+       |         list_slice(v, s.sub * $subDim + 1, s.sub * $subDim + $subDim) AS sv
+       |  FROM emb CROSS JOIN (SELECT unnest(range($PqM)) AS sub) s),
+       |scored AS (
+       |  SELECT vec_id, sub, cid,
+       |         list_sum(list_transform(range(1, $subDim + 1),
+       |           i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) AS d,
+       |         row_number() OVER (PARTITION BY vec_id, sub
+       |                            ORDER BY list_sum(list_transform(range(1, $subDim + 1),
+       |                              i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) ASC, cid ASC) AS rk
+       |  FROM subs JOIN books USING (sub)),
+       |assign AS (
+       |  SELECT vec_id, CAST(sub AS INTEGER) AS subspace,
+       |         CAST(cid AS INTEGER) AS code, round(d, 6) AS err
+       |  FROM scored WHERE rk = 1)
+       |SELECT subspace, code, count(*) AS vec_count,
+       |       min(vec_id) AS min_vec_id, max(err) AS max_err
+       |FROM assign GROUP BY 1, 2""".stripMargin
+  }
+
   /** Embedding-cosine near-duplicate detection (the embedding leg of
     * the dedup ladder), END-TO-END: candidate pairs come from q30's
     * hyperplane buckets — self-join on the full 8-plane code, so pairs

@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProductQuantizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+  private val m = 2 // two 4-dim subspaces
+
+  // two clusters per subspace → 4 combinations, ids interleaved so the
+  // k=4 seeds (first vec_ids) span several combinations
+  private lazy val vecs = {
+    val rnd = new scala.util.Random(11)
+    def v(lo1: Double, lo2: Double) =
+      Seq.fill(4)(lo1 + rnd.nextDouble()) ++ Seq.fill(4)(lo2 + rnd.nextDouble())
+    (0 until 48).map { i =>
+      (i.toLong, v(if (i % 2 == 0) 0.0 else 10.0, if (i % 3 == 0) 0.0 else 10.0))
+    }.toDF("vec_id", "v")
+  }
+
+  test("per-subspace training is deterministic across partitionings") {
+    val a = ProductQuantizer.train(vecs.repartition(1), dim, m, k = 4, iters = 2, roundDp = 6)
+    val b = ProductQuantizer.train(vecs.repartition(7), dim, m, k = 4, iters = 2, roundDp = 6)
+    assert(a.map(_.map(_.toSeq).toSeq).toSeq === b.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  test("codes are in range and every subspace censuses the full corpus") {
+    val books = ProductQuantizer.train(vecs, dim, m, k = 4, iters = 2, roundDp = 6)
+    val staged = ProductQuantizer.withSubvectors(vecs, "v", m, dim / m)
+    val rows = (0 until m).map { s =>
+      val (code, err) = ProductQuantizer.codeAndErr(col(s"__sv$s"), books(s))
+      staged.select(lit(s).as("sub"), code.as("code"), err.as("err"))
+    }.reduce(_ unionByName _)
+    val census = rows.groupBy("sub", "code").count().collect()
+    census.foreach { r =>
+      assert(r.getInt(1) >= 0 && r.getInt(1) < 4, r.toString)
+    }
+    (0 until m).foreach { s =>
+      val total = census.filter(_.getInt(0) == s).map(_.getLong(2)).sum
+      assert(total === 48L, s"subspace $s censused $total of 48 vectors")
+    }
+  }
+
+  test("trained codebooks reconstruct better than their seeds (Lloyd improves)") {
+    val subDim = dim / m
+    (0 until m).foreach { s =>
+      val sub = vecs.select(col("vec_id"),
+        slice(col("v"), s * subDim + 1, subDim).as("v"))
+      val seeds = ProductQuantizer.train(vecs, dim, m, k = 4, iters = 0, roundDp = 6)(s)
+      val trained = ProductQuantizer.train(vecs, dim, m, k = 4, iters = 2, roundDp = 6)(s)
+      assert(KMeans.distortion(sub, trained) <= KMeans.distortion(sub, seeds) + 1e-9)
+    }
+  }
+}
