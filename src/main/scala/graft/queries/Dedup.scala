@@ -199,14 +199,26 @@ object Dedup {
   /** The q44 pipeline parametrized by the corpus frame — composable
     * into larger pipelines (q50 runs it on the quality-filtered,
     * exact-deduped survivor set). */
-  def verifiedPairs(docs: DataFrame): DataFrame = {
+  def verifiedPairs(docs: DataFrame): DataFrame =
+    jaccardVerify(lshCandidates(docs), docs)
+
+  /** Stage 1 alone: the LSH candidate pair set (band-collision
+    * self-join, distinct across bands). */
+  def lshCandidates(docs: DataFrame): DataFrame = {
     val stacked = bandedSignatures(docs)
-    val pairs = stacked.as("a")
+    stacked.as("a")
       .join(stacked.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Stage 2 alone: true-Jaccard scoring of an explicit candidate
+    * pair list against the corpus' shingle sets — also the finalize
+    * step over an INCREMENTALLY accumulated pairs log
+    * (graft.streaming.Streams.finalizePipeline). */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame): DataFrame = {
     val sh = docs
       .withColumn("toks", TextOps.tokens(col("text"))) // staged: see minhashSignatures
       .filter(size(col("toks")) >= 3)
@@ -219,7 +231,7 @@ object Dedup {
         size(array_intersect(col("sa.shset"), col("sb.shset"))))
       .select(col("doc_a"), col("doc_b"),
         round(col("inter") /
-          (size(col("sa.shset")) + size(col("sb.shset")) - col("inter")), 3)
+          (size(col("sa.shset")) + size(col("sb.shset")) - col("inter")) , 3)
           .as("jaccard"))
   }
   /** CTE chain `stacked, pairs, sh, scored` spelling [[verifiedPairs]]
@@ -295,8 +307,13 @@ object Dedup {
   /** [[clusters]] plus the number of propagation rounds (=
     * diameter(G) + 1 convergence check) — surfaced for StressBench's
     * q46-vs-q55 round comparison. */
-  def clustersCounted(docs: DataFrame): (DataFrame, Int) = {
-    val verified = verifiedEdges(docs)
+  def clustersCounted(docs: DataFrame): (DataFrame, Int) =
+    clustersFromEdgesCounted(verifiedEdges(docs))
+
+  /** Propagation clustering over an EXPLICIT verified edge list
+    * (doc_a, doc_b) — lets the incremental pipeline's finalize step
+    * feed the accumulated, already-verified pairs log directly. */
+  def clustersFromEdgesCounted(verified: DataFrame): (DataFrame, Int) = {
     // undirected edge list, both directions — membership comes from it
     val edges = verified
       .union(verified.select(col("doc_b"), col("doc_a")))

@@ -287,38 +287,47 @@ object Streams {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val sigs = graft.queries.Dedup.bandedSignatures(batch)
-          .persist()
-        val withinBatch = sigs.as("a")
-          .join(sigs.as("b"),
-            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        val candidates =
-          if (partitionedIndexHasHistory(spark, indexPath, "band=")) {
-            // the bands this batch actually touched — a bounded collect
-            // (≤ the band fan-out, 4 here) that becomes a LITERAL
-            // partition filter on the history read
-            val batchBands = sigs.select(col("band")).distinct()
-              .collect().map(_.getInt(0)).toSeq
-            val hist = lshIndexHistory(spark, indexPath, batchBands, batchId)
-            val vsHistory = sigs.as("n")
-              .join(hist.as("h"),
-                col("n.band") === col("h.band") && col("n.sig") === col("h.sig") &&
-                  // a re-ingested doc_id must not pair with itself
-                  col("n.doc_id") =!= col("h.doc_id"))
-              .select(
-                least(col("n.doc_id"), col("h.doc_id")).as("doc_a"),
-                greatest(col("n.doc_id"), col("h.doc_id")).as("doc_b"))
-            withinBatch.unionByName(vsHistory)
-          } else withinBatch
-        writeBatchPartition(candidates.distinct(), batchId, pairsPath)
-        writeBatchPartition(sigs, batchId, indexPath,
-          prefixPartitionCols = Seq("band"))
-        sigs.unpersist()
-        ()
+        lshDedupStep(batch, batchId, indexPath, pairsPath)
       }
+
+  /** One micro-batch of the incremental LSH dedup (shared by
+    * [[incrementalLshDedup]] and [[incrementalPipeline]]): sign the
+    * batch, pair within-batch and against pruned history, log
+    * candidates, register signatures. */
+  def lshDedupStep(batch: DataFrame, batchId: Long, indexPath: String,
+                   pairsPath: String): Unit = {
+    val spark = batch.sparkSession
+    val sigs = graft.queries.Dedup.bandedSignatures(batch)
+      .persist()
+    val withinBatch = sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val candidates =
+      if (partitionedIndexHasHistory(spark, indexPath, "band=")) {
+        // the bands this batch actually touched — a bounded collect
+        // (≤ the band fan-out, 4 here) that becomes a LITERAL
+        // partition filter on the history read
+        val batchBands = sigs.select(col("band")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val hist = lshIndexHistory(spark, indexPath, batchBands, batchId)
+        val vsHistory = sigs.as("n")
+          .join(hist.as("h"),
+            col("n.band") === col("h.band") && col("n.sig") === col("h.sig") &&
+              // a re-ingested doc_id must not pair with itself
+              col("n.doc_id") =!= col("h.doc_id"))
+          .select(
+            least(col("n.doc_id"), col("h.doc_id")).as("doc_a"),
+            greatest(col("n.doc_id"), col("h.doc_id")).as("doc_b"))
+        withinBatch.unionByName(vsHistory)
+      } else withinBatch
+    writeBatchPartition(candidates.distinct(), batchId, pairsPath)
+    writeBatchPartition(sigs, batchId, indexPath,
+      prefixPartitionCols = Seq("band"))
+    sigs.unpersist()
+    ()
+  }
 
   /** Incremental hyperplane-LSH ANN near-dup detection against a
     * persistent bucket index — the ingest-side twin of batch q31
@@ -416,6 +425,111 @@ object Streams {
                       bands: Seq[Int], excludeBatchId: Long): DataFrame =
     spark.read.parquet(indexPath)
       .filter(col("band").isin(bands: _*) && col("batch_id") =!= excludeBatchId)
+
+  // ---------------------------------- the composed pipeline, incrementally
+
+  /** The q50 training-data pipeline's INGEST HALF, incrementally —
+    * per micro-batch of raw (source, doc_id, text, n_chars) documents:
+    *  1. quality triage (THE q22/q50 predicate — batch/stream duality);
+    *  2. exact dedup: min doc_id per fingerprint within the batch,
+    *     anti-join against the persistent fingerprint index
+    *     (partitioned by 2-hex-char fp_prefix + batch_id, so the
+    *     history read prunes to ≤256 touched prefixes exactly like the
+    *     LSH band index), then register the survivors' fingerprints;
+    *  3. append survivors to a batch_id-partitioned corpus log;
+    *  4. the [[lshDedupStep]] over the survivors (band-partitioned
+    *     signature index + candidate pairs log).
+    * All four writes are replay-idempotent (writeBatchPartition).
+    *
+    * [[finalizePipeline]] runs the pipeline's BATCH HALF over the
+    * accumulated logs. The split is the point: fuzzy-dedup clustering,
+    * sampling and packing are corpus-GLOBAL decisions (a cluster can
+    * span any two batches; bin boundaries move with every doc), so a
+    * honest streaming pipeline streams the per-doc work and finalizes
+    * the global stages on demand — not a fake per-batch "global"
+    * answer.
+    *
+    * Exact-dedup semantics note: incremental keeps the FIRST-ARRIVED
+    * doc per fingerprint (history always beats the new batch); batch
+    * q50 keeps the min doc_id. The two agree whenever ingest is
+    * doc_id-ordered (the duality test's shape, and the common
+    * append-only ingest case); under out-of-order ingest
+    * first-arrival is the only semantics an index-append pipeline can
+    * offer without rewriting history.
+    */
+  def incrementalPipeline(docs: DataFrame, fpIndexPath: String,
+                          survivorsPath: String, lshIndexPath: String,
+                          pairsPath: String, checkpoint: String)
+      : DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.ops.TextOps
+        val spark = batch.sparkSession
+        val quality = batch
+          .withColumn("toks", TextOps.tokens(col("text")))
+          .filter(TextOps.qualityBucket(col("toks"), col("n_chars")) === "ok")
+          .withColumn("fp", TextOps.fingerprint(col("text")))
+          .withColumn("fp_prefix", substring(col("fp"), 1, 2))
+          .persist()
+        val inBatch = quality.join(
+          quality.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id")),
+          Seq("fp", "doc_id"), "left_semi")
+        val survivors =
+          (if (partitionedIndexHasHistory(spark, fpIndexPath, "fp_prefix=")) {
+            val prefixes = quality.select(col("fp_prefix")).distinct()
+              .collect().map(_.getString(0)).toSeq
+            inBatch.join(
+              fpIndexHistory(spark, fpIndexPath, prefixes, batchId),
+              Seq("fp"), "left_anti")
+          } else inBatch).persist()
+        writeBatchPartition(survivors.select(col("fp_prefix"), col("fp")),
+          batchId, fpIndexPath, prefixPartitionCols = Seq("fp_prefix"))
+        writeBatchPartition(
+          survivors.select(col("source"), col("doc_id"), col("text"), col("n_chars")),
+          batchId, survivorsPath)
+        lshDedupStep(survivors.select(col("doc_id"), col("text")),
+          batchId, lshIndexPath, pairsPath)
+        survivors.unpersist()
+        quality.unpersist()
+        ()
+      }
+
+  /** The fingerprint-index history read — literal fp_prefix isin →
+    * parquet PartitionFilters; current batch excluded (replay must not
+    * drop its own survivors). */
+  def fpIndexHistory(spark: SparkSession, fpIndexPath: String,
+                     prefixes: Seq[String], excludeBatchId: Long): DataFrame =
+    spark.read.parquet(fpIndexPath)
+      .filter(col("fp_prefix").isin(prefixes: _*) &&
+        col("batch_id") =!= excludeBatchId)
+      .select(col("fp"))
+
+  /** The pipeline's batch half over the accumulated logs: Jaccard-
+    * verify the candidate pairs log against the survivor corpus,
+    * cluster, keep canonicals, sample, pack — the SAME oracle-checked
+    * stage kernels as q50 (Dedup.jaccardVerify/clustersFromEdges,
+    * Text.sampleHashByte/packManifest), so streamed-ingest + finalize
+    * equals the batch q50 manifest on the union corpus (StreamsSpec).
+    */
+  def finalizePipeline(spark: SparkSession, survivorsPath: String,
+                       pairsPath: String): DataFrame = {
+    import graft.queries.{Dedup, Text}
+    val docs = spark.read.parquet(survivorsPath)
+    val pairs = spark.read.parquet(pairsPath)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val edges = Dedup.jaccardVerify(pairs, docs)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val dropped = Dedup.clustersFromEdgesCounted(edges)._1
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id"))
+    val kept = docs.join(dropped, Seq("doc_id"), "left_anti")
+    val sampled = kept.filter(Text.sampleHashByte(col("doc_id")) < Text.SampleCut)
+    Text.packManifest(sampled.select(col("source"), col("doc_id"),
+      size(graft.ops.TextOps.tokens(col("text"))).cast("long").as("n_toks")))
+  }
 
   /** Folds the incremental index's accumulated per-batch partitions
     * into one merged batch_id=-1 partition per band, so steady-state

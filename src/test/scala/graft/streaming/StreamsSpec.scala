@@ -603,6 +603,35 @@ class StreamsSpec extends SparkSpec {
       "identical vector ingested later must pair with its history copy")
   }
 
+  test("incremental pipeline + finalize equals the batch q50 manifest on the union corpus") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_incpipe")
+    val sf = "/root/testdata/sf0.001"
+    // doc_id-ordered ingest: first-arrival exact dedup == min-doc_id
+    val corpus = graft.Tables.documents(spark, sf)
+      .select("source", "doc_id", "text", "n_chars")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val in = MemoryStream[(String, Long, String, Long)]
+    val q = Streams.incrementalPipeline(
+      in.toDF().toDF("source", "doc_id", "text", "n_chars"),
+      s"$dir/fp", s"$dir/survivors", s"$dir/lsh", s"$dir/pairs", s"$dir/ckpt")
+      .start()
+    try corpus.grouped(200).foreach { g => in.addData(g: _*); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = Streams.finalizePipeline(spark, s"$dir/survivors", s"$dir/pairs")
+    val batch = graft.queries.PipelineQ.q50TrainingManifest(spark, sf)
+    assert(rowsOf(streamed) === rowsOf(batch),
+      "streamed ingest + finalize must reproduce the batch q50 manifest")
+    assert(rowsOf(batch).nonEmpty)
+    // the fingerprint history read prunes on fp_prefix partitions
+    val hist = Streams.fpIndexHistory(spark, s"$dir/fp", Seq("aa", "bb"), 99L)
+    val plan = hist.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan.take(2000))
+    val pf = plan.substring(plan.indexOf("PartitionFilters: ["))
+    assert(pf.takeWhile(_ != ']').contains("fp_prefix#"), pf.take(300))
+  }
+
   // Note: Streams.kafkaSource mirrors the reference's Kafka options
   // 1:1 (Consumer.scala:50-56) but the spark-sql-kafka connector jar is
   // not shipped in this container, so constructing it is untestable
