@@ -73,6 +73,7 @@ object SparkEntry {
     "q36_ivf_cells" -> (Similarity.q36IvfCells _),
     "q57_ivf_search" -> (Similarity.q57IvfSearch _),
     "q58_pq_census" -> (Similarity.q58PqCensus _),
+    "q59_pq_adc_search" -> (Similarity.q59PqAdcSearch _),
     "q51_multiprobe_ann" -> (Similarity.q51MultiprobeAnn _),
     // multimodal plumbing
     "q32_image_meta_stats" -> (MultimodalQ.q32ImageMetaStats _),
@@ -129,6 +130,7 @@ object SparkEntry {
     "q36_ivf_cells" -> Similarity.q36Sql,
     "q57_ivf_search" -> Similarity.q57Sql,
     "q58_pq_census" -> Similarity.q58Sql,
+    "q59_pq_adc_search" -> Similarity.q59Sql,
     "q32_image_meta_stats" -> MultimodalQ.q32Sql,
     "q33_stats_agg" -> Stats.q33Sql,
     "q34_monthly_orders" -> Stats.q34Sql,

@@ -36,7 +36,7 @@ object ProductQuantizer {
     * literal centroid — same unrolled left-associated sum as
     * KMeans.dist2 (the oracle spells it list_sum(list_transform(...));
     * both fold left to right, so the doubles agree bit-for-bit). */
-  private def dist2(sv: Column, c: Array[Double]): Column =
+  def dist2(sv: Column, c: Array[Double]): Column =
     c.zipWithIndex.map { case (w, i) =>
       val d = element_at(sv, i + 1) - lit(w)
       d * d

@@ -459,19 +459,18 @@ object Similarity {
   }
 
   def q58PqCensus(s: SparkSession, dir: String): DataFrame = {
-    import graft.ops.ProductQuantizer
     val books = pqBooks(s, dir)
-    val subDim = books(0)(0).length
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val staged = ProductQuantizer.withSubvectors(emb, "v", PqM, subDim)
-    val subStructs = array((0 until PqM).map { m =>
-      val (code, err) = ProductQuantizer.codeAndErr(col(s"__sv$m"), books(m))
-      struct(lit(m).as("subspace"), code.as("code"), err.as("err"))
-    }: _*)
-    staged.select(col("vec_id"), explode(subStructs).as("s"))
-      .select(col("vec_id"), col("s.subspace").as("subspace"),
-        col("s.code").as("code"), col("s.err").as("err"))
+    // ONE native-kernel call per row (graft.functions.PqEncode) — the
+    // Column-level unrolled spelling (ProductQuantizer.codeAndErr,
+    // kept as the differential-test reference) exceeds janino's method
+    // limit at M×K×subDim terms and drops the scan out of codegen.
+    emb.select(col("vec_id"),
+        posexplode(graft.functions.PqFunctions.pq_encode(col("v"), books))
+          .as(Seq("subspace", "s")))
+      .select(col("vec_id"), col("subspace"),
+        col("s.code").as("code"), round(col("s.dist"), 6).as("err"))
       .groupBy(col("subspace"), col("code"))
       .agg(count(lit(1)).as("vec_count"),
         min(col("vec_id")).as("min_vec_id"),
@@ -520,6 +519,105 @@ object Similarity {
        |SELECT subspace, code, count(*) AS vec_count,
        |       min(vec_id) AS min_vec_id, max(err) AS max_err
        |FROM assign GROUP BY 1, 2""".stripMargin
+  }
+
+  /** PQ ADC search — asymmetric distance computation, the search the
+    * q58 codes exist for: the corpus is ranked WITHOUT decoding, by
+    * summing per-subspace distances between the (exact) query
+    * subvector and each corpus vector's ASSIGNED CENTROID, looked up
+    * from a per-query distance table. Per candidate that is M=8 table
+    * lookups + adds instead of D=64 multiply-adds — and the codes are
+    * 8 nibbles, so at 100 TB the scan ranks the lake from ~3% of the
+    * bytes, reranking only a short exact list (here: pure ADC top-3,
+    * its own oracle; q29 is the exact baseline).
+    *
+    * Plan shape: corpus codes are the q58 scan-side encode (literal
+    * codebooks, no join, no shuffle); each query carries its M×K=128
+    * distance table, built once per query row before the broadcast —
+    * the join then only indexes into it (element_at per subspace).
+    */
+  def q59PqAdcSearch(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PqFunctions
+    val books = pqBooks(s, dir)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // corpus: M scan-side codes from the native kernel, the vector
+    // itself dropped (ADC's point — candidates are ranked from codes)
+    val coded = emb
+      .withColumn("__enc", PqFunctions.pq_encode(col("v"), books))
+      .select(col("vec_id") +: (0 until PqM).map(m =>
+        element_at(col("__enc"), m + 1).getField("code").as(s"__code$m")): _*)
+    // queries: the M×K ADC lookup table built once per query row
+    // (native kernel), staged before broadcasting
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        PqFunctions.pq_dist_table(col("v"), books).as("__tabs"))
+    val adc = (0 until PqM).map(m =>
+      element_at(element_at(col("__tabs"), m + 1), col(s"__code$m") + 1))
+      .reduce(_ + _)
+    val scored = coded.join(broadcast(queries),
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(adc, 6).as("adc_dist"))
+    scored.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("adc_dist").asc, col("neighbor_id").asc)))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rk"))
+  }
+
+  /** q59 oracle from the same codebook literals: corpus codes and the
+    * query-side lookup both recompute the per-subspace distance with
+    * the identical list_sum fold, so the summed ADC distance is
+    * bit-equal before rounding. */
+  def q59Sql: String = {
+    val books = lastPqBooks
+    val subDim = if (books != null) books(0)(0).length else 8
+    val booksRel =
+      if (books != null) {
+        val rows = for {
+          (book, m) <- books.zipWithIndex
+          (c, k) <- book.zipWithIndex
+        } yield c.map(x => f"$x%.6f").mkString(s"($m, $k, [", ", ", "]::DOUBLE[])")
+        "books(sub, cid, cv) AS (VALUES " + rows.mkString(", ") + ")"
+      } else
+        s"""books AS (
+           |  SELECT s.sub, e.vec_id AS cid,
+           |         list_slice(e.v, s.sub * $subDim + 1, s.sub * $subDim + $subDim) AS cv
+           |  FROM emb e CROSS JOIN (SELECT unnest(range($PqM)) AS sub) s
+           |  WHERE e.vec_id < $PqK)""".stripMargin
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$booksRel,
+       |subs AS (
+       |  SELECT vec_id, s.sub,
+       |         list_slice(v, s.sub * $subDim + 1, s.sub * $subDim + $subDim) AS sv
+       |  FROM emb CROSS JOIN (SELECT unnest(range($PqM)) AS sub) s),
+       |dists AS (
+       |  SELECT vec_id, sub, cid,
+       |         list_sum(list_transform(range(1, $subDim + 1),
+       |           i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) AS d
+       |  FROM subs JOIN books USING (sub)),
+       |codes AS (
+       |  SELECT vec_id, sub, cid AS code
+       |  FROM dists
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+       |                             ORDER BY d ASC, cid ASC) = 1),
+       |adc AS (
+       |  -- list_sum over an ORDER BY sub list = the same left-to-right
+       |  -- fold as Spark's m-ordered sum (plain SUM has no row order)
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         round(list_sum(list(qd.d ORDER BY qd.sub)), 6) AS adc_dist
+       |  FROM codes c
+       |  JOIN (SELECT vec_id FROM emb WHERE vec_id < 5) q ON c.vec_id <> q.vec_id
+       |  JOIN dists qd ON qd.vec_id = q.vec_id AND qd.sub = c.sub AND qd.cid = c.code
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adc_dist,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
+       |  FROM adc)
+       |SELECT query_id, neighbor_id, adc_dist, rk FROM ranked WHERE rk <= 3""".stripMargin
   }
 
   /** Embedding-cosine near-duplicate detection (the embedding leg of

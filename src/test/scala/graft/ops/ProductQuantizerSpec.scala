@@ -43,6 +43,33 @@ class ProductQuantizerSpec extends SparkSpec {
     }
   }
 
+  test("native PqEncode kernel matches the Column-level reference, interpreted and codegen'd") {
+    val books = ProductQuantizer.train(vecs, dim, m, k = 4, iters = 2, roundDp = 6)
+    val staged = ProductQuantizer.withSubvectors(vecs, "v", m, dim / m)
+    val ref = (0 until m).map { s =>
+      val (code, err) = ProductQuantizer.codeAndErr(col(s"__sv$s"), books(s))
+      staged.select(col("vec_id"), lit(s).as("subspace"),
+        code.as("code"), err.as("err"))
+    }.reduce(_ unionByName _)
+    val native = vecs.select(col("vec_id"),
+        posexplode(graft.functions.PqFunctions.pq_encode(col("v"), books))
+          .as(Seq("subspace", "s")))
+      .select(col("vec_id"), col("subspace"),
+        col("s.code").as("code"), round(col("s.dist"), 6).as("err"))
+    assert(rowsOf(native) === rowsOf(ref))
+    // and the dist table diagonal agrees with encode's chosen distance
+    val viaTable = vecs.select(col("vec_id"),
+        graft.functions.PqFunctions.pq_dist_table(col("v"), books).as("t"),
+        graft.functions.PqFunctions.pq_encode(col("v"), books).as("e"))
+      .select(col("vec_id") +: (0 until m).map(s =>
+        (element_at(element_at(col("t"), s + 1),
+          element_at(col("e"), s + 1).getField("code") + 1) ===
+          element_at(col("e"), s + 1).getField("dist")).as(s"ok$s")): _*)
+    viaTable.collect().foreach { r =>
+      (1 to m).foreach(i => assert(r.getBoolean(i), r.toString))
+    }
+  }
+
   test("trained codebooks reconstruct better than their seeds (Lloyd improves)") {
     val subDim = dim / m
     (0 until m).foreach { s =>

@@ -143,6 +143,49 @@ class QueriesSpec extends SparkSpec {
       s"IVF recall@3 collapsed: $recall (exact=$exact ivf=$ivf)")
   }
 
+  test("q59 ADC distances equal query-to-RECONSTRUCTION distances (the ADC identity)") {
+    import org.apache.spark.sql.functions._
+    val plan = Similarity.q59PqAdcSearch(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(3000))
+    // ADC(q, n) must equal ‖q − decode(encode(n))‖²: recompute it
+    // driver-side from collected vectors + codes and the codebook.
+    // (No recall-vs-exact assertion: the synthetic embeddings are
+    // near-orthogonal, so ALL pairwise distances are nearly equal and
+    // quantized ranking is legitimately noise on this data.)
+    val books = Similarity.pqBooks(spark, sf)
+    val subDim = books(0)(0).length
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def encode(v: Array[Double]): Array[Int] =
+      books.zipWithIndex.map { case (book, m) =>
+        book.zipWithIndex.minBy { case (c, k) =>
+          (c.zipWithIndex.map { case (w, i) =>
+            val d = v(m * subDim + i) - w; d * d
+          }.sum, k)
+        }._2
+      }
+    val out = Similarity.q59PqAdcSearch(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (q, n) = (vecs(r.getLong(0)), vecs(r.getLong(1)))
+      val codes = encode(n)
+      val expected = (0 until books.length).map { m =>
+        val c = books(m)(codes(m))
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val diff = q(m * subDim + i) - c(i); d += diff * diff; i += 1
+        }
+        d
+      }.sum
+      assert(math.abs(r.getDouble(2) - expected) < 1e-6,
+        s"ADC(${r.getLong(0)},${r.getLong(1)}) = ${r.getDouble(2)}, reconstruction says $expected")
+    }
+  }
+
   test("q37 keeps the distinct rewrite OUT of the typed-imperative aggregate (no Expand)") {
     // regression guard: combining countDistinct with percentile in one
     // agg regroups partials on (flag, orderkey) and falls back to
