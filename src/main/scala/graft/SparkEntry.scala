@@ -55,6 +55,7 @@ object SparkEntry {
     "q49_contamination" -> (Text.q49Contamination _),
     "q56_contamination_joined" -> (Text.q56ContaminationJoined _),
     "q54_mixing_rates" -> (Text.q54MixingRates _),
+    "q60_repetition_stats" -> (Text.q60RepetitionStats _),
     // deduplication ladder
     "q25_exact_dedup" -> (Dedup.q25ExactDedup _),
     "q26_minhash_buckets" -> (Dedup.q26MinhashBuckets _),
@@ -153,5 +154,6 @@ object SparkEntry {
     "q53_pivot" -> Relational.q53Sql,
     "q54_mixing_rates" -> Text.q54Sql,
     "q55_dedup_clusters_logn" -> Dedup.q55Sql,
+    "q60_repetition_stats" -> Text.q60Sql,
   )
 }

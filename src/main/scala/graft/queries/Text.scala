@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{Shapes, TextOps}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis queries over the documents corpus (BASELINE.json
@@ -337,6 +337,100 @@ object Text {
        |  FROM sh, bench WHERE doc_id >= 20)
        |SELECT source, count(*) AS contaminated_docs, max(n_overlap) AS max_overlap
        |FROM hits WHERE n_overlap > 0 GROUP BY 1""".stripMargin
+  }
+
+  /** Repetition-quality stats (the Gopher-rule family, Rae et al.
+    * 2021 §A1.1): per document, the share of bigram occurrences taken
+    * by the SINGLE most frequent bigram, and the share of trigram
+    * positions that belong to any REPEATED trigram — the two signals
+    * that separate boilerplate/spam from prose before any model-based
+    * scoring. Rolled up per source with docs flagged by threshold.
+    *
+    * Scale shape: both metrics are computed SCAN-SIDE on sorted
+    * n-gram arrays (no explode — a corpus of L-token docs would
+    * otherwise shuffle ~2L rows per doc): the top-bigram count is one
+    * O(n) `aggregate` run-length fold over the sorted array, and the
+    * repeated-trigram count compares each sorted element with its
+    * neighbors. Per doc that is O(n log n) in the sort, constant
+    * memory, fully inside the scan stage; the ONLY shuffle is the
+    * final per-source rollup. The integer-percent arithmetic keeps
+    * the oracle comparison exact (no float ratios).
+    */
+  val TopBigramPctFlag = 5L
+  val DupTrigramPctFlag = 0L
+
+  /** Occurrence count of the most frequent element of a SORTED string
+    * array: run-length fold — state (prev, run, best). */
+  private[graft] def maxRunLength(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
+  /** Count of positions of a SORTED array whose element also occurs
+    * elsewhere (the complement of singletons — an element is a
+    * singleton iff it differs from both sorted neighbors). */
+  private[graft] def dupPositions(sorted: Column): Column = {
+    val n = size(sorted)
+    val singles = size(filter(sequence(lit(1), n), i =>
+      (i === 1 || element_at(sorted, i) =!= element_at(sorted, i - 1)) &&
+        (i === n || element_at(sorted, i) =!= element_at(sorted, i + 1))))
+    n - singles
+  }
+
+  def q60RepetitionStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens(col("text"))) // staged (HOF note in Dedup)
+      .filter(size(col("toks")) >= 3)
+      .withColumn("bi", array_sort(TextOps.shingles(col("toks"), 2)))
+      .withColumn("tri", array_sort(TextOps.shingles(col("toks"), 3)))
+      .withColumn("top_bi_pct",
+        (maxRunLength(col("bi")) * 100 / size(col("bi"))).cast("long"))
+      .withColumn("dup_tri_pct",
+        (dupPositions(col("tri")) * 100 / size(col("tri"))).cast("long"))
+    d.groupBy(col("source"))
+      .agg(count(lit(1)).as("doc_count"),
+        sum(when(col("top_bi_pct") > TopBigramPctFlag ||
+          col("dup_tri_pct") > DupTrigramPctFlag, 1L).otherwise(0L))
+          .as("flagged_docs"),
+        round(avg(col("top_bi_pct")), 2).as("avg_top_bigram_pct"),
+        round(avg(col("dup_tri_pct")), 2).as("avg_dup_trigram_pct"))
+  }
+
+  /** q60 oracle — the explode/GROUP BY spelling of the same counts
+    * (the oracle needs equal VALUES, not the engine's plan shape). */
+  val q60Sql: String = {
+    val toks = "str_split(text, ' ')"
+    s"""WITH d AS (
+       |  SELECT doc_id, source, $toks AS toks FROM documents
+       |  WHERE len($toks) >= 3),
+       |bi AS (
+       |  SELECT doc_id, source, unnest(list_transform(range(1, len(toks)),
+       |    i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g
+       |  FROM d),
+       |tri AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(toks) - 1),
+       |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS g
+       |  FROM d),
+       |bc AS (SELECT doc_id, source, g, count(*) AS c FROM bi GROUP BY 1, 2, 3),
+       |tc AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+       |bm AS (SELECT doc_id, source, 100 * max(c) // sum(c) AS top_bi_pct
+       |       FROM bc GROUP BY 1, 2),
+       |tm AS (SELECT doc_id,
+       |              100 * coalesce(sum(c) FILTER (c > 1), 0) // sum(c) AS dup_tri_pct
+       |       FROM tc GROUP BY 1)
+       |SELECT source, count(*) AS doc_count,
+       |       CAST(sum(CASE WHEN top_bi_pct > $TopBigramPctFlag
+       |                       OR dup_tri_pct > $DupTrigramPctFlag
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs,
+       |       round(avg(top_bi_pct), 2) AS avg_top_bigram_pct,
+       |       round(avg(dup_tri_pct), 2) AS avg_dup_trigram_pct
+       |FROM bm JOIN tm USING (doc_id) GROUP BY 1""".stripMargin
   }
 
   /** Document fingerprinting: md5 over canonicalized text, rolled up

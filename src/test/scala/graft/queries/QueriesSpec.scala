@@ -299,4 +299,43 @@ class QueriesSpec extends SparkSpec {
       }
     }
   }
+
+  test("q60 scan-side repetition folds equal the explode/groupBy reference") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // independent per-doc reference: explode n-grams, count in Scala
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= 3)
+      .as[(Long, Seq[String])].collect()
+    val expected = docs.map { case (id, toks) =>
+      val bi = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val tri = toks.sliding(3).map(_.mkString(" ")).toSeq
+      val biCnt = bi.groupBy(identity).values.map(_.size)
+      val triCnt = tri.groupBy(identity).values.map(_.size).filter(_ > 1)
+      id -> (biCnt.max.toLong * 100 / bi.size,
+        triCnt.sum.toLong * 100 / tri.size)
+    }.toMap
+    val perDoc = graft.Tables.documents(spark, sf)
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 3)
+      .withColumn("bi", array_sort(graft.ops.TextOps.shingles($"toks", 2)))
+      .withColumn("tri", array_sort(graft.ops.TextOps.shingles($"toks", 3)))
+      .select($"doc_id",
+        (Text.maxRunLength($"bi") * 100 / size($"bi")).cast("long").as("tb"),
+        (Text.dupPositions($"tri") * 100 / size($"tri")).cast("long").as("dt"))
+      .as[(Long, Long, Long)].collect()
+    assert(perDoc.length === expected.size)
+    perDoc.foreach { case (id, tb, dt) =>
+      assert((tb, dt) === expected(id), s"doc $id")
+    }
+  }
+
+  test("q60 computes repetition inside the scan: ONE exchange (the source rollup)") {
+    val plan = Text.q60RepetitionStats(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected 1 exchange, got $exchanges:\n${plan.take(3000)}")
+    assert(!plan.contains("Generate"), "n-grams must not explode:\n" + plan.take(2000))
+  }
 }
