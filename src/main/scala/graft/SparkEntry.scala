@@ -76,6 +76,7 @@ object SparkEntry {
     "q58_pq_census" -> (Similarity.q58PqCensus _),
     "q59_pq_adc_search" -> (Similarity.q59PqAdcSearch _),
     "q51_multiprobe_ann" -> (Similarity.q51MultiprobeAnn _),
+    "q61_semdedup" -> (Similarity.q61SemDedup _),
     // multimodal plumbing
     "q32_image_meta_stats" -> (MultimodalQ.q32ImageMetaStats _),
     // statistical + temporal aggregates
@@ -155,5 +156,6 @@ object SparkEntry {
     "q54_mixing_rates" -> Text.q54Sql,
     "q55_dedup_clusters_logn" -> Dedup.q55Sql,
     "q60_repetition_stats" -> Text.q60Sql,
+    "q61_semdedup" -> Similarity.q61Sql,
   )
 }

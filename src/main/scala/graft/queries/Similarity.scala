@@ -620,6 +620,85 @@ object Similarity {
        |SELECT query_id, neighbor_id, adc_dist, rk FROM ranked WHERE rk <= 3""".stripMargin
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023 — public
+    * arXiv:2303.09540): cluster the corpus with the k-means codebook,
+    * then mark as duplicates the vectors whose cosine to a LOWER-id
+    * vector in the SAME cluster clears the threshold — the embedding
+    * analog of the MinHash→Jaccard ladder, catching paraphrases exact
+    * and shingle dedup both miss. Emits the per-cell dedup census
+    * (population, dropped, kept).
+    *
+    * Scale shape: cell assignment is the q36 scan-side codegen argmax
+    * (trained literals, no join); the candidate pairs come from a
+    * self-join ON THE CELL ID — one shuffle of (vec_id, v, cell), and
+    * the quadratic verify runs only within a cell. That within-cell
+    * all-pairs is the real SemDeDup algorithm: K is sized to bound the
+    * cell population (corpus/K rows), so the per-cell work is bounded
+    * and K grows with the corpus, exactly like NumPlanes in q31.
+    * Threshold 0.35 for the same near-orthogonal-testdata reason as
+    * q31.
+    */
+  private val SemDedupTau = 0.35
+  def q61SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val centroids = trainedCodebook(s, dir)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cosines = array(centroids.map { c =>
+      cosine(col("v"), array(c.map(lit).toSeq: _*))
+    }.toSeq: _*)
+    val assigned = emb.withColumn("cell",
+      (array_position(cosines, array_max(cosines)) - 1).cast("int"))
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(cosine(col("a.v"), col("b.v")), 6) >= SemDedupTau)
+      .select(col("b.cell").as("cell"), col("b.vec_id").as("drop_id"))
+      .groupBy(col("cell"))
+      .agg(countDistinct(col("drop_id")).as("dropped"))
+    assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("vec_count"), min(col("vec_id")).as("min_vec_id"))
+      .join(dropped, Seq("cell"), "left")
+      .select(col("cell"), col("vec_count"), col("min_vec_id"),
+        coalesce(col("dropped"), lit(0L)).as("dropped_count"),
+        (col("vec_count") - coalesce(col("dropped"), lit(0L))).as("kept_count"))
+  }
+
+  /** q61 oracle from the same codebook literals (fallback rationale:
+    * see [[q36Sql]]). */
+  def q61Sql: String = {
+    val cb = lastCodebook
+    val cents =
+      if (cb != null)
+        "cents(cid, cv) AS (VALUES " + cb.zipWithIndex.map { case (c, i) =>
+          c.map(x => f"$x%.6f").mkString(s"($i, [", ", ", "]::DOUBLE[])")
+        }.mkString(", ") + ")"
+      else s"cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < $NumCells)"
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$cents,
+       |cellrank AS (
+       |  SELECT e.vec_id, e.v, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY list_dot_product(e.v, c.cv) /
+       |                              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+       |                              DESC, c.cid ASC) AS rk
+       |  FROM emb e CROSS JOIN cents c),
+       |assign AS (SELECT vec_id, v, CAST(cid AS INTEGER) AS cell
+       |           FROM cellrank WHERE rk = 1),
+       |dropped AS (
+       |  SELECT b.cell, count(DISTINCT b.vec_id) AS dropped
+       |  FROM assign a JOIN assign b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE round(list_dot_product(a.v, b.v) /
+       |              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+       |        >= $SemDedupTau
+       |  GROUP BY 1)
+       |SELECT cell, count(*) AS vec_count, min(vec_id) AS min_vec_id,
+       |       coalesce(any_value(dropped), 0) AS dropped_count,
+       |       count(*) - coalesce(any_value(dropped), 0) AS kept_count
+       |FROM assign LEFT JOIN dropped USING (cell)
+       |GROUP BY cell""".stripMargin
+  }
+
   /** Embedding-cosine near-duplicate detection (the embedding leg of
     * the dedup ladder), END-TO-END: candidate pairs come from q30's
     * hyperplane buckets — self-join on the full 8-plane code, so pairs

@@ -331,6 +331,37 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q61 SemDeDup census equals the brute-force cluster-then-cosine reference") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cb = Similarity.trainedCodebook(spark, sf)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.zip(y).map { case (p, q) => p * q }.sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val cells = vecs.map { case (id, v) =>
+      val sims = cb.map(c => cos(v, c))
+      (id, v, sims.indexOf(sims.max))
+    }
+    val expected = cells.groupBy(_._3).map { case (cell, members) =>
+      val dropped = members.count { case (id, v, _) =>
+        members.exists { case (id2, v2, _) =>
+          id2 < id && BigDecimal(cos(v2, v)).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP) >= 0.35
+        }
+      }
+      cell -> (members.length.toLong, members.map(_._1).min,
+        dropped.toLong, members.length.toLong - dropped)
+    }
+    val out = Similarity.q61SemDedup(spark, sf).collect().map(r =>
+      r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out === expected)
+  }
+
   test("q60 computes repetition inside the scan: ONE exchange (the source rollup)") {
     val plan = Text.q60RepetitionStats(spark, sf)
       .queryExecution.executedPlan.toString
