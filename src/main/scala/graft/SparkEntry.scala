@@ -56,6 +56,7 @@ object SparkEntry {
     "q56_contamination_joined" -> (Text.q56ContaminationJoined _),
     "q54_mixing_rates" -> (Text.q54MixingRates _),
     "q60_repetition_stats" -> (Text.q60RepetitionStats _),
+    "q62_bm25" -> (Text.q62Bm25 _),
     // deduplication ladder
     "q25_exact_dedup" -> (Dedup.q25ExactDedup _),
     "q26_minhash_buckets" -> (Dedup.q26MinhashBuckets _),
@@ -157,5 +158,6 @@ object SparkEntry {
     "q55_dedup_clusters_logn" -> Dedup.q55Sql,
     "q60_repetition_stats" -> Text.q60Sql,
     "q61_semdedup" -> Similarity.q61Sql,
+    "q62_bm25" -> Text.q62Sql,
   )
 }

@@ -433,6 +433,73 @@ object Text {
        |FROM bm JOIN tm USING (doc_id) GROUP BY 1""".stripMargin
   }
 
+  /** BM25 relevance scoring (Robertson–Spärck Jones, the standard
+    * probabilistic ranking function): top-10 documents for a fixed
+    * query-term set — the retrieval op behind targeted corpus curation
+    * (pull the docs most about X for a domain mix, or rank
+    * contamination hits). Textbook parameters k1=1.2, b=0.75 and the
+    * Lucene idf = ln((N − df + ½)/(df + ½) + 1).
+    *
+    * Scale shape: two column-pruned scans and NO shuffle of the
+    * corpus. Pass 1 reduces per-doc term frequencies (computed
+    * scan-side with array `filter` against literal terms — no explode)
+    * to ONE global stats row (N, avgdl, per-term df — bytes, the q49
+    * broadcast pattern); pass 2 re-scans, crossJoins the broadcast
+    * stats row, and folds the per-term scores in fixed literal order
+    * (both engines sum left-to-right, keeping the double bit-stable).
+    * Top-10 is a TakeOrdered, not a global sort.
+    */
+  val Bm25Terms: Seq[String] = Seq("vector", "join", "stream", "window", "the")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** Per-doc (doc_id, dl, tf0..tfk) — the shared front of both BM25
+    * passes; tf via scan-side array filter against each literal term. */
+  private def bm25PerDoc(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens(col("text"))) // staged (HOF note in Dedup)
+    val tfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("toks"), x => x === t)).cast("long").as(s"tf$i")
+    }
+    d.select(col("doc_id") +: size(col("toks")).cast("long").as("dl") +: tfs: _*)
+  }
+
+  def q62Bm25(s: SparkSession, dir: String): DataFrame = {
+    val per = bm25PerDoc(s, dir)
+    val stats = per.agg(count(lit(1)).as("n"),
+      avg(col("dl")).as("avgdl") +: Bm25Terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    val score = Bm25Terms.indices.map { i =>
+      val idf = log((col("n") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1)
+      val norm = col(s"tf$i") + lit(Bm25K1) *
+        (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))
+      idf * (col(s"tf$i") * (Bm25K1 + 1)) / norm
+    }.reduce(_ + _)
+    per.crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 6).as("bm25"))
+      .transform(d => Shapes.topK(d, 10, col("bm25").desc, col("doc_id").asc))
+  }
+
+  val q62Sql: String = {
+    val toks = "str_split(text, ' ')"
+    val tfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, x -> x = '$t')) AS tf$i"
+    }.mkString(", ")
+    val dfs = Bm25Terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val score = Bm25Terms.indices.map { i =>
+      s"""ln((n - df$i + 0.5) / (df$i + 0.5) + 1) *
+         | (tf$i * ${Bm25K1 + 1}) /
+         | (tf$i + $Bm25K1 * (1 - $Bm25B + $Bm25B * dl / avgdl))""".stripMargin
+    }.mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+       |per AS (SELECT doc_id, len(toks) AS dl, $tfs FROM d),
+       |st AS (SELECT count(*) AS n, avg(dl) AS avgdl, $dfs FROM per),
+       |scored AS (SELECT doc_id, round($score, 6) AS bm25 FROM per, st)
+       |SELECT doc_id, bm25 FROM scored
+       |ORDER BY bm25 DESC, doc_id ASC LIMIT 10""".stripMargin
+  }
+
   /** Document fingerprinting: md5 over canonicalized text, rolled up
     * per source — duplicate mass per ingestion feed. */
   def q24Fingerprints(s: SparkSession, dir: String): DataFrame = {

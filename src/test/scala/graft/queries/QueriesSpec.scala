@@ -362,6 +362,32 @@ class QueriesSpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("q62 BM25 equals an independent in-memory scorer; corpus never hash-shuffles") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .as[(Long, Seq[String])].collect()
+    val n = docs.length
+    val avgdl = docs.map(_._2.size.toLong).sum.toDouble / n
+    val dfs = Text.Bm25Terms.map(t => docs.count(_._2.contains(t)))
+    val expected = docs.map { case (id, toks) =>
+      val score = Text.Bm25Terms.zip(dfs).map { case (t, df) =>
+        val tf = toks.count(_ == t).toDouble
+        val idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+        idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * toks.size / avgdl))
+      }.sum
+      id -> BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.sortBy { case (id, sc) => (-sc, id) }.take(10)
+    val out = Text.q62Bm25(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(out === expected)
+    val plan = Text.q62Bm25(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "BM25 must not hash-shuffle the corpus:\n" + plan.take(2000))
+    assert(!plan.contains("Generate"), "tf must not explode:\n" + plan.take(2000))
+  }
+
   test("q60 computes repetition inside the scan: ONE exchange (the source rollup)") {
     val plan = Text.q60RepetitionStats(spark, sf)
       .queryExecution.executedPlan.toString
