@@ -78,6 +78,7 @@ object SparkEntry {
     "q59_pq_adc_search" -> (Similarity.q59PqAdcSearch _),
     "q51_multiprobe_ann" -> (Similarity.q51MultiprobeAnn _),
     "q61_semdedup" -> (Similarity.q61SemDedup _),
+    "q63_ivfpq_search" -> (Similarity.q63IvfPqSearch _),
     // multimodal plumbing
     "q32_image_meta_stats" -> (MultimodalQ.q32ImageMetaStats _),
     // statistical + temporal aggregates
@@ -159,5 +160,6 @@ object SparkEntry {
     "q60_repetition_stats" -> Text.q60Sql,
     "q61_semdedup" -> Similarity.q61Sql,
     "q62_bm25" -> Text.q62Sql,
+    "q63_ivfpq_search" -> Similarity.q63Sql,
   )
 }

@@ -699,6 +699,133 @@ object Similarity {
        |GROUP BY cell""".stripMargin
   }
 
+  /** IVF+PQ search (q63) — the composed ANN stack the separate pieces
+    * build toward (the FAISS IVFPQ shape, Jégou et al. 2011): the IVF
+    * probe (q57) prunes the corpus to nprobe=2 cells, and PQ ADC (q59)
+    * ranks ONLY those candidates from their 8-nibble codes — no
+    * full-vector read, no exact distance until an (optional) rerank.
+    *
+    * Scale shape: both the cell id and the PQ codes are scan-side
+    * codegen against literal codebooks (at 100 TB: precomputed index
+    * columns, with the cell as the partition key — the probe becomes
+    * partition pruning and the scan reads nprobe/K of the lake at ~3%
+    * of the bytes). Queries carry their probe cells AND their M×K ADC
+    * table in one broadcast row each; the join evaluates 8 array
+    * lookups per candidate. One shuffle total (the top-k window on
+    * query_id over candidate rows only).
+    */
+  def q63IvfPqSearch(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PqFunctions
+    val centroids = trainedCodebook(s, dir)
+    val books = pqBooks(s, dir)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cosines = array(centroids.map { c =>
+      cosine(col("v"), array(c.map(lit).toSeq: _*))
+    }.toSeq: _*)
+    // corpus: IVF cell + PQ codes in one scan-side pass, vector dropped
+    val coded = emb
+      .withColumn("cell",
+        (array_position(cosines, array_max(cosines)) - 1).cast("int"))
+      .withColumn("__enc", PqFunctions.pq_encode(col("v"), books))
+      .select(col("vec_id") +: col("cell") +: (0 until PqM).map(m =>
+        element_at(col("__enc"), m + 1).getField("code").as(s"__code$m")): _*)
+    // queries: nprobe=2 probe cells (masked argmax, q57) + ADC table (q59)
+    val withBest = emb.withColumn("cs", cosines)
+      .withColumn("c1", (array_position(col("cs"), array_max(col("cs"))) - 1).cast("int"))
+    val masked = transform(col("cs"),
+      (x, i) => when(i === col("c1"), lit(-2d)).otherwise(x))
+    val queries = withBest.filter(col("vec_id") < 5)
+      .withColumn("ms", masked)
+      .withColumn("c2", (array_position(col("ms"), array_max(col("ms"))) - 1).cast("int"))
+      .select(col("vec_id").as("query_id"),
+        PqFunctions.pq_dist_table(col("v"), books).as("__tabs"),
+        explode(array(col("c1"), col("c2"))).as("probe_cell"))
+    val adc = (0 until PqM).map(m =>
+      element_at(element_at(col("__tabs"), m + 1), col(s"__code$m") + 1))
+      .reduce(_ + _)
+    val scored = coded.join(broadcast(queries),
+        col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(adc, 6).as("adc_dist"))
+    scored.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("adc_dist").asc, col("neighbor_id").asc)))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rk"))
+  }
+
+  /** q63 oracle: q57's probe CTEs composed with q59's code/ADC CTEs
+    * from the same two codebooks' literals. */
+  def q63Sql: String = {
+    val cb = lastCodebook
+    val books = lastPqBooks
+    val subDim = if (books != null) books(0)(0).length else 8
+    val cents =
+      if (cb != null)
+        "cents(cid, cv) AS (VALUES " + cb.zipWithIndex.map { case (c, i) =>
+          c.map(x => f"$x%.6f").mkString(s"($i, [", ", ", "]::DOUBLE[])")
+        }.mkString(", ") + ")"
+      else s"cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < $NumCells)"
+    val booksRel =
+      if (books != null) {
+        val rows = for {
+          (book, m) <- books.zipWithIndex
+          (c, k) <- book.zipWithIndex
+        } yield c.map(x => f"$x%.6f").mkString(s"($m, $k, [", ", ", "]::DOUBLE[])")
+        "books(sub, cid, cv) AS (VALUES " + rows.mkString(", ") + ")"
+      } else
+        s"""books AS (
+           |  SELECT s.sub, e.vec_id AS cid,
+           |         list_slice(e.v, s.sub * $subDim + 1, s.sub * $subDim + $subDim) AS cv
+           |  FROM emb e CROSS JOIN (SELECT unnest(range($PqM)) AS sub) s
+           |  WHERE e.vec_id < $PqK)""".stripMargin
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$cents,
+       |$booksRel,
+       |cellrank AS (
+       |  SELECT e.vec_id, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY list_dot_product(e.v, c.cv) /
+       |                              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+       |                              DESC, c.cid ASC) AS rk
+       |  FROM emb e CROSS JOIN cents c),
+       |assign AS (SELECT vec_id, CAST(cid AS INTEGER) AS cell FROM cellrank WHERE rk = 1),
+       |probes AS (SELECT vec_id AS query_id, CAST(cid AS INTEGER) AS probe_cell
+       |           FROM cellrank WHERE rk <= $NumProbes AND vec_id < 5),
+       |subs AS (
+       |  SELECT vec_id, s.sub,
+       |         list_slice(v, s.sub * $subDim + 1, s.sub * $subDim + $subDim) AS sv
+       |  FROM emb CROSS JOIN (SELECT unnest(range($PqM)) AS sub) s),
+       |dists AS (
+       |  SELECT vec_id, sub, cid,
+       |         list_sum(list_transform(range(1, $subDim + 1),
+       |           i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) AS d
+       |  FROM subs JOIN books USING (sub)),
+       |codes AS (
+       |  SELECT vec_id, sub, cid AS code
+       |  FROM dists
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+       |                             ORDER BY d ASC, cid ASC) = 1),
+       |adc AS (
+       |  -- list_sum over an ORDER BY sub list = the same left-to-right
+       |  -- fold as Spark's m-ordered sum (plain SUM has no row order)
+       |  SELECT p.query_id, c.vec_id AS neighbor_id,
+       |         round(list_sum(list(qd.d ORDER BY qd.sub)), 6) AS adc_dist
+       |  FROM codes c
+       |  JOIN assign a ON a.vec_id = c.vec_id
+       |  JOIN probes p ON a.cell = p.probe_cell AND c.vec_id <> p.query_id
+       |  JOIN dists qd ON qd.vec_id = p.query_id AND qd.sub = c.sub AND qd.cid = c.code
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adc_dist,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
+       |  FROM adc)
+       |SELECT query_id, neighbor_id, adc_dist, rk FROM ranked WHERE rk <= 3""".stripMargin
+  }
+
   /** Embedding-cosine near-duplicate detection (the embedding leg of
     * the dedup ladder), END-TO-END: candidate pairs come from q30's
     * hyperplane buckets — self-join on the full 8-plane code, so pairs

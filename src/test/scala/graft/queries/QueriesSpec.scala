@@ -388,6 +388,59 @@ class QueriesSpec extends SparkSpec {
     assert(!plan.contains("Generate"), "tf must not explode:\n" + plan.take(2000))
   }
 
+  test("q63 IVF+PQ search equals the in-memory probe+ADC reference; one candidate exchange") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cb = Similarity.trainedCodebook(spark, sf)
+    val books = Similarity.pqBooks(spark, sf)
+    val m = books.length
+    val subDim = books(0)(0).length
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.zip(y).map { case (p, q) => p * q }.sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    def sqdist(x: Array[Double], c: Array[Double]): Double =
+      x.zip(c).foldLeft(0d) { case (acc, (p, q)) => acc + (p - q) * (p - q) }
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val cell = vecs.map { case (id, v) =>
+      val sims = cb.map(c => cos(v, c)); id -> sims.indexOf(sims.max)
+    }.toMap
+    val codes = vecs.map { case (id, v) =>
+      id -> (0 until m).map { mm =>
+        val sub = v.slice(mm * subDim, mm * subDim + subDim)
+        val ds = books(mm).map(c => sqdist(sub, c))
+        ds.indexOf(ds.min)
+      }
+    }.toMap
+    val expected = vecs.filter(_._1 < 5).flatMap { case (qid, qv) =>
+      val probeCells = cb.indices.map(c => (c, cos(qv, cb(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(2).map(_._1).toSet
+      val qdist = (0 until m).map { mm =>
+        val sub = qv.slice(mm * subDim, mm * subDim + subDim)
+        books(mm).map(c => sqdist(sub, c))
+      }
+      vecs.filter { case (nid, _) => nid != qid && probeCells(cell(nid)) }
+        .map { case (nid, _) =>
+          val adc = (0 until m).foldLeft(0d)((acc, mm) => acc + qdist(mm)(codes(nid)(mm)))
+          (nid, BigDecimal(adc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .sortBy { case (nid, d) => (d, nid) }.take(3).zipWithIndex
+        .map { case ((nid, d), i) => (qid, nid, d, i + 1) }
+    }.toSet
+    val out = Similarity.q63IvfPqSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(out === expected)
+    val plan = Similarity.q63IvfPqSearch(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1,
+      s"only the candidate top-k should shuffle, got $exchanges:\n${plan.take(3000)}")
+  }
+
   test("q60 computes repetition inside the scan: ONE exchange (the source rollup)") {
     val plan = Text.q60RepetitionStats(spark, sf)
       .queryExecution.executedPlan.toString
