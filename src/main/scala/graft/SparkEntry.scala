@@ -57,6 +57,7 @@ object SparkEntry {
     "q54_mixing_rates" -> (Text.q54MixingRates _),
     "q60_repetition_stats" -> (Text.q60RepetitionStats _),
     "q62_bm25" -> (Text.q62Bm25 _),
+    "q64_unigram_surprisal" -> (Text.q64UnigramSurprisal _),
     // deduplication ladder
     "q25_exact_dedup" -> (Dedup.q25ExactDedup _),
     "q26_minhash_buckets" -> (Dedup.q26MinhashBuckets _),
@@ -161,5 +162,6 @@ object SparkEntry {
     "q61_semdedup" -> Similarity.q61Sql,
     "q62_bm25" -> Text.q62Sql,
     "q63_ivfpq_search" -> Similarity.q63Sql,
+    "q64_unigram_surprisal" -> Text.q64Sql,
   )
 }

@@ -500,6 +500,84 @@ object Text {
        |ORDER BY bm25 DESC, doc_id ASC LIMIT 10""".stripMargin
   }
 
+  /** Unigram-LM surprisal scoring (the CCNet-style quality filter,
+    * Wenzek et al. 2020: rank documents by language-model perplexity;
+    * here the LM is a corpus-trained add-one-smoothed unigram model):
+    * per document, the mean token surprisal −ln p(t), histogrammed per
+    * source — low buckets ≈ common boilerplate, high ≈ rare/garbled.
+    *
+    * Determinism: per-token surprisal is QUANTIZED to integer
+    * millinats (floor(−ln p · 1000)) on both engines, so every
+    * downstream sum/avg/bucket is integer arithmetic — order-free and
+    * oracle-exact; the only float op is each engine's own ln, whose
+    * ≤1-ulp wobble would have to land exactly on a floor boundary to
+    * show (same class of risk as q36's literal round-trip, accepted).
+    *
+    * Scale shape: the MODEL is vocab-bounded, not corpus-bounded — one
+    * explode→count train pass reduces to |V| rows, collected like the
+    * k-means codebook and baked into the scan as a map literal, so
+    * SCORING is scan-side (array fold over the token map, no explode,
+    * no shuffle); the only shuffle is the (source, bucket) rollup.
+    * For a real 100k-token vocab the literal flips to a broadcast-join
+    * of the surprisal table against exploded tokens (the q49→q56
+    * duality), integer sums making the re-agg order-free.
+    */
+  private val SurprisalScale = 1000L
+  private val surprisalMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[(String, Long)], Long)]()
+
+  /** Train (memoized per dir) the unigram surprisal table: token →
+    * floor(−ln((c+1)/(T+V))·1000), plus the OOV surprisal
+    * floor(−ln(1/(T+V))·1000). Vocab-bounded collect (KMeans-style). */
+  def surprisalTable(s: SparkSession, dir: String): (Seq[(String, Long)], Long) =
+    surprisalMemo.computeIfAbsent(dir, _ => {
+      val counts = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+      val total = counts.map(_._2).sum
+      val vocab = counts.size.toLong
+      def surprisal(c: Long): Long =
+        math.floor(-math.log((c + 1.0) / (total + vocab)) * SurprisalScale).toLong
+      (counts.map { case (t, c) => t -> surprisal(c) }, surprisal(0L))
+    })
+
+  def q64UnigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val (table, oov) = surprisalTable(s, dir)
+    val m = map(table.flatMap { case (t, v) => Seq(lit(t), lit(v)) }: _*)
+    val d = Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens(col("text"))) // staged (HOF note in Dedup)
+      .withColumn("nll", aggregate(col("toks"), lit(0L),
+        (acc, t) => acc + coalesce(element_at(m, t), lit(oov))))
+      .withColumn("avg_millinats", (col("nll") / size(col("toks"))).cast("long"))
+    d.groupBy(col("source"),
+        (col("avg_millinats") / 100).cast("long").as("surprisal_bucket"))
+      .agg(count(lit(1)).as("doc_count"), min(col("doc_id")).as("min_doc_id"))
+  }
+
+  /** q64 oracle — recomputes the unigram model and the SAME integer
+    * quantization from the data (no literals cross the engine
+    * boundary; each engine takes its own ln). Integer sums per doc are
+    * order-free, so the explode/JOIN spelling is safe here, unlike a
+    * float sum. */
+  val q64Sql: String = {
+    val toks = "str_split(text, ' ')"
+    s"""WITH tk AS (
+       |  SELECT doc_id, source, unnest($toks) AS t FROM documents),
+       |cnt AS (SELECT t, count(*) AS c FROM tk GROUP BY 1),
+       |tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM cnt),
+       |st AS (SELECT t, CAST(floor(-ln((c + 1.0) / (total + vocab))
+       |                              * $SurprisalScale) AS BIGINT) AS s
+       |       FROM cnt, tot),
+       |doc AS (
+       |  SELECT doc_id, source,
+       |         CAST(sum(s) AS BIGINT) // count(*) AS avg_millinats
+       |  FROM tk JOIN st USING (t) GROUP BY 1, 2)
+       |SELECT source, avg_millinats // 100 AS surprisal_bucket,
+       |       count(*) AS doc_count, min(doc_id) AS min_doc_id
+       |FROM doc GROUP BY 1, 2""".stripMargin
+  }
+
   /** Document fingerprinting: md5 over canonicalized text, rolled up
     * per source — duplicate mass per ingestion feed. */
   def q24Fingerprints(s: SparkSession, dir: String): DataFrame = {

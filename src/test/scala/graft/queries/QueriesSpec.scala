@@ -441,6 +441,38 @@ class QueriesSpec extends SparkSpec {
       s"only the candidate top-k should shuffle, got $exchanges:\n${plan.take(3000)}")
   }
 
+  test("q64 surprisal histogram equals the in-memory unigram-LM reference; scoring is scan-side") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"doc_id", $"source", split($"text", " ").as("toks"))
+      .as[(Long, String, Seq[String])].collect()
+    val counts = docs.flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = counts.values.sum
+    val vocab = counts.size.toLong
+    def surprisal(c: Long): Long =
+      math.floor(-math.log((c + 1.0) / (total + vocab)) * 1000).toLong
+    val expected = docs.map { case (id, src, toks) =>
+      val nll = toks.map(t => surprisal(counts(t))).sum
+      (src, nll / toks.size / 100)
+    }.groupBy(identity).map { case ((src, b), g) =>
+      (src, b) -> (g.length.toLong,
+        docs.filter(d => d._2 == src &&
+          d._3.map(t => surprisal(counts(t))).sum / d._3.size / 100 == b)
+          .map(_._1).min)
+    }
+    val out = Text.q64UnigramSurprisal(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out === expected)
+    val plan = Text.q64UnigramSurprisal(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      "scoring must not explode tokens (the train pass is a separate job):\n" +
+        plan.take(2000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected 1 exchange, got $exchanges:\n${plan.take(3000)}")
+  }
+
   test("q60 computes repetition inside the scan: ONE exchange (the source rollup)") {
     val plan = Text.q60RepetitionStats(spark, sf)
       .queryExecution.executedPlan.toString
