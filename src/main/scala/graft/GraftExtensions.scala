@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, HyperplaneCode, MinHashBands, SimHashAgg}
+import graft.functions.{CosineSimilarity, DotProduct, HyperplaneCode, MinHashBands, RunStats, SimHashAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Sqrt}
@@ -55,6 +55,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("hyperplane_code"),
       info("hyperplane_code", "hyperplane_code(v) - packed 8-plane LSH bucket code of an array<double>"),
       (es: Seq[Expression]) => HyperplaneCode(es(0))))
+    ext.injectFunction((FunctionIdentifier("run_stats"),
+      info("run_stats", "run_stats(toks[, k]) - struct(max_run, dup_positions) of an array<string>'s k-gram runs (k defaults to 1)"),
+      (es: Seq[Expression]) => {
+        // k parameterizes codegen: plan-time constant required (see
+        // the minhash_bands note above)
+        def nonFoldable(): Nothing = throw new org.apache.spark.sql.AnalysisException(
+          "NON_FOLDABLE_ARGUMENT",
+          Map("funcName" -> "`run_stats`", "paramName" -> "`k`",
+            "paramType" -> "\"INT\""),
+          cause = None)
+        val k = es.lift(1) match {
+          case None => 1
+          case Some(e) if e.foldable => e.eval() match {
+            case n: Number => n.intValue()
+            case _ => nonFoldable()
+          }
+          case _ => nonFoldable()
+        }
+        RunStats(es(0), k)
+      }))
     ext.injectFunction((FunctionIdentifier("simhash_agg"),
       info("simhash_agg", "simhash_agg(code) - 16-bit SimHash over grouped BIGINT token codes"),
       (es: Seq[Expression]) => SimHashAgg(es(0)).toAggregateExpression()))

@@ -346,15 +346,18 @@ object Text {
     * that separate boilerplate/spam from prose before any model-based
     * scoring. Rolled up per source with docs flagged by threshold.
     *
-    * Scale shape: both metrics are computed SCAN-SIDE on sorted
-    * n-gram arrays (no explode — a corpus of L-token docs would
-    * otherwise shuffle ~2L rows per doc): the top-bigram count is one
-    * O(n) `aggregate` run-length fold over the sorted array, and the
-    * repeated-trigram count compares each sorted element with its
-    * neighbors. Per doc that is O(n log n) in the sort, constant
-    * memory, fully inside the scan stage; the ONLY shuffle is the
-    * final per-source rollup. The integer-percent arithmetic keeps
-    * the oracle comparison exact (no float ratios).
+    * Scale shape: both metrics are computed SCAN-SIDE (no explode — a
+    * corpus of L-token docs would otherwise shuffle ~2L rows per doc)
+    * by the native [[graft.functions.RunStats]] kernel: one sort + one
+    * run-length pass per n-gram array, inside whole-stage codegen.
+    * The HOF spelling ([[maxRunLength]]/[[dupPositions]] over
+    * array_sort'ed arrays) is kept as the differential-test reference
+    * — `aggregate`/`filter` lambdas are CodegenFallback, three
+    * interpreted passes per doc that a 2000-token production document
+    * would pay per row. Per doc the kernel is O(n log n), constant
+    * memory; the ONLY shuffle is the final per-source rollup. The
+    * integer-percent arithmetic keeps the oracle comparison exact (no
+    * float ratios).
     */
   val TopBigramPctFlag = 5L
   val DupTrigramPctFlag = 0L
@@ -384,15 +387,16 @@ object Text {
   }
 
   def q60RepetitionStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.RunStatsFunctions.ngram_run_stats
     val d = Tables.documents(s, dir)
       .withColumn("toks", TextOps.tokens(col("text"))) // staged (HOF note in Dedup)
       .filter(size(col("toks")) >= 3)
-      .withColumn("bi", array_sort(TextOps.shingles(col("toks"), 2)))
-      .withColumn("tri", array_sort(TextOps.shingles(col("toks"), 3)))
+      .withColumn("rs_bi", ngram_run_stats(col("toks"), 2))
+      .withColumn("rs_tri", ngram_run_stats(col("toks"), 3))
       .withColumn("top_bi_pct",
-        (maxRunLength(col("bi")) * 100 / size(col("bi"))).cast("long"))
+        (col("rs_bi.max_run") * 100 / (size(col("toks")) - 1)).cast("long"))
       .withColumn("dup_tri_pct",
-        (dupPositions(col("tri")) * 100 / size(col("tri"))).cast("long"))
+        (col("rs_tri.dup_positions") * 100 / (size(col("toks")) - 2)).cast("long"))
     d.groupBy(col("source"))
       .agg(count(lit(1)).as("doc_count"),
         sum(when(col("top_bi_pct") > TopBigramPctFlag ||
