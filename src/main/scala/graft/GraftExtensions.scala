@@ -43,14 +43,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           Map("funcName" -> "`minhash_bands`", "paramName" -> "`k`",
             "paramType" -> "\"INT\""),
           cause = None)
-        val k = es(1) match {
+        def lit(e: Expression): Int = e match {
           case e if e.foldable => e.eval() match {
             case n: Number => n.intValue()
             case _ => nonFoldable()
           }
           case _ => nonFoldable()
         }
-        MinHashBands(es(0), k)
+        MinHashBands(es(0), lit(es(1)), es.lift(2).map(lit).getOrElse(1))
       }))
     ext.injectFunction((FunctionIdentifier("hyperplane_code"),
       info("hyperplane_code", "hyperplane_code(v) - packed 8-plane LSH bucket code of an array<double>"),

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 import java.security.MessageDigest
 
@@ -80,17 +81,59 @@ object MinHashKernel {
     }
     if (!seen) null else new GenericArrayData(minima)
   }
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** [[bands]] with the k-gram construction FUSED in: each space-joined
+    * k-gram of `toks` is built and digested on the fly — no
+    * intermediate shingle array is ever materialized, and the scan
+    * pays no interpreted `transform` pass (the HOF shingle staging in
+    * graft.queries.Dedup is kept as the differential reference). Gram
+    * strings are identical to [[graft.ops.TextOps.shingles]]
+    * (concat_ws semantics: null tokens skipped), so minima are
+    * bit-equal to the staged path. Null when fewer than k tokens. */
+  def bandsOfGrams(toks: ArrayData, k: Int, numHashes: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return null
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      parts(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      i += 1
+    }
+    val minima = Array.fill(numHashes)(Long.MaxValue)
+    val md = digests.get()
+    i = 0
+    while (i <= n - k) {
+      val g = UTF8String.concatWs(Space, java.util.Arrays.copyOfRange(parts, i, i + k): _*)
+      md.reset()
+      val d = md.digest(g.getBytes)
+      val x = word(d, 0)
+      var j = 0
+      while (j < numHashes) {
+        val v = (A(j) * x + B(j)) % Prime
+        if (v < minima(j)) minima(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(minima)
+  }
 }
 
-/** minhash_bands(shingles, k): array<long> of the k min-hashes.
-  * Codegen emits a single static call — the kernel loop itself is
-  * JIT-compiled Scala, and the expression stays inside whole-stage
-  * codegen (no CodegenFallback, unlike HOF lambdas). */
-case class MinHashBands(child: Expression, numHashes: Int)
+/** minhash_bands(toks, numHashes[, shingleK]): array<long> of the k
+  * min-hashes — over the array's elements as-is (shingleK = 1) or over
+  * its space-joined shingleK-grams built inside the kernel (the fused
+  * path: no shingle array in the plan at all). Codegen emits a single
+  * static call — the kernel loop itself is JIT-compiled Scala, and the
+  * expression stays inside whole-stage codegen (no CodegenFallback,
+  * unlike HOF lambdas). */
+case class MinHashBands(child: Expression, numHashes: Int, shingleK: Int = 1)
     extends UnaryExpression {
 
   require(numHashes > 0 && numHashes <= MinHashKernel.A.length,
     s"numHashes must be in [1, ${MinHashKernel.A.length}] (fixed constant pool)")
+  require(shingleK >= 1, "shingleK must be >= 1")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
@@ -103,13 +146,17 @@ case class MinHashBands(child: Expression, numHashes: Int)
   }
 
   override def nullSafeEval(input: Any): Any =
-    MinHashKernel.bands(input.asInstanceOf[ArrayData], numHashes)
+    if (shingleK == 1) MinHashKernel.bands(input.asInstanceOf[ArrayData], numHashes)
+    else MinHashKernel.bandsOfGrams(input.asInstanceOf[ArrayData], shingleK, numHashes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // the kernel may return null (empty shingle array) even for a
     // non-null child, so the generated code re-checks the result
+    val call =
+      if (shingleK == 1) s"graft.functions.MinHashKernel.bands(%s, $numHashes)"
+      else s"graft.functions.MinHashKernel.bandsOfGrams(%s, $shingleK, $numHashes)"
     nullSafeCodeGen(ctx, ev, c => s"""
-       |${ev.value} = graft.functions.MinHashKernel.bands($c, $numHashes);
+       |${ev.value} = ${call.format(c)};
        |${ev.isNull} = (${ev.value} == null);
      """.stripMargin)
   }
@@ -121,4 +168,10 @@ case class MinHashBands(child: Expression, numHashes: Int)
 object MinHashFunctions {
   def minhash_bands(shingles: Column, numHashes: Int): Column =
     GraftSqlBridge.column(MinHashBands(GraftSqlBridge.expression(shingles), numHashes))
+
+  /** Fused shingling + MinHash: k-grams built and digested in one
+    * kernel pass over the raw token array. */
+  def ngram_minhash_bands(toks: Column, shingleK: Int, numHashes: Int): Column =
+    GraftSqlBridge.column(
+      MinHashBands(GraftSqlBridge.expression(toks), numHashes, shingleK))
 }

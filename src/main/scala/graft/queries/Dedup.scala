@@ -69,11 +69,14 @@ object Dedup {
         col("mh").getItem(b * RowsPerBand + r).cast("string")
       }: _*).as(s"band$b")
     }
+    // shingling is FUSED into the kernel (bandsOfGrams): each 3-gram
+    // is built and digested on the fly — no shingle array in the plan,
+    // no interpreted transform pass; the staged-HOF path is pinned
+    // equal in MinHashSpec
     docs.withColumn("toks", TextOps.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
-      .withColumn("sh", TextOps.shingles(col("toks"), 3))
-      .withColumn("mh", graft.functions.MinHashFunctions.minhash_bands(
-        col("sh"), NumBands * RowsPerBand))
+      .withColumn("mh", graft.functions.MinHashFunctions.ngram_minhash_bands(
+        col("toks"), 3, NumBands * RowsPerBand))
       .select(col("doc_id") +: bandCols: _*)
   }
 

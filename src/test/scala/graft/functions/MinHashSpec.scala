@@ -42,6 +42,18 @@ class MinHashSpec extends SparkSpec {
     })
   }
 
+  test("fused n-gram path equals shingles() + minhash_bands on the corpus") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("fused", MinHashFunctions.ngram_minhash_bands(col("toks"), 3, 8))
+      .withColumn("staged", MinHashFunctions.minhash_bands(
+        graft.ops.TextOps.shingles(col("toks"), 3), 8))
+      .select((col("fused") <=> col("staged")).as("eq"))
+      .collect()
+    assert(d.nonEmpty)
+    d.foreach(r => assert(r.getBoolean(0)))
+  }
+
   test("interpreted eval agrees with codegen") {
     val sh = Seq((1L, Seq("a b c", "b c d", "c d e")))
     val df = sh.toDF("id", "sh")
