@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, HyperplaneCode, MinHashBands, RunStats, SimHashAgg}
+import graft.functions.{CosineSimilarity, DotProduct, HyperplaneCode, MinHashBands, NGramSet, RunStats, SimHashAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Sqrt}
@@ -74,6 +74,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ => nonFoldable()
         }
         RunStats(es(0), k)
+      }))
+    ext.injectFunction((FunctionIdentifier("ngram_set"),
+      info("ngram_set", "ngram_set(toks, k) - distinct space-joined k-grams of an array<string>, first-occurrence order"),
+      (es: Seq[Expression]) => {
+        def nonFoldable(): Nothing = throw new org.apache.spark.sql.AnalysisException(
+          "NON_FOLDABLE_ARGUMENT",
+          Map("funcName" -> "`ngram_set`", "paramName" -> "`k`",
+            "paramType" -> "\"INT\""),
+          cause = None)
+        val k = es(1) match {
+          case e if e.foldable => e.eval() match {
+            case n: Number => n.intValue()
+            case _ => nonFoldable()
+          }
+          case _ => nonFoldable()
+        }
+        NGramSet(es(0), k)
       }))
     ext.injectFunction((FunctionIdentifier("simhash_agg"),
       info("simhash_agg", "simhash_agg(code) - 16-bit SimHash over grouped BIGINT token codes"),

@@ -141,7 +141,8 @@ object Dedup {
     val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
       .withColumn("toks", TextOps.tokens(col("text"))) // staged: see minhashSignatures
       .select(col("doc_id"),
-        explode(array_distinct(TextOps.shingles(col("toks"), 3))).as("shingle"))
+        explode(graft.functions.NGramSetFunctions.ngram_set(col("toks"), 3))
+          .as("shingle"))
     val sizes = docs.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"))
     val inter = docs.as("a")
@@ -226,7 +227,7 @@ object Dedup {
       .withColumn("toks", TextOps.tokens(col("text"))) // staged: see minhashSignatures
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
-        array_distinct(TextOps.shingles(col("toks"), 3)).as("shset"))
+        graft.functions.NGramSetFunctions.ngram_set(col("toks"), 3).as("shset"))
     pairs
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))

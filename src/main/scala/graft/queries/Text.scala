@@ -264,7 +264,7 @@ object Text {
       .withColumn("toks", TextOps.tokens(col("text"))) // staged (HOF note in Dedup)
       .filter(size(col("toks")) >= 3)
       .select(col("source"), col("doc_id"),
-        array_distinct(TextOps.shingles(col("toks"), 3)).as("shset"))
+        graft.functions.NGramSetFunctions.ngram_set(col("toks"), 3).as("shset"))
 
   def q49Contamination(s: SparkSession, dir: String): DataFrame = {
     val sh = docShingleSets(s, dir)
