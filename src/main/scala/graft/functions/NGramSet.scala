@@ -71,4 +71,75 @@ case class NGramSet(child: Expression, k: Int) extends UnaryExpression {
 object NGramSetFunctions {
   def ngram_set(toks: Column, k: Int): Column =
     GraftSqlBridge.column(NGramSet(GraftSqlBridge.expression(toks), k))
+
+  def sorted_member_count(needles: Column, sortedHaystack: Column): Column =
+    GraftSqlBridge.column(SortedMemberCount(
+      GraftSqlBridge.expression(needles), GraftSqlBridge.expression(sortedHaystack)))
+}
+
+/** Membership-count kernel against a SORTED haystack: how many
+  * elements of `needles` occur in `sortedHaystack` — equal to
+  * `size(array_intersect(needles, haystack))` when `needles` is
+  * distinct, but O(|needles|·log|haystack|) per row instead of
+  * rebuilding a hash set of the whole haystack PER ROW (which is what
+  * Spark's ArrayIntersect does: for a benchmark shingle array
+  * broadcast to every corpus row, that is O(|bench|) hash inserts per
+  * document — the dominant cost of the q49 contamination scan).
+  * Precondition: haystack sorted ascending (array_sort), non-null
+  * elements — it is built once per query by the benchmark aggregate.
+  */
+object SortedMemberCountKernel {
+  def count(needles: ArrayData, sortedHaystack: ArrayData): Int = {
+    val m = sortedHaystack.numElements()
+    val n = needles.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!needles.isNullAt(i)) {
+        val x = needles.getUTF8String(i)
+        var lo = 0
+        var hi = m - 1
+        var found = false
+        while (lo <= hi && !found) {
+          val mid = (lo + hi) >>> 1
+          val cmp = sortedHaystack.getUTF8String(mid).compareTo(x)
+          if (cmp == 0) found = true
+          else if (cmp < 0) lo = mid + 1
+          else hi = mid - 1
+        }
+        if (found) c += 1
+      }
+      i += 1
+    }
+    c
+  }
+}
+
+/** sorted_member_count(needles, sorted_haystack): int. */
+case class SortedMemberCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "sorted_member_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<string> arguments, got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedMemberCountKernel.count(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedMemberCountKernel.count($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }

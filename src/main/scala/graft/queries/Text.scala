@@ -268,12 +268,18 @@ object Text {
 
   def q49Contamination(s: SparkSession, dir: String): DataFrame = {
     val sh = docShingleSets(s, dir)
+    // the benchmark array is SORTED once here so the per-row overlap
+    // is |shset|·log|bench| binary searches (native kernel) — Spark's
+    // array_intersect would rebuild a hash set of the whole benchmark
+    // for EVERY corpus row (see SortedMemberCountKernel)
     val bench = sh.filter(col("doc_id") < 20)
-      .agg(array_distinct(flatten(collect_list(col("shset")))).as("bench_sh"))
+      .agg(array_sort(array_distinct(flatten(collect_list(col("shset")))))
+        .as("bench_sh"))
     sh.filter(col("doc_id") >= 20)
       .crossJoin(broadcast(bench))
       .withColumn("n_overlap",
-        size(array_intersect(col("shset"), col("bench_sh"))))
+        graft.functions.NGramSetFunctions.sorted_member_count(
+          col("shset"), col("bench_sh")))
       .filter(col("n_overlap") > 0)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("contaminated_docs"),

@@ -18,6 +18,21 @@ class NGramSetSpec extends SparkSpec {
     d.foreach(r => assert(r.getBoolean(0)))
   }
 
+  test("sorted_member_count equals size(array_intersect) on corpus shingle sets") {
+    val sh = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 3)
+      .withColumn("shset", NGramSetFunctions.ngram_set($"toks", 3))
+    val bench = sh.filter($"doc_id" < 20)
+      .agg(array_sort(array_distinct(flatten(collect_list($"shset")))).as("b"))
+    val d = sh.crossJoin(broadcast(bench))
+      .select((NGramSetFunctions.sorted_member_count($"shset", $"b") ===
+        size(array_intersect($"shset", $"b"))).as("eq"))
+      .collect()
+    assert(d.nonEmpty)
+    d.foreach(r => assert(r.getBoolean(0)))
+  }
+
   test("short arrays yield empty set; null yields null; SQL injection works") {
     val rows = Seq((1L, Seq("a", "b")), (2L, null)).toDF("id", "toks")
       .select($"id", NGramSetFunctions.ngram_set($"toks", 3).as("g"))
