@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, HyperplaneCode, MinHashBands, NGramSet, RunStats, SimHashAgg}
+import graft.functions.{CosineSimilarity, DotProduct, HyperplaneCode, MinHashBands, NGramSet, RunStats, SimHashAgg, SimHashDoc}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Sqrt}
@@ -92,6 +92,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         NGramSet(es(0), k)
       }))
+    ext.injectFunction((FunctionIdentifier("simhash_doc"),
+      info("simhash_doc", "simhash_doc(toks) - packed 16-bit SimHash of an array<string>"),
+      (es: Seq[Expression]) => SimHashDoc(es(0))))
     ext.injectFunction((FunctionIdentifier("simhash_agg"),
       info("simhash_agg", "simhash_agg(code) - 16-bit SimHash over grouped BIGINT token codes"),
       (es: Seq[Expression]) => SimHashAgg(es(0)).toAggregateExpression()))

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.TextOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication pipeline over documents (north-star extension):
@@ -394,21 +394,24 @@ object Dedup {
     * are a literal array on both sides; per token, bit b votes +1/-1 by
     * whether that bit of the token's md5-prefix is set.
     */
-  def q28SimhashHistogram(s: SparkSession, dir: String): DataFrame = {
-    // per-token 16-bit value from the first 4 md5 hex chars; staged as
-    // a column so the md5 array is computed once, not once per bit
-    // position (see minhashSignatures perf note)
-    val simhash = (0 until 16).map { b =>
+  /** HOF spelling of the per-doc SimHash — 17 interpreted passes
+    * (md5 transform + one fold per bit); kept as the differential
+    * reference for the fused [[graft.functions.SimHashDoc]] kernel
+    * the query uses (pinned equal in SimHashDocSpec). Expects the
+    * staged `tok_bits` column. */
+  private[graft] def simhashHof: Column =
+    (0 until 16).map { b =>
       val votes = aggregate(col("tok_bits"), lit(0L),
         (acc, v) => acc + when(shiftright(v, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
       when(votes > 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
+
+  def q28SimhashHistogram(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
       .withColumn("toks", TextOps.tokens(col("text")))
       .filter(size(col("toks")) >= 1)
-      .withColumn("tok_bits", transform(col("toks"),
-        t => conv(substring(md5(t.cast("binary")), 1, 4), 16, 10).cast("long")))
-      .select(simhash.as("simhash"))
+      .select(graft.functions.SimHashDocFunctions.simhash_doc(col("toks"))
+        .as("simhash"))
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("doc_count"))
   }
