@@ -48,10 +48,18 @@ object PipelineQ {
       fp.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id")),
       Seq("fp", "doc_id"), "left_semi")
 
-    // 3. fuzzy dedup on the survivors: drop non-canonical cluster members
-    val dropped = Dedup.clusters(exact)
-      .filter(col("cluster_id") =!= col("doc_id"))
-      .select(col("doc_id"))
+    // 3. fuzzy dedup on the survivors: drop non-canonical cluster
+    // members. Clustering is the O(log n) star contraction (q55's
+    // engine) — same min-id fixpoint as propagation (both pass the
+    // q46 recursive-CTE oracle), but bounded rounds on adversarial
+    // chain components, which is what the composed pipeline should
+    // ship at 100 TB (measured faster from the 1M-pair stress tier
+    // up, see PLANS.md).
+    val verified = Dedup.verifiedEdges(exact)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val dropped = graft.ops.ConnectedComponents.assign(verified)
+      .filter(col("component") =!= col("node"))
+      .select(col("node").as("doc_id"))
     val kept = exact.join(dropped, Seq("doc_id"), "left_anti")
 
     // 4. deterministic stratified sample (THE q48 hash — shared helper)
