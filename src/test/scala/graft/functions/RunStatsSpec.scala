@@ -22,9 +22,12 @@ class RunStatsSpec extends SparkSpec {
     }
 
   test("kernel matches the count-based reference (property)") {
-    // small alphabet so duplicates actually occur
+    // small alphabet so duplicates actually occur; non-ASCII entries
+    // prove the counts don't depend on the kernel's binary sort order
+    // matching any particular collation (any total order gives the
+    // same equal-element runs)
     val gen = org.scalacheck.Gen.listOf(
-      org.scalacheck.Gen.oneOf("a", "b", "c", "a b", "b c", ""))
+      org.scalacheck.Gen.oneOf("a", "b", "c", "a b", "b c", "", "é", "中文", "ß"))
     check(30)(Prop.forAll(org.scalacheck.Gen.listOf(gen)) { docs =>
       val df = docs.zipWithIndex.map { case (g, i) => (i.toLong, g) }
         .toDF("id", "g")
