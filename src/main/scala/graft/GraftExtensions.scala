@@ -22,6 +22,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[DotProduct].getName, null, name, usage, "")
 
+  /** Plan-time int literal: the kernel parameters below size generated
+    * code, so they must be foldable constants — a column would
+    * otherwise surface as a raw unbound-reference NPE from eval()
+    * instead of a clear analysis error naming the offending param. */
+  private def foldableInt(funcName: String, paramName: String)(e: Expression): Int = {
+    def nonFoldable(): Nothing = throw new org.apache.spark.sql.AnalysisException(
+      "NON_FOLDABLE_ARGUMENT",
+      Map("funcName" -> s"`$funcName`", "paramName" -> s"`$paramName`",
+        "paramType" -> "\"INT\""),
+      cause = None)
+    e match {
+      case e if e.foldable => e.eval() match {
+        case n: Number => n.intValue()
+        case _ => nonFoldable()
+      }
+      case _ => nonFoldable()
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - inner product of two array<double>"),
@@ -34,64 +53,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => Sqrt(DotProduct(es(0), es(0)))))
     ext.injectFunction((FunctionIdentifier("minhash_bands"),
       info("minhash_bands", "minhash_bands(shingles, k) - k MinHash values of an array<string>"),
-      (es: Seq[Expression]) => {
-        // the hash count parameterizes codegen, so it must be a plan-time
-        // constant; a column here would otherwise surface as a raw
-        // unbound-reference NPE from eval() instead of an analysis error
-        def nonFoldable(): Nothing = throw new org.apache.spark.sql.AnalysisException(
-          "NON_FOLDABLE_ARGUMENT",
-          Map("funcName" -> "`minhash_bands`", "paramName" -> "`k`",
-            "paramType" -> "\"INT\""),
-          cause = None)
-        def lit(e: Expression): Int = e match {
-          case e if e.foldable => e.eval() match {
-            case n: Number => n.intValue()
-            case _ => nonFoldable()
-          }
-          case _ => nonFoldable()
-        }
-        MinHashBands(es(0), lit(es(1)), es.lift(2).map(lit).getOrElse(1))
-      }))
+      (es: Seq[Expression]) =>
+        MinHashBands(es(0),
+          foldableInt("minhash_bands", "k")(es(1)),
+          es.lift(2).map(foldableInt("minhash_bands", "shingleK")).getOrElse(1))))
     ext.injectFunction((FunctionIdentifier("hyperplane_code"),
       info("hyperplane_code", "hyperplane_code(v) - packed 8-plane LSH bucket code of an array<double>"),
       (es: Seq[Expression]) => HyperplaneCode(es(0))))
     ext.injectFunction((FunctionIdentifier("run_stats"),
       info("run_stats", "run_stats(toks[, k]) - struct(max_run, dup_positions) of an array<string>'s k-gram runs (k defaults to 1)"),
-      (es: Seq[Expression]) => {
-        // k parameterizes codegen: plan-time constant required (see
-        // the minhash_bands note above)
-        def nonFoldable(): Nothing = throw new org.apache.spark.sql.AnalysisException(
-          "NON_FOLDABLE_ARGUMENT",
-          Map("funcName" -> "`run_stats`", "paramName" -> "`k`",
-            "paramType" -> "\"INT\""),
-          cause = None)
-        val k = es.lift(1) match {
-          case None => 1
-          case Some(e) if e.foldable => e.eval() match {
-            case n: Number => n.intValue()
-            case _ => nonFoldable()
-          }
-          case _ => nonFoldable()
-        }
-        RunStats(es(0), k)
-      }))
+      (es: Seq[Expression]) =>
+        RunStats(es(0),
+          es.lift(1).map(foldableInt("run_stats", "k")).getOrElse(1))))
     ext.injectFunction((FunctionIdentifier("ngram_set"),
       info("ngram_set", "ngram_set(toks, k) - distinct space-joined k-grams of an array<string>, first-occurrence order"),
-      (es: Seq[Expression]) => {
-        def nonFoldable(): Nothing = throw new org.apache.spark.sql.AnalysisException(
-          "NON_FOLDABLE_ARGUMENT",
-          Map("funcName" -> "`ngram_set`", "paramName" -> "`k`",
-            "paramType" -> "\"INT\""),
-          cause = None)
-        val k = es(1) match {
-          case e if e.foldable => e.eval() match {
-            case n: Number => n.intValue()
-            case _ => nonFoldable()
-          }
-          case _ => nonFoldable()
-        }
-        NGramSet(es(0), k)
-      }))
+      (es: Seq[Expression]) =>
+        NGramSet(es(0), foldableInt("ngram_set", "k")(es(1)))))
     ext.injectFunction((FunctionIdentifier("simhash_doc"),
       info("simhash_doc", "simhash_doc(toks) - packed 16-bit SimHash of an array<string>"),
       (es: Seq[Expression]) => SimHashDoc(es(0))))

@@ -68,9 +68,14 @@ object StreamBench {
     val dir = java.nio.file.Files.createTempDirectory("graft_streambench")
     val in = MemoryStream[String]
     val parsed = FoodPipeline.parsePage(in.toDF())
-    val queries = Streams.foodQueryFleet(parsed, s"$dir/out", s"$dir/ckpt")
-      .map(_.start())
+    // start incrementally INSIDE the try: if the Nth start() throws,
+    // the finally still stops the N-1 already-running queries instead
+    // of leaking them into the next measurement
+    val queries = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.streaming.StreamingQuery]
     try {
+      Streams.foodQueryFleet(parsed, s"$dir/out", s"$dir/ckpt")
+        .foreach(w => queries += w.start())
       in.addData(page(0)); queries.foreach(_.processAllAvailable()) // warmup
       val t0 = System.nanoTime()
       (1 to pages).map(page).grouped(batchSize).foreach { g =>

@@ -27,6 +27,17 @@ import org.apache.spark.sql.types._
   */
 object PqKernel {
 
+  /** A vector shorter than the codebook's M×subDim would read past the
+    * array (silently, for UnsafeArrayData with assertions off) — fail
+    * loud instead; undefined on the oracle side too, so there is no
+    * "right answer" to return. */
+  private def requireDim(v: ArrayData, books: Array[Array[Array[Double]]]): Unit = {
+    val need = books.length * books(0)(0).length
+    if (v.numElements() < need)
+      throw new IllegalArgumentException(
+        s"pq kernel: vector has ${v.numElements()} dims, codebook needs $need")
+  }
+
   private def dist2(v: ArrayData, off: Int, c: Array[Double]): Double = {
     var d = 0.0
     var i = 0
@@ -41,6 +52,7 @@ object PqKernel {
   /** Per-subspace (code, dist) structs: code = argmin dist², dist =
     * that minimum. */
   def encode(v: ArrayData, books: Array[Array[Array[Double]]]): ArrayData = {
+    requireDim(v, books)
     val out = new Array[Any](books.length)
     var off = 0
     var s = 0
@@ -65,6 +77,7 @@ object PqKernel {
     * books(s)(k)) — built once per QUERY row, then each candidate
     * costs M lookups instead of D multiply-adds. */
   def distTable(v: ArrayData, books: Array[Array[Array[Double]]]): ArrayData = {
+    requireDim(v, books)
     val out = new Array[Any](books.length)
     var off = 0
     var s = 0

@@ -277,16 +277,48 @@ object Similarity {
         min(col("vec_id")).as("min_vec_id"))
   }
 
-  /** The q36 oracle as a function of the codebook: centroids become
-    * list literals — `%.6f` prints the 6-dp-rounded double exactly, and
-    * DuckDB parses the decimal back to the identical double, so both
-    * engines assign against bit-equal centroids. */
+  /** Locale-independent 6-dp rendering for generated oracle SQL — the
+    * `f` interpolator is FORMAT-locale-sensitive, and a JVM with a
+    * comma-decimal locale would render `0,123456` (a DuckDB syntax
+    * error). `%.6f` prints the 6-dp-rounded double exactly, and DuckDB
+    * parses the decimal back to the identical double, so both engines
+    * work from bit-equal literals. */
+  private def dp6(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.6f", Double.box(x))
+
+  /** The `cents(cid, cv)` relation of the generated ANN oracles:
+    * trained-centroid VALUES literals, or the vec_id-seed fallback
+    * when no codebook is trained yet (see [[q36Sql]] for why the
+    * fallback exists). Shared by q36/q57/q61/q63. */
+  private def centsRel(cb: Array[Array[Double]]): String =
+    if (cb != null)
+      "cents(cid, cv) AS (VALUES " + cb.zipWithIndex.map { case (c, i) =>
+        c.map(dp6).mkString(s"($i, [", ", ", "]::DOUBLE[])")
+      }.mkString(", ") + ")"
+    else s"cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < $NumCells)"
+
+  /** The `books(sub, cid, cv)` relation of the generated PQ oracles:
+    * trained-codebook VALUES literals or the seed fallback. Shared by
+    * q58/q59/q63. */
+  private def booksRel(books: Array[Array[Array[Double]]], subDim: Int): String =
+    if (books != null) {
+      val rows = for {
+        (book, m) <- books.zipWithIndex
+        (c, k) <- book.zipWithIndex
+      } yield c.map(dp6).mkString(s"($m, $k, [", ", ", "]::DOUBLE[])")
+      "books(sub, cid, cv) AS (VALUES " + rows.mkString(", ") + ")"
+    } else
+      s"""books AS (
+         |  SELECT s.sub, e.vec_id AS cid,
+         |         list_slice(e.v, s.sub * $subDim + 1, s.sub * $subDim + $subDim) AS cv
+         |  FROM emb e CROSS JOIN (SELECT unnest(range($PqM)) AS sub) s
+         |  WHERE e.vec_id < $PqK)""".stripMargin
+
+  /** The q36 oracle as a function of the codebook (centroid literals —
+    * see [[dp6]]/[[centsRel]] for the bit-equality contract). */
   def q36SqlFor(centroids: Array[Array[Double]]): String = {
-    val cents = centroids.zipWithIndex.map { case (c, i) =>
-      c.map(x => f"$x%.6f").mkString(s"($i, [", ", ", "]::DOUBLE[])")
-    }.mkString(", ")
     s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-       |cents(cid, cv) AS (VALUES $cents),
+       |${centsRel(centroids)},
        |scored AS (
        |  SELECT e.vec_id, e.label, c.cid,
        |         row_number() OVER (PARTITION BY e.vec_id
@@ -307,26 +339,7 @@ object Similarity {
     * codebook for the verified SF dir is in the memo. If q36 never ran
     * (it crashed mid-verify), fall back to a seed codebook so the dump
     * itself survives — q36's compare is already failed in that case. */
-  def q36Sql: String = {
-    val cb = lastCodebook
-    if (cb != null) q36SqlFor(cb)
-    else
-      s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-         |cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < $NumCells),
-         |scored AS (
-         |  SELECT e.vec_id, e.label, c.cid,
-         |         row_number() OVER (PARTITION BY e.vec_id
-         |                            ORDER BY list_dot_product(e.v, c.cv) /
-         |                              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
-         |                              DESC, c.cid ASC) AS rk
-         |  FROM emb e CROSS JOIN cents c),
-         |assign AS (SELECT vec_id, label, CAST(cid AS INTEGER) AS cell
-         |           FROM scored WHERE rk = 1)
-         |SELECT cell, count(*) AS vec_count,
-         |       count(DISTINCT label) AS distinct_labels,
-         |       min(vec_id) AS min_vec_id
-         |FROM assign GROUP BY 1""".stripMargin
-  }
+  def q36Sql: String = q36SqlFor(lastCodebook)
 
   /** IVF top-k SEARCH — the query the q36 index exists for, and the
     * third ANN path next to q29 (exact) and q51 (multi-probe LSH):
@@ -348,6 +361,10 @@ object Similarity {
     * `row_number ... ORDER BY cos DESC, cid ASC`.
     */
   private val NumProbes = 2
+  // the Spark side spells exactly two probes (the c1/c2 masked argmax
+  // below and in q63); NumProbes parameterizes the oracle's rk cut, so
+  // a drift between the two would fail far from the edit
+  require(NumProbes == 2, "q57/q63 hardcode the two-probe masked argmax")
   def q57IvfSearch(s: SparkSession, dir: String): DataFrame = {
     val centroids = trainedCodebook(s, dir)
     val emb = Tables.embeddings(s, dir)
@@ -382,15 +399,8 @@ object Similarity {
   /** q57 oracle from the same codebook literals (see [[q36Sql]] for
     * the fallback rationale). */
   def q57Sql: String = {
-    val cb = lastCodebook
-    val cents =
-      if (cb != null)
-        "cents(cid, cv) AS (VALUES " + cb.zipWithIndex.map { case (c, i) =>
-          c.map(x => f"$x%.6f").mkString(s"($i, [", ", ", "]::DOUBLE[])")
-        }.mkString(", ") + ")"
-      else s"cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < $NumCells)"
     s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |$cents,
+       |${centsRel(lastCodebook)},
        |cellrank AS (
        |  SELECT e.vec_id, c.cid,
        |         row_number() OVER (PARTITION BY e.vec_id
@@ -485,21 +495,8 @@ object Similarity {
   def q58Sql: String = {
     val books = lastPqBooks
     val subDim = if (books != null) books(0)(0).length else 8
-    val booksRel =
-      if (books != null) {
-        val rows = for {
-          (book, m) <- books.zipWithIndex
-          (c, k) <- book.zipWithIndex
-        } yield c.map(x => f"$x%.6f").mkString(s"($m, $k, [", ", ", "]::DOUBLE[])")
-        "books(sub, cid, cv) AS (VALUES " + rows.mkString(", ") + ")"
-      } else
-        s"""books AS (
-           |  SELECT s.sub, e.vec_id AS cid,
-           |         list_slice(e.v, s.sub * $subDim + 1, s.sub * $subDim + $subDim) AS cv
-           |  FROM emb e CROSS JOIN (SELECT unnest(range($PqM)) AS sub) s
-           |  WHERE e.vec_id < $PqK)""".stripMargin
     s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |$booksRel,
+       |${booksRel(books, subDim)},
        |subs AS (
        |  SELECT vec_id, s.sub,
        |         list_slice(v, s.sub * $subDim + 1, s.sub * $subDim + $subDim) AS sv
@@ -574,21 +571,8 @@ object Similarity {
   def q59Sql: String = {
     val books = lastPqBooks
     val subDim = if (books != null) books(0)(0).length else 8
-    val booksRel =
-      if (books != null) {
-        val rows = for {
-          (book, m) <- books.zipWithIndex
-          (c, k) <- book.zipWithIndex
-        } yield c.map(x => f"$x%.6f").mkString(s"($m, $k, [", ", ", "]::DOUBLE[])")
-        "books(sub, cid, cv) AS (VALUES " + rows.mkString(", ") + ")"
-      } else
-        s"""books AS (
-           |  SELECT s.sub, e.vec_id AS cid,
-           |         list_slice(e.v, s.sub * $subDim + 1, s.sub * $subDim + $subDim) AS cv
-           |  FROM emb e CROSS JOIN (SELECT unnest(range($PqM)) AS sub) s
-           |  WHERE e.vec_id < $PqK)""".stripMargin
     s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |$booksRel,
+       |${booksRel(books, subDim)},
        |subs AS (
        |  SELECT vec_id, s.sub,
        |         list_slice(v, s.sub * $subDim + 1, s.sub * $subDim + $subDim) AS sv
@@ -666,15 +650,8 @@ object Similarity {
   /** q61 oracle from the same codebook literals (fallback rationale:
     * see [[q36Sql]]). */
   def q61Sql: String = {
-    val cb = lastCodebook
-    val cents =
-      if (cb != null)
-        "cents(cid, cv) AS (VALUES " + cb.zipWithIndex.map { case (c, i) =>
-          c.map(x => f"$x%.6f").mkString(s"($i, [", ", ", "]::DOUBLE[])")
-        }.mkString(", ") + ")"
-      else s"cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < $NumCells)"
     s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |$cents,
+       |${centsRel(lastCodebook)},
        |cellrank AS (
        |  SELECT e.vec_id, e.v, c.cid,
        |         row_number() OVER (PARTITION BY e.vec_id
@@ -759,31 +736,11 @@ object Similarity {
   /** q63 oracle: q57's probe CTEs composed with q59's code/ADC CTEs
     * from the same two codebooks' literals. */
   def q63Sql: String = {
-    val cb = lastCodebook
     val books = lastPqBooks
     val subDim = if (books != null) books(0)(0).length else 8
-    val cents =
-      if (cb != null)
-        "cents(cid, cv) AS (VALUES " + cb.zipWithIndex.map { case (c, i) =>
-          c.map(x => f"$x%.6f").mkString(s"($i, [", ", ", "]::DOUBLE[])")
-        }.mkString(", ") + ")"
-      else s"cents AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < $NumCells)"
-    val booksRel =
-      if (books != null) {
-        val rows = for {
-          (book, m) <- books.zipWithIndex
-          (c, k) <- book.zipWithIndex
-        } yield c.map(x => f"$x%.6f").mkString(s"($m, $k, [", ", ", "]::DOUBLE[])")
-        "books(sub, cid, cv) AS (VALUES " + rows.mkString(", ") + ")"
-      } else
-        s"""books AS (
-           |  SELECT s.sub, e.vec_id AS cid,
-           |         list_slice(e.v, s.sub * $subDim + 1, s.sub * $subDim + $subDim) AS cv
-           |  FROM emb e CROSS JOIN (SELECT unnest(range($PqM)) AS sub) s
-           |  WHERE e.vec_id < $PqK)""".stripMargin
     s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |$cents,
-       |$booksRel,
+       |${centsRel(lastCodebook)},
+       |${booksRel(books, subDim)},
        |cellrank AS (
        |  SELECT e.vec_id, c.cid,
        |         row_number() OVER (PARTITION BY e.vec_id

@@ -408,12 +408,26 @@ object Streams {
       .filter(col("bucket").isin(buckets: _*) && col("batch_id") =!= excludeBatchId)
 
   /** Hadoop-FS check (portable across s3a/hdfs/local) that a
-    * partitioned index already has `prefix`-partition directories. */
+    * partitioned index already has `prefix`-partition directories.
+    * An index whose top-level partitions exist but do NOT match the
+    * expected prefix (e.g. a `batch_id=`-only layout from an older
+    * pipeline version) fails LOUDLY: silently treating it as "no
+    * history" would skip cross-history pairing AND then interleave
+    * the new layout's directories with the old — an unreadable mix
+    * ("Conflicting directory structures" on the next read). */
   private def partitionedIndexHasHistory(spark: SparkSession, path: String,
                                          prefix: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith(prefix))
+    if (!fs.exists(p)) return false
+    val partDirs = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.contains("=")) // partition dirs only, not _SUCCESS etc.
+    if (partDirs.exists(_.startsWith(prefix))) true
+    else if (partDirs.nonEmpty) throw new IllegalStateException(
+      s"index at $path has top-level partitions like '${partDirs.head}' " +
+        s"but this pipeline expects '$prefix...' — an index from a " +
+        "different layout/version; compact or migrate it before resuming")
+    else false
   }
 
   /** The per-batch history read of the incremental LSH index: prunes
@@ -517,7 +531,18 @@ object Streams {
                        pairsPath: String): DataFrame = {
     import graft.queries.{Dedup, Text}
     val docs = spark.read.parquet(survivorsPath)
-    val pairs = spark.read.parquet(pairsPath)
+    // a corpus with no LSH collisions writes ONLY empty per-batch
+    // candidate partitions (no parquet footers at all), which
+    // spark.read cannot infer a schema from — that is the cleanest
+    // possible corpus, not an error: finalize with zero pairs
+    val pairs = (try {
+        val df = spark.read.parquet(pairsPath)
+        df.schema // schema inference is lazy — force it inside the try
+        df
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          spark.range(0).select(col("id").as("doc_a"), col("id").as("doc_b"))
+      })
       .select(col("doc_a"), col("doc_b")).distinct()
     val edges = Dedup.jaccardVerify(pairs, docs)
       .filter(col("jaccard") >= 0.5)

@@ -632,6 +632,40 @@ class StreamsSpec extends SparkSpec {
     assert(pf.takeWhile(_ != ']').contains("fp_prefix#"), pf.take(300))
   }
 
+  test("finalize with a collision-free corpus (zero pairs ever logged) still packs") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_nopairs")
+    // three distinct docs that pass quality triage (≥10 tokens, ≥50
+    // chars, >30% unique, no stopwords) and share no 3-grams → the
+    // candidate pairs log gets ONLY empty batch partitions
+    def doc(ws: String) = (ws, ws.length.toLong)
+    val (t1, n1) = doc("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")
+    val (t2, n2) = doc("one two three four five six seven eight nine ten eleven twelve")
+    val (t3, n3) = doc("red green blue cyan pink amber teal mauve coral jade onyx pearl")
+    // doc_ids 6 and 19 pass the md5-byte sample cut (< 51), 1 does not
+    val docs = Seq(("s0", 6L, t1, n1), ("s0", 19L, t2, n2), ("s1", 1L, t3, n3))
+    val in = MemoryStream[(String, Long, String, Long)]
+    val q = Streams.incrementalPipeline(
+      in.toDF().toDF("source", "doc_id", "text", "n_chars"),
+      s"$dir/fp", s"$dir/survivors", s"$dir/lsh", s"$dir/pairs", s"$dir/ckpt")
+      .start()
+    try { in.addData(docs: _*); q.processAllAvailable() } finally q.stop()
+    val manifest = Streams.finalizePipeline(spark, s"$dir/survivors", s"$dir/pairs")
+    // zero dropped: every sampled doc must appear in the manifest
+    val sampledDocs = docs.count { case (_, id, _, _) =>
+      spark.range(id, id + 1)
+        .filter(graft.queries.Text.sampleHashByte(
+          org.apache.spark.sql.functions.col("id")) < graft.queries.Text.SampleCut)
+        .count() == 1
+    }
+    val packed = manifest.agg(org.apache.spark.sql.functions
+      .coalesce(org.apache.spark.sql.functions.sum("doc_count"),
+        org.apache.spark.sql.functions.lit(0L)))
+      .collect()(0).getLong(0)
+    assert(packed === sampledDocs.toLong)
+    assert(sampledDocs > 0, "fixture should have at least one sampled doc")
+  }
+
   // Note: Streams.kafkaSource mirrors the reference's Kafka options
   // 1:1 (Consumer.scala:50-56) but the spark-sql-kafka connector jar is
   // not shipped in this container, so constructing it is untestable
