@@ -23,8 +23,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** embedding column cast float[] → double[] for stable arithmetic. */
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  /** embedding column cast float[] → double[] for stable arithmetic —
+    * a native array Cast (codegen'd element loop), NOT a `transform`
+    * lambda: the HOF spelling put an interpreted per-element closure
+    * in front of every native vector kernel in the similarity scans. */
+  private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Cosine via the native codegen'd Catalyst expression
     * ([[graft.functions.CosineSimilarity]]) — the HOF spelling below is
