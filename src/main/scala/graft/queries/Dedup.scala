@@ -437,7 +437,10 @@ object Dedup {
     Tables.documents(s, dir)
       .withColumn("toks", TextOps.tokens(col("text")))
       .select(col("source"),
-        explode(TextOps.tokenCodes16(col("toks"))).as("code"))
+        // native kernel: one fused md5 loop instead of the interpreted
+        // per-token transform (TextOps.tokenCodes16 = the HOF reference)
+        explode(graft.functions.TokenCodesFunctions.token_codes(col("toks"), 4))
+          .as("code"))
       .groupBy(col("source"))
       .agg(graft.functions.SimHashAgg.simhash_agg(col("code")).as("source_simhash"),
         count(lit(1)).as("token_count"))

@@ -96,8 +96,10 @@ object Text {
   def q43RollingFingerprints(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
       .withColumn("toks", TextOps.tokens(col("text")))
-      .withColumn("codes", TextOps.tokenCodes(col("toks")))
-      .withColumn("rfp", TextOps.rollingFingerprint(col("codes")))
+      // native kernel: digest + fold fused, no intermediate code array
+      // (TextOps.tokenCodes ∘ rollingFingerprint = the HOF reference)
+      .withColumn("rfp", graft.functions.TokenCodesFunctions
+        .rolling_fingerprint(col("toks"), TextOps.RollB, TextOps.RollM))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("doc_count"),
         countDistinct(col("rfp")).as("distinct_sequences"))
