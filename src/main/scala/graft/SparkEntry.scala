@@ -58,6 +58,7 @@ object SparkEntry {
     "q60_repetition_stats" -> (Text.q60RepetitionStats _),
     "q62_bm25" -> (Text.q62Bm25 _),
     "q64_unigram_surprisal" -> (Text.q64UnigramSurprisal _),
+    "q65_surprisal_joined" -> (Text.q65SurprisalJoined _),
     // deduplication ladder
     "q25_exact_dedup" -> (Dedup.q25ExactDedup _),
     "q26_minhash_buckets" -> (Dedup.q26MinhashBuckets _),
@@ -163,5 +164,7 @@ object SparkEntry {
     "q62_bm25" -> Text.q62Sql,
     "q63_ivfpq_search" -> Similarity.q63Sql,
     "q64_unigram_surprisal" -> Text.q64Sql,
+    // same oracle as q64 by design: the two paths must agree exactly
+    "q65_surprisal_joined" -> Text.q64Sql,
   )
 }

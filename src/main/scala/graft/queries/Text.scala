@@ -567,6 +567,38 @@ object Text {
       .agg(count(lit(1)).as("doc_count"), min(col("doc_id")).as("min_doc_id"))
   }
 
+  /** The BIG-VOCAB surprisal path (q65) — same semantics as q64 for a
+    * model too large to bake as a map literal (a 100k-sentencepiece
+    * vocab): the surprisal table stays a DATAFRAME (explode → count →
+    * one tiny self-contained agg for the totals — never collected),
+    * documents explode to (doc, token) rows, and the BROADCAST join
+    * against the vocab-bounded table scores each token; integer
+    * millinats make the per-doc re-aggregation order-free, so the
+    * shuffle-side sum is exact (the q49→q56 duality, LM edition —
+    * oracle-checked against the identical SQL as q64).
+    *
+    * Trade at 100 TB: q64 ships the table to every task inside the
+    * plan and never shuffles the corpus; this path shuffles O(corpus
+    * tokens) once but has no plan-size ceiling on the vocab. */
+  def q65SurprisalJoined(s: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("t"))
+    val cnt = tk.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum(col("c")).as("total"),
+      count(lit(1)).as("vocab"))
+    val st = cnt.crossJoin(broadcast(tot))
+      .select(col("t"),
+        floor(-log((col("c") + 1.0) / (col("total") + col("vocab")))
+          * SurprisalScale).cast("long").as("s"))
+    tk.join(broadcast(st), Seq("t"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg((sum(col("s")) / count(lit(1))).cast("long").as("avg_millinats"))
+      .groupBy(col("source"),
+        (col("avg_millinats") / 100).cast("long").as("surprisal_bucket"))
+      .agg(count(lit(1)).as("doc_count"), min(col("doc_id")).as("min_doc_id"))
+  }
+
   /** q64 oracle — recomputes the unigram model and the SAME integer
     * quantization from the data (no literals cross the engine
     * boundary; each engine takes its own ln). Integer sums per doc are

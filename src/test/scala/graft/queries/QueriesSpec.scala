@@ -473,6 +473,15 @@ class QueriesSpec extends SparkSpec {
     assert(exchanges === 1, s"expected 1 exchange, got $exchanges:\n${plan.take(3000)}")
   }
 
+  test("q65 broadcast-join surprisal path agrees exactly with q64's map-literal path") {
+    assert(rowsOf(Text.q65SurprisalJoined(spark, sf)) ===
+      rowsOf(Text.q64UnigramSurprisal(spark, sf)))
+    val plan = Text.q65SurprisalJoined(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the surprisal table must broadcast:\n" + plan.take(2000))
+  }
+
   test("q60 computes repetition inside the scan: ONE exchange (the source rollup)") {
     val plan = Text.q60RepetitionStats(spark, sf)
       .queryExecution.executedPlan.toString
