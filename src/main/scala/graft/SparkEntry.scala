@@ -63,6 +63,7 @@ object SparkEntry {
     "q25_exact_dedup" -> (Dedup.q25ExactDedup _),
     "q26_minhash_buckets" -> (Dedup.q26MinhashBuckets _),
     "q27_jaccard_pairs" -> (Dedup.q27JaccardPairs _),
+    "q66_containment_pairs" -> (Dedup.q66ContainmentPairs _),
     "q28_simhash_histogram" -> (Dedup.q28SimhashHistogram _),
     "q41_source_simhash" -> (Dedup.q41SourceSimhash _),
     "q44_lsh_verified_pairs" -> (Dedup.q44LshVerifiedPairs _),
@@ -166,5 +167,6 @@ object SparkEntry {
     "q64_unigram_surprisal" -> Text.q64Sql,
     // same oracle as q64 by design: the two paths must agree exactly
     "q65_surprisal_joined" -> Text.q64Sql,
+    "q66_containment_pairs" -> Dedup.q66Sql,
   )
 }

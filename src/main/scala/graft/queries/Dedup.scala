@@ -179,6 +179,55 @@ object Dedup {
       |JOIN sizes sb ON sb.doc_id = doc_b
       |WHERE round(inter / (sa.n_shingles + sb.n_shingles - inter), 3) >= 0.5""".stripMargin
 
+  /** Containment near-dup pairs (q66) — the ASYMMETRIC companion to
+    * q27's Jaccard: C(a→b) = |shset_a ∩ shset_b| / |shset_a| catches
+    * a SMALL document embedded in a big one (quotes, boilerplate
+    * wrappers, page-of-pages crawls), which symmetric Jaccard dilutes
+    * toward 0 as |b| grows. Directed pairs at integer-percent ≥ 80 on
+    * the same dense id-range sample as q27 — exact semantics; the
+    * scale path for containment is a size-stratified LSH forest (LSH
+    * Ensemble, Zhu et al., VLDB 2016), whose verify stage is exactly
+    * this query over its candidates, the way q44 verifies q26's.
+    */
+  def q66ContainmentPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      .withColumn("toks", TextOps.tokens(col("text"))) // staged: see minhashSignatures
+      .select(col("doc_id"),
+        explode(graft.functions.NGramSetFunctions.ngram_set(col("toks"), 3))
+          .as("shingle"))
+    val sizes = docs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val inter = docs.as("a")
+      .join(docs.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_shingles", "size_a"), "doc_a")
+      .withColumn("containment_pct",
+        (col("inter") * 100 / col("size_a")).cast("long"))
+      .filter(col("containment_pct") >= 80)
+      .select(col("doc_a"), col("doc_b"), col("containment_pct"))
+  }
+  val q66Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    list_transform(range(1, len(str_split(text, ' ')) - 1),
+      |      i -> array_to_string(list_slice(str_split(text, ' '), i, i + 2), ' '))))
+      |    AS shingle
+      |  FROM documents WHERE doc_id < 300 AND len(str_split(text, ' ')) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |       100 * inter // sa.n_shingles AS containment_pct
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |WHERE 100 * inter // sa.n_shingles >= 80""".stripMargin
+
   /** The dedup ladder end-to-end in ONE plan — what a pretraining
     * pipeline actually runs at 100 TB: LSH buckets → candidate pairs →
     * n-gram Jaccard verification of exactly those candidates.

@@ -599,6 +599,20 @@ object Text {
       .agg(count(lit(1)).as("doc_count"), min(col("doc_id")).as("min_doc_id"))
   }
 
+  /** Path selector (the contaminationAuto twin): counts the vocab (a
+    * job bounded by vocab size) and picks the map-literal scan under
+    * the threshold, the broadcast join above it — a 100k-token
+    * sentencepiece vocab as a plan literal would blow the codegen
+    * constant pool long before it stopped broadcasting. */
+  def surprisalAuto(s: SparkSession, dir: String,
+                    maxLiteralVocab: Long = 10L * 1000): DataFrame = {
+    val vocab = Tables.documents(s, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("t"))
+      .agg(countDistinct(col("t"))).collect()(0).getLong(0)
+    if (vocab <= maxLiteralVocab) q64UnigramSurprisal(s, dir)
+    else q65SurprisalJoined(s, dir)
+  }
+
   /** q64 oracle — recomputes the unigram model and the SAME integer
     * quantization from the data (no literals cross the engine
     * boundary; each engine takes its own ln). Integer sums per doc are

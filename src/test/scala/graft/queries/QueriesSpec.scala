@@ -482,6 +482,25 @@ class QueriesSpec extends SparkSpec {
       "the surprisal table must broadcast:\n" + plan.take(2000))
   }
 
+  test("surprisalAuto picks the literal path under the vocab threshold, the join above") {
+    assert(rowsOf(Text.surprisalAuto(spark, sf)) ===
+      rowsOf(Text.q64UnigramSurprisal(spark, sf)))
+    assert(rowsOf(Text.surprisalAuto(spark, sf, maxLiteralVocab = 1)) ===
+      rowsOf(Text.q65SurprisalJoined(spark, sf)))
+  }
+
+  test("q66 containment is directed: every exact-dup pair appears in BOTH orders") {
+    val rows = Dedup.q66ContainmentPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.nonEmpty)
+    val full = rows.filter { case (a, b) =>
+      // exact dups have containment 100 both ways
+      rows.contains((b, a))
+    }
+    assert(full === rows,
+      "testdata near-dups are exact copies; both directions must clear the cut")
+  }
+
   test("q60 computes repetition inside the scan: ONE exchange (the source rollup)") {
     val plan = Text.q60RepetitionStats(spark, sf)
       .queryExecution.executedPlan.toString
