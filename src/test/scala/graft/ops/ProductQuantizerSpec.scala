@@ -70,6 +70,19 @@ class ProductQuantizerSpec extends SparkSpec {
     }
   }
 
+  test("a vector shorter than the codebook dimension fails loud, not out-of-bounds") {
+    import spark.implicits._
+    val books = ProductQuantizer.train(vecs, dim, m, k = 4, iters = 1, roundDp = 6)
+    val short = Seq((1L, Array.fill(dim / 2)(0.5))).toDF("vec_id", "v")
+      .select(graft.functions.PqFunctions.pq_encode($"v", books))
+    // surfaces raw (local eval) or task-wrapped depending on the plan
+    val e = intercept[Exception](short.collect())
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).filter(_ != null).toSeq
+    assert(messages.exists(_.contains("pq kernel")),
+      s"expected the dimension guard, got: $messages")
+  }
+
   test("trained codebooks reconstruct better than their seeds (Lloyd improves)") {
     val subDim = dim / m
     (0 until m).foreach { s =>
