@@ -84,6 +84,7 @@ object SparkEntry {
     "q63_ivfpq_search" -> (Similarity.q63IvfPqSearch _),
     // multimodal plumbing
     "q32_image_meta_stats" -> (MultimodalQ.q32ImageMetaStats _),
+    "q67_frame_manifest" -> (MultimodalQ.q67FrameManifest _),
     // statistical + temporal aggregates
     "q33_stats_agg" -> (Stats.q33StatsAgg _),
     "q34_monthly_orders" -> (Stats.q34MonthlyOrders _),
@@ -168,5 +169,6 @@ object SparkEntry {
     // same oracle as q64 by design: the two paths must agree exactly
     "q65_surprisal_joined" -> Text.q64Sql,
     "q66_containment_pairs" -> Dedup.q66Sql,
+    "q67_frame_manifest" -> MultimodalQ.q67Sql,
   )
 }

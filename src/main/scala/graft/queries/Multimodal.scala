@@ -38,4 +38,47 @@ object MultimodalQ {
       |       round(avg(height), 2) AS avg_height,
       |       CAST(sum(channels) AS BIGINT) AS total_channels
       |FROM meta GROUP BY 1""".stripMargin
+
+  /** Frame-sampling manifest (q67) — the video-shaped pipeline
+    * composed end-to-end: decode (stub) → resize to a 256×256 box
+    * (integer-permille aspect-preserving math, oracle-exact) → sample
+    * a frame offset every 64 payload bytes → per-format manifest of
+    * images, total sampled frames, and the resized dimension envelope.
+    * This is the shape a frame-extraction job hands a vision encoder:
+    * fan-out is a bounded per-row sequence (no shuffle), resize is
+    * pure metadata arithmetic, and the only exchange is the final
+    * per-format rollup. */
+  def q67FrameManifest(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .transform(MM.withPayload)
+      .withColumn("meta", MM.decodeImageMeta(col("payload")))
+      .withColumn("rs", MM.resizeMeta(col("meta"), 256, 256))
+      .select(col("meta.format").as("format"),
+        col("rs.width").as("rs_w"), col("rs.height").as("rs_h"),
+        size(MM.sampleFrameOffsets(col("payload"), 64)).as("n_frames"))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("image_count"),
+        sum(col("n_frames")).as("total_frames"),
+        max(col("rs_w")).as("max_rs_width"),
+        max(col("rs_h")).as("max_rs_height"))
+  }
+  val q67Sql: String =
+    """WITH meta AS (
+      |  SELECT CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) % 1920 AS width,
+      |         CAST('0x' || substr(md5(text), 5, 4) AS INTEGER) % 1080 AS height,
+      |         CASE WHEN CAST('0x' || substr(md5(text), 11, 2) AS INTEGER) % 2 = 0
+      |              THEN 'png' ELSE 'jpeg' END AS format,
+      |         length(text) AS plen
+      |  FROM documents),
+      |rs AS (
+      |  SELECT format, plen,
+      |         least(256000 // greatest(width, 1),
+      |               256000 // greatest(height, 1), 1000) AS pm,
+      |         width, height
+      |  FROM meta)
+      |SELECT format, count(*) AS image_count,
+      |       CAST(sum((plen - 1) // 64 + 1) AS BIGINT) AS total_frames,
+      |       CAST(max(width * pm // 1000) AS INTEGER) AS max_rs_width,
+      |       CAST(max(height * pm // 1000) AS INTEGER) AS max_rs_height
+      |FROM rs GROUP BY 1""".stripMargin
 }
