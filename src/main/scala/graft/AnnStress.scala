@@ -79,24 +79,25 @@ object AnnStress {
           Similarity.cosine(col("qv"), col("v")).as("cos")),
       "cos", asc = false).count()
 
+    // probes: best + masked second-best cell per query (q57 shape) —
+    // ONE derivation shared by ivf and ivfpq so both bench rows always
+    // measure the same probe policy
+    def probesOf(q: DataFrame): DataFrame = q
+      .withColumn("cs", qCosines)
+      .withColumn("c1", (array_position(col("cs"), array_max(col("cs"))) - 1).cast("int"))
+      .withColumn("ms", transform(col("cs"),
+        (x, i) => when(i === col("c1"), lit(-2d)).otherwise(x)))
+      .withColumn("c2", (array_position(col("ms"), array_max(col("ms"))) - 1).cast("int"))
+      .withColumn("probe_cell", explode(array(col("c1"), col("c2"))))
+      .drop("cs", "c1", "ms", "c2")
+
     // search over a PREBUILT (vec_id, v, cell) index
-    def ivf(c: DataFrame): Long = {
-      // probes: best + masked second-best cell per query (q57 shape)
-      val withBest = queries.withColumn("cs", qCosines)
-        .withColumn("c1", (array_position(col("cs"), array_max(col("cs"))) - 1).cast("int"))
-      val probes = withBest
-        .withColumn("ms", transform(col("cs"),
-          (x, i) => when(i === col("c1"), lit(-2d)).otherwise(x)))
-        .withColumn("c2", (array_position(col("ms"), array_max(col("ms"))) - 1).cast("int"))
-        .select(col("query_id"), col("qv"),
-          explode(array(col("c1"), col("c2"))).as("probe_cell"))
-      top3(
-        c.join(broadcast(probes),
-            col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
-          .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            Similarity.cosine(col("qv"), col("v")).as("cos")),
-        "cos", asc = false).count()
-    }
+    def ivf(c: DataFrame): Long = top3(
+      c.join(broadcast(probesOf(queries)),
+          col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          Similarity.cosine(col("qv"), col("v")).as("cos")),
+      "cos", asc = false).count()
 
     import graft.functions.PqFunctions
     val qTabs = queries.select(col("query_id"),
@@ -121,15 +122,8 @@ object AnnStress {
       "d", asc = true).count()
 
     def ivfpq(coded: DataFrame): Long = {
-      val withBest = queries.withColumn("cs", qCosines)
-        .withColumn("c1", (array_position(col("cs"), array_max(col("cs"))) - 1).cast("int"))
-      val probes = withBest
-        .withColumn("ms", transform(col("cs"),
-          (x, i) => when(i === col("c1"), lit(-2d)).otherwise(x)))
-        .withColumn("c2", (array_position(col("ms"), array_max(col("ms"))) - 1).cast("int"))
-        .join(qTabs, "query_id")
-        .select(col("query_id"), col("__tabs"),
-          explode(array(col("c1"), col("c2"))).as("probe_cell"))
+      val probes = probesOf(queries).join(qTabs, "query_id")
+        .select(col("query_id"), col("__tabs"), col("probe_cell"))
       top3(
         coded.join(broadcast(probes),
             col("cell") === col("probe_cell") && col("vec_id") =!= col("query_id"))
@@ -149,14 +143,12 @@ object AnnStress {
 
     val c = corpus(reps).persist()
     val nVecs = c.count()
-    // index build (one-time): cell assignment + PQ codes, materialized
-    val (_, tBuild) = time {
-      val assigned = c.withColumn("cell", cell).persist()
-      val coded = codedCorpus(c, withCell = true).persist()
-      assigned.count() + coded.count()
-    }
-    val assigned = c.withColumn("cell", cell)
-    val coded = codedCorpus(c, withCell = true)
+    // index build (one-time): cell assignment + PQ codes — the SAME
+    // persisted frames the search paths use below (no reliance on
+    // CacheManager plan-matching a rebuilt twin)
+    val assigned = c.withColumn("cell", cell).persist()
+    val coded = codedCorpus(c, withCell = true).persist()
+    val (_, tBuild) = time(assigned.count() + coded.count())
     val (_, tExact) = time(exact(c))
     val (_, tIvf) = time(ivf(assigned))
     val (_, tAdc) = time(adc(coded.drop("cell")))

@@ -25,14 +25,24 @@ object MultimodalQ {
         round(avg(col("height")), 2).as("avg_height"),
         sum(col("channels")).as("total_channels"))
   }
-  val q32Sql: String =
-    """WITH meta AS (
+  /** The stub decoder's md5 contract in DuckDB — ONE copy shared by
+    * every multimodal oracle (offsets/moduli must match
+    * [[graft.ops.Multimodal.decodeImageMeta]]). plen is PAYLOAD BYTES:
+    * octet_length of the text blob, NOT length(text) — those differ
+    * on any non-ASCII character and the Spark side measures the
+    * binary payload. */
+  private val metaCte: String =
+    """meta AS (
       |  SELECT CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) % 1920 AS width,
       |         CAST('0x' || substr(md5(text), 5, 4) AS INTEGER) % 1080 AS height,
       |         CAST('0x' || substr(md5(text), 9, 2) AS INTEGER) % 3 + 1 AS channels,
       |         CASE WHEN CAST('0x' || substr(md5(text), 11, 2) AS INTEGER) % 2 = 0
-      |              THEN 'png' ELSE 'jpeg' END AS format
-      |  FROM documents)
+      |              THEN 'png' ELSE 'jpeg' END AS format,
+      |         octet_length(CAST(text AS BLOB)) AS plen
+      |  FROM documents)""".stripMargin
+
+  val q32Sql: String =
+    s"""WITH $metaCte
       |SELECT format, count(*) AS image_count,
       |       round(avg(width), 2) AS avg_width,
       |       round(avg(height), 2) AS avg_height,
@@ -63,13 +73,7 @@ object MultimodalQ {
         max(col("rs_h")).as("max_rs_height"))
   }
   val q67Sql: String =
-    """WITH meta AS (
-      |  SELECT CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) % 1920 AS width,
-      |         CAST('0x' || substr(md5(text), 5, 4) AS INTEGER) % 1080 AS height,
-      |         CASE WHEN CAST('0x' || substr(md5(text), 11, 2) AS INTEGER) % 2 = 0
-      |              THEN 'png' ELSE 'jpeg' END AS format,
-      |         length(text) AS plen
-      |  FROM documents),
+    s"""WITH $metaCte,
       |rs AS (
       |  SELECT format, plen,
       |         least(256000 // greatest(width, 1),
