@@ -63,8 +63,16 @@ object TextOps {
     aggregate(tokCodes, lit(0L), (acc, t) => (acc * RollB + t) % RollM)
 
   /** Count of tokens drawn from a marker set (stopword/language
-    * votes) — array filter + size, no explode, no shuffle. */
+    * votes) — native kernel ([[graft.functions.MarkerCount]]): one
+    * hash probe per token inside codegen, no interpreted filter pass,
+    * no intermediate array. Runs in every quality/language gate
+    * (q21/q22 and the q50 pipeline's triage). */
   def markerCount(toks: Column, markers: Seq[String]): Column =
+    graft.functions.LexiconFunctions.marker_count(toks, markers)
+
+  /** HOF spelling of [[markerCount]] — the differential-test
+    * reference (interpreted filter + size). */
+  def markerCountHof(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isin(markers.map(m => m: Any): _*)))
 
   val enMarkers = Seq("the", "and", "of", "to", "a")

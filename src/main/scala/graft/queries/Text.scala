@@ -554,13 +554,24 @@ object Text {
       (counts.map { case (t, c) => t -> surprisal(c) }, surprisal(0L))
     })
 
+  /** HOF spelling of the q64 scoring fold (map literal +
+    * `aggregate`) — the differential-test reference for
+    * [[graft.functions.LexiconSum]]. */
+  private[graft] def q64FoldHof(toks: Column, table: Seq[(String, Long)],
+                                oov: Long): Column = {
+    val m = map(table.flatMap { case (t, v) => Seq(lit(t), lit(v)) }: _*)
+    aggregate(toks, lit(0L), (acc, t) => acc + coalesce(element_at(m, t), lit(oov)))
+  }
+
   def q64UnigramSurprisal(s: SparkSession, dir: String): DataFrame = {
     val (table, oov) = surprisalTable(s, dir)
-    val m = map(table.flatMap { case (t, v) => Seq(lit(t), lit(v)) }: _*)
+    // native kernel: one hash lookup per token inside codegen — the
+    // map-literal `aggregate` fold (kept as q64FoldHof for the
+    // differential spec) pays an interpreted closure per token
     val d = Tables.documents(s, dir)
       .withColumn("toks", TextOps.tokens(col("text"))) // staged (HOF note in Dedup)
-      .withColumn("nll", aggregate(col("toks"), lit(0L),
-        (acc, t) => acc + coalesce(element_at(m, t), lit(oov))))
+      .withColumn("nll", graft.functions.LexiconFunctions
+        .lexicon_sum(col("toks"), table.toMap, oov))
       .withColumn("avg_millinats", (col("nll") / size(col("toks"))).cast("long"))
     d.groupBy(col("source"),
         (col("avg_millinats") / 100).cast("long").as("surprisal_bucket"))
