@@ -92,6 +92,8 @@ object SparkEntry {
     "q40_grouping_sets" -> (Stats.q40GroupingSets _),
     // sketches: approximate values checked via in-query tolerance booleans
     "q37_sketches" -> (Stats.q37Sketches _),
+    // deterministic count-min sketch: exact-hash-matched cells
+    "q68_cms_heavy_hitters" -> (Stats.q68CmsHeavyHitters _),
     // true-mode aggregate (the reference's "most_common_additive" intent)
     "q45_true_mode_tokens" -> (Parity.q45TrueModeTokens _),
     // temporal: as-of join (composed) + window-function family
@@ -147,6 +149,7 @@ object SparkEntry {
     "q40_grouping_sets" -> Stats.q40Sql,
     "q39_window_family" -> Temporal.q39Sql,
     "q37_sketches" -> Stats.q37Sql,
+    "q68_cms_heavy_hitters" -> Stats.q68Sql,
     "q44_lsh_verified_pairs" -> Dedup.q44Sql,
     "q45_true_mode_tokens" -> Parity.q45Sql,
     "q46_dedup_clusters" -> Dedup.q46Sql,

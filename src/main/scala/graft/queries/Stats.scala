@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Statistical and temporal aggregates (SURVEY.md §2.7 gap table:
@@ -129,6 +129,84 @@ object Stats {
       |       true AS hll_within_5pct,
       |       true AS median_within_5pct
       |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** Count-Min sketch dimensions: d=4 hash rows × w=64 buckets. Small
+    * on purpose at test scale so collisions actually occur and the
+    * overestimate column exercises the min-over-rows recovery; at
+    * 100 TB you'd widen w (the cell table stays d×w regardless of
+    * corpus size). */
+  val CmsD = 4
+  val CmsW = 64
+
+  /** Row-i bucket for a token: first 8 md5 hex digits of "i:token" as
+    * an integer, mod w — the same derivation both engines compute
+    * byte-for-byte (the q43 fingerprint pattern), so the sketch is
+    * DETERMINISTIC and the oracle hash-matches exact cell values, not
+    * tolerance booleans. */
+  private def cmsBucket(i: Int, t: Column): Column =
+    conv(substring(md5(concat(lit(i + ":"), t)), 1, 8), 16, 10)
+      .cast("long") % CmsW
+
+  /** Count-Min sketch heavy hitters (q68) — the streaming-friendly
+    * answer to "top tokens" at 100 TB: the sketch state is d×w=256
+    * cells TOTAL regardless of corpus size, each partition partial-
+    * aggregates its cells map-side (the shuffle carries ≤256 rows per
+    * task), and cells from any number of shards merge by addition.
+    * The query builds the sketch, then recovers the true top-10's
+    * estimates (min over the d cells each token hashes to) next to
+    * their exact counts, emitting the CMS overestimate — ≥0 by
+    * construction, >0 exactly where the 64-bucket rows collide.
+    *
+    * Both halves reuse ONE token scan; the probe side joins the
+    * 256-row cell frame by broadcast, so nothing corpus-sized
+    * shuffles twice. */
+  def q68CmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TextOps
+    val tok = Tables.documents(s, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .filter(col("token") =!= "")
+    val buckets = (0 until CmsD).map(i => cmsBucket(i, col("token")))
+    val cells = tok
+      .select(posexplode(array(buckets: _*)).as(Seq("sketch_row", "bucket")))
+      .groupBy(col("sketch_row"), col("bucket"))
+      .agg(count(lit(1)).as("cell_count"))
+    val top = tok.groupBy(col("token"))
+      .agg(count(lit(1)).as("true_count"))
+      .orderBy(col("true_count").desc, col("token").asc)
+      .limit(10)
+    top.select(col("token"), col("true_count"),
+        posexplode(array(buckets: _*)).as(Seq("sketch_row", "bucket")))
+      .join(broadcast(cells), Seq("sketch_row", "bucket"))
+      .groupBy(col("token"), col("true_count"))
+      .agg(min(col("cell_count")).as("cms_estimate"))
+      .withColumn("overestimate", col("cms_estimate") - col("true_count"))
+  }
+  val q68Sql: String = {
+    def bucket(tok: String) =
+      s"CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || $tok), 1, 8) AS BIGINT) % $CmsW"
+    s"""WITH tok AS (
+       |  SELECT t AS token
+       |  FROM (SELECT unnest(str_split(text, ' ')) AS t FROM documents)
+       |  WHERE t <> ''),
+       |rows_i AS (SELECT unnest(range($CmsD)) AS i),
+       |cells AS (
+       |  SELECT i AS sketch_row, ${bucket("token")} AS bucket,
+       |         count(*) AS cell_count
+       |  FROM tok, rows_i GROUP BY 1, 2),
+       |top AS (
+       |  SELECT token, count(*) AS true_count FROM tok
+       |  GROUP BY 1 ORDER BY true_count DESC, token ASC LIMIT 10),
+       |probes AS (
+       |  SELECT token, true_count, i AS sketch_row,
+       |         ${bucket("token")} AS bucket
+       |  FROM top, rows_i)
+       |SELECT p.token, p.true_count,
+       |       min(c.cell_count) AS cms_estimate,
+       |       min(c.cell_count) - p.true_count AS overestimate
+       |FROM probes p
+       |JOIN cells c ON p.sketch_row = c.sketch_row AND p.bucket = c.bucket
+       |GROUP BY 1, 2""".stripMargin
+  }
 
   /** Cube over two dims (completes grouping-set coverage next to
     * q15's rollup): all four grouping combinations in one pass. */

@@ -512,6 +512,26 @@ class QueriesSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("q68 CMS: top-10 matches exact counts; min-over-rows never underestimates") {
+    import org.apache.spark.sql.functions._
+    val out = Stats.q68CmsHeavyHitters(spark, sf).collect()
+    assert(out.length === 10)
+    out.foreach { r =>
+      assert(r.getLong(3) >= 0L,
+        s"CMS underestimated '${r.getString(0)}' — impossible by construction")
+    }
+    // the recovered true_counts must equal an independent exact count
+    val exact = graft.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(exact(r.getString(0)) === r.getLong(1))
+      assert(r.getLong(2) >= r.getLong(1), "estimate below exact")
+    }
+  }
+
   test("q60 computes repetition inside the scan: ONE exchange (the source rollup)") {
     val plan = Text.q60RepetitionStats(spark, sf)
       .queryExecution.executedPlan.toString
