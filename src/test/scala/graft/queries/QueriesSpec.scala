@@ -532,6 +532,39 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q70 PageRank equals a plain-Scala reference of the integer recurrence") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val li = graft.Tables.lineitem(spark, sf).select($"l_orderkey", $"l_suppkey")
+    val edges = li
+      .join(graft.Tables.orders(spark, sf).select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(graft.Tables.customer(spark, sf).select($"c_custkey", $"c_nationkey"),
+        $"o_custkey" === $"c_custkey")
+      .join(graft.Tables.supplier(spark, sf).select($"s_suppkey", $"s_nationkey"),
+        $"l_suppkey" === $"s_suppkey")
+      .groupBy($"c_nationkey", $"s_nationkey").agg(count(lit(1)).as("w"))
+      .as[(Long, Long, Long)].collect()
+    val nodes = graft.Tables.nation(spark, sf)
+      .select($"n_nationkey", $"n_name").as[(Long, String)].collect().toMap
+    val outw = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val n = nodes.size
+    val base = Graph.PrScale * (1000L - Graph.PrDamp) / 1000L / n
+    var pr = nodes.keys.map(_ -> Graph.PrScale / n).toMap
+    for (_ <- 1 to Graph.PrIters) {
+      val mass = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (s, _, w) => pr(s) * w / outw(s) }.sum
+      }
+      pr = nodes.keys.map(v => v -> (base + Graph.PrDamp * mass.getOrElse(v, 0L) / 1000L)).toMap
+    }
+    val expected = pr.map { case (k, v) => nodes(k) -> v }
+    val got = Graph.q70PageRank(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    // total mass stays bounded by the scale (sanity on the fixed point)
+    assert(got.values.sum <= Graph.PrScale)
+  }
+
   test("q60 computes repetition inside the scan: ONE exchange (the source rollup)") {
     val plan = Text.q60RepetitionStats(spark, sf)
       .queryExecution.executedPlan.toString
