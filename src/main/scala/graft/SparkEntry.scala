@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Dedup, Events, Graph, MultimodalQ, Parity, PipelineQ, Relational, Similarity, Stats, Temporal, Text}
+import graft.queries.{Dedup, Events, Graph, Layout, MultimodalQ, Parity, PipelineQ, Relational, Similarity, Stats, Temporal, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -98,6 +98,8 @@ object SparkEntry {
     "q45_true_mode_tokens" -> (Parity.q45TrueModeTokens _),
     // graph: iterative PageRank on the contracted trade graph
     "q70_pagerank" -> (Graph.q70PageRank _),
+    // data layout: Z-order curve census (write-path shadow)
+    "q72_zorder_census" -> (Layout.q72ZorderCensus _),
     // temporal: as-of join (composed) + window-function family
     "q38_asof_join" -> (Temporal.q38AsofJoin _),
     "q39_window_family" -> (Temporal.q39WindowFamily _),
@@ -153,6 +155,7 @@ object SparkEntry {
     "q37_sketches" -> Stats.q37Sql,
     "q68_cms_heavy_hitters" -> Stats.q68Sql,
     "q70_pagerank" -> Graph.q70Sql,
+    "q72_zorder_census" -> Layout.q72Sql,
     "q44_lsh_verified_pairs" -> Dedup.q44Sql,
     "q45_true_mode_tokens" -> Parity.q45Sql,
     "q46_dedup_clusters" -> Dedup.q46Sql,
