@@ -37,6 +37,8 @@ object SparkEntry {
     "q14_nation_set_ops" -> (Relational.q14NationSetOps _),
     "q15_order_rollup" -> (Relational.q15OrderRollup _),
     "q52_range_join" -> (Relational.q52RangeJoin _),
+    // bloom-filter pre-join: scan-side probe, broadcast 256-bit filter
+    "q73_bloom_semijoin" -> (Relational.q73BloomSemiJoin _),
     "q53_pivot" -> (Relational.q53Pivot _),
     // event-time analytics (batch twins of the streaming ops)
     "q16_hourly_event_stats" -> (Events.q16HourlyEventStats _),
@@ -156,6 +158,7 @@ object SparkEntry {
     "q68_cms_heavy_hitters" -> Stats.q68Sql,
     "q70_pagerank" -> Graph.q70Sql,
     "q72_zorder_census" -> Layout.q72Sql,
+    "q73_bloom_semijoin" -> Relational.q73Sql,
     "q44_lsh_verified_pairs" -> Dedup.q44Sql,
     "q45_true_mode_tokens" -> Parity.q45Sql,
     "q46_dedup_clusters" -> Dedup.q46Sql,

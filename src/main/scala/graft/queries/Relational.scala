@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Join / set-op coverage (SURVEY.md §2.7 gap table: the reference has
@@ -208,5 +208,105 @@ object Relational {
     s"""SELECT source,
        |       $cols
        |FROM documents GROUP BY 1""".stripMargin
+  }
+
+  /** Bloom-filter parameters for q73: m=256 bits as 8×32-bit words,
+    * k=3 md5-derived positions. Deliberately tight at test scale so
+    * false positives actually occur and the census exercises them; at
+    * 100 TB you size m to the build side (the filter stays a single
+    * broadcast row either way). */
+  val BloomWords = 8     // 32 bits each → m = 256
+  val BloomK = 3
+  val BloomBalMin = 5000.0
+
+  /** k-th bit position for a key: md5("k:key") prefix mod m — the q68
+    * derivation, so both engines compute identical filters. */
+  private def bloomPos(j: Int, key: Column): Column =
+    conv(substring(md5(concat(lit(j + ":"), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % (BloomWords * 32)
+
+  /** The same position as Spark-SQL text (the probe side tests bits
+    * inside one codegen'd predicate). */
+  private def bloomPosSparkSql(j: Int, key: String): String =
+    s"cast(conv(substring(md5(concat('$j:', cast($key as string))), 1, 8), 16, 10) as bigint)" +
+      s" % ${BloomWords * 32}"
+
+  /** Bloom-filtered semi-join census (q73) — the 100 TB pre-join
+    * filter pattern: the build side (high-balance suppliers) folds
+    * into a 256-bit filter via one tiny aggregation; the single-row
+    * filter broadcasts (the q49 trick) and the fact-table probe is
+    * pure scan-side codegen — per row, 3 md5s + 3 bit tests, NO join
+    * and NO shuffle for rows the filter rejects. The census compares
+    * the bloom's verdict with exact membership (a broadcast semi-join
+    * twin) per return flag, so the emitted false-positive counts pin
+    * the filter's exact contents — a wrong bit anywhere flips a count.
+    * This is what Spark's runtime row-level bloom does inside AQE,
+    * made explicit, deterministic, and oracle-checkable.
+    */
+  def q73BloomSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") > BloomBalMin).select(col("s_suppkey"))
+    // build: ≤ k·|keys| position rows → ≤ 8 words → ONE dense row
+    val positions = keys.select(explode(array(
+      (0 until BloomK).map(j => bloomPos(j, col("s_suppkey"))): _*)).as("p"))
+    val words = positions
+      .select(expr("p div 32").as("w"),
+        expr("shiftleft(1L, cast(p % 32 as int))").as("m"))
+      .groupBy(col("w")).agg(expr("bit_or(m)").as("bits"))
+    val dense = s.range(BloomWords).select(col("id").as("w"))
+      .join(words, Seq("w"), "left")
+      .select(col("w"), coalesce(col("bits"), lit(0L)).as("bits"))
+    val bf = dense.agg(expr(
+      "transform(array_sort(collect_list(struct(w, bits))), x -> x.bits)").as("bf"))
+
+    val probe = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_suppkey"))
+      .crossJoin(broadcast(bf))
+    val memberBits = (0 until BloomK).map { j =>
+      val p = bloomPosSparkSql(j, "l_suppkey")
+      expr(s"(shiftright(element_at(bf, cast(($p) div 32 as int) + 1), " +
+        s"cast(($p) % 32 as int)) & 1) = 1")
+    }.reduce(_ && _)
+    val exact = keys.withColumn("is_member", lit(true))
+    probe.withColumn("pass_bloom", memberBits)
+      .join(broadcast(exact), col("l_suppkey") === col("s_suppkey"), "left")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("pass_bloom"), 1)).as("n_pass_bloom"),
+        count(when(col("is_member"), 1)).as("n_true_member"),
+        count(when(col("pass_bloom") && col("is_member").isNull, 1))
+          .as("n_false_pos"))
+  }
+
+  val q73Sql: String = {
+    val m = BloomWords * 32
+    def pos(jExpr: String, key: String) =
+      s"CAST('0x' || substr(md5($jExpr || ':' || CAST($key AS VARCHAR)), 1, 8) AS BIGINT) % $m"
+    val member = (0 until BloomK).map { j =>
+      val p = pos(s"'$j'", "l_suppkey")
+      s"((list_extract(bf, CAST(($p) // 32 AS INTEGER) + 1) >> CAST(($p) % 32 AS INTEGER)) & 1) = 1"
+    }.mkString("(", " AND ", ")")
+    s"""WITH keys AS (
+       |  SELECT s_suppkey FROM supplier WHERE s_acctbal > $BloomBalMin),
+       |pos AS (
+       |  SELECT ${pos("CAST(j AS VARCHAR)", "s_suppkey")} AS p
+       |  FROM keys, (SELECT unnest(range($BloomK)) AS j)),
+       |wordbits AS (
+       |  SELECT p // 32 AS w, bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INTEGER)) AS bits
+       |  FROM pos GROUP BY 1),
+       |dense AS (
+       |  SELECT w, coalesce(b.bits, 0) AS bits
+       |  FROM (SELECT unnest(range($BloomWords)) AS w) LEFT JOIN wordbits b USING (w)),
+       |bloom AS (SELECT list(bits ORDER BY w) AS bf FROM dense)
+       |SELECT l.l_returnflag,
+       |       count(*) AS n_rows,
+       |       count(*) FILTER ($member) AS n_pass_bloom,
+       |       count(*) FILTER (l.l_suppkey IN (SELECT s_suppkey FROM keys))
+       |         AS n_true_member,
+       |       count(*) FILTER ($member
+       |         AND l.l_suppkey NOT IN (SELECT s_suppkey FROM keys))
+       |         AS n_false_pos
+       |FROM lineitem l, bloom
+       |GROUP BY 1""".stripMargin
   }
 }

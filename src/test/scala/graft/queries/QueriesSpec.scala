@@ -600,6 +600,25 @@ class QueriesSpec extends SparkSpec {
     assert(out.count() === graft.Tables.orders(spark, sf).count())
   }
 
+  test("q73 bloom: zero false negatives, nonzero false positives, no SortMergeJoin") {
+    val df = Relational.q73BloomSemiJoin(spark, sf)
+    val rows = df.collect()
+    rows.foreach { r =>
+      val (pass, member, fp) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(pass >= member, "bloom dropped a true member — impossible")
+      assert(fp === pass - member, "census arithmetic broken")
+    }
+    // m=256 is sized so collisions occur from sf0.01 up (sf0.001 has
+    // ~10 suppliers — the filter is near-empty there); exercise the
+    // false-positive column at the correctness-gate scale
+    val fp01 = Relational.q73BloomSemiJoin(spark, "/root/testdata/sf0.01")
+      .collect().map(_.getLong(4)).sum
+    assert(fp01 > 0, "no false positives at sf0.01 — filter too wide to test")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(plan.contains("BroadcastNestedLoopJoin"), "single-row filter must broadcast")
+  }
+
   test("q60 computes repetition inside the scan: ONE exchange (the source rollup)") {
     val plan = Text.q60RepetitionStats(spark, sf)
       .queryExecution.executedPlan.toString
