@@ -60,6 +60,7 @@ object SparkEntry {
     "q60_repetition_stats" -> (Text.q60RepetitionStats _),
     "q62_bm25" -> (Text.q62Bm25 _),
     "q64_unigram_surprisal" -> (Text.q64UnigramSurprisal _),
+    "q71_dsir_census" -> (Text.q71DsirCensus _),
     "q65_surprisal_joined" -> (Text.q65SurprisalJoined _),
     // deduplication ladder
     "q25_exact_dedup" -> (Dedup.q25ExactDedup _),
@@ -159,6 +160,7 @@ object SparkEntry {
     "q70_pagerank" -> Graph.q70Sql,
     "q72_zorder_census" -> Layout.q72Sql,
     "q73_bloom_semijoin" -> Relational.q73Sql,
+    "q71_dsir_census" -> Text.q71Sql,
     "q44_lsh_verified_pairs" -> Dedup.q44Sql,
     "q45_true_mode_tokens" -> Parity.q45Sql,
     "q46_dedup_clusters" -> Dedup.q46Sql,

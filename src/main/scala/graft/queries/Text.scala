@@ -647,6 +647,81 @@ object Text {
        |FROM doc GROUP BY 1, 2""".stripMargin
   }
 
+  /** DSIR target source: importance weights are trained to prefer
+    * documents that look like THIS slice of the corpus. */
+  val DsirTarget = "src0"
+  private val dsirMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[(String, Long)], Long)]()
+
+  /** Train (memoized per dir) the DSIR log-ratio table: per token,
+    * λ(t) = surprisal_background(t) − surprisal_target(t) in
+    * millinats, each side quantized EXACTLY like q64 (floor·1000)
+    * before the subtraction so both engines hit identical integers.
+    * Add-1 smoothing over the shared union vocab; one vocab-bounded
+    * collect (the surprisalTable pattern). */
+  def dsirTable(s: SparkSession, dir: String): (Seq[(String, Long)], Long) =
+    dsirMemo.computeIfAbsent(dir, _ => {
+      val rows = Tables.documents(s, dir)
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("t"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("cb"),
+          count(when(col("source") === DsirTarget, 1)).as("ct"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+      val v = rows.size.toLong
+      val btot = rows.map(_._2).sum
+      val ttot = rows.map(_._3).sum
+      def sur(c: Long, tot: Long): Long =
+        math.floor(-math.log((c + 1.0) / (tot + v)) * SurprisalScale).toLong
+      (rows.map { case (t, cb, ct) => t -> (sur(cb, btot) - sur(ct, ttot)) },
+        sur(0L, btot) - sur(0L, ttot))
+    })
+
+  /** DSIR importance resampling census (q71) — data selection for
+    * language models (Xie et al., public literature): score every
+    * document by the average token log-likelihood RATIO between a
+    * target LM (the [[DsirTarget]] slice) and the background LM (the
+    * whole corpus), then keep documents scoring ≥ 0 (more target-like
+    * than background). Scoring rides the same scan-side
+    * [[graft.functions.LexiconSum]] kernel as q64 — the λ table is one
+    * map literal, so the corpus never shuffles for scoring; the only
+    * exchange is the final (source, kept) rollup. The census shows the
+    * resampler recovering the target slice: src0 keeps nearly all its
+    * docs, other sources only their target-like tail.
+    */
+  def q71DsirCensus(s: SparkSession, dir: String): DataFrame = {
+    val (table, oov) = dsirTable(s, dir)
+    Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("lamsum", graft.functions.LexiconFunctions
+        .lexicon_sum(col("toks"), table.toMap, oov))
+      .withColumn("score",
+        floor(col("lamsum") * 1.0 / size(col("toks"))))
+      .groupBy(col("source"), (col("score") >= 0).as("kept"))
+      .agg(count(lit(1)).as("doc_count"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+  }
+  val q71Sql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, source, unnest(str_split(text, ' ')) AS t FROM documents),
+       |bg AS (SELECT t, count(*) AS cb,
+       |              count(*) FILTER (source = '$DsirTarget') AS ct
+       |       FROM tk GROUP BY 1),
+       |tot AS (SELECT sum(cb) AS btot, sum(ct) AS ttot, count(*) AS v FROM bg),
+       |lam AS (
+       |  SELECT t,
+       |    CAST(floor(-ln((cb + 1.0) / (btot + v)) * $SurprisalScale) AS BIGINT)
+       |  - CAST(floor(-ln((ct + 1.0) / (ttot + v)) * $SurprisalScale) AS BIGINT)
+       |      AS lam
+       |  FROM bg, tot),
+       |doc AS (
+       |  SELECT doc_id, source,
+       |         CAST(floor(sum(lam) * 1.0 / count(*)) AS BIGINT) AS score
+       |  FROM tk JOIN lam USING (t) GROUP BY 1, 2)
+       |SELECT source, score >= 0 AS kept, count(*) AS doc_count,
+       |       min(score) AS min_score, max(score) AS max_score
+       |FROM doc GROUP BY 1, 2""".stripMargin
+
   /** Document fingerprinting: md5 over canonicalized text, rolled up
     * per source — duplicate mass per ingestion feed. */
   def q24Fingerprints(s: SparkSession, dir: String): DataFrame = {

@@ -619,6 +619,30 @@ class QueriesSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), "single-row filter must broadcast")
   }
 
+  test("q71 DSIR: target slice keeps the highest fraction; kernel matches HOF fold") {
+    import org.apache.spark.sql.functions._
+    val rows = Text.q71DsirCensus(spark, sf).collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2)))
+    val keepRate = rows.groupBy(_._1).map { case (src, rs) =>
+      val total = rs.map(_._3).sum.toDouble
+      src -> rs.filter(_._2).map(_._3).sum / total
+    }
+    assert(keepRate(Text.DsirTarget) === keepRate.values.max,
+      s"target ${Text.DsirTarget} not the best-kept source: $keepRate")
+    // the λ-table fold through the native kernel == the HOF aggregate
+    val (table, oov) = Text.dsirTable(spark, sf)
+    val m = map(table.flatMap { case (t, v) => Seq(lit(t), lit(v)) }: _*)
+    val diff = graft.Tables.documents(spark, sf)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        graft.functions.LexiconFunctions
+          .lexicon_sum(col("toks"), table.toMap, oov).as("k"),
+        aggregate(col("toks"), lit(0L),
+          (acc, t) => acc + coalesce(element_at(m, t), lit(oov))).as("h"))
+      .filter(col("k") =!= col("h")).count()
+    assert(diff === 0L)
+  }
+
   test("q60 computes repetition inside the scan: ONE exchange (the source rollup)") {
     val plan = Text.q60RepetitionStats(spark, sf)
       .queryExecution.executedPlan.toString
