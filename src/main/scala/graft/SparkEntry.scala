@@ -45,6 +45,8 @@ object SparkEntry {
     "q17_user_sessions" -> (Events.q17UserSessions _),
     "q18_props_buckets" -> (Events.q18PropsBuckets _),
     "q19_first_event_per_user_type" -> (Events.q19FirstEventPerUserType _),
+    // ordered funnel: staged per-stage-filtered user_id aggregations
+    "q69_funnel" -> (Events.q69Funnel _),
     // text analysis
     "q20_doc_stats" -> (Text.q20DocStats _),
     "q21_langid" -> (Text.q21LangId _),
@@ -161,6 +163,7 @@ object SparkEntry {
     "q72_zorder_census" -> Layout.q72Sql,
     "q73_bloom_semijoin" -> Relational.q73Sql,
     "q71_dsir_census" -> Text.q71Sql,
+    "q69_funnel" -> Events.q69Sql,
     "q44_lsh_verified_pairs" -> Dedup.q44Sql,
     "q45_true_mode_tokens" -> Parity.q45Sql,
     "q46_dedup_clusters" -> Dedup.q46Sql,

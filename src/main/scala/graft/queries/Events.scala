@@ -116,4 +116,50 @@ object Events {
     """SELECT user_id, event_type, min(event_id) AS first_event_id,
       |       count(*) AS occurrences
       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Ordered funnel analysis (q69): per user, first `view`, then the
+    * first `click` strictly AFTER that view, then the first `purchase`
+    * strictly after that click — the product-analytics staple
+    * (ClickHouse windowFunnel / Amplitude funnels) in staged
+    * relational form. Each stage filters to ONE event type scan-side
+    * before its user_id shuffle, so the three exchanges together move
+    * about as many rows as one unfiltered pass; the stage joins are
+    * user_id-aligned aggregations an AQE cluster co-partitions. At
+    * 100 TB you'd pre-bucket events by user_id and all three stages
+    * become shuffle-free.
+    */
+  def q69Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts") > col("tv"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tc"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts") > col("tc"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+    e.agg(countDistinct(col("user_id")).as("n_users"))
+      .crossJoin(v.agg(count(lit(1)).as("n_view")))
+      .crossJoin(c.agg(count(lit(1)).as("n_click_after_view")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_after_click")))
+  }
+  val q69Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS tv
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS tc
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.tv
+      |  GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS tp
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.tc
+      |  GROUP BY 1)
+      |SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+      |       (SELECT count(*) FROM v) AS n_view,
+      |       (SELECT count(*) FROM c) AS n_click_after_view,
+      |       (SELECT count(*) FROM p) AS n_purchase_after_click""".stripMargin
 }

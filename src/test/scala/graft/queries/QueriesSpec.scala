@@ -643,6 +643,13 @@ class QueriesSpec extends SparkSpec {
     assert(diff === 0L)
   }
 
+  test("q69 funnel stages are monotonically non-increasing") {
+    val r = Events.q69Funnel(spark, sf).collect()(0)
+    val (u, v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(u >= v && v >= c && c >= p, s"funnel not monotone: $u $v $c $p")
+    assert(p > 0, "no user completed the funnel at sf0.001 — stage logic suspect")
+  }
+
   test("q60 computes repetition inside the scan: ONE exchange (the source rollup)") {
     val plan = Text.q60RepetitionStats(spark, sf)
       .queryExecution.executedPlan.toString
