@@ -24,48 +24,55 @@ object StatefulSessions {
 
   val GapMs: Long = 30 * 60 * 1000L
 
+  /** The pure per-batch merge both stateful APIs share: fold a
+    * batch's event times (any order) into the open session, emitting
+    * every session the batch closes, oldest first. */
+  def mergeBatch(cur0: Option[SessionState],
+                 times: Seq[Long]): (List[SessionState], Option[SessionState]) = {
+    var closed = List.empty[SessionState]
+    var cur = cur0
+    times.sorted.foreach { t =>
+      cur match {
+        // within the gap of the session's SPAN (both directions):
+        // a late-but-within-watermark event may precede the current
+        // start — the span extends backwards (start = min)
+        case Some(s) if t >= s.start - GapMs && t <= s.last + GapMs =>
+          cur = Some(SessionState(math.min(s.start, t),
+            math.max(s.last, t), s.count + 1))
+        case Some(s) if t > s.last + GapMs =>
+          closed ::= s
+          cur = Some(SessionState(t, t, 1))
+        case Some(_) =>
+          // older than start - gap: belongs to an already-gone prior
+          // session; emit it as its own closed singleton (its
+          // neighbors, if any, were in earlier watermark horizons)
+          closed ::= SessionState(t, t, 1)
+        case None =>
+          cur = Some(SessionState(t, t, 1))
+      }
+    }
+    (closed.reverse, cur)
+  }
+
+  def asClosed(userId: Long, s: SessionState): ClosedSession =
+    ClosedSession(userId, new java.sql.Timestamp(s.start),
+      new java.sql.Timestamp(s.last), s.count)
+
   def updateSessions(userId: Long, events: Iterator[Event],
                      state: GroupState[SessionState]): Iterator[ClosedSession] = {
-    def close(s: SessionState): ClosedSession =
-      ClosedSession(userId, new java.sql.Timestamp(s.start),
-        new java.sql.Timestamp(s.last), s.count)
-
     if (state.hasTimedOut) {
-      val closed = state.getOption.map(close).toIterator
+      val closed = state.getOption.map(asClosed(userId, _)).toIterator
       state.remove()
       closed
     } else {
-      val sorted = events.toSeq.sortBy(_.ts.getTime)
-      var closed = List.empty[ClosedSession]
-      var cur = state.getOption
-      sorted.foreach { e =>
-        val t = e.ts.getTime
-        cur match {
-          // within the gap of the session's SPAN (both directions):
-          // a late-but-within-watermark event may precede the current
-          // start — the span extends backwards (start = min)
-          case Some(s) if t >= s.start - GapMs && t <= s.last + GapMs =>
-            cur = Some(SessionState(math.min(s.start, t),
-              math.max(s.last, t), s.count + 1))
-          case Some(s) if t > s.last + GapMs =>
-            closed ::= close(s)
-            cur = Some(SessionState(t, t, 1))
-          case Some(_) =>
-            // older than start - gap: belongs to an already-gone prior
-            // session; emit it as its own closed singleton (its
-            // neighbors, if any, were in earlier watermark horizons)
-            closed ::= ClosedSession(userId, new java.sql.Timestamp(t),
-              new java.sql.Timestamp(t), 1)
-          case None =>
-            cur = Some(SessionState(t, t, 1))
-        }
-      }
+      val (closed, cur) =
+        mergeBatch(state.getOption, events.map(_.ts.getTime).toSeq)
       cur.foreach { s =>
         state.update(s)
         // time out (close) the session once the watermark passes last+gap
         state.setTimeoutTimestamp(s.last + GapMs)
       }
-      closed.reverseIterator
+      closed.iterator.map(asClosed(userId, _))
     }
   }
 
@@ -82,5 +89,63 @@ object StatefulSessions {
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState[SessionState, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(updateSessions)
+  }
+
+  /** The same sessionizer on the NEW arbitrary-state API
+    * (transformWithState, Spark 4): named state variables instead of
+    * one opaque state object, explicit event-time timers instead of
+    * setTimeoutTimestamp, per-variable TTL available. Semantics are
+    * pinned to the classic path through the shared [[mergeBatch]] —
+    * StreamsSpec runs both over the same input and diffs the outputs.
+    * The processor keeps exactly one timer per key (registered at
+    * last+gap, re-registered on extension), so timer state is O(1)
+    * per in-flight session, like the value state.
+    */
+  class TwsSessionizer
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, ClosedSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessionState](
+        "session", Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 tv: TimerValues): Iterator[ClosedSession] = {
+      val prev = if (state.exists()) Some(state.get()) else None
+      val (closed, cur) = mergeBatch(prev, rows.map(_.ts.getTime).toSeq)
+      cur.foreach { s =>
+        // one live timer per key: drop the stale one before arming
+        prev.filter(_.last != s.last)
+          .foreach(p => getHandle.deleteTimer(p.last + GapMs))
+        state.update(s)
+        if (prev.forall(_.last != s.last))
+          getHandle.registerTimer(s.last + GapMs)
+      }
+      closed.iterator.map(asClosed(key, _))
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      val closing = (if (state.exists()) Some(state.get()) else None)
+        // a stale timer may fire after the session extended past it —
+        // only close when this timer is the session's live one
+        .filter(s => s.last + GapMs == info.getExpiryTimeInMs)
+      closing.foreach(_ => state.clear())
+      closing.map(asClosed(key, _)).iterator
+    }
+  }
+
+  /** [[sessionize]] on transformWithState — identical output contract. */
+  def sessionizeTws(events: Dataset[Event],
+                    watermark: String = "10 minutes"): Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    implicit val ce = Encoders.product[ClosedSession]
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new TwsSessionizer,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -206,6 +206,48 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState sessionizer equals the flatMapGroupsWithState one") {
+    implicit val sc = spark.sqlContext
+    // transformWithState needs multi-column-family state — RocksDB only
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def t(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    // batches exercise: merge, gap split, backwards extension (late
+    // in-gap event), and timer-driven close on an idle key
+    val batches: Seq[Seq[StatefulSessions.Event]] = Seq(
+      Seq(StatefulSessions.Event(1L, t("10:00")),
+        StatefulSessions.Event(1L, t("10:10")),
+        StatefulSessions.Event(2L, t("10:05"))),
+      Seq(StatefulSessions.Event(1L, t("09:55")), // extends back in-gap
+        StatefulSessions.Event(1L, t("11:30"))),  // splits: 80m gap
+      Seq(StatefulSessions.Event(3L, t("14:00"))), // advances watermark
+      Seq(StatefulSessions.Event(3L, t("15:30"))))
+    def run(name: String,
+            wire: org.apache.spark.sql.Dataset[StatefulSessions.Event] =>
+              org.apache.spark.sql.Dataset[StatefulSessions.ClosedSession]) = {
+      val in = MemoryStream[StatefulSessions.Event]
+      val q = wire(in.toDS()).writeStream.format("memory")
+        .queryName(name).outputMode(OutputMode.Append()).start()
+      try {
+        batches.foreach { b => in.addData(b); q.processAllAvailable() }
+        sql(s"SELECT * FROM $name")
+          .as[StatefulSessions.ClosedSession].collect()
+          .map(s => (s.user_id, s.session_start.getTime,
+            s.session_end.getTime, s.event_count)).toSet
+      } finally q.stop()
+    }
+    try {
+      val classic = run("tws_classic", StatefulSessions.sessionize(_))
+      val tws = run("tws_new", StatefulSessions.sessionizeTws(_))
+      assert(tws === classic)
+      assert(classic.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream interval join matches within the window, drops outside it") {
     implicit val sc = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, String)]
