@@ -108,6 +108,13 @@ object SparkEntry {
     // temporal: as-of join (composed) + window-function family
     "q38_asof_join" -> (Temporal.q38AsofJoin _),
     "q39_window_family" -> (Temporal.q39WindowFamily _),
+    // span-level cross-doc dedup (ExactSubstr re-expression)
+    "q74_crossdoc_spans" -> (Dedup.q74CrossdocSpans _),
+    // corpus curation: weighted sampling, PII scrub, splits, keywords
+    "q75_weighted_sample" -> (Text.q75WeightedSample _),
+    "q76_pii_redaction" -> (Text.q76PiiRedaction _),
+    "q77_split_census" -> (Text.q77SplitCensus _),
+    "q78_tfidf_keywords" -> (Text.q78TfidfKeywords _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -187,5 +194,10 @@ object SparkEntry {
     "q65_surprisal_joined" -> Text.q64Sql,
     "q66_containment_pairs" -> Dedup.q66Sql,
     "q67_frame_manifest" -> MultimodalQ.q67Sql,
+    "q74_crossdoc_spans" -> Dedup.q74Sql,
+    "q75_weighted_sample" -> Text.q75Sql,
+    "q76_pii_redaction" -> Text.q76Sql,
+    "q77_split_census" -> Text.q77Sql,
+    "q78_tfidf_keywords" -> Text.q78Sql,
   )
 }

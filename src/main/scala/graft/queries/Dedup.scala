@@ -507,4 +507,87 @@ object Dedup {
        |SELECT source, ($bits) AS source_simhash, count(*) AS token_count
        |FROM codes GROUP BY source""".stripMargin
   }
+
+  /** Cross-document duplicated-SPAN census (q74) — the span-level
+    * dedup signal of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (ACL 2022): their ExactSubstr finds
+    * verbatim token runs shared ACROSS documents, which doc-level
+    * fingerprints (q24) and near-dup pairs (q27/q44) both miss — a
+    * license header pasted into a million otherwise-distinct files
+    * never trips a whole-doc signature. Suffix arrays don't
+    * distribute; the standard cluster re-expression is this one: a
+    * fixed span length k (here 5 tokens — their 50-token spans scaled
+    * to the testdata's ~50-token docs), distinct k-gram sets per doc,
+    * and a gram is "duplicated" when ≥ 2 DISTINCT docs contain it.
+    * Emits per source: docs, docs hit by a shared span, total shared
+    * grams, and the mean integer-percent of a doc's grams that are
+    * shared — the "how much of this feed is boilerplate" number that
+    * decides whether a source needs span-level cutting before
+    * training.
+    *
+    * Scale shape: grams explode once (corpus × ~L rows) and hash-agg
+    * on the gram to find duplicated ones — the canonical shuffle, and
+    * the one a suffix array cannot replace on a cluster. The dup-gram
+    * set joins back via LEFT SEMI on the same gram key (hash join, no
+    * sort); per-doc gram totals ride scan-side (`size(ngram_set)`) so
+    * the census join is doc-keyed and tiny. At 100 TB the gram table
+    * is the dominant intermediate; map-side distinct (ngram_set is
+    * per-doc distinct already) keeps it at one row per distinct
+    * (doc, gram), and the gram key hashes uniformly — no skew salt
+    * needed.
+    */
+  val SpanK = 5
+  def q74CrossdocSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens(col("text"))) // staged: see minhashSignatures
+      .filter(size(col("toks")) >= SpanK)
+      .select(col("source"), col("doc_id"),
+        graft.functions.NGramSetFunctions.ngram_set(col("toks"), SpanK).as("grams"))
+    val exploded = docs.select(col("source"), col("doc_id"),
+      explode(col("grams")).as("gram"))
+    val dupGrams = exploded.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gram"))
+    // shuffle-hash: build the (small) dup-gram side, never sort the
+    // exploded corpus (the q56 join-strategy note)
+    val dupPerDoc = exploded.join(dupGrams.hint("shuffle_hash"), Seq("gram"), "left_semi")
+      .groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("dup_grams"))
+    docs.select(col("source"), col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
+      .join(dupPerDoc, Seq("source", "doc_id"), "left")
+      .withColumn("dup_grams", coalesce(col("dup_grams"), lit(0L)))
+      .withColumn("dup_pct", (col("dup_grams") * 100 / col("n_grams")).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("doc_count"),
+        sum(when(col("dup_grams") > 0, 1L).otherwise(0L)).as("docs_hit"),
+        sum(col("dup_grams")).as("shared_grams"),
+        round(avg(col("dup_pct")), 2).as("avg_dup_pct"))
+  }
+  val q74Sql: String = {
+    val toks = "str_split(text, ' ')"
+    s"""WITH d AS (
+       |  SELECT source, doc_id, $toks AS toks FROM documents
+       |  WHERE len($toks) >= $SpanK),
+       |g AS (
+       |  SELECT source, doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(toks) - ${SpanK - 2}),
+       |      i -> array_to_string(list_slice(toks, i, i + ${SpanK - 1}), ' '))))
+       |    AS gram
+       |  FROM d),
+       |dup AS (SELECT gram FROM (
+       |  SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY 1) WHERE nd >= 2),
+       |sizes AS (SELECT source, doc_id, count(*) AS n_grams FROM g GROUP BY 1, 2),
+       |pd AS (SELECT source, doc_id, count(*) AS dup_grams
+       |       FROM g JOIN dup USING (gram) GROUP BY 1, 2),
+       |j AS (SELECT s.source, s.doc_id, s.n_grams,
+       |             coalesce(pd.dup_grams, 0) AS dup_grams
+       |      FROM sizes s LEFT JOIN pd
+       |        ON s.source = pd.source AND s.doc_id = pd.doc_id)
+       |SELECT source, count(*) AS doc_count,
+       |       CAST(sum(CASE WHEN dup_grams > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
+       |       CAST(sum(dup_grams) AS BIGINT) AS shared_grams,
+       |       round(avg(100 * dup_grams // n_grams), 2) AS avg_dup_pct
+       |FROM j GROUP BY 1""".stripMargin
+  }
 }

@@ -739,4 +739,218 @@ object Text {
       |       count(*) - count(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
       |         AS dup_docs
       |FROM documents GROUP BY 1""".stripMargin
+
+  // ── q75: deterministic weighted priority sampling ──────────────────
+
+  /** Weighted sampling without replacement (q75) — the "prefer long /
+    * high-quality documents" sampler every mixture recipe needs once
+    * rates alone (q54) aren't enough. Classic A-Res (Efraimidis &
+    * Spirakis 2006) keys each row with u^(1/w); to stay ORACLE-EXACT
+    * we use the integer-monotone analog: priority = h div w for a
+    * row-owned 60-bit md5 hash h and weight w = n_chars. P(row wins)
+    * is monotone-increasing in w exactly as with A-Res, every
+    * arithmetic step is integer (no ln/pow whose final-ulp wobble
+    * could flip a rank across engines), and the key lives with the
+    * row — stable under repartitioning and replay, like the q48 cut.
+    * Top-3 per source by smallest priority.
+    *
+    * Scale shape: the hash + div ride the scan; per-group top-k is a
+    * rank window on the source partitioning — WindowGroupLimit pushes
+    * the limit below the exchange, so only each partition's local
+    * top-3 candidates shuffle, never the corpus (same shape as q7/q29).
+    */
+  val WSampleK = 3
+  def q75WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("wsamp:"),
+      col("doc_id").cast("string")).cast("binary")), 1, 15), 16, 10).cast("long")
+    val ranked = Tables.documents(s, dir)
+      .withColumn("__h", h)
+      .withColumn("priority", expr("__h div n_chars"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("priority").asc, col("doc_id").asc)))
+    ranked.filter(col("rk") <= WSampleK)
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("n_chars"), col("priority"))
+  }
+  val q75Sql: String =
+    s"""WITH keyed AS (
+       |  SELECT source, doc_id, n_chars,
+       |         CAST('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 15)
+       |              AS BIGINT) // n_chars AS priority
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT source, doc_id, n_chars, priority,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY priority ASC, doc_id ASC) AS rk
+       |  FROM keyed)
+       |SELECT source, rk, doc_id, n_chars, priority
+       |FROM ranked WHERE rk <= $WSampleK""".stripMargin
+
+  // ── q76: PII detection + redaction census ──────────────────────────
+
+  /** PII scrubbing (q76) — the compliance pass every training corpus
+    * runs before tokenization (the C4/Dolma cleanup stage): detect and
+    * redact email addresses and IPv4 literals with anchored regexes,
+    * then report per source how many of each were removed and how many
+    * characters the redaction dropped. The synthetic corpus contains
+    * no PII, so the query PLANTS deterministic doc_id-derived
+    * addresses inside the plan (both engines plant identically) and
+    * the scrubber — the part under test — must find exactly those.
+    * Patterns are written in the common Java-regex/RE2 subset so both
+    * engines compile the same automaton.
+    *
+    * Scale shape: pure scan-side string work (regexp_count +
+    * regexp_replace inside codegen), one (source) rollup shuffle —
+    * the cheapest possible shape for a full-corpus rewrite pass; at
+    * 100 TB this runs at parquet-scan speed and the rewrite would
+    * stream straight to the cleaned-copy sink.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  def q76PiiRedaction(s: SparkSession, dir: String): DataFrame = {
+    val planted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" from 10.0."), (col("doc_id") % 200).cast("string"), lit(".7")))
+        .otherwise(lit("")))
+    Tables.documents(s, dir)
+      .withColumn("t2", planted)
+      .withColumn("emails", regexp_count(col("t2"), lit(EmailRe)))
+      .withColumn("ips", regexp_count(col("t2"), lit(Ipv4Re)))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("t2"), EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("doc_count"),
+        sum(col("emails")).cast("long").as("emails_removed"),
+        sum(col("ips")).cast("long").as("ips_removed"),
+        sum(length(col("t2")) - length(col("redacted"))).cast("long")
+          .as("chars_redacted"))
+  }
+  val q76Sql: String =
+    s"""WITH p AS (
+       |  SELECT source,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+       |    (CASE WHEN doc_id % 3 = 0
+       |          THEN ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7'
+       |          ELSE '' END) AS t2
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, t2,
+       |    len(regexp_extract_all(t2, '$EmailRe')) AS emails,
+       |    len(regexp_extract_all(t2, '$Ipv4Re')) AS ips,
+       |    regexp_replace(regexp_replace(t2, '$EmailRe', '<EMAIL>', 'g'),
+       |                   '$Ipv4Re', '<IP>', 'g') AS redacted
+       |  FROM p)
+       |SELECT source, count(*) AS doc_count,
+       |       CAST(sum(emails) AS BIGINT) AS emails_removed,
+       |       CAST(sum(ips) AS BIGINT) AS ips_removed,
+       |       CAST(sum(len(t2) - len(redacted)) AS BIGINT) AS chars_redacted
+       |FROM r GROUP BY 1""".stripMargin
+
+  // ── q77: train/val/test split census ───────────────────────────────
+
+  /** Deterministic dataset splitting (q77) — the train/val/test
+    * assignment that must NEVER depend on row order, partition count,
+    * or rerun: a row-owned md5 byte (salted 'split:' so it is
+    * independent of the q48 sampling byte) cut at 204/230 of 256
+    * (≈ 80/10/10). The census cross-tabs source × split with doc and
+    * char mass — the table a data-card reports, and the check that no
+    * source leaks disproportionately into eval.
+    *
+    * Scale shape: the split decision rides the scan (same codegen'd
+    * md5 as q48); one (source, split) rollup shuffle. The same
+    * predicate IS the split reader's filter — selecting one split
+    * never touches the others' bytes when the copy-out is written
+    * partitioned by it.
+    */
+  val SplitTrainCut = 204L // of 256 ≈ 79.7%
+  val SplitValCut = 230L   // next ≈ 10.2%, rest test
+  def splitByte(docId: Column): Column =
+    conv(substring(md5(concat(lit("split:"), docId.cast("string"))
+      .cast("binary")), 1, 2), 16, 10).cast("long")
+  def q77SplitCensus(s: SparkSession, dir: String): DataFrame = {
+    val b = splitByte(col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(b < SplitTrainCut, "train")
+          .when(b < SplitValCut, "val").otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("doc_count"),
+        sum(col("n_chars")).as("chars"),
+        min(col("doc_id")).as("min_doc_id"))
+  }
+  val q77Sql: String = {
+    val b = "CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT)"
+    s"""SELECT source,
+       |  CASE WHEN $b < $SplitTrainCut THEN 'train'
+       |       WHEN $b < $SplitValCut THEN 'val' ELSE 'test' END AS split,
+       |  count(*) AS doc_count, CAST(sum(n_chars) AS BIGINT) AS chars,
+       |  min(doc_id) AS min_doc_id
+       |FROM documents GROUP BY 1, 2""".stripMargin
+  }
+
+  // ── q78: per-source TF-IDF keywords ────────────────────────────────
+
+  /** TF-IDF keyword extraction (q78) — "what is each source ABOUT":
+    * treat each source's concatenated docs as one pseudo-document,
+    * weight its term frequencies by document-level inverse document
+    * frequency, and keep the top-3 terms per source. The classic
+    * corpus-exploration op behind domain labeling and mixture design
+    * (and the static half of BM25's idf, q62). Determinism: idf is
+    * quantized to integer millinats (floor(ln(N/df)·1000), the q64
+    * convention) BEFORE the tf multiply, so ranking compares exact
+    * integers; ln's final-ulp wobble would have to land a float
+    * exactly on a floor boundary to show (accepted q64-class risk).
+    *
+    * Scale shape: one explode feeding two hash-aggs — tf on
+    * (source, term) and df on distinct (term, doc) — then a
+    * vocab-bounded BROADCAST of the df table back onto tf (the
+    * q65 duality; vocab rows, not corpus rows) and a rank window on
+    * the source partitioning for top-3 (WindowGroupLimit, as q75).
+    * The corpus shuffles once (the explode's aggs); everything
+    * downstream is vocab-sized.
+    */
+  val TfidfK = 3
+  def q78TfidfKeywords(s: SparkSession, dir: String): DataFrame = {
+    val tk = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("t"))
+    val tf = tk.groupBy(col("source"), col("t")).agg(count(lit(1)).as("tf"))
+    val df = tk.select(col("t"), col("doc_id")).distinct()
+      .groupBy(col("t")).agg(count(lit(1)).as("dfc"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val idf = df.crossJoin(broadcast(n))
+      .select(col("t"),
+        floor(log(col("n_docs") / col("dfc").cast("double")) * 1000)
+          .cast("long").as("idf_mnat"))
+    val scored = tf.join(broadcast(idf), Seq("t"))
+      .withColumn("tfidf_mnat", col("tf") * col("idf_mnat"))
+    scored.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+          .orderBy(col("tfidf_mnat").desc, col("t").asc)))
+      .filter(col("rk") <= TfidfK)
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("t").as("term"), col("tf"), col("tfidf_mnat"))
+  }
+  val q78Sql: String =
+    s"""WITH tk AS (
+       |  SELECT source, doc_id, unnest(str_split(text, ' ')) AS t FROM documents),
+       |tf AS (SELECT source, t, count(*) AS tf FROM tk GROUP BY 1, 2),
+       |df AS (SELECT t, count(*) AS dfc FROM
+       |        (SELECT DISTINCT t, doc_id FROM tk) GROUP BY 1),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |idf AS (SELECT t, CAST(floor(ln(n_docs / CAST(dfc AS DOUBLE)) * 1000)
+       |                       AS BIGINT) AS idf_mnat
+       |        FROM df, n),
+       |scored AS (
+       |  SELECT source, t, tf, tf * idf_mnat AS tfidf_mnat
+       |  FROM tf JOIN idf USING (t)),
+       |ranked AS (
+       |  SELECT source, t, tf, tfidf_mnat,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY tfidf_mnat DESC, t ASC) AS rk
+       |  FROM scored)
+       |SELECT source, rk, t AS term, tf, tfidf_mnat
+       |FROM ranked WHERE rk <= $TfidfK""".stripMargin
 }

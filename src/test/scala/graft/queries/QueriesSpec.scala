@@ -643,6 +643,93 @@ class QueriesSpec extends SparkSpec {
     assert(diff === 0L)
   }
 
+  test("q74 span census: arithmetic invariants hold; semi-join is hash, not sort-merge") {
+    val rows = Dedup.q74CrossdocSpans(spark, sf).collect()
+    rows.foreach { r =>
+      val (docs, hit, shared, pct) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(hit <= docs, "more docs hit than exist")
+      assert(shared >= hit, "a hit doc contributes >= 1 shared gram")
+      assert(pct >= 0.0 && pct <= 100.0, s"pct out of range: $pct")
+    }
+    // small shared vocab => cross-doc 5-gram collisions must exist
+    assert(rows.map(_.getLong(2)).sum > 0, "no shared spans found at sf0.001")
+    val plan = Dedup.q74CrossdocSpans(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan.take(3000))
+  }
+
+  test("q75 weighted sample: keys owned by rows, long docs overrepresented, WindowGroupLimit") {
+    val df = Text.q75WeightedSample(spark, sf)
+    val rows = df.collect()
+    val bySource = rows.groupBy(_.getString(0))
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length === Text.WSampleK, s"$src: expected top-${Text.WSampleK}")
+    }
+    val docs = graft.Tables.documents(spark, sf)
+    // weighted: sampled docs should skew longer than the corpus mean
+    val sampleMean = rows.map(_.getLong(3)).sum.toDouble / rows.length
+    val corpusMean = docs.agg(org.apache.spark.sql.functions.avg("n_chars"))
+      .collect()(0).getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample not length-biased: $sampleMean <= $corpusMean")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
+  test("q76 PII scrub finds exactly the planted addresses") {
+    val rows = Text.q76PiiRedaction(spark, sf).collect()
+    val total = rows.map(_.getLong(1)).sum
+    val emails = rows.map(_.getLong(2)).sum
+    val ips = rows.map(_.getLong(3)).sum
+    val expectedIps = graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 3 === 0).count()
+    assert(emails === total, "one planted email per doc must be found")
+    assert(ips === expectedIps, "one planted IPv4 per doc_id%3==0 must be found")
+    assert(rows.forall(_.getLong(4) > 0), "redaction removed no characters")
+  }
+
+  test("q77 split census partitions every doc exactly once, ~80/10/10") {
+    val rows = Text.q77SplitCensus(spark, sf).collect()
+    val total = rows.map(_.getLong(2)).sum
+    assert(total === graft.Tables.documents(spark, sf).count())
+    val bySplit = rows.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(Set("train", "val", "test").subsetOf(bySplit.keys.toSet))
+    val trainFrac = bySplit("train").toDouble / total
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train fraction off: $trainFrac")
+  }
+
+  test("q78 TF-IDF: ranks ordered by score, scores arithmetic-consistent; idf broadcasts") {
+    val rows = Text.q78TfidfKeywords(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      assert(rs.length === Text.TfidfK, s"$src: expected ${Text.TfidfK} keywords")
+      val byRank = rs.sortBy(_.getLong(1))
+      val scores = byRank.map(_.getLong(4))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"$src: tfidf not non-increasing by rank: ${scores.toSeq}")
+      assert(rs.forall(_.getLong(4) >= 0), "negative tfidf for a ranked term")
+    }
+    // arithmetic consistency: tfidf == tf * floor(ln(N/df)*1000), recomputed
+    val docs = graft.Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    import org.apache.spark.sql.functions._
+    val dfMap = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .distinct().groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tfMap = docs.select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("source", "t").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val (src, term, tf, score) =
+        (r.getString(0), r.getString(2), r.getLong(3), r.getLong(4))
+      assert(tf === tfMap((src, term)), s"$src/$term: tf drifted")
+      val expected = tf * math.floor(math.log(nDocs.toDouble / dfMap(term)) * 1000).toLong
+      assert(score === expected, s"$src/$term: tfidf $score != $expected")
+    }
+    val plan = Text.q78TfidfKeywords(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
   test("q69 funnel stages are monotonically non-increasing") {
     val r = Events.q69Funnel(spark, sf).collect()(0)
     val (u, v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
