@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Dedup, Events, Graph, Layout, MultimodalQ, Parity, PipelineQ, Relational, Similarity, Stats, Temporal, Text}
+import graft.queries.{Bpe, Dedup, Events, Graph, Layout, MultimodalQ, Parity, PipelineQ, Relational, Similarity, Stats, Temporal, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -115,6 +115,8 @@ object SparkEntry {
     "q76_pii_redaction" -> (Text.q76PiiRedaction _),
     "q77_split_census" -> (Text.q77SplitCensus _),
     "q78_tfidf_keywords" -> (Text.q78TfidfKeywords _),
+    // tokenizer training: distributed BPE merge rounds
+    "q79_bpe_merges" -> (Bpe.q79BpeMerges _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -199,5 +201,6 @@ object SparkEntry {
     "q76_pii_redaction" -> Text.q76Sql,
     "q77_split_census" -> Text.q77Sql,
     "q78_tfidf_keywords" -> Text.q78Sql,
+    "q79_bpe_merges" -> Bpe.q79Sql,
   )
 }

@@ -730,6 +730,48 @@ class QueriesSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(3000))
   }
 
+  test("q79 BPE merges equal an in-memory reference trainer (greedy merge parity)") {
+    // classic Sennrich trainer on the same word counts: all-adjacent
+    // pair stats, then EXACT greedy left-to-right merging
+    val words = scala.collection.mutable.Map.empty[String, Long]
+    graft.Tables.documents(spark, sf).select("text").collect().foreach { r =>
+      r.getString(0).split(" ").filter(_.nonEmpty)
+        .foreach(w => words(w) = words.getOrElse(w, 0L) + 1L)
+    }
+    var vocab: Map[Vector[String], Long] =
+      words.toMap.map { case (w, c) => w.split("").toVector -> c }
+    def greedyMerge(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val expected = (1 to Bpe.BpeMergeRounds).map { k =>
+      val stats = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach(p => stats(p) = stats.getOrElse(p, 0L) + c)
+      }
+      val ((a, b), pc) = stats.minBy { case ((x, y), c) => (-c, x + " " + y) }
+      vocab = vocab.map { case (syms, c) => greedyMerge(syms, a, b) -> c }
+      (k.toLong, s"$a $b", pc)
+    }
+    val got = Bpe.q79BpeMerges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq === expected, s"BPE drifted from reference: $got vs $expected")
+  }
+
+  test("BPE separator-doubling merge handles chains exactly (aaaa -> aa aa)") {
+    import spark.implicits._
+    val df = Seq("a a a a", "a a a", "x a b y", "a b a b", "x").toDF("sym")
+      .selectExpr(s"${Bpe.mergeExpr("sym", "'a a'")} AS m")
+    assert(df.as[String].collect().toSeq ===
+      Seq("aa aa", "aa a", "x a b y", "a b a b", "x"))
+  }
+
   test("q69 funnel stages are monotonically non-increasing") {
     val r = Events.q69Funnel(spark, sf).collect()(0)
     val (u, v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
