@@ -115,8 +115,9 @@ object SparkEntry {
     "q76_pii_redaction" -> (Text.q76PiiRedaction _),
     "q77_split_census" -> (Text.q77SplitCensus _),
     "q78_tfidf_keywords" -> (Text.q78TfidfKeywords _),
-    // tokenizer training: distributed BPE merge rounds
+    // tokenizer training: distributed BPE merge rounds + apply census
     "q79_bpe_merges" -> (Bpe.q79BpeMerges _),
+    "q80_bpe_tokenize" -> (Bpe.q80BpeTokenize _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -202,5 +203,6 @@ object SparkEntry {
     "q77_split_census" -> Text.q77Sql,
     "q78_tfidf_keywords" -> Text.q78Sql,
     "q79_bpe_merges" -> Bpe.q79Sql,
+    "q80_bpe_tokenize" -> Bpe.q80Sql,
   )
 }

@@ -50,15 +50,10 @@ object Bpe {
        | ' ' || replace($bp, ' ', '  ') || ' ',
        | ' ' || replace($bp, ' ', '') || ' ')), '  ', ' ')""".stripMargin
 
-  def q79BpeMerges(s: SparkSession, dir: String): DataFrame = {
-    // the ONLY corpus-scale stage: word frequencies, then chars
-    val words = Tables.documents(s, dir)
-      .select(explode(TextOps.tokens(col("text"))).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .withColumn("sym", array_join(split(col("w"), ""), " "))
-      .select(col("sym"), col("cnt"))
-      .localCheckpoint(true) // vocab-bounded; rounds must not replay the corpus
+  /** Shared training loop: word-frequency table → (final vocab after
+    * all rounds, the per-round winning pairs). Every frame here is
+    * vocab-bounded. */
+  private def trainRounds(words: DataFrame): (DataFrame, Seq[DataFrame]) = {
     var cur = words
     val picked = Seq.newBuilder[DataFrame]
     for (k <- 1 to BpeMergeRounds) {
@@ -77,10 +72,27 @@ object Bpe {
         .selectExpr(s"${mergeExpr("sym", "bp")} AS sym", "cnt")
         .localCheckpoint(true)
     }
-    picked.result().reduce(_.union(_))
+    (cur, picked.result())
   }
 
-  val q79Sql: String = {
+  /** Word-frequency table — the single corpus-scale stage both BPE
+    * queries start from. */
+  private def wordTable(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("sym", array_join(split(col("w"), ""), " "))
+      .select(col("sym"), col("cnt"))
+      .localCheckpoint(true) // vocab-bounded; rounds must not replay the corpus
+
+  def q79BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val (_, picked) = trainRounds(wordTable(s, dir))
+    picked.reduce(_.union(_))
+  }
+
+  /** The w0 + per-round CTE chain shared by both BPE oracles. */
+  private def trainCtes: String = {
     def pairsOf(rel: String): String =
       s"""SELECT pair, sum(cnt) AS pc FROM (
          |  SELECT cnt, unnest(list_transform(range(1, len(str_split(sym, ' '))),
@@ -92,14 +104,62 @@ object Bpe {
          |b$k AS (SELECT pair, pc FROM p$k ORDER BY pc DESC, pair ASC LIMIT 1),
          |w$k AS (SELECT ${mergeExpr("sym", s"(SELECT pair FROM b$k)")} AS sym, cnt
          |        FROM w${k - 1})""".stripMargin
-    val finals = (1 to BpeMergeRounds)
-      .map(k => s"SELECT CAST($k AS BIGINT) AS rank, pair, pc AS pair_count FROM b$k")
-      .mkString("\n|UNION ALL\n|")
-    s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT array_to_string(str_split(w, ''), ' ') AS sym, count(*) AS cnt
        |  FROM (SELECT unnest(str_split(text, ' ')) AS w FROM documents)
        |  WHERE w <> '' GROUP BY 1),
-       |${(1 to BpeMergeRounds).map(round).mkString(",\n")}
+       |${(1 to BpeMergeRounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  val q79Sql: String = {
+    val finals = (1 to BpeMergeRounds)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS rank, pair, pc AS pair_count FROM b$k")
+      .mkString("\n|UNION ALL\n|")
+    s"""WITH $trainCtes
        |$finals""".stripMargin
   }
+
+  /** BPE tokenization census (q80) — the APPLY side of q79's training
+    * (the q64→q65 train/apply duality, tokenizer edition): segment
+    * every corpus word with the learned merge table and report per
+    * source how hard the text compresses — words, subword tokens,
+    * chars, and subwords per 100 words (the number that prices a
+    * source's token budget before a training run).
+    *
+    * The learned segmentation IS q79's final vocab state: each
+    * trained sym decodes to its word by dropping separators, so the
+    * word→subword-count map needs no extra bookkeeping. Scale shape:
+    * the vocab table (word, n_subwords) BROADCASTS onto the exploded
+    * corpus — corpus rows never shuffle for segmentation, the only
+    * exchange is the (source) rollup; every count is an integer so
+    * the rollup is order-free.
+    */
+  def q80BpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    val (vocab, _) = trainRounds(wordTable(s, dir))
+    val seg = vocab.selectExpr("replace(sym, ' ', '') AS w",
+      "size(split(sym, ' ')) AS n_sub")
+    Tables.documents(s, dir)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(seg), Seq("w"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sub")).cast("long").as("n_subwords"),
+        sum(length(col("w"))).cast("long").as("n_chars"))
+      .withColumn("subwords_per_100_words",
+        expr("n_subwords * 100 div n_words"))
+  }
+  val q80Sql: String =
+    s"""WITH $trainCtes,
+       |v AS (SELECT replace(sym, ' ', '') AS w,
+       |             len(str_split(sym, ' ')) AS n_sub
+       |      FROM w$BpeMergeRounds),
+       |tok AS (SELECT source, unnest(str_split(text, ' ')) AS w FROM documents),
+       |j AS (SELECT tok.source, len(tok.w) AS wlen, v.n_sub
+       |      FROM tok JOIN v ON tok.w = v.w WHERE tok.w <> '')
+       |SELECT source, count(*) AS n_words,
+       |       CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+       |       CAST(sum(wlen) AS BIGINT) AS n_chars,
+       |       CAST(sum(n_sub) AS BIGINT) * 100 // count(*) AS subwords_per_100_words
+       |FROM j GROUP BY 1""".stripMargin
 }

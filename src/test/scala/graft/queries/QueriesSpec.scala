@@ -764,6 +764,27 @@ class QueriesSpec extends SparkSpec {
     assert(got.toSeq === expected, s"BPE drifted from reference: $got vs $expected")
   }
 
+  test("q80 BPE tokenize: subwords <= chars, >= words; merges strictly compress") {
+    val rows = Bpe.q80BpeTokenize(spark, sf).collect()
+    var subTotal, charTotal, wordTotal = 0L
+    rows.foreach { r =>
+      val (w, sub, ch) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(sub <= ch, "subword count exceeds char count — merge inflated text")
+      assert(sub >= w, "fewer subwords than words — impossible segmentation")
+      wordTotal += w; subTotal += sub; charTotal += ch
+    }
+    // the learned merges must actually compress: strictly fewer
+    // subwords than chars overall (4 merge rounds on a 40-word vocab)
+    assert(subTotal < charTotal, s"no compression: $subTotal !< $charTotal")
+    // census covers every non-empty corpus token
+    val expectWords = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("w"))
+      .filter(org.apache.spark.sql.functions.col("w") =!= "").count()
+    assert(wordTotal === expectWords, "segmentation census dropped tokens")
+  }
+
   test("BPE separator-doubling merge handles chains exactly (aaaa -> aa aa)") {
     import spark.implicits._
     val df = Seq("a a a a", "a a a", "x a b y", "a b a b", "x").toDF("sym")
