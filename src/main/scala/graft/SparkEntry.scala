@@ -110,6 +110,8 @@ object SparkEntry {
     "q39_window_family" -> (Temporal.q39WindowFamily _),
     // span-level cross-doc dedup (ExactSubstr re-expression)
     "q74_crossdoc_spans" -> (Dedup.q74CrossdocSpans _),
+    // feed-overlap audit: per-source mergeable MinHash signatures
+    "q81_source_overlap" -> (Dedup.q81SourceOverlap _),
     // corpus curation: weighted sampling, PII scrub, splits, keywords
     "q75_weighted_sample" -> (Text.q75WeightedSample _),
     "q76_pii_redaction" -> (Text.q76PiiRedaction _),
@@ -198,6 +200,7 @@ object SparkEntry {
     "q66_containment_pairs" -> Dedup.q66Sql,
     "q67_frame_manifest" -> MultimodalQ.q67Sql,
     "q74_crossdoc_spans" -> Dedup.q74Sql,
+    "q81_source_overlap" -> Dedup.q81Sql,
     "q75_weighted_sample" -> Text.q75Sql,
     "q76_pii_redaction" -> Text.q76Sql,
     "q77_split_census" -> Text.q77Sql,

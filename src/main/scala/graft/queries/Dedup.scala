@@ -564,6 +564,62 @@ object Dedup {
         sum(col("dup_grams")).as("shared_grams"),
         round(avg(col("dup_pct")), 2).as("avg_dup_pct"))
   }
+  /** Source-overlap MinHash matrix (q81) — the cheap feed-overlap
+    * audit: one MinHash signature PER SOURCE (each hash's minimum over
+    * every 3-gram in every doc of the source — set-union semantics,
+    * so the signature of a feed is the elementwise min of its docs'
+    * signatures), then the pairwise match-count matrix. matching/8
+    * estimates the Jaccard similarity of two feeds' gram SETS without
+    * ever materializing them — the first question asked before
+    * merging a new crawl into a mixture ("is src19 just src4 again?").
+    *
+    * Scale shape: the signature is a MERGEABLE tiny aggregate (8
+    * mins): map-side partials reduce each partition to one 8-long row
+    * per source, one exchange on source ships only those, and the
+    * |sources|² matrix is a broadcast self-join of a frame with one
+    * row per feed. Nothing pairwise ever touches corpus rows — the
+    * contrast with q27's dense-sample exact Jaccard, which explodes
+    * and self-joins grams and exists only for bounded samples.
+    */
+  val SourceMinHashes = 8
+  def q81SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens(col("text"))) // staged: see minhashSignatures
+      .filter(size(col("toks")) >= 3)
+      .withColumn("mh", graft.functions.MinHashFunctions.ngram_minhash_bands(
+        col("toks"), 3, SourceMinHashes))
+    val sigs = perDoc.groupBy(col("source"))
+      .agg(min(col("mh").getItem(0)).as("m0"),
+        (1 until SourceMinHashes).map(j => min(col("mh").getItem(j)).as(s"m$j")): _*)
+    val matching = (0 until SourceMinHashes)
+      .map(j => when(col(s"a.m$j") === col(s"b.m$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    sigs.as("a")
+      .join(broadcast(sigs.as("b")), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        matching.as("matching_minhashes"))
+  }
+  val q81Sql: String = {
+    import graft.functions.MinHashKernel.{A, B, Prime}
+    val toks = "str_split(text, ' ')"
+    val mins = (0 until SourceMinHashes)
+      .map(j => s"min((${A(j)} * x + ${B(j)}) % $Prime) AS m$j").mkString(", ")
+    val matching = (0 until SourceMinHashes)
+      .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT source, $toks AS toks FROM documents WHERE len($toks) >= 3),
+       |g AS (
+       |  SELECT source, unnest(list_transform(range(1, len(toks) - 1),
+       |    i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+       |  FROM d),
+       |x AS (SELECT source, CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS x
+       |      FROM g),
+       |m AS (SELECT source, $mins FROM x GROUP BY 1)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       |       CAST($matching AS BIGINT) AS matching_minhashes
+       |FROM m a JOIN m b ON a.source < b.source""".stripMargin
+  }
+
   val q74Sql: String = {
     val toks = "str_split(text, ' ')"
     s"""WITH d AS (

@@ -764,6 +764,36 @@ class QueriesSpec extends SparkSpec {
     assert(got.toSeq === expected, s"BPE drifted from reference: $got vs $expected")
   }
 
+  test("q81 source overlap equals an explode/groupBy differential; partial-aggregated") {
+    import org.apache.spark.sql.functions._
+    val got = Dedup.q81SourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // independent spelling: explode staged shingles, affine-hash with
+    // Spark expressions, min per (source, hash j)
+    import graft.functions.MinHashKernel.{A, B, Prime}
+    val sh = graft.Tables.documents(spark, sf)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"),
+        explode(graft.ops.TextOps.shingles(col("toks"), 3)).as("g"))
+      .withColumn("x", conv(substring(md5(col("g").cast("binary")), 1, 8), 16, 10)
+        .cast("long"))
+    val mins = sh.groupBy(col("source"))
+      .agg(min((col("x") * A(0) + B(0)) % Prime).as("m0"),
+        (1 until Dedup.SourceMinHashes).map(j =>
+          min((col("x") * A(j) + B(j)) % Prime).as(s"m$j")): _*)
+      .collect().map(r => r.getString(0) ->
+        (0 until Dedup.SourceMinHashes).map(j => r.getLong(j + 1))).toMap
+    val srcs = mins.keys.toSeq.sorted
+    val expected = (for {
+      a <- srcs; b <- srcs if a < b
+    } yield (a, b) -> mins(a).zip(mins(b)).count { case (x, y) => x == y }.toLong).toMap
+    assert(got === expected, "kernel-aggregated matrix drifted from the HOF differential")
+    // the signature agg must partial-aggregate (map-side combine)
+    val plan = Dedup.q81SourceOverlap(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"), plan.take(2000))
+  }
+
   test("q80 BPE tokenize: subwords <= chars, >= words; merges strictly compress") {
     val rows = Bpe.q80BpeTokenize(spark, sf).collect()
     var subTotal, charTotal, wordTotal = 0L
