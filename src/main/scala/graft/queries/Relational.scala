@@ -220,16 +220,12 @@ object Relational {
   val BloomBalMin = 5000.0
 
   /** k-th bit position for a key: md5("k:key") prefix mod m — the q68
-    * derivation, so both engines compute identical filters. */
-  private def bloomPos(j: Int, key: Column): Column =
+    * derivation, so both engines compute identical filters. Composed
+    * spelling kept as the differential reference for the fused
+    * `hash_positions` kernel (HashPositionsSpec). */
+  private[graft] def bloomPos(j: Int, key: Column): Column =
     conv(substring(md5(concat(lit(j + ":"), key.cast("string"))), 1, 8), 16, 10)
       .cast("long") % (BloomWords * 32)
-
-  /** The same position as Spark-SQL text (the probe side tests bits
-    * inside one codegen'd predicate). */
-  private def bloomPosSparkSql(j: Int, key: String): String =
-    s"cast(conv(substring(md5(concat('$j:', cast($key as string))), 1, 8), 16, 10) as bigint)" +
-      s" % ${BloomWords * 32}"
 
   /** Bloom-filtered semi-join census (q73) — the 100 TB pre-join
     * filter pattern: the build side (high-balance suppliers) folds
@@ -247,8 +243,11 @@ object Relational {
     val keys = Tables.supplier(s, dir)
       .filter(col("s_acctbal") > BloomBalMin).select(col("s_suppkey"))
     // build: ≤ k·|keys| position rows → ≤ 8 words → ONE dense row
-    val positions = keys.select(explode(array(
-      (0 until BloomK).map(j => bloomPos(j, col("s_suppkey"))): _*)).as("p"))
+    // (native hash_positions kernel: all k in one call; the composed
+    // bloomPos columns are the differential reference)
+    val positions = keys.select(explode(graft.functions.HashPositionsFunctions
+      .hash_positions(col("s_suppkey").cast("string"), BloomK, BloomWords * 32L))
+      .as("p"))
     val words = positions
       .select(expr("p div 32").as("w"),
         expr("shiftleft(1L, cast(p % 32 as int))").as("m"))
@@ -262,8 +261,12 @@ object Relational {
     val probe = Tables.lineitem(s, dir)
       .select(col("l_returnflag"), col("l_suppkey"))
       .crossJoin(broadcast(bf))
+      // positions staged as ONE kernel call per row; the per-j bit
+      // tests below stay plain codegen'd element_at arithmetic
+      .withColumn("ps", graft.functions.HashPositionsFunctions
+        .hash_positions(col("l_suppkey").cast("string"), BloomK, BloomWords * 32L))
     val memberBits = (0 until BloomK).map { j =>
-      val p = bloomPosSparkSql(j, "l_suppkey")
+      val p = s"element_at(ps, ${j + 1})"
       expr(s"(shiftright(element_at(bf, cast(($p) div 32 as int) + 1), " +
         s"cast(($p) % 32 as int)) & 1) = 1")
     }.reduce(_ && _)

@@ -143,7 +143,9 @@ object Stats {
     * byte-for-byte (the q43 fingerprint pattern), so the sketch is
     * DETERMINISTIC and the oracle hash-matches exact cell values, not
     * tolerance booleans. */
-  private def cmsBucket(i: Int, t: Column): Column =
+  /** Composed per-i spelling of one sketch bucket — the differential
+    * reference for the fused `hash_positions` kernel (HashPositionsSpec). */
+  private[graft] def cmsBucket(i: Int, t: Column): Column =
     conv(substring(md5(concat(lit(i + ":"), t)), 1, 8), 16, 10)
       .cast("long") % CmsW
 
@@ -165,9 +167,13 @@ object Stats {
     val tok = Tables.documents(s, dir)
       .select(explode(TextOps.tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
-    val buckets = (0 until CmsD).map(i => cmsBucket(i, col("token")))
+    // native kernel: all d cell positions from one codegen call (the
+    // composed per-i cmsBucket columns — kept below as the q73-shared
+    // differential reference — pay d hex-string roundtrips per token)
+    val buckets = graft.functions.HashPositionsFunctions
+      .hash_positions(col("token"), CmsD, CmsW)
     val cells = tok
-      .select(posexplode(array(buckets: _*)).as(Seq("sketch_row", "bucket")))
+      .select(posexplode(buckets).as(Seq("sketch_row", "bucket")))
       .groupBy(col("sketch_row"), col("bucket"))
       .agg(count(lit(1)).as("cell_count"))
     val top = tok.groupBy(col("token"))
@@ -175,7 +181,7 @@ object Stats {
       .orderBy(col("true_count").desc, col("token").asc)
       .limit(10)
     top.select(col("token"), col("true_count"),
-        posexplode(array(buckets: _*)).as(Seq("sketch_row", "bucket")))
+        posexplode(buckets).as(Seq("sketch_row", "bucket")))
       .join(broadcast(cells), Seq("sketch_row", "bucket"))
       .groupBy(col("token"), col("true_count"))
       .agg(min(col("cell_count")).as("cms_estimate"))
