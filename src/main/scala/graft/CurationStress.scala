@@ -1,0 +1,79 @@
+package graft
+
+import graft.queries.{Bpe, Dedup, Text}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation scale stress (round-4 ops): replicates the
+  * documents corpus R× into a temp parquet dir — doc_ids offset into
+  * disjoint ranges, each replica's sources renamed to fresh feeds
+  * (`src4_7`) — and times the curation passes on the inflated corpus:
+  *
+  *  - q74 span census: the gram table grows linearly with R, but
+  *    replication makes EVERY gram cross-doc-duplicated (nd ≥ R), so
+  *    the semi-join passes the entire exploded table — the worst case
+  *    for the join, the exact shape of a boilerplate-saturated crawl.
+  *  - q81 source overlap: feeds grow R× (matrix R²×|src|²); replica
+  *    feeds carry identical gram sets, so the matrix must report
+  *    8/8 matches for every replica pair — the "src19 is src4 again"
+  *    signal the op exists to catch, asserted here at scale.
+  *  - q79/q80 BPE train + apply: the corpus pass grows linearly; the
+  *    merge rounds stay vocab-bounded (the point of the design).
+  *
+  * Usage: CurationStress [reps]   (SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
+  */
+object CurationStress {
+  def main(args: Array[String]): Unit = {
+    val reps = if (args.nonEmpty) args(0).toInt else 10
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val stressDir = s"/tmp/graft_curation_stress_$reps"
+    Tables.documents(spark, sfDir)
+      .crossJoin(spark.range(reps).toDF("rep"))
+      .select(
+        (col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+        col("text"), col("lang"),
+        concat(col("source"), lit("_"), col("rep")).as("source"),
+        col("n_chars"))
+      .write.mode("overwrite").parquet(s"$stressDir/documents.parquet")
+
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val v = f
+      (v, (System.nanoTime() - t0) / 1e9)
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Long = df.count()
+
+    // untimed warmup (classes + codegen) on the unreplicated corpus
+    noop(Dedup.q74CrossdocSpans(spark, sfDir))
+    noop(Dedup.q81SourceOverlap(spark, sfDir))
+    noop(Bpe.q79BpeMerges(spark, sfDir))
+
+    val (spanRows, tSpan) = time(noop(Dedup.q74CrossdocSpans(spark, stressDir)))
+    val (q81Full, tOverlap) = time {
+      val m = Dedup.q81SourceOverlap(spark, stressDir)
+      // every replica pair (same base feed) must report a full match
+      val full = m.filter(col("matching_minhashes") === Dedup.SourceMinHashes.toLong)
+        .count()
+      val expected = reps.toLong * (reps - 1) / 2 *
+        Tables.documents(spark, sfDir).select(col("source")).distinct().count()
+      assert(full >= expected,
+        s"replica feeds not detected: $full full matches < $expected")
+      full
+    }
+    val (_, tTrain) = time(noop(Bpe.q79BpeMerges(spark, stressDir)))
+    val (_, tApply) = time(noop(Bpe.q80BpeTokenize(spark, stressDir)))
+    println(f"""{"metric":"curation_stress","reps":$reps,"q74_sec":$tSpan%.2f,"q74_rows":$spanRows,"q81_sec":$tOverlap%.2f,"q81_full_matches":$q81Full,"q79_sec":$tTrain%.2f,"q80_sec":$tApply%.2f,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
