@@ -808,6 +808,10 @@ object Text {
     */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** The scrubber itself — shared by batch q76 and the streaming
+    * ingest-time curation (Streams.curationIngest). */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
   def q76PiiRedaction(s: SparkSession, dir: String): DataFrame = {
     val planted = concat(col("text"),
       lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
@@ -818,8 +822,7 @@ object Text {
       .withColumn("t2", planted)
       .withColumn("emails", regexp_count(col("t2"), lit(EmailRe)))
       .withColumn("ips", regexp_count(col("t2"), lit(Ipv4Re)))
-      .withColumn("redacted",
-        regexp_replace(regexp_replace(col("t2"), EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"))
+      .withColumn("redacted", redactPii(col("t2")))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("doc_count"),
         sum(col("emails")).cast("long").as("emails_removed"),
@@ -869,12 +872,16 @@ object Text {
   def splitByte(docId: Column): Column =
     conv(substring(md5(concat(lit("split:"), docId.cast("string"))
       .cast("binary")), 1, 2), 16, 10).cast("long")
+  /** The split label — shared by batch q77 and the streaming
+    * ingest-time curation (Streams.curationIngest). */
+  def splitLabel(docId: Column): Column = {
+    val b = splitByte(docId)
+    when(b < SplitTrainCut, "train")
+      .when(b < SplitValCut, "val").otherwise("test")
+  }
   def q77SplitCensus(s: SparkSession, dir: String): DataFrame = {
-    val b = splitByte(col("doc_id"))
     Tables.documents(s, dir)
-      .withColumn("split",
-        when(b < SplitTrainCut, "train")
-          .when(b < SplitValCut, "val").otherwise("test"))
+      .withColumn("split", splitLabel(col("doc_id")))
       .groupBy(col("source"), col("split"))
       .agg(count(lit(1)).as("doc_count"),
         sum(col("n_chars")).as("chars"),

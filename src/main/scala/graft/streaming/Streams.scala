@@ -280,6 +280,32 @@ object Streams {
     * Downstream, Jaccard verification and clustering run exactly as in
     * batch (q44/q46) over the pairs log — batch/stream duality again.
     */
+  /** Ingest-time curation (batch/stream duality, curation edition):
+    * the transform a pretraining ingest applies as data LANDS — PII
+    * scrub ([[graft.queries.Text.redactPii]], the q76 scrubber) and
+    * deterministic split assignment ([[graft.queries.Text.splitLabel]],
+    * the q77 cut) — shared verbatim between this stream and the batch
+    * oracle queries, so ingest-time and batch curation can never
+    * drift. */
+  def curateBatch(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("text", graft.queries.Text.redactPii(col("text")))
+      .withColumn("split", graft.queries.Text.splitLabel(col("doc_id")))
+
+  /** Streaming cleaned-corpus writer: curated rows land partitioned by
+    * (split, batch_id) — split readers prune at the directory level
+    * (selecting `split=train` never lists eval bytes), and a replayed
+    * micro-batch dynamically overwrites exactly its own partitions
+    * (idempotent, see writeBatchPartition). */
+  def curationIngest(docs: DataFrame, outPath: String, checkpoint: String)
+      : DataStreamWriter[Row] =
+    curateBatch(docs).writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchPartition(batch, batchId, outPath, Seq("split"))
+      }
+
   def incrementalLshDedup(docs: DataFrame, indexPath: String,
                           pairsPath: String, checkpoint: String)
       : DataStreamWriter[Row] =

@@ -451,6 +451,43 @@ class StreamsSpec extends SparkSpec {
     assert(rowsOf(sql("SELECT * FROM duality")) === rowsOf(agg(batchDf)))
   }
 
+  test("curation ingest: PII scrubbed in-stream, split-partitioned layout, batch parity") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_curation")
+    val (out, ckpt) = (s"$dir/clean", s"$dir/ckpt")
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.curationIngest(
+      in.toDF().toDF("doc_id", "text"), out, ckpt).start()
+    try {
+      val rows = (0L until 40L).map(i =>
+        (i, s"doc body $i mail bob$i@spam.example.com ip 10.1.$i.9 tail"))
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val clean = spark.read.parquet(out)
+      assert(clean.count() === 40)
+      // every planted address is scrubbed
+      val texts = clean.select("text").collect().map(_.getString(0))
+      assert(texts.forall(t => t.contains("<EMAIL>") && t.contains("<IP>")))
+      assert(texts.forall(t => !t.contains("@") && !t.contains("10.1.")))
+      // split assignment identical to the batch q77 cut
+      import org.apache.spark.sql.functions.col
+      val streamed = clean.select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batch = spark.createDataFrame(rows).toDF("doc_id", "text")
+        .select(col("doc_id"), graft.queries.Text.splitLabel(col("doc_id")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed === batch)
+      // physical layout prunes by split: split=... directories exist
+      val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+        .map(_.getName).toSet
+      assert(dirs.exists(_.startsWith("split=train")), dirs.mkString(","))
+      // a split-filtered read prunes partitions at the source
+      val plan = spark.read.parquet(out).filter(col("split") === "train")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [isnotnull(split"), plan.take(2000))
+    } finally q.stop()
+  }
+
   test("incremental LSH dedup: cross-batch candidates surface, index append is idempotent") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_incdedup")
