@@ -47,6 +47,9 @@ object SparkEntry {
     "q19_first_event_per_user_type" -> (Events.q19FirstEventPerUserType _),
     // ordered funnel: staged per-stage-filtered user_id aggregations
     "q69_funnel" -> (Events.q69Funnel _),
+    // product analytics: cohort retention + event transition matrix
+    "q82_cohort_retention" -> (Events.q82CohortRetention _),
+    "q83_transition_matrix" -> (Events.q83TransitionMatrix _),
     // text analysis
     "q20_doc_stats" -> (Text.q20DocStats _),
     "q21_langid" -> (Text.q21LangId _),
@@ -176,6 +179,8 @@ object SparkEntry {
     "q73_bloom_semijoin" -> Relational.q73Sql,
     "q71_dsir_census" -> Text.q71Sql,
     "q69_funnel" -> Events.q69Sql,
+    "q82_cohort_retention" -> Events.q82Sql,
+    "q83_transition_matrix" -> Events.q83Sql,
     "q44_lsh_verified_pairs" -> Dedup.q44Sql,
     "q45_true_mode_tokens" -> Parity.q45Sql,
     "q46_dedup_clusters" -> Dedup.q46Sql,

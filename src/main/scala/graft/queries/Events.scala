@@ -162,4 +162,91 @@ object Events {
       |       (SELECT count(*) FROM v) AS n_view,
       |       (SELECT count(*) FROM c) AS n_click_after_view,
       |       (SELECT count(*) FROM p) AS n_purchase_after_click""".stripMargin
+
+  /** Cohort retention (q82) — the classic product-analytics rollup:
+    * users are cohorted by the week of their FIRST event, and each
+    * cohort's activity is counted k weeks later. Week indices are
+    * pure integer arithmetic (epoch_seconds div 86400 div 7) so no
+    * calendar semantics can diverge between engines.
+    *
+    * Scale shape: two user-keyed hash-aggs off one scan (the cohort
+    * min and the distinct active (user, week) set — both reduce the
+    * event log to O(users) rows), a join on user_id (co-partitioned
+    * by the aggs' own shuffles under AQE), and a tiny
+    * (cohort, week_k) rollup; cohort sizes broadcast back. The event
+    * log is never shuffled twice.
+    */
+  def q82CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("unix_timestamp(ts) div 86400 div 7").as("wk"))
+    val cohort = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+    val active = e.distinct()
+    val ret = active.join(cohort, "user_id")
+      .withColumn("week_k", col("wk") - col("cohort_wk"))
+      .groupBy(col("cohort_wk"), col("week_k"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+    val sizes = cohort.groupBy(col("cohort_wk"))
+      .agg(count(lit(1)).as("cohort_size"))
+    ret.join(broadcast(sizes), "cohort_wk")
+      .withColumn("retention_pct",
+        expr("active_users * 100 div cohort_size"))
+  }
+  val q82Sql: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |         CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400 // 7 AS wk
+      |  FROM events),
+      |c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, wk FROM e),
+      |r AS (
+      |  SELECT c.cohort_wk, a.wk - c.cohort_wk AS week_k,
+      |         count(DISTINCT a.user_id) AS active_users
+      |  FROM a JOIN c ON a.user_id = c.user_id GROUP BY 1, 2),
+      |s AS (SELECT cohort_wk, count(*) AS cohort_size FROM c GROUP BY 1)
+      |SELECT r.cohort_wk, r.week_k, r.active_users, s.cohort_size,
+      |       r.active_users * 100 // s.cohort_size AS retention_pct
+      |FROM r JOIN s ON r.cohort_wk = s.cohort_wk""".stripMargin
+
+  /** Event-type transition matrix (q83) — first-order Markov counts
+    * over each user's event sequence (the session-flow / funnel-
+    * discovery census): consecutive (type → next type) pairs ordered
+    * by (ts, event_id) — the event_id tie-break makes the sequence a
+    * total order, so `lead` is deterministic on both engines.
+    *
+    * Scale shape: ONE shuffle (hash on user_id for the lead window;
+    * the sort is partition-local), then the (from, to) rollup is
+    * 16 cells; per-from totals ride a broadcast join back for the
+    * row-normalized percentages.
+    */
+  def q83TransitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("transitions"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("transitions")).as("from_total"))
+    pairs.join(broadcast(totals), "from_type")
+      .withColumn("pct_of_from",
+        expr("transitions * 100 div from_total"))
+      .select(col("from_type"), col("to_type"),
+        col("transitions"), col("pct_of_from"))
+  }
+  val q83Sql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |p AS (
+      |  SELECT from_type, to_type, count(*) AS transitions
+      |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, CAST(sum(transitions) AS BIGINT) AS from_total
+      |      FROM p GROUP BY 1)
+      |SELECT p.from_type, p.to_type, p.transitions,
+      |       p.transitions * 100 // t.from_total AS pct_of_from
+      |FROM p JOIN t ON p.from_type = t.from_type""".stripMargin
 }

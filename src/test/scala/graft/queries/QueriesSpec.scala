@@ -823,6 +823,44 @@ class QueriesSpec extends SparkSpec {
       Seq("aa aa", "aa a", "x a b y", "a b a b", "x"))
   }
 
+  test("q82 cohort retention: week-0 is full, retention bounded, users conserved") {
+    val rows = Events.q82CohortRetention(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    rows.foreach { case (_, k, active, size, pct) =>
+      assert(k >= 0, "activity before the cohort week — min() broken")
+      assert(active <= size, "more active users than the cohort holds")
+      assert(pct >= 0 && pct <= 100)
+    }
+    // week 0 contains every cohort member by construction (their first event)
+    rows.filter(_._2 == 0L).foreach { case (wk, _, active, size, pct) =>
+      assert(active === size, s"cohort $wk week-0 not full")
+      assert(pct === 100L)
+    }
+    // cohort sizes partition the user base
+    val users = graft.Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("user_id"))).collect()(0).getLong(0)
+    assert(rows.filter(_._2 == 0L).map(_._4).sum === users)
+  }
+
+  test("q83 transitions: per-user sequence lengths conserved; pcts sum to ~100 per row") {
+    val rows = Events.q83TransitionMatrix(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // sum of transitions = total events - one per user (each user's
+    // last event has no successor)
+    val ev = graft.Tables.events(spark, sf)
+    val total = ev.count()
+    val users = ev.select(org.apache.spark.sql.functions.countDistinct(
+      org.apache.spark.sql.functions.col("user_id"))).collect()(0).getLong(0)
+    assert(rows.map(_._3).sum === total - users, "transition count drifted")
+    // integer row-normalized pcts: each from_type's pcts sum to 100±(cells-1)
+    rows.groupBy(_._1).foreach { case (from, rs) =>
+      val s = rs.map(_._4).sum
+      assert(s <= 100 && s >= 100 - (rs.length - 1),
+        s"$from: truncated pcts sum $s out of range")
+    }
+  }
+
   test("q69 funnel stages are monotonically non-increasing") {
     val r = Events.q69Funnel(spark, sf).collect()(0)
     val (u, v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
