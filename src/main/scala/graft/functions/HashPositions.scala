@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -22,21 +20,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * pays those k times per row in the probe scan.
   */
 object HashPositionsKernel {
-  private val digests: ThreadLocal[MessageDigest] =
-    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
-
   /** "j:" prefixes precomputed for the small j this family uses. */
   private val prefixes: Array[Array[Byte]] =
     Array.tabulate(64)(j => s"$j:".getBytes("UTF-8"))
 
-  /** First digest word as the unsigned 32-bit value — must match
-    * CAST('0x' || substr(md5_hex, 1, 8) AS BIGINT). */
-  private def word(d: Array[Byte]): Long =
-    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-
   def positions(key: UTF8String, k: Int, mod: Long): ArrayData = {
-    val md = digests.get()
+    // md5 plumbing shared with MinHashKernel (one copy of the
+    // contract-critical byte-order arithmetic)
+    val md = MinHashKernel.digests.get()
     val keyBytes = key.getBytes
     val out = new Array[Any](k)
     var j = 0
@@ -44,7 +35,7 @@ object HashPositionsKernel {
       md.reset()
       md.update(prefixes(j))
       md.update(keyBytes)
-      out(j) = word(md.digest()) % mod
+      out(j) = MinHashKernel.word(md.digest(), 0) % mod
       j += 1
     }
     new GenericArrayData(out)

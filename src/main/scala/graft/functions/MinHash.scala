@@ -45,12 +45,15 @@ object MinHashKernel {
   val B: Array[Long] = Array(0x85ebca6bL, 0xc2b2ae35L, 0x61c88647L, 0x9e3779b9L,
     0xdeadbeefL, 0x0b4c61d5L, 0x38495ab5L, 0x7feb352dL)
 
-  private val digests = new ThreadLocal[MessageDigest] {
+  // shared with HashPositionsKernel — ONE copy of the md5 plumbing
+  // whose byte-order arithmetic the oracle contract depends on
+  private[functions] val digests = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
-  /** Unsigned 32-bit big-endian word at offset `off` of `d`. */
-  @inline private def word(d: Array[Byte], off: Int): Long =
+  /** Unsigned 32-bit big-endian word at offset `off` of `d` — equals
+    * CAST('0x' || substr(md5_hex, 2·off+1, 8) AS BIGINT). */
+  @inline private[functions] def word(d: Array[Byte], off: Int): Long =
     ((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
       ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)
 

@@ -166,8 +166,11 @@ object Events {
   /** Cohort retention (q82) — the classic product-analytics rollup:
     * users are cohorted by the week of their FIRST event, and each
     * cohort's activity is counted k weeks later. Week indices are
-    * pure integer arithmetic (epoch_seconds div 86400 div 7) so no
-    * calendar semantics can diverge between engines.
+    * pure integer arithmetic (FLOORED epoch seconds div 86400 div 7);
+    * the oracle floors via epoch_us // 1e6 — DuckDB's epoch() returns
+    * DOUBLE and CAST rounds half-up, which would flip an event in the
+    * last half-second of a week into the next bucket (Spark's
+    * unix_timestamp truncates).
     *
     * Scale shape: two user-keyed hash-aggs off one scan (the cohort
     * min and the distinct active (user, week) set — both reduce the
@@ -185,7 +188,9 @@ object Events {
     val ret = active.join(cohort, "user_id")
       .withColumn("week_k", col("wk") - col("cohort_wk"))
       .groupBy(col("cohort_wk"), col("week_k"))
-      .agg(countDistinct(col("user_id")).as("active_users"))
+      // rows are already distinct per (user, wk) and wk is functionally
+      // (cohort_wk, week_k) — plain count avoids a distinct-agg Expand
+      .agg(count(lit(1)).as("active_users"))
     val sizes = cohort.groupBy(col("cohort_wk"))
       .agg(count(lit(1)).as("cohort_size"))
     ret.join(broadcast(sizes), "cohort_wk")
@@ -195,13 +200,13 @@ object Events {
   val q82Sql: String =
     """WITH e AS (
       |  SELECT user_id,
-      |         CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400 // 7 AS wk
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 86400 // 7 AS wk
       |  FROM events),
       |c AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY 1),
       |a AS (SELECT DISTINCT user_id, wk FROM e),
       |r AS (
       |  SELECT c.cohort_wk, a.wk - c.cohort_wk AS week_k,
-      |         count(DISTINCT a.user_id) AS active_users
+      |         count(*) AS active_users
       |  FROM a JOIN c ON a.user_id = c.user_id GROUP BY 1, 2),
       |s AS (SELECT cohort_wk, count(*) AS cohort_size FROM c GROUP BY 1)
       |SELECT r.cohort_wk, r.week_k, r.active_users, s.cohort_size,
