@@ -79,6 +79,8 @@ object SparkEntry {
     "q55_dedup_clusters_logn" -> (Dedup.q55DedupClustersLogN _),
     // the complete training-data pipeline, composed end-to-end
     "q50_training_manifest" -> (PipelineQ.q50TrainingManifest _),
+    // the curation pipeline: scrub -> split -> mix -> pack, one plan
+    "q84_curation_manifest" -> (PipelineQ.q84CurationManifest _),
     // similarity search
     "q29_cosine_topk" -> (Similarity.q29CosineTopK _),
     "q30_lsh_buckets" -> (Similarity.q30LshBuckets _),
@@ -190,6 +192,7 @@ object SparkEntry {
     // same oracle as q49 by design: the two paths must agree exactly
     "q56_contamination_joined" -> Text.q49Sql,
     "q50_training_manifest" -> PipelineQ.q50Sql,
+    "q84_curation_manifest" -> PipelineQ.q84Sql,
     "q51_multiprobe_ann" -> Similarity.q51Sql,
     "q52_range_join" -> Relational.q52Sql,
     "q53_pivot" -> Relational.q53Sql,

@@ -97,4 +97,59 @@ object PipelineQ {
        |  WHERE ${Text.sampleSqlPredicate}),
        |${Text.packSqlTail("sampled")}""".stripMargin
   }
+
+  /** The CURATION pipeline as one oracle-checked query (q84) — q50's
+    * companion for the compliance-and-recipe side of corpus prep:
+    *  1. PII scrub (q76's redactPii) — here a rewrite pass whose
+    *     token counts feed packing, so scrubbing is ON the data path,
+    *     not a side census
+    *  2. train/val/test split assignment (q77's salted cut)
+    *  3. per-source mixing rates (q54's recipe map cut)
+    *  4. sequence packing per (split, source) — the shard manifest a
+    *     dataloader reads for ONE split without touching the others
+    *
+    * Scale review: stages 1-3 are scan-side codegen (regex rewrite +
+    * two md5 bytes + the literal recipe map); packing is one window
+    * shuffle on (split, source) whose aggregation reuses the same
+    * partitioning. The whole pipeline is ONE exchange.
+    */
+  def q84CurationManifest(s: SparkSession, dir: String): DataFrame = {
+    val curated = Tables.documents(s, dir)
+      .withColumn("clean", Text.redactPii(col("text")))
+      .withColumn("split", Text.splitLabel(col("doc_id")))
+      .filter(Text.sampleHashByte(col("doc_id")) <
+        coalesce(element_at(typedLit(Text.MixCuts), col("source")),
+          lit(Text.MixDefaultCut)))
+    Text.packManifest(
+      curated.select(col("split"), col("source"), col("doc_id"),
+        size(TextOps.tokens(col("clean"))).cast("long").as("n_toks")),
+      keys = Seq("split", "source"))
+  }
+
+  val q84Sql: String = {
+    val cases = Text.MixCuts.toSeq.sorted
+      .map { case (src, c) => s"WHEN source = '$src' THEN $c" }.mkString(" ")
+    val splitByte =
+      "CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT)"
+    s"""WITH curated AS (
+       |  SELECT source, doc_id,
+       |    regexp_replace(regexp_replace(text, '${Text.EmailRe}', '<EMAIL>', 'g'),
+       |                   '${Text.Ipv4Re}', '<IP>', 'g') AS clean,
+       |    CASE WHEN $splitByte < ${Text.SplitTrainCut} THEN 'train'
+       |         WHEN $splitByte < ${Text.SplitValCut} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents
+       |  WHERE ${Text.sampleHashSql} < (CASE $cases ELSE ${Text.MixDefaultCut} END)),
+       |binned AS (
+       |  SELECT split, source, doc_id, len(str_split(clean, ' ')) AS n_toks,
+       |         CAST(coalesce(sum(len(str_split(clean, ' '))) OVER (
+       |             PARTITION BY split, source ORDER BY doc_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           // ${Text.PackBudget} AS BIGINT) AS bin_id
+       |  FROM curated)
+       |SELECT split, source, bin_id, count(*) AS doc_count,
+       |       CAST(sum(n_toks) AS BIGINT) AS bin_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM binned GROUP BY 1, 2, 3""".stripMargin
+  }
 }

@@ -130,12 +130,14 @@ object Text {
     */
   val PackBudget = 4096L
 
-  /** Shared packing kernel: per-(source, bin) manifest over a
-    * (source, doc_id, n_toks) frame — used by q47 and the composed
-    * pipeline q50 so their bin arithmetic can never drift apart. */
-  def packManifest(perDoc: DataFrame): DataFrame = {
+  /** Shared packing kernel: per-(keys..., bin) manifest over a
+    * (keys..., doc_id, n_toks) frame — used by q47, the composed
+    * pipeline q50 and the curation pipeline q84 so their bin
+    * arithmetic can never drift apart. */
+  def packManifest(perDoc: DataFrame,
+                   keys: Seq[String] = Seq("source")): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .partitionBy(keys.map(col): _*).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     // `div`, not `/`: Column `/` is double division, and above 2^53
     // prefix tokens the rounded double drifts bin boundaries off the
@@ -145,7 +147,7 @@ object Text {
       .withColumn("__prefix_toks", coalesce(sum(col("n_toks")).over(w), lit(0L)))
       .withColumn("bin_id", expr(s"__prefix_toks div $PackBudget"))
       .drop("__prefix_toks")
-      .groupBy(col("source"), col("bin_id"))
+      .groupBy(keys.map(col) :+ col("bin_id"): _*)
       .agg(count(lit(1)).as("doc_count"),
         sum(col("n_toks")).as("bin_tokens"),
         min(col("doc_id")).as("first_doc"),

@@ -823,6 +823,30 @@ class QueriesSpec extends SparkSpec {
       Seq("aa aa", "aa a", "x a b y", "a b a b", "x"))
   }
 
+  test("q84 curation pipeline: one exchange, bins respect budget, splits partition the sample") {
+    val df = PipelineQ.q84CurationManifest(spark, sf)
+    val rows = df.collect()
+    // every (split, source) group's non-final bins hold <= budget+1 docs' tokens;
+    // weaker stable invariant: all bin ids contiguous from 0 per group
+    rows.groupBy(r => (r.getString(0), r.getString(1))).foreach { case (g, rs) =>
+      val bins = rs.map(_.getLong(2)).sorted
+      assert(bins.head === 0L, s"$g: first bin not 0")
+      assert(bins === (0L until bins.length).toSeq, s"$g: bin ids not contiguous")
+    }
+    // doc mass equals the q54 mixing-rate sample (same cut, same corpus)
+    val mixDocs = Text.q54MixingRates(spark, sf).collect().map(_.getLong(1)).sum
+    assert(rows.map(_.getLong(3)).sum === mixDocs,
+      "curation pipeline doc mass drifted from the q54 cut")
+    // exactly ONE exchange in the whole plan (the packing window) —
+    // counted on a fresh plan: an executed AQE plan's string repeats
+    // the exchange in its "Initial Plan" section
+    val plan = PipelineQ.q84CurationManifest(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1,
+      s"expected 1 hash exchange, got $exchanges:\n${plan.take(3000)}")
+  }
+
   test("q82 cohort retention: week-0 is full, retention bounded, users conserved") {
     val rows = Events.q82CohortRetention(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
