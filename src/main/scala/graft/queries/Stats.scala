@@ -162,20 +162,30 @@ object Stats {
     * Both halves reuse ONE token scan; the probe side joins the
     * 256-row cell frame by broadcast, so nothing corpus-sized
     * shuffles twice. */
+  /** All d sketch positions of a token — ONE native kernel call (the
+    * composed per-i cmsBucket columns — kept as the q73-shared
+    * differential reference — pay d hex-string roundtrips per token). */
+  def cmsBuckets(token: Column): Column =
+    graft.functions.HashPositionsFunctions.hash_positions(token, CmsD, CmsW)
+
+  /** (sketch_row, bucket, cell_count) cells of a token frame — shared
+    * by batch q68 and the incremental streaming sketch
+    * (Streams.incrementalCms), so their cell arithmetic is one code
+    * path; cells are mergeable integers (sum across any split of the
+    * corpus — the property both map-side partials and micro-batch
+    * accumulation rely on). */
+  def cmsCells(tok: DataFrame): DataFrame =
+    tok.select(posexplode(cmsBuckets(col("token"))).as(Seq("sketch_row", "bucket")))
+      .groupBy(col("sketch_row"), col("bucket"))
+      .agg(count(lit(1)).as("cell_count"))
+
   def q68CmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.TextOps
     val tok = Tables.documents(s, dir)
       .select(explode(TextOps.tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
-    // native kernel: all d cell positions from one codegen call (the
-    // composed per-i cmsBucket columns — kept below as the q73-shared
-    // differential reference — pay d hex-string roundtrips per token)
-    val buckets = graft.functions.HashPositionsFunctions
-      .hash_positions(col("token"), CmsD, CmsW)
-    val cells = tok
-      .select(posexplode(buckets).as(Seq("sketch_row", "bucket")))
-      .groupBy(col("sketch_row"), col("bucket"))
-      .agg(count(lit(1)).as("cell_count"))
+    val buckets = cmsBuckets(col("token"))
+    val cells = cmsCells(tok)
     val top = tok.groupBy(col("token"))
       .agg(count(lit(1)).as("true_count"))
       .orderBy(col("true_count").desc, col("token").asc)

@@ -306,6 +306,31 @@ object Streams {
         writeBatchPartition(batch, batchId, outPath, Seq("split"))
       }
 
+  /** Incremental count-min sketch — q68's streaming twin, and the
+    * textbook justification for sketches in a pipeline: cells are
+    * MERGEABLE integers, so each micro-batch contributes its partial
+    * cells as a batch_id partition (replay-idempotent overwrite) and
+    * the live sketch is just the per-cell SUM over partitions —
+    * O(d·w) state total, never a token of history re-read. The cell
+    * derivation is the exact batch code path (Stats.cmsCells). */
+  def incrementalCms(docs: DataFrame, cellsPath: String, checkpoint: String)
+      : DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tok = batch
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+        writeBatchPartition(graft.queries.Stats.cmsCells(tok), batchId, cellsPath)
+      }
+
+  /** The live sketch: per-cell sums across all batch partitions. */
+  def cmsSnapshot(spark: SparkSession, cellsPath: String): DataFrame =
+    spark.read.parquet(cellsPath)
+      .groupBy(col("sketch_row"), col("bucket"))
+      .agg(sum(col("cell_count")).as("cell_count"))
+
   def incrementalLshDedup(docs: DataFrame, indexPath: String,
                           pairsPath: String, checkpoint: String)
       : DataStreamWriter[Row] =

@@ -488,6 +488,37 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental CMS: micro-batch cell sums equal the batch sketch on the union corpus") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_inccms")
+    val (cells, ckpt) = (s"$dir/cells", s"$dir/ckpt")
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.incrementalCms(
+      in.toDF().toDF("doc_id", "text"), cells, ckpt).start()
+    try {
+      val b0 = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"))
+      val b1 = Seq((3L, "alpha delta delta gamma"))
+      in.addData(b0: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable()
+      import org.apache.spark.sql.functions._
+      val streamed = Streams.cmsSnapshot(spark, cells).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // batch sketch over the UNION corpus through the same code path
+      import spark.implicits._
+      val union = (b0 ++ b1).toDF("doc_id", "text")
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val batch = graft.queries.Stats.cmsCells(union).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed === batch, "mergeable-cell invariant broken across micro-batches")
+      // point estimate: min over rows for 'alpha' >= its true count (3)
+      val alphaCells = graft.queries.Stats.cmsCells(
+        Seq("alpha").toDF("token")).collect().map(r => (r.getInt(0), r.getLong(1)))
+      val est = alphaCells.map(streamed(_)).min
+      assert(est >= 3L, s"CMS underestimated: $est < 3")
+    } finally q.stop()
+  }
+
   test("incremental LSH dedup: cross-batch candidates surface, index append is idempotent") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_incdedup")
