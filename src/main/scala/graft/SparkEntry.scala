@@ -92,6 +92,8 @@ object SparkEntry {
     "q51_multiprobe_ann" -> (Similarity.q51MultiprobeAnn _),
     "q61_semdedup" -> (Similarity.q61SemDedup _),
     "q63_ivfpq_search" -> (Similarity.q63IvfPqSearch _),
+    // the composed embedding pipeline: LSH dedup -> IVF manifest
+    "q85_embedding_manifest" -> (Similarity.q85EmbeddingManifest _),
     // multimodal plumbing
     "q32_image_meta_stats" -> (MultimodalQ.q32ImageMetaStats _),
     "q67_frame_manifest" -> (MultimodalQ.q67FrameManifest _),
@@ -193,6 +195,7 @@ object SparkEntry {
     "q56_contamination_joined" -> Text.q49Sql,
     "q50_training_manifest" -> PipelineQ.q50Sql,
     "q84_curation_manifest" -> PipelineQ.q84Sql,
+    "q85_embedding_manifest" -> Similarity.q85Sql,
     "q51_multiprobe_ann" -> Similarity.q51Sql,
     "q52_range_join" -> Relational.q52Sql,
     "q53_pivot" -> Relational.q53Sql,

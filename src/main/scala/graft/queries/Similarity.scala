@@ -828,4 +828,74 @@ object Similarity {
        |WHERE round(list_dot_product(a.v, b.v) /
        |            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
        |      >= 0.35""".stripMargin
+
+  /** The composed EMBEDDING pipeline (q85) — the third composed
+    * pipeline next to text-dedup (q50) and curation (q84), covering
+    * the vector side of corpus prep end-to-end in ONE plan:
+    *  1. near-dup dedup (q31's machinery): hyperplane-LSH bucketed
+    *     self-join, cosine ≥ 0.35 pairs; any vector dominated by a
+    *     SMALLER near-dup id is dropped (SemDeDup's keep-lowest
+    *     greedy — no closure needed: a dominated vector's own
+    *     dominees transitively fall to the chain's minimum)
+    *  2. IVF shard manifest (q36's machinery): trained-codebook cell
+    *     assignment of the survivors, per-cell census — the manifest
+    *     an ANN index builder shards by.
+    *
+    * Scale review: the pair stage is the bucketed self-join (one
+    * shuffle on bucket; pairs only inside buckets); the anti-join is
+    * vec_id-keyed against the (small) dominated set; assignment is
+    * scan-side argmax against K broadcast-literal centroids; the
+    * census is a K-row rollup. No stage touches corpus vectors
+    * pairwise outside buckets.
+    */
+  def q85EmbeddingManifest(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val bucketed = emb.withColumn("bucket", bucketCode(col("v")))
+    val dominated = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .filter(round(cosine(col("a.v"), col("b.v")), 6) >= 0.35)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    val kept = emb.join(dominated, Seq("vec_id"), "left_anti")
+    val centroids = trainedCodebook(s, dir)
+    val cosines = array(centroids.map { c =>
+      cosine(col("v"), array(c.map(lit).toSeq: _*))
+    }.toSeq: _*)
+    val cell = (array_position(cosines, array_max(cosines)) - 1).cast("int")
+    kept.withColumn("cell", cell)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("vec_count"),
+        countDistinct(col("label")).as("distinct_labels"),
+        min(col("vec_id")).as("min_vec_id"))
+  }
+
+  def q85SqlFor(centroids: Array[Array[Double]]): String =
+    s"""WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |bucketed AS (SELECT vec_id, v, ($bucketSql) AS bucket FROM emb),
+       |dominated AS (
+       |  SELECT DISTINCT b.vec_id FROM bucketed a JOIN bucketed b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE round(list_dot_product(a.v, b.v) /
+       |              (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+       |        >= 0.35),
+       |kept AS (
+       |  SELECT * FROM emb
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM dominated)),
+       |${centsRel(centroids)},
+       |scored AS (
+       |  SELECT e.vec_id, e.label, c.cid,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |                            ORDER BY list_dot_product(e.v, c.cv) /
+       |                              (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+       |                              DESC, c.cid ASC) AS rk
+       |  FROM kept e CROSS JOIN cents c),
+       |assign AS (SELECT vec_id, label, CAST(cid AS INTEGER) AS cell
+       |           FROM scored WHERE rk = 1)
+       |SELECT cell, count(*) AS vec_count,
+       |       count(DISTINCT label) AS distinct_labels,
+       |       min(vec_id) AS min_vec_id
+       |FROM assign GROUP BY 1""".stripMargin
+
+  def q85Sql: String = q85SqlFor(lastCodebook)
 }

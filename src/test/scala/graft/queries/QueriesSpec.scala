@@ -823,6 +823,24 @@ class QueriesSpec extends SparkSpec {
       Seq("aa aa", "aa a", "x a b y", "a b a b", "x"))
   }
 
+  test("q85 embedding pipeline: survivors = corpus minus dominated; cells never grow vs q36") {
+    import org.apache.spark.sql.functions.col
+    val manifest = Similarity.q85EmbeddingManifest(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val full = Similarity.q36IvfCells(spark, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // dedup only removes vectors: every surviving cell is <= its q36 count
+    manifest.foreach { case (cell, (n, _)) =>
+      assert(n <= full(cell), s"cell $cell grew after dedup: $n > ${full(cell)}")
+    }
+    // survivor mass = corpus - dominated set (recomputed from q31 pairs)
+    val total = graft.Tables.embeddings(spark, sf).count()
+    val dominated = Similarity.q31EmbeddingNearDups(spark, sf)
+      .select(col("vec_b")).distinct().count()
+    assert(manifest.values.map(_._1).sum === total - dominated,
+      "survivor mass drifted from corpus minus dominated")
+  }
+
   test("q84 curation pipeline: one exchange, bins respect budget, splits partition the sample") {
     val df = PipelineQ.q84CurationManifest(spark, sf)
     val rows = df.collect()
