@@ -119,6 +119,8 @@ object SparkEntry {
     "q74_crossdoc_spans" -> (Dedup.q74CrossdocSpans _),
     // feed-overlap audit: per-source mergeable MinHash signatures
     "q81_source_overlap" -> (Dedup.q81SourceOverlap _),
+    // span surgery: cut the cross-doc duplicated spans q74 finds
+    "q86_span_surgery" -> (Dedup.q86SpanSurgery _),
     // corpus curation: weighted sampling, PII scrub, splits, keywords
     "q75_weighted_sample" -> (Text.q75WeightedSample _),
     "q76_pii_redaction" -> (Text.q76PiiRedaction _),
@@ -212,6 +214,7 @@ object SparkEntry {
     "q67_frame_manifest" -> MultimodalQ.q67Sql,
     "q74_crossdoc_spans" -> Dedup.q74Sql,
     "q81_source_overlap" -> Dedup.q81Sql,
+    "q86_span_surgery" -> Dedup.q86Sql,
     "q75_weighted_sample" -> Text.q75Sql,
     "q76_pii_redaction" -> Text.q76Sql,
     "q77_split_census" -> Text.q77Sql,

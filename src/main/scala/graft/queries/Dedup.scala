@@ -646,4 +646,79 @@ object Dedup {
        |       round(avg(100 * dup_grams // n_grams), 2) AS avg_dup_pct
        |FROM j GROUP BY 1""".stripMargin
   }
+
+  /** Span surgery (q86) — the ACTION on q74's census, which is what
+    * Lee et al. actually do to the corpus: CUT the duplicated spans.
+    * A token position is removed when it is covered by any cross-doc
+    * duplicated k-gram (a gram starting at i covers [i, i+k-1]; a
+    * position under multiple dup grams is removed once — coverage is
+    * a set union, realized as a distinct on positions). Census per
+    * source: docs, total tokens, tokens removed, integer removal pct
+    * — the before/after a span-level decontamination run reports.
+    *
+    * Scale shape: positional grams explode once (the q74 gram table
+    * plus a position int); dup grams come from the same hash-agg;
+    * coverage expands each dup START by k positions (bounded
+    * fan-out), and the distinct collapses overlaps in the same
+    * (source, doc) shuffle as the final census join. Everything is
+    * gram- or doc-keyed — nothing pairwise.
+    */
+  def q86SpanSurgery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens(col("text"))) // staged: see minhashSignatures
+      .filter(size(col("toks")) >= SpanK)
+    // positional (non-distinct) grams: where each span STARTS
+    val posGrams = docs.select(col("source"), col("doc_id"),
+      posexplode(TextOps.shingles(col("toks"), SpanK)).as(Seq("pos", "gram")))
+    val dupGrams = docs.select(col("doc_id"),
+        explode(graft.functions.NGramSetFunctions.ngram_set(col("toks"), SpanK))
+          .as("gram"))
+      .groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gram"))
+    val covered = posGrams
+      .join(dupGrams.hint("shuffle_hash"), Seq("gram"), "left_semi")
+      .select(col("source"), col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (SpanK - 1))).as("cpos"))
+      .distinct()
+    val removed = covered.groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("removed"))
+    docs.select(col("source"), col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"))
+      .join(removed, Seq("source", "doc_id"), "left")
+      .withColumn("removed", coalesce(col("removed"), lit(0L)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("doc_count"),
+        sum(col("n_toks")).as("tokens_total"),
+        sum(col("removed")).as("tokens_removed"),
+        expr("sum(removed) * 100 div sum(n_toks)").as("removed_pct"))
+  }
+  val q86Sql: String = {
+    val toks = "str_split(text, ' ')"
+    s"""WITH d AS (
+       |  SELECT source, doc_id, $toks AS toks FROM documents
+       |  WHERE len($toks) >= $SpanK),
+       |pg AS (
+       |  SELECT source, doc_id, i - 1 AS pos,
+       |         array_to_string(list_slice(toks, i, i + ${SpanK - 1}), ' ') AS gram
+       |  FROM d, unnest(range(1, len(toks) - ${SpanK - 2})) AS t(i)),
+       |dup AS (SELECT gram FROM (
+       |  SELECT gram, count(DISTINCT doc_id) AS nd FROM pg GROUP BY 1) WHERE nd >= 2),
+       |cov AS (
+       |  SELECT DISTINCT source, doc_id, u AS cpos
+       |  FROM (SELECT pg.source, pg.doc_id, pg.pos FROM pg JOIN dup USING (gram)),
+       |       unnest(range(pos, pos + $SpanK)) AS t2(u)),
+       |rm AS (SELECT source, doc_id, count(*) AS removed FROM cov GROUP BY 1, 2),
+       |j AS (
+       |  SELECT d.source, d.doc_id, len(d.toks) AS n_toks,
+       |         coalesce(rm.removed, 0) AS removed
+       |  FROM d LEFT JOIN rm ON d.source = rm.source AND d.doc_id = rm.doc_id)
+       |SELECT source, count(*) AS doc_count,
+       |       CAST(sum(n_toks) AS BIGINT) AS tokens_total,
+       |       CAST(sum(removed) AS BIGINT) AS tokens_removed,
+       |       CAST(sum(removed) AS BIGINT) * 100 // CAST(sum(n_toks) AS BIGINT)
+       |         AS removed_pct
+       |FROM j GROUP BY 1""".stripMargin
+  }
 }

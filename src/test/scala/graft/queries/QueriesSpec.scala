@@ -823,6 +823,26 @@ class QueriesSpec extends SparkSpec {
       Seq("aa aa", "aa a", "x a b y", "a b a b", "x"))
   }
 
+  test("q86 span surgery: removal bounded by coverage arithmetic, consistent with q74") {
+    val surgery = Dedup.q86SpanSurgery(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val census = Dedup.q74CrossdocSpans(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    surgery.foreach { case (src, (docs, total, removed, pct)) =>
+      assert(removed <= total, s"$src: removed more tokens than exist")
+      assert(pct >= 0 && pct <= 100)
+      val (docsHit, sharedGrams) = census(src)
+      // every dup gram removes at most SpanK positions; a source with
+      // shared grams must lose at least SpanK tokens (one span minimum)
+      assert(removed <= sharedGrams * Dedup.SpanK,
+        s"$src: removal exceeds the per-gram coverage bound")
+      if (docsHit > 0) assert(removed >= Dedup.SpanK.toLong,
+        s"$src: census found spans but surgery removed < one span")
+      else assert(removed === 0L)
+    }
+  }
+
   test("q85 embedding pipeline: survivors = corpus minus dominated; cells never grow vs q36") {
     import org.apache.spark.sql.functions.col
     val manifest = Similarity.q85EmbeddingManifest(spark, sf).collect()
