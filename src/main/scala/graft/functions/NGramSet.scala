@@ -20,6 +20,29 @@ import org.apache.spark.unsafe.types.UTF8String
 object NGramSetKernel {
   private val Space = UTF8String.fromString(" ")
 
+  /** ALL k-grams in order (non-distinct — `TextOps.shingles` parity,
+    * one gram per start position): the positional-gram companion of
+    * [[grams]], for consumers that need every occurrence (span
+    * surgery's coverage arithmetic) rather than the set. Same
+    * construction semantics (space-joined, null tokens skipped). */
+  def gramList(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val parts = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      parts(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      i += 1
+    }
+    val out = new Array[Any](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      out(i) = UTF8String.concatWs(Space, java.util.Arrays.copyOfRange(parts, i, i + k): _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct k-grams in first-occurrence order (array_distinct
     * parity); empty array when fewer than k tokens (shingles()
     * parity: `array()`). Null tokens are skipped inside a gram
@@ -68,9 +91,38 @@ case class NGramSet(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** ngram_list(toks, k): array<string> of ALL space-joined k-grams in
+  * start-position order (TextOps.shingles parity). */
+case class NGramList(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k >= 1, "ngram_list requires k >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "ngram_list"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NGramSetKernel.gramList(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NGramSetKernel.gramList($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object NGramSetFunctions {
   def ngram_set(toks: Column, k: Int): Column =
     GraftSqlBridge.column(NGramSet(GraftSqlBridge.expression(toks), k))
+
+  def ngram_list(toks: Column, k: Int): Column =
+    GraftSqlBridge.column(NGramList(GraftSqlBridge.expression(toks), k))
 
   def sorted_member_count(needles: Column, sortedHaystack: Column): Column =
     GraftSqlBridge.column(SortedMemberCount(

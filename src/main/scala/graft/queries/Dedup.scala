@@ -667,9 +667,12 @@ object Dedup {
     val docs = Tables.documents(s, dir)
       .withColumn("toks", TextOps.tokens(col("text"))) // staged: see minhashSignatures
       .filter(size(col("toks")) >= SpanK)
-    // positional (non-distinct) grams: where each span STARTS
+    // positional (non-distinct) grams: where each span STARTS —
+    // native kernel (the interpreted TextOps.shingles HOF is its
+    // differential reference, NGramSetSpec)
     val posGrams = docs.select(col("source"), col("doc_id"),
-      posexplode(TextOps.shingles(col("toks"), SpanK)).as(Seq("pos", "gram")))
+      posexplode(graft.functions.NGramSetFunctions.ngram_list(col("toks"), SpanK))
+        .as(Seq("pos", "gram")))
     val dupGrams = docs.select(col("doc_id"),
         explode(graft.functions.NGramSetFunctions.ngram_set(col("toks"), SpanK))
           .as("gram"))

@@ -18,6 +18,18 @@ class NGramSetSpec extends SparkSpec {
     d.foreach(r => assert(r.getBoolean(0)))
   }
 
+  test("ngram_list equals the shingles() HOF on the corpus, order and duplicates included") {
+    import org.apache.spark.sql.functions._
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        (NGramSetFunctions.ngram_list(col("toks"), 5) <=>
+          graft.ops.TextOps.shingles(col("toks"), 5)).as("eq"))
+      .collect()
+    assert(d.nonEmpty)
+    d.foreach(r => assert(r.getBoolean(0)))
+  }
+
   test("sorted_member_count equals size(array_intersect) on corpus shingle sets") {
     val sh = graft.Tables.documents(spark, "/root/testdata/sf0.001")
       .withColumn("toks", split($"text", " "))
