@@ -86,8 +86,19 @@ object Bpe {
       .select(col("sym"), col("cnt"))
       .localCheckpoint(true) // vocab-bounded; rounds must not replay the corpus
 
+  /** Trained state memoized per (session, dir) — the surprisalMemo
+    * pattern: q79 and q80 share ONE training run instead of q80
+    * eagerly retraining (localCheckpoint makes the rounds eager, so
+    * retraining is real corpus work, not a lazy plan). Keyed by
+    * applicationId because checkpointed frames die with the session. */
+  private val trainMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Seq[DataFrame])]()
+  private def trained(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) =
+    trainMemo.computeIfAbsent(s.sparkContext.applicationId + "|" + dir,
+      _ => trainRounds(wordTable(s, dir)))
+
   def q79BpeMerges(s: SparkSession, dir: String): DataFrame = {
-    val (_, picked) = trainRounds(wordTable(s, dir))
+    val (_, picked) = trained(s, dir)
     picked.reduce(_.union(_))
   }
 
@@ -135,7 +146,7 @@ object Bpe {
     * the rollup is order-free.
     */
   def q80BpeTokenize(s: SparkSession, dir: String): DataFrame = {
-    val (vocab, _) = trainRounds(wordTable(s, dir))
+    val (vocab, _) = trained(s, dir)
     val seg = vocab.selectExpr("replace(sym, ' ', '') AS w",
       "size(split(sym, ' ')) AS n_sub")
     Tables.documents(s, dir)

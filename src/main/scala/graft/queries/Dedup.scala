@@ -557,7 +557,9 @@ object Dedup {
     docs.select(col("source"), col("doc_id"), size(col("grams")).cast("long").as("n_grams"))
       .join(dupPerDoc, Seq("source", "doc_id"), "left")
       .withColumn("dup_grams", coalesce(col("dup_grams"), lit(0L)))
-      .withColumn("dup_pct", (col("dup_grams") * 100 / col("n_grams")).cast("long"))
+      // integer div (packManifest convention) — double `/` then cast
+      // can flip a truncation boundary once operands near 2^53
+      .withColumn("dup_pct", expr("dup_grams * 100 div n_grams"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("doc_count"),
         sum(when(col("dup_grams") > 0, 1L).otherwise(0L)).as("docs_hit"),

@@ -126,20 +126,14 @@ object PipelineQ {
       keys = Seq("split", "source"))
   }
 
-  val q84Sql: String = {
-    val cases = Text.MixCuts.toSeq.sorted
-      .map { case (src, c) => s"WHEN source = '$src' THEN $c" }.mkString(" ")
-    val splitByte =
-      "CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT)"
+  val q84Sql: String =
     s"""WITH curated AS (
        |  SELECT source, doc_id,
        |    regexp_replace(regexp_replace(text, '${Text.EmailRe}', '<EMAIL>', 'g'),
        |                   '${Text.Ipv4Re}', '<IP>', 'g') AS clean,
-       |    CASE WHEN $splitByte < ${Text.SplitTrainCut} THEN 'train'
-       |         WHEN $splitByte < ${Text.SplitValCut} THEN 'val'
-       |         ELSE 'test' END AS split
+       |    ${Text.splitLabelSql} AS split
        |  FROM documents
-       |  WHERE ${Text.sampleHashSql} < (CASE $cases ELSE ${Text.MixDefaultCut} END)),
+       |  WHERE ${Text.sampleHashSql} < ${Text.mixCutCaseSql}),
        |binned AS (
        |  SELECT split, source, doc_id, len(str_split(clean, ' ')) AS n_toks,
        |         CAST(coalesce(sum(len(str_split(clean, ' '))) OVER (
@@ -151,5 +145,4 @@ object PipelineQ {
        |       CAST(sum(n_toks) AS BIGINT) AS bin_tokens,
        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM binned GROUP BY 1, 2, 3""".stripMargin
-  }
 }

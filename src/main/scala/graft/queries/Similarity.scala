@@ -264,20 +264,28 @@ object Similarity {
     cb
   }
 
-  def q36IvfCells(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-    val centroids = trainedCodebook(s, dir)
+  /** Scan-side IVF cell assignment of column `v` against centroid
+    * literals: argmax cosine, ties → lowest cell id. ONE copy of the
+    * assignment arithmetic, shared by q36 and the composed q85. */
+  def cellExpr(centroids: Array[Array[Double]]): Column = {
     val cosines = array(centroids.map { c =>
       cosine(col("v"), array(c.map(lit).toSeq: _*))
     }.toSeq: _*)
-    // argmax = first position of the max (ties → lowest cell id)
-    val cell = (array_position(cosines, array_max(cosines)) - 1).cast("int")
-    emb.withColumn("cell", cell)
-      .groupBy(col("cell"))
+    (array_position(cosines, array_max(cosines)) - 1).cast("int")
+  }
+
+  /** Per-cell census of a (vec_id, label, v, cell) frame — the shared
+    * tail of q36 and q85. */
+  private def cellCensus(assigned: DataFrame): DataFrame =
+    assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("vec_count"),
         countDistinct(col("label")).as("distinct_labels"),
         min(col("vec_id")).as("min_vec_id"))
+
+  def q36IvfCells(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    cellCensus(emb.withColumn("cell", cellExpr(trainedCodebook(s, dir))))
   }
 
   /** Locale-independent 6-dp rendering for generated oracle SQL — the
@@ -832,14 +840,16 @@ object Similarity {
   /** The composed EMBEDDING pipeline (q85) — the third composed
     * pipeline next to text-dedup (q50) and curation (q84), covering
     * the vector side of corpus prep end-to-end in ONE plan:
-    *  1. near-dup dedup (q31's machinery): hyperplane-LSH bucketed
-    *     self-join, cosine ≥ 0.35 pairs; any vector dominated by a
-    *     SMALLER near-dup id is dropped (SemDeDup's keep-lowest
-    *     greedy — no closure needed: a dominated vector's own
-    *     dominees transitively fall to the chain's minimum)
-    *  2. IVF shard manifest (q36's machinery): trained-codebook cell
-    *     assignment of the survivors, per-cell census — the manifest
-    *     an ANN index builder shards by.
+    *  1. near-dup dedup: q31's pair query VERBATIM (shared code, not
+    *     a re-spelling) — any vector appearing as the larger id of a
+    *     near-dup pair is dropped. NOTE this is STRICTER than
+    *     SemDeDup's keep-lowest greedy on non-transitive chains
+    *     (a–b, b–c similar but a–c not: greedy would restore c after
+    *     dropping b; this drops both — the conservative choice for a
+    *     dedup pass, and deterministic on both engines).
+    *  2. IVF shard manifest: q36's cell assignment via the shared
+    *     [[cellExpr]]/[[cellCensus]] helpers — the manifest an ANN
+    *     index builder shards by.
     *
     * Scale review: the pair stage is the bucketed self-join (one
     * shuffle on bucket; pairs only inside buckets); the anti-join is
@@ -851,23 +861,10 @@ object Similarity {
   def q85EmbeddingManifest(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
-    val bucketed = emb.withColumn("bucket", bucketCode(col("v")))
-    val dominated = bucketed.as("a")
-      .join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .filter(round(cosine(col("a.v"), col("b.v")), 6) >= 0.35)
-      .select(col("b.vec_id").as("vec_id")).distinct()
+    val dominated = q31EmbeddingNearDups(s, dir)
+      .select(col("vec_b").as("vec_id")).distinct()
     val kept = emb.join(dominated, Seq("vec_id"), "left_anti")
-    val centroids = trainedCodebook(s, dir)
-    val cosines = array(centroids.map { c =>
-      cosine(col("v"), array(c.map(lit).toSeq: _*))
-    }.toSeq: _*)
-    val cell = (array_position(cosines, array_max(cosines)) - 1).cast("int")
-    kept.withColumn("cell", cell)
-      .groupBy(col("cell"))
-      .agg(count(lit(1)).as("vec_count"),
-        countDistinct(col("label")).as("distinct_labels"),
-        min(col("vec_id")).as("min_vec_id"))
+    cellCensus(kept.withColumn("cell", cellExpr(trainedCodebook(s, dir))))
   }
 
   def q85SqlFor(centroids: Array[Array[Double]]): String =

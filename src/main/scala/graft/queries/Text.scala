@@ -237,14 +237,19 @@ object Text {
       .agg(count(lit(1)).as("sampled_docs"),
         min(col("doc_id")).as("min_doc_id"))
   }
-  val q54Sql: String = {
+  /** DuckDB spelling of the per-source mixing cut — shared by q54Sql
+    * and the composed q84Sql so the recipe can't drift between
+    * oracles. */
+  def mixCutCaseSql: String = {
     val cases = MixCuts.toSeq.sorted
       .map { case (src, c) => s"WHEN source = '$src' THEN $c" }.mkString(" ")
+    s"(CASE $cases ELSE $MixDefaultCut END)"
+  }
+  val q54Sql: String =
     s"""SELECT source, count(*) AS sampled_docs, min(doc_id) AS min_doc_id
        |FROM documents
-       |WHERE $sampleHashSql < (CASE $cases ELSE $MixDefaultCut END)
+       |WHERE $sampleHashSql < $mixCutCaseSql
        |GROUP BY 1""".stripMargin
-  }
 
   /** Benchmark-contamination screening — the train/test hygiene check
     * every pretraining pipeline runs: which training documents share
@@ -889,15 +894,20 @@ object Text {
         sum(col("n_chars")).as("chars"),
         min(col("doc_id")).as("min_doc_id"))
   }
-  val q77Sql: String = {
+  /** DuckDB spelling of [[splitLabel]] — shared by q77Sql and the
+    * composed q84Sql (the sampleHashSql pattern: salt or cut changes
+    * happen in ONE place per engine). */
+  val splitLabelSql: String = {
     val b = "CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) AS BIGINT)"
+    s"""CASE WHEN $b < $SplitTrainCut THEN 'train'
+       |     WHEN $b < $SplitValCut THEN 'val' ELSE 'test' END""".stripMargin
+  }
+  val q77Sql: String =
     s"""SELECT source,
-       |  CASE WHEN $b < $SplitTrainCut THEN 'train'
-       |       WHEN $b < $SplitValCut THEN 'val' ELSE 'test' END AS split,
+       |  $splitLabelSql AS split,
        |  count(*) AS doc_count, CAST(sum(n_chars) AS BIGINT) AS chars,
        |  min(doc_id) AS min_doc_id
        |FROM documents GROUP BY 1, 2""".stripMargin
-  }
 
   // ── q78: per-source TF-IDF keywords ────────────────────────────────
 

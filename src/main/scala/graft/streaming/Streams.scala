@@ -254,32 +254,8 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
-  // ------------------------------------- incremental near-dup (ingest-side)
+  // ------------------------------------- ingest-time curation + sketches
 
-  /** Incremental MinHash-LSH dedup against a persistent signature
-    * index — the ingest-side shape of the batch q26→q44 pipeline: each
-    * micro-batch of NEW documents (doc_id, text)
-    *  1. computes band signatures with the native one-digest kernel
-    *     (graft.queries.Dedup.bandedSignatures — per-batch O(new docs),
-    *     the corpus is never re-signed);
-    *  2. joins them against the historical index on (band, sig) and
-    *     emits candidate duplicate pairs — new-vs-history plus
-    *     new-vs-new within the batch — into a batch_id-partitioned
-    *     pairs log (replay-idempotent);
-    *  3. appends its own signatures to the index, partitioned by
-    *     (band, batch_id), so a replayed batch overwrites itself
-    *     and never double-registers.
-    * At scale the index is O(corpus × 4) short rows PARTITIONED BY
-    * BAND (plus batch_id): the per-batch history read carries literal
-    * partition filters (see [[lshIndexHistory]]) instead of scanning
-    * the whole index, and [[compactLshIndex]] periodically folds the
-    * accumulated batch_id partitions so the file count stays bounded
-    * by the band fan-out, not by ingest age. The per-batch join is
-    * broadcast when the batch is small (the common ingest case) and
-    * AQE-planned otherwise.
-    * Downstream, Jaccard verification and clustering run exactly as in
-    * batch (q44/q46) over the pairs log — batch/stream duality again.
-    */
   /** Ingest-time curation (batch/stream duality, curation edition):
     * the transform a pretraining ingest applies as data LANDS — PII
     * scrub ([[graft.queries.Text.redactPii]], the q76 scrubber) and
@@ -331,6 +307,32 @@ object Streams {
       .groupBy(col("sketch_row"), col("bucket"))
       .agg(sum(col("cell_count")).as("cell_count"))
 
+  // ------------------------------------- incremental near-dup (ingest-side)
+
+  /** Incremental MinHash-LSH dedup against a persistent signature
+    * index — the ingest-side shape of the batch q26→q44 pipeline: each
+    * micro-batch of NEW documents (doc_id, text)
+    *  1. computes band signatures with the native one-digest kernel
+    *     (graft.queries.Dedup.bandedSignatures — per-batch O(new docs),
+    *     the corpus is never re-signed);
+    *  2. joins them against the historical index on (band, sig) and
+    *     emits candidate duplicate pairs — new-vs-history plus
+    *     new-vs-new within the batch — into a batch_id-partitioned
+    *     pairs log (replay-idempotent);
+    *  3. appends its own signatures to the index, partitioned by
+    *     (band, batch_id), so a replayed batch overwrites itself
+    *     and never double-registers.
+    * At scale the index is O(corpus × 4) short rows PARTITIONED BY
+    * BAND (plus batch_id): the per-batch history read carries literal
+    * partition filters (see [[lshIndexHistory]]) instead of scanning
+    * the whole index, and [[compactLshIndex]] periodically folds the
+    * accumulated batch_id partitions so the file count stays bounded
+    * by the band fan-out, not by ingest age. The per-batch join is
+    * broadcast when the batch is small (the common ingest case) and
+    * AQE-planned otherwise.
+    * Downstream, Jaccard verification and clustering run exactly as in
+    * batch (q44/q46) over the pairs log — batch/stream duality again.
+    */
   def incrementalLshDedup(docs: DataFrame, indexPath: String,
                           pairsPath: String, checkpoint: String)
       : DataStreamWriter[Row] =
