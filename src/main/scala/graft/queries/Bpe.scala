@@ -53,7 +53,7 @@ object Bpe {
   /** Shared training loop: word-frequency table → (final vocab after
     * all rounds, the per-round winning pairs). Every frame here is
     * vocab-bounded. */
-  private def trainRounds(words: DataFrame): (DataFrame, Seq[DataFrame]) = {
+  private[graft] def trainRounds(words: DataFrame): (DataFrame, Seq[DataFrame]) = {
     var cur = words
     val picked = Seq.newBuilder[DataFrame]
     for (k <- 1 to BpeMergeRounds) {
@@ -75,16 +75,20 @@ object Bpe {
     (cur, picked.result())
   }
 
-  /** Word-frequency table — the single corpus-scale stage both BPE
-    * queries start from. */
-  private def wordTable(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  /** Word-frequency table of any (text) frame — the single
+    * corpus-scale stage both BPE queries start from; frame-
+    * parameterized so specs can train on crafted corpora. */
+  private[graft] def wordTableOf(docs: DataFrame): DataFrame =
+    docs
       .select(explode(TextOps.tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .withColumn("sym", array_join(split(col("w"), ""), " "))
       .select(col("sym"), col("cnt"))
       .localCheckpoint(true) // vocab-bounded; rounds must not replay the corpus
+
+  private def wordTable(s: SparkSession, dir: String): DataFrame =
+    wordTableOf(Tables.documents(s, dir))
 
   /** Trained state memoized per (session, dir) — the surprisalMemo
     * pattern: q79 and q80 share ONE training run instead of q80

@@ -730,14 +730,13 @@ class QueriesSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), plan.take(3000))
   }
 
-  test("q79 BPE merges equal an in-memory reference trainer (greedy merge parity)") {
-    // classic Sennrich trainer on the same word counts: all-adjacent
-    // pair stats, then EXACT greedy left-to-right merging
+  /** Classic Sennrich trainer on word counts: all-adjacent pair
+    * stats, then EXACT greedy left-to-right merging — the reference
+    * both BPE differentials compare against. */
+  private def referenceBpe(texts: Seq[String]): Seq[(Long, String, Long)] = {
     val words = scala.collection.mutable.Map.empty[String, Long]
-    graft.Tables.documents(spark, sf).select("text").collect().foreach { r =>
-      r.getString(0).split(" ").filter(_.nonEmpty)
-        .foreach(w => words(w) = words.getOrElse(w, 0L) + 1L)
-    }
+    texts.foreach(_.split(" ").filter(_.nonEmpty)
+      .foreach(w => words(w) = words.getOrElse(w, 0L) + 1L))
     var vocab: Map[Vector[String], Long] =
       words.toMap.map { case (w, c) => w.split("").toVector -> c }
     def greedyMerge(syms: Vector[String], a: String, b: String): Vector[String] = {
@@ -750,7 +749,7 @@ class QueriesSpec extends SparkSpec {
       }
       out.result()
     }
-    val expected = (1 to Bpe.BpeMergeRounds).map { k =>
+    (1 to Bpe.BpeMergeRounds).map { k =>
       val stats = scala.collection.mutable.Map.empty[(String, String), Long]
       vocab.foreach { case (syms, c) =>
         syms.zip(syms.tail).foreach(p => stats(p) = stats.getOrElse(p, 0L) + c)
@@ -759,9 +758,31 @@ class QueriesSpec extends SparkSpec {
       vocab = vocab.map { case (syms, c) => greedyMerge(syms, a, b) -> c }
       (k.toLong, s"$a $b", pc)
     }
+  }
+
+  test("q79 BPE merges equal an in-memory reference trainer (greedy merge parity)") {
+    val expected = referenceBpe(
+      graft.Tables.documents(spark, sf).select("text").collect().map(_.getString(0)))
     val got = Bpe.q79BpeMerges(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
     assert(got.toSeq === expected, s"BPE drifted from reference: $got vs $expected")
+  }
+
+  test("BPE training matches the reference on chain-heavy and unicode corpora") {
+    import spark.implicits._
+    val corpora = Seq(
+      // chains: repeated identical symbols stress the greedy scan
+      Seq("aaaa aaaa aaa baab", "aaaa abab baab", "aaa abab abab"),
+      // multi-byte tokens: é/ö/ß are 2-byte UTF-8; 中 is 3-byte
+      Seq("héllo wörld héllo straße", "wörld wörld 中中中 straße", "héllo 中中中"))
+    corpora.foreach { texts =>
+      val words = Bpe.wordTableOf(texts.toDF("text"))
+      val (_, picked) = Bpe.trainRounds(words)
+      val got = picked.reduce(_.union(_)).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+      assert(got.toSeq === referenceBpe(texts),
+        s"BPE drifted on crafted corpus $texts: ${got.toSeq}")
+    }
   }
 
   test("q81 source overlap equals an explode/groupBy differential; partial-aggregated") {
