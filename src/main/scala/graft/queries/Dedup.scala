@@ -584,15 +584,26 @@ object Dedup {
     * and self-joins grams and exists only for bounded samples.
     */
   val SourceMinHashes = 8
-  def q81SourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val perDoc = Tables.documents(s, dir)
+
+  /** Per-source MinHash signature (source, m0..m7) of any (source,
+    * text) frame — elementwise min over docs' kernel minima
+    * (set-union semantics). Mergeable: the min of per-split minima is
+    * the corpus minimum, which is what both q81's map-side partials
+    * and the streaming incremental signatures
+    * (Streams.incrementalSourceSignatures) rely on. */
+  def sourceSignatures(docs: DataFrame): DataFrame = {
+    val perDoc = docs
       .withColumn("toks", TextOps.tokens(col("text"))) // staged: see minhashSignatures
       .filter(size(col("toks")) >= 3)
       .withColumn("mh", graft.functions.MinHashFunctions.ngram_minhash_bands(
         col("toks"), 3, SourceMinHashes))
-    val sigs = perDoc.groupBy(col("source"))
+    perDoc.groupBy(col("source"))
       .agg(min(col("mh").getItem(0)).as("m0"),
         (1 until SourceMinHashes).map(j => min(col("mh").getItem(j)).as(s"m$j")): _*)
+  }
+
+  def q81SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sigs = sourceSignatures(Tables.documents(s, dir))
     val matching = (0 until SourceMinHashes)
       .map(j => when(col(s"a.m$j") === col(s"b.m$j"), 1L).otherwise(0L))
       .reduce(_ + _)

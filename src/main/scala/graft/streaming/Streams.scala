@@ -307,6 +307,32 @@ object Streams {
       .groupBy(col("sketch_row"), col("bucket"))
       .agg(sum(col("cell_count")).as("cell_count"))
 
+  /** Incremental per-source MinHash signatures — q81's streaming
+    * twin, the MIN-merge sibling of [[incrementalCms]]'s SUM-merge:
+    * each micro-batch lands its per-source signature partials
+    * (Dedup.sourceSignatures, the exact batch code path) as a
+    * batch_id partition; the live signature is the elementwise min
+    * over partitions (set-union semantics — a feed's signature over
+    * all batches equals its signature over the union corpus). State
+    * is O(sources × 8) regardless of ingest age. */
+  def incrementalSourceSignatures(docs: DataFrame, sigsPath: String,
+                                  checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchPartition(
+          graft.queries.Dedup.sourceSignatures(batch), batchId, sigsPath)
+      }
+
+  /** The live per-source signatures: elementwise min across batches. */
+  def sourceSignatureSnapshot(spark: SparkSession, sigsPath: String): DataFrame = {
+    val mins = (0 until graft.queries.Dedup.SourceMinHashes)
+      .map(j => min(col(s"m$j")).as(s"m$j"))
+    spark.read.parquet(sigsPath)
+      .groupBy(col("source")).agg(mins.head, mins.tail: _*)
+  }
+
   // ------------------------------------- incremental near-dup (ingest-side)
 
   /** Incremental MinHash-LSH dedup against a persistent signature

@@ -519,6 +519,36 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental source signatures: min-merged snapshot equals batch signatures on the union") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_incsig")
+    val (sigs, ckpt) = (s"$dir/sigs", s"$dir/ckpt")
+    val in = MemoryStream[(String, String)]
+    val q = Streams.incrementalSourceSignatures(
+      in.toDF().toDF("source", "text"), sigs, ckpt).start()
+    try {
+      val b0 = Seq(("feedA", "the quick brown fox jumps over it"),
+        ("feedB", "a slow green turtle walks under it"))
+      val b1 = Seq(("feedA", "the quick brown fox naps all day long"),
+        ("feedC", "the quick brown fox jumps over it"))
+      in.addData(b0: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable()
+      val streamed = Streams.sourceSignatureSnapshot(spark, sigs).collect()
+        .map(r => r.getString(0) -> (1 to graft.queries.Dedup.SourceMinHashes)
+          .map(r.getLong)).toMap
+      import spark.implicits._
+      val batch = graft.queries.Dedup.sourceSignatures(
+        (b0 ++ b1).toDF("source", "text")).collect()
+        .map(r => r.getString(0) -> (1 to graft.queries.Dedup.SourceMinHashes)
+          .map(r.getLong)).toMap
+      assert(streamed === batch, "min-merge across batches drifted from the union batch")
+      // feedC replays feedA's first doc verbatim: identical signature
+      assert(streamed("feedC") === graft.queries.Dedup.sourceSignatures(
+        b0.take(1).toDF("source", "text")).collect()
+        .map(r => (1 to graft.queries.Dedup.SourceMinHashes).map(r.getLong)).head)
+    } finally q.stop()
+  }
+
   test("incremental LSH dedup: cross-batch candidates surface, index append is idempotent") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_incdedup")
