@@ -69,7 +69,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"total_s":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the driver's parser reads the LAST stdout line / the side file:
+    // under sbt the [success] trailer used to clobber the JSON (all four
+    // r1-r4 BENCH files recorded "parsed": null), so persist to a file
+    // too and print only after spark.stop() quiesces executor logging
+    try {
+      val w = new java.io.PrintWriter("/root/repo/bench_out.json")
+      try w.println(json) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
+    }
     spark.stop()
+    println(json)
   }
 }

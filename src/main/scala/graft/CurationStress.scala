@@ -38,10 +38,15 @@ object CurationStress {
     spark.sparkContext.setLogLevel("WARN")
 
     val stressDir = s"/tmp/graft_curation_stress_$reps"
+    // replica ids must not collide with real ones: derive the stride
+    // from the actual corpus (max id + 1), not a fixed constant that a
+    // larger SF would silently overflow into
+    val base = Tables.documents(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head.getLong(0) + 1L
     Tables.documents(spark, sfDir)
       .crossJoin(spark.range(reps).toDF("rep"))
       .select(
-        (col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+        (col("doc_id") + col("rep") * base).as("doc_id"),
         col("text"), col("lang"),
         concat(col("source"), lit("_"), col("rep")).as("source"),
         col("n_chars"))

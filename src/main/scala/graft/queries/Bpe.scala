@@ -77,13 +77,24 @@ object Bpe {
 
   /** Word-frequency table of any (text) frame — the single
     * corpus-scale stage both BPE queries start from; frame-
-    * parameterized so specs can train on crafted corpora. */
+    * parameterized so specs can train on crafted corpora.
+    *
+    * Base symbols are CODE POINTS, not UTF-16 code units:
+    * `split(w, '')` advances one Java char at a time and would cut a
+    * surrogate pair (any non-BMP char — emoji, CJK-ext) into two lone
+    * halves, while DuckDB's `str_split(w, '')` yields whole code
+    * points — the engines would learn different vocabularies on astral
+    * text. `regexp_extract_all(w, '(?s).')` matches per code point
+    * (Java regex `.` never splits a pair), restoring parity; asserted
+    * against a codepoint-faithful in-memory trainer on an emoji corpus
+    * in QueriesSpec. */
   private[graft] def wordTableOf(docs: DataFrame): DataFrame =
     docs
       .select(explode(TextOps.tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-      .withColumn("sym", array_join(split(col("w"), ""), " "))
+      .withColumn("sym",
+        array_join(regexp_extract_all(col("w"), lit("(?s)."), lit(0)), " "))
       .select(col("sym"), col("cnt"))
       .localCheckpoint(true) // vocab-bounded; rounds must not replay the corpus
 
@@ -94,12 +105,32 @@ object Bpe {
     * pattern: q79 and q80 share ONE training run instead of q80
     * eagerly retraining (localCheckpoint makes the rounds eager, so
     * retraining is real corpus work, not a lazy plan). Keyed by
-    * applicationId because checkpointed frames die with the session. */
+    * applicationId because checkpointed frames die with the session.
+    *
+    * Bounded: on every miss, entries from other applications (dead
+    * sessions) and all but the most recent [[TrainMemoMax]]-1 dirs of
+    * the live one are dropped. Dropping the map reference is the
+    * correct release mechanism — localCheckpoint blocks are reclaimed
+    * by the ContextCleaner once the RDD objects are GC-unreachable —
+    * so a long-lived session training over many dirs no longer pins
+    * checkpointed blocks forever. */
+  private val TrainMemoMax = 4
   private val trainMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (DataFrame, Seq[DataFrame])]()
+    new java.util.LinkedHashMap[String, (DataFrame, Seq[DataFrame])]()
   private def trained(s: SparkSession, dir: String): (DataFrame, Seq[DataFrame]) =
-    trainMemo.computeIfAbsent(s.sparkContext.applicationId + "|" + dir,
-      _ => trainRounds(wordTable(s, dir)))
+    trainMemo.synchronized {
+      val appId = s.sparkContext.applicationId
+      val key = appId + "|" + dir
+      Option(trainMemo.get(key)).getOrElse {
+        trainMemo.keySet.removeIf(k => !k.startsWith(appId + "|"))
+        while (trainMemo.size >= TrainMemoMax) { // oldest-first (insertion order)
+          val it = trainMemo.keySet.iterator(); it.next(); it.remove()
+        }
+        val v = trainRounds(wordTable(s, dir))
+        trainMemo.put(key, v)
+        v
+      }
+    }
 
   def q79BpeMerges(s: SparkSession, dir: String): DataFrame = {
     val (_, picked) = trained(s, dir)
@@ -128,7 +159,7 @@ object Bpe {
 
   val q79Sql: String = {
     val finals = (1 to BpeMergeRounds)
-      .map(k => s"SELECT CAST($k AS BIGINT) AS rank, pair, pc AS pair_count FROM b$k")
+      .map(k => s"SELECT CAST($k AS BIGINT) AS rank, pair, CAST(pc AS BIGINT) AS pair_count FROM b$k")
       .mkString("\n|UNION ALL\n|")
     s"""WITH $trainCtes
        |$finals""".stripMargin

@@ -172,6 +172,12 @@ object Events {
     * last half-second of a week into the next bucket (Spark's
     * unix_timestamp truncates).
     *
+    * Data invariant: ts >= 1970-01-01 (epoch seconds non-negative).
+    * The week bucket uses Spark `div` (truncates toward zero) vs
+    * DuckDB `//` (floors) — they agree only on non-negative epochs;
+    * a pre-1970 timestamp would land in different buckets per engine.
+    * The events table is generated post-2020 so the invariant holds.
+    *
     * Scale shape: two user-keyed hash-aggs off one scan (the cohort
     * min and the distinct active (user, week) set — both reduce the
     * event log to O(users) rows), a join on user_id (co-partitioned

@@ -91,7 +91,7 @@ object Graph {
        |              $PrScale // (SELECT count(*) FROM nation) AS pr
        |       FROM nation),
        |${(1 to PrIters).map(iter).mkString(",\n")}
-       |SELECT n.n_name AS nation, r.pr AS rank_micro
+       |SELECT n.n_name AS nation, CAST(r.pr AS BIGINT) AS rank_micro
        |FROM r$PrIters r JOIN nation n ON r.node = n.n_nationkey""".stripMargin
   }
 }

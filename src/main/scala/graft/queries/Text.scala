@@ -765,6 +765,12 @@ object Text {
     * rank window on the source partitioning — WindowGroupLimit pushes
     * the limit below the exchange, so only each partition's local
     * top-3 candidates shuffle, never the corpus (same shape as q7/q29).
+    *
+    * Invariant: the divisor is greatest(n_chars, 1) on BOTH sides —
+    * a zero-length doc would otherwise divide by zero, and the two
+    * engines disagree on the fallout (Spark `div` -> NULL sorts FIRST
+    * under asc, DuckDB `//` -> NULL sorts LAST), silently handing the
+    * sample to empty docs in Spark only.
     */
   val WSampleK = 3
   def q75WeightedSample(s: SparkSession, dir: String): DataFrame = {
@@ -772,7 +778,7 @@ object Text {
       col("doc_id").cast("string")).cast("binary")), 1, 15), 16, 10).cast("long")
     val ranked = Tables.documents(s, dir)
       .withColumn("__h", h)
-      .withColumn("priority", expr("__h div n_chars"))
+      .withColumn("priority", expr("__h div greatest(n_chars, 1L)"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
           .orderBy(col("priority").asc, col("doc_id").asc)))
@@ -784,7 +790,7 @@ object Text {
     s"""WITH keyed AS (
        |  SELECT source, doc_id, n_chars,
        |         CAST('0x' || substr(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 15)
-       |              AS BIGINT) // n_chars AS priority
+       |              AS BIGINT) // greatest(n_chars, 1) AS priority
        |  FROM documents),
        |ranked AS (
        |  SELECT source, doc_id, n_chars, priority,

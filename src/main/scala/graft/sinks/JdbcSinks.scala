@@ -19,8 +19,12 @@ import java.util.Properties
   *   no cross-query global lock, no window where readers see an empty
   *   table (the reference's drop-and-recreate has one).
   *
-  * Untestable in this container (no database, no JDBC driver jar);
-  * compiled against the stock spark-jdbc API only.
+  * Runtime-tested against embedded Derby (ships with Spark's jars;
+  * in-JVM, `jdbc:derby:memory:...`) in JdbcSpec — no server process
+  * needed. Postgres itself stays untestable in this container, but
+  * the sink paths (Spark's df.write.jdbc + the swap transaction) are
+  * the same code; only the swap DDL dialect differs (see
+  * [[swapStatements]]).
   */
 object JdbcSinks {
 
@@ -76,6 +80,23 @@ object JdbcSinks {
   private val tableLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** The stage→live swap DDL, per dialect. Postgres (and most engines)
+    * take `DROP TABLE IF EXISTS` + `ALTER TABLE .. RENAME TO`; Derby
+    * has neither — existence is probed via JDBC metadata and the
+    * rename is the two-name `RENAME TABLE` form. */
+  private def swapStatements(url: String, conn: java.sql.Connection,
+                             staging: String, table: String): Seq[String] =
+    if (url.startsWith("jdbc:derby")) {
+      val exists = {
+        val rs = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
+        try rs.next() finally rs.close()
+      }
+      (if (exists) Seq(s"DROP TABLE $table") else Nil) :+
+        s"RENAME TABLE $staging TO $table"
+    } else Seq(
+      s"DROP TABLE IF EXISTS $table",
+      s"ALTER TABLE $staging RENAME TO $table")
+
   def upsertStaged(df: DataFrame, url: String, table: String, p: Properties): Unit = {
     val lock = tableLocks.computeIfAbsent(s"$url#$table", _ => new Object)
     lock.synchronized {
@@ -86,8 +107,7 @@ object JdbcSinks {
         conn.setAutoCommit(false)
         val st = conn.createStatement()
         try {
-          st.execute(s"DROP TABLE IF EXISTS $table")
-          st.execute(s"ALTER TABLE $staging RENAME TO $table")
+          swapStatements(url, conn, staging, table).foreach(st.execute)
           conn.commit()
         } catch {
           case e: Throwable => conn.rollback(); throw e

@@ -30,8 +30,18 @@ object Streams {
   // ---------------------------------------------------------------- sources
 
   /** Kafka source, reference-identical options (Consumer.scala:50-56).
-    * Not exercisable in this offline container — constructed, never
-    * started, in tests. */
+    *
+    * Runtime constraint, verified round 5: the connector is a separate
+    * artifact (`spark-sql-kafka-0-10` + `kafka-clients`) that is NOT in
+    * `/opt/spark/jars` (286 jars, zero kafka), not in the offline
+    * coursier cache, and not resolvable (zero egress) — and an embedded
+    * KRaft broker would need `kafka_2.13` server jars, equally absent.
+    * So `.load()` here fails with DATA_SOURCE_NOT_FOUND in this
+    * container; the construction is asserted in tests and the streaming
+    * fleet runs on the file/memory/graft-pages twins, which exercise
+    * the same micro-batch machinery (offsets, admission, checkpoint
+    * recovery) end to end. On a real cluster this function is the
+    * reference's exact read path. */
   def kafkaSource(spark: SparkSession, servers: String, topic: String): DataFrame =
     spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", servers)

@@ -737,8 +737,19 @@ class QueriesSpec extends SparkSpec {
     val words = scala.collection.mutable.Map.empty[String, Long]
     texts.foreach(_.split(" ").filter(_.nonEmpty)
       .foreach(w => words(w) = words.getOrElse(w, 0L) + 1L))
+    // split into CODE POINTS (w.split("") would shear surrogate pairs
+    // — exactly the divergence the astral-plane corpus below guards)
+    def codePoints(w: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp)); i += Character.charCount(cp)
+      }
+      out.result()
+    }
     var vocab: Map[Vector[String], Long] =
-      words.toMap.map { case (w, c) => w.split("").toVector -> c }
+      words.toMap.map { case (w, c) => codePoints(w) -> c }
     def greedyMerge(syms: Vector[String], a: String, b: String): Vector[String] = {
       val out = Vector.newBuilder[String]
       var i = 0
@@ -774,7 +785,12 @@ class QueriesSpec extends SparkSpec {
       // chains: repeated identical symbols stress the greedy scan
       Seq("aaaa aaaa aaa baab", "aaaa abab baab", "aaa abab abab"),
       // multi-byte tokens: é/ö/ß are 2-byte UTF-8; 中 is 3-byte
-      Seq("héllo wörld héllo straße", "wörld wörld 中中中 straße", "héllo 中中中"))
+      Seq("héllo wörld héllo straße", "wörld wörld 中中中 straße", "héllo 中中中"),
+      // astral plane: emoji + CJK-ext are 4-byte UTF-8 / UTF-16
+      // surrogate PAIRS — base symbols must be code points (a
+      // code-unit split would learn lone-surrogate merges DuckDB
+      // can never produce)
+      Seq("😀😀ab a😀b 𠀀𠀀", "ab😀😀 😀😀 𠀀𠀀ab", "a😀b ab😀😀 😀😀"))
     corpora.foreach { texts =>
       val words = Bpe.wordTableOf(texts.toDF("text"))
       val (_, picked) = Bpe.trainRounds(words)
