@@ -2,27 +2,34 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Throwaway perf probe (not part of the driver contract). */
+/** Throwaway perf probe (not part of the driver contract). Times the
+  * named queries (args) at SPARK_GRAFT_SF_DIR with the Bench JVM
+  * config — warmup pass then best-of-2 per query, noop sink. */
 object Probe {
   def main(args: Array[String]): Unit = {
-    def t[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
-    val spark = t("session") {
-      SparkSession.builder().master("local[4]")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.ui.enabled", "false").getOrCreate()
-    }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.001"
-    t("read+count")(println(spark.read.parquet(s"$dir/lineitem.parquet").count()))
-    t("groupByCount")(println(Parity1.run(spark, dir)))
-    t("groupByCount2")(println(Parity1.run(spark, dir)))
+    val names = if (args.nonEmpty) args.toSeq else Seq("q37_sketches")
+    def exec(name: String, dir: String): Unit =
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+    names.foreach { n =>
+      exec(n, "/root/testdata/sf0.001") // warmup: classes + codegen
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); exec(n, sfDir)
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[probe] $n%-28s best=${ts.min}%.2fs runs=${ts.map(t => f"$t%.2f").mkString(",")}")
+    }
     spark.stop()
-  }
-  object Parity1 {
-    def run(s: SparkSession, d: String): Long =
-      graft.queries.Parity.q1GradeDist(s, d).count()
   }
 }

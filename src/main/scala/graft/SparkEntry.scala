@@ -129,6 +129,10 @@ object SparkEntry {
     // tokenizer training: distributed BPE merge rounds + apply census
     "q79_bpe_merges" -> (Bpe.q79BpeMerges _),
     "q80_bpe_tokenize" -> (Bpe.q80BpeTokenize _),
+    // training-order layout: deterministic corpus shuffle manifest
+    "q87_corpus_shuffle" -> (Layout.q87CorpusShuffle _),
+    // outlier clipping: exact per-source P5/P95 length winsorize
+    "q88_length_winsorize" -> (Text.q88LengthWinsorize _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -221,5 +225,7 @@ object SparkEntry {
     "q78_tfidf_keywords" -> Text.q78Sql,
     "q79_bpe_merges" -> Bpe.q79Sql,
     "q80_bpe_tokenize" -> Bpe.q80Sql,
+    "q87_corpus_shuffle" -> Layout.q87Sql,
+    "q88_length_winsorize" -> Text.q88Sql,
   )
 }

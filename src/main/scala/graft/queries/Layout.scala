@@ -64,4 +64,90 @@ object Layout {
         col(y).cast("long") % 65536))
     z.repartitionByRange(targetFiles, col("z")).sortWithinPartitions(col("z"))
   }
+
+  // ------------------------------------------------- corpus shuffle
+
+  /** Shard fan-out for the q87 manifest. At cluster scale this is the
+    * training job's file parallelism (thousands); 16 keeps every shard
+    * populated at test SFs. */
+  val ShuffleShards = 16L
+
+  /** Modulus for the order fingerprint: keys are reduced mod this
+    * before the Σ key·rank fold so the sum stays far from BIGINT
+    * overflow at any test SF (1e6 · rank · rows). */
+  val ShuffleFpMod = 1000003L
+
+  /** Row-owned shuffle key: first 15 md5 hex digits of "shuf:"+doc_id
+    * as a long — the q48/q75 keyed-hash convention. Changing the tag
+    * string reshuffles the corpus; nothing else does. */
+  def shuffleKey(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit("shuf:"), docId.cast("string"))
+      .cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Deterministic corpus shuffle manifest (q87) — the global
+    * training-order shuffle every pretraining run needs, made
+    * reproducible: each doc owns a seeded hash key, shard = key mod
+    * [[ShuffleShards]], within-shard order = (key, doc_id). The
+    * manifest proves BOTH halves of the layout per shard: the
+    * assignment (doc/char counts, key range) and the ORDER — an
+    * order-sensitive Σ (key mod [[ShuffleFpMod]])·rank fingerprint
+    * that moves if any two rows swap. The actual write is
+    * [[corpusShuffleWrite]]; this census is its oracle-checkable
+    * shadow (the q72/zorderWrite duality).
+    *
+    * Scale shape: ONE hash exchange on the shard id; the row_number
+    * window and the final shard agg both reuse that partitioning
+    * (local sort, no second exchange — plan-asserted in spec). No
+    * driver state, no RNG: a replayed job or a different executor
+    * count lays out byte-identical shards.
+    */
+  def q87CorpusShuffle(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("k", shuffleKey(col("doc_id")))
+      .withColumn("shard", col("k") % ShuffleShards)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+    keyed
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("shard_chars"),
+        min(col("k")).as("min_key"), max(col("k")).as("max_key"),
+        sum((col("k") % ShuffleFpMod) * col("rn")).as("order_fp"))
+  }
+
+  val q87Sql: String =
+    s"""WITH keyed AS (
+       |  SELECT doc_id, n_chars,
+       |         CAST('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 15)
+       |              AS BIGINT) AS k
+       |  FROM documents),
+       |sharded AS (
+       |  SELECT n_chars, k, k % $ShuffleShards AS shard,
+       |         row_number() OVER (PARTITION BY k % $ShuffleShards
+       |                            ORDER BY k, doc_id) AS rn
+       |  FROM keyed)
+       |SELECT shard, count(*) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS shard_chars,
+       |       min(k) AS min_key, max(k) AS max_key,
+       |       CAST(sum((k % $ShuffleFpMod) * rn) AS BIGINT) AS order_fp
+       |FROM sharded GROUP BY 1""".stripMargin
+
+  /** The actual shuffle write: hash-partition on the shard id and
+    * local-sort by (shard, key, id) — ONE exchange, and the resulting
+    * files are the training order. A shard never splits across
+    * partitions (the partitioner is a pure function of the shard id),
+    * but two shards may share a partition (hash collision), which is
+    * why the local sort leads with the shard id: each shard is a
+    * contiguous, ordered run, so a downstream `partitionBy(__shard)`
+    * write emits one sorted file per shard. Rerunning on any cluster
+    * shape yields byte-identical shard contents and order, because
+    * both the assignment and the sort key live with the row. */
+  def corpusShuffleWrite(df: DataFrame, idCol: String, shards: Int): DataFrame = {
+    val keyed = df.withColumn("__sk", shuffleKey(col(idCol)))
+      .withColumn("__shard", col("__sk") % shards.toLong)
+    keyed.repartition(shards, col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__sk"), col(idCol))
+  }
 }

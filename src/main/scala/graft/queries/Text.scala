@@ -978,4 +978,83 @@ object Text {
        |  FROM scored)
        |SELECT source, rk, t AS term, tf, tfidf_mnat
        |FROM ranked WHERE rk <= $TfidfK""".stripMargin
+
+  // ------------------------------------------- length winsorization
+
+  /** Winsorize percentiles: clip below P5 and above P95 per source. */
+  val WinsLoPct = 5L
+  val WinsHiPct = 95L
+
+  /** Per-source winsorized length trim (q88) — the outlier-clipping
+    * gate a curation pipeline runs before length-sensitive stages
+    * (packing budgets, quality ratios): per source, find the EXACT
+    * discrete P5/P95 of n_chars and report how much of the corpus a
+    * clip at those bounds keeps, drops, and truncates.
+    *
+    * Exact distributed quantiles WITHOUT a per-group value buffer
+    * (the q37 audit showed an OpenHashMap percentile buffer is the
+    * dominant cost there): lengths live in a small bounded domain, so
+    * `groupBy(source, n_chars).count` compacts the corpus map-side to
+    * O(sources · distinct lengths) rows, and the quantile is read off
+    * a cumulative-sum window over that compacted table — the window
+    * sorts thousands of rows, never the corpus. Discrete (lower)
+    * quantile semantics: smallest value with cum·100 ≥ pct·tot —
+    * integer arithmetic end to end, so both engines agree exactly,
+    * unlike interpolated quantiles.
+    *
+    * Scale shape: scan 1 compacts to the length histogram (map-side
+    * partial agg does the heavy lifting); thresholds are O(sources)
+    * rows and BROADCAST back onto scan 2 for the census — the corpus
+    * is never shuffled, only scanned twice. At 100 TB the histogram
+    * is ~sources × 1e5 lengths — kilobytes per executor.
+    */
+  def q88LengthWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("source"), col("n_chars"))
+    val byLen = docs.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    val th = byLen
+      .withColumn("cum", sum(col("c")).over(wOrd))
+      .withColumn("tot", sum(col("c")).over(wAll))
+      .groupBy(col("source"))
+      .agg(
+        min(when(col("cum") * 100 >= lit(WinsLoPct) * col("tot"),
+          col("n_chars"))).as("p_lo"),
+        min(when(col("cum") * 100 >= lit(WinsHiPct) * col("tot"),
+          col("n_chars"))).as("p_hi"))
+    docs.join(broadcast(th), "source")
+      .groupBy(col("source"), col("p_lo"), col("p_hi"))
+      .agg(
+        count(when(col("n_chars").between(col("p_lo"), col("p_hi")), lit(1)))
+          .as("kept_docs"),
+        count(when(col("n_chars") < col("p_lo"), lit(1))).as("clipped_low"),
+        count(when(col("n_chars") > col("p_hi"), lit(1))).as("clipped_high"),
+        sum(greatest(least(col("n_chars"), col("p_hi")), col("p_lo")))
+          .as("wins_chars"))
+  }
+  val q88Sql: String =
+    s"""WITH by_len AS (
+       |  SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT source, n_chars, c,
+       |         sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+       |         sum(c) OVER (PARTITION BY source) AS tot
+       |  FROM by_len),
+       |th AS (
+       |  SELECT source,
+       |         min(CASE WHEN cum * 100 >= $WinsLoPct * tot THEN n_chars END) AS p_lo,
+       |         min(CASE WHEN cum * 100 >= $WinsHiPct * tot THEN n_chars END) AS p_hi
+       |  FROM cum GROUP BY 1)
+       |SELECT d.source, t.p_lo, t.p_hi,
+       |       count(CASE WHEN d.n_chars BETWEEN t.p_lo AND t.p_hi THEN 1 END)
+       |         AS kept_docs,
+       |       count(CASE WHEN d.n_chars < t.p_lo THEN 1 END) AS clipped_low,
+       |       count(CASE WHEN d.n_chars > t.p_hi THEN 1 END) AS clipped_high,
+       |       CAST(sum(greatest(least(d.n_chars, t.p_hi), t.p_lo)) AS BIGINT)
+       |         AS wins_chars
+       |FROM documents d JOIN th t ON d.source = t.source
+       |GROUP BY 1, 2, 3""".stripMargin
 }

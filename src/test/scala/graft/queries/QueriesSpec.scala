@@ -600,6 +600,90 @@ class QueriesSpec extends SparkSpec {
     assert(out.count() === graft.Tables.orders(spark, sf).count())
   }
 
+  test("q87 corpus shuffle: partitions the corpus, one exchange, fingerprint matches in-memory order") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = Layout.q87CorpusShuffle(spark, sf).collect()
+    // every doc lands in exactly one shard
+    assert(rows.map(_.getLong(1)).sum === docs.length.toLong)
+    assert(rows.map(_.getLong(0)).toSet.size === rows.length)
+    // in-memory recompute of key, shard, order and the fingerprint
+    def key(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"shuf:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val expected = docs.map { case (id, nc) => (key(id), id, nc) }
+      .groupBy(_._1 % Layout.ShuffleShards)
+      .map { case (shard, ds) =>
+        val ordered = ds.sortBy(d => (d._1, d._2))
+        shard -> (ds.length.toLong, ds.map(_._3).sum,
+          ordered.map(_._1).min, ordered.map(_._1).max,
+          ordered.zipWithIndex.map { case (d, i) =>
+            (d._1 % Layout.ShuffleFpMod) * (i + 1) }.sum)
+      }
+    rows.foreach { r =>
+      val got = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(got === expected(r.getLong(0)), s"shard ${r.getLong(0)} drifted")
+    }
+    // the window and the shard agg must share ONE hash exchange
+    val plan = Layout.q87CorpusShuffle(spark, sf).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan.take(3000))
+  }
+
+  test("corpusShuffleWrite: shards never split, each a contiguous sorted run") {
+    val out = Layout.corpusShuffleWrite(
+      graft.Tables.documents(spark, sf).select("doc_id", "n_chars"), "doc_id", 4)
+    assert(out.rdd.getNumPartitions === 4)
+    val parts = out.select("__shard", "__sk").rdd
+      .mapPartitionsWithIndex { case (i, it) =>
+        Iterator((i, it.map(r => (r.getLong(0), r.getLong(1))).toVector))
+      }.collect()
+    parts.foreach { case (i, rows) =>
+      // local sort leads with the shard: rows ordered by (shard, key)
+      assert(rows === rows.sortBy(identity),
+        s"partition $i not in (shard, key) training order")
+    }
+    // a shard lives in exactly one partition (pure function of its id)
+    val shardHomes = parts.flatMap { case (i, rows) =>
+      rows.map(_._1).distinct.map(_ -> i) }
+    assert(shardHomes.groupBy(_._1).values.forall(_.map(_._2).distinct.size == 1),
+      s"a shard split across partitions: ${shardHomes.toSeq.sorted}")
+    assert(parts.map(_._2.size).sum === graft.Tables.documents(spark, sf).count())
+  }
+
+  test("q88 winsorize: thresholds equal in-memory exact quantiles; census arithmetic holds") {
+    import org.apache.spark.sql.functions.col
+    val lens = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    def discQ(v: Vector[Long], pct: Long): Long = {
+      // smallest value whose cumulative count*100 >= pct*total
+      val tot = v.length.toLong
+      v(((pct * tot + 99) / 100 - 1).toInt.max(0))
+    }
+    val rows = Text.q88LengthWinsorize(spark, sf).collect()
+    assert(rows.map(_.getString(0)).sorted === lens.keys.toArray.sorted)
+    rows.foreach { r =>
+      val (src, lo, hi) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val v = lens(src)
+      assert(lo === discQ(v, Text.WinsLoPct), s"$src p_lo")
+      assert(hi === discQ(v, Text.WinsHiPct), s"$src p_hi")
+      val (kept, cLo, cHi, wins) =
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(kept + cLo + cHi === v.length.toLong, s"$src census not a partition")
+      assert(wins === v.map(x => math.max(math.min(x, hi), lo)).sum, s"$src wins_chars")
+      // winsorizing clamps: bounded by raw sum from the clipped sides
+      assert(cLo * lo + cHi * hi + v.filter(x => x >= lo && x <= hi).sum === wins)
+    }
+    // thresholds must broadcast onto the census scan, never shuffle it
+    val plan = Text.q88LengthWinsorize(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("q73 bloom: zero false negatives, nonzero false positives, no SortMergeJoin") {
     val df = Relational.q73BloomSemiJoin(spark, sf)
     val rows = df.collect()
