@@ -133,6 +133,10 @@ object SparkEntry {
     "q87_corpus_shuffle" -> (Layout.q87CorpusShuffle _),
     // outlier clipping: exact per-source P5/P95 length winsorize
     "q88_length_winsorize" -> (Text.q88LengthWinsorize _),
+    // data-mixture drift: per-source KL vs the corpus unigram blend
+    "q89_source_kl_drift" -> (Text.q89SourceKlDrift _),
+    // ingest telemetry: integer rolling z-score on hourly event rates
+    "q90_rate_anomaly" -> (Events.q90RateAnomaly _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -227,5 +231,7 @@ object SparkEntry {
     "q80_bpe_tokenize" -> Bpe.q80Sql,
     "q87_corpus_shuffle" -> Layout.q87Sql,
     "q88_length_winsorize" -> Text.q88Sql,
+    "q89_source_kl_drift" -> Text.q89Sql,
+    "q90_rate_anomaly" -> Events.q90Sql,
   )
 }

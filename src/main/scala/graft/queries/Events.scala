@@ -260,4 +260,76 @@ object Events {
       |SELECT p.from_type, p.to_type, p.transitions,
       |       p.transitions * 100 // t.from_total AS pct_of_from
       |FROM p JOIN t ON p.from_type = t.from_type""".stripMargin
+
+  // ------------------------------------------------- rate anomaly
+
+  /** Trailing-window length (hours) and minimum baseline for a verdict. */
+  val AnomBaseHours = 24
+  val AnomMinBase = 12L
+  /** z² threshold: flag when (x−μ)² > AnomZsq·σ², i.e. |z| > 3. */
+  val AnomZsq = 9L
+
+  /** Rolling z-score anomaly on hourly event rates (q90) — the ingest
+    * monitor a pipeline runs over its own telemetry: per event type,
+    * each hour's count is judged against the trailing
+    * [[AnomBaseHours]]-hour baseline; hours with fewer than
+    * [[AnomMinBase]] baseline rows abstain.
+    *
+    * INTEGER z-score: the naive |x−μ|>3σ needs μ=S/n and σ=√(...) —
+    * doubles whose rounding could flip a verdict between engines.
+    * Multiply through instead: with S=Σcnt, Q=Σcnt², n over the
+    * window, (x−S/n)² > 9·(nQ−S²)/n²  ⟺  (n·x−S)² > 9·(n·Q−S²) —
+    * every operand integral, so the verdict is bit-exact on both
+    * engines and the column hash-matches (the q37-booleans idea,
+    * without its tolerance epsilon).
+    *
+    * Scale shape: the corpus-wide stage is the hourly hash-agg
+    * (O(events) → O(types·hours) rows); the window runs over that
+    * tiny table. Its PARTITION BY event_type has only a few
+    * partitions — fine here because the windowed table is ~10⁴ rows
+    * per year regardless of corpus size; if types were many and
+    * hours deep you'd range-partition (type, day) with a 24-row tail
+    * overlap instead.
+    */
+  def q90RateAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(
+        (expr("unix_timestamp(ts) div 3600") * 3600L).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_start"))
+      .rowsBetween(-AnomBaseHours, -1)
+    hourly
+      .withColumn("base_n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("cnt")).over(w))
+      .withColumn("q", sum(col("cnt") * col("cnt")).over(w))
+      .select(col("event_type"), col("hour_start"), col("cnt"), col("base_n"),
+        (col("base_n") >= AnomMinBase &&
+          (col("base_n") * col("cnt") - col("s")) *
+            (col("base_n") * col("cnt") - col("s")) >
+            lit(AnomZsq) * (col("base_n") * col("q") - col("s") * col("s")))
+          .as("anomaly"))
+  }
+  val q90Sql: String =
+    s"""WITH hourly AS (
+       |  -- epoch() is DOUBLE and `//` on DOUBLE degenerates to `/` in
+       |  -- DuckDB (no flooring!) — floor explicitly, then the integer
+       |  -- hour matches Spark's unix_timestamp div exactly (ts >= 1970)
+       |  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) * 3600
+       |           AS hour_start,
+       |         event_type, count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |win AS (
+       |  SELECT event_type, hour_start, cnt,
+       |         count(*) OVER w AS base_n,
+       |         sum(cnt) OVER w AS s,
+       |         sum(cnt * cnt) OVER w AS q
+       |  FROM hourly
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+       |               ROWS BETWEEN $AnomBaseHours PRECEDING AND 1 PRECEDING))
+       |SELECT event_type, CAST(hour_start AS BIGINT) AS hour_start, cnt, base_n,
+       |       (base_n >= $AnomMinBase AND
+       |        (base_n * cnt - s) * (base_n * cnt - s) >
+       |          $AnomZsq * (base_n * q - s * s)) AS anomaly
+       |FROM win""".stripMargin
 }

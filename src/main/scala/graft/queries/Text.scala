@@ -1057,4 +1057,71 @@ object Text {
        |         AS wins_chars
        |FROM documents d JOIN th t ON d.source = t.source
        |GROUP BY 1, 2, 3""".stripMargin
+
+  // ------------------------------------------------ distribution drift
+
+  /** Per-source KL token-distribution drift (q89) — the data-mixture
+    * diagnostic behind reweighting decisions: how far each source's
+    * unigram distribution sits from the corpus mixture,
+    * KL(P_source ‖ P_corpus) = Σ_t p·ln(p/q). A source of boilerplate
+    * or another language scores high; a source that looks like the
+    * blend scores ~0. The same number DSIR-style pipelines threshold
+    * on, computed corpus-wide instead of per-doc (q71's sibling at
+    * the source granularity).
+    *
+    * Integer contract (the q64/q78 millinat convention): each term
+    * contributes tf·⌊1000·ln((tf·T)/(T_s·ctf))⌋ — ln on a double
+    * ratio assembled the same way in both engines, floored to integer
+    * millinats BEFORE the sum, so the aggregate is order-free and
+    * hash-exact. (The quantized KL can dip a hair below zero since
+    * ⌊·⌋ rounds each term down — it's a drift SCORE, not a proper
+    * divergence; ranking is what it's for.)
+    *
+    * Scale shape: ONE corpus-scale stage — explode to (source, token)
+    * and hash-agg; everything after operates on the compacted
+    * vocab-sized table: corpus totals re-aggregate IT (never rescan
+    * the corpus), per-source totals broadcast back, the grand total
+    * rides a 1-row broadcast cross. The ctf join keys on token over
+    * the compacted table — a shuffle of O(vocab·sources) rows, not
+    * O(corpus).
+    */
+  def q89SourceKlDrift(s: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(s, dir)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy(col("source"), col("t")).agg(count(lit(1)).as("tf"))
+    val ctf = st.groupBy(col("t")).agg(sum(col("tf")).as("ctf"))
+    val stot = st.groupBy(col("source")).agg(sum(col("tf")).as("stot"))
+    val tot = stot.agg(sum(col("stot")).as("tot"))
+    val terms = st.join(ctf, "t")
+      .join(broadcast(stot), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("kl_term", col("tf") *
+        floor(log((col("tf").cast("double") * col("tot")) /
+          (col("stot").cast("double") * col("ctf"))) * 1000).cast("long"))
+    terms.groupBy(col("source"))
+      .agg(max(col("stot")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(col("kl_term")).as("kl_mnat"))
+  }
+  val q89Sql: String =
+    s"""WITH st AS (
+       |  SELECT source, unnest(str_split(text, ' ')) AS t FROM documents),
+       |tf AS (SELECT source, t, count(*) AS tf FROM st GROUP BY 1, 2),
+       |ctf AS (SELECT t, sum(tf) AS ctf FROM tf GROUP BY 1),
+       |stot AS (SELECT source, sum(tf) AS stot FROM tf GROUP BY 1),
+       |tot AS (SELECT sum(stot) AS tot FROM stot),
+       |terms AS (
+       |  SELECT f.source,
+       |         f.tf * CAST(floor(ln((CAST(f.tf AS DOUBLE) * tot.tot) /
+       |                  (CAST(s.stot AS DOUBLE) * c.ctf)) * 1000) AS BIGINT)
+       |           AS kl_term
+       |  FROM tf f
+       |  JOIN ctf c ON f.t = c.t
+       |  JOIN stot s ON f.source = s.source
+       |  CROSS JOIN tot)
+       |SELECT s.source, CAST(s.stot AS BIGINT) AS n_tokens,
+       |       (SELECT count(*) FROM tf WHERE tf.source = s.source) AS vocab,
+       |       CAST((SELECT sum(kl_term) FROM terms WHERE terms.source = s.source)
+       |            AS BIGINT) AS kl_mnat
+       |FROM stot s""".stripMargin
 }

@@ -684,6 +684,52 @@ class QueriesSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("q89 KL drift equals an in-memory reference; uniform-vs-skewed ranking sane") {
+    import org.apache.spark.sql.functions.col
+    val toks = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").map(r.getString(0) -> _))
+    val tf = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val stot = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val ctf = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val tot = toks.length.toLong
+    val expected = tf.groupBy(_._1._1).map { case (src, terms) =>
+      src -> (stot(src), terms.size.toLong, terms.map { case ((_, t), f) =>
+        // the exact double assembly both engines compute
+        f * math.floor(math.log((f.toDouble * tot) / (stot(src).toDouble * ctf(t))) * 1000).toLong
+      }.sum)
+    }
+    val rows = Text.q89SourceKlDrift(spark, sf).collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) === expected(r.getString(0)),
+        s"${r.getString(0)} drifted from in-memory KL")
+    }
+    // scores are drift SCORES: near-zero possible, catastrophic negatives not
+    assert(rows.forall(_.getLong(3) > -1000L * tot))
+  }
+
+  test("q90 anomaly verdicts equal an in-memory rolling window; some verdicts fire") {
+    val rows = Events.q90RateAnomaly(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    // in-memory recompute per type over the hour-ordered counts
+    rows.groupBy(_._1).foreach { case (typ, rs) =>
+      val ordered = rs.sortBy(_._2)
+      ordered.zipWithIndex.foreach { case ((_, hr, cnt, baseN, flag), i) =>
+        val w = ordered.slice(math.max(0, i - Events.AnomBaseHours), i).map(_._3)
+        assert(baseN === w.length.toLong, s"$typ@$hr base_n")
+        val (n, s0, q) = (w.length.toLong, w.sum, w.map(c => c * c).sum)
+        val expect = n >= Events.AnomMinBase &&
+          (n * cnt - s0) * (n * cnt - s0) > Events.AnomZsq * (n * q - s0 * s0)
+        assert(flag === expect, s"$typ@$hr verdict")
+      }
+    }
+    // the detector actually detects on testdata (34 hits at sf0.001);
+    // all-false would also hash-match a broken predicate
+    assert(rows.count(_._5) > 0, "no anomalies flagged — detector inert")
+    assert(rows.count(_._5) < rows.length / 4, "anomalies >25% — threshold meaningless")
+  }
+
   test("q73 bloom: zero false negatives, nonzero false positives, no SortMergeJoin") {
     val df = Relational.q73BloomSemiJoin(spark, sf)
     val rows = df.collect()
