@@ -39,6 +39,21 @@ for name, sql in sorted(oracle.items()):
     if list(s.columns) != list(d.columns):
         print(f"FAIL {name}: cols spark={list(s.columns)} duck={list(d.columns)}")
         fails.append(name); continue
+    # the driver hashes typed values: a DuckDB HUGEINT (int128 — lands
+    # as float64/object in pandas) against a Spark int64 hash-mismatches
+    # even when every value is equal (rounds 1-4: q70/q79). Int WIDTH
+    # differences (int32 vs int64) are fine — the driver normalizes
+    # those (q29/q39 etc. are hash-green) — so only a numpy-KIND drift
+    # (int vs float vs object) is flagged.
+    for c in s.columns:
+        sk = getattr(s[c].dtype, "kind", "O")
+        dk = getattr(d[c].dtype, "kind", "O")
+        if sk != dk:
+            print(f"TYPEWARN {name}.{c}: spark={s[c].dtype} duck={d[c].dtype} "
+                  f"(HUGEINT leak? CAST the oracle column)")
+            fails.append(name)
+    if name in fails:
+        continue
     if len(s) != len(d):
         print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}")
         fails.append(name); continue
