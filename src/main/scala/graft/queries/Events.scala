@@ -291,12 +291,20 @@ object Events {
     * hours deep you'd range-partition (type, day) with a 24-row tail
     * overlap instead.
     */
-  def q90RateAnomaly(s: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables.events(s, dir)
+  /** Hourly (hour_start, event_type, cnt) counts of an events frame —
+    * SUM-mergeable across any partition of the event log, which is
+    * what makes the streaming twin (Streams.incrementalHourlyCounts)
+    * a per-batch-partials op; shared verbatim with it. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
       .groupBy(
         (expr("unix_timestamp(ts) div 3600") * 3600L).as("hour_start"),
         col("event_type"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** The verdict window over an hourly-counts frame — shared by batch
+    * q90 and the streaming snapshot so the two can never drift. */
+  def anomalyVerdicts(hourly: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("hour_start"))
       .rowsBetween(-AnomBaseHours, -1)
     hourly
@@ -310,6 +318,9 @@ object Events {
             lit(AnomZsq) * (col("base_n") * col("q") - col("s") * col("s")))
           .as("anomaly"))
   }
+
+  def q90RateAnomaly(s: SparkSession, dir: String): DataFrame =
+    anomalyVerdicts(hourlyCounts(Tables.events(s, dir)))
   val q90Sql: String =
     s"""WITH hourly AS (
        |  -- epoch() is DOUBLE and `//` on DOUBLE degenerates to `/` in

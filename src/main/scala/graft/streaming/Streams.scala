@@ -343,6 +343,34 @@ object Streams {
       .groupBy(col("source")).agg(mins.head, mins.tail: _*)
   }
 
+  /** Incremental hourly event counts — q90's streaming half and the
+    * SUM-merge sibling of [[incrementalCms]]: each micro-batch lands
+    * its own (hour_start, event_type, cnt) partials
+    * (Events.hourlyCounts — the exact batch code path) as a batch_id
+    * partition, replay-idempotent. Counts are mergeable, so the live
+    * hourly table is a per-key sum; state is O(types·hours observed),
+    * never the event log. */
+  def incrementalHourlyCounts(events: DataFrame, countsPath: String,
+                              checkpoint: String): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchPartition(
+          graft.queries.Events.hourlyCounts(batch), batchId, countsPath)
+      }
+
+  /** Live anomaly verdicts: merge the hourly partials (per-key sum),
+    * then run the SAME verdict window as batch q90
+    * (Events.anomalyVerdicts) — so a verdict computed mid-ingest
+    * equals the batch verdict over the union of all batches, which is
+    * exactly what an ingest monitor must guarantee on replay. */
+  def rateAnomalySnapshot(spark: SparkSession, countsPath: String): DataFrame =
+    graft.queries.Events.anomalyVerdicts(
+      spark.read.parquet(countsPath)
+        .groupBy(col("hour_start"), col("event_type"))
+        .agg(sum(col("cnt")).as("cnt")))
+
   // ------------------------------------- incremental near-dup (ingest-side)
 
   /** Incremental MinHash-LSH dedup against a persistent signature

@@ -743,6 +743,29 @@ class StreamsSpec extends SparkSpec {
       "identical vector ingested later must pair with its history copy")
   }
 
+  test("incremental hourly counts: merged snapshot verdicts equal batch q90 on the union") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_incanom")
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.Tables.events(spark, sf)
+      .select(col("ts"), col("event_type"), col("event_id")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+    val in = MemoryStream[(Timestamp, String, Long)]
+    val q = Streams.incrementalHourlyCounts(
+      in.toDF().toDF("ts", "event_type", "event_id"),
+      s"$dir/counts", s"$dir/ckpt").start()
+    // arrival order ≠ event-time order (shuffle by id hash): the
+    // SUM-merge must still reconstruct exact hourly counts
+    try events.sortBy(_._3.hashCode()).grouped(300).foreach { g =>
+      in.addData(g.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Streams.rateAnomalySnapshot(spark, s"$dir/counts")
+    val batch = graft.queries.Events.q90RateAnomaly(spark, sf)
+    assert(rowsOf(streamed) === rowsOf(batch),
+      "mid-ingest snapshot verdicts must equal the batch q90 verdicts")
+    assert(streamed.filter(col("anomaly")).count() > 0)
+  }
+
   test("incremental pipeline + finalize equals the batch q50 manifest on the union corpus") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_incpipe")
