@@ -135,6 +135,8 @@ object SparkEntry {
     "q88_length_winsorize" -> (Text.q88LengthWinsorize _),
     // data-mixture drift: per-source KL vs the corpus unigram blend
     "q89_source_kl_drift" -> (Text.q89SourceKlDrift _),
+    // ingest diversity: n-gram novelty curve over arrival batches
+    "q91_novelty_curve" -> (Dedup.q91NoveltyCurve _),
     // ingest telemetry: integer rolling z-score on hourly event rates
     "q90_rate_anomaly" -> (Events.q90RateAnomaly _),
   )
@@ -232,6 +234,7 @@ object SparkEntry {
     "q87_corpus_shuffle" -> Layout.q87Sql,
     "q88_length_winsorize" -> Text.q88Sql,
     "q89_source_kl_drift" -> Text.q89Sql,
+    "q91_novelty_curve" -> Dedup.q91Sql,
     "q90_rate_anomaly" -> Events.q90Sql,
   )
 }

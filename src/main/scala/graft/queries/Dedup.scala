@@ -737,4 +737,80 @@ object Dedup {
        |         AS removed_pct
        |FROM j GROUP BY 1""".stripMargin
   }
+
+  // ------------------------------------------------- novelty curve
+
+  /** Ingest-order batch width for the novelty curve (docs per batch,
+    * by doc_id — the testbed's arrival-order proxy). */
+  val NoveltyBatchDocs = 100L
+
+  /** N-gram novelty curve (q91) — the duplication-saturation
+    * diagnostic behind "is more of this crawl still worth ingesting":
+    * bucket the corpus in ingest order, and per batch report how many
+    * distinct [[SpanK]]-grams appear, how many are NEW (first batch
+    * where the gram is ever seen), the running distinct-gram total,
+    * and the integer novelty percentage. A fresh source holds near
+    * 100%; a feed re-crawling itself decays toward 0 — the curve's
+    * knee is where continued ingest stops buying diversity.
+    *
+    * Scale shape: one corpus explode to doc-distinct grams (the q74
+    * `ngram_set` kernel — map-side distinct keeps it one row per
+    * (doc, gram)); ONE corpus-scale shuffle compacts to (batch, gram).
+    * The first-seen agg (min batch per gram) re-shuffles only that
+    * compacted table on gram; everything downstream — per-batch
+    * census, new-gram counts, the cumulative window — is O(batches)
+    * rows. The cumulative sum runs unpartitioned on purpose: its
+    * input IS tiny (one row per batch) at any corpus size.
+    */
+  def q91NoveltyCurve(s: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .filter(size(col("toks")) >= SpanK)
+      .select(expr(s"doc_id div $NoveltyBatchDocs").as("batch"),
+        explode(graft.functions.NGramSetFunctions.ngram_set(col("toks"), SpanK))
+          .as("gram"))
+      .groupBy(col("batch"), col("gram"))
+      .agg(count(lit(1)).as("occ"))
+    val firstSeen = bg.groupBy(col("gram")).agg(min(col("batch")).as("fb"))
+    val seen = bg.groupBy(col("batch"))
+      .agg(count(lit(1)).as("grams_seen"), sum(col("occ")).as("gram_docs"))
+    val news = firstSeen.groupBy(col("fb").as("batch"))
+      .agg(count(lit(1)).as("new_grams"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("batch"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    seen.join(news, Seq("batch"), "left")
+      .withColumn("new_grams", coalesce(col("new_grams"), lit(0L)))
+      .withColumn("cum_new_grams", sum(col("new_grams")).over(w))
+      .select(col("batch"), col("grams_seen"), col("gram_docs"),
+        col("new_grams"), col("cum_new_grams"),
+        expr("new_grams * 100 div grams_seen").as("novelty_pct"))
+  }
+  val q91Sql: String = {
+    val toks = "str_split(text, ' ')"
+    s"""WITH d AS (
+       |  SELECT doc_id // $NoveltyBatchDocs AS batch, $toks AS toks
+       |  FROM documents WHERE len($toks) >= $SpanK),
+       |g AS (
+       |  SELECT batch, unnest(list_distinct(
+       |    list_transform(range(1, len(toks) - ${SpanK - 2}),
+       |      i -> array_to_string(list_slice(toks, i, i + ${SpanK - 1}), ' '))))
+       |    AS gram
+       |  FROM d),
+       |bg AS (SELECT batch, gram, count(*) AS occ FROM g GROUP BY 1, 2),
+       |fs AS (SELECT gram, min(batch) AS fb FROM bg GROUP BY 1),
+       |seen AS (SELECT batch, count(*) AS grams_seen,
+       |                CAST(sum(occ) AS BIGINT) AS gram_docs
+       |         FROM bg GROUP BY 1),
+       |nw AS (SELECT fb AS batch, count(*) AS new_grams FROM fs GROUP BY 1),
+       |j AS (SELECT s.batch, s.grams_seen, s.gram_docs,
+       |             coalesce(n.new_grams, 0) AS new_grams
+       |      FROM seen s LEFT JOIN nw n USING (batch))
+       |SELECT batch, grams_seen, gram_docs, new_grams,
+       |       CAST(sum(new_grams) OVER (ORDER BY batch
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |            AS BIGINT) AS cum_new_grams,
+       |       new_grams * 100 // grams_seen AS novelty_pct
+       |FROM j""".stripMargin
+  }
 }

@@ -730,6 +730,37 @@ class QueriesSpec extends SparkSpec {
     assert(rows.count(_._5) < rows.length / 4, "anomalies >25% — threshold meaningless")
   }
 
+  test("q91 novelty curve equals an in-memory reference; first batch is 100% novel") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byBatch = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ")
+      if (toks.length < Dedup.SpanK) Nil
+      else toks.sliding(Dedup.SpanK).map(_.mkString(" ")).toSet
+        .map((g: String) => (id / Dedup.NoveltyBatchDocs, g))
+    }
+    val bg = byBatch.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val firstSeen = bg.keys.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val got = Dedup.q91NoveltyCurve(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val batches = bg.keys.map(_._1).toSeq.distinct.sorted
+    var cum = 0L
+    batches.foreach { b =>
+      val grams = bg.keys.filter(_._1 == b).map(_._2).toSet
+      val seen = grams.size.toLong
+      val gramDocs = grams.toSeq.map(g => bg((b, g))).sum
+      val news = grams.count(firstSeen(_) == b).toLong
+      cum += news
+      assert(got(b) === ((seen, gramDocs, news, cum, news * 100 / seen)),
+        s"batch $b drifted")
+    }
+    // ingest-order sanity: everything in batch 0 is new by definition
+    assert(got(batches.head)._5 === 100L)
+  }
+
   test("q73 bloom: zero false negatives, nonzero false positives, no SortMergeJoin") {
     val df = Relational.q73BloomSemiJoin(spark, sf)
     val rows = df.collect()
