@@ -343,6 +343,52 @@ object Streams {
       .groupBy(col("source")).agg(mins.head, mins.tail: _*)
   }
 
+  /** Incremental novelty tracking — q91's streaming half, a MIN-merge
+    * on first-seen batch ids: each micro-batch lands its doc-distinct
+    * gram set (one row per distinct gram, with its occurrence count —
+    * the q74/q91 `ngram_set` kernel, exact batch code path) as a
+    * batch_id partition. First-seen per gram = min(batch_id) over
+    * partitions, replay-idempotent: a replayed batch overwrites its
+    * own partition and cannot steal first-seen credit from an earlier
+    * one. State is the distinct-gram set — the same asymptotics as
+    * the batch q91 first-seen agg, here spread across partitions. */
+  def incrementalNoveltyGrams(docs: DataFrame, gramsPath: String,
+                              checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val grams = batch
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= graft.queries.Dedup.SpanK)
+          .select(explode(graft.functions.NGramSetFunctions
+            .ngram_set(col("toks"), graft.queries.Dedup.SpanK)).as("gram"))
+          .groupBy(col("gram")).agg(count(lit(1)).as("occ"))
+        writeBatchPartition(grams, batchId, gramsPath)
+      }
+
+  /** The live novelty curve: per ingest batch, distinct grams seen,
+    * gram-doc incidences, grams first seen there, the running
+    * distinct total and the integer novelty pct — the q91 output
+    * shape with the micro-batch AS the batch axis. */
+  def noveltyCurveSnapshot(spark: SparkSession, gramsPath: String): DataFrame = {
+    // partition-column inference types batch_id as int; align with q91's long
+    val bg = spark.read.parquet(gramsPath)
+      .select(col("batch_id").cast("long").as("batch"), col("gram"), col("occ"))
+    val seen = bg.groupBy(col("batch"))
+      .agg(count(lit(1)).as("grams_seen"), sum(col("occ")).as("gram_docs"))
+    val news = bg.groupBy(col("gram")).agg(min(col("batch")).as("fb"))
+      .groupBy(col("fb").as("batch")).agg(count(lit(1)).as("new_grams"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("batch"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    seen.join(news, Seq("batch"), "left")
+      .withColumn("new_grams", coalesce(col("new_grams"), lit(0L)))
+      .withColumn("cum_new_grams", sum(col("new_grams")).over(w))
+      .select(col("batch"), col("grams_seen"), col("gram_docs"),
+        col("new_grams"), col("cum_new_grams"),
+        expr("new_grams * 100 div grams_seen").as("novelty_pct"))
+  }
+
   /** Incremental hourly event counts — q90's streaming half and the
     * SUM-merge sibling of [[incrementalCms]]: each micro-batch lands
     * its own (hour_start, event_type, cnt) partials

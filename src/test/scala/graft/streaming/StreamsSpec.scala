@@ -766,6 +766,37 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.filter(col("anomaly")).count() > 0)
   }
 
+  test("incremental novelty: first-seen min-merge matches an in-memory curve; replay can't steal credit") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_incnov")
+    val b0 = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"))
+    val b1 = Seq((3L, "alpha beta gamma delta epsilon zeta"), // b0 rerun: 0 new
+      (4L, "one two three four five nine ten"))               // partial overlap
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.incrementalNoveltyGrams(
+      in.toDF().toDF("doc_id", "text"), s"$dir/grams", s"$dir/ckpt").start()
+    try {
+      in.addData(b0: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable()
+    } finally q.stop()
+    def gramsOf(docs: Seq[(Long, String)]): Map[String, Long] =
+      docs.flatMap(_._2.split(" ").sliding(graft.queries.Dedup.SpanK.toInt)
+        .map(_.mkString(" ")).toSeq.distinct).groupBy(identity)
+        .view.mapValues(_.length.toLong).toMap
+    val (g0, g1) = (gramsOf(b0), gramsOf(b1))
+    val rows = Streams.noveltyCurveSnapshot(spark, s"$dir/grams").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val new1 = g1.keySet.diff(g0.keySet).size.toLong
+    assert(rows(0L) === ((g0.size.toLong, g0.values.sum, g0.size.toLong,
+      g0.size.toLong, 100L)))
+    assert(rows(1L) === ((g1.size.toLong, g1.values.sum, new1,
+      g0.size.toLong + new1, new1 * 100 / g1.size)))
+    // batch-1 grams that b0 already introduced earn no first-seen credit
+    assert(new1 < g1.size.toLong, "overlap corpus must not be fully novel")
+  }
+
   test("incremental pipeline + finalize equals the batch q50 manifest on the union corpus") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_incpipe")
