@@ -129,6 +129,8 @@ object SparkEntry {
     // tokenizer training: distributed BPE merge rounds + apply census
     "q79_bpe_merges" -> (Bpe.q79BpeMerges _),
     "q80_bpe_tokenize" -> (Bpe.q80BpeTokenize _),
+    // packing priced in trained-tokenizer subwords (q47's real budget)
+    "q92_subword_packing" -> (Bpe.q92SubwordPacking _),
     // training-order layout: deterministic corpus shuffle manifest
     "q87_corpus_shuffle" -> (Layout.q87CorpusShuffle _),
     // outlier clipping: exact per-source P5/P95 length winsorize
@@ -231,6 +233,7 @@ object SparkEntry {
     "q78_tfidf_keywords" -> Text.q78Sql,
     "q79_bpe_merges" -> Bpe.q79Sql,
     "q80_bpe_tokenize" -> Bpe.q80Sql,
+    "q92_subword_packing" -> Bpe.q92Sql,
     "q87_corpus_shuffle" -> Layout.q87Sql,
     "q88_length_winsorize" -> Text.q88Sql,
     "q89_source_kl_drift" -> Text.q89Sql,

@@ -208,4 +208,57 @@ object Bpe {
        |       CAST(sum(wlen) AS BIGINT) AS n_chars,
        |       CAST(sum(n_sub) AS BIGINT) * 100 // count(*) AS subwords_per_100_words
        |FROM j GROUP BY 1""".stripMargin
+
+  /** Tokenizer-priced sequence packing (q92) — q47's packing with the
+    * budget counted in the tokens the training job ACTUALLY consumes:
+    * per-doc counts come from segmenting every word with the q79/q80
+    * trained merge table (subwords ≥ words, so whitespace-priced bins
+    * systematically overpack), then the bins are cut by the SHARED
+    * packing kernel (Text.packManifest — the q47/q50/q84 arithmetic,
+    * so bin boundaries can never drift between the pricing modes).
+    *
+    * Docs whose words are all unsegmentable (empty after tokenize)
+    * contribute zero tokens and drop from the manifest — same inner
+    * join on both engines.
+    *
+    * Scale shape: the trained word table is vocab-bounded and
+    * BROADCAST onto the exploded corpus (one corpus-scale stage);
+    * per-doc sums shuffle O(docs) rows; the pack window rides the
+    * (source) partitioning like every packManifest call site.
+    */
+  def q92SubwordPacking(s: SparkSession, dir: String): DataFrame = {
+    val (vocab, _) = trained(s, dir)
+    val seg = vocab.selectExpr("replace(sym, ' ', '') AS w",
+      "size(split(sym, ' ')) AS n_sub")
+    val perDoc = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .join(broadcast(seg), Seq("w"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg(sum(col("n_sub")).cast("long").as("n_toks"))
+    Text.packManifest(perDoc)
+  }
+  val q92Sql: String =
+    s"""WITH $trainCtes,
+       |v AS (SELECT replace(sym, ' ', '') AS w,
+       |             len(str_split(sym, ' ')) AS n_sub
+       |      FROM w$BpeMergeRounds),
+       |tok AS (SELECT source, doc_id, unnest(str_split(text, ' ')) AS w
+       |        FROM documents),
+       |perdoc AS (
+       |  SELECT tok.source, tok.doc_id, sum(v.n_sub) AS n_toks
+       |  FROM tok JOIN v ON tok.w = v.w WHERE tok.w <> ''
+       |  GROUP BY 1, 2),
+       |binned AS (
+       |  SELECT source, doc_id, n_toks,
+       |         CAST(coalesce(sum(n_toks) OVER (
+       |             PARTITION BY source ORDER BY doc_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           // ${Text.PackBudget} AS BIGINT) AS bin_id
+       |  FROM perdoc)
+       |SELECT source, bin_id, count(*) AS doc_count,
+       |       CAST(sum(n_toks) AS BIGINT) AS bin_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM binned GROUP BY 1, 2""".stripMargin
 }

@@ -761,6 +761,31 @@ class QueriesSpec extends SparkSpec {
     assert(got(batches.head)._5 === 100L)
   }
 
+  test("q92 subword packing: totals equal q80's census, never fewer bins than q47") {
+    val rows = Bpe.q92SubwordPacking(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val bySource = rows.groupBy(_._1)
+    // per-source packed token mass == q80's subword census (same
+    // trained vocab, same inner-join semantics)
+    val census = Bpe.q80BpeTokenize(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    bySource.foreach { case (src, bins) =>
+      assert(bins.map(_._4).sum === census(src), s"$src: packed mass != census")
+    }
+    // subwords >= words, so BPE-priced packing can never need FEWER
+    // bins than whitespace-priced q47 for the same source
+    val wsBins = Text.q47SequencePacking(spark, sf).collect()
+      .map(r => r.getString(0)).groupBy(identity).view.mapValues(_.length).toMap
+    bySource.foreach { case (src, bins) =>
+      assert(bins.size >= wsBins(src), s"$src: fewer BPE bins than whitespace bins")
+    }
+    // bins are dense 0..n-1 per source (prefix-sum binning can't skip)
+    bySource.foreach { case (src, bins) =>
+      assert(bins.map(_._2).sorted.toSeq === (0L until bins.size.toLong).toSeq,
+        s"$src: bin ids not dense")
+    }
+  }
+
   test("q73 bloom: zero false negatives, nonzero false positives, no SortMergeJoin") {
     val df = Relational.q73BloomSemiJoin(spark, sf)
     val rows = df.collect()
