@@ -139,6 +139,8 @@ object SparkEntry {
     "q89_source_kl_drift" -> (Text.q89SourceKlDrift _),
     // ingest diversity: n-gram novelty curve over arrival batches
     "q91_novelty_curve" -> (Dedup.q91NoveltyCurve _),
+    // eval integrity: fingerprints crossing train/val/test splits
+    "q93_split_leakage" -> (Text.q93SplitLeakage _),
     // ingest telemetry: integer rolling z-score on hourly event rates
     "q90_rate_anomaly" -> (Events.q90RateAnomaly _),
   )
@@ -238,6 +240,7 @@ object SparkEntry {
     "q88_length_winsorize" -> Text.q88Sql,
     "q89_source_kl_drift" -> Text.q89Sql,
     "q91_novelty_curve" -> Dedup.q91Sql,
+    "q93_split_leakage" -> Text.q93Sql,
     "q90_rate_anomaly" -> Events.q90Sql,
   )
 }

@@ -1124,4 +1124,51 @@ object Text {
        |       CAST((SELECT sum(kl_term) FROM terms WHERE terms.source = s.source)
        |            AS BIGINT) AS kl_mnat
        |FROM stot s""".stripMargin
+
+  // -------------------------------------------------- split leakage
+
+  /** Train/val/test leakage census (q93) — the eval-integrity check a
+    * split assignment must pass AFTER dedup decisions are made: a
+    * canonical-text fingerprint (the q24 exact-dedup key) that
+    * appears in more than one split is a leak — the model trains on
+    * its own eval text. Per split: docs, distinct fingerprints,
+    * fingerprints also present elsewhere, and the docs those cover.
+    * Zero leaks is the healthy answer; the row still exists (the
+    * census reports per split, not per leak, so an empty-leak corpus
+    * hash-matches instead of vanishing).
+    *
+    * Scale shape: one corpus-scale hash-agg to (fp, split) — the
+    * same compaction q24 rides; the cross-split membership count
+    * re-aggregates THAT table on fp and joins back to it (both sides
+    * O(distinct fps), AQE picks the join); the final census is 3
+    * rows. The corpus text is scanned once, never shuffled.
+    */
+  def q93SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val fs = Tables.documents(s, dir)
+      .select(TextOps.fingerprint(col("text")).as("fp"),
+        splitLabel(col("doc_id")).as("split"))
+      .groupBy(col("fp"), col("split")).agg(count(lit(1)).as("c"))
+    val ns = fs.groupBy(col("fp")).agg(count(lit(1)).as("n_splits"))
+    fs.join(ns, "fp")
+      .groupBy(col("split"))
+      .agg(sum(col("c")).as("doc_count"),
+        count(lit(1)).as("distinct_fps"),
+        count(when(col("n_splits") >= 2, lit(1))).as("leaky_fps"),
+        coalesce(sum(when(col("n_splits") >= 2, col("c"))), lit(0L))
+          .as("leaked_docs"))
+  }
+  val q93Sql: String =
+    s"""WITH fs AS (
+       |  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       |         $splitLabelSql AS split,
+       |         count(*) AS c
+       |  FROM documents GROUP BY 1, 2),
+       |ns AS (SELECT fp, count(*) AS n_splits FROM fs GROUP BY 1)
+       |SELECT split, CAST(sum(c) AS BIGINT) AS doc_count,
+       |       count(*) AS distinct_fps,
+       |       count(CASE WHEN n_splits >= 2 THEN 1 END) AS leaky_fps,
+       |       CAST(coalesce(sum(CASE WHEN n_splits >= 2 THEN c END), 0) AS BIGINT)
+       |         AS leaked_docs
+       |FROM fs JOIN ns USING (fp)
+       |GROUP BY 1""".stripMargin
 }

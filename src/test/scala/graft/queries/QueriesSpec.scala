@@ -786,6 +786,37 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q93 split leakage equals an in-memory census; splits partition the corpus") {
+    import org.apache.spark.sql.functions.col
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def split(id: Long): String = {
+      val b = java.lang.Long.parseLong(md5hex(s"split:$id").take(2), 16)
+      if (b < Text.SplitTrainCut) "train"
+      else if (b < Text.SplitValCut) "val" else "test"
+    }
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (split(r.getLong(0)),
+        md5hex(r.getString(1).trim.toLowerCase.replaceAll("\\s+", " "))))
+    val fs = docs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nSplits = fs.keys.groupBy(_._2).view.mapValues(_.map(_._1).toSet.size).toMap
+    val expected = fs.groupBy(_._1._1).map { case (sp, m) =>
+      sp -> (m.values.sum, m.size.toLong,
+        m.keys.count(k => nSplits(k._2) >= 2).toLong,
+        m.collect { case (k, c) if nSplits(k._2) >= 2 => c }.sum)
+    }
+    val rows = Text.q93SplitLeakage(spark, sf).collect()
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        === expected(r.getString(0)), s"${r.getString(0)} census drifted")
+    }
+    assert(rows.map(_.getLong(1)).sum === docs.length.toLong,
+      "splits must partition the corpus")
+  }
+
   test("q73 bloom: zero false negatives, nonzero false positives, no SortMergeJoin") {
     val df = Relational.q73BloomSemiJoin(spark, sf)
     val rows = df.collect()
