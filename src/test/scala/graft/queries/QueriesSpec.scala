@@ -654,6 +654,21 @@ class QueriesSpec extends SparkSpec {
     assert(parts.map(_._2.size).sum === graft.Tables.documents(spark, sf).count())
   }
 
+  test("corpusShuffleWrite is cluster-shape invariant: same shards, same order, any input partitioning") {
+    import org.apache.spark.sql.functions.col
+    def layout(inputParts: Int): Map[Long, Seq[Long]] = {
+      val base = graft.Tables.documents(spark, sf).select("doc_id", "n_chars")
+      val out = Layout.corpusShuffleWrite(base.repartition(inputParts), "doc_id", 4)
+      out.select("__shard", "doc_id").rdd
+        .mapPartitions(it => it.map(r => (r.getLong(0), r.getLong(1))))
+        .collect().toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    }
+    // 2 vs 16 input partitions: byte-identical shard contents AND order
+    assert(layout(2) === layout(16),
+      "training order must not depend on the input's partitioning")
+  }
+
   test("q88 winsorize: thresholds equal in-memory exact quantiles; census arithmetic holds") {
     import org.apache.spark.sql.functions.col
     val lens = graft.Tables.documents(spark, sf)
