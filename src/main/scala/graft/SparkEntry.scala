@@ -141,6 +141,8 @@ object SparkEntry {
     "q91_novelty_curve" -> (Dedup.q91NoveltyCurve _),
     // eval integrity: fingerprints crossing train/val/test splits
     "q93_split_leakage" -> (Text.q93SplitLeakage _),
+    // vector hygiene: null/dim/NaN/zero-norm expectation census
+    "q94_embedding_validation" -> (Similarity.q94EmbeddingValidation _),
     // ingest telemetry: integer rolling z-score on hourly event rates
     "q90_rate_anomaly" -> (Events.q90RateAnomaly _),
   )
@@ -241,6 +243,7 @@ object SparkEntry {
     "q89_source_kl_drift" -> Text.q89Sql,
     "q91_novelty_curve" -> Dedup.q91Sql,
     "q93_split_leakage" -> Text.q93Sql,
+    "q94_embedding_validation" -> Similarity.q94Sql,
     "q90_rate_anomaly" -> Events.q90Sql,
   )
 }

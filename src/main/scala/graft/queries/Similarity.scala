@@ -895,4 +895,58 @@ object Similarity {
        |FROM assign GROUP BY 1""".stripMargin
 
   def q85Sql: String = q85SqlFor(lastCodebook)
+
+  // ------------------------------------------- embedding validation
+
+  /** Expected embedding dimensionality for the validation census. */
+  val ExpectedDim = 64
+
+  /** Embedding validation census (q94) — the expectation checks a
+    * pipeline runs BEFORE trusting a vector column with dedup/ANN
+    * work: per label, how many vectors are null, mis-dimensioned,
+    * carry NaNs, or are all-zero (cosine against a zero vector is
+    * undefined — every downstream kernel here assumes it away), and
+    * how many pass everything. On healthy testdata the failure
+    * columns are all zero — the census proves the ASSUMPTION, and
+    * any future generator drift breaks the hash, not a downstream
+    * query three stages later.
+    *
+    * Scale shape: pure scan-side predicates (array HOFs inside
+    * codegen) + one hash-agg on label — the cheapest full-corpus
+    * pass there is; no joins, no windows.
+    */
+  def q94EmbeddingValidation(s: SparkSession, dir: String): DataFrame = {
+    val nullVec = col("embedding").isNull
+    val wrongDim = !nullVec && size(col("embedding")) =!= ExpectedDim
+    val hasNan = !nullVec && expr("exists(embedding, x -> isnan(x))")
+    val zeroNorm = !nullVec && !hasNan &&
+      expr("!exists(embedding, x -> x != cast(0.0 as float))")
+    val ok = !nullVec && !wrongDim && !hasNan && !zeroNorm
+    Tables.embeddings(s, dir)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        count(when(nullVec, lit(1))).as("null_vecs"),
+        count(when(wrongDim, lit(1))).as("wrong_dim"),
+        count(when(hasNan, lit(1))).as("has_nan"),
+        count(when(zeroNorm, lit(1))).as("zero_norm"),
+        count(when(ok, lit(1))).as("ok_vecs"))
+  }
+  val q94Sql: String =
+    s"""SELECT label, count(*) AS n_vectors,
+       |  count(CASE WHEN embedding IS NULL THEN 1 END) AS null_vecs,
+       |  count(CASE WHEN embedding IS NOT NULL
+       |             AND len(embedding) <> $ExpectedDim THEN 1 END) AS wrong_dim,
+       |  count(CASE WHEN embedding IS NOT NULL
+       |             AND len(list_filter(embedding, x -> isnan(x))) > 0
+       |        THEN 1 END) AS has_nan,
+       |  count(CASE WHEN embedding IS NOT NULL
+       |             AND len(list_filter(embedding, x -> isnan(x))) = 0
+       |             AND len(list_filter(embedding, x -> x <> 0)) = 0
+       |        THEN 1 END) AS zero_norm,
+       |  count(CASE WHEN embedding IS NOT NULL
+       |             AND len(embedding) = $ExpectedDim
+       |             AND len(list_filter(embedding, x -> isnan(x))) = 0
+       |             AND len(list_filter(embedding, x -> x <> 0)) > 0
+       |        THEN 1 END) AS ok_vecs
+       |FROM embeddings GROUP BY 1""".stripMargin
 }

@@ -1143,11 +1143,10 @@ object Text {
     * O(distinct fps), AQE picks the join); the final census is 3
     * rows. The corpus text is scanned once, never shuffled.
     */
-  def q93SplitLeakage(s: SparkSession, dir: String): DataFrame = {
-    val fs = Tables.documents(s, dir)
-      .select(TextOps.fingerprint(col("text")).as("fp"),
-        splitLabel(col("doc_id")).as("split"))
-      .groupBy(col("fp"), col("split")).agg(count(lit(1)).as("c"))
+  /** The census arithmetic over an (fp, split, c) frame — shared by
+    * batch q93 and the streaming guard snapshot
+    * (Streams.splitGuardSnapshot) so the two can never drift. */
+  def leakageCensus(fs: DataFrame): DataFrame = {
     val ns = fs.groupBy(col("fp")).agg(count(lit(1)).as("n_splits"))
     fs.join(ns, "fp")
       .groupBy(col("split"))
@@ -1157,6 +1156,12 @@ object Text {
         coalesce(sum(when(col("n_splits") >= 2, col("c"))), lit(0L))
           .as("leaked_docs"))
   }
+
+  def q93SplitLeakage(s: SparkSession, dir: String): DataFrame =
+    leakageCensus(Tables.documents(s, dir)
+      .select(TextOps.fingerprint(col("text")).as("fp"),
+        splitLabel(col("doc_id")).as("split"))
+      .groupBy(col("fp"), col("split")).agg(count(lit(1)).as("c")))
   val q93Sql: String =
     s"""WITH fs AS (
        |  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,

@@ -389,6 +389,34 @@ object Streams {
         expr("new_grams * 100 div grams_seen").as("novelty_pct"))
   }
 
+  /** Incremental split-leakage guard — q93's streaming half: each
+    * micro-batch lands its (fingerprint, split) counts (the exact
+    * batch code path: q24's canonical fingerprint + q77's split
+    * label) as a replay-idempotent batch_id partition. Counts are
+    * SUM-mergeable; cross-split membership is recomputed from the
+    * merged table, so a leak is visible the moment its second copy
+    * ARRIVES — not at the next full-corpus audit. */
+  def incrementalSplitGuard(docs: DataFrame, fpsPath: String,
+                            checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fs = batch.select(
+            graft.ops.TextOps.fingerprint(col("text")).as("fp"),
+            graft.queries.Text.splitLabel(col("doc_id")).as("split"))
+          .groupBy(col("fp"), col("split")).agg(count(lit(1)).as("c"))
+        writeBatchPartition(fs, batchId, fpsPath)
+      }
+
+  /** Live leakage census: merge the per-batch (fp, split) partials,
+    * then the SAME membership arithmetic as batch q93
+    * (Text.leakageCensus — shared, can't drift). */
+  def splitGuardSnapshot(spark: SparkSession, fpsPath: String): DataFrame =
+    graft.queries.Text.leakageCensus(
+      spark.read.parquet(fpsPath)
+        .groupBy(col("fp"), col("split")).agg(sum(col("c")).as("c")))
+
   /** Incremental hourly event counts — q90's streaming half and the
     * SUM-merge sibling of [[incrementalCms]]: each micro-batch lands
     * its own (hour_start, event_type, cnt) partials

@@ -832,6 +832,36 @@ class QueriesSpec extends SparkSpec {
       "splits must partition the corpus")
   }
 
+  test("q94 validation census: healthy testdata all-ok; crafted corruption lands in the right buckets") {
+    // healthy corpus: every vector passes, failure buckets all zero
+    val rows = Similarity.q94EmbeddingValidation(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) === 0L && r.getLong(3) === 0L &&
+        r.getLong(4) === 0L && r.getLong(5) === 0L,
+        s"label ${r.get(0)}: healthy testdata flagged")
+      assert(r.getLong(1) === r.getLong(6), "n_vectors != ok_vecs on clean data")
+    }
+    // corruption routing: one of each defect through the same predicates
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val bad = Seq(
+      (1L, Some(Array.fill(Similarity.ExpectedDim)(0.5f)), 0),      // ok
+      (2L, None, 0),                                                 // null
+      (3L, Some(Array.fill(3)(0.5f)), 0),                            // wrong dim
+      (4L, Some(Array.fill(Similarity.ExpectedDim)(Float.NaN)), 0),  // nan
+      (5L, Some(Array.fill(Similarity.ExpectedDim)(0.0f)), 0))       // zero
+      .toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q94").toString
+    bad.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.q94EmbeddingValidation(spark, dir).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) === ((5L, 1L, 1L, 1L, 1L, 1L)),
+      s"corruption mis-routed: ${r.toSeq}")
+  }
+
   test("q73 bloom: zero false negatives, nonzero false positives, no SortMergeJoin") {
     val df = Relational.q73BloomSemiJoin(spark, sf)
     val rows = df.collect()

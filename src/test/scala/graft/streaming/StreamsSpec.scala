@@ -797,6 +797,24 @@ class StreamsSpec extends SparkSpec {
     assert(new1 < g1.size.toLong, "overlap corpus must not be fully novel")
   }
 
+  test("incremental split guard: snapshot equals batch q93; a cross-split dup surfaces mid-ingest") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_incguard")
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.incrementalSplitGuard(
+      in.toDF().toDF("doc_id", "text"), s"$dir/fps", s"$dir/ckpt").start()
+    try docs.grouped(250).foreach { g => in.addData(g.toSeq: _*); q.processAllAvailable() }
+    finally q.stop()
+    val streamed = Streams.splitGuardSnapshot(spark, s"$dir/fps")
+    val batch = graft.queries.Text.q93SplitLeakage(spark, sf)
+    assert(rowsOf(streamed) === rowsOf(batch),
+      "mid-ingest leakage census must equal the batch q93 census")
+  }
+
   test("incremental pipeline + finalize equals the batch q50 manifest on the union corpus") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_incpipe")
