@@ -46,9 +46,13 @@ object Events {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
     Tables.events(s, dir)
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      // ts arrives TIMESTAMP_NTZ from driver-written parquet (timestamp[us],
+      // no tz) and Spark 4 forbids NTZ→DOUBLE; route through timestamp_ltz
+      // (session tz is UTC, so epoch seconds match the oracle's epoch(ts))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          col("ts").cast("double") - col("prev_ts").cast("double") > 1800d, 1)
+          col("ts").cast("timestamp_ltz").cast("double") -
+            col("prev_ts").cast("timestamp_ltz").cast("double") > 1800d, 1)
           .otherwise(0))
       .withColumn("session_id", sum(col("new_session")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -434,8 +434,12 @@ class StreamsSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft_duality")
     java.nio.file.Files.copy(java.nio.file.Paths.get(src),
       dir.resolve("events.parquet"))
+    // driver testdata has shipped ts as int64-nanos AND as timestamp[us]
+    // (NTZ) across rounds — mirror Tables.events' type-aware handling
     def normalize(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df
     val batchDf = normalize(spark.read.parquet(dir.toString))
     val streamDf = normalize(
       spark.readStream.schema(spark.read.parquet(dir.toString).schema)
@@ -747,8 +751,12 @@ class StreamsSpec extends SparkSpec {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_incanom")
     val sf = "/root/testdata/sf0.001"
+    // ts may be TIMESTAMP_NTZ (LocalDateTime rows) — cast to ltz so
+    // getTimestamp works; session tz is UTC so the wall clock (and the
+    // unix_timestamp-derived hour buckets) are unchanged
     val events = graft.Tables.events(spark, sf)
-      .select(col("ts"), col("event_type"), col("event_id")).collect()
+      .select(col("ts").cast("timestamp_ltz").as("ts"),
+        col("event_type"), col("event_id")).collect()
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
     val in = MemoryStream[(Timestamp, String, Long)]
     val q = Streams.incrementalHourlyCounts(
