@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver keeps only a stdout TAIL of `sbt "runMain graft.Bench"` and
+// parses the last line as JSON; sbt's "[success] Total time" trailer
+// printed after the program's JSON line clobbered the parse in rounds
+// 1-5 ("parsed": null). Suppressing the success banner makes the
+// bench's JSON the final stdout line.
+Global / showSuccess := false
+// ... and the logger's "[info] " prefix on every forked-process stdout
+// line would equally break that JSON parse — pipe run output through
+// unprefixed instead.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

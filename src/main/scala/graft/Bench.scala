@@ -66,9 +66,14 @@ object Bench {
           name -> best
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // ms precision keeps the whole line ~2.7 KB so it survives intact in
+    // the driver's bounded stdout-tail capture (nanos pushed it past the
+    // window and rounds 1-5 recorded only a truncated fragment)
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = fmt(results.map(_._2).filter(_ >= 0).sum)
     val json =
       s"""{"metric":"total","value":$total,"total_s":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // the driver's parser reads the LAST stdout line / the side file:
