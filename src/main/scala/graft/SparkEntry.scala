@@ -145,6 +145,12 @@ object SparkEntry {
     "q94_embedding_validation" -> (Similarity.q94EmbeddingValidation _),
     // ingest telemetry: integer rolling z-score on hourly event rates
     "q90_rate_anomaly" -> (Events.q90RateAnomaly _),
+    // LM fluency: corpus-trained bigram conditional-surprisal census
+    "q95_bigram_surprisal" -> (Text.q95BigramSurprisal _),
+    // dedup retention policy: quality-argmax cluster representatives
+    "q96_cluster_representatives" -> (Dedup.q96ClusterRepresentatives _),
+    // sampling: temperature-scaled (p^0.7) per-source mixture weights
+    "q97_mixture_weights" -> ((s, d) => Text.q97MixtureWeights(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -245,5 +251,8 @@ object SparkEntry {
     "q93_split_leakage" -> Text.q93Sql,
     "q94_embedding_validation" -> Similarity.q94Sql,
     "q90_rate_anomaly" -> Events.q90Sql,
+    "q95_bigram_surprisal" -> Text.q95Sql,
+    "q96_cluster_representatives" -> Dedup.q96Sql,
+    "q97_mixture_weights" -> Text.q97Sql,
   )
 }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ops.TextOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication pipeline over documents (north-star extension):
@@ -422,6 +423,62 @@ object Dedup {
        |$clustersSqlCtes
        |SELECT doc_id, cluster_id, cluster_id = doc_id AS is_canonical
        |FROM clustered""".stripMargin
+
+  /** Cluster-representative selection (q96) — the retention POLICY rung
+    * above q46/q55's cluster assignment: real pipelines don't keep the
+    * min-doc_id member of a near-dup cluster, they keep the BEST one.
+    * Policy here: retain the longest member (max n_chars, doc_id
+    * tie-break) — the "keep the superset copy" rule for truncated /
+    * boilerplate-stripped near-duplicates — and census per source what
+    * that demotes: kept vs demoted docs, characters dropped, and how
+    * often the quality argmax disagrees with the naive min-id canonical
+    * (`policy_flips`, the rows where the policy actually mattered).
+    *
+    * Scale: cluster membership is O(docs-in-verified-pairs) — tiny
+    * against the corpus — so the ranking window on cluster_id is one
+    * exchange of that small set joined map-side to per-doc metadata;
+    * the corpus itself is touched only by the shared LSH ladder
+    * ([[verifiedPairs]]), never re-scanned for the policy. */
+  def q96ClusterRepresentatives(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // star-contraction (the q55 path): O(log n) rounds survives
+    // adversarial chain components, and the policy rung shouldn't pay
+    // the pedagogical fixpoint's diameter-bounded rounds
+    val member = graft.ops.ConnectedComponents
+      .assign(verifiedEdges(docs)
+        .select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+      .join(docs.select(col("doc_id"), col("source"), col("n_chars")),
+        Seq("doc_id"))
+    val byQuality = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    member.withColumn("rn", row_number().over(byQuality))
+      .groupBy(col("source"))
+      .agg(count(when(col("rn") === 1, 1)).as("kept_docs"),
+        count(when(col("rn") =!= 1, 1)).as("demoted_docs"),
+        coalesce(sum(when(col("rn") =!= 1, col("n_chars"))), lit(0L))
+          .cast("long").as("chars_dropped"),
+        count(when(col("rn") === 1 && col("doc_id") =!= col("cluster_id"), 1))
+          .as("policy_flips"))
+  }
+  val q96Sql: String =
+    s"""WITH RECURSIVE ${verifiedPairsSqlCtes("documents")},
+       |$clustersSqlCtes,
+       |member AS (
+       |  SELECT c.doc_id, c.cluster_id, d.source, d.n_chars
+       |  FROM clustered c JOIN documents d USING (doc_id)),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |              ORDER BY n_chars DESC, doc_id ASC) AS rn
+       |  FROM member)
+       |SELECT source,
+       |       count(CASE WHEN rn = 1 THEN 1 END) AS kept_docs,
+       |       count(CASE WHEN rn <> 1 THEN 1 END) AS demoted_docs,
+       |       CAST(coalesce(sum(CASE WHEN rn <> 1 THEN n_chars END), 0)
+       |            AS BIGINT) AS chars_dropped,
+       |       count(CASE WHEN rn = 1 AND doc_id <> cluster_id THEN 1 END)
+       |         AS policy_flips
+       |FROM ranked GROUP BY 1""".stripMargin
 
   /** q46's cluster assignment computed by the O(log n) star-contraction
     * algorithm instead of diameter-bounded propagation (see

@@ -654,6 +654,118 @@ object Text {
        |FROM doc GROUP BY 1, 2""".stripMargin
   }
 
+  /** Bigram-LM surprisal census (q95) — the next rung of the LM-quality
+    * ladder above q64/q65: score every document by its average
+    * CONDITIONAL token surprisal −ln p(w2|w1), with the bigram model
+    * trained on the corpus itself (add-1 smoothing over the unigram
+    * vocab, the KenLM-without-backoff-weights shape). Documents whose
+    * word order is typical of the corpus score low even when q64's
+    * order-blind unigram model can't tell them apart from shuffled
+    * text — this is the cheap fluency signal a pretraining pipeline
+    * runs before paying for a neural perplexity pass.
+    *
+    * Scale shape: this is the q65 big-model path by construction — a
+    * bigram table is O(distinct bigrams) and is NEVER collected or
+    * broadcast as a literal. Bigrams are built scan-side with
+    * zip_with over two array slices (no posexplode self-join), the
+    * model is trained with one hash-agg on (w1,w2), context totals
+    * re-aggregate that table (O(vocab), never the corpus), and
+    * scoring is one shuffle join of corpus bigrams against the model
+    * on (w1,w2) — the same key both sides hash on. Integer millinats
+    * (floor·1000, the [[SurprisalScale]] convention) make the per-doc
+    * sum order-free so the shuffle-side aggregation is exact.
+    */
+  def q95BigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+    val bi = d.filter(size(col("toks")) >= 2)
+      .select(col("source"), col("doc_id"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("source"), col("doc_id"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = d.select(explode(col("toks")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val model = c2.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        floor(-log((col("c2") + 1.0) / (col("c1") + col("v")))
+          * SurprisalScale).cast("long").as("s2"))
+    bi.join(model, Seq("w1", "w2"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg((sum(col("s2")) / count(lit(1))).cast("long").as("avg_millinats"))
+      .groupBy(col("source"),
+        (col("avg_millinats") / 100).cast("long").as("surprisal_bucket"))
+      .agg(count(lit(1)).as("doc_count"), min(col("doc_id")).as("min_doc_id"))
+  }
+  /** q95 oracle — the model is retrained inside DuckDB from the same
+    * corpus (each engine takes its own ln; only the floor·1000
+    * integers must agree, the q64 convention). */
+  val q95Sql: String = {
+    val toks = "str_split(text, ' ')"
+    s"""WITH tk AS (
+       |  SELECT doc_id, source, $toks AS toks FROM documents),
+       |bg AS (
+       |  SELECT doc_id, source, toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM (SELECT doc_id, source, toks,
+       |          unnest(generate_series(1, len(toks) - 1)) AS i
+       |        FROM tk WHERE len(toks) >= 2)),
+       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+       |voc AS (SELECT count(DISTINCT t) AS v
+       |        FROM (SELECT unnest($toks) AS t FROM documents)),
+       |model AS (
+       |  SELECT w1, w2, CAST(floor(-ln((c2 + 1.0) / (c1 + v))
+       |                            * $SurprisalScale) AS BIGINT) AS s2
+       |  FROM c2 JOIN c1 USING (w1), voc),
+       |doc AS (
+       |  SELECT doc_id, source,
+       |         CAST(sum(s2) AS BIGINT) // count(*) AS avg_millinats
+       |  FROM bg JOIN model USING (w1, w2) GROUP BY 1, 2)
+       |SELECT source, avg_millinats // 100 AS surprisal_bucket,
+       |       count(*) AS doc_count, min(doc_id) AS min_doc_id
+       |FROM doc GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Temperature-scaled mixture weights (q97) — the sampling-rate
+    * calculation multilingual/multi-source pretraining uses to keep
+    * big sources from drowning small ones (the p^τ renormalization
+    * from the public XLM-R / mT5 recipes, τ = 0.7): per-source token
+    * totals n_s become weights w_s ∝ n_s^τ, reported in millionths.
+    * Integerization: n_s^τ is floor-quantized to int millis FIRST and
+    * the renormalization ratio is computed in exact integer math
+    * (q·10⁶ div Σq), so cross-engine float drift is confined to pow()
+    * itself — the q64 ln-convention, pow edition.
+    *
+    * Scale: one hash-agg over the corpus for token totals (O(sources)
+    * rows out), a 1-row total broadcast-crossed back — no other
+    * exchange, nothing driver-side. */
+  def q97MixtureWeights(s: SparkSession, dir: String, tau: Double = 0.7)
+      : DataFrame = {
+    val per = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(TextOps.tokens(col("text"))).cast("long")).as("tokens"))
+      .withColumn("q",
+        floor(pow(col("tokens").cast("double"), lit(tau)) * 1000d).cast("long"))
+    val tot = per.agg(sum(col("q")).as("qtot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("tokens"),
+        expr("q * 1000000 div qtot").as("mix_millionths"))
+  }
+  val q97Sql: String =
+    """WITH per AS (
+      |  SELECT source, CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY 1),
+      |q AS (SELECT source, tokens,
+      |        CAST(floor(pow(CAST(tokens AS DOUBLE), 0.7) * 1000) AS BIGINT) AS q
+      |      FROM per),
+      |tot AS (SELECT CAST(sum(q) AS BIGINT) AS qtot FROM q)
+      |SELECT source, tokens, q * 1000000 // qtot AS mix_millionths
+      |FROM q, tot""".stripMargin
+
   /** DSIR target source: importance weights are trained to prefer
     * documents that look like THIS slice of the corpus. */
   val DsirTarget = "src0"

@@ -1236,4 +1236,77 @@ class QueriesSpec extends SparkSpec {
     assert(exchanges === 1, s"expected 1 exchange, got $exchanges:\n${plan.take(3000)}")
     assert(!plan.contains("Generate"), "n-grams must not explode:\n" + plan.take(2000))
   }
+
+  test("q95 bigram surprisal equals an in-memory bigram-LM reference") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ", -1)))
+    val vocab = docs.flatMap(_._3).distinct.length.toLong
+    val biDocs = docs.filter(_._3.length >= 2)
+    val c2 = scala.collection.mutable.Map[(String, String), Long]()
+    biDocs.foreach { case (_, _, t) =>
+      t.sliding(2).foreach(p => c2((p(0), p(1))) = c2.getOrElse((p(0), p(1)), 0L) + 1) }
+    val c1 = c2.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    def s2(w1: String, w2: String): Long =
+      math.floor(-math.log((c2((w1, w2)) + 1.0) / (c1(w1) + vocab)) * 1000).toLong
+    val expected = biDocs.map { case (id, src, t) =>
+      val ss = t.sliding(2).map(p => s2(p(0), p(1))).toSeq
+      (src, (ss.sum.toDouble / ss.size).toLong / 100, id)
+    }.groupBy(x => (x._1, x._2))
+      .map { case (k, v) => k -> (v.length.toLong, v.map(_._3).min) }
+    val got = Text.q95BigramSurprisal(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === expected)
+  }
+
+  test("q96 representatives: longest member kept per cluster, censuses conserve members") {
+    val members = Dedup.clusters(graft.Tables.documents(spark, sf))
+      .join(graft.Tables.documents(spark, sf)
+        .select("doc_id", "source", "n_chars"), "doc_id")
+      .select("doc_id", "cluster_id", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val byCluster = members.groupBy(_._2)
+    val rows = Dedup.q96ClusterRepresentatives(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // census totals: every clustered member is either kept or demoted
+    assert(rows.map(r => r._2 + r._3).sum === members.length)
+    assert(rows.map(_._2).sum === byCluster.size.toLong,
+      "exactly one representative per cluster")
+    // the policy: representative = max n_chars, then min doc_id
+    val reps = byCluster.values.map(ms => ms.minBy(m => (-m._4, m._1))).toSeq
+    val demoted = members.toSet -- reps
+    assert(rows.map(_._4).sum === demoted.toSeq.map(_._4).sum, "chars_dropped drifted")
+    assert(rows.map(_._5).sum ===
+      reps.count(m => m._1 != m._2),
+      "policy_flips must count reps that differ from the min-id canonical")
+    // at least one cluster where quality-argmax beats min-id — otherwise
+    // the policy column is untested vacuously
+    assert(rows.map(_._5).sum > 0, "no policy flips at sf0.001 — weak fixture")
+  }
+
+  test("q97 mixture weights: floor-exact shares, temperature flattens the mix") {
+    def shares(tau: Double): Map[String, (Long, Long)] =
+      Text.q97MixtureWeights(spark, sf, tau).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val m = shares(0.7)
+    val total = m.values.map(_._2).sum
+    assert(total <= 1000000L && total > 1000000L - m.size,
+      s"floor shares must sum to 1e6 minus sub-unit loss, got $total")
+    // monotone: more tokens never gets a smaller share
+    val sorted = m.values.toSeq.sortBy(_._1)
+    sorted.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._2 <= b._2, s"share not monotone in tokens: $a vs $b") }
+    // temperature: tau=0.5 flattens vs tau=0.7 (max share shrinks,
+    // min share grows); tau=1.0 is the raw token proportion
+    val flat = shares(0.5)
+    assert(flat.values.map(_._2).max <= m.values.map(_._2).max)
+    assert(flat.values.map(_._2).min >= m.values.map(_._2).min)
+    val raw = shares(1.0)
+    val tok = m.values.map(_._1).sum
+    raw.foreach { case (src, (n, mix)) =>
+      val exact = n * 1000000L / tok
+      assert(math.abs(mix - exact) <= 1L,
+        s"$src tau=1 share $mix != raw proportion $exact") }
+  }
 }
