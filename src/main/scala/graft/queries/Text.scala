@@ -743,18 +743,27 @@ object Text {
     * Scale: one hash-agg over the corpus for token totals (O(sources)
     * rows out), a 1-row total broadcast-crossed back — no other
     * exchange, nothing driver-side. */
-  def q97MixtureWeights(s: SparkSession, dir: String, tau: Double = 0.7)
-      : DataFrame = {
-    val per = Tables.documents(s, dir)
-      .groupBy(col("source"))
+  /** Per-source token totals — q97's corpus pass, shared with the
+    * incremental twin (totals are SUM-mergeable across micro-batches). */
+  def sourceTokenTotals(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
       .agg(sum(size(TextOps.tokens(col("text"))).cast("long")).as("tokens"))
-      .withColumn("q",
-        floor(pow(col("tokens").cast("double"), lit(tau)) * 1000d).cast("long"))
-    val tot = per.agg(sum(col("q")).as("qtot"))
-    per.crossJoin(broadcast(tot))
+
+  /** The weight math over an already-aggregated (source, tokens) frame
+    * — O(sources) rows in, so every step below the corpus agg is
+    * negligible at any corpus size. */
+  def mixtureWeightsFrom(per: DataFrame, tau: Double): DataFrame = {
+    val q = per.withColumn("q",
+      floor(pow(col("tokens").cast("double"), lit(tau)) * 1000d).cast("long"))
+    val tot = q.agg(sum(col("q")).as("qtot"))
+    q.crossJoin(broadcast(tot))
       .select(col("source"), col("tokens"),
         expr("q * 1000000 div qtot").as("mix_millionths"))
   }
+
+  def q97MixtureWeights(s: SparkSession, dir: String, tau: Double = 0.7)
+      : DataFrame =
+    mixtureWeightsFrom(sourceTokenTotals(Tables.documents(s, dir)), tau)
   val q97Sql: String =
     """WITH per AS (
       |  SELECT source, CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS tokens

@@ -417,6 +417,33 @@ object Streams {
       .groupBy(col("source")).agg(mins.head, mins.tail: _*)
   }
 
+  /** Incremental mixture weights — q97's streaming twin, the simplest
+    * member of the SUM-merge family: each micro-batch lands its
+    * per-source token totals (Text.sourceTokenTotals, the exact batch
+    * code path) as a batch_id partition; the live mixture is the
+    * temperature math over the summed totals. State is O(sources ×
+    * batches) tiny rows (compactable like every partitioned index
+    * here), and the snapshot's weight step is O(sources). This is the
+    * piece a streaming ingest actually wants live: sampling rates
+    * that track the corpus as feeds grow at different speeds. */
+  def incrementalSourceTokens(docs: DataFrame, tokensPath: String,
+                              checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchPartition(
+          graft.queries.Text.sourceTokenTotals(batch), batchId, tokensPath)
+      }
+
+  /** The live mixture: summed totals through the exact batch weight
+    * math — snapshot(union of batches) == q97(union corpus). */
+  def mixtureWeightsSnapshot(spark: SparkSession, tokensPath: String,
+                             tau: Double = 0.7): DataFrame =
+    graft.queries.Text.mixtureWeightsFrom(
+      spark.read.parquet(tokensPath)
+        .groupBy(col("source")).agg(sum(col("tokens")).as("tokens")), tau)
+
   /** Incremental novelty tracking — q91's streaming half, a MIN-merge
     * on first-seen batch ids: each micro-batch lands its doc-distinct
     * gram set (one row per distinct gram, with its occurrence count —

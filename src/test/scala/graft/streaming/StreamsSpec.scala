@@ -562,6 +562,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental mixture weights: sum-merged snapshot equals batch q97 on the union corpus") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_inctok")
+    val (toks, ckpt) = (s"$dir/tokens", s"$dir/ckpt")
+    val in = MemoryStream[(String, String)]
+    val q = Streams.incrementalSourceTokens(
+      in.toDF().toDF("source", "text"), toks, ckpt).start()
+    // real corpus slices, streamed in thirds: the snapshot must track
+    // the exact batch weights over everything ingested so far
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    try {
+      docs.grouped(math.max(1, docs.length / 3)).foreach { g =>
+        in.addData(g.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = Streams.mixtureWeightsSnapshot(spark, toks)
+    val batch = graft.queries.Text.q97MixtureWeights(
+      spark, "/root/testdata/sf0.001")
+    assert(rowsOf(streamed) === rowsOf(batch),
+      "sum-merged token totals must yield the exact batch mixture")
+  }
+
   test("incremental source signatures: min-merged snapshot equals batch signatures on the union") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_incsig")
