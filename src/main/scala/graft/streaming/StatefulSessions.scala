@@ -18,11 +18,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StatefulSessions {
 
   case class Event(user_id: Long, ts: java.sql.Timestamp)
+  /** start/last are epoch MICROseconds: the gap comparison must run at
+    * the event-time column's native precision — 999/1000 driver
+    * testdata events carry sub-ms micros, and an ms-truncated diff can
+    * merge a pair whose true gap exceeds 30min by <1ms, silently
+    * drifting from the batch sessionization (q17, micro-exact). */
   case class SessionState(start: Long, last: Long, count: Long)
   case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
                            session_end: java.sql.Timestamp, event_count: Long)
 
   val GapMs: Long = 30 * 60 * 1000L
+  val GapUs: Long = GapMs * 1000L
+
+  /** Timestamp → epoch micros without ms truncation (getTime is ms;
+    * getNanos carries the full sub-second fraction). */
+  def micros(t: java.sql.Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
   /** The pure per-batch merge both stateful APIs share: fold a
     * batch's event times (any order) into the open session, emitting
@@ -36,10 +47,10 @@ object StatefulSessions {
         // within the gap of the session's SPAN (both directions):
         // a late-but-within-watermark event may precede the current
         // start — the span extends backwards (start = min)
-        case Some(s) if t >= s.start - GapMs && t <= s.last + GapMs =>
+        case Some(s) if t >= s.start - GapUs && t <= s.last + GapUs =>
           cur = Some(SessionState(math.min(s.start, t),
             math.max(s.last, t), s.count + 1))
-        case Some(s) if t > s.last + GapMs =>
+        case Some(s) if t > s.last + GapUs =>
           closed ::= s
           cur = Some(SessionState(t, t, 1))
         case Some(_) =>
@@ -54,9 +65,20 @@ object StatefulSessions {
     (closed.reverse, cur)
   }
 
-  def asClosed(userId: Long, s: SessionState): ClosedSession =
-    ClosedSession(userId, new java.sql.Timestamp(s.start),
-      new java.sql.Timestamp(s.last), s.count)
+  def asClosed(userId: Long, s: SessionState): ClosedSession = {
+    def ts(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+    ClosedSession(userId, ts(s.start), ts(s.last), s.count)
+  }
+
+  /** Timer timestamp (ms) for a micro-state session: ceil to the next
+    * ms so the timer can never fire before the watermark truly passes
+    * last+gap. */
+  private def timeoutMs(s: SessionState): Long =
+    math.floorDiv(s.last + GapUs + 999L, 1000L)
 
   def updateSessions(userId: Long, events: Iterator[Event],
                      state: GroupState[SessionState]): Iterator[ClosedSession] = {
@@ -66,11 +88,11 @@ object StatefulSessions {
       closed
     } else {
       val (closed, cur) =
-        mergeBatch(state.getOption, events.map(_.ts.getTime).toSeq)
+        mergeBatch(state.getOption, events.map(e => micros(e.ts)).toSeq)
       cur.foreach { s =>
         state.update(s)
         // time out (close) the session once the watermark passes last+gap
-        state.setTimeoutTimestamp(s.last + GapMs)
+        state.setTimeoutTimestamp(timeoutMs(s))
       }
       closed.iterator.map(asClosed(userId, _))
     }
@@ -115,14 +137,14 @@ object StatefulSessions {
     override def handleInputRows(key: Long, rows: Iterator[Event],
                                  tv: TimerValues): Iterator[ClosedSession] = {
       val prev = if (state.exists()) Some(state.get()) else None
-      val (closed, cur) = mergeBatch(prev, rows.map(_.ts.getTime).toSeq)
+      val (closed, cur) = mergeBatch(prev, rows.map(e => micros(e.ts)).toSeq)
       cur.foreach { s =>
         // one live timer per key: drop the stale one before arming
         prev.filter(_.last != s.last)
-          .foreach(p => getHandle.deleteTimer(p.last + GapMs))
+          .foreach(p => getHandle.deleteTimer(timeoutMs(p)))
         state.update(s)
         if (prev.forall(_.last != s.last))
-          getHandle.registerTimer(s.last + GapMs)
+          getHandle.registerTimer(timeoutMs(s))
       }
       closed.iterator.map(asClosed(key, _))
     }
@@ -132,7 +154,7 @@ object StatefulSessions {
       val closing = (if (state.exists()) Some(state.get()) else None)
         // a stale timer may fire after the session extended past it —
         // only close when this timer is the session's live one
-        .filter(s => s.last + GapMs == info.getExpiryTimeInMs)
+        .filter(s => timeoutMs(s) == info.getExpiryTimeInMs)
       closing.foreach(_ => state.clear())
       closing.map(asClosed(key, _)).iterator
     }

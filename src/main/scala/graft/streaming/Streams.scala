@@ -235,80 +235,6 @@ object Streams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("events_in_session"))
 
-  /** Wire types for [[statefulSessions]]: state is the user's OPEN
-    * sessions as merged micro-second intervals (bounded by the
-    * watermark horizon — closed sessions leave state immediately). */
-  case class SessionEvent(user_id: Long, ts: java.time.Instant)
-  case class OpenSession(start_us: Long, end_us: Long, n: Long)
-
-  /** Custom-state sessionization via `flatMapGroupsWithState` — the
-    * same gap semantics as the batch oracle query (Events.q17: a new
-    * session starts when the inter-event gap EXCEEDS `gapSeconds`) and
-    * the built-in [[sessionWindowStats]], but with state the engine
-    * owns: per-user open-session intervals, merged order-independently
-    * as events arrive (a micro-batch's iterator is unordered, and two
-    * sessions can fuse when a bridging event lands between them).
-    * Sessions are emitted exactly once, on event-time timeout, when
-    * the watermark passes `end + gap` — so output is APPEND-clean and
-    * state size is O(open sessions within the watermark horizon) per
-    * user, not O(history).
-    *
-    * Scale: one hash exchange on user_id (the groupByKey), state in
-    * the configured state store (RocksDB-capable, see StreamsSpec's
-    * RocksDB test), no driver-side anything. This is the primitive for
-    * session semantics the built-in `session_window` can't express —
-    * e.g. emitting per-session aggregates richer than counts, capping
-    * session length, or side outputs. */
-  def statefulSessions(events: DataFrame, gapSeconds: Long = 1800,
-                       watermark: String = "10 minutes"): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
-    val spark = events.sparkSession
-    import spark.implicits._
-    val gapUs = gapSeconds * 1000000L
-    val ds = events
-      .select(col("user_id").cast("long").as("user_id"),
-        col("ts").cast("timestamp_ltz").as("ts"))
-      .withWatermark("ts", watermark)
-      .as[SessionEvent]
-    ds.groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[OpenSession], (Long, Long, Long, Long)](
-        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (user: Long, batch: Iterator[SessionEvent],
-         state: GroupState[List[OpenSession]]) =>
-          def us(i: java.time.Instant): Long =
-            i.getEpochSecond * 1000000L + i.getNano / 1000L
-          var open = state.getOption.getOrElse(Nil)
-          batch.foreach { e =>
-            val t = us(e.ts)
-            // absorb every session this event touches (within ±gap,
-            // INCLUSIVE — batch q17 breaks only on gap strictly >)
-            val (touch, rest) = open.partition(s =>
-              t >= s.start_us - gapUs && t <= s.end_us + gapUs)
-            open = touch.foldLeft(OpenSession(t, t, 1L)) { (a, s) =>
-              OpenSession(math.min(a.start_us, s.start_us),
-                math.max(a.end_us, s.end_us), a.n + s.n)
-            } :: rest
-          }
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val (closed, stillOpen) =
-            open.partition(s => s.end_us + gapUs < wmUs)
-          if (stillOpen.isEmpty) state.remove()
-          else {
-            state.update(stillOpen)
-            // earliest possible close; guaranteed > current watermark
-            // because stillOpen sessions all have end+gap >= wm
-            state.setTimeoutTimestamp(
-              stillOpen.map(_.end_us).min / 1000L + gapSeconds * 1000L + 1L)
-          }
-          closed.iterator.map(s => (user, s.start_us, s.end_us, s.n))
-      }
-      .toDF("user_id", "start_us", "end_us", "events_in_session")
-      .select(col("user_id"),
-        timestamp_micros(col("start_us")).as("session_start"),
-        timestamp_micros(col("end_us")).as("session_end"),
-        col("events_in_session"))
-  }
-
   /** Stream-stream interval join: match rows of two live streams on a
     * key within an event-time window (here: each left event to right
     * events at most `intervalSeconds` BEFORE it). Both sides carry

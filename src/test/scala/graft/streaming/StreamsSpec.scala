@@ -133,43 +133,65 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("stateful sessionization (flatMapGroupsWithState) equals batch q17 over the full file") {
+  /** Full-file batch parity for a stateful sessionizer: stream the
+    * sf0.001 events IN ORDER (with any positive watermark delay a
+    * session closed by the advancing watermark can never be touched by
+    * a later in-order event, so chunking is arbitrary), flush open
+    * sessions via a far-future dummy user (watermark computed at batch
+    * N's end applies in batch N+1 — hence two flush batches), then the
+    * per-user census of closed sessions must equal batch q17. Events
+    * carry sub-ms micros, so this pins the µs-exact gap arithmetic. */
+  private def sessionParityCheck(
+      api: org.apache.spark.sql.Dataset[StatefulSessions.Event] =>
+        org.apache.spark.sql.Dataset[StatefulSessions.ClosedSession],
+      queryName: String): Unit = {
     implicit val sc = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
-    // in-order arrival (sorted by ts): with any positive watermark
-    // delay, a session closed by the advancing watermark can never be
-    // touched by a later in-order event, so chunking is arbitrary
     val events = graft.Tables.events(spark, sf)
       .select(col("user_id").cast("long").as("user_id"),
         col("ts").cast("timestamp_ltz").as("ts"))
-      .collect().map(r => (r.getLong(0), r.getTimestamp(1)))
-      .sortBy(_._2.getTime)
-    val in = MemoryStream[(Long, Timestamp)]
-    val q = Streams.statefulSessions(
-        in.toDF().toDF("user_id", "ts"), 1800L, "1 second")
-      .writeStream.format("memory").queryName("stateful_sessions")
+      .collect()
+      .map(r => StatefulSessions.Event(r.getLong(0), r.getTimestamp(1)))
+      .sortBy(e => StatefulSessions.micros(e.ts))
+    val in = MemoryStream[StatefulSessions.Event]
+    val q = api(in.toDS()).writeStream.format("memory").queryName(queryName)
       .outputMode(OutputMode.Append()).start()
     val flushUser = -1L
     try {
       events.grouped(400).foreach { g =>
         in.addData(g.toSeq: _*); q.processAllAvailable()
       }
-      // watermark computed at batch N's end applies in batch N+1: the
-      // first far-future event advances it, the second triggers the
-      // batch in which every real session times out and emits
-      val far = new Timestamp(events.map(_._2.getTime).max + 48L * 3600 * 1000)
-      in.addData((flushUser, far)); q.processAllAvailable()
-      in.addData((flushUser, new Timestamp(far.getTime + 60000)))
+      val far = new Timestamp(events.map(_.ts.getTime).max + 48L * 3600 * 1000)
+      in.addData(StatefulSessions.Event(flushUser, far))
+      q.processAllAvailable()
+      in.addData(StatefulSessions.Event(flushUser,
+        new Timestamp(far.getTime + 60000)))
       q.processAllAvailable()
     } finally q.stop()
-    val streamed = sql("SELECT * FROM stateful_sessions")
+    val streamed = sql(s"SELECT * FROM $queryName")
       .filter(col("user_id") =!= flushUser)
       .groupBy("user_id")
       .agg(count(lit(1)).as("session_count"),
-        max(col("events_in_session")).as("max_session_events"))
+        max(col("event_count")).as("max_session_events"))
     assert(rowsOf(streamed) ===
       rowsOf(graft.queries.Events.q17UserSessions(spark, sf)),
-      "append-mode closed sessions must reproduce the batch sessionization")
+      s"$queryName: closed sessions must reproduce the batch sessionization")
+  }
+
+  test("flatMapGroupsWithState sessionization equals batch q17 over the full file") {
+    sessionParityCheck(StatefulSessions.sessionize(_), "fmgws_parity")
+  }
+
+  test("transformWithState sessionization equals batch q17 over the full file") {
+    // transformWithState needs multi-column-family state — RocksDB only
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try sessionParityCheck(StatefulSessions.sessionizeTws(_), "tws_parity")
+    finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   test("upsert sink writes only changed keys; latestSnapshot reconstructs state") {
