@@ -151,6 +151,8 @@ object SparkEntry {
     "q96_cluster_representatives" -> (Dedup.q96ClusterRepresentatives _),
     // sampling: temperature-scaled (p^0.7) per-source mixture weights
     "q97_mixture_weights" -> ((s, d) => Text.q97MixtureWeights(s, d)),
+    // composed: mixture weights recomputed over the post-dedup survivors
+    "q98_deduped_mixture" -> ((s, d) => PipelineQ.q98DedupedMixture(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -254,5 +256,6 @@ object SparkEntry {
     "q95_bigram_surprisal" -> Text.q95Sql,
     "q96_cluster_representatives" -> Dedup.q96Sql,
     "q97_mixture_weights" -> Text.q97Sql,
+    "q98_deduped_mixture" -> PipelineQ.q98Sql,
   )
 }

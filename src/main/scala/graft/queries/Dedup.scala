@@ -439,11 +439,14 @@ object Dedup {
     * exchange of that small set joined map-side to per-doc metadata;
     * the corpus itself is touched only by the shared LSH ladder
     * ([[verifiedPairs]]), never re-scanned for the policy. */
-  def q96ClusterRepresentatives(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    // star-contraction (the q55 path): O(log n) rounds survives
-    // adversarial chain components, and the policy rung shouldn't pay
-    // the pedagogical fixpoint's diameter-bounded rounds
+  /** Cluster members ranked by the retention policy (rn = 1 is the
+    * representative): the shared core of q96's census and q98's
+    * post-dedup mixture. Star-contraction components (the q55 path —
+    * O(log n) rounds survives adversarial chain components; the policy
+    * rung shouldn't pay the pedagogical fixpoint's diameter-bounded
+    * rounds) joined map-side to per-doc metadata, ranked by (n_chars
+    * desc, doc_id asc) within each cluster. */
+  def rankedMembers(docs: DataFrame): DataFrame = {
     val member = graft.ops.ConnectedComponents
       .assign(verifiedEdges(docs)
         .select(col("doc_a").as("u"), col("doc_b").as("v")))
@@ -453,6 +456,22 @@ object Dedup {
     val byQuality = Window.partitionBy(col("cluster_id"))
       .orderBy(col("n_chars").desc, col("doc_id").asc)
     member.withColumn("rn", row_number().over(byQuality))
+  }
+
+  /** The q96/q98 oracle CTE chain through `ranked` — everything after
+    * the (recursive) cluster assignment, shared so the policy can
+    * never drift between the census and its consumers. */
+  val rankedSqlCtes: String =
+    """member AS (
+      |  SELECT c.doc_id, c.cluster_id, d.source, d.n_chars
+      |  FROM clustered c JOIN documents d USING (doc_id)),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+      |              ORDER BY n_chars DESC, doc_id ASC) AS rn
+      |  FROM member)""".stripMargin
+
+  def q96ClusterRepresentatives(s: SparkSession, dir: String): DataFrame =
+    rankedMembers(Tables.documents(s, dir))
       .groupBy(col("source"))
       .agg(count(when(col("rn") === 1, 1)).as("kept_docs"),
         count(when(col("rn") =!= 1, 1)).as("demoted_docs"),
@@ -460,17 +479,10 @@ object Dedup {
           .cast("long").as("chars_dropped"),
         count(when(col("rn") === 1 && col("doc_id") =!= col("cluster_id"), 1))
           .as("policy_flips"))
-  }
   val q96Sql: String =
     s"""WITH RECURSIVE ${verifiedPairsSqlCtes("documents")},
        |$clustersSqlCtes,
-       |member AS (
-       |  SELECT c.doc_id, c.cluster_id, d.source, d.n_chars
-       |  FROM clustered c JOIN documents d USING (doc_id)),
-       |ranked AS (
-       |  SELECT *, row_number() OVER (PARTITION BY cluster_id
-       |              ORDER BY n_chars DESC, doc_id ASC) AS rn
-       |  FROM member)
+       |$rankedSqlCtes
        |SELECT source,
        |       count(CASE WHEN rn = 1 THEN 1 END) AS kept_docs,
        |       count(CASE WHEN rn <> 1 THEN 1 END) AS demoted_docs,

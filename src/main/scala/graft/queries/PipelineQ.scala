@@ -145,4 +145,41 @@ object PipelineQ {
        |       CAST(sum(n_toks) AS BIGINT) AS bin_tokens,
        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM binned GROUP BY 1, 2, 3""".stripMargin
+
+  /** Post-dedup mixture weights (q98) — the composition a real
+    * pipeline must run but naive ones forget: near-dup removal (q96's
+    * retention policy) CHANGES the per-source token mass, so the
+    * temperature-scaled sampling weights (q97) must be recomputed over
+    * the surviving docs, not the raw corpus. A source whose volume was
+    * mostly self-duplicated crawl shrinks toward its true share; its
+    * mixture weight follows.
+    *
+    * Scale: the demoted set is O(clustered docs) — tiny against the
+    * corpus — so the survivor cut is a broadcast ANTI-join onto the one
+    * corpus scan that q97 runs anyway; everything downstream of the
+    * token agg is O(sources). No new corpus-scale shuffle vs q97.
+    */
+  def q98DedupedMixture(s: SparkSession, dir: String, tau: Double = 0.7)
+      : DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val demoted = Dedup.rankedMembers(docs)
+      .filter(col("rn") =!= 1).select(col("doc_id"))
+    val survivors = docs.join(broadcast(demoted), Seq("doc_id"), "left_anti")
+    Text.mixtureWeightsFrom(Text.sourceTokenTotals(survivors), tau)
+  }
+  val q98Sql: String =
+    s"""WITH RECURSIVE ${Dedup.verifiedPairsSqlCtes("documents")},
+       |${Dedup.clustersSqlCtes},
+       |${Dedup.rankedSqlCtes},
+       |demoted AS (SELECT doc_id FROM ranked WHERE rn <> 1),
+       |per AS (
+       |  SELECT source, CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS tokens
+       |  FROM documents d LEFT JOIN demoted x USING (doc_id)
+       |  WHERE x.doc_id IS NULL GROUP BY 1),
+       |q AS (SELECT source, tokens,
+       |        CAST(floor(pow(CAST(tokens AS DOUBLE), 0.7) * 1000) AS BIGINT) AS q
+       |      FROM per),
+       |tot AS (SELECT CAST(sum(q) AS BIGINT) AS qtot FROM q)
+       |SELECT source, tokens, q * 1000000 // qtot AS mix_millionths
+       |FROM q, tot""".stripMargin
 }

@@ -1285,6 +1285,27 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_._5).sum > 0, "no policy flips at sf0.001 — weak fixture")
   }
 
+  test("q98 deduped mixture: survivor token mass = raw minus demoted, exactly") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+    val raw = Text.q97MixtureWeights(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dd = PipelineQ.q98DedupedMixture(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    dd.foreach { case (src, tok, _) =>
+      assert(tok <= raw(src), s"$src survivor tokens exceed raw") }
+    val demTok = docs
+      .join(Dedup.rankedMembers(docs).filter(col("rn") =!= 1).select("doc_id"),
+        "doc_id")
+      .select(coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L)))
+      .collect()(0).getLong(0)
+    assert(demTok > 0L, "no demoted mass at sf0.001 — composition untested")
+    assert(raw.values.sum - dd.map(_._2).sum === demTok,
+      "token accounting must balance: raw = survivors + demoted")
+    val total = dd.map(_._3).sum
+    assert(total <= 1000000L && total > 1000000L - dd.length)
+  }
+
   test("q97 mixture weights: floor-exact shares, temperature flattens the mix") {
     def shares(tau: Double): Map[String, (Long, Long)] =
       Text.q97MixtureWeights(spark, sf, tau).collect()
