@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   *    signal the op exists to catch, asserted here at scale.
   *  - q79/q80 BPE train + apply: the corpus pass grows linearly; the
   *    merge rounds stay vocab-bounded (the point of the design).
+  *  - q95 bigram surprisal: replication adds NO distinct bigrams, so
+  *    the model table is R-invariant; only the corpus-side scoring
+  *    join grows (linearly) — the design's scale claim, timed here.
+  *  - q98 post-dedup mixture: replicas are exact near-dups, so the
+  *    retention policy must collapse the R× corpus back to the SAME
+  *    survivor set the unreplicated corpus keeps (the base corpus has
+  *    its own near-dup clusters, which dedup also trims) — asserted:
+  *    surviving token mass at R× equals surviving token mass at 1×.
   *
   * Usage: CurationStress [reps]   (SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
   */
@@ -79,7 +87,21 @@ object CurationStress {
       s"replica feeds not detected: $q81Full full matches < $expectedFull")
     val (_, tTrain) = time(noop(Bpe.q79BpeMerges(spark, stressDir)))
     val (_, tApply) = time(noop(Bpe.q80BpeTokenize(spark, stressDir)))
-    println(f"""{"metric":"curation_stress","reps":$reps,"q74_sec":$tSpan%.2f,"q74_rows":$spanRows,"q81_sec":$tOverlap%.2f,"q81_full_matches":$q81Full,"q79_sec":$tTrain%.2f,"q80_sec":$tApply%.2f,"sf":"$sfDir"}""")
+    noop(Text.q95BigramSurprisal(spark, sfDir)) // warmup
+    val (_, tBigram) = time(noop(Text.q95BigramSurprisal(spark, stressDir)))
+    // warmup doubles as the 1× reference point
+    val refTok = queries.PipelineQ.q98DedupedMixture(spark, sfDir)
+      .agg(sum(col("tokens"))).head.getLong(0)
+    val (survTok, tMix) = time {
+      queries.PipelineQ.q98DedupedMixture(spark, stressDir)
+        .agg(sum(col("tokens"))).head.getLong(0)
+    }
+    // every doc is an exact near-dup of its R-1 replicas: the policy
+    // keeps ONE copy corpus-wide, so the R× survivor mass must equal
+    // the 1× survivor mass (which also trims the base's own clusters)
+    assert(survTok == refTok,
+      s"dedup must collapse the R× corpus to 1×: survivors $survTok != base survivors $refTok")
+    println(f"""{"metric":"curation_stress","reps":$reps,"q74_sec":$tSpan%.2f,"q74_rows":$spanRows,"q81_sec":$tOverlap%.2f,"q81_full_matches":$q81Full,"q79_sec":$tTrain%.2f,"q80_sec":$tApply%.2f,"q95_sec":$tBigram%.2f,"q98_sec":$tMix%.2f,"q98_surviving_tokens":$survTok,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
