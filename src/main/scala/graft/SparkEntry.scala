@@ -153,6 +153,8 @@ object SparkEntry {
     "q97_mixture_weights" -> ((s, d) => Text.q97MixtureWeights(s, d)),
     // composed: mixture weights recomputed over the post-dedup survivors
     "q98_deduped_mixture" -> ((s, d) => PipelineQ.q98DedupedMixture(s, d)),
+    // eval hygiene: bigram LM trained on train split, scored on val
+    "q99_heldout_surprisal" -> (Text.q99HeldoutSurprisal _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -257,5 +259,6 @@ object SparkEntry {
     "q96_cluster_representatives" -> Dedup.q96Sql,
     "q97_mixture_weights" -> Text.q97Sql,
     "q98_deduped_mixture" -> PipelineQ.q98Sql,
+    "q99_heldout_surprisal" -> Text.q99Sql,
   )
 }

@@ -730,6 +730,90 @@ object Text {
        |FROM doc GROUP BY 1, 2""".stripMargin
   }
 
+  /** Held-out surprisal census (q99) — eval hygiene for the LM-quality
+    * ladder: the bigram model is trained ONLY on the train split
+    * (q77's salted content-stable cut) and scores ONLY val docs, so
+    * the score is a true held-out perplexity proxy instead of q95's
+    * self-scoring (which rewards memorized duplicates). OOV handled by
+    * the same add-1 formula degenerating smoothly: unseen pair with a
+    * seen context → 1/(c1+V); unseen context → 1/V — one expression,
+    * no special-case branches, engine-exact in integer millinats.
+    *
+    * Scale shape = q95 plus two LEFT joins instead of one inner (the
+    * val bigrams keep their row on a model miss — that IS the
+    * held-out semantics); the split predicate prunes the train scan
+    * and the val scan from the same source relation. */
+  def q99HeldoutSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("split", splitLabel(col("doc_id")))
+      .withColumn("toks", TextOps.tokens(col("text")))
+    def bigrams(df: DataFrame): DataFrame = df
+      .filter(size(col("toks")) >= 2)
+      .select(col("source"), col("doc_id"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("source"), col("doc_id"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val train = d.filter(col("split") === "train")
+    val c2 = bigrams(train).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = train.select(explode(col("toks")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    bigrams(d.filter(col("split") === "val"))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("source"), col("doc_id"),
+        floor(-log((coalesce(col("c2"), lit(0L)) + 1.0) /
+          (coalesce(col("c1"), lit(0L)) + col("v")))
+          * SurprisalScale).cast("long").as("s2"))
+      .groupBy(col("source"), col("doc_id"))
+      .agg((sum(col("s2")) / count(lit(1))).cast("long").as("avg_millinats"))
+      .groupBy(col("source"),
+        (col("avg_millinats") / 100).cast("long").as("surprisal_bucket"))
+      .agg(count(lit(1)).as("doc_count"), min(col("doc_id")).as("min_doc_id"))
+  }
+  // lazy: splitLabelSql is declared further down the file — an eager
+  // val here would interpolate null at object init (caught by the
+  // oracle gate: every DuckDB row got split = NULL)
+  lazy val q99Sql: String = {
+    val toks = "str_split(text, ' ')"
+    s"""WITH d AS (
+       |  SELECT doc_id, source, $toks AS toks,
+       |         $splitLabelSql AS split
+       |  FROM documents),
+       |trainbg AS (
+       |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+       |        FROM d WHERE split = 'train' AND len(toks) >= 2)),
+       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM trainbg GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+       |voc AS (SELECT count(DISTINCT t) AS v
+       |        FROM (SELECT unnest(toks) AS t FROM d WHERE split = 'train')),
+       |valbg AS (
+       |  SELECT doc_id, source, toks[i] AS w1, toks[i + 1] AS w2
+       |  FROM (SELECT doc_id, source, toks,
+       |          unnest(generate_series(1, len(toks) - 1)) AS i
+       |        FROM d WHERE split = 'val' AND len(toks) >= 2)),
+       |scored AS (
+       |  SELECT doc_id, source,
+       |         CAST(floor(-ln((coalesce(c2.c2, 0) + 1.0) /
+       |                        (coalesce(c1.c1, 0) + v))
+       |                    * $SurprisalScale) AS BIGINT) AS s2
+       |  FROM valbg LEFT JOIN c2 USING (w1, w2)
+       |             LEFT JOIN c1 USING (w1), voc),
+       |doc AS (
+       |  SELECT doc_id, source,
+       |         CAST(sum(s2) AS BIGINT) // count(*) AS avg_millinats
+       |  FROM scored GROUP BY 1, 2)
+       |SELECT source, avg_millinats // 100 AS surprisal_bucket,
+       |       count(*) AS doc_count, min(doc_id) AS min_doc_id
+       |FROM doc GROUP BY 1, 2""".stripMargin
+  }
+
   /** Temperature-scaled mixture weights (q97) — the sampling-rate
     * calculation multilingual/multi-source pretraining uses to keep
     * big sources from drowning small ones (the p^τ renormalization

@@ -1285,6 +1285,39 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_._5).sum > 0, "no policy flips at sf0.001 — weak fixture")
   }
 
+  test("q99 held-out surprisal equals an in-memory train-only bigram reference") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sf)
+      .withColumn("split", Text.splitLabel(col("doc_id")))
+      .select("doc_id", "source", "text", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1), r.getString(3)))
+    val train = docs.filter(_._4 == "train")
+    val vocab = train.flatMap(_._3).distinct.length.toLong
+    val c2 = scala.collection.mutable.Map[(String, String), Long]()
+    train.filter(_._3.length >= 2).foreach { case (_, _, t, _) =>
+      t.sliding(2).foreach(p => c2((p(0), p(1))) = c2.getOrElse((p(0), p(1)), 0L) + 1) }
+    val c1 = c2.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    def s2(w1: String, w2: String): Long =
+      math.floor(-math.log((c2.getOrElse((w1, w2), 0L) + 1.0) /
+        (c1.getOrElse(w1, 0L) + vocab)) * 1000).toLong
+    val expected = docs.filter(d => d._4 == "val" && d._3.length >= 2)
+      .map { case (id, src, t, _) =>
+        val ss = t.sliding(2).map(p => s2(p(0), p(1))).toSeq
+        (src, (ss.sum.toDouble / ss.size).toLong / 100, id)
+      }.groupBy(x => (x._1, x._2))
+      .map { case (k, v) => k -> (v.length.toLong, v.map(_._3).min) }
+    val got = Text.q99HeldoutSurprisal(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === expected)
+    // the held-out model must actually see OOV mass at this SF —
+    // otherwise the left-join/backoff arm is vacuously tested
+    val oov = docs.filter(d => d._4 == "val" && d._3.length >= 2)
+      .flatMap(_._3.sliding(2).map(p => (p(0), p(1)))).count(!c2.contains(_))
+    assert(oov > 0, "no OOV bigrams in val at sf0.001 — weak fixture")
+  }
+
   test("q98 deduped mixture: survivor token mass = raw minus demoted, exactly") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf)
