@@ -675,10 +675,14 @@ object Text {
     * (floor·1000, the [[SurprisalScale]] convention) make the per-doc
     * sum order-free so the shuffle-side aggregation is exact.
     */
-  def q95BigramSurprisal(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-      .withColumn("toks", TextOps.tokens(col("text")))
-    val bi = d.filter(size(col("toks")) >= 2)
+  /** (source, doc_id, w1, w2) — one row per consecutive token pair,
+    * built scan-side with zip_with over two array slices (no
+    * posexplode self-join). Shared by q95 and q99 so the bigram
+    * definition can't drift between the self-scored and held-out
+    * censuses. Docs with <2 tokens contribute nothing (both oracles
+    * filter identically). */
+  private def bigramsOf(docsWithToks: DataFrame): DataFrame =
+    docsWithToks.filter(size(col("toks")) >= 2)
       .select(col("source"), col("doc_id"),
         explode(zip_with(
           slice(col("toks"), lit(1), size(col("toks")) - 1),
@@ -686,6 +690,11 @@ object Text {
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("source"), col("doc_id"),
         col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  def q95BigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+    val bi = bigramsOf(d)
     val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val vocab = d.select(explode(col("toks")).as("t"))
@@ -747,22 +756,13 @@ object Text {
     val d = Tables.documents(s, dir)
       .withColumn("split", splitLabel(col("doc_id")))
       .withColumn("toks", TextOps.tokens(col("text")))
-    def bigrams(df: DataFrame): DataFrame = df
-      .filter(size(col("toks")) >= 2)
-      .select(col("source"), col("doc_id"),
-        explode(zip_with(
-          slice(col("toks"), lit(1), size(col("toks")) - 1),
-          slice(col("toks"), lit(2), size(col("toks")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col("source"), col("doc_id"),
-        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val train = d.filter(col("split") === "train")
-    val c2 = bigrams(train).groupBy(col("w1"), col("w2"))
+    val c2 = bigramsOf(train).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val vocab = train.select(explode(col("toks")).as("t"))
       .agg(countDistinct(col("t")).as("v"))
-    bigrams(d.filter(col("split") === "val"))
+    bigramsOf(d.filter(col("split") === "val"))
       .join(c2, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
