@@ -28,6 +28,8 @@ object Scratch {
       case e: Throwable =>
         println(s"[scratch] $name FAILED")
         e.printStackTrace()
+        spark.stop()
+        sys.exit(1) // scripted callers must see the failure
     }
     spark.stop()
   }

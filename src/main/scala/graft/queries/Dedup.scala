@@ -424,28 +424,19 @@ object Dedup {
        |SELECT doc_id, cluster_id, cluster_id = doc_id AS is_canonical
        |FROM clustered""".stripMargin
 
-  /** Cluster-representative selection (q96) — the retention POLICY rung
-    * above q46/q55's cluster assignment: real pipelines don't keep the
-    * min-doc_id member of a near-dup cluster, they keep the BEST one.
-    * Policy here: retain the longest member (max n_chars, doc_id
-    * tie-break) — the "keep the superset copy" rule for truncated /
-    * boilerplate-stripped near-duplicates — and census per source what
-    * that demotes: kept vs demoted docs, characters dropped, and how
-    * often the quality argmax disagrees with the naive min-id canonical
-    * (`policy_flips`, the rows where the policy actually mattered).
-    *
-    * Scale: cluster membership is O(docs-in-verified-pairs) — tiny
-    * against the corpus — so the ranking window on cluster_id is one
-    * exchange of that small set joined map-side to per-doc metadata;
-    * the corpus itself is touched only by the shared LSH ladder
-    * ([[verifiedPairs]]), never re-scanned for the policy. */
   /** Cluster members ranked by the retention policy (rn = 1 is the
     * representative): the shared core of q96's census and q98's
     * post-dedup mixture. Star-contraction components (the q55 path —
     * O(log n) rounds survives adversarial chain components; the policy
     * rung shouldn't pay the pedagogical fixpoint's diameter-bounded
     * rounds) joined map-side to per-doc metadata, ranked by (n_chars
-    * desc, doc_id asc) within each cluster. */
+    * desc, doc_id asc) within each cluster.
+    *
+    * Scale: cluster membership is O(docs-in-verified-pairs) — tiny
+    * against the corpus — so the ranking window on cluster_id is one
+    * exchange of that small set joined map-side to per-doc metadata;
+    * the corpus itself is touched only by the shared LSH ladder
+    * ([[verifiedPairs]]), never re-scanned for the policy. */
   def rankedMembers(docs: DataFrame): DataFrame = {
     val member = graft.ops.ConnectedComponents
       .assign(verifiedEdges(docs)
@@ -470,6 +461,15 @@ object Dedup {
       |              ORDER BY n_chars DESC, doc_id ASC) AS rn
       |  FROM member)""".stripMargin
 
+  /** Cluster-representative selection (q96) — the retention POLICY rung
+    * above q46/q55's cluster assignment: real pipelines don't keep the
+    * min-doc_id member of a near-dup cluster, they keep the BEST one.
+    * Policy here: retain the longest member (max n_chars, doc_id
+    * tie-break) — the "keep the superset copy" rule for truncated /
+    * boilerplate-stripped near-duplicates — and census per source what
+    * that demotes: kept vs demoted docs, characters dropped, and how
+    * often the quality argmax disagrees with the naive min-id canonical
+    * (`policy_flips`, the rows where the policy actually mattered). */
   def q96ClusterRepresentatives(s: SparkSession, dir: String): DataFrame =
     rankedMembers(Tables.documents(s, dir))
       .groupBy(col("source"))

@@ -691,53 +691,86 @@ object Text {
       .select(col("source"), col("doc_id"),
         col("bg.w1").as("w1"), col("bg.w2").as("w2"))
 
-  def q95BigramSurprisal(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-      .withColumn("toks", TextOps.tokens(col("text")))
-    val bi = bigramsOf(d)
-    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+  /** Add-1 bigram model counts over a tokenized frame: c2 on (w1,w2),
+    * c1 context totals (re-aggregated from c2 — O(vocab), never the
+    * corpus), and the 1-row vocab size. ONE training definition for
+    * the self-scored (q95) and held-out (q99) censuses. */
+  private def bigramCounts(d: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val c2 = bigramsOf(d).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val vocab = d.select(explode(col("toks")).as("t"))
       .agg(countDistinct(col("t")).as("v"))
-    val model = c2.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
-      .select(col("w1"), col("w2"),
-        floor(-log((col("c2") + 1.0) / (col("c1") + col("v")))
-          * SurprisalScale).cast("long").as("s2"))
-    bi.join(model, Seq("w1", "w2"))
-      .groupBy(col("source"), col("doc_id"))
+    (c2, c1, vocab)
+  }
+
+  /** floor(−ln((c2+1)/(c1+V))·scale) — THE smoothing formula, in one
+    * place; q99 passes coalesced counts so OOV degenerates through the
+    * same expression. */
+  private def add1Surprisal(c2: Column, c1: Column, v: Column): Column =
+    floor(-log((c2 + 1.0) / (c1 + v)) * SurprisalScale).cast("long")
+
+  /** The census tail shared by q95/q99: (source, doc_id, s2) rows →
+    * per-doc integer mean → bucket → per-(source, bucket) census. */
+  private def surprisalCensus(scored: DataFrame): DataFrame =
+    scored.groupBy(col("source"), col("doc_id"))
       .agg((sum(col("s2")) / count(lit(1))).cast("long").as("avg_millinats"))
       .groupBy(col("source"),
         (col("avg_millinats") / 100).cast("long").as("surprisal_bucket"))
       .agg(count(lit(1)).as("doc_count"), min(col("doc_id")).as("min_doc_id"))
+
+  def q95BigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+    val (c2, c1, vocab) = bigramCounts(d)
+    // self-scoring: every corpus bigram is in the model, so s2 is
+    // precomputed per DISTINCT pair (O(model), not O(corpus bigrams))
+    // and the scoring join stays inner
+    val model = c2.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        add1Surprisal(col("c2"), col("c1"), col("v")).as("s2"))
+    surprisalCensus(bigramsOf(d).join(model, Seq("w1", "w2")))
   }
+  // ---- DuckDB spellings of the shared bigram-LM pieces (one
+  // definition per engine, the rankedSqlCtes pattern). All defs, not
+  // vals: q99Sql interpolates splitLabelSql declared further down the
+  // file, and an eager val would capture null at object init.
+  private def bigramsSqlCte(sel: String, from: String,
+                            pred: String = ""): String =
+    s"""(SELECT ${sel}toks[i] AS w1, toks[i + 1] AS w2
+       |   FROM (SELECT ${sel}toks,
+       |           unnest(generate_series(1, len(toks) - 1)) AS i
+       |         FROM $from WHERE ${pred}len(toks) >= 2))""".stripMargin
+  private def bigramCountsSqlCtes(bgRel: String, vocabFrom: String): String =
+    s"""c2 AS (SELECT w1, w2, count(*) AS c2 FROM $bgRel GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+       |voc AS (SELECT count(DISTINCT t) AS v
+       |        FROM (SELECT unnest(toks) AS t FROM $vocabFrom))""".stripMargin
+  private def add1SurprisalSql(c2: String, c1: String): String =
+    s"CAST(floor(-ln(($c2 + 1.0) / ($c1 + v)) * $SurprisalScale) AS BIGINT)"
+  private def surprisalCensusTailSql: String =
+    """doc AS (
+      |  SELECT doc_id, source,
+      |         CAST(sum(s2) AS BIGINT) // count(*) AS avg_millinats
+      |  FROM scored GROUP BY 1, 2)
+      |SELECT source, avg_millinats // 100 AS surprisal_bucket,
+      |       count(*) AS doc_count, min(doc_id) AS min_doc_id
+      |FROM doc GROUP BY 1, 2""".stripMargin
+
   /** q95 oracle — the model is retrained inside DuckDB from the same
     * corpus (each engine takes its own ln; only the floor·1000
     * integers must agree, the q64 convention). */
-  val q95Sql: String = {
-    val toks = "str_split(text, ' ')"
+  val q95Sql: String =
     s"""WITH tk AS (
-       |  SELECT doc_id, source, $toks AS toks FROM documents),
-       |bg AS (
-       |  SELECT doc_id, source, toks[i] AS w1, toks[i + 1] AS w2
-       |  FROM (SELECT doc_id, source, toks,
-       |          unnest(generate_series(1, len(toks) - 1)) AS i
-       |        FROM tk WHERE len(toks) >= 2)),
-       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
-       |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
-       |voc AS (SELECT count(DISTINCT t) AS v
-       |        FROM (SELECT unnest($toks) AS t FROM documents)),
+       |  SELECT doc_id, source, str_split(text, ' ') AS toks FROM documents),
+       |bg AS ${bigramsSqlCte("doc_id, source, ", "tk")},
+       |${bigramCountsSqlCtes("bg", "tk")},
        |model AS (
-       |  SELECT w1, w2, CAST(floor(-ln((c2 + 1.0) / (c1 + v))
-       |                            * $SurprisalScale) AS BIGINT) AS s2
+       |  SELECT w1, w2, ${add1SurprisalSql("c2", "c1")} AS s2
        |  FROM c2 JOIN c1 USING (w1), voc),
-       |doc AS (
-       |  SELECT doc_id, source,
-       |         CAST(sum(s2) AS BIGINT) // count(*) AS avg_millinats
-       |  FROM bg JOIN model USING (w1, w2) GROUP BY 1, 2)
-       |SELECT source, avg_millinats // 100 AS surprisal_bucket,
-       |       count(*) AS doc_count, min(doc_id) AS min_doc_id
-       |FROM doc GROUP BY 1, 2""".stripMargin
-  }
+       |scored AS (
+       |  SELECT doc_id, source, s2 FROM bg JOIN model USING (w1, w2)),
+       |$surprisalCensusTailSql""".stripMargin
 
   /** Held-out surprisal census (q99) — eval hygiene for the LM-quality
     * ladder: the bigram model is trained ONLY on the train split
@@ -756,63 +789,33 @@ object Text {
     val d = Tables.documents(s, dir)
       .withColumn("split", splitLabel(col("doc_id")))
       .withColumn("toks", TextOps.tokens(col("text")))
-    val train = d.filter(col("split") === "train")
-    val c2 = bigramsOf(train).groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c2"))
-    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val vocab = train.select(explode(col("toks")).as("t"))
-      .agg(countDistinct(col("t")).as("v"))
-    bigramsOf(d.filter(col("split") === "val"))
-      .join(c2, Seq("w1", "w2"), "left")
-      .join(c1, Seq("w1"), "left")
-      .crossJoin(broadcast(vocab))
-      .select(col("source"), col("doc_id"),
-        floor(-log((coalesce(col("c2"), lit(0L)) + 1.0) /
-          (coalesce(col("c1"), lit(0L)) + col("v")))
-          * SurprisalScale).cast("long").as("s2"))
-      .groupBy(col("source"), col("doc_id"))
-      .agg((sum(col("s2")) / count(lit(1))).cast("long").as("avg_millinats"))
-      .groupBy(col("source"),
-        (col("avg_millinats") / 100).cast("long").as("surprisal_bucket"))
-      .agg(count(lit(1)).as("doc_count"), min(col("doc_id")).as("min_doc_id"))
+    val (c2, c1, vocab) = bigramCounts(d.filter(col("split") === "train"))
+    surprisalCensus(
+      bigramsOf(d.filter(col("split") === "val"))
+        .join(c2, Seq("w1", "w2"), "left")
+        .join(c1, Seq("w1"), "left")
+        .crossJoin(broadcast(vocab))
+        .select(col("source"), col("doc_id"),
+          add1Surprisal(coalesce(col("c2"), lit(0L)),
+            coalesce(col("c1"), lit(0L)), col("v")).as("s2")))
   }
   // lazy: splitLabelSql is declared further down the file — an eager
   // val here would interpolate null at object init (caught by the
   // oracle gate: every DuckDB row got split = NULL)
-  lazy val q99Sql: String = {
-    val toks = "str_split(text, ' ')"
+  lazy val q99Sql: String =
     s"""WITH d AS (
-       |  SELECT doc_id, source, $toks AS toks,
+       |  SELECT doc_id, source, str_split(text, ' ') AS toks,
        |         $splitLabelSql AS split
        |  FROM documents),
-       |trainbg AS (
-       |  SELECT toks[i] AS w1, toks[i + 1] AS w2
-       |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
-       |        FROM d WHERE split = 'train' AND len(toks) >= 2)),
-       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM trainbg GROUP BY 1, 2),
-       |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
-       |voc AS (SELECT count(DISTINCT t) AS v
-       |        FROM (SELECT unnest(toks) AS t FROM d WHERE split = 'train')),
-       |valbg AS (
-       |  SELECT doc_id, source, toks[i] AS w1, toks[i + 1] AS w2
-       |  FROM (SELECT doc_id, source, toks,
-       |          unnest(generate_series(1, len(toks) - 1)) AS i
-       |        FROM d WHERE split = 'val' AND len(toks) >= 2)),
+       |trainbg AS ${bigramsSqlCte("", "d", "split = 'train' AND ")},
+       |${bigramCountsSqlCtes("trainbg", "d WHERE split = 'train'")},
+       |valbg AS ${bigramsSqlCte("doc_id, source, ", "d", "split = 'val' AND ")},
        |scored AS (
        |  SELECT doc_id, source,
-       |         CAST(floor(-ln((coalesce(c2.c2, 0) + 1.0) /
-       |                        (coalesce(c1.c1, 0) + v))
-       |                    * $SurprisalScale) AS BIGINT) AS s2
+       |         ${add1SurprisalSql("coalesce(c2.c2, 0)", "coalesce(c1.c1, 0)")} AS s2
        |  FROM valbg LEFT JOIN c2 USING (w1, w2)
        |             LEFT JOIN c1 USING (w1), voc),
-       |doc AS (
-       |  SELECT doc_id, source,
-       |         CAST(sum(s2) AS BIGINT) // count(*) AS avg_millinats
-       |  FROM scored GROUP BY 1, 2)
-       |SELECT source, avg_millinats // 100 AS surprisal_bucket,
-       |       count(*) AS doc_count, min(doc_id) AS min_doc_id
-       |FROM doc GROUP BY 1, 2""".stripMargin
-  }
+       |$surprisalCensusTailSql""".stripMargin
 
   /** Temperature-scaled mixture weights (q97) — the sampling-rate
     * calculation multilingual/multi-source pretraining uses to keep
