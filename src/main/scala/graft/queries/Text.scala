@@ -817,6 +817,30 @@ object Text {
        |             LEFT JOIN c1 USING (w1), voc),
        |$surprisalCensusTailSql""".stripMargin
 
+  /** Per-source OOV census against a FROZEN vocabulary: (tokens, oov)
+    * counts per source, the drift signal a deployed tokenizer/LM needs
+    * watched at ingest (new slang, a new language, a broken feed all
+    * surface as OOV-rate jumps against the trained artifact). The
+    * vocab frame is deduplicated and broadcast — at 100 TB the corpus
+    * explode never shuffles for the membership check. SUM-mergeable by
+    * construction, so the incremental twin
+    * (Streams.incrementalOovStats) lands per-batch partials and the
+    * live rate is a sum. */
+  def oovStats(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs.select(col("source"), explode(TextOps.tokens(col("text"))).as("t"))
+      .join(broadcast(vocab.select(col("t")).distinct()
+        .withColumn("known", lit(1))), Seq("t"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("tokens"),
+        count(when(col("known").isNull, 1)).as("oov"))
+
+  /** The train-split vocabulary (q77's cut) — the frozen reference the
+    * OOV monitor watches against; one column `t`. */
+  def trainVocab(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(splitLabel(col("doc_id")) === "train")
+      .select(explode(TextOps.tokens(col("text"))).as("t")).distinct()
+
   /** Temperature-scaled mixture weights (q97) — the sampling-rate
     * calculation multilingual/multi-source pretraining uses to keep
     * big sources from drowning small ones (the p^τ renormalization

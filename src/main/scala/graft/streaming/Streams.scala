@@ -370,6 +370,32 @@ object Streams {
       spark.read.parquet(tokensPath)
         .groupBy(col("source")).agg(sum(col("tokens")).as("tokens")), tau)
 
+  /** Incremental OOV monitoring — vocabulary-drift detection at
+    * ingest: each micro-batch joins its tokens against a FROZEN
+    * vocabulary (a static frame broadcast inside foreachBatch — the
+    * stream-static shape) and lands per-source (tokens, oov)
+    * SUM-mergeable partials as a batch_id partition. The live rate is
+    * a sum; a new language, new slang, or a corrupted feed shows up as
+    * an OOV-ppm jump against the trained artifact without rescoring
+    * anything. State is O(sources × batches) tiny rows. */
+  def incrementalOovStats(docs: DataFrame, vocab: DataFrame,
+                          statsPath: String, checkpoint: String)
+      : DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchPartition(
+          graft.queries.Text.oovStats(batch, vocab), batchId, statsPath)
+      }
+
+  /** The live OOV rate: summed partials, rate in integer ppm. */
+  def oovRateSnapshot(spark: SparkSession, statsPath: String): DataFrame =
+    spark.read.parquet(statsPath)
+      .groupBy(col("source"))
+      .agg(sum(col("tokens")).as("tokens"), sum(col("oov")).as("oov"))
+      .withColumn("oov_ppm", expr("oov * 1000000 div tokens"))
+
   /** Incremental novelty tracking — q91's streaming half, a MIN-merge
     * on first-seen batch ids: each micro-batch lands its doc-distinct
     * gram set (one row per distinct gram, with its occurrence count —

@@ -1318,6 +1318,15 @@ class QueriesSpec extends SparkSpec {
     assert(oov > 0, "no OOV bigrams in val at sf0.001 — weak fixture")
   }
 
+  test("q98 survivor cut is a BROADCAST anti-join; corpus never shuffles for it") {
+    val plan = PipelineQ.q98DedupedMixture(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"),
+      "demoted-set cut must not sort-merge the corpus:\n" + plan.take(3000))
+  }
+
   test("q98 deduped mixture: survivor token mass = raw minus demoted, exactly") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf)

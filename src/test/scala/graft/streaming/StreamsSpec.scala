@@ -608,6 +608,40 @@ class StreamsSpec extends SparkSpec {
       "sum-merged token totals must yield the exact batch mixture")
   }
 
+  test("incremental OOV monitor: summed partials equal batch oovStats; planted drift fires") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_incoov")
+    val (stats, ckpt) = (s"$dir/stats", s"$dir/ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val vocab = graft.queries.Text.trainVocab(spark, sf)
+    val in = MemoryStream[(String, String)]
+    val q = Streams.incrementalOovStats(
+      in.toDF().toDF("source", "text"), vocab, stats, ckpt).start()
+    // real non-train docs in two batches, plus a planted drifting feed
+    // whose tokens are guaranteed out-of-vocabulary
+    val docs = graft.Tables.documents(spark, sf)
+      .filter(graft.queries.Text.splitLabel(col("doc_id")) =!= "train")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val drifted = ("feedX", "zz1 zz2 zz3 zz1 the")
+    try {
+      docs.grouped(math.max(1, docs.length / 2)).foreach { g =>
+        in.addData(g.toSeq: _*); q.processAllAvailable()
+      }
+      in.addData(drifted); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = Streams.oovRateSnapshot(spark, stats)
+    import spark.implicits._
+    val batch = graft.queries.Text.oovStats(
+      (docs :+ drifted).toSeq.toDF("source", "text"), vocab)
+      .withColumn("oov_ppm", expr("oov * 1000000 div tokens"))
+    assert(rowsOf(streamed) === rowsOf(batch),
+      "sum-merged OOV partials must equal the batch census on the union")
+    val x = streamed.filter(col("source") === "feedX").collect()(0)
+    assert(x.getAs[Long]("oov") === 4L && x.getAs[Long]("tokens") === 5L,
+      s"planted drift feed must read 4/5 OOV, got $x")
+  }
+
   test("incremental source signatures: min-merged snapshot equals batch signatures on the union") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_incsig")
