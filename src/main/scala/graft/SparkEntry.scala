@@ -155,6 +155,8 @@ object SparkEntry {
     "q98_deduped_mixture" -> ((s, d) => PipelineQ.q98DedupedMixture(s, d)),
     // eval hygiene: bigram LM trained on train split, scored on val
     "q99_heldout_surprisal" -> (Text.q99HeldoutSurprisal _),
+    // cross-modal: text quality bucket × embedding cluster label census
+    "q100_quality_by_label" -> (MultimodalQ.q100QualityByLabel _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -260,5 +262,6 @@ object SparkEntry {
     "q97_mixture_weights" -> Text.q97Sql,
     "q98_deduped_mixture" -> PipelineQ.q98Sql,
     "q99_heldout_surprisal" -> Text.q99Sql,
+    "q100_quality_by_label" -> MultimodalQ.q100Sql,
   )
 }

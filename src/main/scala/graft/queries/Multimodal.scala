@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Multimodal => MM}
+import graft.ops.{Multimodal => MM, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -85,4 +85,48 @@ object MultimodalQ {
       |       CAST(max(width * pm // 1000) AS INTEGER) AS max_rs_width,
       |       CAST(max(height * pm // 1000) AS INTEGER) AS max_rs_height
       |FROM rs GROUP BY 1""".stripMargin
+
+  /** Cross-modal quality census (q100) — the text↔vector join the
+    * paired tables exist for: every document's embedding row (doc_id =
+    * vec_id, the pairing contract) tagged with the document's quality
+    * bucket (the SHARED q22 cut), censused per (label, quality). This
+    * is the audit a curation pipeline runs before training on an
+    * embedding-clustered corpus: "is cluster 3 mostly junk text?" —
+    * low-quality mass concentrated in one label means the cluster
+    * (and anything SemDeDup'd inside it) inherits the junk.
+    *
+    * Scale: both sides hash-join on the 8-byte id — at 100 TB this is
+    * the one shuffle (or free with both tables bucketed on id, the
+    * layout ScaleSpec demonstrates); quality is scan-side, the census
+    * re-aggregates O(labels × buckets) rows. Only integer columns
+    * cross the join, so there is no float-parity surface at all. */
+  def q100QualityByLabel(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("quality",
+        TextOps.qualityBucket(TextOps.tokens(col("text")), col("n_chars")))
+      .select(col("doc_id"), col("quality"), col("n_chars"))
+      .join(Tables.embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"), col("label")), Seq("doc_id"))
+      .groupBy(col("label"), col("quality"))
+      .agg(count(lit(1)).as("doc_count"),
+        expr("sum(n_chars) div count(1)").as("mean_chars"),
+        min(col("doc_id")).as("min_doc_id"))
+  val q100Sql: String = {
+    val toks = "str_split(text, ' ')"
+    val stop = "len(list_filter(str_split(text, ' '), t -> t IN " +
+      "('the','and','of','to','a')))"
+    s"""WITH quality AS (
+       |  SELECT doc_id, n_chars,
+       |    CASE WHEN len($toks) < 10 OR n_chars < 50 THEN 'too_short'
+       |         WHEN ($stop * 100) // len($toks) > 30 THEN 'high_stopword'
+       |         WHEN (len(list_distinct($toks)) * 100) // len($toks) < 30
+       |           THEN 'repetitive'
+       |         ELSE 'ok' END AS quality
+       |  FROM documents)
+       |SELECT e.label, q.quality, count(*) AS doc_count,
+       |       CAST(sum(q.n_chars) AS BIGINT) // count(*) AS mean_chars,
+       |       min(q.doc_id) AS min_doc_id
+       |FROM quality q JOIN embeddings e ON q.doc_id = e.vec_id
+       |GROUP BY 1, 2""".stripMargin
+  }
 }

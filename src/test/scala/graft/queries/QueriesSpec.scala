@@ -1285,6 +1285,21 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_._5).sum > 0, "no policy flips at sf0.001 — weak fixture")
   }
 
+  test("q100 cross-modal census: every paired doc exactly once; marginals match q22's cut") {
+    import org.apache.spark.sql.functions._
+    val rows = MultimodalQ.q100QualityByLabel(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._3).sum === graft.Tables.documents(spark, sf).count(),
+      "1:1 doc/vec pairing must census every document exactly once")
+    // label-marginalized quality histogram == the q22 cut applied directly
+    val direct = graft.Tables.documents(spark, sf)
+      .groupBy(graft.ops.TextOps.qualityBucket(
+        split(col("text"), " "), col("n_chars")).as("q"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val marginal = rows.groupBy(_._2).map { case (q, rs) => q -> rs.map(_._3).sum }
+    assert(marginal === direct, "quality cut drifted between q100 and q22")
+  }
+
   test("q99 held-out surprisal equals an in-memory train-only bigram reference") {
     import org.apache.spark.sql.functions.col
     val docs = graft.Tables.documents(spark, sf)
