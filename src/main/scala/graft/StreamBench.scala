@@ -26,17 +26,12 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 object StreamBench {
 
-  private def session(rocksdb: Boolean): SparkSession = {
-    val b = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.icu.caseMappings.enabled", "false")
-      .config("spark.ui.enabled", "false")
-    if (rocksdb)
-      b.config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    b.getOrCreate()
-  }
+  private def session(rocksdb: Boolean): SparkSession =
+    LocalSession.build(extra =
+      if (rocksdb)
+        Map("spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      else Map.empty)
 
   private def page(p: Int): String = graft.sources.PagesSource.pageJson(p, 100)
 

@@ -48,11 +48,15 @@ object Events {
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       // ts arrives TIMESTAMP_NTZ from driver-written parquet (timestamp[us],
       // no tz) and Spark 4 forbids NTZ→DOUBLE; route through timestamp_ltz
-      // (session tz is UTC, so epoch seconds match the oracle's epoch(ts))
+      // (session tz is UTC). INTEGER micros, not double seconds: a
+      // double-epoch diff carries ~1e-7 s rounding at 2026 magnitudes,
+      // which can split an exactly-1800s gap that the µs-exact stateful
+      // sessionizers (StatefulSessions) merge — the batch/stream parity
+      // contract requires the same integer arithmetic on both sides.
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          col("ts").cast("timestamp_ltz").cast("double") -
-            col("prev_ts").cast("timestamp_ltz").cast("double") > 1800d, 1)
+          unix_micros(col("ts").cast("timestamp_ltz")) -
+            unix_micros(col("prev_ts").cast("timestamp_ltz")) > 1800000000L, 1)
           .otherwise(0))
       .withColumn("session_id", sum(col("new_session")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -65,8 +69,10 @@ object Events {
   val q17Sql: String =
     """WITH flagged AS (
       |  SELECT user_id, ts,
+      |         -- epoch_us, not epoch: integer micros match Spark's
+      |         -- unix_micros exactly; double seconds round at ~1e-7 s
       |         CASE WHEN lag(ts) OVER w IS NULL
-      |                OR epoch(CAST(ts AS TIMESTAMP)) - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800
+      |                OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
       |              THEN 1 ELSE 0 END AS new_session
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
       |sessions AS (

@@ -159,12 +159,24 @@ object PipelineQ {
     * corpus scan that q97 runs anyway; everything downstream of the
     * token agg is O(sources). No new corpus-scale shuffle vs q97.
     */
-  def q98DedupedMixture(s: SparkSession, dir: String, tau: Double = 0.7)
+  /** The demoted-set cut is size-gated (the contaminationAuto
+    * pattern): on a typical corpus the demoted ids are a tiny
+    * fraction and broadcast, but on a boilerplate-saturated crawl —
+    * CurationStress's replication makes demoted ≈ (R−1)/R of ALL
+    * doc_ids — an unconditional broadcast hint would bypass the
+    * planner's threshold and blow the driver. Above the gate the
+    * anti-join degrades to a shuffle, which is the correct plan
+    * there. The demoted frame is persisted so the gate's count
+    * doesn't re-run the LSH ladder. */
+  def q98DedupedMixture(s: SparkSession, dir: String, tau: Double = 0.7,
+                        maxBroadcastDemoted: Long = 10L * 1000 * 1000)
       : DataFrame = {
     val docs = Tables.documents(s, dir)
     val demoted = Dedup.rankedMembers(docs)
-      .filter(col("rn") =!= 1).select(col("doc_id"))
-    val survivors = docs.join(broadcast(demoted), Seq("doc_id"), "left_anti")
+      .filter(col("rn") =!= 1).select(col("doc_id")).persist()
+    val cut =
+      if (demoted.count() <= maxBroadcastDemoted) broadcast(demoted) else demoted
+    val survivors = docs.join(cut, Seq("doc_id"), "left_anti")
     Text.mixtureWeightsFrom(Text.sourceTokenTotals(survivors), tau)
   }
   val q98Sql: String =

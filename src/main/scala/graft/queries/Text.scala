@@ -827,9 +827,20 @@ object Text {
     * (Streams.incrementalOovStats) lands per-batch partials and the
     * live rate is a sum. */
   def oovStats(docs: DataFrame, vocab: DataFrame): DataFrame =
+    oovStatsFrozen(docs, frozenVocab(vocab))
+
+  /** Deduplicate + tag a vocab frame once — callers that probe
+    * repeatedly (the incremental monitor) persist THIS and skip the
+    * per-probe distinct shuffle. One row per token is a correctness
+    * requirement: duplicate keys would multiply joined token rows and
+    * inflate the census. */
+  def frozenVocab(vocab: DataFrame): DataFrame =
+    vocab.select(col("t")).distinct().withColumn("known", lit(1))
+
+  /** [[oovStats]] against an already-frozen ([[frozenVocab]]) frame. */
+  def oovStatsFrozen(docs: DataFrame, frozen: DataFrame): DataFrame =
     docs.select(col("source"), explode(TextOps.tokens(col("text"))).as("t"))
-      .join(broadcast(vocab.select(col("t")).distinct()
-        .withColumn("known", lit(1))), Seq("t"), "left")
+      .join(broadcast(frozen), Seq("t"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("tokens"),
         count(when(col("known").isNull, 1)).as("oov"))

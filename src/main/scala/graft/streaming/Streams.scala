@@ -380,14 +380,19 @@ object Streams {
     * anything. State is O(sources × batches) tiny rows. */
   def incrementalOovStats(docs: DataFrame, vocab: DataFrame,
                           statsPath: String, checkpoint: String)
-      : DataStreamWriter[Row] =
+      : DataStreamWriter[Row] = {
+    // freeze ONCE: without the persist every micro-batch would re-run
+    // the whole vocab plan (a corpus scan for trainVocab) plus its
+    // distinct shuffle before re-broadcasting
+    val frozen = graft.queries.Text.frozenVocab(vocab).persist()
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         writeBatchPartition(
-          graft.queries.Text.oovStats(batch, vocab), batchId, statsPath)
+          graft.queries.Text.oovStatsFrozen(batch, frozen), batchId, statsPath)
       }
+  }
 
   /** The live OOV rate: summed partials, rate in integer ppm. */
   def oovRateSnapshot(spark: SparkSession, statsPath: String): DataFrame =
