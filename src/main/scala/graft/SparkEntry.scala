@@ -157,6 +157,8 @@ object SparkEntry {
     "q99_heldout_surprisal" -> (Text.q99HeldoutSurprisal _),
     // cross-modal: text quality bucket × embedding cluster label census
     "q100_quality_by_label" -> (MultimodalQ.q100QualityByLabel _),
+    // privacy: behavioral k-anonymity (re-identification risk) census
+    "q101_reid_risk" -> (Events.q101ReidRisk _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -263,5 +265,6 @@ object SparkEntry {
     "q98_deduped_mixture" -> PipelineQ.q98Sql,
     "q99_heldout_surprisal" -> Text.q99Sql,
     "q100_quality_by_label" -> MultimodalQ.q100Sql,
+    "q101_reid_risk" -> Events.q101Sql,
   )
 }

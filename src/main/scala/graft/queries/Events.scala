@@ -353,4 +353,44 @@ object Events {
        |        (base_n * cnt - s) * (base_n * cnt - s) >
        |          $AnomZsq * (base_n * q - s * s)) AS anomaly
        |FROM win""".stripMargin
+
+  /** Behavioral k-anonymity census (q101) — the privacy-audit rung
+    * next to q76's PII scrub: before releasing event data (or training
+    * on it), measure how re-identifiable users are from their behavior
+    * alone. Each user's signature is the multiset of their event-type
+    * counts (canonicalized: sorted "type:count" terms, md5'd); the
+    * census reports, per anonymity-set size k, how many signatures and
+    * users share a signature with exactly k users. k = 1 is the risk
+    * mass: users whose behavioral shape is unique in the corpus.
+    *
+    * Scale: two corpus hash-aggs ((user, type) → user) and a
+    * signature agg over O(users) rows — shuffle-minimal by
+    * construction; the census output is O(distinct k), trivially
+    * small. Nothing pairwise: anonymity sets come from grouping, not
+    * user-to-user comparison. */
+  def q101ReidRisk(s: SparkSession, dir: String): DataFrame = {
+    val sig = Tables.events(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(md5(concat_ws("|",
+        sort_array(collect_list(concat_ws(":", col("event_type"), col("c")))))
+        .cast("binary")).as("sig"))
+    sig.groupBy(col("sig")).agg(count(lit(1)).as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("signatures"),
+        (col("k") * count(lit(1))).as("users"))
+  }
+  val q101Sql: String =
+    """WITH pc AS (
+      |  SELECT user_id, event_type, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT user_id,
+      |         md5(string_agg(event_type || ':' || c, '|'
+      |               ORDER BY event_type || ':' || c)) AS sig
+      |  FROM pc GROUP BY 1),
+      |anon AS (SELECT sig, count(*) AS k FROM sig GROUP BY 1)
+      |SELECT k, count(*) AS signatures, CAST(k * count(*) AS BIGINT) AS users
+      |FROM anon GROUP BY 1""".stripMargin
 }

@@ -1285,6 +1285,27 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_._5).sum > 0, "no policy flips at sf0.001 — weak fixture")
   }
 
+  test("q101 re-id census: users conserved; equals an in-memory signature reference") {
+    val events = graft.Tables.events(spark, sf)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sigs = events.groupBy(_._1).map { case (_, es) =>
+      md5hex(es.groupBy(_._2).map { case (t, xs) => s"$t:${xs.length}" }
+        .toSeq.sorted.mkString("|"))
+    }.toSeq
+    val expected = sigs.groupBy(identity).map(_._2.length.toLong)
+      .groupBy(identity)
+      .map { case (k, ks) => k -> (ks.size.toLong, k * ks.size) }
+    val got = Events.q101ReidRisk(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected)
+    assert(got.values.map(_._2).sum === events.map(_._1).distinct.length.toLong,
+      "every user must land in exactly one anonymity set")
+  }
+
   test("q100 cross-modal census: every paired doc exactly once; marginals match q22's cut") {
     import org.apache.spark.sql.functions._
     val rows = MultimodalQ.q100QualityByLabel(spark, sf).collect()
