@@ -17,6 +17,10 @@ run / fork := true
 // 1-5 ("parsed": null). Suppressing the success banner makes the
 // bench's JSON the final stdout line.
 Global / showSuccess := false
+// showSuccess is consumed by the command engine, not other settings —
+// exclude it from the unused-key lint so its [warn] block doesn't
+// land in the driver's captured stdout.
+Global / excludeLintKeys += showSuccess
 // ... and the logger's "[info] " prefix on every forked-process stdout
 // line would equally break that JSON parse — pipe run output through
 // unprefixed instead.
