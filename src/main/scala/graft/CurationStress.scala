@@ -41,7 +41,7 @@ object CurationStress {
     // from the actual corpus (max id + 1), not a fixed constant that a
     // larger SF would silently overflow into
     val base = Tables.documents(spark, sfDir)
-      .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head.getLong(0) + 1L
+      .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head().getLong(0) + 1L
     Tables.documents(spark, sfDir)
       .crossJoin(spark.range(reps).toDF("rep"))
       .select(
@@ -82,10 +82,10 @@ object CurationStress {
     val (_, tBigram) = time(noop(Text.q95BigramSurprisal(spark, stressDir)))
     // warmup doubles as the 1× reference point
     val refTok = queries.PipelineQ.q98DedupedMixture(spark, sfDir)
-      .agg(sum(col("tokens"))).head.getLong(0)
+      .agg(sum(col("tokens"))).head().getLong(0)
     val (survTok, tMix) = time {
       queries.PipelineQ.q98DedupedMixture(spark, stressDir)
-        .agg(sum(col("tokens"))).head.getLong(0)
+        .agg(sum(col("tokens"))).head().getLong(0)
     }
     // every doc is an exact near-dup of its R-1 replicas, so the
     // policy keeps ONE copy corpus-wide — EXCEPT docs under the LSH
@@ -97,7 +97,7 @@ object CurationStress {
     val shortTok = Tables.documents(spark, sfDir)
       .select(size(split(col("text"), " ")).cast("long").as("n"))
       .filter(col("n") < 3).agg(coalesce(sum(col("n")), lit(0L)))
-      .head.getLong(0)
+      .head().getLong(0)
     val expected = refTok + (reps - 1L) * shortTok
     assert(survTok == expected,
       s"dedup must collapse the R× corpus to 1× (+ sub-shingle tail): " +

@@ -20,7 +20,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Sq
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[DotProduct].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[DotProduct].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   /** Plan-time int literal: the kernel parameters below size generated
     * code, so they must be foldable constants — a column would

@@ -224,7 +224,7 @@ object Relational {
     * spelling kept as the differential reference for the fused
     * `hash_positions` kernel (HashPositionsSpec). */
   private[graft] def bloomPos(j: Int, key: Column): Column =
-    conv(substring(md5(concat(lit(j + ":"), key.cast("string"))), 1, 8), 16, 10)
+    conv(substring(md5(concat(lit(s"$j:"), key.cast("string"))), 1, 8), 16, 10)
       .cast("long") % (BloomWords * 32)
 
   /** Bloom-filtered semi-join census (q73) — the 100 TB pre-join

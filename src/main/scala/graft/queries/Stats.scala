@@ -146,7 +146,7 @@ object Stats {
   /** Composed per-i spelling of one sketch bucket — the differential
     * reference for the fused `hash_positions` kernel (HashPositionsSpec). */
   private[graft] def cmsBucket(i: Int, t: Column): Column =
-    conv(substring(md5(concat(lit(i + ":"), t)), 1, 8), 16, 10)
+    conv(substring(md5(concat(lit(s"$i:"), t)), 1, 8), 16, 10)
       .cast("long") % CmsW
 
   /** Count-Min sketch heavy hitters (q68) — the streaming-friendly

@@ -83,7 +83,7 @@ object StatefulSessions {
   def updateSessions(userId: Long, events: Iterator[Event],
                      state: GroupState[SessionState]): Iterator[ClosedSession] = {
     if (state.hasTimedOut) {
-      val closed = state.getOption.map(asClosed(userId, _)).toIterator
+      val closed = state.getOption.map(asClosed(userId, _)).iterator
       state.remove()
       closed
     } else {
@@ -154,7 +154,7 @@ object StatefulSessions {
       val closing = (if (state.exists()) Some(state.get()) else None)
         // a stale timer may fire after the session extended past it —
         // only close when this timer is the session's live one
-        .filter(s => timeoutMs(s) == info.getExpiryTimeInMs)
+        .filter(s => timeoutMs(s) == info.getExpiryTimeInMs())
       closing.foreach(_ => state.clear())
       closing.map(asClosed(key, _)).iterator
     }
