@@ -159,6 +159,8 @@ object SparkEntry {
     "q100_quality_by_label" -> (MultimodalQ.q100QualityByLabel _),
     // privacy: behavioral k-anonymity (re-identification risk) census
     "q101_reid_risk" -> (Events.q101ReidRisk _),
+    // statistics: one-pass deterministic bootstrap (integer dispersion)
+    "q102_bootstrap_moments" -> (Stats.q102BootstrapMoments _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -266,5 +268,6 @@ object SparkEntry {
     "q99_heldout_surprisal" -> Text.q99Sql,
     "q100_quality_by_label" -> MultimodalQ.q100Sql,
     "q101_reid_risk" -> Events.q101Sql,
+    "q102_bootstrap_moments" -> Stats.q102Sql,
   )
 }

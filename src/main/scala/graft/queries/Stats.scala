@@ -239,4 +239,62 @@ object Stats {
       |       coalesce(o_orderpriority, 'ALL') AS priority,
       |       count(*) AS order_count
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** Bootstrap replica count for q102. */
+  val BootReplicas = 16
+
+  /** One-pass deterministic bootstrap (q102) — uncertainty
+    * quantification for pipeline statistics: every census this engine
+    * reports is a point estimate, and a curation decision ("source X
+    * degraded this week") needs to know whether the movement exceeds
+    * sampling noise. Each document contributes an integer weight in
+    * {0,1,2} (mean 1) to each of B replicas via a seeded hash — a
+    * deterministic surrogate for Poisson(1) resampling — so ALL B
+    * resampled per-source means are computed in ONE corpus pass
+    * (explode by the B×-literal, weighted sums). The dispersion
+    * statistic is kept EXACT-integer: replica means in millichars,
+    * and ss_milli = n·Σm² − (Σm)² (n times the unnormalized variance
+    * — divide by n² client-side for the variance itself), so nothing
+    * float crosses the engine boundary.
+    *
+    * Scale: the corpus scan grows B× in rows (weights are computed
+    * scan-side; only (source, b) partial sums cross the shuffle —
+    * O(sources·B) rows), then everything is O(sources·B). At 100 TB
+    * you'd fuse the B weights into one struct per row instead of
+    * exploding; the explode spelling keeps the oracle 1:1. */
+  def q102BootstrapMoments(s: SparkSession, dir: String): DataFrame = {
+    val w = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("b", explode(lit((0 until BootReplicas).toArray)))
+      .withColumn("w",
+        conv(substring(md5(concat_ws(":", lit("boot"), col("b"), col("doc_id"))
+          .cast("binary")), 1, 4), 16, 10).cast("long") % 3)
+    w.groupBy(col("source"), col("b"))
+      .agg(sum(col("w")).as("wsum"), sum(col("w") * col("n_chars")).as("sw"))
+      .filter(col("wsum") > 0)
+      .withColumn("m", expr("sw * 1000 div wsum"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("replicas"),
+        expr("sum(m) div count(1)").as("mean_millichars"),
+        expr("count(1) * sum(m * m) - sum(m) * sum(m)").cast("long")
+          .as("ss_milli"))
+  }
+  val q102Sql: String =
+    s"""WITH reps AS (
+       |  SELECT unnest(generate_series(0, ${BootReplicas - 1})) AS b),
+       |w AS (
+       |  SELECT source, doc_id, n_chars, b,
+       |         CAST('0x' || substr(md5('boot:' || b || ':' || doc_id), 1, 4)
+       |              AS BIGINT) % 3 AS w
+       |  FROM documents, reps),
+       |rep AS (
+       |  SELECT source, b, CAST(sum(w) AS BIGINT) AS wsum,
+       |         CAST(sum(w * n_chars) AS BIGINT) AS sw
+       |  FROM w GROUP BY 1, 2),
+       |m AS (SELECT source, b, sw * 1000 // wsum AS m
+       |      FROM rep WHERE wsum > 0)
+       |SELECT source, count(*) AS replicas,
+       |       CAST(sum(m) // count(*) AS BIGINT) AS mean_millichars,
+       |       CAST(count(*) * sum(m * m) - sum(m) * sum(m) AS BIGINT) AS ss_milli
+       |FROM m GROUP BY 1""".stripMargin
 }

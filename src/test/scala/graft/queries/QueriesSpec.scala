@@ -1285,6 +1285,36 @@ class QueriesSpec extends SparkSpec {
     assert(rows.map(_._5).sum > 0, "no policy flips at sf0.001 — weak fixture")
   }
 
+  test("q102 bootstrap equals an in-memory resampling reference; dispersion is sane") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def weight(b: Int, id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"boot:$b:$id".getBytes("UTF-8"))
+      // first 4 hex chars = first two bytes, big-endian
+      val v = ((h(0) & 0xffL) << 8) | (h(1) & 0xffL)
+      v % 3
+    }
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val ms = (0 until Stats.BootReplicas).flatMap { b =>
+        val wsum = ds.map(d => weight(b, d._2)).sum
+        val sw = ds.map(d => weight(b, d._2) * d._3).sum
+        if (wsum > 0) Some(sw * 1000 / wsum) else None
+      }
+      val n = ms.length.toLong
+      src -> (n, ms.sum / n, n * ms.map(m => m * m).sum - ms.sum * ms.sum)
+    }
+    val got = Stats.q102BootstrapMoments(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === expected)
+    got.values.foreach { case (reps, _, ss) =>
+      assert(reps === Stats.BootReplicas.toLong, "a replica starved at sf0.001")
+      assert(ss > 0, "zero dispersion across replicas — weights suspect")
+    }
+  }
+
   test("q101 re-id census: users conserved; equals an in-memory signature reference") {
     val events = graft.Tables.events(spark, sf)
       .select("user_id", "event_type").collect()
