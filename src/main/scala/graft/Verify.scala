@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -7,12 +7,28 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = LocalSession.build()
+    run(spark, sfDir, outDir, SparkEntry.queries, SparkEntry.oracleSql)
+    spark.stop()
+  }
+
+  /** The dump itself, parameterized for tests; returns the failure map
+    * (also persisted as verify_errors.json — a query that throws must
+    * not vanish from the round's ledger: r5's q17 threw, was omitted
+    * from CORRECTNESS, and the all-pass summary overstated coverage).
+    *
+    * `oracleSql` is BY-NAME and must only be forced AFTER the query
+    * loop: the k-means-family oracle strings (q36/q57/q58/...) embed
+    * the codebook trained by the queries themselves (lastCodebook), so
+    * forcing the map before the loop captures the untrained seed
+    * fallback and every IVF/PQ oracle silently disagrees with the
+    * dumped results (caught by the oracle gate when this was briefly a
+    * strict parameter: 95/102). */
+  def run(spark: SparkSession, sfDir: String, outDir: String,
+          queries: Map[String, (SparkSession, String) => DataFrame],
+          oracleSql: => Map[String, String]): Map[String, String] = {
     new java.io.File(outDir).mkdirs()
-    // a query that throws must not vanish from the round's ledger (r5:
-    // q17 threw, was omitted from CORRECTNESS, and the all-pass summary
-    // overstated coverage) — record every failure in verify_errors.json
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -32,7 +48,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = failures
@@ -41,6 +57,6 @@ object Verify {
     if (failures.nonEmpty)
       System.err.println(s"[verify] ${failures.size} queries FAILED: " +
         failures.keys.mkString(", "))
-    spark.stop()
+    failures.toMap
   }
 }
