@@ -369,12 +369,17 @@ object Events {
     * small. Nothing pairwise: anonymity sets come from grouping, not
     * user-to-user comparison. */
   def q101ReidRisk(s: SparkSession, dir: String): DataFrame = {
+    // NULL event_type gets an explicit sentinel term: concat_ws would
+    // silently DROP the null (keeping a bare count) while DuckDB's
+    // `||` would null the whole term — coalesce on both sides keeps
+    // the signatures engine-identical and null-counting
     val sig = Tables.events(s, dir)
-      .groupBy(col("user_id"), col("event_type"))
+      .groupBy(col("user_id"),
+        coalesce(col("event_type"), lit("<null>")).as("et"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("user_id"))
       .agg(md5(concat_ws("|",
-        sort_array(collect_list(concat_ws(":", col("event_type"), col("c")))))
+        sort_array(collect_list(concat_ws(":", col("et"), col("c")))))
         .cast("binary")).as("sig"))
     sig.groupBy(col("sig")).agg(count(lit(1)).as("k"))
       .groupBy(col("k"))
@@ -383,12 +388,12 @@ object Events {
   }
   val q101Sql: String =
     """WITH pc AS (
-      |  SELECT user_id, event_type, count(*) AS c
+      |  SELECT user_id, coalesce(event_type, '<null>') AS et, count(*) AS c
       |  FROM events GROUP BY 1, 2),
       |sig AS (
       |  SELECT user_id,
-      |         md5(string_agg(event_type || ':' || c, '|'
-      |               ORDER BY event_type || ':' || c)) AS sig
+      |         md5(string_agg(et || ':' || c, '|'
+      |               ORDER BY et || ':' || c)) AS sig
       |  FROM pc GROUP BY 1),
       |anon AS (SELECT sig, count(*) AS k FROM sig GROUP BY 1)
       |SELECT k, count(*) AS signatures, CAST(k * count(*) AS BIGINT) AS users

@@ -154,26 +154,27 @@ object PipelineQ {
     * mostly self-duplicated crawl shrinks toward its true share; its
     * mixture weight follows.
     *
-    * Scale: the demoted set is O(clustered docs) — tiny against the
-    * corpus — so the survivor cut is a broadcast ANTI-join onto the one
-    * corpus scan that q97 runs anyway; everything downstream of the
-    * token agg is O(sources). No new corpus-scale shuffle vs q97.
-    */
-  /** The demoted-set cut is size-gated (the contaminationAuto
-    * pattern): on a typical corpus the demoted ids are a tiny
-    * fraction and broadcast, but on a boilerplate-saturated crawl —
+    * The survivor cut is an anti-join of the corpus scan q97 runs
+    * anyway against the demoted-id set, SIZE-GATED (the
+    * contaminationAuto pattern): on a typical corpus demoted ids are a
+    * tiny fraction and broadcast; on a boilerplate-saturated crawl —
     * CurationStress's replication makes demoted ≈ (R−1)/R of ALL
     * doc_ids — an unconditional broadcast hint would bypass the
-    * planner's threshold and blow the driver. Above the gate the
-    * anti-join degrades to a shuffle, which is the correct plan
-    * there. The demoted frame is persisted so the gate's count
-    * doesn't re-run the LSH ladder. */
+    * planner's threshold and blow the driver, so above the gate the
+    * anti-join degrades to the shuffle that is correct there.
+    * Everything downstream of the token agg is O(sources).
+    *
+    * The demoted frame is localCheckpointed (the ConnectedComponents
+    * discipline — NOT persist: a CacheManager entry would outlive the
+    * call, and a bench rerun would silently time a cache hit instead
+    * of the ladder) so the gate's count and the anti-join share one
+    * ladder execution, and the storage is GC-reclaimed with the frame. */
   def q98DedupedMixture(s: SparkSession, dir: String, tau: Double = 0.7,
                         maxBroadcastDemoted: Long = 10L * 1000 * 1000)
       : DataFrame = {
     val docs = Tables.documents(s, dir)
     val demoted = Dedup.rankedMembers(docs)
-      .filter(col("rn") =!= 1).select(col("doc_id")).persist()
+      .filter(col("rn") =!= 1).select(col("doc_id")).localCheckpoint()
     val cut =
       if (demoted.count() <= maxBroadcastDemoted) broadcast(demoted) else demoted
     val survivors = docs.join(cut, Seq("doc_id"), "left_anti")

@@ -381,10 +381,12 @@ object Streams {
   def incrementalOovStats(docs: DataFrame, vocab: DataFrame,
                           statsPath: String, checkpoint: String)
       : DataStreamWriter[Row] = {
-    // freeze ONCE: without the persist every micro-batch would re-run
-    // the whole vocab plan (a corpus scan for trainVocab) plus its
-    // distinct shuffle before re-broadcasting
-    val frozen = graft.queries.Text.frozenVocab(vocab).persist()
+    // freeze ONCE: without this every micro-batch would re-run the
+    // whole vocab plan (a corpus scan for trainVocab) plus its
+    // distinct shuffle before re-broadcasting. localCheckpoint, not
+    // persist — no CacheManager entry to leak past the stream's life;
+    // the materialized blocks are GC-reclaimed with the frame.
+    val frozen = graft.queries.Text.frozenVocab(vocab).localCheckpoint()
     docs.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)

@@ -1323,7 +1323,8 @@ class QueriesSpec extends SparkSpec {
       java.security.MessageDigest.getInstance("MD5")
         .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val sigs = events.groupBy(_._1).map { case (_, es) =>
-      md5hex(es.groupBy(_._2).map { case (t, xs) => s"$t:${xs.length}" }
+      md5hex(es.groupBy(e => Option(e._2).getOrElse("<null>"))
+        .map { case (t, xs) => s"$t:${xs.length}" }
         .toSeq.sorted.mkString("|"))
     }.toSeq
     val expected = sigs.groupBy(identity).map(_._2.length.toLong)
