@@ -373,13 +373,18 @@ object Events {
     // silently DROP the null (keeping a bare count) while DuckDB's
     // `||` would null the whole term — coalesce on both sides keeps
     // the signatures engine-identical and null-counting
+    // each "type:count" term is md5'd BEFORE aggregation: a raw
+    // event_type containing ':' or '|' could otherwise collide two
+    // distinct count-multisets into one signature and undercount the
+    // k=1 re-identification mass — fixed-width hex terms can't
     val sig = Tables.events(s, dir)
       .groupBy(col("user_id"),
         coalesce(col("event_type"), lit("<null>")).as("et"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("user_id"))
       .agg(md5(concat_ws("|",
-        sort_array(collect_list(concat_ws(":", col("et"), col("c")))))
+        sort_array(collect_list(
+          md5(concat_ws(":", col("et"), col("c")).cast("binary")))))
         .cast("binary")).as("sig"))
     sig.groupBy(col("sig")).agg(count(lit(1)).as("k"))
       .groupBy(col("k"))
@@ -392,8 +397,8 @@ object Events {
       |  FROM events GROUP BY 1, 2),
       |sig AS (
       |  SELECT user_id,
-      |         md5(string_agg(et || ':' || c, '|'
-      |               ORDER BY et || ':' || c)) AS sig
+      |         md5(string_agg(md5(et || ':' || c), '|'
+      |               ORDER BY md5(et || ':' || c))) AS sig
       |  FROM pc GROUP BY 1),
       |anon AS (SELECT sig, count(*) AS k FROM sig GROUP BY 1)
       |SELECT k, count(*) AS signatures, CAST(k * count(*) AS BIGINT) AS users

@@ -714,9 +714,11 @@ object Text {
     * per-doc integer mean → bucket → per-(source, bucket) census. */
   private def surprisalCensus(scored: DataFrame): DataFrame =
     scored.groupBy(col("source"), col("doc_id"))
-      .agg((sum(col("s2")) / count(lit(1))).cast("long").as("avg_millinats"))
+      // integer `div`, not double-divide-then-truncate: bit-exact with
+      // the oracle's `//` floor division (q100/q102 discipline)
+      .agg(expr("sum(s2) div count(1)").as("avg_millinats"))
       .groupBy(col("source"),
-        (col("avg_millinats") / 100).cast("long").as("surprisal_bucket"))
+        expr("avg_millinats div 100").as("surprisal_bucket"))
       .agg(count(lit(1)).as("doc_count"), min(col("doc_id")).as("min_doc_id"))
 
   def q95BigramSurprisal(s: SparkSession, dir: String): DataFrame = {

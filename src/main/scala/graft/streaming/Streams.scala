@@ -362,12 +362,26 @@ object Streams {
           graft.queries.Text.sourceTokenTotals(batch), batchId, tokensPath)
       }
 
+  /** Read a landed-partials path, or an empty frame of the given
+    * schema if no micro-batch has committed yet — monitoring callers
+    * poll these snapshots and must not see AnalysisException in the
+    * window between stream start and first commit. */
+  private def readPartialsOrEmpty(spark: SparkSession, path: String,
+                                  ddl: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(path)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+  }
+
   /** The live mixture: summed totals through the exact batch weight
     * math — snapshot(union of batches) == q97(union corpus). */
   def mixtureWeightsSnapshot(spark: SparkSession, tokensPath: String,
                              tau: Double = 0.7): DataFrame =
     graft.queries.Text.mixtureWeightsFrom(
-      spark.read.parquet(tokensPath)
+      readPartialsOrEmpty(spark, tokensPath,
+        "source string, tokens bigint, batch_id bigint")
         .groupBy(col("source")).agg(sum(col("tokens")).as("tokens")), tau)
 
   /** Incremental OOV monitoring — vocabulary-drift detection at
@@ -398,7 +412,8 @@ object Streams {
 
   /** The live OOV rate: summed partials, rate in integer ppm. */
   def oovRateSnapshot(spark: SparkSession, statsPath: String): DataFrame =
-    spark.read.parquet(statsPath)
+    readPartialsOrEmpty(spark, statsPath,
+      "source string, tokens bigint, oov bigint, batch_id bigint")
       .groupBy(col("source"))
       .agg(sum(col("tokens")).as("tokens"), sum(col("oov")).as("oov"))
       .withColumn("oov_ppm", expr("oov * 1000000 div tokens"))
