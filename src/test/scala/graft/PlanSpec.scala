@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.LeftAnti
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
+
+/** Plan-REGRESSION gates: the physical-plan properties PLANS.md's
+  * audits rest on, asserted so a future edit cannot silently
+  * de-optimize a reviewed plan (a broadcast hint dropped in a
+  * refactor, a filter that stops reaching the scan, a cross join
+  * introduced by a condition typo all fail here, not in a 100 TB run).
+  *
+  * Plans are taken PRE-execution (the AQE initial plan): the gated
+  * properties — join strategy chosen statically, exchange count,
+  * partition-filter literals — are decided by Catalyst before AQE's
+  * runtime re-planning, which only ever improves on them.
+  */
+class PlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  private def planOf(name: String): SparkPlan =
+    planOf(SparkEntry.queries(name)(spark, sf))
+
+  private def ops(p: SparkPlan): Seq[SparkPlan] =
+    p.collect { case n => n }.flatMap {
+      case a: AdaptiveSparkPlanExec => ops(a.executedPlan)
+      case n => Seq(n)
+    }
+
+  /** Queries whose plans legitimately contain a nested-loop cross:
+    * each is a documented broadcast of a ≤O(1)-row aggregate / literal
+    * frame (the "1-row stat cross" pattern) or a bounded sample.
+    * Adding a query here requires its PLANS.md entry to document the
+    * broadcast side's bound — that review step is the point of the
+    * whitelist. */
+  private val documentedCrosses: Set[String] = Set(
+    "q8_top_nations_other",     // totals × 1-row top-N cutoff agg
+    "q95_bigram_surprisal",     // × 1-row vocab-size agg
+    "q99_heldout_surprisal",    // × 1-row train-vocab-size agg
+    "q21_langid",               // × 1-row corpus stats
+    "q37_sketches",             // × 1-row sketch-params frame
+    "q49_contamination",        // × 1-row collected bench shingle set
+    "q56_contamination_joined", // auto-selector: picks q49's path at this SF
+    "q62_bm25",                 // × 1-row (N, avgdl) stats
+    "q64_unigram_surprisal",    // selector twin may plan the stats cross
+    "q69_funnel",               // × three 1-row stage-count aggs
+    "q71_dsir_census",          // × 1-row target-distribution frame
+    "q75_weighted_sample",      // × 1-row total-weight agg
+    "q88_length_winsorize",     // × 1-row percentile frame
+    "q89_source_kl_drift",      // × 1-row reference-distribution agg
+    "q91_novelty_curve",        // × 1-row corpus-total agg
+    "q93_split_leakage",        // × 1-row split-census agg
+    "q97_mixture_weights",      // × 1-row qtot agg
+    "q98_deduped_mixture",      // mixture tail: × 1-row qtot agg
+    "q48_stratified_sample",    // × 1-row per-stratum rate frame
+    "q54_mixing_rates",         // × 1-row recipe totals
+    "q102_bootstrap_moments",   // replica literal expansion
+    "q29_cosine_topk",          // × broadcast 5-row query-vector set (≠ pred)
+    "q51_multiprobe_ann",       // × broadcast probe/centroid frame
+    "q52_range_join",           // × broadcast 3-row tier-bounds literal
+    "q59_pq_adc_search",        // × broadcast ADC lookup tables
+    "q65_surprisal_joined",     // × 1-row total-tokens agg (the q64 stats cross)
+    "q73_bloom_semijoin",       // × ONE dense bloom-words row
+    "q78_tfidf_keywords",       // × 1-row corpus-N agg
+    "q81_source_overlap"        // × broadcast per-source gram-total frame
+  )
+
+  test("no query plans a CartesianProduct; nested-loop joins only where documented") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val nodes = ops(planOf(name))
+      val cart = nodes.exists(_.isInstanceOf[CartesianProductExec])
+      val undocumentedBnl =
+        nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]) &&
+          !documentedCrosses(name)
+      if (cart) Some(s"$name: CartesianProductExec")
+      else if (undocumentedBnl) Some(s"$name: undocumented BroadcastNestedLoopJoin")
+      else None
+    }
+    assert(offenders.isEmpty, s"\n${offenders.mkString("\n")}")
+  }
+
+  test("q49 contamination: bench set is a broadcast cross, corpus never shuffle-joins") {
+    val nodes = ops(planOf("q49_contamination"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "bench shingle set must ride a broadcast nested-loop cross")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "q49's point is zero shuffle joins — the corpus is scanned once")
+  }
+
+  test("q64 literal-fold surprisal: no join operators at all") {
+    val nodes = ops(planOf("q64_unigram_surprisal"))
+    assert(!nodes.exists(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[BroadcastHashJoinExec]),
+      "q64 folds a literal model inside codegen — any join means the " +
+        "literal path regressed to q65's shuffle spelling")
+  }
+
+  test("q65 joined surprisal: every equi-join is broadcast at small-vocab scale") {
+    val nodes = ops(planOf("q65_surprisal_joined"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "token scoring must be a BroadcastHashJoin on t")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "the surprisal table fits broadcast here — a sort-merge join " +
+        "means the hint was dropped")
+  }
+
+  test("q98 deduped mixture: the survivor cut is a BROADCAST anti-join") {
+    val nodes = ops(planOf("q98_deduped_mixture"))
+    assert(nodes.exists {
+      case b: BroadcastHashJoinExec => b.joinType == LeftAnti
+      case _ => false
+    }, "demoted-docs cut must be BroadcastHashJoin(LeftAnti)")
+    assert(!nodes.exists {
+      case s: SortMergeJoinExec => s.joinType == LeftAnti
+      case _ => false
+    }, "the corpus must not shuffle for the anti-join below the size gate")
+  }
+
+  test("q84 curation manifest: the whole pipeline is ONE shuffle exchange") {
+    val shuffles = ops(planOf("q84_curation_manifest"))
+      .count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles == 1,
+      s"PLANS.md claims scrub+split+mix are scan-side and packing's window " +
+        s"shares its partitioning with the aggregation — got $shuffles exchanges")
+  }
+
+  test("incremental index history reads carry literal partition filters") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("plan_idx").toString
+
+    Seq((0, "ab", 1L, 0L), (1, "cd", 2L, 0L))
+      .toDF("band", "sig", "doc_id", "batch_id")
+      .write.partitionBy("band", "batch_id").parquet(s"$base/lsh")
+    Seq((3L, 10L, Array(1.0, 0.0), 0L))
+      .toDF("bucket", "vec_id", "v", "batch_id")
+      .write.partitionBy("bucket", "batch_id").parquet(s"$base/ann")
+    Seq(("ab", "abffff", 0L)).toDF("fp_prefix", "fp", "batch_id")
+      .write.partitionBy("fp_prefix", "batch_id").parquet(s"$base/fp")
+
+    def scansOf(df: DataFrame): Seq[FileSourceScanExec] =
+      ops(planOf(df)).collect { case f: FileSourceScanExec => f }
+
+    for ((label, df, cols) <- Seq(
+      ("lsh", graft.streaming.Streams.lshIndexHistory(
+        spark, s"$base/lsh", Seq(0, 1), 5L), Seq("band", "batch_id")),
+      ("ann", graft.streaming.Streams.annIndexHistory(
+        spark, s"$base/ann", Seq(3L), 5L), Seq("bucket", "batch_id")),
+      ("fp", graft.streaming.Streams.fpIndexHistory(
+        spark, s"$base/fp", Seq("ab"), 5L), Seq("fp_prefix", "batch_id")))) {
+      val scans = scansOf(df)
+      assert(scans.nonEmpty, s"$label: expected a parquet scan")
+      scans.foreach { s =>
+        val refs = s.partitionFilters.flatMap(_.references.map(_.name)).toSet
+        cols.foreach(c => assert(refs.contains(c),
+          s"$label: partition filter on '$c' missing — the history read " +
+            s"would scan the WHOLE index (filters: ${s.partitionFilters})"))
+      }
+    }
+  }
+}
