@@ -161,6 +161,9 @@ object SparkEntry {
     "q101_reid_risk" -> (Events.q101ReidRisk _),
     // statistics: one-pass deterministic bootstrap (integer dispersion)
     "q102_bootstrap_moments" -> (Stats.q102BootstrapMoments _),
+    // the same bootstrap, fused (no B× row multiplication — the
+    // 100 TB spelling); same oracle, bit-identical output
+    "q103_bootstrap_fused" -> (Stats.q103BootstrapFused _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -269,5 +272,6 @@ object SparkEntry {
     "q100_quality_by_label" -> MultimodalQ.q100Sql,
     "q101_reid_risk" -> Events.q101Sql,
     "q102_bootstrap_moments" -> Stats.q102Sql,
+    "q103_bootstrap_fused" -> Stats.q102Sql,
   )
 }

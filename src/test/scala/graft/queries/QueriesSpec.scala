@@ -1315,6 +1315,13 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q103 fused bootstrap is row-identical to the explode spelling") {
+    // the 100 TB spelling must be bit-equal, not approximately equal:
+    // same seeded weights, same integer arithmetic, same oracle
+    assert(rowsOf(Stats.q103BootstrapFused(spark, sf)) ===
+      rowsOf(Stats.q102BootstrapMoments(spark, sf)))
+  }
+
   test("q101 re-id census: users conserved; equals an in-memory signature reference") {
     val events = graft.Tables.events(spark, sf)
       .select("user_id", "event_type").collect()
