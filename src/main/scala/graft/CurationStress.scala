@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{Bpe, Dedup, Text}
+import graft.queries.{Bpe, Dedup, Events, Stats, Text}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -27,6 +27,25 @@ import org.apache.spark.sql.functions._
   *    survivor set the unreplicated corpus keeps (the base corpus has
   *    its own near-dup clusters, which dedup also trims) — asserted:
   *    surviving token mass at R× equals surviving token mass at 1×.
+  *
+  * Round-7 tail (the r6 rungs + the skew remedy, at scale):
+  *
+  *  - q104 vs q95: the hot-pair split against the flat scoring join on
+  *    the same inflated corpus — the measured flat-vs-split crossover
+  *    row PLANS.md records.
+  *  - q99 held-out surprisal: timed at R×; asserted: the TRAIN model's
+  *    distinct bigram-type count stays ≤ the base corpus's type count
+  *    at any R — replication adds corpus rows, never model rows (the
+  *    split is doc_id-salted, so replicas re-split; types still can't
+  *    exceed the base inventory).
+  *  - q101 re-id census over R×-replicated events (users cloned with
+  *    fresh ids, identical behavior): every anonymity set of size k
+  *    must become EXACTLY size R·k with the same signature count —
+  *    the census's scaling law, asserted bit-exact.
+  *  - q102 explode vs q103 fused bootstrap at R× (the B×-row-stream
+  *    trade at scale); asserted: each replica source's mean stays
+  *    within bootstrap noise of its base source's mean (same docs,
+  *    fresh seeded weights), no replica starves.
   *
   * Usage: CurationStress [reps]   (SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS)
   */
@@ -102,7 +121,103 @@ object CurationStress {
     assert(survTok == expected,
       s"dedup must collapse the R× corpus to 1× (+ sub-shingle tail): " +
         s"survivors $survTok != expected $expected (ref $refTok, short $shortTok)")
-    println(f"""{"metric":"curation_stress","reps":$reps,"q74_sec":$tSpan%.2f,"q74_rows":$spanRows,"q81_sec":$tOverlap%.2f,"q81_full_matches":$q81Full,"q79_sec":$tTrain%.2f,"q80_sec":$tApply%.2f,"q95_sec":$tBigram%.2f,"q98_sec":$tMix%.2f,"q98_surviving_tokens":$survTok,"sf":"$sfDir"}""")
+
+    // ---- round-7 tail: skew-safe crossover + the r6 rungs at scale
+
+    // q104 vs q95 (tBigram above) on the same inflated corpus
+    noop(Text.q104BigramSkewSafe(spark, sfDir)) // warmup
+    val (_, tSkew) = time(noop(Text.q104BigramSkewSafe(spark, stressDir)))
+
+    // q99: corpus side grows R×, the model side must stay type-bounded
+    noop(Text.q99HeldoutSurprisal(spark, sfDir)) // warmup
+    val (_, tHeldout) = time(noop(Text.q99HeldoutSurprisal(spark, stressDir)))
+    def bigramTypes(df: org.apache.spark.sql.DataFrame): Long = df
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr("transform(sequence(0, size(toks) - 2), " +
+        "i -> struct(toks[i] AS w1, toks[i + 1] AS w2))")).as("bg"))
+      .select(col("bg.w1"), col("bg.w2")).distinct().count()
+    val baseTypes = bigramTypes(Tables.documents(spark, sfDir))
+    val trainTypesR = bigramTypes(Tables.documents(spark, stressDir)
+      .filter(Text.splitLabel(col("doc_id")) === "train"))
+    assert(trainTypesR <= baseTypes,
+      s"q99 train model grew past the base type inventory at R×: " +
+        s"$trainTypesR > $baseTypes — replication must add corpus, not model")
+
+    // q101: replicate events (fresh user/event ids, identical behavior)
+    val userStride = Tables.events(spark, sfDir)
+      .agg(max(col("user_id"))).head().getLong(0) + 1L
+    val eventStride = Tables.events(spark, sfDir)
+      .agg(max(col("event_id"))).head().getLong(0) + 1L
+    Tables.events(spark, sfDir)
+      .crossJoin(spark.range(reps).toDF("rep"))
+      .select(
+        (col("event_id") + col("rep") * eventStride).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("rep") * userStride).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$stressDir/events.parquet")
+    noop(Events.q101ReidRisk(spark, sfDir)) // warmup
+    val base101 = Events.q101ReidRisk(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (got101raw, tReid) = time(Events.q101ReidRisk(spark, stressDir).collect())
+    val got101 = got101raw
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want101 = base101.map { case (k, (sigs, _)) =>
+      (k * reps) -> (sigs, k * reps * sigs) }
+    assert(got101 == want101,
+      s"q101 scaling law broken: cloned users must scale every anonymity " +
+        s"set k → ${reps}k exactly; got $got101, want $want101")
+
+    // q102 explode vs q103 fused at R×; replica-mean stability
+    noop(Stats.q102BootstrapMoments(spark, sfDir)) // warmup
+    noop(Stats.q103BootstrapFused(spark, sfDir))
+    val base102 = Stats.q102BootstrapMoments(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val (rep102, tBoot) = time(Stats.q102BootstrapMoments(spark, stressDir).collect())
+    val (_, tBootFused) = time(noop(Stats.q103BootstrapFused(spark, stressDir)))
+    val bootN = Stats.BootReplicas.toDouble
+    rep102.foreach { r =>
+      val src = r.getString(0)
+      val (meanB, ssB) = base102(src.substring(0, src.lastIndexOf('_')))
+      assert(r.getLong(1) == Stats.BootReplicas.toLong,
+        s"q102 replica starved at R× for $src")
+      // same docs, fresh seeded weights: the replica source's mean must
+      // sit within bootstrap noise of its base source's. sd(mean of the
+      // B replica means) = sqrt(ss)/B^1.5 (ss = B·Σm²−(Σm)²); 6σ from
+      // BOTH sides plus integer-floor slack
+      val bound = 6.0 * (math.sqrt(ssB.toDouble) +
+        math.sqrt(r.getLong(3).toDouble)) / math.pow(bootN, 1.5) + 2.0
+      val diff = math.abs(r.getLong(2) - meanB).toDouble
+      assert(diff <= bound,
+        s"q102 replica mean drifted past bootstrap noise for $src: " +
+          s"|${r.getLong(2)} - $meanB| = $diff > $bound")
+    }
+
+    // flat-vs-split crossover, measured where it can actually appear:
+    // the testdata has NO Zipf head (hottest pair = 0.13% of bigram
+    // mass), so plant one — a boilerplate preamble on every doc, the
+    // boilerplate-saturated-crawl shape — and turn auto-broadcast OFF
+    // to simulate the 100 TB regime where the model outgrows broadcast
+    // and the flat scoring join really shuffles. q104's explicit
+    // broadcast() of the hot 1024 survives the threshold; its tail
+    // join shuffles only the non-boilerplate remainder.
+    val skewDir = s"$stressDir/skew"
+    val boiler = "terms of service apply all rights reserved contact " +
+      "us for details cookie policy accepted by continued use"
+    Tables.documents(spark, stressDir)
+      .select(col("doc_id"), concat(lit(boiler + " "), col("text")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$skewDir/documents.parquet")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (flatRows, tFlatSkew) = time(noop(Text.q95BigramSurprisal(spark, skewDir)))
+    val (splitRows, tSplitSkew) = time(noop(Text.q104BigramSkewSafe(spark, skewDir)))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    assert(flatRows == splitRows,
+      s"flat and split censuses disagree on the skew corpus: $flatRows != $splitRows")
+
+    println(f"""{"metric":"curation_stress","reps":$reps,"q74_sec":$tSpan%.2f,"q74_rows":$spanRows,"q81_sec":$tOverlap%.2f,"q81_full_matches":$q81Full,"q79_sec":$tTrain%.2f,"q80_sec":$tApply%.2f,"q95_sec":$tBigram%.2f,"q98_sec":$tMix%.2f,"q98_surviving_tokens":$survTok,"q104_sec":$tSkew%.2f,"q99_sec":$tHeldout%.2f,"q101_sec":$tReid%.2f,"q102_sec":$tBoot%.2f,"q103_sec":$tBootFused%.2f,"bigram_types_base":$baseTypes,"bigram_types_train_r":$trainTypesR,"q95_skewcorpus_sec":$tFlatSkew%.2f,"q104_skewcorpus_sec":$tSplitSkew%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -774,6 +774,58 @@ object Text {
        |  SELECT doc_id, source, s2 FROM bg JOIN model USING (w1, w2)),
        |$surprisalCensusTailSql""".stripMargin
 
+  /** Hot-pair cut for the skew-safe scoring split (q104): how many of
+    * the highest-count bigram pairs ride the broadcast path. 1024
+    * pairs ≈ the Zipf head that concentrates reducers; broadcast cost
+    * is K·(two words + a long) — a few hundred KB at any corpus size. */
+  val HotPairK = 1024
+
+  /** Skew-safe bigram surprisal (q104) — q95 with the hot-pair split,
+    * the q42/q56 duality in bigram form. q95's scoring join shuffles
+    * every corpus bigram on (w1, w2); on a real corpus the Zipf head
+    * ("of the", "in the") concentrates a large fraction of ALL bigram
+    * occurrences onto a handful of reducers — the one 100×-scale flag
+    * the round-6 audit left open. The split: the top-K pairs by count
+    * are broadcast and matched map-side (the heavy-hitter mass NEVER
+    * enters a shuffle); the remaining tail — whose per-key cardinality
+    * is bounded by the K-th hottest count — takes the ordinary
+    * shuffled join. Identical output to q95 (same model, same
+    * formula; each bigram scores on exactly one branch since
+    * hot ∩ tail = ∅), same oracle.
+    *
+    * Cost shape, stated honestly: the model ladder runs once
+    * (localCheckpointed — O(distinct bigrams), the q98 discipline) and
+    * the corpus is scanned twice (once per branch, each branch
+    * map-side-filtered by the broadcast hot set) — one more scan than
+    * q95 in exchange for a shuffle whose largest key is capped at the
+    * K-th count. Columnar scans are cheap and re-parallelize freely;
+    * a skewed reducer does not. CurationStress measures the crossover
+    * on a replicated corpus. */
+  def q104BigramSkewSafe(s: SparkSession, dir: String,
+                         hotPairs: Int = HotPairK): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+    val (c2, c1, vocab) = bigramCounts(d)
+    val model = c2.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"), col("c2"),
+        add1Surprisal(col("c2"), col("c1"), col("v")).as("s2"))
+      .localCheckpoint()
+    // deterministic hot cut: ties at the K boundary break on the pair
+    val hot = broadcast(model
+      .orderBy(col("c2").desc, col("w1"), col("w2")).limit(hotPairs)
+      .select(col("w1"), col("w2"), col("s2")))
+    val tailModel = model.join(hot.select(col("w1"), col("w2")),
+      Seq("w1", "w2"), "left_anti")
+    val bg = bigramsOf(d)
+    val hotScored = bg.join(hot, Seq("w1", "w2")) // map-side, no shuffle
+      .select(col("source"), col("doc_id"), col("s2"))
+    val tailScored = bg
+      .join(hot.select(col("w1"), col("w2")), Seq("w1", "w2"), "left_anti")
+      .join(tailModel, Seq("w1", "w2"))
+      .select(col("source"), col("doc_id"), col("s2"))
+    surprisalCensus(hotScored.unionByName(tailScored))
+  }
+
   /** Held-out surprisal census (q99) — eval hygiene for the LM-quality
     * ladder: the bigram model is trained ONLY on the train split
     * (q77's salted content-stable cut) and scores ONLY val docs, so

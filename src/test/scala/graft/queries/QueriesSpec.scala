@@ -1322,6 +1322,16 @@ class QueriesSpec extends SparkSpec {
       rowsOf(Stats.q102BootstrapMoments(spark, sf)))
   }
 
+  test("q104 skew-safe bigram scoring is row-identical to q95's flat join") {
+    // hot ∩ tail = ∅ and every corpus bigram is in the self-trained
+    // model, so the split must reproduce q95 exactly — including with
+    // a tiny hot cut (K=2) that forces BOTH branches to carry rows
+    assert(rowsOf(Text.q104BigramSkewSafe(spark, sf)) ===
+      rowsOf(Text.q95BigramSurprisal(spark, sf)))
+    assert(rowsOf(Text.q104BigramSkewSafe(spark, sf, hotPairs = 2)) ===
+      rowsOf(Text.q95BigramSurprisal(spark, sf)))
+  }
+
   test("q101 re-id census: users conserved; equals an in-memory signature reference") {
     val events = graft.Tables.events(spark, sf)
       .select("user_id", "event_type").collect()
