@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Bpe, Dedup, Events, Graph, Layout, MultimodalQ, Parity, PipelineQ, Relational, Similarity, Stats, Temporal, Text}
+import graft.queries.{Bpe, Dedup, Events, Graph, Layout, MultimodalQ, Parity, PipelineQ, Relational, Similarity, Stats, StreamingQ, Temporal, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -164,6 +164,15 @@ object SparkEntry {
     // the same bootstrap, fused (no B× row multiplication — the
     // 100 TB spelling); same oracle, bit-identical output
     "q103_bootstrap_fused" -> (Stats.q103BootstrapFused _),
+    // q95 with the hot-pair broadcast split (Zipf-head skew remedy);
+    // same oracle, identical output
+    "q104_bigram_skewsafe" -> ((s, d) => Text.q104BigramSkewSafe(s, d)),
+    // streaming state path on the oracle board: each runs the REAL
+    // incremental twin over several micro-batches, then snapshots the
+    // landed partitioned state; oracles are the batch twins' SQL
+    "q105_incremental_mixture" -> (StreamingQ.q105IncrementalMixture _),
+    "q106_incremental_oov" -> (StreamingQ.q106IncrementalOov _),
+    "q107_incremental_dedup" -> (StreamingQ.q107IncrementalDedup _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -273,5 +282,9 @@ object SparkEntry {
     "q101_reid_risk" -> Events.q101Sql,
     "q102_bootstrap_moments" -> Stats.q102Sql,
     "q103_bootstrap_fused" -> Stats.q102Sql,
+    "q104_bigram_skewsafe" -> Text.q95Sql,
+    "q105_incremental_mixture" -> Text.q97Sql,
+    "q106_incremental_oov" -> StreamingQ.q106Sql,
+    "q107_incremental_dedup" -> Dedup.q44Sql,
   )
 }

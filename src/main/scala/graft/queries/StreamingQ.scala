@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** Batch-snapshot wrappers that put the STREAMING state path itself on
+  * the oracle board (round-7): each registered query here materializes
+  * the corpus as a handful of files, streams them through the real
+  * incremental twin (file source, `maxFilesPerTrigger=1`, AvailableNow
+  * — several genuine micro-batches with checkpointing, the exact
+  * ingest wiring), then reads the landed partitioned state back and
+  * returns the snapshot frame. The DuckDB oracle is the BATCH twin's
+  * SQL over the same corpus — so a correctness row here means the
+  * foreachBatch + partitioned-index + merge machinery reproduced the
+  * batch answer, not merely that a batch query did.
+  *
+  * The incremental twins were already differential-tested against
+  * their batch twins (StreamsSpec); these rows make that equivalence
+  * visible to the driver's CORRECTNESS gate, which only sees
+  * registered queries.
+  *
+  * Scale note: the wrapper's chunked write is harness scaffolding —
+  * a real deployment's stream IS the source; the snapshot math it
+  * lands on (SUM-mergeable partials, partition-pruned reads) is the
+  * same code path either way.
+  */
+object StreamingQ {
+
+  /** Stream `cols` of the documents table through `run` in ~4
+    * micro-batches, then hand the work dir to `snapshot`. */
+  private def streamed(s: SparkSession, dir: String, cols: Seq[String],
+                       schemaDdl: String)
+                      (run: (DataFrame, String) => Unit): String = {
+    val work = java.nio.file.Files.createTempDirectory("graft_incq").toString
+    Tables.documents(s, dir).select(cols.map(col): _*)
+      .repartition(4).write.parquet(s"$work/chunks")
+    val docs = s.readStream.schema(StructType.fromDDL(schemaDdl))
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/chunks")
+    run(docs, work)
+    work
+  }
+
+  /** q105: q97's mixture weights computed from the incremental
+    * monitor's landed per-batch token partials (sum-merge family) —
+    * oracle: q97Sql. */
+  def q105IncrementalMixture(s: SparkSession, dir: String): DataFrame = {
+    val work = streamed(s, dir, Seq("source", "text"),
+      "source string, text string") { (docs, work) =>
+      Streams.incrementalSourceTokens(docs, s"$work/tokens", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Streams.mixtureWeightsSnapshot(s, s"$work/tokens")
+  }
+
+  /** q106: the OOV drift monitor's summed partials against the frozen
+    * train vocabulary — the oracle recomputes the census from scratch
+    * in DuckDB (q106Sql below). */
+  def q106IncrementalOov(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Text.trainVocab(s, dir)
+    val work = streamed(s, dir, Seq("source", "text"),
+      "source string, text string") { (docs, work) =>
+      Streams.incrementalOovStats(docs, vocab, s"$work/stats", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Streams.oovRateSnapshot(s, s"$work/stats")
+  }
+
+  /** The OOV census, spelled for DuckDB: per-source token count and
+    * count of tokens absent from the train-split vocabulary, rate in
+    * integer ppm — the same math [[Text.oovStatsFrozen]] lands
+    * incrementally. */
+  val q106Sql: String =
+    s"""WITH v AS (
+       |  SELECT DISTINCT unnest(str_split(text, ' ')) AS t
+       |  FROM documents WHERE (${Text.splitLabelSql}) = 'train'),
+       |tok AS (
+       |  SELECT source, unnest(str_split(text, ' ')) AS t FROM documents)
+       |SELECT source, CAST(count(*) AS BIGINT) AS tokens,
+       |       CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov,
+       |       CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         * 1000000 // CAST(count(*) AS BIGINT) AS oov_ppm
+       |FROM tok LEFT JOIN v USING (t)
+       |GROUP BY 1""".stripMargin
+
+  /** q107: LSH near-dup pairs from the incremental ingest — the
+    * persistent band-partitioned signature index and candidate log
+    * accumulate across micro-batches (within-batch + vs-history
+    * pairing), then the batch Jaccard verifier scores the logged
+    * candidates against the corpus. Oracle: q44Sql — the whole
+    * stateful cross-batch pairing path must reproduce the batch LSH
+    * ladder exactly. */
+  def q107IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val work = streamed(s, dir, Seq("doc_id", "text"),
+      "doc_id bigint, text string") { (docs, work) =>
+      Streams.incrementalLshDedup(docs, s"$work/index", s"$work/pairs",
+        s"$work/ckpt").trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Dedup.jaccardVerify(
+      s.read.parquet(s"$work/pairs").select(col("doc_a"), col("doc_b")).distinct(),
+      Tables.documents(s, dir))
+  }
+}
