@@ -43,12 +43,22 @@ object Streams {
     * recovery) end to end. On a real cluster this function is the
     * reference's exact read path. */
   def kafkaSource(spark: SparkSession, servers: String, topic: String): DataFrame =
-    spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", servers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-      .option("failOnDataLoss", "false")
-      .load()
+    kafkaSourceOptions(servers, topic)
+      .foldLeft(spark.readStream.format("kafka")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load()
+
+  /** The Kafka source options as a pure value — the reference contract
+    * (Consumer.scala:50-56: subscribe by topic, start from earliest,
+    * tolerate data loss), testable without a broker or connector jar.
+    * StreamsSpec pins each option so S3's wiring is contract-tested
+    * even where the connector can't load. */
+  def kafkaSourceOptions(servers: String, topic: String): Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> servers,
+      "subscribe" -> topic,
+      "startingOffsets" -> "earliest",
+      "failOnDataLoss" -> "false")
 
   /** File-drop source: the testbed stand-in for the Kafka topic. Each
     * dropped file IS one producer page (`wholetext` — a pretty-printed

@@ -72,7 +72,9 @@ class PlanSpec extends SparkSpec {
     "q65_surprisal_joined",     // × 1-row total-tokens agg (the q64 stats cross)
     "q73_bloom_semijoin",       // × ONE dense bloom-words row
     "q78_tfidf_keywords",       // × 1-row corpus-N agg
-    "q81_source_overlap"        // × broadcast per-source gram-total frame
+    "q81_source_overlap",       // × broadcast per-source gram-total frame
+    "q104_bigram_skewsafe",     // × 1-row vocab-size agg (q95's cross)
+    "q105_incremental_mixture"  // × 1-row qtot agg (q97's cross)
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
@@ -132,6 +134,19 @@ class PlanSpec extends SparkSpec {
     assert(shuffles == 1,
       s"PLANS.md claims scrub+split+mix are scan-side and packing's window " +
         s"shares its partitioning with the aggregation — got $shuffles exchanges")
+  }
+
+  test("q104 skew-safe bigram: hot-set joins are broadcast on both branches") {
+    val nodes = ops(planOf("q104_bigram_skewsafe"))
+    assert(nodes.exists {
+      case b: BroadcastHashJoinExec => b.joinType.sql == "INNER"
+      case _ => false
+    }, "hot-branch scoring must be a map-side BroadcastHashJoin")
+    assert(nodes.exists {
+      case b: BroadcastHashJoinExec => b.joinType == LeftAnti
+      case _ => false
+    }, "tail-branch hot-set exclusion must be a broadcast anti-join — " +
+      "a shuffled anti would reintroduce the skewed exchange")
   }
 
   test("q103 fused bootstrap: one corpus shuffle, no B× row explosion before it") {

@@ -60,6 +60,78 @@ class FoodPipelineSpec extends SparkSpec {
       Set("{not json", "also-not-json"))
   }
 
+  test("schema drift: unknown JSON fields are silently dropped (schema-on-read)") {
+    // a producer that starts sending extra fields — at the page level,
+    // the product level, and inside a nested struct — must not break
+    // or pollute the pipeline: from_json against the FIXED schema
+    // keeps exactly the declared fields (the reference's PERMISSIVE
+    // schema-on-read contract, SURVEY §1.3)
+    val drifted =
+      """{"new_page_field":123,"rows":[
+        | {"extra":"x","row":{"nutriscore_grade":"a",
+        |  "categories_tags":["en:snacks"],"brand_new_field":{"deep":1},
+        |  "nutriments":[{"name":"sugars","value":1.5,"unit":"g"}],
+        |  "product_name":[{"lang":"main","text":"Thing","slug":"thing"}],
+        |  "packaging_tags":[],"brands_tags":["b"],"additives_tags":[],
+        |  "nova_groups_tags":[]}}
+        |]}""".stripMargin.replaceAll("\n", "")
+    val out = FoodPipeline.parsePage(Seq(drifted).toDF("value"))
+    assert(out.columns.toSet === parsed.columns.toSet,
+      "drifted input must yield exactly the declared columns")
+    val r = out.collect()(0)
+    assert(r.getAs[String]("nutriscore_grade") === "a")
+    // the nested struct kept its declared fields and ignored the rest
+    assert(r.getAs[Seq[org.apache.spark.sql.Row]]("nutriments")
+      .map(n => (n.getAs[String]("name"), n.getAs[Double]("value")))
+      === Seq(("sugars", 1.5)))
+  }
+
+  test("schema drift: per-row malformation nulls FIELDS, never neighboring rows") {
+    // one product whose field has the wrong TYPE (string where the
+    // schema says array) — PERMISSIVE parsing must not take down the
+    // page: in Spark 4 a type mismatch nulls the malformed COLUMN's
+    // enclosing struct fields for that record while intact sibling
+    // rows in the same page parse fully
+    val mixed =
+      """{"rows":[
+        | {"row":{"nutriscore_grade":"b","categories_tags":"NOT_AN_ARRAY",
+        |  "nutriments":[],"product_name":[],"packaging_tags":[],
+        |  "brands_tags":[],"additives_tags":[],"nova_groups_tags":[]}},
+        | {"row":{"nutriscore_grade":"c","categories_tags":["en:ok"],
+        |  "nutriments":[],"product_name":[],"packaging_tags":[],
+        |  "brands_tags":[],"additives_tags":[],"nova_groups_tags":[]}}
+        |]}""".stripMargin.replaceAll("\n", "")
+    val out = FoodPipeline.parsePage(Seq(mixed).toDF("value")).collect()
+      .map(r => (r.getAs[String]("nutriscore_grade"),
+        Option(r.getAs[Seq[String]]("categories_tags")))).sortBy(_._1)
+    // pinned (verified against Spark 4.1): ONLY the mismatched field
+    // nulls; its own row's other fields and the intact sibling row
+    // both survive fully
+    assert(out === Seq(("b", None), ("c", Some(Seq("en:ok")))),
+      s"PERMISSIVE field-nulling contract drifted: ${out.mkString("; ")}")
+  }
+
+  test("schema drift: _corrupt_record variant captures the raw page for quarantine") {
+    import org.apache.spark.sql.types._
+    // the columnNameOfCorruptRecord contract: a schema that declares
+    // the corrupt column gets the raw text there on malformed input
+    val withCorrupt = StructType(
+      FoodPipeline.apiResponseSchema.fields :+
+        StructField("_corrupt_record", StringType))
+    val rows = Seq(page, """{"rows": BROKEN""").toDF("value")
+      .select(org.apache.spark.sql.functions.from_json(
+        $"value", withCorrupt,
+        Map("columnNameOfCorruptRecord" -> "_corrupt_record")).as("d"))
+      .select($"d.rows".isNotNull.as("parsed"),
+        $"d._corrupt_record".as("corrupt"))
+      .collect()
+    assert(rows.count(_.getBoolean(0)) === 1, "good page must parse")
+    val corrupt = rows.filter(!_.getBoolean(0))
+    assert(corrupt.length === 1 &&
+      corrupt(0).getString(1).contains("BROKEN"),
+      "malformed page must land raw in _corrupt_record")
+  }
+
   test("Q1 nutriscore: null grade dropped, garbage → UNKNOWN, valid upper-cased") {
     val out = rowsOf(FoodPipeline.nutriscoreDistribution(parsed))
     assert(out === Seq(Seq("E", "1"), Seq("UNKNOWN", "1")))

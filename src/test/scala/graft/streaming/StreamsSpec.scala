@@ -1005,8 +1005,21 @@ class StreamsSpec extends SparkSpec {
     assert(sampledDocs > 0, "fixture should have at least one sampled doc")
   }
 
-  // Note: Streams.kafkaSource mirrors the reference's Kafka options
-  // 1:1 (Consumer.scala:50-56) but the spark-sql-kafka connector jar is
-  // not shipped in this container, so constructing it is untestable
-  // offline; the file/memory sources above cover the streaming paths.
+  // Streams.kafkaSource mirrors the reference's Kafka options 1:1
+  // (Consumer.scala:50-56) but the spark-sql-kafka connector jar is not
+  // shipped in this container, so `.load()` is untestable offline; the
+  // option-building is a pure function, contract-tested here so the S3
+  // wiring can't silently drift from the reference even where the
+  // connector can't load. The file/memory sources above cover the
+  // streaming execution paths.
+  test("kafka source options match the reference contract exactly") {
+    val opts = Streams.kafkaSourceOptions("broker1:9092,broker2:9092", "openfood")
+    assert(opts === Map(
+      "kafka.bootstrap.servers" -> "broker1:9092,broker2:9092",
+      "subscribe" -> "openfood",          // subscribe, not subscribePattern/assign
+      "startingOffsets" -> "earliest",    // replay the topic from the start
+      "failOnDataLoss" -> "false"))       // tolerate aged-out offsets
+    // nothing else sneaks in: exactly the reference's four options
+    assert(opts.size === 4)
+  }
 }
