@@ -173,6 +173,20 @@ object SparkEntry {
     "q105_incremental_mixture" -> (StreamingQ.q105IncrementalMixture _),
     "q106_incremental_oov" -> (StreamingQ.q106IncrementalOov _),
     "q107_incremental_dedup" -> (StreamingQ.q107IncrementalDedup _),
+    // corpus health: per-source type/token/hapax lexical diversity
+    "q108_lexical_diversity" -> (Text.q108LexicalDiversity _),
+    // arrival cadence: log2-bucketed inter-event gap spectrum
+    "q109_interevent_gaps" -> (Events.q109IntereventGaps _),
+    // cluster separation: pairwise cosine between label centroids
+    "q110_label_centroid_sim" -> (Similarity.q110LabelCentroidSim _),
+    // robust anomaly screen: median/MAD fence census (integer-exact)
+    "q111_mad_outliers" -> (Stats.q111MadOutliers _),
+    // curation review: quality bucket × dedup-retention interaction
+    "q112_quality_dedup_grid" -> (Dedup.q112QualityDedupGrid _),
+    // the stateful sessionizer ITSELF on the oracle board: events
+    // streamed through flatMapGroupsWithState in micro-batches,
+    // closed-session census vs the batch q17 oracle
+    "q113_stateful_sessions" -> (StreamingQ.q113StatefulSessions _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -286,5 +300,11 @@ object SparkEntry {
     "q105_incremental_mixture" -> Text.q97Sql,
     "q106_incremental_oov" -> StreamingQ.q106Sql,
     "q107_incremental_dedup" -> Dedup.q44Sql,
+    "q108_lexical_diversity" -> Text.q108Sql,
+    "q109_interevent_gaps" -> Events.q109Sql,
+    "q110_label_centroid_sim" -> Similarity.q110Sql,
+    "q111_mad_outliers" -> Stats.q111Sql,
+    "q112_quality_dedup_grid" -> Dedup.q112Sql,
+    "q113_stateful_sessions" -> Events.q17Sql,
   )
 }

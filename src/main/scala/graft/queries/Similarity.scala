@@ -949,4 +949,62 @@ object Similarity {
        |             AND len(list_filter(embedding, x -> x <> 0)) > 0
        |        THEN 1 END) AS ok_vecs
        |FROM embeddings GROUP BY 1""".stripMargin
+
+  /** Label-centroid similarity matrix (q110): per-label mean vectors
+    * and the pairwise cosine between them — the cluster-separation
+    * diagnostic run after any labeling/clustering pass (two labels
+    * whose centroids sit at cosine ≈ 1 are one cluster wearing two
+    * names; a label far from every other is either signal or garbage).
+    * Emits the upper triangle (label_a < label_b), 45 rows for 10
+    * labels.
+    *
+    * Scale shape: the corpus-scale work is ONE pass — posexplode to
+    * (label, pos, v) feeds a hash-aggregate whose key space is
+    * O(labels × dim) regardless of corpus size (map-side combine
+    * collapses each partition to its local centroid partials before
+    * the shuffle). The pairwise matrix then runs on the O(labels×dim)
+    * aggregate — the all-pairs step never sees a row of the corpus.
+    * Malformed vectors (wrong dim / NaN, the q94 census's reds) are
+    * filtered with the q94 predicate so one poisoned vector cannot
+    * NaN an entire centroid.
+    *
+    * Float discipline: centroids are rounded to 7 digits BEFORE the
+    * cosine (killing cross-engine last-ulp drift from summation
+    * order), and the cosine to 5 — double guard, same convention as
+    * q33's round-before-hash.
+    */
+  def q110LabelCentroidSim(s: SparkSession, dir: String): DataFrame = {
+    val cent = Tables.embeddings(s, dir)
+      .filter(size(col("embedding")) === ExpectedDim &&
+        !expr("exists(embedding, x -> isnan(x))"))
+      .select(col("label"), posexplode(col("embedding")))
+      .toDF("label", "pos", "v")
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v")), 7).as("c"))
+    val a = cent.select(col("label").as("label_a"), col("pos"),
+      col("c").as("ca"))
+    val b = cent.select(col("label").as("label_b"), col("pos"),
+      col("c").as("cb"))
+    a.join(b, Seq("pos")).filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(round(sum(col("ca") * col("cb")) /
+        (sqrt(sum(col("ca") * col("ca"))) * sqrt(sum(col("cb") * col("cb")))),
+        5).as("centroid_cos"))
+  }
+  val q110Sql: String =
+    s"""WITH ok AS (
+       |  SELECT label, embedding FROM embeddings
+       |  WHERE len(embedding) = $ExpectedDim
+       |    AND len(list_filter(embedding, x -> isnan(x))) = 0),
+       |dims AS (
+       |  SELECT label, g.i AS pos, embedding[g.i] AS v
+       |  FROM ok CROSS JOIN generate_series(1, $ExpectedDim) AS g(i)),
+       |cent AS (SELECT label, pos, round(avg(v), 7) AS c
+       |         FROM dims GROUP BY 1, 2)
+       |SELECT a.label AS label_a, b.label AS label_b,
+       |       round(sum(a.c * b.c) /
+       |             (sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c))), 5)
+       |         AS centroid_cos
+       |FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+       |GROUP BY 1, 2""".stripMargin
 }

@@ -343,4 +343,71 @@ object Stats {
        |       CAST(sum(m) // count(*) AS BIGINT) AS mean_millichars,
        |       CAST(count(*) * sum(m * m) - sum(m) * sum(m) AS BIGINT) AS ss_milli
        |FROM m GROUP BY 1""".stripMargin
+
+  /** Robust (MAD-based) outlier census (q111): per event_type, the
+    * median/MAD location-scale pair and the count of events beyond
+    * the 3σ-equivalent robust fence — the anomaly screen that, unlike
+    * the q33 mean/stddev family, a few extreme values cannot drag
+    * (mean and stddev are both unbounded-influence; median and MAD
+    * have 50% breakdown, so the fence stays put while z-scores
+    * self-launder).
+    *
+    * Exact-integer discipline: values are 2-decimal currency, so
+    * everything runs in integer CENTS — median×2 and MAD×4 are exact
+    * BIGINTs (a median of an even count is a half-integer; ×2 clears
+    * it, the MAD doubles again), and the fence comparison
+    * 20000·d2 > 44478·mad4 is the integer cross-multiplied form of
+    * |v−med| > 3·1.4826·MAD — no float comparison whose last-ulp
+    * disagreement between engines could flip a count.
+    *
+    * Scale shape: two passes over events (median needs a full pass
+    * before deviations exist — irreducible for exact medians), each a
+    * scan + O(types) aggregate; the 5-row stats frame broadcasts back
+    * onto the scan both times. At 100 TB the exact median would move
+    * to a two-round distributed selection or an approx_percentile
+    * sketch with documented error — the fence census itself is
+    * unchanged either way.
+    */
+  def q111MadOutliers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val cents = Tables.events(s, dir)
+      .select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("c"))
+    val med = cents.groupBy(col("event_type"))
+      .agg(round(expr("percentile(c, 0.5)") * 2, 0).cast("long").as("m2"))
+    val dev = cents.join(broadcast(med), "event_type")
+      .withColumn("d2", abs(col("c") * 2 - col("m2")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(d2, 0.5)") * 2, 0).cast("long").as("mad4"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("m2")) / 200.0, 4).as("median_value"),
+        round(max(col("mad4")) / 400.0, 4).as("mad_value"),
+        sum(when(col("d2") * 20000 > col("mad4") * 44478, 1L)
+          .otherwise(0L)).as("outliers"))
+      .withColumn("outlier_ppm", expr("outliers * 1000000 div n"))
+  }
+  val q111Sql: String =
+    """WITH cents AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+      |  FROM events),
+      |med AS (
+      |  SELECT event_type, CAST(round(median(c) * 2) AS BIGINT) AS m2
+      |  FROM cents GROUP BY 1),
+      |dev AS (
+      |  SELECT cents.event_type, c, abs(c * 2 - m2) AS d2, m2
+      |  FROM cents JOIN med ON cents.event_type = med.event_type),
+      |mad AS (
+      |  SELECT event_type, CAST(round(median(d2) * 2) AS BIGINT) AS mad4
+      |  FROM dev GROUP BY 1)
+      |SELECT dev.event_type, count(*) AS n,
+      |       round(max(m2) / 200.0, 4) AS median_value,
+      |       round(max(mad4) / 400.0, 4) AS mad_value,
+      |       CAST(sum(CASE WHEN d2 * 20000 > mad4 * 44478 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS outliers,
+      |       CAST(sum(CASE WHEN d2 * 20000 > mad4 * 44478 THEN 1 ELSE 0 END)
+      |            AS BIGINT) * 1000000 // count(*) AS outlier_ppm
+      |FROM dev JOIN mad ON dev.event_type = mad.event_type
+      |GROUP BY 1""".stripMargin
 }

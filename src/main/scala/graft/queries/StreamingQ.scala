@@ -103,4 +103,60 @@ object StreamingQ {
       s.read.parquet(s"$work/pairs").select(col("doc_a"), col("doc_b")).distinct(),
       Tables.documents(s, dir))
   }
+
+  /** q113: the flatMapGroupsWithState sessionizer itself on the oracle
+    * board — the full events table streamed IN EVENT-TIME ORDER
+    * through [[graft.streaming.StatefulSessions.sessionize]] in ~6
+    * micro-batches, open sessions flushed by a far-future sentinel
+    * user (two flush batches: the watermark computed at batch N's end
+    * applies in batch N+1), then the per-user census of CLOSED
+    * sessions. Oracle: q17Sql — the batch sessionization. A green row
+    * here means the keyed state machine, its µs-exact gap arithmetic
+    * and the event-time-timeout close path reproduced the batch
+    * window-function answer over every micro-batch boundary.
+    *
+    * The driver-side sort+collect is harness scaffolding (the oracle
+    * wrapper needs deterministic in-order chunking; a real
+    * deployment's stream arrives in order by construction and the
+    * watermark absorbs bounded disorder) — the state path under test
+    * is partitioned by user_id across executors exactly as it would
+    * be on a cluster, with O(1) state per in-flight session.
+    */
+  def q113StatefulSessions(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StatefulSessions
+    import graft.streaming.StatefulSessions.Event
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sc = s.sqlContext
+    implicit val ee = org.apache.spark.sql.Encoders.product[Event]
+    val events = Tables.events(s, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp_ltz").as("ts"))
+      .collect()
+      .map(r => Event(r.getLong(0), r.getTimestamp(1)))
+      .sortBy(e => StatefulSessions.micros(e.ts))
+    val in = MemoryStream[Event]
+    val name = "q113_sessions_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = StatefulSessions.sessionize(in.toDS()).writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    val flushUser = -1L
+    try {
+      val chunk = math.max(1, (events.length + 5) / 6)
+      events.grouped(chunk).foreach { g =>
+        in.addData(g.toSeq: _*); q.processAllAvailable()
+      }
+      val far = new java.sql.Timestamp(
+        events.map(_.ts.getTime).max + 48L * 3600 * 1000)
+      in.addData(Event(flushUser, far))
+      q.processAllAvailable()
+      in.addData(Event(flushUser, new java.sql.Timestamp(far.getTime + 60000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name).filter(col("user_id") =!= flushUser)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("session_count"),
+        max(col("event_count")).as("max_session_events"))
+  }
 }

@@ -62,18 +62,22 @@ object Text {
       .groupBy(col("source"), col("quality"))
       .agg(count(lit(1)).as("doc_count"))
   }
-  val q22Sql: String = {
+  /** The q22 bucket CASE as DuckDB SQL — shared by every oracle that
+    * slices by quality (q22, q112) so the recipe cannot drift. */
+  val qualityBucketSql: String = {
     val toks = "str_split(text, ' ')"
     val stop = "len(list_filter(str_split(text, ' '), t -> t IN " +
       "('the','and','of','to','a')))"
+    s"""CASE WHEN len($toks) < 10 OR n_chars < 50 THEN 'too_short'
+       |     WHEN ($stop * 100) // len($toks) > 30 THEN 'high_stopword'
+       |     WHEN (len(list_distinct($toks)) * 100) // len($toks) < 30 THEN 'repetitive'
+       |     ELSE 'ok' END""".stripMargin
+  }
+  val q22Sql: String =
     s"""SELECT source,
-       |  CASE WHEN len($toks) < 10 OR n_chars < 50 THEN 'too_short'
-       |       WHEN ($stop * 100) // len($toks) > 30 THEN 'high_stopword'
-       |       WHEN (len(list_distinct($toks)) * 100) // len($toks) < 30 THEN 'repetitive'
-       |       ELSE 'ok' END AS quality,
+       |  $qualityBucketSql AS quality,
        |  count(*) AS doc_count
        |FROM documents GROUP BY 1, 2""".stripMargin
-  }
 
   /** Global token frequency top-20 (explode → count → TakeOrdered). */
   def q23TokenFreq(s: SparkSession, dir: String): DataFrame = {
@@ -1473,4 +1477,48 @@ object Text {
        |         AS leaked_docs
        |FROM fs JOIN ns USING (fp)
        |GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------- lexical diversity
+
+  /** Lexical-diversity census (q108): per-source type/token/hapax
+    * rates — the vocabulary-richness signal curation pipelines use to
+    * catch template farms and boilerplate feeds (a source whose
+    * type-token ratio collapses is emitting near-identical text even
+    * when no two documents are literal duplicates). Per source:
+    * token count, type (distinct-token) count, hapax count (types
+    * seen exactly once in that source), TTR and hapax share in
+    * integer ppm — nothing float crosses the engine boundary.
+    *
+    * Scale shape: the corpus is scanned once and compacted by ONE
+    * hash-aggregate on (source, token) — map-side combine collapses
+    * each partition to its local vocabulary before the shuffle, so
+    * shuffle rows are O(sources × vocab), not O(corpus tokens); the
+    * per-source census then re-aggregates that bounded table. The
+    * Zipf head ("the", "a") concentrates *pre-combine* counts, not
+    * shuffle keys — partial aggregation absorbs the skew, no salting
+    * needed (contrast q42, where the skewed key itself is the
+    * grouping output).
+    */
+  def q108LexicalDiversity(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("freq"))
+      .groupBy(col("source"))
+      .agg(sum(col("freq")).as("tokens"),
+        count(lit(1)).as("types"),
+        count(when(col("freq") === 1, 1)).as("hapax"))
+      .withColumn("ttr_ppm", expr("types * 1000000 div tokens"))
+      .withColumn("hapax_ppm", expr("hapax * 1000000 div types"))
+  }
+  val q108Sql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(str_split(text, ' ')) AS t FROM documents),
+      |tf AS (SELECT source, t, count(*) AS freq FROM tok GROUP BY 1, 2)
+      |SELECT source, CAST(sum(freq) AS BIGINT) AS tokens,
+      |       count(*) AS types,
+      |       count(CASE WHEN freq = 1 THEN 1 END) AS hapax,
+      |       count(*) * 1000000 // CAST(sum(freq) AS BIGINT) AS ttr_ppm,
+      |       count(CASE WHEN freq = 1 THEN 1 END) * 1000000 // count(*) AS hapax_ppm
+      |FROM tf GROUP BY 1""".stripMargin
 }

@@ -1456,4 +1456,128 @@ class QueriesSpec extends SparkSpec {
       assert(math.abs(mix - exact) <= 1L,
         s"$src tau=1 share $mix != raw proportion $exact") }
   }
+
+  test("q108 lexical diversity equals an in-memory type/token/hapax census") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val freq = ds.flatMap(_._2).groupBy(identity)
+        .map { case (t, v) => t -> v.length.toLong }
+      val tokens = freq.values.sum
+      val types = freq.size.toLong
+      val hapax = freq.values.count(_ == 1L).toLong
+      src -> (tokens, types, hapax,
+        types * 1000000L / tokens, hapax * 1000000L / types)
+    }
+    val got = Text.q108LexicalDiversity(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got === expected)
+  }
+
+  test("q109 gap spectrum equals an in-memory lag reference; µs-exact buckets") {
+    def bucket(gap: Long): Int =
+      if (gap == 0L) 0 else 63 - java.lang.Long.numberOfLeadingZeros(gap)
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(cast(ts as timestamp_ltz)) AS us",
+        "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val gaps = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (e._2, e._3)).toList.sliding(2).collect {
+        case List(a, b) => (b._4, bucket(b._2 - a._2), b._2 - a._2)
+      }
+    }
+    val expected = gaps.groupBy(g => (g._1, g._2)).map { case (k, v) =>
+      k -> (v.length.toLong, v.map(_._3).min, v.map(_._3).max)
+    }
+    val got = Events.q109IntereventGaps(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got === expected)
+    // conservation: every event after a user's first contributes one gap
+    assert(got.values.map(_._1).sum ===
+      (ev.length - ev.map(_._1).distinct.length).toLong)
+  }
+
+  test("q110 centroid cosine matrix equals an in-memory reference; full upper triangle") {
+    val em = graft.Tables.embeddings(spark, sf)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+    def r7(x: Double) = BigDecimal(x)
+      .setScale(7, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cent = em.groupBy(_._1).map { case (l, vs) =>
+      l -> Array.tabulate(vs.head._2.length)(i =>
+        r7(vs.map(_._2(i).toDouble).sum / vs.length))
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val labels = cent.keys.toSeq.sorted
+    val got = Similarity.q110LabelCentroidSim(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size === labels.size * (labels.size - 1) / 2,
+      "upper triangle must be complete")
+    for (a <- labels; b <- labels if a < b) {
+      val exp = cos(cent(a), cent(b))
+      assert(math.abs(got((a, b)) - exp) <= 1.1e-5,
+        s"centroid cos($a,$b): got ${got((a, b))}, expected ~$exp")
+      assert(math.abs(got((a, b))) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q111 MAD census equals an in-memory robust-fence reference") {
+    // med2 = 2×median, exact integer (half-integers cleared by the ×2)
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) 2 * s(n / 2) else s(n / 2 - 1) + s(n / 2)
+    }
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("event_type", "CAST(round(value * 100) AS LONG) AS c")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = ev.groupBy(_._1).map { case (t, es) =>
+      val cs = es.map(_._2)
+      val m2 = med2(cs)
+      val d2 = cs.map(c => math.abs(2 * c - m2))
+      val mad4 = med2(d2)
+      val out = d2.count(d => d * 20000L > mad4 * 44478L).toLong
+      t -> (cs.length.toLong, r4(m2 / 200.0), r4(mad4 / 400.0), out,
+        out * 1000000L / cs.length)
+    }
+    val got = Stats.q111MadOutliers(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got === expected)
+    // the fence must actually fire somewhere, or the census is vacuous
+    assert(got.values.map(_._4).sum > 0, "no outliers at sf0.001 — weak fixture")
+  }
+
+  test("q112 grid conserves the corpus; marginals match the q22 and q96 censuses") {
+    val grid = Dedup.q112QualityDedupGrid(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    val corpus = graft.Tables.documents(spark, sf).count()
+    assert(grid.values.map(_._1).sum === corpus, "docs marginal lost rows")
+    grid.foreach { case (q, (docs, un, kept, dem, _)) =>
+      assert(un + kept + dem === docs, s"$q: partition of docs broken") }
+    // quality marginal = q22 summed over sources
+    val q22 = Text.q22QualityBuckets(spark, sf).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+      .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).sum }
+    assert(grid.map { case (q, v) => q -> v._1 } === q22)
+    // dedup marginal = q96 summed over sources
+    val q96 = Dedup.q96ClusterRepresentatives(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(grid.values.map(_._3).sum === q96.map(_._1).sum, "kept_reps drifted")
+    assert(grid.values.map(_._4).sum === q96.map(_._2).sum, "demoted drifted")
+  }
+
+  test("q113 streamed stateful-session census equals batch q17 row-for-row") {
+    assert(rowsOf(StreamingQ.q113StatefulSessions(spark, sf)) ===
+      rowsOf(Events.q17UserSessions(spark, sf)))
+  }
 }
