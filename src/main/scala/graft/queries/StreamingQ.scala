@@ -138,22 +138,31 @@ object StreamingQ {
     val in = MemoryStream[Event]
     val name = "q113_sessions_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = StatefulSessions.sessionize(in.toDS()).writeStream
-      .format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
+    // the state store inherits shuffle.partitions at FIRST start and
+    // pays per-partition provider overhead EVERY micro-batch; at the
+    // harness's corpus size 8 state partitions is the right grain (a
+    // real deployment sizes this to keys/executor, set once — it is
+    // sticky in the checkpoint). Restored in the finally.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     val flushUser = -1L
     try {
-      val chunk = math.max(1, (events.length + 5) / 6)
-      events.grouped(chunk).foreach { g =>
-        in.addData(g.toSeq: _*); q.processAllAvailable()
-      }
-      val far = new java.sql.Timestamp(
-        events.map(_.ts.getTime).max + 48L * 3600 * 1000)
-      in.addData(Event(flushUser, far))
-      q.processAllAvailable()
-      in.addData(Event(flushUser, new java.sql.Timestamp(far.getTime + 60000)))
-      q.processAllAvailable()
-    } finally q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = StatefulSessions.sessionize(in.toDS()).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val chunk = math.max(1, (events.length + 3) / 4)
+        events.grouped(chunk).foreach { g =>
+          in.addData(g.toSeq: _*); q.processAllAvailable()
+        }
+        val far = new java.sql.Timestamp(
+          events.map(_.ts.getTime).max + 48L * 3600 * 1000)
+        in.addData(Event(flushUser, far))
+        q.processAllAvailable()
+        in.addData(Event(flushUser, new java.sql.Timestamp(far.getTime + 60000)))
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(name).filter(col("user_id") =!= flushUser)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("session_count"),
