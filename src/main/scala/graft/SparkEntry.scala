@@ -187,6 +187,12 @@ object SparkEntry {
     // streamed through flatMapGroupsWithState in micro-batches,
     // closed-session census vs the batch q17 oracle
     "q113_stateful_sessions" -> (StreamingQ.q113StatefulSessions _),
+    // graph topology: triangles + clustering coefficient of the
+    // verified near-dup graph (clique-vs-chain regime detector)
+    "q114_triangle_census" -> (Dedup.q114TriangleCensus _),
+    // eval hygiene with PROPER backoff: Jelinek-Mercer interpolated
+    // train→val surprisal (novel phrasing vs novel vocabulary)
+    "q115_interpolated_surprisal" -> (Text.q115InterpolatedSurprisal _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -306,5 +312,7 @@ object SparkEntry {
     "q111_mad_outliers" -> Stats.q111Sql,
     "q112_quality_dedup_grid" -> Dedup.q112Sql,
     "q113_stateful_sessions" -> Events.q17Sql,
+    "q114_triangle_census" -> Dedup.q114Sql,
+    "q115_interpolated_surprisal" -> Text.q115Sql,
   )
 }

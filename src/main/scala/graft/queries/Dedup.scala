@@ -936,4 +936,71 @@ object Dedup {
        |         AS demoted_ppm
        |FROM documents d LEFT JOIN rr USING (doc_id)
        |GROUP BY 1""".stripMargin
+
+  /** Near-dup graph topology census (q114): nodes, edges, wedges
+    * (paths of length 2, Σ d·(d−1)/2 over degrees), triangles, and
+    * the global clustering coefficient 3·triangles/wedges in integer
+    * ppm — the graph-shape diagnostic for the verified-pair graph the
+    * dedup ladder feeds to connected components. Near-dup components
+    * from template/boilerplate farms are near-CLIQUES (cc → 1e6);
+    * chains of pairwise-similar-but-drifting revisions are paths
+    * (cc → 0). The coefficient says which regime the corpus is in —
+    * and therefore whether q46's diameter-bounded propagation or
+    * q55's star contraction is the right clustering spelling (the
+    * question the StressBench table answers empirically; this census
+    * answers it from the data).
+    *
+    * Triangle counting: edges arrive id-oriented (doc_a < doc_b), so
+    * the oriented wedge join e1(a,b)⋈e2(b,c) closed by e3(a,c) counts
+    * each triangle exactly once — two joins on the EDGE table, the
+    * corpus itself is touched only by the shared LSH ladder. On a
+    * general 100 TB graph the id orientation leaves hub wedges
+    * quadratic in the hub degree; the standard remedy is DEGREE
+    * orientation (point each edge at its higher-(degree,id) endpoint,
+    * bounding enumeration by O(m^1.5)). Here the LSH band structure
+    * already caps degrees — a doc pairs only within its buckets — so
+    * the id-oriented spelling is the right cost at this graph shape;
+    * AQE's skew split covers residual hot nodes.
+    */
+  def q114TriangleCensus(s: SparkSession, dir: String): DataFrame = {
+    val e = verifiedEdges(Tables.documents(s, dir))
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val deg = e.select(col("a").as("x"))
+      .union(e.select(col("b").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("d"))
+    val degAgg = deg.agg(count(lit(1)).as("nodes"),
+      coalesce(sum(expr("d * (d - 1) div 2")), lit(0L))
+        .cast("long").as("wedges"))
+    val eAgg = e.agg(count(lit(1)).as("edges"))
+    val triAgg = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .agg(count(lit(1)).as("triangles"))
+    degAgg.crossJoin(eAgg).crossJoin(triAgg)
+      .withColumn("global_cc_ppm",
+        when(col("wedges") === 0, lit(0L))
+          .otherwise(expr("triangles * 3000000 div wedges")))
+      .select(col("nodes"), col("edges"), col("wedges"), col("triangles"),
+        col("global_cc_ppm"))
+  }
+  val q114Sql: String =
+    s"""WITH ${verifiedPairsSqlCtes("documents")},
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM scored WHERE jaccard >= 0.5),
+       |deg AS (SELECT x, count(*) AS d
+       |        FROM (SELECT a AS x FROM e UNION ALL SELECT b AS x FROM e)
+       |        GROUP BY 1),
+       |da AS (SELECT count(*) AS nodes,
+       |              CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT)
+       |                AS wedges
+       |       FROM deg),
+       |ea AS (SELECT count(*) AS edges FROM e),
+       |ta AS (SELECT count(*) AS triangles
+       |       FROM e e1
+       |       JOIN e e2 ON e1.b = e2.a
+       |       JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b)
+       |SELECT nodes, edges, wedges, triangles,
+       |       CASE WHEN wedges = 0 THEN 0
+       |            ELSE triangles * 3000000 // wedges END AS global_cc_ppm
+       |FROM da, ea, ta""".stripMargin
 }

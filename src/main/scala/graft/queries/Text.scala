@@ -1478,6 +1478,73 @@ object Text {
        |FROM fs JOIN ns USING (fp)
        |GROUP BY 1""".stripMargin
 
+  // -------------------------------------------------- interpolated LM
+
+  /** Jelinek-Mercer interpolated held-out surprisal (q115): q99's
+    * eval-hygiene rung with the PROPER backoff — score(w2|w1) =
+    * −ln(0.75·p₂ + 0.25·p₁) where p₂ = c2/c1 is the raw train bigram
+    * conditional (0 when the context is unseen) and p₁ = (u+1)/(N+V)
+    * the add-1 train unigram. Where q99's add-1 collapses every
+    * unseen bigram toward the same uniform mass, interpolation lets a
+    * frequent-unigram continuation stay cheap and a never-seen word
+    * stay expensive — the difference between "novel phrasing" and
+    * "novel vocabulary", which is exactly what a data-quality gate
+    * wants to distinguish. λ = 0.75 spelled as exact double literals
+    * in BOTH engines; the one float expression is identical
+    * operation-for-operation (the q95 discipline), floored to integer
+    * millinats before anything crosses the engine boundary.
+    *
+    * Scale shape: q99's exactly — train-side model tables are
+    * O(distinct bigrams)/O(vocab), never collected; the val corpus
+    * takes three LEFT joins (bigram, context, unigram) planned by
+    * size (model side broadcasts at this SF); the split predicate
+    * prunes both scans.
+    */
+  def q115InterpolatedSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("split", splitLabel(col("doc_id")))
+      .withColumn("toks", TextOps.tokens(col("text")))
+    val train = d.filter(col("split") === "train")
+    val (c2, c1, _) = bigramCounts(train)
+    val uni = train.select(explode(col("toks")).as("w2"))
+      .groupBy(col("w2")).agg(count(lit(1)).as("u2"))
+    val totals = uni.agg(sum(col("u2")).as("n"), count(lit(1)).as("v"))
+    val p2 = coalesce(col("c2"), lit(0L)) / coalesce(col("c1"), lit(1L))
+    val p1 = (coalesce(col("u2"), lit(0L)) + 1.0) / (col("n") + col("v"))
+    surprisalCensus(
+      bigramsOf(d.filter(col("split") === "val"))
+        .join(c2, Seq("w1", "w2"), "left")
+        .join(c1, Seq("w1"), "left")
+        .join(uni, Seq("w2"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("source"), col("doc_id"),
+          floor(-log(lit(0.75) * p2 + lit(0.25) * p1) * SurprisalScale)
+            .cast("long").as("s2")))
+  }
+  lazy val q115Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, str_split(text, ' ') AS toks,
+       |         $splitLabelSql AS split
+       |  FROM documents),
+       |trainbg AS ${bigramsSqlCte("", "d", "split = 'train' AND ")},
+       |${bigramCountsSqlCtes("trainbg", "d WHERE split = 'train'")},
+       |uni AS (
+       |  SELECT t AS w2, count(*) AS u2
+       |  FROM (SELECT unnest(toks) AS t FROM d WHERE split = 'train')
+       |  GROUP BY 1),
+       |totals AS (SELECT CAST(sum(u2) AS BIGINT) AS n, count(*) AS v
+       |           FROM uni),
+       |valbg AS ${bigramsSqlCte("doc_id, source, ", "d", "split = 'val' AND ")},
+       |scored AS (
+       |  SELECT doc_id, source,
+       |         CAST(floor(-ln(0.75 * (coalesce(c2.c2, 0) / coalesce(c1.c1, 1))
+       |                        + 0.25 * ((coalesce(uni.u2, 0) + 1.0) / (n + v)))
+       |                    * $SurprisalScale) AS BIGINT) AS s2
+       |  FROM valbg LEFT JOIN c2 USING (w1, w2)
+       |             LEFT JOIN c1 USING (w1)
+       |             LEFT JOIN uni USING (w2), totals),
+       |$surprisalCensusTailSql""".stripMargin
+
   // -------------------------------------------------- lexical diversity
 
   /** Lexical-diversity census (q108): per-source type/token/hapax

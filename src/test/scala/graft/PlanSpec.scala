@@ -74,7 +74,9 @@ class PlanSpec extends SparkSpec {
     "q78_tfidf_keywords",       // × 1-row corpus-N agg
     "q81_source_overlap",       // × broadcast per-source gram-total frame
     "q104_bigram_skewsafe",     // × 1-row vocab-size agg (q95's cross)
-    "q105_incremental_mixture"  // × 1-row qtot agg (q97's cross)
+    "q105_incremental_mixture", // × 1-row qtot agg (q97's cross)
+    "q114_triangle_census",     // × three 1-row topology aggs
+    "q115_interpolated_surprisal" // × 1-row train (N, V) totals agg
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {

@@ -1580,4 +1580,63 @@ class QueriesSpec extends SparkSpec {
     assert(rowsOf(StreamingQ.q113StatefulSessions(spark, sf)) ===
       rowsOf(Events.q17UserSessions(spark, sf)))
   }
+
+  test("q114 triangle census equals an in-memory topology reference") {
+    val edges = Dedup.verifiedEdges(graft.Tables.documents(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val eset = edges.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val deg = edges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, v) => n -> v.length.toLong }
+    val wedges = deg.values.map(d => d * (d - 1) / 2).sum
+    val triangles = (for {
+      (a, b) <- edges; (b2, c) <- edges if b2 == b && eset((a, c))
+    } yield 1).length.toLong
+    val row = Dedup.q114TriangleCensus(spark, sf).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ===
+      ((nodes.length.toLong, edges.length.toLong, wedges, triangles)))
+    assert(row.getLong(4) ===
+      (if (wedges == 0) 0L else triangles * 3000000L / wedges))
+    // topology sanity: each triangle consumes 3 wedges
+    assert(3 * triangles <= wedges)
+    assert(triangles > 0, "no triangles at sf0.001 — weak fixture")
+  }
+
+  test("q115 interpolated surprisal equals an in-memory JM reference; differs from q99 add-1") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sf)
+      .withColumn("split", Text.splitLabel(col("doc_id")))
+      .select("doc_id", "source", "text", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1), r.getString(3)))
+    val train = docs.filter(_._4 == "train")
+    val uni = train.flatMap(_._3).groupBy(identity)
+      .map { case (t, v) => t -> v.length.toLong }
+    val n = uni.values.sum
+    val v = uni.size.toLong
+    val c2 = scala.collection.mutable.Map[(String, String), Long]()
+    train.filter(_._3.length >= 2).foreach { case (_, _, t, _) =>
+      t.sliding(2).foreach(p =>
+        c2((p(0), p(1))) = c2.getOrElse((p(0), p(1)), 0L) + 1) }
+    val c1 = c2.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    def s2(w1: String, w2: String): Long = {
+      val p2 = c2.getOrElse((w1, w2), 0L).toDouble / c1.getOrElse(w1, 1L)
+      val p1 = (uni.getOrElse(w2, 0L) + 1.0) / (n + v)
+      math.floor(-math.log(0.75 * p2 + 0.25 * p1) * 1000).toLong
+    }
+    val expected = docs.filter(d => d._4 == "val" && d._3.length >= 2)
+      .map { case (id, src, t, _) =>
+        val ss = t.sliding(2).map(p => s2(p(0), p(1))).toSeq
+        (src, ss.sum / ss.size / 100, id)
+      }.groupBy(x => (x._1, x._2))
+      .map { case (k, v) => k -> (v.length.toLong, v.map(_._3).min) }
+    val got = Text.q115InterpolatedSurprisal(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === expected)
+    // the interpolation must actually disagree with add-1 somewhere,
+    // or the rung is a re-spelling of q99
+    assert(rowsOf(Text.q115InterpolatedSurprisal(spark, sf)) !==
+      rowsOf(Text.q99HeldoutSurprisal(spark, sf)))
+  }
 }
