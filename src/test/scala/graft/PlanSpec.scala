@@ -169,6 +169,48 @@ class PlanSpec extends SparkSpec {
         "stream is back on the corpus path")
   }
 
+  test("q108 lexical diversity: two exchanges, vocabulary compacted map-side first") {
+    val nodes = ops(planOf("q108_lexical_diversity"))
+    val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles == 2,
+      s"(source,token) agg then (source) census — got $shuffles exchanges")
+    // the corpus-scale agg must partial-aggregate below its exchange,
+    // or O(corpus tokens) rows cross the wire instead of O(src×vocab)
+    val planStr = planOf("q108_lexical_diversity").toString
+    assert(planStr.contains("partial_count"),
+      "no map-side combine on the (source, token) aggregate")
+  }
+
+  test("q110 centroid matrix: pairwise step is broadcast, corpus never sort-merges") {
+    val nodes = ops(planOf("q110_label_centroid_sim"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the O(labels×dim) centroid self-join must broadcast")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "a sort-merge join here means a corpus-scale side reached the " +
+        "pairwise step")
+  }
+
+  test("q111 MAD fence: both stat joins broadcast the O(types) frame") {
+    val nodes = ops(planOf("q111_mad_outliers"))
+    assert(nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
+      "median and MAD frames must both ride broadcast joins back onto " +
+        "the scan")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "the events corpus must never shuffle for a 5-row stats join")
+  }
+
+  test("q112 quality grid: cluster membership broadcasts onto the quality scan") {
+    val nodes = ops(planOf("q112_quality_dedup_grid"))
+    assert(nodes.exists {
+      case b: BroadcastHashJoinExec => b.joinType.sql.startsWith("LEFT OUTER")
+      case _ => false
+    }, "the O(docs-in-pairs) membership must be BroadcastHashJoin(LeftOuter)")
+    assert(!nodes.exists {
+      case s: SortMergeJoinExec => s.joinType.sql.startsWith("LEFT OUTER")
+      case _ => false
+    }, "the corpus must not shuffle for the membership join")
+  }
+
   test("incremental index history reads carry literal partition filters") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("plan_idx").toString
