@@ -217,7 +217,97 @@ object CurationStress {
     assert(flatRows == splitRows,
       s"flat and split censuses disagree on the skew corpus: $flatRows != $splitRows")
 
-    println(f"""{"metric":"curation_stress","reps":$reps,"q74_sec":$tSpan%.2f,"q74_rows":$spanRows,"q81_sec":$tOverlap%.2f,"q81_full_matches":$q81Full,"q79_sec":$tTrain%.2f,"q80_sec":$tApply%.2f,"q95_sec":$tBigram%.2f,"q98_sec":$tMix%.2f,"q98_surviving_tokens":$survTok,"q104_sec":$tSkew%.2f,"q99_sec":$tHeldout%.2f,"q101_sec":$tReid%.2f,"q102_sec":$tBoot%.2f,"q103_sec":$tBootFused%.2f,"bigram_types_base":$baseTypes,"bigram_types_train_r":$trainTypesR,"q95_skewcorpus_sec":$tFlatSkew%.2f,"q104_skewcorpus_sec":$tSplitSkew%.2f,"sf":"$sfDir"}""")
+    // ---- round-7 second wave (q108/q109/q111/q112/q114) at scale
+
+    // q108: replica feeds are exact copies of their base feed, so the
+    // per-source lexical census must be REPLICATION-INVARIANT row-wise
+    // (same tokens/types/hapax per feed) — the shuffle stays
+    // O(feeds×vocab) while the corpus grows R×
+    noop(Text.q108LexicalDiversity(spark, sfDir)) // warmup + 1× reference
+    val base108 = Text.q108LexicalDiversity(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (rep108, tLex) = time(Text.q108LexicalDiversity(spark, stressDir).collect())
+    rep108.foreach { r =>
+      val src = r.getString(0)
+      val want = base108(src.substring(0, src.lastIndexOf('_')))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == want,
+        s"q108 replica feed $src drifted from its base census: " +
+          s"(${r.getLong(1)},${r.getLong(2)},${r.getLong(3)}) != $want")
+    }
+
+    // q112: at R× every >=3-token doc is in a near-dup cluster with
+    // its replicas, so per quality bucket (replication-invariant per
+    // doc): docs scale R×, unclustered collapses to R× the sub-shingle
+    // tail, and kept representatives = 1× kept + 1× clusterable
+    // unclustered (each base-singleton's replica clique keeps ONE)
+    noop(Dedup.q112QualityDedupGrid(spark, sfDir)) // warmup + 1× reference
+    val base112 = Dedup.q112QualityDedupGrid(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val shortDocs = Tables.documents(spark, sfDir)
+      .select(size(split(col("text"), " ")).as("n"), col("text"), col("n_chars"))
+      .filter(col("n") < 3)
+      .withColumn("quality", graft.ops.TextOps.qualityBucket(
+        split(col("text"), " "), col("n_chars")))
+      .groupBy(col("quality")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (rep112, tGrid) = time(Dedup.q112QualityDedupGrid(spark, stressDir).collect())
+    rep112.foreach { r =>
+      val q = r.getString(0)
+      val (docs1, un1, kept1) = base112(q)
+      val short1 = shortDocs.getOrElse(q, 0L)
+      assert(r.getLong(1) == reps * docs1,
+        s"q112 $q docs must scale R×: ${r.getLong(1)} != ${reps * docs1}")
+      assert(r.getLong(2) == reps * short1,
+        s"q112 $q unclustered must collapse to the sub-shingle tail: " +
+          s"${r.getLong(2)} != ${reps * short1}")
+      assert(r.getLong(3) == kept1 + (un1 - short1),
+        s"q112 $q kept must be 1× kept + newly-clustered singletons: " +
+          s"${r.getLong(3)} != ${kept1 + (un1 - short1)}")
+    }
+
+    // q109: cloned users replay identical µs sequences → every
+    // (type, bucket) cell scales count ×R with min/max gaps unchanged
+    noop(Events.q109IntereventGaps(spark, sfDir)) // warmup + 1× reference
+    val base109 = Events.q109IntereventGaps(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (rep109, tGaps) = time(Events.q109IntereventGaps(spark, stressDir).collect())
+    val got109 = rep109.map(r => (r.getString(0), r.getInt(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got109 == base109.map { case (k, (c, mn, mx)) => k -> (c * reps, mn, mx) },
+      "q109 scaling law broken: cloned users must scale every gap cell ×R")
+
+    // q111: replicating the value multiset preserves median and MAD
+    // exactly (same distribution), scales n and outliers ×R, leaves
+    // the ppm rate bit-identical
+    noop(Stats.q111MadOutliers(spark, sfDir)) // warmup + 1× reference
+    val base111 = Stats.q111MadOutliers(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5))).toMap
+    val (rep111, tMad) = time(Stats.q111MadOutliers(spark, stressDir).collect())
+    rep111.foreach { r =>
+      val (n1, med1, mad1, out1, ppm1) = base111(r.getString(0))
+      assert((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+        r.getLong(5)) == ((reps * n1, med1, mad1, reps * out1, ppm1)),
+        s"q111 ${r.getString(0)}: replication must preserve median/MAD/ppm " +
+          s"and scale n/outliers ×R")
+    }
+
+    // q114: replication densifies every component toward a clique
+    // (each base node becomes an R-clique, each base edge a complete
+    // R×R bipartite block) — the clustering coefficient must move UP
+    // into the clique regime, the regime the census exists to detect
+    noop(Dedup.q114TriangleCensus(spark, sfDir)) // warmup + 1× reference
+    val base114 = Dedup.q114TriangleCensus(spark, sfDir).collect().head
+    val (rep114arr, tTri) = time(Dedup.q114TriangleCensus(spark, stressDir).collect())
+    val rep114 = rep114arr.head
+    assert(rep114.getLong(3) > 0, "no triangles on the replicated corpus")
+    assert(rep114.getLong(4) >= base114.getLong(4),
+      s"q114 cc must densify under replication: " +
+        s"${rep114.getLong(4)} < ${base114.getLong(4)}")
+
+    println(f"""{"metric":"curation_stress","reps":$reps,"q108_sec":$tLex%.2f,"q109_sec":$tGaps%.2f,"q111_sec":$tMad%.2f,"q112_sec":$tGrid%.2f,"q114_sec":$tTri%.2f,"q114_cc_ppm":${rep114.getLong(4)},"q74_sec":$tSpan%.2f,"q74_rows":$spanRows,"q81_sec":$tOverlap%.2f,"q81_full_matches":$q81Full,"q79_sec":$tTrain%.2f,"q80_sec":$tApply%.2f,"q95_sec":$tBigram%.2f,"q98_sec":$tMix%.2f,"q98_surviving_tokens":$survTok,"q104_sec":$tSkew%.2f,"q99_sec":$tHeldout%.2f,"q101_sec":$tReid%.2f,"q102_sec":$tBoot%.2f,"q103_sec":$tBootFused%.2f,"bigram_types_base":$baseTypes,"bigram_types_train_r":$trainTypesR,"q95_skewcorpus_sec":$tFlatSkew%.2f,"q104_skewcorpus_sec":$tSplitSkew%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -193,6 +193,10 @@ object SparkEntry {
     // eval hygiene with PROPER backoff: Jelinek-Mercer interpolated
     // train→val surprisal (novel phrasing vs novel vocabulary)
     "q115_interpolated_surprisal" -> (Text.q115InterpolatedSurprisal _),
+    // streaming lexicon index: q108's census from landed per-batch
+    // (source, token, freq) partials — the non-sum-mergeable census
+    // restored exactly by the lexicon merge
+    "q116_incremental_lexicon" -> (StreamingQ.q116IncrementalLexicon _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -314,5 +318,6 @@ object SparkEntry {
     "q113_stateful_sessions" -> Events.q17Sql,
     "q114_triangle_census" -> Dedup.q114Sql,
     "q115_interpolated_surprisal" -> Text.q115Sql,
+    "q116_incremental_lexicon" -> Text.q108Sql,
   )
 }

@@ -104,6 +104,21 @@ object StreamingQ {
       Tables.documents(s, dir))
   }
 
+  /** q116: q108's lexical-diversity census computed from the
+    * incremental lexicon index's landed per-batch (source, token,
+    * freq) partials — the non-trivially-mergeable member of the
+    * snapshot family (types/hapax are NOT sum-mergeable at the census
+    * level; only the lexicon merge restores them exactly). Oracle:
+    * q108Sql. */
+  def q116IncrementalLexicon(s: SparkSession, dir: String): DataFrame = {
+    val work = streamed(s, dir, Seq("source", "text"),
+      "source string, text string") { (docs, work) =>
+      Streams.incrementalLexicon(docs, s"$work/lex", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Streams.lexicalDiversitySnapshot(s, s"$work/lex")
+  }
+
   /** q113: the flatMapGroupsWithState sessionizer itself on the oracle
     * board — the full events table streamed IN EVENT-TIME ORDER
     * through [[graft.streaming.StatefulSessions.sessionize]] in ~6

@@ -1566,18 +1566,27 @@ object Text {
     * needed (contrast q42, where the skewed key itself is the
     * grouping output).
     */
-  def q108LexicalDiversity(s: SparkSession, dir: String): DataFrame = {
-    Tables.documents(s, dir)
-      .select(col("source"), explode(TextOps.tokens(col("text"))).as("t"))
-      .groupBy(col("source"), col("t"))
-      .agg(count(lit(1)).as("freq"))
-      .groupBy(col("source"))
-      .agg(sum(col("freq")).as("tokens"),
+  /** The census tail over a (source, t, freq) lexicon frame — shared
+    * by batch q108 and the incremental snapshot
+    * (Streams.lexicalDiversitySnapshot) so the two cannot drift. */
+  def lexicalCensusFrom(tf: DataFrame): DataFrame =
+    tf.groupBy(col("source"))
+      .agg(sum(col("freq")).cast("long").as("tokens"),
         count(lit(1)).as("types"),
         count(when(col("freq") === 1, 1)).as("hapax"))
       .withColumn("ttr_ppm", expr("types * 1000000 div tokens"))
       .withColumn("hapax_ppm", expr("hapax * 1000000 div types"))
-  }
+
+  /** The per-batch lexicon partial: (source, token, freq) — counts
+    * are SUM-mergeable across batches, so the incremental index can
+    * re-aggregate to the exact corpus lexicon at any point. */
+  def sourceLexicon(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(TextOps.tokens(col("text"))).as("t"))
+      .groupBy(col("source"), col("t"))
+      .agg(count(lit(1)).as("freq"))
+
+  def q108LexicalDiversity(s: SparkSession, dir: String): DataFrame =
+    lexicalCensusFrom(sourceLexicon(Tables.documents(s, dir)))
   val q108Sql: String =
     """WITH tok AS (
       |  SELECT source, unnest(str_split(text, ' ')) AS t FROM documents),

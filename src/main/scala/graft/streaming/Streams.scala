@@ -428,6 +428,37 @@ object Streams {
       .agg(sum(col("tokens")).as("tokens"), sum(col("oov")).as("oov"))
       .withColumn("oov_ppm", expr("oov * 1000000 div tokens"))
 
+  /** Incremental lexicon index — q108's streaming half: each
+    * micro-batch lands its (source, token, freq) partial as a
+    * batch_id partition. Token counts are SUM-mergeable, so the
+    * re-aggregated index IS the exact corpus lexicon at any point —
+    * types and hapax counts (which are NOT mergeable at the census
+    * level: a token hapax in two batches is not hapax in their union)
+    * become exact again after the merge. State is O(sources × vocab ×
+    * batches) rows, vocab-bounded like the OOV monitor's; compaction
+    * (re-landing the merged index, the LSH-index discipline) bounds
+    * the batch dimension. Replay-idempotent: a replayed batch
+    * overwrites its own partition. */
+  def incrementalLexicon(docs: DataFrame, lexPath: String,
+                         checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchPartition(
+          graft.queries.Text.sourceLexicon(batch), batchId, lexPath)
+      }
+
+  /** The live lexical-diversity census: merge the landed lexicon
+    * partials, then the exact q108 tail —
+    * snapshot(union of batches) == q108(union corpus). */
+  def lexicalDiversitySnapshot(spark: SparkSession, lexPath: String): DataFrame =
+    graft.queries.Text.lexicalCensusFrom(
+      readPartialsOrEmpty(spark, lexPath,
+        "source string, t string, freq bigint, batch_id bigint")
+        .groupBy(col("source"), col("t"))
+        .agg(sum(col("freq")).as("freq")))
+
   /** Incremental novelty tracking — q91's streaming half, a MIN-merge
     * on first-seen batch ids: each micro-batch lands its doc-distinct
     * gram set (one row per distinct gram, with its occurrence count —
