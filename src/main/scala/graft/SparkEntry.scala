@@ -197,6 +197,9 @@ object SparkEntry {
     // (source, token, freq) partials — the non-sum-mergeable census
     // restored exactly by the lexicon merge
     "q116_incremental_lexicon" -> (StreamingQ.q116IncrementalLexicon _),
+    // conversion analytics: last-touch attribution census (running
+    // ignoreNulls window, no events×events self-join)
+    "q117_attribution" -> (Events.q117Attribution _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -319,5 +322,6 @@ object SparkEntry {
     "q114_triangle_census" -> Dedup.q114Sql,
     "q115_interpolated_surprisal" -> Text.q115Sql,
     "q116_incremental_lexicon" -> Text.q108Sql,
+    "q117_attribution" -> Events.q117Sql,
   )
 }

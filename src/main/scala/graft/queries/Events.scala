@@ -438,6 +438,51 @@ object Events {
         min(col("gap_us")).as("min_gap_us"),
         max(col("gap_us")).as("max_gap_us"))
   }
+  /** Last-touch attribution census (q117): every purchase is credited
+    * to the SAME user's most recent strictly-preceding non-purchase
+    * event — the classic conversion-attribution rule (what was the
+    * last thing they did before buying?). Purchases with no prior
+    * touch credit 'none'. Census per attributed type: conversions,
+    * attributed revenue (2-decimal exact), distinct converting users.
+    *
+    * One running window does the attribution: last(non-purchase type,
+    * ignoreNulls) over (user_id; ts, event_id) rows to 1 PRECEDING —
+    * the same user-time sort q17/q109 ride (one reusable exchange in
+    * a multi-query plan), no self-join of events against events (the
+    * naive correlated-subquery spelling is quadratic per user).
+    * event_id tie-break: equal-µs purchase/touch pairs attribute
+    * identically in both engines.
+    */
+  def q117Attribution(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .withColumn("attr",
+        last(when(col("event_type") =!= "purchase", col("event_type")), true)
+          .over(byUser))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("attr"), lit("none")).as("attributed_type"))
+      .agg(count(lit(1)).as("conversions"),
+        round(sum(col("value")), 2).as("attributed_value"),
+        countDistinct(col("user_id")).as("converting_users"))
+  }
+  val q117Sql: String =
+    """WITH attr AS (
+      |  SELECT user_id, event_type, value,
+      |         last_value(CASE WHEN event_type <> 'purchase'
+      |                         THEN event_type END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS attr
+      |  FROM events)
+      |SELECT coalesce(attr, 'none') AS attributed_type,
+      |       count(*) AS conversions,
+      |       round(sum(value), 2) AS attributed_value,
+      |       count(DISTINCT user_id) AS converting_users
+      |FROM attr WHERE event_type = 'purchase'
+      |GROUP BY 1""".stripMargin
+
   val q109Sql: String =
     """WITH gaps AS (
       |  SELECT event_type,

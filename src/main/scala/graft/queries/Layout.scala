@@ -65,6 +65,29 @@ object Layout {
     z.repartitionByRange(targetFiles, col("z")).sortWithinPartitions(col("z"))
   }
 
+  // ------------------------------------------------- bucketed tables
+
+  /** Bucketed table write — the co-located-join layout: rows are
+    * hash-partitioned into `buckets` files by `bucketCol` AT WRITE
+    * TIME (with an optional in-bucket sort), so every later equi-join
+    * or aggregation on that column reads pre-partitioned data and
+    * plans ZERO Exchange on the bucketed side. This is how a 100 TB
+    * fact table joins a 100 TB fact table without either shuffling:
+    * pay the partitioning once at ingest, reuse it for every
+    * downstream join/agg (BucketedJoinSpec proves the exchange-free
+    * plan and the counterfactual). Bucket count is fixed at write
+    * time — size it to target-file count at scale (like
+    * [[zorderWrite]]'s targetFiles); both sides of a co-located join
+    * must agree on it.
+    */
+  def bucketedWrite(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   // ------------------------------------------------- corpus shuffle
 
   /** Shard fan-out for the q87 manifest. At cluster scale this is the

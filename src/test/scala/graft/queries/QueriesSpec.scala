@@ -1581,6 +1581,41 @@ class QueriesSpec extends SparkSpec {
       rowsOf(Events.q17UserSessions(spark, sf)))
   }
 
+  test("q117 attribution equals an in-memory last-touch reference; purchases conserved") {
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(cast(ts as timestamp_ltz)) AS us",
+        "event_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val rows = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      var lastTouch: String = null
+      sorted.flatMap { e =>
+        val out = if (e._4 == "purchase")
+          Some((Option(lastTouch).getOrElse("none"), u, e._5)) else None
+        if (e._4 != "purchase") lastTouch = e._4
+        out
+      }
+    }
+    def r2(x: Double) = BigDecimal(x)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = rows.groupBy(_._1).map { case (t, v) =>
+      t -> (v.length.toLong, r2(v.map(_._3).sum),
+        v.map(_._2).distinct.length.toLong)
+    }
+    val got = Events.q117Attribution(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(got.keySet === expected.keySet)
+    got.foreach { case (t, (c, v, u)) =>
+      val (ec, ev2, eu) = expected(t)
+      assert(c === ec && u === eu, s"$t: counts drifted")
+      assert(math.abs(v - ev2) <= 0.01, s"$t: value $v != $ev2")
+    }
+    // conservation: every purchase is attributed exactly once
+    assert(got.values.map(_._1).sum === ev.count(_._4 == "purchase").toLong)
+  }
+
   test("q114 triangle census equals an in-memory topology reference") {
     val edges = Dedup.verifiedEdges(graft.Tables.documents(spark, sf))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
