@@ -443,7 +443,10 @@ object Events {
     * event — the classic conversion-attribution rule (what was the
     * last thing they did before buying?). Purchases with no prior
     * touch credit 'none'. Census per attributed type: conversions,
-    * attributed revenue (2-decimal exact), distinct converting users.
+    * attributed revenue (summed in exact integer CENTS — the q111
+    * discipline — so no summation-order ulp can flip a rounded
+    * boundary; one float division at the very end), distinct
+    * converting users.
     *
     * One running window does the attribution: last(non-purchase type,
     * ignoreNulls) over (user_id; ts, event_id) rows to 1 PRECEDING —
@@ -464,7 +467,8 @@ object Events {
       .filter(col("event_type") === "purchase")
       .groupBy(coalesce(col("attr"), lit("none")).as("attributed_type"))
       .agg(count(lit(1)).as("conversions"),
-        round(sum(col("value")), 2).as("attributed_value"),
+        round(sum(round(col("value") * 100, 0).cast("long")) / 100.0, 2)
+          .as("attributed_value"),
         countDistinct(col("user_id")).as("converting_users"))
   }
   val q117Sql: String =
@@ -478,7 +482,8 @@ object Events {
       |  FROM events)
       |SELECT coalesce(attr, 'none') AS attributed_type,
       |       count(*) AS conversions,
-      |       round(sum(value), 2) AS attributed_value,
+      |       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+      |         AS attributed_value,
       |       count(DISTINCT user_id) AS converting_users
       |FROM attr WHERE event_type = 'purchase'
       |GROUP BY 1""".stripMargin

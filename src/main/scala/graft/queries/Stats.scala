@@ -360,13 +360,16 @@ object Stats {
     * |v−med| > 3·1.4826·MAD — no float comparison whose last-ulp
     * disagreement between engines could flip a count.
     *
-    * Scale shape: two passes over events (median needs a full pass
-    * before deviations exist — irreducible for exact medians), each a
-    * scan + O(types) aggregate; the 5-row stats frame broadcasts back
-    * onto the scan both times. At 100 TB the exact median would move
-    * to a two-round distributed selection or an approx_percentile
-    * sketch with documented error — the fence census itself is
-    * unchanged either way.
+    * Scale shape: THREE scans of events as written — median, MAD, and
+    * the fence census (the census re-derives the deviations rather
+    * than caching the corpus-scale `dev` frame; a persist would trade
+    * executor memory/spill for the third scan — worth it only when
+    * the cents projection fits the storage tier). Each scan ends in an
+    * O(types) aggregate and the 5-row stats frame broadcasts back
+    * onto it. At 100 TB the exact medians would move to a two-round
+    * distributed selection or an approx_percentile sketch with
+    * documented error — the fence census itself is unchanged either
+    * way.
     */
   def q111MadOutliers(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.broadcast

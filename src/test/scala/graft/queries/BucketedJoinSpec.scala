@@ -43,13 +43,15 @@ class BucketedJoinSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val bucketed = spark.table("bspec_purchases")
-        .join(spark.table("bspec_errors"), "user_id")
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("pairs"), sum(col("error_value")).as("ev"))
-      val plain = purchases.join(errors, "user_id")
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("pairs"), sum(col("error_value")).as("ev"))
+      // round the float sum: the two layouts accumulate in different
+      // partition orders, and an unrounded double compare would be
+      // flaky exactly where addition is non-associative
+      def census(df: DataFrame) = df.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("pairs"),
+          round(sum(col("error_value")), 2).as("ev"))
+      val bucketed = census(spark.table("bspec_purchases")
+        .join(spark.table("bspec_errors"), "user_id"))
+      val plain = census(purchases.join(errors, "user_id"))
 
       assert(shuffleCount(bucketed) === 0,
         "both sides bucketed on the join key: join AND agg must reuse " +
@@ -58,6 +60,10 @@ class BucketedJoinSpec extends SparkSpec {
         "counterfactual broken: the plain twin should shuffle both sides")
       assert(rowsOf(bucketed) === rowsOf(plain),
         "layout changed answers")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bspec_purchases")
+      spark.sql("DROP TABLE IF EXISTS bspec_errors")
+    }
   }
 }
