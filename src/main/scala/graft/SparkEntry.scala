@@ -200,6 +200,9 @@ object SparkEntry {
     // conversion analytics: last-touch attribution census (running
     // ignoreNulls window, no events×events self-join)
     "q117_attribution" -> (Events.q117Attribution _),
+    // semi-structured at scale: q18's census through Spark 4 VARIANT
+    // (parse once at ingest, path-extract from the binary encoding)
+    "q118_variant_props" -> (Events.q118VariantProps _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -323,5 +326,6 @@ object SparkEntry {
     "q115_interpolated_surprisal" -> Text.q115Sql,
     "q116_incremental_lexicon" -> Text.q108Sql,
     "q117_attribution" -> Events.q117Sql,
+    "q118_variant_props" -> Events.q18Sql,
   )
 }

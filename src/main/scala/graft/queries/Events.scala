@@ -404,6 +404,28 @@ object Events {
       |SELECT k, count(*) AS signatures, CAST(k * count(*) AS BIGINT) AS users
       |FROM anon GROUP BY 1""".stripMargin
 
+  /** q18's census through Spark 4's VARIANT type (q118): props parsed
+    * once into the binary variant encoding (try_parse_json — malformed
+    * rows become NULL, the PERMISSIVE contract), fields extracted with
+    * variant_get path expressions. Same answer as q18's fixed-schema
+    * from_json — the difference is the 100 TB posture: a variant
+    * column is parsed ONCE at ingest and every later query
+    * path-extracts from the binary encoding (with shredding, straight
+    * from columnar storage) instead of re-running a JSON parser per
+    * query per row, and schema drift (new fields) needs no schema
+    * migration. Oracle: the same SQL as q18; a differential spec pins
+    * the two paths row-equal.
+    */
+  def q118VariantProps(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir)
+      .withColumn("v", try_parse_json(col("props")))
+      .withColumn("k", expr("variant_get(v, '$.k', 'int')"))
+      .filter(col("k").isNotNull)
+      .withColumn("k_bucket", (col("k") % 10).cast("int"))
+      .groupBy(col("k_bucket"))
+      .agg(count(lit(1)).as("event_count"), max(col("k")).as("max_k"))
+  }
+
   /** Inter-event gap spectrum (q109): per event_type, a log2-bucketed
     * histogram of the µs gap since the same user's PREVIOUS event (any
     * type) — the arrival-cadence fingerprint behind bot detection and

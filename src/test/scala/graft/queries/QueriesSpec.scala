@@ -1620,6 +1620,18 @@ class QueriesSpec extends SparkSpec {
     assert(got.values.map(_._1).sum === ev.count(_._4 == "purchase").toLong)
   }
 
+  test("q118 variant path equals q18's fixed-schema from_json path row-for-row") {
+    assert(rowsOf(Events.q118VariantProps(spark, sf)) ===
+      rowsOf(Events.q18PropsBuckets(spark, sf)))
+    // and the malformed-row contract: try_parse_json nulls, not throws
+    import spark.implicits._
+    val crafted = Seq("""{"k": 7}""", "not json", """{"j": 1}""", null)
+      .toDF("props")
+      .selectExpr("variant_get(try_parse_json(props), '$.k', 'int') AS k")
+      .collect().map(r => if (r.isNullAt(0)) null else r.getInt(0))
+    assert(crafted.toSeq === Seq(7, null, null, null))
+  }
+
   test("q114 triangle census equals an in-memory topology reference") {
     val edges = Dedup.verifiedEdges(graft.Tables.documents(spark, sf))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
