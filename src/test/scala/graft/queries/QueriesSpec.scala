@@ -1632,6 +1632,27 @@ class QueriesSpec extends SparkSpec {
     assert(crafted.toSeq === Seq(7, null, null, null))
   }
 
+  test("variant survives a parquet round-trip: parse at write, path-extract at read") {
+    // the architectural claim behind q118: the parse happens once at
+    // ingest, the STORED binary encoding is what later queries extract
+    // from — so the encoding must round-trip through parquet intact
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_variant").toString
+    graft.Tables.events(spark, sf)
+      .selectExpr("event_id", "try_parse_json(props) AS v")
+      .write.mode("overwrite").parquet(dir)
+    val readBack = spark.read.parquet(dir)
+      .selectExpr("variant_get(v, '$.k', 'int') AS k")
+      .filter(col("k").isNotNull)
+      .selectExpr("CAST(k % 10 AS INT) AS k_bucket")
+      .groupBy(col("k_bucket"))
+      .agg(count(lit(1)).as("event_count"))
+    val direct = Events.q18PropsBuckets(spark, sf)
+      .select(col("k_bucket"), col("event_count"))
+    assert(rowsOf(readBack) === rowsOf(direct),
+      "stored variant must yield the same census as parsing fresh")
+  }
+
   test("q114 triangle census equals an in-memory topology reference") {
     val edges = Dedup.verifiedEdges(graft.Tables.documents(spark, sf))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
