@@ -203,6 +203,9 @@ object SparkEntry {
     // semi-structured at scale: q18's census through Spark 4 VARIANT
     // (parse once at ingest, path-extract from the binary encoding)
     "q118_variant_props" -> (Events.q118VariantProps _),
+    // journey analytics: view→click→purchase funnel with 1h step
+    // windows (µs-exact; q69 asks "ever", this asks "as a journey")
+    "q119_timed_funnel" -> (Events.q119TimedFunnel _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -327,5 +330,6 @@ object SparkEntry {
     "q116_incremental_lexicon" -> Text.q108Sql,
     "q117_attribution" -> Events.q117Sql,
     "q118_variant_props" -> Events.q18Sql,
+    "q119_timed_funnel" -> Events.q119Sql,
   )
 }

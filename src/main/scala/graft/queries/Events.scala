@@ -460,6 +460,67 @@ object Events {
         min(col("gap_us")).as("min_gap_us"),
         max(col("gap_us")).as("max_gap_us"))
   }
+  /** Time-bound funnel (q119): view → click → purchase where each
+    * step must land within 24 HOURS of the previous step's completion
+    * — the sequence-matching census q69's unbounded funnel cannot
+    * express (q69 asks "did they ever", this asks "did the journey
+    * happen as a journey"). Steps bind to the FIRST qualifying event:
+    * first view per user, first click in (v, v+24h], first purchase
+    * in (c, c+24h] (the testdata's arrival cadence — see q109 —
+    * makes 24h the window with signal at every SF). Single census
+    * row: users entering each stage and the end-to-end conversion in
+    * ppm of viewers.
+    *
+    * Scale shape: three user-keyed aggregates, each stage joining the
+    * (shrinking) previous stage's one-row-per-user frame back onto a
+    * type-pruned scan — every join is on user_id (AQE broadcasts the
+    * later, smaller stages), all time arithmetic in integer µs (the
+    * q17 discipline; an exact boundary must not float-round).
+    */
+  def q119TimedFunnel(s: SparkSession, dir: String): DataFrame = {
+    val StepUs = 24L * 3600L * 1000000L
+    val ev = Tables.events(s, dir).select(col("user_id"),
+      col("event_type"),
+      unix_micros(col("ts").cast("timestamp_ltz")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("us") > col("v_us") && col("us") <= col("v_us") + StepUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("us") > col("c_us") && col("us") <= col("c_us") + StepUs)
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+    v.agg(count(lit(1)).as("viewers"))
+      .crossJoin(c.agg(count(lit(1)).as("clicked_24h")))
+      .crossJoin(p.agg(count(lit(1)).as("purchased_24h")))
+      .withColumn("conversion_ppm",
+        expr("purchased_24h * 1000000 div viewers"))
+  }
+  val q119Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |v AS (SELECT user_id, min(us) AS v_us FROM ev
+      |      WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT ev.user_id, min(us) AS c_us
+      |      FROM ev JOIN v ON ev.user_id = v.user_id
+      |      WHERE event_type = 'click'
+      |        AND us > v_us AND us <= v_us + 86400000000
+      |      GROUP BY 1),
+      |p AS (SELECT ev.user_id, min(us) AS p_us
+      |      FROM ev JOIN c ON ev.user_id = c.user_id
+      |      WHERE event_type = 'purchase'
+      |        AND us > c_us AND us <= c_us + 86400000000
+      |      GROUP BY 1)
+      |SELECT (SELECT count(*) FROM v) AS viewers,
+      |       (SELECT count(*) FROM c) AS clicked_24h,
+      |       (SELECT count(*) FROM p) AS purchased_24h,
+      |       (SELECT count(*) FROM p) * 1000000
+      |         // (SELECT count(*) FROM v) AS conversion_ppm""".stripMargin
+
   /** Last-touch attribution census (q117): every purchase is credited
     * to the SAME user's most recent strictly-preceding non-purchase
     * event — the classic conversion-attribution rule (what was the

@@ -1653,6 +1653,32 @@ class QueriesSpec extends SparkSpec {
       "stored variant must yield the same census as parsing fresh")
   }
 
+  test("q119 timed funnel equals an in-memory journey reference; bounded by q69") {
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_type",
+        "unix_micros(cast(ts as timestamp_ltz)) AS us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val hour = 24L * 3600L * 1000000L
+    val byUser = ev.groupBy(_._1)
+    def firstAfter(es: Seq[(Long, String, Long)], t: String,
+                   lo: Long, hi: Long): Option[Long] =
+      es.filter(e => e._2 == t && e._3 > lo && e._3 <= hi)
+        .map(_._3).sorted.headOption
+    val v = byUser.flatMap { case (u, es) =>
+      es.filter(_._2 == "view").map(_._3).sorted.headOption.map(u -> _) }
+    val c = v.flatMap { case (u, t) =>
+      firstAfter(byUser(u), "click", t, t + hour).map(u -> _) }
+    val p = c.flatMap { case (u, t) =>
+      firstAfter(byUser(u), "purchase", t, t + hour).map(u -> _) }
+    val row = Events.q119TimedFunnel(spark, sf).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ===
+      ((v.size.toLong, c.size.toLong, p.size.toLong)))
+    assert(row.getLong(3) === p.size.toLong * 1000000L / v.size)
+    // stage monotonicity, and the journey must actually narrow
+    assert(v.size >= c.size && c.size >= p.size)
+    assert(p.size > 0, "no completed journeys at sf0.001 — weak fixture")
+  }
+
   test("q114 triangle census equals an in-memory topology reference") {
     val edges = Dedup.verifiedEdges(graft.Tables.documents(spark, sf))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
