@@ -203,9 +203,12 @@ object SparkEntry {
     // semi-structured at scale: q18's census through Spark 4 VARIANT
     // (parse once at ingest, path-extract from the binary encoding)
     "q118_variant_props" -> (Events.q118VariantProps _),
-    // journey analytics: view→click→purchase funnel with 1h step
+    // journey analytics: view→click→purchase funnel with 24h step
     // windows (µs-exact; q69 asks "ever", this asks "as a journey")
     "q119_timed_funnel" -> (Events.q119TimedFunnel _),
+    // association mining: event-type co-occurrence lift within the
+    // q17 session cut (market-basket over behavioral sessions)
+    "q120_session_lift" -> (Events.q120SessionLift _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -331,5 +334,6 @@ object SparkEntry {
     "q117_attribution" -> Events.q117Sql,
     "q118_variant_props" -> Events.q18Sql,
     "q119_timed_funnel" -> Events.q119Sql,
+    "q120_session_lift" -> Events.q120Sql,
   )
 }

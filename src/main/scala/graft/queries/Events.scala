@@ -460,6 +460,86 @@ object Events {
         min(col("gap_us")).as("min_gap_us"),
         max(col("gap_us")).as("max_gap_us"))
   }
+  /** Session-scoped co-occurrence lift (q120): the market-basket
+    * census over behavioral sessions — for every unordered pair of
+    * event types, in how many q17 sessions do both occur, and the
+    * LIFT n·c(a,b)/(c(a)·c(b)) in integer ppm (1e6 = independence;
+    * above = the types travel together within a session, below =
+    * they repel). The association signal product analytics reads
+    * before building any recommendation — computed on the SAME
+    * session cut q17/q113 pin, so the lift table and the session
+    * census can never disagree about what a session is.
+    *
+    * Scale shape: one user_id shuffle for the session window (the
+    * q17 sort again), a hash-agg to distinct (session, type) —
+    * O(sessions × types) rows — and the pair join runs on THAT
+    * compacted frame keyed by session id: with T event types a
+    * session contributes ≤ C(T,2) pairs (T=5 here), so the join
+    * output is bounded by 10× sessions, never corpus². The 1-row
+    * session-total and per-type frames broadcast into the lift
+    * arithmetic.
+    */
+  def q120SessionLift(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val st = Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts").cast("timestamp_ltz")) -
+            unix_micros(col("prev_ts").cast("timestamp_ltz")) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(concat_ws(":", col("user_id"), col("session_id")).as("sid"),
+        col("event_type").as("t"))
+      .distinct()
+    val n = st.select(col("sid")).distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val ct = st.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val a = st.select(col("sid"), col("t").as("type_a"))
+    val b = st.select(col("sid"), col("t").as("type_b"))
+    a.join(b, Seq("sid")).filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("both_sessions"))
+      .join(broadcast(ct.select(col("t").as("type_a"), col("c").as("ca"))),
+        Seq("type_a"))
+      .join(broadcast(ct.select(col("t").as("type_b"), col("c").as("cb"))),
+        Seq("type_b"))
+      .crossJoin(broadcast(n))
+      .select(col("type_a"), col("type_b"), col("both_sessions"),
+        expr("both_sessions * n_sessions * 1000000 div (ca * cb)")
+          .as("lift_ppm"))
+  }
+  val q120Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_type,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR epoch_us(CAST(ts AS TIMESTAMP))
+      |                   - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+      |                   > 1800000000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |st AS (
+      |  SELECT DISTINCT user_id || ':' || sum(new_session)
+      |           OVER (PARTITION BY user_id ORDER BY ts
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS sid,
+      |         event_type AS t
+      |  FROM flagged),
+      |n AS (SELECT count(DISTINCT sid) AS n_sessions FROM st),
+      |ct AS (SELECT t, count(*) AS c FROM st GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.t AS type_a, b.t AS type_b, count(*) AS both_sessions
+      |  FROM st a JOIN st b ON a.sid = b.sid AND a.t < b.t
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, both_sessions,
+      |       both_sessions * n_sessions * 1000000 // (ca.c * cb.c)
+      |         AS lift_ppm
+      |FROM pairs
+      |JOIN ct ca ON pairs.type_a = ca.t
+      |JOIN ct cb ON pairs.type_b = cb.t
+      |CROSS JOIN n""".stripMargin
+
   /** Time-bound funnel (q119): view → click → purchase where each
     * step must land within 24 HOURS of the previous step's completion
     * — the sequence-matching census q69's unbounded funnel cannot

@@ -77,7 +77,8 @@ class PlanSpec extends SparkSpec {
     "q105_incremental_mixture", // × 1-row qtot agg (q97's cross)
     "q114_triangle_census",     // × three 1-row topology aggs
     "q115_interpolated_surprisal", // × 1-row train (N, V) totals agg
-    "q119_timed_funnel"         // × three 1-row stage-count aggs (q69's shape)
+    "q119_timed_funnel",        // × three 1-row stage-count aggs (q69's shape)
+    "q120_session_lift"         // × 1-row session-total agg
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {

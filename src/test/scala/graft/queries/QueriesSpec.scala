@@ -1679,6 +1679,38 @@ class QueriesSpec extends SparkSpec {
     assert(p.size > 0, "no completed journeys at sf0.001 — weak fixture")
   }
 
+  test("q120 session lift equals an in-memory market-basket reference") {
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id", "unix_micros(cast(ts as timestamp_ltz)) AS us",
+        "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // sessions: the q17 cut (30-min gap over per-user time order)
+    val sessions = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(_._2)
+      var sid = 0L; var prev = Long.MinValue
+      sorted.map { e =>
+        if (prev == Long.MinValue || e._2 - prev > 1800000000L) sid += 1
+        prev = e._2
+        (s"$u:$sid", e._3)
+      }
+    }.distinct
+    val n = sessions.map(_._1).distinct.size.toLong
+    val ct = sessions.groupBy(_._2).map { case (t, v) => t -> v.size.toLong }
+    val byS = sessions.groupBy(_._1).map { case (_, v) => v.map(_._2).toSet }
+    val expected = byS.toSeq.flatMap(ts =>
+      ts.toSeq.sorted.combinations(2).map { case Seq(a, b) => (a, b) })
+      .groupBy(identity).map { case ((a, b), v) =>
+        (a, b) -> (v.size.toLong, v.size.toLong * n * 1000000L / (ct(a) * ct(b)))
+      }
+    val got = Events.q120SessionLift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === expected)
+    // support bound: no pair can co-occur more than min(ca, cb)
+    got.foreach { case ((a, b), (both, _)) =>
+      assert(both <= math.min(ct(a), ct(b))) }
+  }
+
   test("q114 triangle census equals an in-memory topology reference") {
     val edges = Dedup.verifiedEdges(graft.Tables.documents(spark, sf))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
