@@ -307,7 +307,69 @@ object CurationStress {
       s"q114 cc must densify under replication: " +
         s"${rep114.getLong(4)} < ${base114.getLong(4)}")
 
-    println(f"""{"metric":"curation_stress","reps":$reps,"q108_sec":$tLex%.2f,"q109_sec":$tGaps%.2f,"q111_sec":$tMad%.2f,"q112_sec":$tGrid%.2f,"q114_sec":$tTri%.2f,"q114_cc_ppm":${rep114.getLong(4)},"q74_sec":$tSpan%.2f,"q74_rows":$spanRows,"q81_sec":$tOverlap%.2f,"q81_full_matches":$q81Full,"q79_sec":$tTrain%.2f,"q80_sec":$tApply%.2f,"q95_sec":$tBigram%.2f,"q98_sec":$tMix%.2f,"q98_surviving_tokens":$survTok,"q104_sec":$tSkew%.2f,"q99_sec":$tHeldout%.2f,"q101_sec":$tReid%.2f,"q102_sec":$tBoot%.2f,"q103_sec":$tBootFused%.2f,"bigram_types_base":$baseTypes,"bigram_types_train_r":$trainTypesR,"q95_skewcorpus_sec":$tFlatSkew%.2f,"q104_skewcorpus_sec":$tSplitSkew%.2f,"sf":"$sfDir"}""")
+    // ---- round-7 third wave (q121/q122/q126/q127) at scale
+
+    // q121: chunking is a pure per-doc function of text, so every
+    // replica feed's chunk census must be ROW-IDENTICAL to its base
+    // feed's (source renamed, same texts) — chunk counts, distinct
+    // fingerprints, dup ppm, mean width all invariant
+    noop(Text.q121DocChunks(spark, sfDir)) // warmup + 1× reference
+    val base121 = Text.q121DocChunks(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val (rep121, tChunk) = time(Text.q121DocChunks(spark, stressDir).collect())
+    rep121.foreach { r =>
+      val src = r.getString(0)
+      val want = base121(src.substring(0, src.lastIndexOf('_')))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)) == want,
+        s"q121 replica feed $src drifted from its base chunk census")
+    }
+
+    // q122: cloned users replay identical hourly behavior under fresh
+    // ids → every carried state's grid/observed/user counts scale ×R
+    // exactly (the grid is per-user, so replication is key-parallel)
+    noop(Events.q122LocfGrid(spark, sfDir)) // warmup + 1× reference
+    val base122 = Events.q122LocfGrid(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (rep122, tLocf) = time(Events.q122LocfGrid(spark, stressDir).collect())
+    val got122 = rep122
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got122 == base122.map { case (k, (g, o, u)) =>
+      k -> (g * reps, o * reps, u * reps) },
+      "q122 scaling law broken: cloned users must scale every state cell ×R")
+
+    // q126: replica docs carry FRESH doc_ids, so their masks are fresh
+    // draws of the same 15% position-hash — positions per feed are
+    // invariant (same texts), the realized rate stays in the envelope
+    noop(Text.q126MaskPlan(spark, sfDir)) // warmup + 1× reference
+    val base126 = Text.q126MaskPlan(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (rep126, tMask) = time(Text.q126MaskPlan(spark, stressDir).collect())
+    rep126.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getLong(1) == base126(src.substring(0, src.lastIndexOf('_'))),
+        s"q126 $src position count drifted — tokenization is per-doc")
+      assert(r.getLong(4) > 100000L && r.getLong(4) < 200000L,
+        s"q126 $src mask rate ${r.getLong(4)} ppm left the 15%±5pp envelope")
+    }
+
+    // q127: the score multiset replicates exactly (same texts), so the
+    // positional deciles each hold R× their base doc count and the
+    // global envelope endpoints are unchanged
+    noop(Text.q127CurriculumDeciles(spark, sfDir)) // warmup + 1× reference
+    val base127 = Text.q127CurriculumDeciles(spark, sfDir).collect()
+      .sortBy(_.getInt(0))
+    val (rep127arr, tCur) = time(Text.q127CurriculumDeciles(spark, stressDir).collect())
+    val rep127 = rep127arr.sortBy(_.getInt(0))
+    rep127.zip(base127).foreach { case (r, b) =>
+      assert(r.getLong(1) == reps * b.getLong(1),
+        s"q127 decile ${r.getInt(0)} must hold R× its base docs") }
+    assert(rep127.head.getLong(3) == base127.head.getLong(3) &&
+      rep127.last.getLong(4) == base127.last.getLong(4),
+      "q127 global score envelope moved under replication")
+
+    println(f"""{"metric":"curation_stress","reps":$reps,"q121_sec":$tChunk%.2f,"q122_sec":$tLocf%.2f,"q126_sec":$tMask%.2f,"q127_sec":$tCur%.2f,"q108_sec":$tLex%.2f,"q109_sec":$tGaps%.2f,"q111_sec":$tMad%.2f,"q112_sec":$tGrid%.2f,"q114_sec":$tTri%.2f,"q114_cc_ppm":${rep114.getLong(4)},"q74_sec":$tSpan%.2f,"q74_rows":$spanRows,"q81_sec":$tOverlap%.2f,"q81_full_matches":$q81Full,"q79_sec":$tTrain%.2f,"q80_sec":$tApply%.2f,"q95_sec":$tBigram%.2f,"q98_sec":$tMix%.2f,"q98_surviving_tokens":$survTok,"q104_sec":$tSkew%.2f,"q99_sec":$tHeldout%.2f,"q101_sec":$tReid%.2f,"q102_sec":$tBoot%.2f,"q103_sec":$tBootFused%.2f,"bigram_types_base":$baseTypes,"bigram_types_train_r":$trainTypesR,"q95_skewcorpus_sec":$tFlatSkew%.2f,"q104_skewcorpus_sec":$tSplitSkew%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -209,6 +209,37 @@ object SparkEntry {
     // association mining: event-type co-occurrence lift within the
     // q17 session cut (market-basket over behavioral sessions)
     "q120_session_lift" -> (Events.q120SessionLift _),
+    // RAG preprocessing: overlapping-window chunk inventory + chunk-
+    // grain exact-dup census (boilerplate duplicates at chunk grain
+    // long before whole documents collide)
+    "q121_doc_chunks" -> (Text.q121DocChunks _),
+    // time-series alignment: hourly LOCF state grid per user (the
+    // feature-store resample — "what state at hour H", every H)
+    "q122_locf_grid" -> (Events.q122LocfGrid _),
+    // hybrid retrieval: reciprocal-rank fusion of BM25 and cosine
+    // top-10 lists (integer-micros RRF, k=60)
+    "q123_rrf_fusion" -> (Similarity.q123RrfFusion _),
+    // contrastive mining: top-5 wrong-label high-cosine neighbors
+    // per anchor (the hard-negative manifest a batch builder feeds on)
+    "q124_hard_negatives" -> (Similarity.q124HardNegatives _),
+    // vision batching: aspect-ratio bucket manifest with batch counts
+    // and padding-waste ppm at batch size 32
+    "q125_aspect_buckets" -> (MultimodalQ.q125AspectBuckets _),
+    // MLM data prep: deterministic position-hash mask plan census
+    // (15% rate, span starts — same mask on any engine or rerun)
+    "q126_mask_plan" -> (Text.q126MaskPlan _),
+    // curriculum ordering: global TTR-score deciles with token mass
+    // and score envelopes per decile
+    "q127_curriculum_deciles" -> (Text.q127CurriculumDeciles _),
+    // sketch audit: bands-agreed × true-Jaccard-decile grid (the
+    // measured LSH s-curve — what tuning (b, r) actually reads)
+    "q128_lsh_calibration" -> (Dedup.q128LshCalibration _),
+    // index audit: multi-probe ANN candidates + recall@3 vs the
+    // exact top-k ground truth, per query
+    "q129_ann_recall" -> (Similarity.q129AnnRecall _),
+    // shuffle planning: per-(table, key) skew census — the numbers
+    // that pick plain shuffle vs AQE skew-split vs q42 salting
+    "q130_key_skew_census" -> (Stats.q130KeySkewCensus _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -335,5 +366,15 @@ object SparkEntry {
     "q118_variant_props" -> Events.q18Sql,
     "q119_timed_funnel" -> Events.q119Sql,
     "q120_session_lift" -> Events.q120Sql,
+    "q121_doc_chunks" -> Text.q121Sql,
+    "q122_locf_grid" -> Events.q122Sql,
+    "q123_rrf_fusion" -> Similarity.q123Sql,
+    "q124_hard_negatives" -> Similarity.q124Sql,
+    "q125_aspect_buckets" -> MultimodalQ.q125Sql,
+    "q126_mask_plan" -> Text.q126Sql,
+    "q127_curriculum_deciles" -> Text.q127Sql,
+    "q128_lsh_calibration" -> Dedup.q128Sql,
+    "q129_ann_recall" -> Similarity.q129Sql,
+    "q130_key_skew_census" -> Stats.q130Sql,
   )
 }

@@ -1003,4 +1003,70 @@ object Dedup {
        |       CASE WHEN wedges = 0 THEN 0
        |            ELSE triangles * 3000000 // wedges END AS global_cc_ppm
        |FROM da, ea, ta""".stripMargin
+
+  // ---------------------------------------- LSH calibration (q128)
+
+  /** MinHash-LSH calibration census (q128): the sketch-quality audit —
+    * for every LSH candidate pair, how many of the 4 bands agreed
+    * (the sketch's evidence) against the pair's TRUE n-gram Jaccard
+    * decile (the exact answer, integer (10·|∩|) div |∪| so no float
+    * crosses a bucket edge). The (bands_agree × jaccard_decile) grid
+    * is the measured s-curve: mass in high-band/low-jaccard cells is
+    * the sketch's false-positive cost (verification work wasted), and
+    * high-jaccard pairs that only ever reach 1 band show how close
+    * the config sails to missing real duplicates. Tuning (b, r)
+    * against a corpus IS reading this census.
+    *
+    * Scale shape: identical to q44 — candidates materialize only
+    * inside (band, sig) buckets; the band-agreement count is a
+    * hash-aggregate on the pair key (O(candidate pairs)); the exact
+    * Jaccard join touches only candidate docs' shingle sets. The
+    * census output is ≤ 4×11 cells.
+    */
+  def q128LshCalibration(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val stacked = bandedSignatures(docs)
+    val agree = stacked.as("a")
+      .join(stacked.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(countDistinct(col("a.band")).as("bands_agree"))
+    val sh = docs
+      .withColumn("toks", TextOps.tokens(col("text"))) // staged (HOF note above)
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.NGramSetFunctions.ngram_set(col("toks"), 3).as("shset"))
+    agree
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("inter",
+        size(array_intersect(col("sa.shset"), col("sb.shset"))))
+      .withColumn("j_decile", expr(
+        "(10 * inter) div (size(sa.shset) + size(sb.shset) - inter)"))
+      .groupBy(col("bands_agree"), col("j_decile"))
+      .agg(count(lit(1)).as("pairs"), min(col("doc_a")).as("min_doc_a"))
+  }
+  val q128Sql: String = {
+    val toks = "str_split(text, ' ')"
+    s"""WITH ${verifiedPairsSqlCtes("documents")},
+       |agree AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         count(DISTINCT a.band) AS bands_agree
+       |  FROM stacked a JOIN stacked b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |cells AS (
+       |  SELECT bands_agree,
+       |         (10 * len(list_intersect(sa.shset, sb.shset)))
+       |           // (len(sa.shset) + len(sb.shset)
+       |               - len(list_intersect(sa.shset, sb.shset))) AS j_decile,
+       |         doc_a
+       |  FROM agree
+       |  JOIN sh sa ON doc_a = sa.doc_id
+       |  JOIN sh sb ON doc_b = sb.doc_id)
+       |SELECT bands_agree, j_decile, count(*) AS pairs,
+       |       min(doc_a) AS min_doc_a
+       |FROM cells GROUP BY 1, 2""".stripMargin
+  }
 }

@@ -665,4 +665,89 @@ object Events {
       |       min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us
       |FROM gaps WHERE gap_us IS NOT NULL
       |GROUP BY 1, 2""".stripMargin
+
+  // -------------------------------------------------- LOCF grid (q122)
+
+  /** Gap-filled hourly state grid (q122): the time-series-alignment
+    * operator — every user's event stream is resampled onto a dense
+    * hourly grid between their first and last event, and the "current
+    * state" (last event type at or before each grid hour) is carried
+    * forward across empty hours (LOCF — last observation carried
+    * forward). Census per carried state: grid cells holding that
+    * state, cells where the state was OBSERVED that hour vs carried
+    * from an earlier one, and distinct users. This is how behavioral
+    * state joins a feature store: the model asks "what state was user
+    * U in at hour H" for EVERY hour, not just event hours.
+    *
+    * Determinism: hours are integer µs-epoch div 3600e6 (the q17
+    * µs-truncation discipline); per-hour observation picks the LAST
+    * event by (ts, event_id) — a total order, so both engines carry
+    * identical states.
+    *
+    * Scale shape: the corpus crosses the wire ONCE, compacted — the
+    * per-(user, hour) last-event pick is a hash-aggregate
+    * (max_by over the (ts, event_id) total order) with map-side
+    * combine, so shuffle rows are user-hours, not events. Everything
+    * downstream runs at GRID scale: bounds come from the compacted
+    * obs table (not a second corpus scan), the grid explode is a
+    * bounded per-user `sequence` (≤ span-hours cells — the classic
+    * resample bound), the obs side of the grid join reuses its
+    * aggregation partitioning, and the carry-forward window shuffles
+    * only grid rows on user_id. Census output is O(event types).
+    */
+  def q122LocfGrid(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      // NTZ→LTZ cast before unix_micros, per the q17 discipline
+      // (session TZ pinned UTC, so the instant is unchanged)
+      .withColumn("h",
+        expr("unix_micros(cast(ts as timestamp_ltz)) div 3600000000"))
+    // last event of each (user, hour) by the (ts, event_id) total
+    // order — max_by on a struct, NOT a row_number window: the
+    // aggregate partial-combines map-side, the window would sort the
+    // whole corpus inside each (user, hour) partition first
+    val obs = ev.groupBy(col("user_id"), col("h"))
+      .agg(expr("max_by(event_type, struct(ts, event_id))").as("obs_type"))
+    val grid = obs.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"))).as("h"))
+    val carried = grid.join(obs, Seq("user_id", "h"), "left")
+      .withColumn("state", last(col("obs_type"), ignoreNulls = true)
+        .over(Window.partitionBy(col("user_id")).orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    carried.groupBy(col("state"))
+      .agg(count(lit(1)).as("grid_cells"),
+        count(col("obs_type")).as("observed_cells"),
+        countDistinct(col("user_id")).as("users"))
+      .withColumn("carried_cells", expr("grid_cells - observed_cells"))
+  }
+  val q122Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type,
+      |         CAST(ts AS TIMESTAMP) AS ts,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h
+      |  FROM events),
+      |obs AS (
+      |  SELECT user_id, h, event_type AS obs_type
+      |  FROM (SELECT user_id, h, event_type,
+      |               row_number() OVER (PARTITION BY user_id, h
+      |                 ORDER BY ts DESC, event_id DESC) AS rn
+      |        FROM ev)
+      |  WHERE rn = 1),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(min(h), max(h))) AS h
+      |  FROM ev GROUP BY user_id),
+      |carried AS (
+      |  SELECT g.user_id, g.h, o.obs_type,
+      |         last_value(o.obs_type IGNORE NULLS)
+      |           OVER (PARTITION BY g.user_id ORDER BY g.h
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS state
+      |  FROM grid g LEFT JOIN obs o
+      |    ON g.user_id = o.user_id AND g.h = o.h)
+      |SELECT state, count(*) AS grid_cells,
+      |       count(obs_type) AS observed_cells,
+      |       count(DISTINCT user_id) AS users,
+      |       count(*) - count(obs_type) AS carried_cells
+      |FROM carried GROUP BY 1""".stripMargin
 }

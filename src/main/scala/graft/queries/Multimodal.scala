@@ -129,4 +129,57 @@ object MultimodalQ {
        |FROM quality q JOIN embeddings e ON q.doc_id = e.vec_id
        |GROUP BY 1, 2""".stripMargin
   }
+
+  /** Aspect-ratio bucketing manifest (q125): the vision-training batch
+    * layout step (SDXL-style) — images can only batch together when
+    * their shapes match, so the corpus is bucketed by integer aspect
+    * permille (width·1000 div height: tall < 900, square ≤ 1111, wide
+    * above) and each (format, bucket) cell reports its image count,
+    * the batch count at batch size 32 (ceil division), and the padding
+    * waste in ppm — the number a training-throughput budget actually
+    * wants, since every partially-filled batch pads to 32.
+    *
+    * Scale shape: decode + bucket are scan-side codegen'd arithmetic
+    * on the metadata (the payload bytes are never touched — the
+    * opaque-until-needed rule); the census is one hash-aggregate on
+    * (format, bucket) with map-side combine, output O(formats ×
+    * buckets). The ACTUAL batch assembly at 100 TB would repartition
+    * by bucket so co-batched images land together — exactly the
+    * bucketed-write layout ScaleSpec demonstrates; this manifest is
+    * its row-count contract.
+    */
+  private val BatchSize = 32
+  def q125AspectBuckets(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir)
+      .transform(MM.withPayload)
+      .withColumn("meta", MM.decodeImageMeta(col("payload")))
+      .select(col("meta.format").as("format"),
+        expr("meta.width * 1000 div greatest(meta.height, 1)").as("apm"))
+      .withColumn("bucket",
+        when(col("apm") < 900, "tall")
+          .when(col("apm") <= 1111, "square")
+          .otherwise(lit("wide")))
+      .groupBy(col("format"), col("bucket"))
+      .agg(count(lit(1)).as("images"))
+      .withColumn("batches", expr(s"(images + ${BatchSize - 1}) div $BatchSize"))
+      .withColumn("pad_ppm",
+        expr(s"(batches * $BatchSize - images) * 1000000 div (batches * $BatchSize)"))
+  }
+  val q125Sql: String =
+    s"""WITH $metaCte,
+       |b AS (
+       |  SELECT format,
+       |         CASE WHEN width * 1000 // greatest(height, 1) < 900 THEN 'tall'
+       |              WHEN width * 1000 // greatest(height, 1) <= 1111 THEN 'square'
+       |              ELSE 'wide' END AS bucket
+       |  FROM meta),
+       |cen AS (SELECT format, bucket, count(*) AS images
+       |        FROM b GROUP BY 1, 2)
+       |SELECT format, bucket, images,
+       |       (images + ${BatchSize - 1}) // $BatchSize AS batches,
+       |       ((images + ${BatchSize - 1}) // $BatchSize * $BatchSize - images)
+       |         * 1000000
+       |         // ((images + ${BatchSize - 1}) // $BatchSize * $BatchSize)
+       |         AS pad_ppm
+       |FROM cen""".stripMargin
 }

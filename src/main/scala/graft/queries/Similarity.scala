@@ -1007,4 +1007,191 @@ object Similarity {
        |         AS centroid_cos
        |FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
        |GROUP BY 1, 2""".stripMargin
+
+  // -------------------------------------------------- hard negatives (q124)
+
+  /** Hard-negative mining (q124): the contrastive-training data op —
+    * for each anchor vector (every 50th id), the top-5 most-similar
+    * vectors carrying a DIFFERENT label. High-cosine/wrong-label
+    * neighbors are exactly the "hard negatives" an embedding model
+    * trains against (easy random negatives teach nothing); this
+    * manifest is what a contrastive batch builder consumes.
+    *
+    * Scale shape: q29's exactly — the anchor set is tiny and
+    * BROADCAST, so the corpus streams map-side through one scan (the
+    * label filter rides inside the broadcast join condition, pruning
+    * before the dot product); per-anchor top-5 is a window group
+    * limit, not a global sort. At real scale the anchor set is a
+    * training batch (hundreds) — still broadcast-sized — and the
+    * brute-force scan flips to the q57 IVF probe with the label
+    * predicate applied inside each cell.
+    */
+  def q124HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val anchors = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+        col("v").as("qv"))
+    val scored = emb.join(broadcast(anchors), col("label") =!= col("a_label"))
+      .select(col("anchor_id"), col("vec_id").as("neg_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
+    scored.withColumn("rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("anchor_id"))
+          .orderBy(col("cos_sim").desc, col("neg_id").asc)))
+      .filter(col("rk") <= 5)
+      .select(col("anchor_id"), col("neg_id"), col("cos_sim"), col("rk"))
+  }
+  val q124Sql: String =
+    """WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+      |             FROM embeddings),
+      |a AS (SELECT vec_id AS anchor_id, label AS a_label, v AS qv
+      |      FROM emb WHERE vec_id % 50 = 0),
+      |scored AS (
+      |  SELECT anchor_id, e.vec_id AS neg_id,
+      |         round(list_dot_product(qv, v) /
+      |               (sqrt(list_dot_product(qv, qv)) *
+      |                sqrt(list_dot_product(v, v))), 6) AS cos_sim
+      |  FROM emb e CROSS JOIN a WHERE e.label <> a.a_label),
+      |ranked AS (
+      |  SELECT anchor_id, neg_id, cos_sim,
+      |         row_number() OVER (PARTITION BY anchor_id
+      |                            ORDER BY cos_sim DESC, neg_id ASC) AS rk
+      |  FROM scored)
+      |SELECT anchor_id, neg_id, cos_sim, rk FROM ranked WHERE rk <= 5""".stripMargin
+
+  // -------------------------------------------------- rank fusion (q123)
+
+  /** Reciprocal-rank fusion (q123): hybrid retrieval's merge step —
+    * the corpus is ranked twice, lexically (q62's BM25 top-10 over the
+    * documents table) and semantically (cosine top-10 against anchor
+    * vector 0 over the paired embeddings), and the two rankings fuse
+    * by RRF: score(d) = Σ 1/(60+rank_list(d)), the standard k=60
+    * fusion — spelled in integer micros (1000000 div (60+rk)) so
+    * nothing float crosses the engine boundary. Docs missing from a
+    * list contribute 0 and report rank −1. This is the retrieval-side
+    * twin of the curation dedup ladder: every RAG pipeline runs
+    * exactly this merge between its keyword and vector indexes.
+    *
+    * Scale shape: fusion consumes two ALREADY-REDUCED top-K manifests
+    * (each K rows — broadcast-trivial); the heavy lifting is inside
+    * the member rankings, which keep their own audited plans (q62:
+    * one scan + broadcast stats cross; cosine: broadcast anchor,
+    * map-side scan). The full-outer join over two K-row frames is
+    * noise at any scale — the POINT is that fusion never touches the
+    * corpus again.
+    */
+  def q123RrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+    val bm = Text.q62Bm25(s, dir)
+      .withColumn("bm_rk", row_number().over(w))
+      .select(col("doc_id"), col("bm_rk"))
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val anchor = emb.filter(col("vec_id") === 0)
+      .select(col("v").as("qv"))
+    val cosTop = emb.crossJoin(broadcast(anchor))
+      .select(col("vec_id"), round(cosine(col("qv"), col("v")), 6).as("cs"))
+      .withColumn("cos_rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cs").desc, col("vec_id").asc)))
+      .filter(col("cos_rk") <= 10)
+      .select(col("vec_id").as("doc_id"), col("cos_rk"))
+    bm.join(cosTop, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("bm_rk"), lit(-1)).as("bm_rk"),
+        coalesce(col("cos_rk"), lit(-1)).as("cos_rk"),
+        (coalesce(expr("1000000 div (60 + bm_rk)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + cos_rk)"), lit(0L)))
+          .as("rrf_micros"))
+  }
+  lazy val q123Sql: String =
+    s"""WITH bm AS (
+       |  SELECT doc_id,
+       |         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS bm_rk
+       |  FROM (${Text.q62Sql})),
+       |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |anchor AS (SELECT v AS qv FROM emb WHERE vec_id = 0),
+       |cos AS (
+       |  SELECT vec_id AS doc_id,
+       |         row_number() OVER (ORDER BY
+       |           round(list_dot_product(qv, v) /
+       |             (sqrt(list_dot_product(qv, qv)) *
+       |              sqrt(list_dot_product(v, v))), 6) DESC, vec_id ASC)
+       |           AS cos_rk
+       |  FROM emb CROSS JOIN anchor
+       |  QUALIFY cos_rk <= 10)
+       |SELECT coalesce(bm.doc_id, cos.doc_id) AS doc_id,
+       |       coalesce(bm.bm_rk, -1) AS bm_rk,
+       |       coalesce(cos.cos_rk, -1) AS cos_rk,
+       |       coalesce(1000000 // (60 + bm.bm_rk), 0)
+       |         + coalesce(1000000 // (60 + cos.cos_rk), 0) AS rrf_micros
+       |FROM bm FULL OUTER JOIN cos ON bm.doc_id = cos.doc_id""".stripMargin
+
+  // -------------------------------------------------- ANN recall (q129)
+
+  /** ANN recall census (q129): the index-quality audit — per query,
+    * the multi-probe LSH search's (q51) candidate count and how many
+    * of the exact top-3 (q29) it recovered. recall@3 and the
+    * candidate fraction are THE two numbers an ANN deployment tunes
+    * between (probe more buckets → recall up, candidates up); this
+    * census is the measured trade at the current 8-plane/Hamming-1
+    * config. Everything integer: hits, candidates, recall in
+    * thirds-as-pct (hits·100 div 3).
+    *
+    * Scale shape: both member searches keep their audited plans (one
+    * corpus scan each, broadcast queries, WindowGroupLimit); the
+    * census joins their K-row outputs plus an O(queries) candidate
+    * count — nothing here rescans the corpus. At 100 TB recall is
+    * estimated on a query SAMPLE exactly this way (exact top-k on the
+    * sample is the expensive-but-bounded ground-truth pass).
+    */
+  def q129AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("cb", bucketCode(col("v")))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("cb").as("qb"))
+    val cands = emb.join(broadcast(queries),
+        col("vec_id") =!= col("query_id") &&
+          bit_count(col("cb").bitwiseXOR(col("qb"))) <= 1)
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("candidates"))
+    val hits = q29CosineTopK(s, dir).select(col("query_id"), col("neighbor_id"))
+      .join(q51MultiprobeAnn(s, dir).select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    // anchor on the query set: a query whose probe finds ZERO
+    // candidates must still report (0, 0), not vanish
+    queries.select(col("query_id"))
+      .join(cands, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("candidates"), lit(0L)).as("candidates"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_pct", expr("hits * 100 div 3"))
+  }
+  val q129Sql: String =
+    s"""WITH exact AS ($q29Sql),
+       |probe AS ($q51Sql),
+       |emb0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |embc AS (SELECT vec_id, ($bucketSql) AS cb FROM emb0),
+       |qs AS (SELECT vec_id AS query_id, cb AS qb FROM embc WHERE vec_id < 5),
+       |cand AS (
+       |  SELECT query_id, count(*) AS candidates
+       |  FROM embc e CROSS JOIN qs
+       |  WHERE e.vec_id <> qs.query_id AND bit_count(xor(e.cb, qs.qb)) <= 1
+       |  GROUP BY 1),
+       |h AS (
+       |  SELECT e.query_id, count(*) AS hits
+       |  FROM exact e JOIN probe p
+       |    ON e.query_id = p.query_id AND e.neighbor_id = p.neighbor_id
+       |  GROUP BY 1)
+       |SELECT qs.query_id,
+       |       coalesce(c.candidates, 0) AS candidates,
+       |       coalesce(h.hits, 0) AS hits,
+       |       coalesce(h.hits, 0) * 100 // 3 AS recall_pct
+       |FROM qs LEFT JOIN cand c ON qs.query_id = c.query_id
+       |        LEFT JOIN h ON qs.query_id = h.query_id""".stripMargin
 }

@@ -413,4 +413,60 @@ object Stats {
       |            AS BIGINT) * 1000000 // count(*) AS outlier_ppm
       |FROM dev JOIN mad ON dev.event_type = mad.event_type
       |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------- key-skew census (q130)
+
+  /** Join-key skew census (q130): the shuffle-planning diagnostic —
+    * for each (table, key) a pipeline joins or aggregates on, the
+    * numbers that decide between a plain hash shuffle, AQE skew
+    * splitting, and the q42 salting spelling: total rows, distinct
+    * keys, the heaviest key's row count, its corpus share in ppm, and
+    * the max/avg ratio ×100 (a flat distribution reads 100; a Zipf
+    * head reads thousands). This is the census the PLANS.md skew
+    * notes (q95/q104) cite informally — made a first-class,
+    * oracle-checked operator so "is this key safe to shuffle on"
+    * is a query, not a guess.
+    *
+    * Scale shape: one hash-aggregate per probed key with map-side
+    * combine (the skewed key's popularity is absorbed into partial
+    * counts BEFORE the exchange — counting a hot key is safe even
+    * when joining on it is not), then an O(distinct keys) rollup;
+    * output is one row per probe.
+    */
+  def q130KeySkewCensus(s: SparkSession, dir: String): DataFrame = {
+    def probe(df: DataFrame, keyCol: String, label: String): DataFrame =
+      df.groupBy(col(keyCol).cast("string").as("k"))
+        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("distinct_keys"), sum(col("c")).as("rows"),
+          max(col("c")).as("max_key_rows"))
+        .select(lit(label).as("probe"), col("rows").cast("long").as("rows"),
+          col("distinct_keys"), col("max_key_rows"))
+    probe(Tables.lineitem(s, dir), "l_orderkey", "lineitem.l_orderkey")
+      .unionAll(probe(Tables.orders(s, dir), "o_custkey", "orders.o_custkey"))
+      .unionAll(probe(Tables.events(s, dir), "user_id", "events.user_id"))
+      .unionAll(probe(Tables.documents(s, dir), "source", "documents.source"))
+      .withColumn("top1_ppm", expr("max_key_rows * 1000000 div rows"))
+      .withColumn("skew_x100",
+        expr("max_key_rows * 100 div (rows div distinct_keys)"))
+  }
+  val q130Sql: String = {
+    def probe(table: String, key: String): String =
+      s"""SELECT '$table.$key' AS probe,
+         |       CAST(sum(c) AS BIGINT) AS rows, count(*) AS distinct_keys,
+         |       CAST(max(c) AS BIGINT) AS max_key_rows
+         |FROM (SELECT CAST($key AS VARCHAR) AS k, count(*) AS c
+         |      FROM $table GROUP BY 1)""".stripMargin
+    s"""WITH base AS (
+       |${probe("lineitem", "l_orderkey")}
+       |UNION ALL
+       |${probe("orders", "o_custkey")}
+       |UNION ALL
+       |${probe("events", "user_id")}
+       |UNION ALL
+       |${probe("documents", "source")})
+       |SELECT probe, rows, distinct_keys, max_key_rows,
+       |       max_key_rows * 1000000 // rows AS top1_ppm,
+       |       max_key_rows * 100 // (rows // distinct_keys) AS skew_x100
+       |FROM base""".stripMargin
+  }
 }

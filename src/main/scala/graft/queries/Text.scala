@@ -1597,4 +1597,187 @@ object Text {
       |       count(*) * 1000000 // CAST(sum(freq) AS BIGINT) AS ttr_ppm,
       |       count(CASE WHEN freq = 1 THEN 1 END) * 1000000 // count(*) AS hapax_ppm
       |FROM tf GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------- chunking (q121)
+
+  /** Overlapping-window chunking census (q121): the RAG / long-context
+    * preprocessing step — every document is cut into fixed-width
+    * character windows (W=200) on a fixed stride (S=150, so 50 chars
+    * of overlap), and the chunk inventory is censused per source:
+    * chunk counts, DISTINCT chunk fingerprints, the exact-duplicate
+    * chunk rate, and the mean chunk width. Chunk-level duplication is
+    * a different signal from q24's doc-level one — boilerplate
+    * headers/footers duplicate at chunk grain long before whole
+    * documents collide, and a retrieval index built on these chunks
+    * pays for every duplicate embedded.
+    *
+    * Scale shape: the fan-out is a bounded per-row `sequence` explode
+    * (≤⌈len/S⌉ chunks per doc) followed by scan-side substring+md5 —
+    * no shuffle carries chunk TEXT, only the 16-byte fingerprint
+    * crosses (the q24 discipline); distinct-per-source is one
+    * hash-aggregate on (source, fp) with map-side combine, then the
+    * O(sources) census. At 100 TB the explode multiplies the scan
+    * ~len/S× but nothing else: no corpus-scale sort, no pairwise
+    * comparison, and the substring never leaves its partition.
+    */
+  private val ChunkW = 200
+  private val ChunkS = 150
+  def q121DocChunks(s: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(s, dir)
+      .withColumn("len", length(col("text")))
+      .select(col("source"), col("doc_id"),
+        explode(sequence(lit(0), greatest(col("len") - 1, lit(0)),
+          lit(ChunkS))).as("off"),
+        col("text"))
+      .select(col("source"), col("doc_id"),
+        expr(s"substring(text, off + 1, $ChunkW)").as("chunk"))
+      .select(col("source"), col("doc_id"),
+        md5(col("chunk").cast("binary")).as("fp"),
+        length(col("chunk")).as("clen"))
+    chunks.groupBy(col("source"))
+      .agg(count(lit(1)).as("chunks"),
+        countDistinct(col("doc_id")).as("docs"),
+        countDistinct(col("fp")).as("distinct_chunks"),
+        sum(col("clen")).cast("long").as("chunk_chars"))
+      .withColumn("dup_ppm",
+        expr("(chunks - distinct_chunks) * 1000000 div chunks"))
+      .withColumn("mean_chunk_chars", expr("chunk_chars div chunks"))
+  }
+  val q121Sql: String =
+    s"""WITH ch AS (
+       |  SELECT source, doc_id,
+       |         substr(text, off + 1, $ChunkW) AS chunk
+       |  FROM (SELECT source, doc_id, text,
+       |               unnest(generate_series(0,
+       |                 greatest(length(text) - 1, 0), $ChunkS)) AS off
+       |        FROM documents)),
+       |fp AS (SELECT source, doc_id, md5(chunk) AS fp,
+       |              length(chunk) AS clen FROM ch),
+       |cen AS (
+       |  SELECT source, count(*) AS chunks,
+       |         count(DISTINCT doc_id) AS docs,
+       |         count(DISTINCT fp) AS distinct_chunks,
+       |         CAST(sum(clen) AS BIGINT) AS chunk_chars
+       |  FROM fp GROUP BY 1)
+       |SELECT source, chunks, docs, distinct_chunks, chunk_chars,
+       |       (chunks - distinct_chunks) * 1000000 // chunks AS dup_ppm,
+       |       chunk_chars // chunks AS mean_chunk_chars
+       |FROM cen""".stripMargin
+
+  // -------------------------------------------------- mask plan (q126)
+
+  /** Deterministic MLM masking manifest (q126): the span-corruption /
+    * masked-LM data-prep step — each token position is masked iff a
+    * position-owned hash says so (md5(doc_id:pos) % 100 < 15, the BERT
+    * 15% rate), so the SAME document always yields the SAME mask on
+    * any engine, any partitioning, any rerun (the q54 row-owned-hash
+    * discipline, at token grain). Census per source: positions, masked
+    * positions, realized mask rate in ppm, and masked SPAN STARTS
+    * (masked position whose predecessor is unmasked) — the span count
+    * is what a T5-style objective actually consumes, and rate≈15% with
+    * spans≈rate·(1−rate)·n is the sanity envelope.
+    *
+    * Scale shape: posexplode fans out scan-side; the mask decision is
+    * a codegen'd hash on (doc_id, pos) — no RNG state, no shuffle to
+    * coordinate; span starts come from the pos-1 hash recomputed in
+    * place (NOT a self-join or window — hashes are cheaper than
+    * sorts); the only exchange is the O(sources) census rollup.
+    */
+  private def maskHash(docId: Column, pos: Column): Column =
+    conv(substring(md5(concat_ws(":", docId.cast("string"),
+      pos.cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 100
+  def q126MaskPlan(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "t")))
+      .withColumn("m", (maskHash(col("doc_id"), col("pos")) < 15).cast("long"))
+      .withColumn("prev_m",
+        when(col("pos") === 0, lit(0L)).otherwise(
+          (maskHash(col("doc_id"), col("pos") - 1) < 15).cast("long")))
+    toks.groupBy(col("source"))
+      .agg(count(lit(1)).as("positions"),
+        sum(col("m")).cast("long").as("masked"),
+        sum(col("m") * (lit(1L) - col("prev_m"))).cast("long")
+          .as("mask_spans"))
+      .withColumn("mask_ppm", expr("masked * 1000000 div positions"))
+  }
+  val q126Sql: String = {
+    def h(posExpr: String) =
+      "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || " +
+        s"CAST($posExpr AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+    s"""WITH tok AS (
+       |  SELECT source, doc_id,
+       |         unnest(str_split(text, ' ')) AS t,
+       |         CAST(generate_subscripts(str_split(text, ' '), 1) - 1
+       |              AS BIGINT) AS pos
+       |  FROM documents),
+       |m AS (
+       |  SELECT source, doc_id, pos,
+       |         CASE WHEN ${h("pos")} < 15 THEN 1 ELSE 0 END AS m,
+       |         CASE WHEN pos = 0 THEN 0
+       |              WHEN ${h("pos - 1")} < 15 THEN 1 ELSE 0 END AS prev_m
+       |  FROM tok)
+       |SELECT source, count(*) AS positions,
+       |       CAST(sum(m) AS BIGINT) AS masked,
+       |       CAST(sum(m * (1 - prev_m)) AS BIGINT) AS mask_spans,
+       |       CAST(sum(m) AS BIGINT) * 1000000 // count(*) AS mask_ppm
+       |FROM m GROUP BY 1""".stripMargin
+  }
+
+  // -------------------------------------------------- curriculum (q127)
+
+  /** Curriculum deciles (q127): rank every document by an integer
+    * lexical-quality score (per-doc type-token ratio in permille — the
+    * q108 signal at document grain) and cut the corpus into 10 ntile
+    * buckets; per decile: docs, token mass, and the score envelope.
+    * This is the curriculum-ordering manifest — train easy-to-hard (or
+    * filter the bottom decile) — and the decile edges are what a
+    * data-mixing config actually records.
+    *
+    * Determinism: the score is integer permille and the ntile ordering
+    * tie-breaks on doc_id, so bucket assignment is total-order exact on
+    * both engines — no float crosses the cut.
+    *
+    * Scale shape: the score is scan-side (one array pass per doc);
+    * ntile over the full corpus is the one global sort — the honest
+    * spelling of "global deciles" (range-partitioned sort, the same
+    * machinery as any ORDER BY at scale). For 100 TB you'd swap the
+    * exact ntile for approx percentile edges broadcast back as a
+    * CASE cut (the q88 winsorize pattern) — the census shape is
+    * unchanged; the exact spelling IS the oracle-checkable one.
+    */
+  def q127CurriculumDeciles(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("toks"),
+        size(array_distinct(TextOps.tokens(col("text")))).cast("long")
+          .as("types"))
+      .withColumn("score_pm", expr("types * 1000 div toks"))
+    scored.withColumn("decile",
+        ntile(10).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_pm"), col("doc_id"))))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("toks")).cast("long").as("tokens"),
+        min(col("score_pm")).as("min_score_pm"),
+        max(col("score_pm")).as("max_score_pm"))
+  }
+  val q127Sql: String =
+    """WITH scored AS (
+      |  SELECT doc_id,
+      |         CAST(len(str_split(text, ' ')) AS BIGINT) AS toks,
+      |         CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT)
+      |           AS types
+      |  FROM documents),
+      |cut AS (
+      |  SELECT doc_id, toks, types * 1000 // toks AS score_pm,
+      |         ntile(10) OVER (ORDER BY types * 1000 // toks, doc_id)
+      |           AS decile
+      |  FROM scored)
+      |SELECT decile, count(*) AS docs,
+      |       CAST(sum(toks) AS BIGINT) AS tokens,
+      |       min(score_pm) AS min_score_pm,
+      |       max(score_pm) AS max_score_pm
+      |FROM cut GROUP BY 1""".stripMargin
 }

@@ -78,7 +78,10 @@ class PlanSpec extends SparkSpec {
     "q114_triangle_census",     // × three 1-row topology aggs
     "q115_interpolated_surprisal", // × 1-row train (N, V) totals agg
     "q119_timed_funnel",        // × three 1-row stage-count aggs (q69's shape)
-    "q120_session_lift"         // × 1-row session-total agg
+    "q120_session_lift",        // × 1-row session-total agg
+    "q123_rrf_fusion",          // × 1-row anchor vector + q62's stats cross
+    "q124_hard_negatives",      // × broadcast anchor set (≠-label pred)
+    "q129_ann_recall"           // × broadcast query set (q29/q51's crosses)
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
@@ -245,5 +248,52 @@ class PlanSpec extends SparkSpec {
             s"would scan the WHOLE index (filters: ${s.partitionFilters})"))
       }
     }
+  }
+
+  test("q121 chunking: scan-side fan-out, no joins, fingerprints partial-aggregate") {
+    val nodes = ops(planOf("q121_doc_chunks"))
+    assert(!nodes.exists(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[BroadcastHashJoinExec]),
+      "chunking is explode+substring+md5 inside the scan stage — a join " +
+        "means chunk text started crossing operators")
+    val planStr = planOf("q121_doc_chunks").toString
+    assert(planStr.contains("partial_count"),
+      "no map-side combine before the (source, fp) distinct shuffle — " +
+        "chunk fingerprints would cross the wire unreduced")
+  }
+
+  test("q122 LOCF grid: corpus compacts through a partial max_by before any exchange") {
+    val planStr = planOf("q122_locf_grid").toString
+    assert(planStr.contains("partial_max_by"),
+      "the per-(user, hour) last-event pick must partial-aggregate " +
+        "map-side — events would shuffle at corpus grain otherwise")
+  }
+
+  test("q124 hard negatives: anchors broadcast, the corpus never shuffle-joins") {
+    val nodes = ops(planOf("q124_hard_negatives"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "the ≠-label anchor join must be a broadcast nested-loop " +
+        "(anchor set is tiny; the label predicate prunes inside it)")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "q124's point is q29's: one corpus scan, no embedding shuffle")
+  }
+
+  test("q125 aspect buckets: decode + bucket are scan-side — ONE census exchange") {
+    val shuffles = ops(planOf("q125_aspect_buckets"))
+      .count(_.isInstanceOf[ShuffleExchangeExec])
+    assert(shuffles == 1,
+      s"metadata decode and bucketing must stay inside the scan stage; " +
+        s"only the (format, bucket) census may exchange — got $shuffles")
+  }
+
+  test("q126 mask plan: hash-decided masks, no joins, no windows") {
+    val nodes = ops(planOf("q126_mask_plan"))
+    assert(!nodes.exists(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[BroadcastHashJoinExec]),
+      "span starts recompute the pos-1 hash in place — a join means " +
+        "the self-join spelling crept back in")
+    assert(!nodes.exists(_.getClass.getSimpleName.contains("Window")),
+      "a window here means lag() replaced the in-place hash — that " +
+        "sorts the whole exploded corpus")
   }
 }

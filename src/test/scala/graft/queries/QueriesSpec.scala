@@ -1769,4 +1769,205 @@ class QueriesSpec extends SparkSpec {
     assert(rowsOf(Text.q115InterpolatedSurprisal(spark, sf)) !==
       rowsOf(Text.q99HeldoutSurprisal(spark, sf)))
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q121 chunk census equals an in-memory chunking reference") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val chunks = docs.flatMap { case (src, id, text) =>
+      val offs = 0 to math.max(text.length - 1, 0) by 150
+      offs.map(o => (src, id, text.slice(o, o + 200)))
+    }
+    val expected = chunks.groupBy(_._1).map { case (src, cs) =>
+      val n = cs.length.toLong
+      val chars = cs.map(_._3.length.toLong).sum
+      src -> (n, cs.map(_._2).distinct.length.toLong,
+        cs.map(c => md5Hex(c._3)).distinct.length.toLong, chars,
+        chars / n)
+    }
+    val got = Text.q121DocChunks(spark, sf).collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(6))).toMap
+    assert(got === expected)
+  }
+
+  test("q122 LOCF grid equals an in-memory carry-forward reference") {
+    val ev = graft.Tables.events(spark, sf)
+      .selectExpr("user_id",
+        "unix_micros(cast(ts as timestamp_ltz)) div 3600000000 as h",
+        "unix_micros(cast(ts as timestamp_ltz)) as us",
+        "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    val cells = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val obs = es.groupBy(_._2).map { case (h, hs) =>
+        h -> hs.maxBy(e => (e._3, e._4))._5 }
+      var state: String = null
+      (obs.keys.min to obs.keys.max).map { h =>
+        val o = obs.get(h)
+        state = o.getOrElse(state)
+        (u, state, o.isDefined)
+      }
+    }
+    val expected = cells.groupBy(_._2).map { case (st, cs) =>
+      st -> (cs.length.toLong, cs.count(_._3).toLong,
+        cs.map(_._1).distinct.length.toLong)
+    }
+    val got = Events.q122LocfGrid(spark, sf).collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === expected)
+    // carried + observed partition every grid cell
+    Events.q122LocfGrid(spark, sf).collect().foreach(r =>
+      assert(r.getLong(4) === r.getLong(1) - r.getLong(2)))
+  }
+
+  test("q123 RRF fuses exactly its member rankings (and only those)") {
+    import org.apache.spark.sql.functions.col
+    val fused = Similarity.q123RrfFusion(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(fused.nonEmpty && fused.length <= 20)
+    // every row's score recomputes from its reported ranks
+    fused.foreach { case (_, bm, cs, s) =>
+      val e = (if (bm > 0) 1000000L / (60 + bm) else 0L) +
+        (if (cs > 0) 1000000L / (60 + cs) else 0L)
+      assert(s === e)
+      assert(bm != -1 || cs != -1)
+    }
+    // the bm ranks are q62's top-10 in order
+    val bmDocs = Text.q62Bm25(spark, sf).select(col("doc_id")).collect()
+      .map(_.getLong(0))
+    val fusedBm = fused.filter(_._2 > 0).sortBy(_._2).map(_._1)
+    assert(fusedBm.toSeq === bmDocs.toSeq)
+  }
+
+  test("q124 hard negatives: wrong-label by construction, top-5 verified in-memory") {
+    val emb = graft.Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "label", "cast(embedding as array<double>) as v")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2)))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val labels = emb.map(e => e._1 -> e._2).toMap
+    val expected = emb.filter(_._1 % 50 == 0).flatMap { case (a, al, av) =>
+      emb.filter(_._2 != al)
+        .map(e => (a, e._1, cos(av, e._3)))
+        .sortBy { case (_, id, c) => (-c, id) }.take(5)
+        .zipWithIndex.map { case ((aid, nid, c), i) => (aid, nid, c, i + 1L) }
+    }.toSet
+    val got = Similarity.q124HardNegatives(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3).toLong)).toSet
+    assert(got === expected)
+    got.foreach { case (a, n, _, _) => assert(labels(a) !== labels(n)) }
+  }
+
+  test("q125 aspect buckets: batch/padding arithmetic exact; buckets partition the corpus") {
+    val rows = MultimodalQ.q125AspectBuckets(spark, sf).collect()
+    val total = rows.map(_.getLong(2)).sum
+    assert(total === graft.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (images, batches, pad) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(batches === (images + 31) / 32)
+      assert(pad === (batches * 32 - images) * 1000000L / (batches * 32))
+    }
+  }
+
+  test("q126 mask plan equals an in-memory position-hash reference") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2).split(" ", -1)))
+    def masked(id: Long, pos: Int): Boolean =
+      java.lang.Long.parseLong(md5Hex(s"$id:$pos").take(8), 16) % 100 < 15
+    val expected = docs.groupBy(_._1).map { case (src, ds) =>
+      val flags = ds.flatMap { case (_, id, toks) =>
+        toks.indices.map(p => (masked(id, p), p == 0 || !masked(id, p - 1)))
+      }
+      val m = flags.count(_._1).toLong
+      src -> (flags.length.toLong, m,
+        flags.count(f => f._1 && f._2).toLong,
+        m * 1000000L / flags.length)
+    }
+    val got = Text.q126MaskPlan(spark, sf).collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got === expected)
+    // realized rate lands in the 15%±5pp envelope at corpus size
+    got.values.foreach(v => assert(v._4 > 100000L && v._4 < 200000L))
+  }
+
+  test("q128 LSH calibration grid accounts for every candidate pair exactly once") {
+    val rows = Dedup.q128LshCalibration(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 1 && r.getLong(0) <= 4,
+        s"bands_agree ${r.getLong(0)} outside 1..4")
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 10,
+        s"j_decile ${r.getLong(1)} outside 0..10")
+    }
+    val totalPairs = Dedup.lshCandidates(
+      graft.Tables.documents(spark, sf)).count()
+    assert(rows.map(_.getLong(2)).sum === totalPairs,
+      "grid mass must equal the distinct candidate-pair count")
+  }
+
+  test("q129 ANN recall census matches the member searches in-memory") {
+    val exact = Similarity.q29CosineTopK(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probe = Similarity.q51MultiprobeAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = Similarity.q129AnnRecall(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet === exact.map(_._1))
+    rows.foreach { r =>
+      val q = r.getLong(0)
+      val expectHits = exact.filter(_._1 == q).count(probe.contains).toLong
+      assert(r.getLong(2) === expectHits, s"query $q hits mismatch")
+      assert(r.getLong(3) === expectHits * 100 / 3)
+      assert(r.getLong(1) >= r.getLong(2),
+        "candidates must bound hits from above")
+    }
+  }
+
+  test("q130 key-skew census: probes verified against direct counts") {
+    val rows = Stats.q130KeySkewCensus(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(rows.keySet === Set("lineitem.l_orderkey", "orders.o_custkey",
+      "events.user_id", "documents.source"))
+    val docs = graft.Tables.documents(spark, sf)
+      .groupBy("source").count().collect().map(_.getLong(1))
+    val (rws, dk, mx, ppm, sk) = rows("documents.source")
+    assert(rws === docs.sum)
+    assert(dk === docs.length.toLong)
+    assert(mx === docs.max)
+    assert(ppm === docs.max * 1000000L / docs.sum)
+    assert(sk === docs.max * 100L / (docs.sum / docs.length))
+    rows.values.foreach { case (r2, d2, m2, _, s2) =>
+      assert(m2 >= r2 / d2, "max key must be at least the mean")
+      assert(s2 >= 100L, "skew ratio below 100 is arithmetically impossible")
+    }
+  }
+
+  test("q127 curriculum deciles: near-equal buckets, monotone score envelopes") {
+    val rows = Text.q127CurriculumDeciles(spark, sf).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq === (1 to 10))
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, "ntile buckets must differ by ≤1")
+    assert(sizes.sum === graft.Tables.documents(spark, sf).count())
+    // deciles ascend: each bucket's envelope sits at or above the last
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(4) <= b.getLong(3),
+          s"decile ${b.getInt(0)} min below decile ${a.getInt(0)} max")
+      case _ => ()
+    }
+  }
 }
