@@ -240,6 +240,12 @@ object SparkEntry {
     // shuffle planning: per-(table, key) skew census — the numbers
     // that pick plain shuffle vs AQE skew-split vs q42 salting
     "q130_key_skew_census" -> (Stats.q130KeySkewCensus _),
+    // fuzzy dedup: Levenshtein re-verification of the LSH candidates
+    // (order-sensitive where Jaccard is order-blind)
+    "q131_edit_distance_verify" -> (Dedup.q131EditDistanceVerify _),
+    // privacy remediation: k-anonymity vs quasi-identifier grain
+    // (exact counts → log2 counts → type set)
+    "q132_generalization_ladder" -> (Events.q132GeneralizationLadder _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -376,5 +382,7 @@ object SparkEntry {
     "q128_lsh_calibration" -> Dedup.q128Sql,
     "q129_ann_recall" -> Similarity.q129Sql,
     "q130_key_skew_census" -> Stats.q130Sql,
+    "q131_edit_distance_verify" -> Dedup.q131Sql,
+    "q132_generalization_ladder" -> Events.q132Sql,
   )
 }

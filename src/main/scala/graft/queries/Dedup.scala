@@ -1069,4 +1069,59 @@ object Dedup {
        |       min(doc_a) AS min_doc_a
        |FROM cells GROUP BY 1, 2""".stripMargin
   }
+
+  // ---------------------------------------- edit-distance verify (q131)
+
+  /** Edit-distance verification census (q131): the FUZZY-match rung of
+    * the dedup ladder — the same LSH candidates q44 verifies with
+    * set-based Jaccard, re-verified with sequence-based Levenshtein
+    * (normalized to permille of the longer text: 0 = identical, 1000 =
+    * fully rewritten), censused by permille decile. Jaccard is blind
+    * to ORDER (a paragraph shuffle scores ~1.0); edit distance is what
+    * catches template farms that permute sentences and near-dups that
+    * patch a few words — the two metrics' disagreement cells in this
+    * census are exactly the pairs a curation reviewer needs to look
+    * at.
+    *
+    * Cross-engine note: Spark's levenshtein is CHARACTER-based, DuckDB
+    * 1.0's is BYTE-based — they agree only on ASCII (the testdata is;
+    * asserted in the spec, where the non-ASCII divergence is pinned as
+    * a known limit of the oracle, not of the operator).
+    *
+    * Scale shape: q44's exactly — candidates exist only inside
+    * (band, sig) buckets, and only candidate docs' TEXT crosses the
+    * verify join (the corpus never shuffles). Levenshtein is O(len²)
+    * per pair — ~100× a Jaccard verify at this doc length — which is
+    * WHY it runs on LSH candidates and never all-pairs; at 100 TB the
+    * standard trick stack (band cap, length-difference prefilter |la−
+    * lb| > threshold·max ⇒ skip) applies before the DP ever runs.
+    */
+  def q131EditDistanceVerify(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val txt = docs.select(col("doc_id"), col("text"),
+      length(col("text")).as("len"))
+    lshCandidates(docs)
+      .join(txt.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(txt.as("tb"), col("doc_b") === col("tb.doc_id"))
+      .withColumn("dist_pm", expr(
+        "levenshtein(ta.text, tb.text) * 1000 div greatest(ta.len, tb.len, 1)"))
+      .groupBy(expr("dist_pm div 100").as("dist_decile"))
+      .agg(count(lit(1)).as("pairs"),
+        min(col("dist_pm")).as("min_dist_pm"),
+        max(col("dist_pm")).as("max_dist_pm"),
+        min(col("doc_a")).as("min_doc_a"))
+  }
+  val q131Sql: String =
+    s"""WITH ${verifiedPairsSqlCtes("documents")},
+       |d AS (
+       |  SELECT levenshtein(ta.text, tb.text) * 1000
+       |           // greatest(length(ta.text), length(tb.text), 1) AS dist_pm,
+       |         doc_a
+       |  FROM pairs
+       |  JOIN documents ta ON doc_a = ta.doc_id
+       |  JOIN documents tb ON doc_b = tb.doc_id)
+       |SELECT dist_pm // 100 AS dist_decile, count(*) AS pairs,
+       |       min(dist_pm) AS min_dist_pm, max(dist_pm) AS max_dist_pm,
+       |       min(doc_a) AS min_doc_a
+       |FROM d GROUP BY 1""".stripMargin
 }

@@ -750,4 +750,65 @@ object Events {
       |       count(DISTINCT user_id) AS users,
       |       count(*) - count(obs_type) AS carried_cells
       |FROM carried GROUP BY 1""".stripMargin
+
+  // ---------------------------------- generalization ladder (q132)
+
+  /** Quasi-identifier generalization ladder (q132): the remediation
+    * step q101's k-anonymity census motivates — measure how anonymity
+    * improves as the behavioral quasi-identifier coarsens. Three
+    * grains of the SAME signature: exact per-type counts (q101's QI),
+    * counts bucketed to log2 (the usual generalization step), and the
+    * bare type SET (counts dropped entirely). Census per (grain,
+    * log2-k bucket): signatures and user mass — the k=1 mass shrinking
+    * as the grain coarsens is the privacy/utility trade, quantified.
+    * A release policy reads this table and picks the coarsest grain
+    * whose k=1 bucket is acceptable.
+    *
+    * Scale shape: q101's exactly, three times over one shared
+    * per-(user, type) compaction — map-side combine absorbs the event
+    * stream, signatures aggregate per user (collect_list bounded by
+    * event-TYPE cardinality), anonymity falls out of grouping, never
+    * pairing. Output is O(grains × log2 buckets).
+    */
+  def q132GeneralizationLadder(s: SparkSession, dir: String): DataFrame = {
+    val pc = Tables.events(s, dir)
+      .groupBy(col("user_id"),
+        coalesce(col("event_type"), lit("<null>")).as("et"))
+      .agg(count(lit(1)).as("c"))
+    def census(grain: String, term: org.apache.spark.sql.Column): DataFrame =
+      pc.groupBy(col("user_id"))
+        .agg(md5(concat_ws("|", sort_array(collect_list(md5(term
+          .cast("binary"))))).cast("binary")).as("sig"))
+        .groupBy(col("sig")).agg(count(lit(1)).as("k"))
+        .groupBy(expr("length(bin(k)) - 1").cast("int").as("k_bucket"))
+        .agg(count(lit(1)).as("signatures"),
+          sum(col("k")).cast("long").as("users"))
+        .select(lit(grain).as("grain"), col("k_bucket"),
+          col("signatures"), col("users"))
+    census("exact_counts", concat_ws(":", col("et"), col("c")))
+      .unionAll(census("log2_counts",
+        concat_ws(":", col("et"), expr("length(bin(c)) - 1"))))
+      .unionAll(census("type_set", col("et")))
+  }
+  val q132Sql: String = {
+    def census(grain: String, term: String): String =
+      s"""SELECT '$grain' AS grain,
+         |       CAST(length(bin(k)) - 1 AS INTEGER) AS k_bucket,
+         |       count(*) AS signatures, CAST(sum(k) AS BIGINT) AS users
+         |FROM (SELECT sig, count(*) AS k
+         |      FROM (SELECT user_id,
+         |                   md5(string_agg(md5($term), '|'
+         |                         ORDER BY md5($term))) AS sig
+         |            FROM pc GROUP BY 1)
+         |      GROUP BY 1)
+         |GROUP BY 2""".stripMargin
+    s"""WITH pc AS (
+       |  SELECT user_id, coalesce(event_type, '<null>') AS et, count(*) AS c
+       |  FROM events GROUP BY 1, 2)
+       |${census("exact_counts", "et || ':' || c")}
+       |UNION ALL
+       |${census("log2_counts", "et || ':' || CAST(length(bin(c)) - 1 AS VARCHAR)")}
+       |UNION ALL
+       |${census("type_set", "et")}""".stripMargin
+  }
 }

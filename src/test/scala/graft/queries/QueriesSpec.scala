@@ -1955,6 +1955,72 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q131 edit-distance census equals an in-memory Levenshtein reference") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = d(0); d(0) = i
+        for (j <- 1 to b.length) {
+          val t = d(j)
+          d(j) = math.min(math.min(d(j) + 1, d(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(b.length)
+    }
+    val texts = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Dedup.lshCandidates(graft.Tables.documents(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.map { case (a, b) =>
+      val (ta, tb) = (texts(a), texts(b))
+      (lev(ta, tb).toLong * 1000 / math.max(math.max(ta.length, tb.length), 1), a)
+    }.groupBy(_._1 / 100).map { case (dec, xs) =>
+      dec -> (xs.length.toLong, xs.map(_._1).min, xs.map(_._1).max,
+        xs.map(_._2).min)
+    }
+    val got = Dedup.q131EditDistanceVerify(spark, sf).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got === expected)
+    // the oracle's levenshtein is byte-based; the operator's contract
+    // (and Spark's) is character-based — only legal because the
+    // corpus is ASCII, which this pins
+    import spark.implicits._
+    assert(graft.Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.expr(
+        "octet_length(cast(text as binary)) <> length(text)"))
+      .count() === 0L, "corpus no longer ASCII — q131's oracle is invalid")
+  }
+
+  test("q132 generalization ladder: users conserved, k=1 mass never grows as QI coarsens") {
+    val rows = Events.q132GeneralizationLadder(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val grains = rows.groupBy(_._1)
+    assert(grains.keySet === Set("exact_counts", "log2_counts", "type_set"))
+    val totalUsers = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    grains.values.foreach(g => assert(g.map(_._4).sum === totalUsers,
+      "every grain must account for every user exactly once"))
+    def k1(grain: String): Long =
+      grains(grain).filter(_._2 == 0).map(_._4).sum
+    assert(k1("log2_counts") <= k1("exact_counts"),
+      "coarsening counts must not create new k=1 users")
+    assert(k1("type_set") <= k1("log2_counts"),
+      "dropping counts must not create new k=1 users")
+    // exact grain must reproduce q101's k-distribution exactly
+    val q101 = Events.q101ReidRisk(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactByBucket = q101.toSeq.groupBy { case (k, _) =>
+      63 - java.lang.Long.numberOfLeadingZeros(k) }
+      .map { case (b, xs) => b.toLong -> xs.map(_._2).sum }
+    val gotBuckets = grains("exact_counts")
+      .map(r => r._2.toLong -> r._3).toMap
+    assert(gotBuckets === exactByBucket)
+  }
+
   test("q127 curriculum deciles: near-equal buckets, monotone score envelopes") {
     val rows = Text.q127CurriculumDeciles(spark, sf).collect()
       .sortBy(_.getInt(0))
