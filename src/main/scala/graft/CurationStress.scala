@@ -356,7 +356,13 @@ object CurationStress {
 
     // q127: the score multiset replicates exactly (same texts), so the
     // positional deciles each hold R× their base doc count and the
-    // global envelope endpoints are unchanged
+    // global envelope endpoints are unchanged. The per-decile R× law
+    // needs 10 | N (ntile remainder buckets don't scale linearly:
+    // N=15, R=3 gives base 2,2,...,1 but 45 rows split 5,5,...,4, not
+    // 6,...,3) — assert the precondition instead of failing cryptically
+    val nDocs = Tables.documents(spark, sfDir).count()
+    require(nDocs % 10 == 0,
+      s"q127 stress law needs a doc count divisible by 10, got $nDocs")
     noop(Text.q127CurriculumDeciles(spark, sfDir)) // warmup + 1× reference
     val base127 = Text.q127CurriculumDeciles(spark, sfDir).collect()
       .sortBy(_.getInt(0))

@@ -246,6 +246,9 @@ object SparkEntry {
     // privacy remediation: k-anonymity vs quasi-identifier grain
     // (exact counts → log2 counts → type set)
     "q132_generalization_ladder" -> (Events.q132GeneralizationLadder _),
+    // composed: dedup survivors → curriculum deciles → per-decile
+    // token-budget shards (the dataloader's curriculum manifest)
+    "q133_curriculum_manifest" -> ((s, d) => PipelineQ.q133CurriculumManifest(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -384,5 +387,6 @@ object SparkEntry {
     "q130_key_skew_census" -> Stats.q130Sql,
     "q131_edit_distance_verify" -> Dedup.q131Sql,
     "q132_generalization_ladder" -> Events.q132Sql,
+    "q133_curriculum_manifest" -> PipelineQ.q133Sql,
   )
 }

@@ -272,12 +272,19 @@ object Dedup {
     * pair list against the corpus' shingle sets — also the finalize
     * step over an INCREMENTALLY accumulated pairs log
     * (graft.streaming.Streams.finalizePipeline). */
-  def jaccardVerify(pairs: DataFrame, docs: DataFrame): DataFrame = {
-    val sh = docs
+  /** Per-doc DISTINCT 3-gram shingle sets — the ONE shingle
+    * discipline (staging, ≥3-token floor, n=3) shared by the Jaccard
+    * verify (q44) and the calibration census (q128), so the exact-
+    * similarity axis can never drift between them. */
+  def shingleSets(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", TextOps.tokens(col("text"))) // staged: see minhashSignatures
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
         graft.functions.NGramSetFunctions.ngram_set(col("toks"), 3).as("shset"))
+
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val sh = shingleSets(docs)
     pairs
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -1032,11 +1039,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(countDistinct(col("a.band")).as("bands_agree"))
-    val sh = docs
-      .withColumn("toks", TextOps.tokens(col("text"))) // staged (HOF note above)
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"),
-        graft.functions.NGramSetFunctions.ngram_set(col("toks"), 3).as("shset"))
+    val sh = shingleSets(docs)
     agree
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -1047,8 +1050,7 @@ object Dedup {
       .groupBy(col("bands_agree"), col("j_decile"))
       .agg(count(lit(1)).as("pairs"), min(col("doc_a")).as("min_doc_a"))
   }
-  val q128Sql: String = {
-    val toks = "str_split(text, ' ')"
+  val q128Sql: String =
     s"""WITH ${verifiedPairsSqlCtes("documents")},
        |agree AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1068,7 +1070,6 @@ object Dedup {
        |SELECT bands_agree, j_decile, count(*) AS pairs,
        |       min(doc_a) AS min_doc_a
        |FROM cells GROUP BY 1, 2""".stripMargin
-  }
 
   // ---------------------------------------- edit-distance verify (q131)
 

@@ -704,9 +704,13 @@ object Events {
     // last event of each (user, hour) by the (ts, event_id) total
     // order — max_by on a struct, NOT a row_number window: the
     // aggregate partial-combines map-side, the window would sort the
-    // whole corpus inside each (user, hour) partition first
+    // whole corpus inside each (user, hour) partition first.
+    // NULL event_type gets the q101 sentinel: a bare NULL observation
+    // would read as "no observation" and carry the PREVIOUS state
+    // over a real event
     val obs = ev.groupBy(col("user_id"), col("h"))
-      .agg(expr("max_by(event_type, struct(ts, event_id))").as("obs_type"))
+      .agg(expr("max_by(coalesce(event_type, '<null>'), " +
+        "struct(ts, event_id))").as("obs_type"))
     val grid = obs.groupBy(col("user_id"))
       .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
       .select(col("user_id"),
@@ -728,7 +732,7 @@ object Events {
       |         epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h
       |  FROM events),
       |obs AS (
-      |  SELECT user_id, h, event_type AS obs_type
+      |  SELECT user_id, h, coalesce(event_type, '<null>') AS obs_type
       |  FROM (SELECT user_id, h, event_type,
       |               row_number() OVER (PARTITION BY user_id, h
       |                 ORDER BY ts DESC, event_id DESC) AS rn

@@ -169,17 +169,25 @@ object PipelineQ {
     * call, and a bench rerun would silently time a cache hit instead
     * of the ladder) so the gate's count and the anti-join share one
     * ladder execution, and the storage is GC-reclaimed with the frame. */
-  def q98DedupedMixture(s: SparkSession, dir: String, tau: Double = 0.7,
-                        maxBroadcastDemoted: Long = 10L * 1000 * 1000)
-      : DataFrame = {
-    val docs = Tables.documents(s, dir)
+  /** Post-dedup survivor set — the q96 retention policy applied:
+    * every doc except non-representative cluster members, with the
+    * size-gated broadcast of the demoted id set. ONE definition shared
+    * by q98 (mixture re-weight) and q133 (curriculum manifest), so
+    * "what survives dedup" can never drift between the compositions. */
+  def dedupSurvivors(docs: DataFrame,
+      maxBroadcastDemoted: Long = 10L * 1000 * 1000): DataFrame = {
     val demoted = Dedup.rankedMembers(docs)
       .filter(col("rn") =!= 1).select(col("doc_id")).localCheckpoint()
     val cut =
       if (demoted.count() <= maxBroadcastDemoted) broadcast(demoted) else demoted
-    val survivors = docs.join(cut, Seq("doc_id"), "left_anti")
-    Text.mixtureWeightsFrom(Text.sourceTokenTotals(survivors), tau)
+    docs.join(cut, Seq("doc_id"), "left_anti")
   }
+
+  def q98DedupedMixture(s: SparkSession, dir: String, tau: Double = 0.7,
+                        maxBroadcastDemoted: Long = 10L * 1000 * 1000)
+      : DataFrame =
+    Text.mixtureWeightsFrom(Text.sourceTokenTotals(
+      dedupSurvivors(Tables.documents(s, dir), maxBroadcastDemoted)), tau)
   val q98Sql: String =
     s"""WITH RECURSIVE ${Dedup.verifiedPairsSqlCtes("documents")},
        |${Dedup.clustersSqlCtes},
@@ -195,4 +203,64 @@ object PipelineQ {
        |tot AS (SELECT CAST(sum(q) AS BIGINT) AS qtot FROM q)
        |SELECT source, tokens, q * 1000000 // qtot AS mix_millionths
        |FROM q, tot""".stripMargin
+
+  /** Curriculum-ordered shard manifest (q133) — the last composition
+    * before a dataloader: dedup survivors ([[dedupSurvivors]], the
+    * q96 retention policy) are scored with the q127 integer TTR
+    * permille, cut into global ntile deciles (easy → hard), and
+    * packed WITHIN each decile into [[Text.PackBudget]]-token shards
+    * (the q47 prefix-sum machinery keyed by decile instead of
+    * source). The output is the manifest a curriculum scheduler
+    * consumes: shards grouped by difficulty tier, each tier's shards
+    * internally deterministic.
+    *
+    * Scale review: the dedup ladder runs once on the corpus (its own
+    * audited shapes); scoring is scan-side; the decile ntile is the
+    * q127 global sort (the documented 100 TB flip: approx edges as a
+    * CASE cut); packing adds one window per decile partition — ten
+    * bounded partitions, no corpus-scale single-task window.
+    */
+  def q133CurriculumManifest(s: SparkSession, dir: String): DataFrame = {
+    val scored = dedupSurvivors(Tables.documents(s, dir))
+      .select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("n_toks"),
+        size(array_distinct(TextOps.tokens(col("text")))).cast("long")
+          .as("types"))
+      .withColumn("score_pm", expr("types * 1000 div n_toks"))
+      .withColumn("decile",
+        ntile(10).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_pm"), col("doc_id"))))
+    Text.packManifest(
+      scored.select(col("decile"), col("doc_id"), col("n_toks")),
+      keys = Seq("decile"))
+  }
+  val q133Sql: String =
+    s"""WITH RECURSIVE ${Dedup.verifiedPairsSqlCtes("documents")},
+       |${Dedup.clustersSqlCtes},
+       |${Dedup.rankedSqlCtes},
+       |demoted AS (SELECT doc_id FROM ranked WHERE rn <> 1),
+       |surv AS (
+       |  SELECT d.doc_id, str_split(d.text, ' ') AS toks
+       |  FROM documents d LEFT JOIN demoted x USING (doc_id)
+       |  WHERE x.doc_id IS NULL),
+       |curscore AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+       |         CAST(len(list_distinct(toks)) AS BIGINT) AS types
+       |  FROM surv),
+       |cut AS (
+       |  SELECT doc_id, n_toks,
+       |         ntile(10) OVER (ORDER BY types * 1000 // n_toks, doc_id)
+       |           AS decile
+       |  FROM curscore),
+       |binned AS (
+       |  SELECT decile, doc_id, n_toks,
+       |         CAST(coalesce(sum(n_toks) OVER (
+       |             PARTITION BY decile ORDER BY doc_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           // ${Text.PackBudget} AS BIGINT) AS bin_id
+       |  FROM cut)
+       |SELECT decile, bin_id, count(*) AS doc_count,
+       |       CAST(sum(n_toks) AS BIGINT) AS bin_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM binned GROUP BY 1, 2""".stripMargin
 }

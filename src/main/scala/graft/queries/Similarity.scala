@@ -156,6 +156,17 @@ object Similarity {
     * (pre-computed column), making the probe a partition-pruning
     * predicate instead of a scan computation.
     */
+  /** The multi-probe candidate join — ONE definition shared by the
+    * search (q51) and the audit that measures it (q129), so a probe
+    * retune (radius, plane count) can never leave the recall census
+    * counting candidates for a different index than the search runs.
+    * `queries` must carry (query_id, qb); extra columns pass through. */
+  private def multiprobeCandidates(emb: DataFrame,
+      queries: DataFrame): DataFrame =
+    emb.join(broadcast(queries),
+      col("vec_id") =!= col("query_id") &&
+        bit_count(col("cb").bitwiseXOR(col("qb"))) <= 1)
+
   def q51MultiprobeAnn(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -163,9 +174,7 @@ object Similarity {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("cb").as("qb"))
-    val scored = emb.join(broadcast(queries),
-        col("vec_id") =!= col("query_id") &&
-          bit_count(col("cb").bitwiseXOR(col("qb"))) <= 1)
+    val scored = multiprobeCandidates(emb, queries)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosine(col("qv"), col("v")), 6).as("cos_sim"))
     scored.withColumn("rk",
@@ -175,6 +184,10 @@ object Similarity {
       .filter(col("rk") <= 3)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
   }
+  /** DuckDB spelling of [[multiprobeCandidates]]'s predicate (aliases
+    * `e` = corpus, `q` = queries) — shared by q51Sql and q129Sql. */
+  private val probePredSql: String =
+    "e.vec_id <> q.query_id AND bit_count(xor(e.cb, q.qb)) <= 1"
   val q51Sql: String =
     s"""WITH emb0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |emb AS (SELECT vec_id, v, ($bucketSql) AS cb FROM emb0),
@@ -185,7 +198,7 @@ object Similarity {
        |               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
        |           AS cos_sim
        |  FROM emb e CROSS JOIN q
-       |  WHERE e.vec_id <> q.query_id AND bit_count(xor(e.cb, q.qb)) <= 1),
+       |  WHERE $probePredSql),
        |ranked AS (
        |  SELECT query_id, neighbor_id, cos_sim,
        |         row_number() OVER (PARTITION BY query_id
@@ -1091,12 +1104,17 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val anchor = emb.filter(col("vec_id") === 0)
       .select(col("v").as("qv"))
-    val cosTop = emb.crossJoin(broadcast(anchor))
-      .select(col("vec_id"), round(cosine(col("qv"), col("v")), 6).as("cs"))
+    // reduce FIRST (TakeOrdered, like the bm side's q62), THEN rank
+    // the ≤10 survivors — a bare row_number window here would funnel
+    // the whole scored corpus through one task
+    val cosTop = Shapes.topK(
+        emb.crossJoin(broadcast(anchor))
+          .select(col("vec_id"),
+            round(cosine(col("qv"), col("v")), 6).as("cs")),
+        10, col("cs").desc, col("vec_id").asc)
       .withColumn("cos_rk",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("cs").desc, col("vec_id").asc)))
-      .filter(col("cos_rk") <= 10)
       .select(col("vec_id").as("doc_id"), col("cos_rk"))
     bm.join(cosTop, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
@@ -1153,9 +1171,7 @@ object Similarity {
       .withColumn("cb", bucketCode(col("v")))
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("cb").as("qb"))
-    val cands = emb.join(broadcast(queries),
-        col("vec_id") =!= col("query_id") &&
-          bit_count(col("cb").bitwiseXOR(col("qb"))) <= 1)
+    val cands = multiprobeCandidates(emb, queries)
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("candidates"))
     val hits = q29CosineTopK(s, dir).select(col("query_id"), col("neighbor_id"))
@@ -1180,8 +1196,8 @@ object Similarity {
        |qs AS (SELECT vec_id AS query_id, cb AS qb FROM embc WHERE vec_id < 5),
        |cand AS (
        |  SELECT query_id, count(*) AS candidates
-       |  FROM embc e CROSS JOIN qs
-       |  WHERE e.vec_id <> qs.query_id AND bit_count(xor(e.cb, qs.qb)) <= 1
+       |  FROM embc e CROSS JOIN qs q
+       |  WHERE $probePredSql
        |  GROUP BY 1),
        |h AS (
        |  SELECT e.query_id, count(*) AS hits

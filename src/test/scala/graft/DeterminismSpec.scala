@@ -27,19 +27,24 @@ class DeterminismSpec extends SparkSpec {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     val prevBytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
     val offenders = scala.collection.mutable.ListBuffer[String]()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // try/finally: the session is JVM-shared across suites — an
+    // aborting query must not leak the stress layout into later specs
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prevBytes)
+        val base = rowsOf(fn(spark, sf))
+        // prime shuffle count + tiny scan splits: both exchange hashing
+        // and scan-task row order change
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        val alt = rowsOf(fn(spark, sf))
+        if (alt != base) offenders += name
+      }
+    } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       spark.conf.set("spark.sql.files.maxPartitionBytes", prevBytes)
-      val base = rowsOf(fn(spark, sf))
-      // prime shuffle count + tiny scan splits: both exchange hashing
-      // and scan-task row order change
-      spark.conf.set("spark.sql.shuffle.partitions", "13")
-      spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
-      val alt = rowsOf(fn(spark, sf))
-      if (alt != base) offenders += name
     }
-    spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    spark.conf.set("spark.sql.files.maxPartitionBytes", prevBytes)
     assert(offenders.isEmpty,
       s"layout-sensitive queries: ${offenders.mkString(", ")}")
   }

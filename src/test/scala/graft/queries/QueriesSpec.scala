@@ -1805,7 +1805,7 @@ class QueriesSpec extends SparkSpec {
         r.getString(4)))
     val cells = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
       val obs = es.groupBy(_._2).map { case (h, hs) =>
-        h -> hs.maxBy(e => (e._3, e._4))._5 }
+        h -> Option(hs.maxBy(e => (e._3, e._4))._5).getOrElse("<null>") }
       var state: String = null
       (obs.keys.min to obs.keys.max).map { h =>
         val o = obs.get(h)
@@ -2019,6 +2019,27 @@ class QueriesSpec extends SparkSpec {
     val gotBuckets = grains("exact_counts")
       .map(r => r._2.toLong -> r._3).toMap
     assert(gotBuckets === exactByBucket)
+  }
+
+  test("q133 curriculum manifest conserves the survivor corpus exactly") {
+    import org.apache.spark.sql.functions.{col, size => fsize}
+    val survivors = PipelineQ.dedupSurvivors(graft.Tables.documents(spark, sf))
+      .select(col("doc_id"),
+        fsize(graft.ops.TextOps.tokens(col("text"))).cast("long").as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = PipelineQ.q133CurriculumManifest(spark, sf).collect()
+    // every survivor token lands in exactly one shard
+    assert(rows.map(_.getLong(3)).sum === survivors.map(_._2).sum)
+    assert(rows.map(_.getLong(2)).sum === survivors.length.toLong)
+    // deciles near-equal over the SURVIVOR set
+    val perDecile = rows.groupBy(_.getInt(0)).view
+      .mapValues(_.map(_.getLong(2)).sum).values.toSeq
+    assert(perDecile.max - perDecile.min <= 1)
+    // greedy prefix binning: a shard overshoots the budget by at most
+    // one document's tokens
+    val maxDoc = survivors.map(_._2).max
+    rows.foreach(r => assert(r.getLong(3) <= Text.PackBudget + maxDoc,
+      s"shard ${r.getInt(0)}/${r.getLong(1)} exceeds budget + one doc"))
   }
 
   test("q127 curriculum deciles: near-equal buckets, monotone score envelopes") {
