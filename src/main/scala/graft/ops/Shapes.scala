@@ -130,4 +130,20 @@ object Shapes {
         (col("__total") - col("__top_total")).cast("long").as(cntCol))
     top.unionByName(other)
   }
+
+  /** One-pass pipeline telemetry: attach named counters to a frame
+    * via `Dataset.observe` — the metrics are computed by the SAME job
+    * that materializes the frame, as accumulator-style aggregates on
+    * the rows flowing past. At 100 TB this is the difference between
+    * "how many docs did the quality gate drop" costing zero extra
+    * scans and costing one full lake rescan per counter (`count()`
+    * per stage). Metrics must be aggregate expressions (count/sum/
+    * min/max over the observed frame's columns); read them from the
+    * returned Observation AFTER an action on the frame.
+    */
+  def observed(df: DataFrame, name: String, metrics: Column*)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    (df.observe(obs, metrics.head, metrics.tail: _*), obs)
+  }
 }

@@ -81,4 +81,42 @@ class ScaleSpec extends SparkSpec {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
     }
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in the final plan)") {
+    // the runtime half of the skew story PLANS.md leans on for
+    // q95/q99: the PLAN-time remedies (salting, hot-set split) are
+    // spelled as queries; this pins that the RUNTIME remedy — AQE
+    // detecting an oversized partition and splitting it — actually
+    // fires, with the thresholds scaled down to test size
+    val prev = Seq("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8192")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // force the sort-merge path: broadcast would absorb the toy
+      // build side and no skew split would ever be needed
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // distinct per-row pads: a constant pad LZ4-compresses to
+      // nothing and the hot partition's shuffle BYTES never cross the
+      // skew threshold (observed: AQE just coalesces)
+      val skewed = ((1 to 30000).map(_ => 0L) ++ (1L to 100L))
+        .zipWithIndex
+        .map { case (k, i) => (k, s"pad-$i-${i * 2654435761L}%09d" * 4) }
+        .toDF("key", "pad")
+      val dim = (0L to 100L).map(k => (k, s"d$k")).toDF("key", "dval")
+      val joined = skewed.join(dim, Seq("key"))
+      // execute joined ITSELF (count() would plan a different query
+      // and leave joined's adaptive plan unmaterialized)
+      assert(joined.collect().length === 30100)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the hot-key join skewed:\n${finalPlan.take(3000)}")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
 }

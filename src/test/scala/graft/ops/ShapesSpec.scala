@@ -96,4 +96,22 @@ class ShapesSpec extends SparkSpec {
       Seq(col("v").desc, col("name").asc)))
     assert(out === Seq(Seq("g1", "a", "5"), Seq("g2", "z", "1")))
   }
+
+  test("observed counters ride the producing job — no extra scan, exact values") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("quality", graft.ops.TextOps.qualityBucket(
+        graft.ops.TextOps.tokens(col("text")), col("n_chars")))
+    val (observedDf, obs) = Shapes.observed(docs, "quality_gate",
+      count(lit(1)).as("total"),
+      count(when(col("quality") === "ok", 1)).as("kept"),
+      count(when(col("quality") =!= "ok", 1)).as("dropped"))
+    // ONE action materializes both the survivor count and the metrics
+    val survivors = observedDf.filter(col("quality") === "ok").count()
+    val m = obs.get
+    assert(m("kept") === survivors)
+    assert(m("total").asInstanceOf[Long] ===
+      m("kept").asInstanceOf[Long] + m("dropped").asInstanceOf[Long])
+    // independent recount agrees — the counters are exact, not sampled
+    assert(m("total") === docs.count())
+  }
 }
