@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, DotProduct, HyperplaneCode, MinHashBands, NGramSet, RunStats, SimHashAgg, SimHashDoc}
+import graft.functions.{CosineSimilarity, DotProduct, HyperplaneCode, KmvAgg, MinHashBands, NGramSet, RunStats, SimHashAgg, SimHashDoc}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Sqrt}
@@ -76,5 +76,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash_agg"),
       info("simhash_agg", "simhash_agg(code) - 16-bit SimHash over grouped BIGINT token codes"),
       (es: Seq[Expression]) => SimHashAgg(es(0)).toAggregateExpression()))
+    ext.injectFunction((FunctionIdentifier("kmv_agg"),
+      info("kmv_agg", "kmv_agg(hash, k) - struct(n, kth) of the k smallest distinct BIGINT hashes per group"),
+      (es: Seq[Expression]) =>
+        KmvAgg(es(0), foldableInt("kmv_agg", "k")(es(1))).toAggregateExpression()))
   }
 }

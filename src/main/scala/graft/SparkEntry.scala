@@ -249,6 +249,21 @@ object SparkEntry {
     // composed: dedup survivors → curriculum deciles → per-decile
     // token-budget shards (the dataloader's curriculum manifest)
     "q133_curriculum_manifest" -> ((s, d) => PipelineQ.q133CurriculumManifest(s, d)),
+    // sub-document dedup: first-occurrence-wins segment dedup with
+    // per-source retention census (the RefinedWeb line-dedup analog)
+    "q134_segment_dedup" -> (Dedup.q134SegmentDedup _),
+    // distinct-count sketching, the reproducible way: KMV k-min-values
+    // kernel (O(k) mergeable buffer) vs the exact distinct audit
+    "q135_kmv_distinct" -> (Stats.q135KmvDistinct _),
+    // dataloader arithmetic: τ-scaled targets → per-source repeat plan
+    // (full epochs + partial final epoch)
+    "q136_epoch_schedule" -> (Text.q136EpochSchedule _),
+    // collocation mining: exact scaled-integer PMI over the q95 bigram
+    // model table (top-K window runs on O(model), never the corpus)
+    "q137_pmi_pairs" -> (Text.q137PmiPairs _),
+    // dedup-quality audit: per-cluster-size language/source purity of
+    // the verified near-dup components
+    "q138_cluster_purity" -> (Dedup.q138ClusterPurity _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -388,5 +403,10 @@ object SparkEntry {
     "q131_edit_distance_verify" -> Dedup.q131Sql,
     "q132_generalization_ladder" -> Events.q132Sql,
     "q133_curriculum_manifest" -> PipelineQ.q133Sql,
+    "q134_segment_dedup" -> Dedup.q134Sql,
+    "q135_kmv_distinct" -> Stats.q135Sql,
+    "q136_epoch_schedule" -> Text.q136Sql,
+    "q137_pmi_pairs" -> Text.q137Sql,
+    "q138_cluster_purity" -> Dedup.q138Sql,
   )
 }

@@ -1125,4 +1125,148 @@ object Dedup {
        |       min(dist_pm) AS min_dist_pm, max(dist_pm) AS max_dist_pm,
        |       min(doc_a) AS min_doc_a
        |FROM d GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------- segment dedup (q134)
+
+  /** Segment width for q134's sub-document dedup — non-overlapping
+    * (stride = width), unlike q121's RAG chunks: retention is only
+    * well-defined when every character belongs to exactly one
+    * segment. */
+  private[graft] val SegW = 100
+
+  /** Segment-level exact dedup with retention census (q134): the
+    * RefinedWeb / CCNet sub-document pass — documents are cut into
+    * non-overlapping 100-char segments, every repeated segment KEEPS
+    * its first occurrence (global order = (doc_id, offset)) and drops
+    * the rest, and what survives is censused per source: kept-segment
+    * and kept-character retention, plus how many documents came
+    * through fully intact. Doc-level dedup (q24/q25) misses exactly
+    * this mass — boilerplate headers/footers repeat across documents
+    * whose bodies differ, so whole-doc fingerprints never collide
+    * while a third of the characters are still duplicated text.
+    *
+    * Scale shape: the segment fan-out is the q121 bounded `sequence`
+    * explode, scan-side; first-occurrence-wins is ONE window over the
+    * 16-byte fingerprint (exchange on fp — segment TEXT never
+    * shuffles, and each window group is a duplicate clique, typically
+    * a handful of rows); the per-doc rollup re-exchanges the
+    * surviving (doc_id, flags) rows, and the census is O(sources).
+    * No pairwise comparison, no corpus-scale sort, no driver state.
+    * At 100 TB the fp exchange is the cost — hash-partitioned,
+    * combiner-less but fixed-width rows; the q24 discipline.
+    */
+  def q134SegmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val segs = Tables.documents(s, dir)
+      .withColumn("len", length(col("text")))
+      .select(col("source"), col("doc_id"),
+        explode(sequence(lit(0), greatest(col("len") - 1, lit(0)),
+          lit(SegW))).as("off"),
+        col("text"))
+      .select(col("source"), col("doc_id"), col("off"),
+        expr(s"substring(text, off + 1, $SegW)").as("seg"))
+      .select(col("source"), col("doc_id"), col("off"),
+        md5(col("seg").cast("binary")).as("fp"),
+        length(col("seg")).as("slen"))
+    val firstWins = Window.partitionBy(col("fp"))
+      .orderBy(col("doc_id"), col("off"))
+    val flagged = segs
+      .withColumn("kept", (row_number().over(firstWins) === 1).cast("long"))
+    val perDoc = flagged.groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("segs"),
+        sum(col("kept")).cast("long").as("kept_segs"),
+        sum(col("slen")).cast("long").as("chars"),
+        sum(col("slen") * col("kept")).cast("long").as("kept_chars"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("segs")).cast("long").as("segs"),
+        sum(col("kept_segs")).cast("long").as("kept_segs"),
+        sum(col("chars")).cast("long").as("chars"),
+        sum(col("kept_chars")).cast("long").as("kept_chars"),
+        count(when(col("kept_segs") === col("segs"), 1)).as("intact_docs"))
+      .withColumn("retention_ppm", expr("kept_chars * 1000000 div chars"))
+  }
+  val q134Sql: String =
+    s"""WITH seg AS (
+       |  SELECT source, doc_id, off,
+       |         md5(substr(text, off + 1, $SegW)) AS fp,
+       |         length(substr(text, off + 1, $SegW)) AS slen
+       |  FROM (SELECT source, doc_id, text,
+       |               unnest(generate_series(0,
+       |                 greatest(length(text) - 1, 0), $SegW)) AS off
+       |        FROM documents)),
+       |flagged AS (
+       |  SELECT source, doc_id, slen,
+       |         CASE WHEN row_number() OVER (
+       |           PARTITION BY fp ORDER BY doc_id, off) = 1
+       |           THEN 1 ELSE 0 END AS kept
+       |  FROM seg),
+       |per_doc AS (
+       |  SELECT source, doc_id, count(*) AS segs,
+       |         CAST(sum(kept) AS BIGINT) AS kept_segs,
+       |         CAST(sum(slen) AS BIGINT) AS chars,
+       |         CAST(sum(slen * kept) AS BIGINT) AS kept_chars
+       |  FROM flagged GROUP BY 1, 2)
+       |SELECT source, count(*) AS docs,
+       |       CAST(sum(segs) AS BIGINT) AS segs,
+       |       CAST(sum(kept_segs) AS BIGINT) AS kept_segs,
+       |       CAST(sum(chars) AS BIGINT) AS chars,
+       |       CAST(sum(kept_chars) AS BIGINT) AS kept_chars,
+       |       count(CASE WHEN kept_segs = segs THEN 1 END) AS intact_docs,
+       |       CAST(sum(kept_chars) AS BIGINT) * 1000000
+       |         // CAST(sum(chars) AS BIGINT) AS retention_ppm
+       |FROM per_doc GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------ cluster purity (q138)
+
+  /** Near-dup cluster purity census (q138): the false-positive audit
+    * on the dedup ladder's own output — per cluster size, how many
+    * clusters mix languages or sources. A shingle-Jaccard bar can
+    * collide translations and boilerplate across feeds; a dedup pass
+    * that silently deletes the only Spanish copy because an English
+    * near-twin won the retention policy is a mixture bug (q98's
+    * demotions) AND a quality bug, and this census is where it
+    * surfaces before the policy runs.
+    *
+    * Scale shape: membership comes from the star-contraction
+    * components over the verified edge list — O(docs-in-pairs) rows,
+    * tiny against the corpus, which is touched only by the shared LSH
+    * ladder ([[verifiedPairs]]); the metadata join, the per-cluster
+    * distinct census (two countDistincts on the SMALL member set —
+    * the q37 Expand trap doesn't bite at O(members) grain), and the
+    * per-size rollup all operate below corpus grain.
+    */
+  def q138ClusterPurity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val member = graft.ops.ConnectedComponents
+      .assign(verifiedEdges(docs)
+        .select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .select(col("node").as("doc_id"), col("component").as("cluster_id"))
+      .join(docs.select(col("doc_id"), col("lang"), col("source")),
+        Seq("doc_id"))
+    member.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("clusters"),
+        count(when(col("n_langs") > 1, 1)).as("xlang_clusters"),
+        count(when(col("n_sources") > 1, 1)).as("xsource_clusters"),
+        min(col("cluster_id")).as("min_cluster_id"))
+  }
+  val q138Sql: String =
+    s"""WITH RECURSIVE ${verifiedPairsSqlCtes("documents")},
+       |$clustersSqlCtes,
+       |mem AS (
+       |  SELECT c.doc_id, c.cluster_id, d.lang, d.source
+       |  FROM clustered c JOIN documents d USING (doc_id)),
+       |per AS (
+       |  SELECT cluster_id, count(*) AS cluster_size,
+       |         count(DISTINCT lang) AS n_langs,
+       |         count(DISTINCT source) AS n_sources
+       |  FROM mem GROUP BY 1)
+       |SELECT cluster_size, count(*) AS clusters,
+       |       count(CASE WHEN n_langs > 1 THEN 1 END) AS xlang_clusters,
+       |       count(CASE WHEN n_sources > 1 THEN 1 END) AS xsource_clusters,
+       |       min(cluster_id) AS min_cluster_id
+       |FROM per GROUP BY 1""".stripMargin
 }

@@ -469,4 +469,69 @@ object Stats {
        |       max_key_rows * 100 // (rows // distinct_keys) AS skew_x100
        |FROM base""".stripMargin
   }
+
+  // -------------------------------------------------- KMV sketch (q135)
+
+  /** KMV sketch size. 32 keeps the expected relative error ~1/√(k−2)
+    * ≈ 18% — wide on purpose at test scale so the err_ppm column
+    * carries signal; at 100 TB you'd raise k (buffer stays O(k)). */
+  private[graft] val KmvK = 32
+  private val KmvEst: Long = (KmvK - 1).toLong * 4294967296L // (k−1)·2³²
+
+  /** KMV distinct-chunk estimate per source (q135): how many DISTINCT
+    * retrieval chunks does each source contribute — answered by the
+    * deterministic K-minimum-values sketch ([[graft.functions.KmvAgg]])
+    * next to the exact distinct count and the realized error. This is
+    * q37's approx-distinct rung done the reproducible way: md5-derived
+    * 32-bit hashes order identically everywhere, so the oracle
+    * hash-matches the ESTIMATE itself — no tolerance booleans.
+    *
+    * Scale shape: the kernel path never shuffles the distinct hash
+    * set — each partition partial-aggregates to ≤k longs and partials
+    * merge associatively (at 100 TB that's the whole point: the
+    * exact column's distinct pre-aggregation is the expensive thing
+    * the sketch exists to avoid, and it rides along here only as the
+    * audit). The two O(sources) frames broadcast-join, q37's split —
+    * fusing countDistinct into the sketch agg would trigger the
+    * distinct-rewrite Expand and regroup the TreeSet buffers on
+    * (source, h): the q37 object-hash-fallback trap, documented at
+    * [[q37Sketches]].
+    */
+  def q135KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val h = Text.docChunks(s, dir)
+      .select(col("source"),
+        conv(substring(md5(col("chunk").cast("binary")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+    val sk = h.groupBy(col("source"))
+      .agg(graft.functions.KmvAgg.kmv_agg(col("h"), KmvK).as("kmv"))
+      .select(col("source"), col("kmv.n").as("n"), col("kmv.kth").as("kth"))
+    val exact = h.distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("exact_distinct"))
+    sk.join(broadcast(exact), "source")
+      .withColumn("est_distinct",
+        expr(s"CASE WHEN n < $KmvK THEN n ELSE $KmvEst div kth END"))
+      .withColumn("err_ppm",
+        expr("abs(est_distinct - exact_distinct) * 1000000 div exact_distinct"))
+  }
+  val q135Sql: String =
+    s"""WITH ${Text.chunksSqlCte},
+       |h AS (SELECT DISTINCT source,
+       |        CAST('0x' || substr(md5(chunk), 1, 8) AS BIGINT) AS h
+       |      FROM ch),
+       |rk AS (SELECT source, h,
+       |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |       FROM h),
+       |sk AS (SELECT source,
+       |         count(CASE WHEN rn <= $KmvK THEN 1 END) AS n,
+       |         max(CASE WHEN rn <= $KmvK THEN h END) AS kth,
+       |         count(*) AS exact_distinct
+       |       FROM rk GROUP BY 1),
+       |est AS (SELECT source, n, kth, exact_distinct,
+       |          CASE WHEN n < $KmvK THEN n
+       |               ELSE $KmvEst // kth END AS est_distinct
+       |        FROM sk)
+       |SELECT source, n, kth, exact_distinct, est_distinct,
+       |       abs(est_distinct - exact_distinct) * 1000000
+       |         // exact_distinct AS err_ppm
+       |FROM est""".stripMargin
 }

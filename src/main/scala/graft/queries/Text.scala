@@ -1622,8 +1622,13 @@ object Text {
     */
   private val ChunkW = 200
   private val ChunkS = 150
-  def q121DocChunks(s: SparkSession, dir: String): DataFrame = {
-    val chunks = Tables.documents(s, dir)
+
+  /** (source, doc_id, chunk) frame of the overlapping retrieval
+    * windows — the chunk inventory shared by the q121 census and the
+    * q135 KMV distinct sketch, so "a chunk" can never mean two
+    * different cuts. */
+  private[graft] def docChunks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .withColumn("len", length(col("text")))
       .select(col("source"), col("doc_id"),
         explode(sequence(lit(0), greatest(col("len") - 1, lit(0)),
@@ -1631,6 +1636,19 @@ object Text {
         col("text"))
       .select(col("source"), col("doc_id"),
         expr(s"substring(text, off + 1, $ChunkW)").as("chunk"))
+
+  /** The q121/q135 chunk CTE (DuckDB spelling of [[docChunks]]). */
+  private[graft] val chunksSqlCte: String =
+    s"""ch AS (
+       |  SELECT source, doc_id,
+       |         substr(text, off + 1, $ChunkW) AS chunk
+       |  FROM (SELECT source, doc_id, text,
+       |               unnest(generate_series(0,
+       |                 greatest(length(text) - 1, 0), $ChunkS)) AS off
+       |        FROM documents))""".stripMargin
+
+  def q121DocChunks(s: SparkSession, dir: String): DataFrame = {
+    val chunks = docChunks(s, dir)
       .select(col("source"), col("doc_id"),
         md5(col("chunk").cast("binary")).as("fp"),
         length(col("chunk")).as("clen"))
@@ -1644,13 +1662,7 @@ object Text {
       .withColumn("mean_chunk_chars", expr("chunk_chars div chunks"))
   }
   val q121Sql: String =
-    s"""WITH ch AS (
-       |  SELECT source, doc_id,
-       |         substr(text, off + 1, $ChunkW) AS chunk
-       |  FROM (SELECT source, doc_id, text,
-       |               unnest(generate_series(0,
-       |                 greatest(length(text) - 1, 0), $ChunkS)) AS off
-       |        FROM documents)),
+    s"""WITH $chunksSqlCte,
        |fp AS (SELECT source, doc_id, md5(chunk) AS fp,
        |              length(chunk) AS clen FROM ch),
        |cen AS (
@@ -1780,4 +1792,122 @@ object Text {
       |       min(score_pm) AS min_score_pm,
       |       max(score_pm) AS max_score_pm
       |FROM cut GROUP BY 1""".stripMargin
+
+  // -------------------------------------------------- epochs (q136)
+
+  /** Token-budget epoch schedule (q136) — the step after q97's mixture
+    * weights that a dataloader actually consumes: given a training
+    * budget (here: half the corpus, so both regimes appear), each
+    * source's τ-scaled share becomes a target token count, and the
+    * target becomes a REPEAT PLAN — full epochs over the source plus
+    * a partial final epoch (the LLaMA-recipe "epochs over dataset"
+    * column). τ < 1 upsamples small sources, so they earn epochs > 1
+    * while the biggest sources train on a fraction of one pass.
+    *
+    * Scale shape: everything below q97's one corpus hash-agg is
+    * O(sources) arithmetic — the budget row broadcast-crosses back,
+    * nothing corpus-sized moves. Integerization: targets are exact
+    * integer floor products of the published mix_millionths, epochs
+    * are ceiling division, the partial-epoch fill is an exact ppm —
+    * at 100 TB token counts the budget·mix product approaches 2⁶³,
+    * so spell it in DECIMAL(38) first (the q137 discipline; here the
+    * long product is exact through petabyte scale).
+    */
+  def q136EpochSchedule(s: SparkSession, dir: String): DataFrame = {
+    val w = q97MixtureWeights(s, dir) // (source, tokens, mix_millionths)
+    val tot = w.agg(sum(col("tokens")).as("corpus_tokens"))
+    w.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        expr("(corpus_tokens div 2) * mix_millionths div 1000000"))
+      .withColumn("epochs",
+        expr("(target_tokens + tokens - 1) div tokens"))
+      .withColumn("last_epoch_fill_ppm",
+        expr("(target_tokens - (epochs - 1) * tokens) * 1000000 div tokens"))
+      .select(col("source"), col("tokens"), col("mix_millionths"),
+        col("target_tokens"), col("epochs"), col("last_epoch_fill_ppm"))
+  }
+  val q136Sql: String =
+    """WITH per AS (
+      |  SELECT source, CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY 1),
+      |q AS (SELECT source, tokens,
+      |        CAST(floor(pow(CAST(tokens AS DOUBLE), 0.7) * 1000) AS BIGINT) AS q
+      |      FROM per),
+      |tot AS (SELECT CAST(sum(q) AS BIGINT) AS qtot,
+      |               CAST(sum(tokens) AS BIGINT) AS corpus_tokens FROM q),
+      |w AS (SELECT source, tokens, q * 1000000 // qtot AS mix_millionths,
+      |             corpus_tokens
+      |      FROM q, tot),
+      |t AS (SELECT source, tokens, mix_millionths,
+      |        (corpus_tokens // 2) * mix_millionths // 1000000 AS target_tokens
+      |      FROM w),
+      |e AS (SELECT source, tokens, mix_millionths, target_tokens,
+      |        (target_tokens + tokens - 1) // tokens AS epochs
+      |      FROM t)
+      |SELECT source, tokens, mix_millionths, target_tokens, epochs,
+      |       (target_tokens - (epochs - 1) * tokens) * 1000000
+      |         // tokens AS last_epoch_fill_ppm
+      |FROM e""".stripMargin
+
+  // -------------------------------------------------- PMI pairs (q137)
+
+  /** How many top association pairs q137 publishes. */
+  private[graft] val PmiTopK = 20
+
+  /** Pointwise-mutual-information association pairs (q137): the
+    * collocation miner — which adjacent token pairs co-occur far more
+    * than their marginals predict (the word2vec-era PMI table, the
+    * signal behind multi-word-expression detection and tokenizer
+    * merge candidates). Lift is published as an exact scaled integer,
+    * lift_ppm = c₂·N·10⁶ ÷ (c₁·c_r) — the monotone exp(PMI) transform
+    * — so no engine ever takes a logarithm and the oracle matches
+    * bit-for-bit (stricter than q95's ln convention).
+    *
+    * Scale shape: bigrams build scan-side (the q95 zip_with spelling,
+    * shared [[bigramsOf]]); ONE corpus-grain hash-agg makes the
+    * O(distinct pairs) count table; both marginals and N re-aggregate
+    * THAT table (O(vocab) / O(1), never the corpus — the q95 c1
+    * discipline); the marginal joins broadcast. The final global
+    * top-K window sorts only the model-sized pair table — bounded by
+    * vocab², not by the corpus. The lift product is spelled in
+    * DECIMAL(38,0): c₂·N·10⁶ overflows a long for any corpus past
+    * ~10¹² bigrams, and the floor-div must happen on the exact
+    * integer product, not a double.
+    */
+  def q137PmiPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+    val c2 = bigramsOf(d).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val cr = c2.groupBy(col("w2")).agg(sum(col("c2")).as("cr"))
+    val n = c2.agg(sum(col("c2")).as("n"))
+    val lifted = c2
+      .join(broadcast(c1), Seq("w1"))
+      .join(broadcast(cr), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("lift_ppm", expr(
+        """CAST(CAST(c2 AS DECIMAL(38,0)) * n * 1000000
+          |  div (CAST(c1 AS DECIMAL(38,0)) * cr) AS BIGINT)""".stripMargin))
+    val topk = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lift_ppm").desc, col("w1"), col("w2"))
+    lifted.withColumn("rnk", row_number().over(topk))
+      .filter(col("rnk") <= PmiTopK)
+      .select(col("rnk"), col("w1"), col("w2"), col("c2"), col("lift_ppm"))
+  }
+  val q137Sql: String =
+    s"""WITH tk AS (
+       |  SELECT str_split(text, ' ') AS toks FROM documents),
+       |bg AS ${bigramsSqlCte("", "tk")},
+       |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+       |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+       |cr AS (SELECT w2, CAST(sum(c2) AS BIGINT) AS cr FROM c2 GROUP BY 1),
+       |n AS (SELECT CAST(sum(c2) AS BIGINT) AS n FROM c2),
+       |l AS (SELECT w1, w2, c2,
+       |        CAST(CAST(c2 AS HUGEINT) * n * 1000000
+       |          // (CAST(c1 AS HUGEINT) * cr) AS BIGINT) AS lift_ppm
+       |      FROM c2 JOIN c1 USING (w1) JOIN cr USING (w2), n),
+       |r AS (SELECT *, row_number() OVER (
+       |        ORDER BY lift_ppm DESC, w1, w2) AS rnk FROM l)
+       |SELECT rnk, w1, w2, c2, lift_ppm FROM r WHERE rnk <= $PmiTopK""".stripMargin
 }

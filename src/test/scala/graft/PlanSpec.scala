@@ -81,7 +81,9 @@ class PlanSpec extends SparkSpec {
     "q120_session_lift",        // × 1-row session-total agg
     "q123_rrf_fusion",          // × 1-row anchor vector + q62's stats cross
     "q124_hard_negatives",      // × broadcast anchor set (≠-label pred)
-    "q129_ann_recall"           // × broadcast query set (q29/q51's crosses)
+    "q129_ann_recall",          // × broadcast query set (q29/q51's crosses)
+    "q136_epoch_schedule",      // × 1-row corpus-budget agg (q97's cross + one)
+    "q137_pmi_pairs"            // × 1-row bigram-total N agg
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
@@ -154,6 +156,32 @@ class PlanSpec extends SparkSpec {
       case _ => false
     }, "tail-branch hot-set exclusion must be a broadcast anti-join — " +
       "a shuffled anti would reintroduce the skewed exchange")
+  }
+
+  test("q134 segment dedup: join-free — dedup is a window, never a self-join") {
+    val nodes = ops(planOf("q134_segment_dedup"))
+    assert(!nodes.exists(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[BroadcastHashJoinExec] ||
+      n.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "first-occurrence-wins must stay one fingerprint window — a join " +
+        "means the min-struct-join spelling crept in (twice the exchanges)")
+  }
+
+  test("q135 KMV sketch: the exact-audit join is broadcast, nothing sort-merges") {
+    val nodes = ops(planOf("q135_kmv_distinct"))
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the two O(sources) frames must broadcast-join (q37's split)")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "an O(sources) frame sort-merging means the broadcast hint was dropped")
+  }
+
+  test("q137 PMI: marginal joins broadcast, ranking never touches corpus grain") {
+    val nodes = ops(planOf("q137_pmi_pairs"))
+    assert(nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
+      "both marginal joins (c1 on w1, cr on w2) must broadcast onto the " +
+        "model-sized pair table")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "O(vocab) marginals sort-merging means a broadcast hint was dropped")
   }
 
   test("q103 fused bootstrap: one corpus shuffle, no B× row explosion before it") {

@@ -2042,6 +2042,91 @@ class QueriesSpec extends SparkSpec {
       s"shard ${r.getInt(0)}/${r.getLong(1)} exceeds budget + one doc"))
   }
 
+  test("q134 segment dedup: kept mass equals the distinct-fingerprint census") {
+    import org.apache.spark.sql.functions.{col, explode, expr, greatest,
+      length, lit, md5, sequence}
+    val rows = Dedup.q134SegmentDedup(spark, sf).collect()
+    rows.foreach { r =>
+      val (docs, segs, kept, chars, keptChars, intact) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))
+      assert(kept <= segs && keptChars <= chars && intact <= docs)
+      assert(r.getLong(7) === keptChars * 1000000L / chars)
+    }
+    // first-occurrence-wins conservation: exactly one survivor per
+    // distinct fingerprint, summed across all sources
+    val distinctFps = graft.Tables.documents(spark, sf)
+      .withColumn("len", length(col("text")))
+      .select(explode(sequence(lit(0), greatest(col("len") - 1, lit(0)),
+        lit(100))).as("off"), col("text"))
+      .select(md5(expr("substring(text, off + 1, 100)").cast("binary")).as("fp"))
+      .distinct().count()
+    assert(rows.map(_.getLong(3)).sum === distinctFps)
+  }
+
+  test("q136 epoch schedule: targets conserve the budget, ceilings consistent") {
+    val rows = Text.q136EpochSchedule(spark, sf).collect()
+    val corpus = rows.map(_.getLong(1)).sum
+    val budget = corpus / 2
+    val targets = rows.map(_.getLong(3))
+    // each target floors independently: sum ≤ budget, short by < 1
+    // token per source
+    assert(targets.sum <= budget && targets.sum >= budget - rows.length)
+    rows.foreach { r =>
+      val (tokens, target, epochs, fill) =
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(epochs >= 1)
+      // ceiling division: target lands strictly inside the last epoch
+      assert((epochs - 1) * tokens < target && target <= epochs * tokens)
+      assert(fill > 0 && fill <= 1000000L,
+        s"${r.getString(0)}: partial-epoch fill $fill outside (0, 1e6]")
+      assert(fill === (target - (epochs - 1) * tokens) * 1000000L / tokens)
+    }
+    // τ < 1 upsamples small sources: the largest source's sampling
+    // rate never exceeds the smallest source's
+    val bySize = rows.sortBy(_.getLong(1))
+    val rate = (r: org.apache.spark.sql.Row) =>
+      r.getLong(3) * 1000000L / r.getLong(1)
+    assert(rate(bySize.last) <= rate(bySize.head))
+  }
+
+  test("q137 PMI pairs match a driver-side exact reference") {
+    import org.apache.spark.sql.functions.col
+    val toks = graft.Tables.documents(spark, sf)
+      .select(graft.ops.TextOps.tokens(col("text")).as("toks"))
+      .collect().map(_.getSeq[String](0))
+    val c2 = toks.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = c2.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cr = c2.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = c2.values.sum
+    val ref = c2.toSeq.map { case ((w1, w2), c) =>
+      val lift = BigInt(c) * n * 1000000 / (BigInt(c1(w1)) * cr(w2))
+      (w1, w2, c, lift.toLong)
+    }.sortBy { case (w1, w2, _, lift) => (-lift, w1, w2) }.take(Text.PmiTopK)
+    val got = Text.q137PmiPairs(spark, sf).collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === ref)
+  }
+
+  test("q138 cluster purity: sizes ≥ 2, member mass equals the edge-node census") {
+    val rows = Dedup.q138ClusterPurity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 2, "a cluster from a pair list has ≥ 2 members")
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) <= r.getLong(1))
+    }
+    val memberMass = rows.map(r => r.getLong(0) * r.getLong(1)).sum
+    val docs = graft.Tables.documents(spark, sf)
+    val edgeNodes = Dedup.verifiedEdges(docs)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.col("doc_a"),
+          org.apache.spark.sql.functions.col("doc_b"))).as("d"))
+      .distinct().count()
+    assert(memberMass === edgeNodes)
+  }
+
   test("q127 curriculum deciles: near-equal buckets, monotone score envelopes") {
     val rows = Text.q127CurriculumDeciles(spark, sf).collect()
       .sortBy(_.getInt(0))
