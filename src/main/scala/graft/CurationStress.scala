@@ -375,7 +375,59 @@ object CurationStress {
       rep127.last.getLong(4) == base127.last.getLong(4),
       "q127 global score envelope moved under replication")
 
-    println(f"""{"metric":"curation_stress","reps":$reps,"q121_sec":$tChunk%.2f,"q122_sec":$tLocf%.2f,"q126_sec":$tMask%.2f,"q127_sec":$tCur%.2f,"q108_sec":$tLex%.2f,"q109_sec":$tGaps%.2f,"q111_sec":$tMad%.2f,"q112_sec":$tGrid%.2f,"q114_sec":$tTri%.2f,"q114_cc_ppm":${rep114.getLong(4)},"q74_sec":$tSpan%.2f,"q74_rows":$spanRows,"q81_sec":$tOverlap%.2f,"q81_full_matches":$q81Full,"q79_sec":$tTrain%.2f,"q80_sec":$tApply%.2f,"q95_sec":$tBigram%.2f,"q98_sec":$tMix%.2f,"q98_surviving_tokens":$survTok,"q104_sec":$tSkew%.2f,"q99_sec":$tHeldout%.2f,"q101_sec":$tReid%.2f,"q102_sec":$tBoot%.2f,"q103_sec":$tBootFused%.2f,"bigram_types_base":$baseTypes,"bigram_types_train_r":$trainTypesR,"q95_skewcorpus_sec":$tFlatSkew%.2f,"q104_skewcorpus_sec":$tSplitSkew%.2f,"sf":"$sfDir"}""")
+    // ---- round-7 fourth wave (q134/q137/q139) at scale
+
+    // q134: replica docs carry the same text under fresh doc_ids, so
+    // every replica segment duplicates a base segment. Two laws: each
+    // replica FEED's segment inventory (segs, chars) is row-identical
+    // to its base feed's (segmentation is per-doc), and the GLOBAL
+    // kept mass is R-invariant — first-occurrence-wins keeps exactly
+    // one copy per distinct fingerprint no matter how many replicas
+    // pile on (the q98 survivor-mass law at segment grain)
+    noop(Dedup.q134SegmentDedup(spark, sfDir)) // warmup + 1× reference
+    val base134 = Dedup.q134SegmentDedup(spark, sfDir).collect()
+    val base134ByFeed = base134
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(4))).toMap
+    val (rep134, tSeg) = time(Dedup.q134SegmentDedup(spark, stressDir).collect())
+    rep134.foreach { r =>
+      val src = r.getString(0)
+      val want = base134ByFeed(src.substring(0, src.lastIndexOf('_')))
+      assert((r.getLong(2), r.getLong(4)) == want,
+        s"q134 replica feed $src segment inventory drifted from its base")
+    }
+    assert(rep134.map(_.getLong(3)).sum == base134.map(_.getLong(3)).sum,
+      "q134 kept mass must be R-invariant: one survivor per distinct " +
+        "fingerprint, corpus-wide")
+
+    // q137: replication multiplies c2, both marginals and N by exactly
+    // R, so lift_ppm = c2·N·10⁶÷(c1·c_r) is bit-invariant — the top-20
+    // table must reproduce with counts ×R and everything else equal
+    noop(Text.q137PmiPairs(spark, sfDir)) // warmup + 1× reference
+    val base137 = Text.q137PmiPairs(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val (rep137raw, tPmi) = time(Text.q137PmiPairs(spark, stressDir).collect())
+    val rep137 = rep137raw.map(r => (r.getInt(0), r.getString(1),
+      r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(rep137.toSeq == base137.toSeq.map { case (rk, w1, w2, c2, lift) =>
+      (rk, w1, w2, c2 * reps, lift) },
+      "q137 lift must be replication-invariant with counts ×R")
+
+    // q139: cloned users replay identical sessions under fresh ids →
+    // every transition cell scales ×R with conditional ppm unchanged
+    noop(Events.q139SessionTransitions(spark, sfDir)) // warmup + 1× ref
+    val base139 = Events.q139SessionTransitions(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val (rep139, tTrans) = time(
+      Events.q139SessionTransitions(spark, stressDir).collect())
+    val got139 = rep139.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3))).toMap
+    assert(got139 == base139.map { case (k, (c, p)) => k -> (c * reps, p) },
+      "q139 scaling law broken: cloned users must scale every transition " +
+        "cell ×R with P(to|from) unchanged")
+
+    println(f"""{"metric":"curation_stress","reps":$reps,"q134_sec":$tSeg%.2f,"q137_sec":$tPmi%.2f,"q139_sec":$tTrans%.2f,"q121_sec":$tChunk%.2f,"q122_sec":$tLocf%.2f,"q126_sec":$tMask%.2f,"q127_sec":$tCur%.2f,"q108_sec":$tLex%.2f,"q109_sec":$tGaps%.2f,"q111_sec":$tMad%.2f,"q112_sec":$tGrid%.2f,"q114_sec":$tTri%.2f,"q114_cc_ppm":${rep114.getLong(4)},"q74_sec":$tSpan%.2f,"q74_rows":$spanRows,"q81_sec":$tOverlap%.2f,"q81_full_matches":$q81Full,"q79_sec":$tTrain%.2f,"q80_sec":$tApply%.2f,"q95_sec":$tBigram%.2f,"q98_sec":$tMix%.2f,"q98_surviving_tokens":$survTok,"q104_sec":$tSkew%.2f,"q99_sec":$tHeldout%.2f,"q101_sec":$tReid%.2f,"q102_sec":$tBoot%.2f,"q103_sec":$tBootFused%.2f,"bigram_types_base":$baseTypes,"bigram_types_train_r":$trainTypesR,"q95_skewcorpus_sec":$tFlatSkew%.2f,"q104_skewcorpus_sec":$tSplitSkew%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -264,6 +264,15 @@ object SparkEntry {
     // dedup-quality audit: per-cluster-size language/source purity of
     // the verified near-dup components
     "q138_cluster_purity" -> (Dedup.q138ClusterPurity _),
+    // behavioral modeling: first-order Markov transition matrix over
+    // the q17 session cut (counts + conditional ppm)
+    "q139_session_transitions" -> (Events.q139SessionTransitions _),
+    // exact-integer Spearman rank correlation: length vs TTR quality
+    // per source (the ρ a length-floor policy decision reads)
+    "q140_spearman_len_quality" -> (Stats.q140SpearmanLenQuality _),
+    // streaming state on the oracle board: the KMV sketch rebuilt from
+    // landed per-batch k-min partials must match batch q135 bit-exact
+    "q141_incremental_kmv" -> (StreamingQ.q141IncrementalKmv _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -408,5 +417,8 @@ object SparkEntry {
     "q136_epoch_schedule" -> Text.q136Sql,
     "q137_pmi_pairs" -> Text.q137Sql,
     "q138_cluster_purity" -> Dedup.q138Sql,
+    "q139_session_transitions" -> Events.q139Sql,
+    "q140_spearman_len_quality" -> Stats.q140Sql,
+    "q141_incremental_kmv" -> Stats.q135Sql,
   )
 }

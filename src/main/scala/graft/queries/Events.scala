@@ -815,4 +815,81 @@ object Events {
        |UNION ALL
        |${census("type_set", "et")}""".stripMargin
   }
+
+  // ------------------------------------------------ transitions (q139)
+
+  /** Session Markov transition matrix (q139): within the q17/q120
+    * session cut, how often does each event type hand off to each
+    * next type — counts plus the conditional probability
+    * P(to | from) in integer ppm. The first-order behavioral model
+    * product analytics fits before anything sequence-learned: the
+    * matrix IS the Markov chain, and rows far from the q120 lift
+    * table's independence baseline are the journeys worth naming.
+    * Transitions never cross a session boundary (a 30-min gap resets
+    * the chain — same cut as q17, so the chain and the session census
+    * can never disagree).
+    *
+    * Scale shape: ONE user_id shuffle drives both windows (session
+    * flags and lead() share the same sort — one Exchange, one Sort in
+    * the plan), then a hash-agg to O(T²) cells; the per-from totals
+    * re-aggregate the T²-row matrix (never the corpus) and broadcast
+    * back. Tie order at equal-µs timestamps is pinned by the
+    * event_id tie-break (the q109 attribution rule: gap VALUES are
+    * tie-invariant, but which type follows which is not).
+    */
+  def q139SessionTransitions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val chained = Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts").cast("timestamp_ltz")) -
+            unix_micros(col("prev_ts").cast("timestamp_ltz")) > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .withColumn("to_session", lead(col("session_id"), 1).over(byUser))
+      .filter(col("to_type").isNotNull &&
+        col("to_session") === col("session_id"))
+    val matrix = chained
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("transitions"))
+    val fromTotals = matrix.groupBy(col("from_type"))
+      .agg(sum(col("transitions")).as("from_total"))
+    matrix.join(broadcast(fromTotals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("transitions"),
+        expr("transitions * 1000000 div from_total").as("prob_ppm"))
+  }
+  val q139Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR epoch_us(CAST(ts AS TIMESTAMP))
+      |                   - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+      |                   > 1800000000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessioned AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged),
+      |chained AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER w AS to_type,
+      |         session_id,
+      |         lead(session_id) OVER w AS to_session
+      |  FROM sessioned WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |matrix AS (
+      |  SELECT from_type, to_type, count(*) AS transitions
+      |  FROM chained
+      |  WHERE to_type IS NOT NULL AND to_session = session_id
+      |  GROUP BY 1, 2),
+      |ft AS (SELECT from_type, CAST(sum(transitions) AS BIGINT) AS from_total
+      |       FROM matrix GROUP BY 1)
+      |SELECT from_type, to_type, transitions,
+      |       transitions * 1000000 // from_total AS prob_ppm
+      |FROM matrix JOIN ft USING (from_type)""".stripMargin
 }

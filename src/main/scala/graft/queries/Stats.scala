@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Statistical and temporal aggregates (SURVEY.md §2.7 gap table:
@@ -497,21 +498,36 @@ object Stats {
     * (source, h): the q37 object-hash-fallback trap, documented at
     * [[q37Sketches]].
     */
-  def q135KmvDistinct(s: SparkSession, dir: String): DataFrame = {
-    val h = Text.docChunks(s, dir)
+  /** (source, h) 32-bit chunk-fingerprint hashes of a documents frame
+    * — q135's sketch universe, frame-parameterized so the incremental
+    * twin hashes micro-batches identically. */
+  private[graft] def chunkHashesOf(docs: DataFrame): DataFrame =
+    Text.docChunksOf(docs)
       .select(col("source"),
         conv(substring(md5(col("chunk").cast("binary")), 1, 8), 16, 10)
           .cast("long").as("h"))
-    val sk = h.groupBy(col("source"))
+
+  /** (source, n, kth) via the native kernel — the sketch side. */
+  private[graft] def kmvSketchOf(h: DataFrame): DataFrame =
+    h.groupBy(col("source"))
       .agg(graft.functions.KmvAgg.kmv_agg(col("h"), KmvK).as("kmv"))
       .select(col("source"), col("kmv.n").as("n"), col("kmv.kth").as("kth"))
-    val exact = h.distinct()
-      .groupBy(col("source")).agg(count(lit(1)).as("exact_distinct"))
+
+  /** Estimate + audit columns over a (source, n, kth) sketch frame
+    * and a (source, exact_distinct) audit frame — ONE census
+    * definition for batch q135 and the streamed snapshot (q141). */
+  private[graft] def kmvCensus(sk: DataFrame, exact: DataFrame): DataFrame =
     sk.join(broadcast(exact), "source")
       .withColumn("est_distinct",
         expr(s"CASE WHEN n < $KmvK THEN n ELSE $KmvEst div kth END"))
       .withColumn("err_ppm",
         expr("abs(est_distinct - exact_distinct) * 1000000 div exact_distinct"))
+
+  def q135KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val h = chunkHashesOf(Tables.documents(s, dir))
+    val exact = h.distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("exact_distinct"))
+    kmvCensus(kmvSketchOf(h), exact)
   }
   val q135Sql: String =
     s"""WITH ${Text.chunksSqlCte},
@@ -534,4 +550,71 @@ object Stats {
        |       abs(est_distinct - exact_distinct) * 1000000
        |         // exact_distinct AS err_ppm
        |FROM est""".stripMargin
+
+  // -------------------------------------------------- Spearman (q140)
+
+  /** Spearman rank correlation, exact-integer (q140): does document
+    * LENGTH predict lexical QUALITY (the q127 TTR permille score),
+    * per source — answered with ρ = 1 − 6Σd²/(n(n²−1)) computed
+    * entirely in integer arithmetic, published in ppm. Rank
+    * correlation is the right tool over a curation pipeline's skewed,
+    * outlier-heavy columns (Pearson would chase the tail, and its
+    * sqrt can't cross the exact-oracle boundary); the answer decides
+    * whether a length floor is secretly a quality filter. Ties take
+    * the doc_id tie-break — a pinned total order, not the fractional
+    * tie-rank convention; both engines walk the identical permutation
+    * so the oracle is bit-exact (the q109 attribution rule, rank
+    * edition).
+    *
+    * Scale shape: one doc-grain scan computes both scores; the two
+    * rank windows partition by source and sort O(docs/source) each —
+    * the same exchange (hash on source) feeds both sorts; Σd² then
+    * collapses per source in one hash-agg. The ρ arithmetic runs on
+    * O(sources) rows in DECIMAL(38): 6Σd² reaches ~n³, past a long
+    * at ~2M docs per source. Spark `div` and DuckDB `//` both
+    * truncate toward zero, so negative ρ needs no offset trick
+    * (verified: −7 div 2 = −3 in both).
+    */
+  def q140SpearmanLenQuality(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        expr("size(split(text, ' '))").as("toks"),
+        expr("size(array_distinct(split(text, ' ')))").as("types"))
+      .withColumn("score_pm", expr("types * 1000 div toks"))
+    val byLen = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val byScore = Window.partitionBy(col("source"))
+      .orderBy(col("score_pm"), col("doc_id"))
+    scored
+      .withColumn("rx", row_number().over(byLen).cast("long"))
+      .withColumn("ry", row_number().over(byScore).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("(rx - ry) * (rx - ry)")).cast("long").as("d2_sum"))
+      .withColumn("rho_ppm", expr(
+        """CAST((CAST(n AS DECIMAL(38,0)) * (n * n - 1) - 6 * CAST(d2_sum AS DECIMAL(38,0)))
+          |  * 1000000 div (CAST(n AS DECIMAL(38,0)) * (n * n - 1)) AS BIGINT)""".stripMargin))
+  }
+  val q140Sql: String =
+    """WITH scored AS (
+      |  SELECT source, doc_id, n_chars,
+      |         CAST(len(str_split(text, ' ')) AS BIGINT) AS toks,
+      |         CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT) AS types
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT source,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY n_chars, doc_id) AS rx,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY types * 1000 // toks, doc_id) AS ry
+      |  FROM scored),
+      |agg AS (
+      |  SELECT source, count(*) AS n,
+      |         CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS d2_sum
+      |  FROM ranked GROUP BY 1)
+      |SELECT source, n, d2_sum,
+      |       CAST((CAST(n AS HUGEINT) * (n * n - 1) - 6 * CAST(d2_sum AS HUGEINT))
+      |         * 1000000 // (CAST(n AS HUGEINT) * (n * n - 1)) AS BIGINT)
+      |         AS rho_ppm
+      |FROM agg""".stripMargin
 }

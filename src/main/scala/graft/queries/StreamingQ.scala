@@ -191,4 +191,24 @@ object StreamingQ {
     s.catalog.dropTempView(name)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
+
+  /** q141: q135's KMV distinct census with the SKETCH side computed
+    * from the incremental monitor's landed per-batch k-min partials
+    * (≤k rows per source per batch; k-min-of-union = k-min of merged
+    * k-mins). The exact-distinct audit column recomputes in batch —
+    * it exists to measure the sketch, and keeping it exact is what
+    * makes the oracle row meaningful. Oracle: q135Sql — a green row
+    * means the streamed O(k) state reproduced the batch kernel's
+    * estimate bit-for-bit across micro-batch boundaries. */
+  def q141IncrementalKmv(s: SparkSession, dir: String): DataFrame = {
+    val work = streamed(s, dir, Seq("source", "doc_id", "text"),
+      "source string, doc_id bigint, text string") { (docs, work) =>
+      Streams.incrementalKmv(docs, s"$work/kmv", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    val exact = Stats.chunkHashesOf(Tables.documents(s, dir))
+      .distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("exact_distinct"))
+    Stats.kmvCensus(Streams.kmvSnapshot(s, s"$work/kmv"), exact)
+  }
 }

@@ -1626,9 +1626,10 @@ object Text {
   /** (source, doc_id, chunk) frame of the overlapping retrieval
     * windows — the chunk inventory shared by the q121 census and the
     * q135 KMV distinct sketch, so "a chunk" can never mean two
-    * different cuts. */
-  private[graft] def docChunks(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    * different cuts. Frame-parameterized so the incremental sketch
+    * (Streams.incrementalKmv) cuts micro-batches identically. */
+  private[graft] def docChunksOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("len", length(col("text")))
       .select(col("source"), col("doc_id"),
         explode(sequence(lit(0), greatest(col("len") - 1, lit(0)),
@@ -1636,6 +1637,9 @@ object Text {
         col("text"))
       .select(col("source"), col("doc_id"),
         expr(s"substring(text, off + 1, $ChunkW)").as("chunk"))
+
+  private[graft] def docChunks(s: SparkSession, dir: String): DataFrame =
+    docChunksOf(Tables.documents(s, dir))
 
   /** The q121/q135 chunk CTE (DuckDB spelling of [[docChunks]]). */
   private[graft] val chunksSqlCte: String =

@@ -394,6 +394,42 @@ object Streams {
         "source string, tokens bigint, batch_id bigint")
         .groupBy(col("source")).agg(sum(col("tokens")).as("tokens")), tau)
 
+  /** Incremental KMV distinct sketch — distinct-chunk tracking at
+    * ingest with O(k) state per (source, batch): each micro-batch
+    * compacts its chunk-hash frame to the per-source k smallest
+    * DISTINCT hashes (≤k rows landed per source per batch — the
+    * KmvAgg kernel's partial-aggregation property, persisted) as a
+    * replay-idempotent batch_id partition. k-min-of-union = k-min of
+    * merged k-mins, so the live sketch never needs the history's full
+    * distinct sets — the whole point of the sketch at ingest scale:
+    * exact distinct tracking would grow state with the corpus; this
+    * grows with batches × sources × k. */
+  def incrementalKmv(docs: DataFrame, sketchPath: String,
+                     checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        val kmin = Window.partitionBy(col("source")).orderBy(col("h"))
+        val partial = graft.queries.Stats.chunkHashesOf(batch)
+          .distinct()
+          .withColumn("rn", row_number().over(kmin))
+          .filter(col("rn") <= graft.queries.Stats.KmvK)
+          .select(col("source"), col("h"))
+        writeBatchPartition(partial, batchId, sketchPath)
+      }
+
+  /** The live sketch: KmvAgg over the union of landed k-min partials
+    * — (source, n, kth), identical to the batch kernel's output on
+    * the union corpus (the merge property, proved in KmvAggSpec and
+    * asserted cross-batch in StreamsSpec). */
+  def kmvSnapshot(spark: SparkSession, sketchPath: String): DataFrame =
+    graft.queries.Stats.kmvSketchOf(
+      readPartialsOrEmpty(spark, sketchPath,
+        "source string, h bigint, batch_id bigint")
+        .select(col("source"), col("h")))
+
   /** Incremental OOV monitoring — vocabulary-drift detection at
     * ingest: each micro-batch joins its tokens against a FROZEN
     * vocabulary (a static frame broadcast inside foreachBatch — the

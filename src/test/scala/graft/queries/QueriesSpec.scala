@@ -2127,6 +2127,48 @@ class QueriesSpec extends SparkSpec {
     assert(memberMass === edgeNodes)
   }
 
+  test("q139 transitions: chain mass = events − sessions, rows are conditional ppm") {
+    val rows = Events.q139SessionTransitions(spark, sf).collect()
+    val byFrom = rows.groupBy(_.getString(0))
+    byFrom.values.foreach { grp =>
+      val total = grp.map(_.getLong(2)).sum
+      grp.foreach(r =>
+        assert(r.getLong(3) === r.getLong(2) * 1000000L / total))
+    }
+    // every event except each session's last contributes one transition
+    val totalTransitions = rows.map(_.getLong(2)).sum
+    val events = graft.Tables.events(spark, sf).count()
+    val sessions = Events.q17UserSessions(spark, sf).collect()
+      .map(_.getLong(1)).sum
+    assert(totalTransitions === events - sessions)
+  }
+
+  test("q140 Spearman matches a driver-side exact rank computation") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("n_chars"), col("text"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3).split(" ")))
+    val ref = docs.groupBy(_._1).map { case (src, ds) =>
+      val scored = ds.map { case (_, id, len, toks) =>
+        (id, len, toks.distinct.length.toLong * 1000L / toks.length) }
+      val rx = scored.sortBy(d => (d._2, d._1)).zipWithIndex
+        .map { case (d, i) => d._1 -> (i + 1L) }.toMap
+      val ry = scored.sortBy(d => (d._3, d._1)).zipWithIndex
+        .map { case (d, i) => d._1 -> (i + 1L) }.toMap
+      val n = scored.length.toLong
+      val d2 = scored.map(d => { val x = rx(d._1) - ry(d._1); x * x }).sum
+      val denom = BigInt(n) * (n * n - 1)
+      val rho = ((denom - 6 * BigInt(d2)) * 1000000 / denom).toLong
+      src -> ((n, d2, rho))
+    }
+    Stats.q140SpearmanLenQuality(spark, sf).collect().foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ref(r.getString(0)),
+        s"${r.getString(0)}: Spearman disagrees with the exact reference")
+    }
+  }
+
   test("q127 curriculum deciles: near-equal buckets, monotone score envelopes") {
     val rows = Text.q127CurriculumDeciles(spark, sf).collect()
       .sortBy(_.getInt(0))

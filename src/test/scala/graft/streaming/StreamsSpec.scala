@@ -608,6 +608,37 @@ class StreamsSpec extends SparkSpec {
       "sum-merged token totals must yield the exact batch mixture")
   }
 
+  test("incremental KMV sketch: merged k-min partials equal the batch kernel") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_inckmv")
+    val (sk, ckpt) = (s"$dir/kmv", s"$dir/ckpt")
+    val sf = "/root/testdata/sf0.001"
+    // poll-safe before first commit (the round-6 advice contract)
+    assert(Streams.kmvSnapshot(spark, sk).count() === 0L)
+    val in = MemoryStream[(String, Long, String)]
+    val q = Streams.incrementalKmv(
+      in.toDF().toDF("source", "doc_id", "text"), sk, ckpt).start()
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    try {
+      docs.grouped(math.max(1, docs.length / 3)).foreach { g =>
+        in.addData(g.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    // each landed batch partition holds ≤k rows per source (the O(k)
+    // state claim, checked on disk, not just asserted in prose)
+    val perBatch = spark.read.parquet(sk)
+      .groupBy(col("source"), col("batch_id")).count().collect()
+    assert(perBatch.nonEmpty)
+    perBatch.foreach(r => assert(r.getLong(2) <= graft.queries.Stats.KmvK))
+    val streamed = Streams.kmvSnapshot(spark, sk)
+    val batch = graft.queries.Stats.kmvSketchOf(
+      graft.queries.Stats.chunkHashesOf(graft.Tables.documents(spark, sf)))
+    assert(rowsOf(streamed) === rowsOf(batch),
+      "k-min of merged k-min partials must equal the batch sketch")
+  }
+
   test("incremental OOV monitor: summed partials equal batch oovStats; planted drift fires") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_incoov")
