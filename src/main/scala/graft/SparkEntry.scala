@@ -273,6 +273,15 @@ object SparkEntry {
     // streaming state on the oracle board: the KMV sketch rebuilt from
     // landed per-batch k-min partials must match batch q135 bit-exact
     "q141_incremental_kmv" -> (StreamingQ.q141IncrementalKmv _),
+    // vision-language batch assembly: text + ViT-patch token packing
+    // to a shared 4096-token budget (the q47 kernel, modality-aware)
+    "q142_multimodal_packing" -> (MultimodalQ.q142MultimodalPacking _),
+    // retrieval eval, rank edition: where does the ANN ranking put the
+    // exact nearest neighbor (reciprocal rank in ppm)
+    "q143_retrieval_mrr" -> (Similarity.q143RetrievalMrr _),
+    // eval hygiene above exact-hash leakage: near-dup pairs straddling
+    // the train/val/test cut
+    "q144_fuzzy_leakage" -> (Dedup.q144FuzzyLeakage _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -420,5 +429,8 @@ object SparkEntry {
     "q139_session_transitions" -> Events.q139Sql,
     "q140_spearman_len_quality" -> Stats.q140Sql,
     "q141_incremental_kmv" -> Stats.q135Sql,
+    "q142_multimodal_packing" -> MultimodalQ.q142Sql,
+    "q143_retrieval_mrr" -> Similarity.q143Sql,
+    "q144_fuzzy_leakage" -> Dedup.q144Sql,
   )
 }

@@ -1253,6 +1253,56 @@ object Dedup {
         count(when(col("n_sources") > 1, 1)).as("xsource_clusters"),
         min(col("cluster_id")).as("min_cluster_id"))
   }
+  /** Fuzzy split leakage (q144): eval hygiene one rung above q93 —
+    * q93 catches EXACT fingerprint collisions across train/val/test;
+    * this censuses the verified NEAR-dup pairs (the q46 edge list,
+    * Jaccard ≥ 0.5) by the split pair they straddle. A val doc whose
+    * near-twin sits in train inflates eval scores without any exact
+    * hash ever colliding — the leakage mode n-gram-decontamination
+    * papers exist for. Output per unordered split pair: edge count,
+    * distinct docs implicated, min doc id; the off-diagonal rows
+    * (train,val / train,test / val,test) are the contamination mass a
+    * release gate reads.
+    *
+    * Scale shape: edges come from the shared LSH ladder (never
+    * all-pairs); the split labels are scan-side doc_id hashes (q77's
+    * cut — no join to assign them), and both censuses run at
+    * O(pairs) grain. */
+  def q144FuzzyLeakage(s: SparkSession, dir: String): DataFrame = {
+    val lab = verifiedEdges(Tables.documents(s, dir))
+      .withColumn("la", Text.splitLabel(col("doc_a")))
+      .withColumn("lb", Text.splitLabel(col("doc_b")))
+      .select(least(col("la"), col("lb")).as("split_lo"),
+        greatest(col("la"), col("lb")).as("split_hi"),
+        col("doc_a"), col("doc_b"))
+    val pairs = lab.groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("pairs"), min(col("doc_a")).as("min_doc_a"))
+    val docs = lab
+      .select(col("split_lo"), col("split_hi"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(countDistinct(col("d")).as("docs_implicated"))
+    pairs.join(docs, Seq("split_lo", "split_hi"))
+  }
+  val q144Sql: String = {
+    def lbl(c: String) = s"(${Text.splitLabelSql.replace("doc_id", c)})"
+    s"""WITH ${verifiedPairsSqlCtes("documents")},
+       |lab AS (
+       |  SELECT least(la, lb) AS split_lo, greatest(la, lb) AS split_hi,
+       |         doc_a, doc_b
+       |  FROM (SELECT doc_a, doc_b, ${lbl("doc_a")} AS la, ${lbl("doc_b")} AS lb
+       |        FROM scored WHERE jaccard >= 0.5)),
+       |pc AS (SELECT split_lo, split_hi, count(*) AS pairs,
+       |              min(doc_a) AS min_doc_a
+       |       FROM lab GROUP BY 1, 2),
+       |di AS (SELECT split_lo, split_hi, count(DISTINCT d) AS docs_implicated
+       |       FROM (SELECT split_lo, split_hi, unnest([doc_a, doc_b]) AS d
+       |             FROM lab)
+       |       GROUP BY 1, 2)
+       |SELECT split_lo, split_hi, pairs, min_doc_a, docs_implicated
+       |FROM pc JOIN di USING (split_lo, split_hi)""".stripMargin
+  }
+
   val q138Sql: String =
     s"""WITH RECURSIVE ${verifiedPairsSqlCtes("documents")},
        |$clustersSqlCtes,

@@ -33,7 +33,9 @@ object MultimodalQ {
     * binary payload. */
   private val metaCte: String =
     """meta AS (
-      |  SELECT CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) % 1920 AS width,
+      |  SELECT source, doc_id,
+      |         len(str_split(text, ' ')) AS text_toks,
+      |         CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) % 1920 AS width,
       |         CAST('0x' || substr(md5(text), 5, 4) AS INTEGER) % 1080 AS height,
       |         CAST('0x' || substr(md5(text), 9, 2) AS INTEGER) % 3 + 1 AS channels,
       |         CASE WHEN CAST('0x' || substr(md5(text), 11, 2) AS INTEGER) % 2 = 0
@@ -182,4 +184,86 @@ object MultimodalQ {
        |         // ((images + ${BatchSize - 1}) // $BatchSize * $BatchSize)
        |         AS pad_ppm
        |FROM cen""".stripMargin
+
+  /** ViT patch edge (pixels) for q142's token arithmetic. */
+  private val PatchPx = 14
+
+  /** Interleaved multimodal sequence packing (q142): the batch-
+    * assembly step of vision-language pretraining — each document is
+    * an (image, text) pair whose SEQUENCE cost is text tokens plus
+    * image patch tokens (the resized image at 14-px ViT patches, the
+    * Flamingo/LLaVA accounting), and pairs pack greedily into
+    * 4096-token sequences per source (the q47 prefix-sum kernel —
+    * shared, so text-only and multimodal packing can never drift).
+    * Census per source: sequences, docs, the text/image token masses,
+    * the image share in ppm (the modality-mix number a training
+    * recipe pins), and mean sequence fill.
+    *
+    * Scale shape: decode + resize + patch arithmetic are scan-side
+    * integer codegen on metadata (payload bytes never read — the
+    * opaque-until-needed rule); the packing window rides ONE
+    * (source)-partitioned sort (packManifest's shape) and the census
+    * re-aggregates O(sources × bins) manifest rows; the mass frame
+    * broadcast-joins. Fill can exceed 10⁶ ppm by at most one doc's
+    * tokens per bin (greedy prefix binning — q133's bound).
+    */
+  def q142MultimodalPacking(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(s, dir)
+      .transform(MM.withPayload)
+      .withColumn("meta", MM.decodeImageMeta(col("payload")))
+      .withColumn("rs", MM.resizeMeta(col("meta"), 336, 336))
+      .select(col("source"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("text_toks"),
+        expr(s"""((rs.width + ${PatchPx - 1}) div $PatchPx)
+                | * ((rs.height + ${PatchPx - 1}) div $PatchPx)""".stripMargin)
+          .cast("long").as("image_toks"))
+      .withColumn("n_toks", col("text_toks") + col("image_toks"))
+    val manifest = Text.packManifest(
+      perDoc.select(col("source"), col("doc_id"), col("n_toks")))
+    val seqs = manifest.groupBy(col("source"))
+      .agg(count(lit(1)).as("sequences"))
+    val mass = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("text_toks")).cast("long").as("text_toks"),
+        sum(col("image_toks")).cast("long").as("image_toks"))
+    seqs.join(broadcast(mass), "source")
+      .withColumn("image_share_ppm",
+        expr("image_toks * 1000000 div (text_toks + image_toks)"))
+      .withColumn("mean_fill_ppm",
+        expr(s"(text_toks + image_toks) * 1000000" +
+          s" div (sequences * ${Text.PackBudget})"))
+  }
+  val q142Sql: String =
+    s"""WITH $metaCte,
+       |rs AS (
+       |  SELECT source, doc_id, text_toks,
+       |         least(336000 // greatest(width, 1),
+       |               336000 // greatest(height, 1), 1000) AS pm,
+       |         width, height
+       |  FROM meta),
+       |pd AS (
+       |  SELECT source, doc_id, text_toks,
+       |         ((width * pm // 1000 + ${PatchPx - 1}) // $PatchPx)
+       |           * ((height * pm // 1000 + ${PatchPx - 1}) // $PatchPx)
+       |           AS image_toks
+       |  FROM rs),
+       |binned AS (
+       |  SELECT source, text_toks, image_toks,
+       |         CAST(coalesce(sum(text_toks + image_toks) OVER (
+       |             PARTITION BY source ORDER BY doc_id
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |           // ${Text.PackBudget} AS BIGINT) AS bin_id
+       |  FROM pd),
+       |seqs AS (SELECT source, count(DISTINCT bin_id) AS sequences
+       |         FROM binned GROUP BY 1),
+       |mass AS (SELECT source, count(*) AS docs,
+       |                CAST(sum(text_toks) AS BIGINT) AS text_toks,
+       |                CAST(sum(image_toks) AS BIGINT) AS image_toks
+       |         FROM binned GROUP BY 1)
+       |SELECT source, sequences, docs, text_toks, image_toks,
+       |       image_toks * 1000000 // (text_toks + image_toks)
+       |         AS image_share_ppm,
+       |       (text_toks + image_toks) * 1000000
+       |         // (sequences * ${Text.PackBudget}) AS mean_fill_ppm
+       |FROM seqs JOIN mass USING (source)""".stripMargin
 }

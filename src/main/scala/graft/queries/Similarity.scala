@@ -1210,4 +1210,44 @@ object Similarity {
        |       coalesce(h.hits, 0) * 100 // 3 AS recall_pct
        |FROM qs LEFT JOIN cand c ON qs.query_id = c.query_id
        |        LEFT JOIN h ON qs.query_id = h.query_id""".stripMargin
+
+  /** Retrieval MRR (q143): q129's recall told us IF the multiprobe
+    * search finds the exact neighbors; this asks WHERE — the rank the
+    * ANN ranking assigns to the true (exact-scan) nearest neighbor,
+    * and the reciprocal rank in integer ppm (10⁶ ÷ rank; 0 = the true
+    * top-1 never surfaced in the ANN top-3). MRR is the eval metric
+    * retrieval tiers actually report, and the rank-0 rows are the
+    * queries whose probe set needs widening (q51's nprobe knob).
+    *
+    * Scale shape: both members keep their audited plans (exact scan =
+    * broadcast-query cross; probe = Hamming-1 bucket predicate); the
+    * MRR join itself runs on two O(queries × K) manifests — the q123
+    * rule: eval fuses whatever top-K manifests the retrieval tier
+    * already produced, and never rescans the corpus.
+    */
+  def q143RetrievalMrr(s: SparkSession, dir: String): DataFrame = {
+    val truth = q29CosineTopK(s, dir).filter(col("rk") === 1)
+      .select(col("query_id"), col("neighbor_id").as("true_top1"))
+    val ann = q51MultiprobeAnn(s, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rk"))
+    truth.join(ann,
+        truth("query_id") === ann("query_id") &&
+          col("true_top1") === ann("neighbor_id"), "left")
+      .select(truth("query_id"), col("true_top1"),
+        coalesce(col("rk"), lit(0)).cast("long").as("ann_rank"))
+      .withColumn("rr_ppm",
+        when(col("ann_rank") > 0, expr("1000000 div ann_rank"))
+          .otherwise(lit(0L)))
+  }
+  val q143Sql: String =
+    s"""WITH exact AS ($q29Sql),
+       |probe AS ($q51Sql),
+       |truth AS (
+       |  SELECT query_id, neighbor_id AS true_top1 FROM exact WHERE rk = 1)
+       |SELECT t.query_id, t.true_top1,
+       |       CAST(coalesce(p.rk, 0) AS BIGINT) AS ann_rank,
+       |       CASE WHEN coalesce(p.rk, 0) > 0
+       |            THEN 1000000 // coalesce(p.rk, 0) ELSE 0 END AS rr_ppm
+       |FROM truth t LEFT JOIN probe p
+       |  ON t.query_id = p.query_id AND t.true_top1 = p.neighbor_id""".stripMargin
 }

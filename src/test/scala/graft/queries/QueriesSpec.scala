@@ -2169,6 +2169,72 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q142 multimodal packing matches a driver-side greedy replay") {
+    import org.apache.spark.sql.functions.col
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val perDoc = docs.map { case (src, id, text) =>
+      val h = md5hex(text)
+      val w = java.lang.Long.parseLong(h.substring(0, 4), 16) % 1920
+      val ht = java.lang.Long.parseLong(h.substring(4, 8), 16) % 1080
+      val pm = math.min(math.min(
+        336000L / math.max(w, 1L), 336000L / math.max(ht, 1L)), 1000L)
+      val (rw, rh) = (w * pm / 1000, ht * pm / 1000)
+      val patches = ((rw + 13) / 14) * ((rh + 13) / 14)
+      (src, id, text.split(" ").length.toLong, patches)
+    }
+    val ref = perDoc.groupBy(_._1).map { case (src, ds) =>
+      var cum = 0L
+      val bins = scala.collection.mutable.Set[Long]()
+      ds.sortBy(_._2).foreach { d => bins += cum / 4096; cum += d._3 + d._4 }
+      src -> ((bins.size.toLong, ds.length.toLong,
+        ds.map(_._3).sum, ds.map(_._4).sum))
+    }
+    MultimodalQ.q142MultimodalPacking(spark, sf).collect().foreach { r =>
+      val (seq, nd, tt, it) = ref(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+        ((seq, nd, tt, it)), s"${r.getString(0)}: packing census disagrees")
+      assert(r.getLong(5) === it * 1000000L / (tt + it))
+      assert(r.getLong(6) === (tt + it) * 1000000L / (seq * 4096L))
+    }
+  }
+
+  test("q143 MRR agrees with a replay over the two member manifests") {
+    val truth = Similarity.q29CosineTopK(spark, sf).collect()
+      .filter(_.getInt(3) == 1)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ann = Similarity.q51MultiprobeAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    val rows = Similarity.q143RetrievalMrr(spark, sf).collect()
+    assert(rows.length === truth.size)
+    rows.foreach { r =>
+      val (q, top1, rank, rr) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(top1 === truth(q))
+      assert(rank === ann.get((q, top1)).map(_.toLong).getOrElse(0L))
+      assert(rr === (if (rank > 0) 1000000L / rank else 0L))
+    }
+  }
+
+  test("q144 fuzzy leakage: pair mass conserved, implicated docs bounded") {
+    val rows = Dedup.q144FuzzyLeakage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val splits = Set("train", "val", "test")
+    rows.foreach { r =>
+      assert(splits(r.getString(0)) && splits(r.getString(1)))
+      assert(r.getString(0) <= r.getString(1), "split pair must be normalized")
+      assert(r.getLong(4) <= 2 * r.getLong(2),
+        "a pair implicates at most two docs")
+    }
+    val edges = Dedup.verifiedEdges(graft.Tables.documents(spark, sf)).count()
+    assert(rows.map(_.getLong(2)).sum === edges,
+      "every verified edge must land in exactly one split-pair cell")
+  }
+
   test("q127 curriculum deciles: near-equal buckets, monotone score envelopes") {
     val rows = Text.q127CurriculumDeciles(spark, sf).collect()
       .sortBy(_.getInt(0))
