@@ -282,6 +282,15 @@ object SparkEntry {
     // eval hygiene above exact-hash leakage: near-dup pairs straddling
     // the train/val/test cut
     "q144_fuzzy_leakage" -> (Dedup.q144FuzzyLeakage _),
+    // temporal drift: exact-integer χ² of each day's event mix vs the
+    // corpus mix, with the per-day top-deviating type named
+    "q145_chi2_daily_mix" -> (Events.q145Chi2DailyMix _),
+    // privacy, second axis: l-diversity of the dominant event type
+    // within each k-anonymity signature group (homogeneity attack)
+    "q146_l_diversity" -> (Events.q146LDiversity _),
+    // stateful streaming on the board, transition edition: per-user
+    // last-event carry across batch boundaries must reproduce q139
+    "q147_incremental_transitions" -> (StreamingQ.q147IncrementalTransitions _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -432,5 +441,8 @@ object SparkEntry {
     "q142_multimodal_packing" -> MultimodalQ.q142Sql,
     "q143_retrieval_mrr" -> Similarity.q143Sql,
     "q144_fuzzy_leakage" -> Dedup.q144Sql,
+    "q145_chi2_daily_mix" -> Events.q145Sql,
+    "q146_l_diversity" -> Events.q146Sql,
+    "q147_incremental_transitions" -> Events.q139Sql,
   )
 }

@@ -816,6 +816,144 @@ object Events {
        |${census("type_set", "et")}""".stripMargin
   }
 
+  // ------------------------------------------------ chi-square (q145)
+
+  /** Daily event-mix drift, chi-square edition (q145): for every day,
+    * how far the day's event-type contingency row sits from the
+    * corpus-wide mix — the per-cell χ² contribution (O−E)²/E computed
+    * as the EXACT integer (O·T − r·c)² ÷ (r·c·T) in permille, plus
+    * the day's most-deviating type. q89's KL drift watches sources;
+    * this watches TIME, and χ²'s per-cell decomposition names the
+    * type that moved (a deploy that doubled error events shows up as
+    * that day's top_dev_type, not just a bigger divergence number).
+    * No logarithms anywhere: the identity (O·T−rc)²/(rcT) = (O−E)²/E
+    * makes the whole statistic a ratio of integers, so the oracle is
+    * bit-exact (stricter than the q64/q89 ln convention).
+    *
+    * Scale shape: one hash-agg to the O(days × types) contingency
+    * table; both marginals and T re-aggregate THAT table (never the
+    * corpus) and broadcast back; the deviation arithmetic runs at
+    * cell grain in DECIMAL(38) (dev² reaches ~10²⁵ at sf0.1 — far
+    * past a long), and the per-day rollup + top-deviator window sort
+    * only cell-grain rows.
+    */
+  def q145Chi2DailyMix(s: SparkSession, dir: String): DataFrame = {
+    // integer day index, not a DATE column: date values cross the
+    // engine/pandas boundary with unstable dtypes (the Layout.q72
+    // epoch-days convention)
+    val cells = Tables.events(s, dir)
+      .groupBy(datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+        .cast("long").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy(col("day")).agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy(col("event_type")).agg(sum(col("o")).as("ctot"))
+    val tot = cells.agg(sum(col("o")).as("t"))
+    val dev = cells
+      .join(broadcast(rt), Seq("day"))
+      .join(broadcast(ct), Seq("event_type"))
+      .crossJoin(broadcast(tot))
+      .withColumn("d", expr("o * t - rt * ctot"))
+      .withColumn("chi2_cell_milli", expr(
+        "CAST(CAST(d AS DECIMAL(38,0)) * d * 1000 div (rt * ctot * t) AS BIGINT)"))
+    val topw = Window.partitionBy(col("day"))
+      .orderBy(abs(col("d")).desc, col("event_type"))
+    dev
+      .withColumn("rn", row_number().over(topw))
+      .groupBy(col("day"))
+      .agg(max(col("rt")).as("events"),
+        count(lit(1)).as("types"),
+        sum(col("chi2_cell_milli")).cast("long").as("chi2_milli"),
+        max(when(col("rn") === 1, col("event_type"))).as("top_dev_type"))
+  }
+  val q145Sql: String =
+    """WITH cells AS (
+      |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+      |         event_type, count(*) AS o
+      |  FROM events GROUP BY 1, 2),
+      |rt AS (SELECT day, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+      |ct AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS ctot
+      |       FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM cells),
+      |dev AS (
+      |  SELECT day, event_type, rt, o * t - rt * ctot AS d,
+      |         CAST(CAST(o * t - rt * ctot AS HUGEINT)
+      |                * (o * t - rt * ctot) * 1000
+      |              // (rt * ctot * t) AS BIGINT) AS chi2_cell_milli
+      |  FROM cells JOIN rt USING (day) JOIN ct USING (event_type), tot),
+      |rn AS (
+      |  SELECT day, event_type, rt, chi2_cell_milli,
+      |         row_number() OVER (PARTITION BY day
+      |           ORDER BY abs(d) DESC, event_type) AS rn
+      |  FROM dev)
+      |SELECT day, max(rt) AS events, count(*) AS types,
+      |       CAST(sum(chi2_cell_milli) AS BIGINT) AS chi2_milli,
+      |       max(CASE WHEN rn = 1 THEN event_type END) AS top_dev_type
+      |FROM rn GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------ l-diversity (q146)
+
+  /** k-anonymity × l-diversity grid (q146): q101/q132 measured
+    * GROUP SIZE (k); this adds the second axis the privacy literature
+    * demands — within each quasi-identifier group (the q132
+    * log2-count signature), how many DISTINCT values does a sensitive
+    * attribute take (here: the user's dominant event type)? A group
+    * can be safely large (k high) yet sensitive-homogeneous (l = 1):
+    * every member provably shares the attribute, and k-anonymity
+    * protects nothing — the homogeneity-attack cell this census
+    * makes visible. Output per (k_bucket, l): groups and users.
+    *
+    * Scale shape: everything is grouping, never pairing (the q101
+    * law): one (user, type) compaction feeds both the signature agg
+    * and the dominant-type window; the grid is two more hash-aggs at
+    * O(users) then O(signatures) grain. Deterministic dominance:
+    * (count desc, type desc) — both engines walk the same argmax.
+    */
+  def q146LDiversity(s: SparkSession, dir: String): DataFrame = {
+    val pc = Tables.events(s, dir)
+      .groupBy(col("user_id"),
+        coalesce(col("event_type"), lit("<null>")).as("et"))
+      .agg(count(lit(1)).as("c"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("c").desc, col("et").desc)
+    val dom = pc.withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("et").as("dominant"))
+    val sig = pc.groupBy(col("user_id"))
+      .agg(md5(concat_ws("|", sort_array(collect_list(md5(
+        concat_ws(":", col("et"), expr("length(bin(c)) - 1"))
+          .cast("binary"))))).cast("binary")).as("sig"))
+    sig.join(dom, Seq("user_id"))
+      .groupBy(col("sig"))
+      .agg(count(lit(1)).as("k"), countDistinct(col("dominant")).as("l"))
+      .groupBy(expr("length(bin(k)) - 1").cast("int").as("k_bucket"), col("l"))
+      .agg(count(lit(1)).as("groups"), sum(col("k")).cast("long").as("users"))
+  }
+  val q146Sql: String =
+    """WITH pc AS (
+      |  SELECT user_id, coalesce(event_type, '<null>') AS et, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |dom AS (
+      |  SELECT user_id, et AS dominant
+      |  FROM (SELECT user_id, et,
+      |          row_number() OVER (PARTITION BY user_id
+      |            ORDER BY c DESC, et DESC) AS rn
+      |        FROM pc)
+      |  WHERE rn = 1),
+      |sig AS (
+      |  SELECT user_id,
+      |         md5(string_agg(
+      |           md5(et || ':' || CAST(length(bin(c)) - 1 AS VARCHAR)), '|'
+      |           ORDER BY md5(et || ':' || CAST(length(bin(c)) - 1 AS VARCHAR))))
+      |           AS sig
+      |  FROM pc GROUP BY 1),
+      |grp AS (
+      |  SELECT sig.sig, count(*) AS k, count(DISTINCT dominant) AS l
+      |  FROM sig JOIN dom USING (user_id)
+      |  GROUP BY 1)
+      |SELECT CAST(length(bin(k)) - 1 AS INTEGER) AS k_bucket, l,
+      |       count(*) AS groups, CAST(sum(k) AS BIGINT) AS users
+      |FROM grp GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------ transitions (q139)
 
   /** Session Markov transition matrix (q139): within the q17/q120
@@ -825,9 +963,13 @@ object Events {
     * product analytics fits before anything sequence-learned: the
     * matrix IS the Markov chain, and rows far from the q120 lift
     * table's independence baseline are the journeys worth naming.
-    * Transitions never cross a session boundary (a 30-min gap resets
-    * the chain — same cut as q17, so the chain and the session census
-    * can never disagree).
+    * q83's matrix counts every consecutive pair in a user's HISTORY —
+    * including the overnight hand-off from yesterday's last event to
+    * today's first, which is not behavior, just adjacency; q139
+    * resets the chain at the 30-min gap (the q17 cut), so the two
+    * matrices differ by exactly the cross-session fabrications, and
+    * the stateful streaming twin (q147 / StatefulTransitions) carries
+    * the same cut across micro-batch boundaries.
     *
     * Scale shape: ONE user_id shuffle drives both windows (session
     * flags and lead() share the same sort — one Exchange, one Sort in

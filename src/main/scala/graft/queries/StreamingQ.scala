@@ -192,6 +192,67 @@ object StreamingQ {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** q147: the q139 Markov transition matrix with the transitions
+    * extracted by the STATEFUL streaming operator
+    * ([[graft.streaming.StatefulTransitions]]) — the full events
+    * table streamed in event-time order through ~6 micro-batches, the
+    * per-user last-event carry crossing every batch boundary (the
+    * hand-offs a per-batch window would drop are exactly what the
+    * keyed state exists for). Oracle: q139Sql — a green row means the
+    * flatMapGroupsWithState carry reproduced the batch window's
+    * matrix bit-for-bit, conditional ppm included. Driver-side
+    * sort+collect is the q113 harness scaffolding; the state path
+    * under test is hash-partitioned by user_id as it would be on a
+    * cluster. */
+  def q147IncrementalTransitions(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StatefulTransitions
+    import graft.streaming.StatefulTransitions.TEvent
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sc = s.sqlContext
+    implicit val ee = org.apache.spark.sql.Encoders.product[TEvent]
+    val events = Tables.events(s, dir)
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp_ltz"),
+        col("event_type"), col("event_id").cast("long"))
+      .collect()
+      .map(r => TEvent(r.getLong(0), r.getTimestamp(1), r.getString(2),
+        r.getLong(3)))
+      .sortBy(e => (graft.streaming.StatefulSessions.micros(e.ts), e.event_id))
+    val in = MemoryStream[TEvent]
+    val name = "q147_transitions_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = StatefulTransitions.transitions(in.toDS()).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val chunk = math.max(1, (events.length + 5) / 6)
+        events.grouped(chunk).foreach { g =>
+          in.addData(g.toSeq: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // materialize the O(T²) matrix and DROP the memory view before the
+    // self-referencing totals join — deriving both sides from the same
+    // MemoryPlan view trips Catalyst's conflicting-reference check
+    // (and q113's driver-memory-pinning note applies equally)
+    val raw = s.table(name)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("transitions"))
+    val matrixRows = raw.collect()
+    val matrixSchema = raw.schema
+    s.catalog.dropTempView(name)
+    val matrix = s.createDataFrame(
+      java.util.Arrays.asList(matrixRows: _*), matrixSchema)
+    val fromTotals = matrix.groupBy(col("from_type"))
+      .agg(sum(col("transitions")).as("from_total"))
+    matrix.join(broadcast(fromTotals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("transitions"),
+        expr("transitions * 1000000 div from_total").as("prob_ppm"))
+  }
+
   /** q141: q135's KMV distinct census with the SKETCH side computed
     * from the incremental monitor's landed per-batch k-min partials
     * (≤k rows per source per batch; k-min-of-union = k-min of merged

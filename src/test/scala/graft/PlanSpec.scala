@@ -83,7 +83,8 @@ class PlanSpec extends SparkSpec {
     "q124_hard_negatives",      // × broadcast anchor set (≠-label pred)
     "q129_ann_recall",          // × broadcast query set (q29/q51's crosses)
     "q136_epoch_schedule",      // × 1-row corpus-budget agg (q97's cross + one)
-    "q137_pmi_pairs"            // × 1-row bigram-total N agg
+    "q137_pmi_pairs",           // × 1-row bigram-total N agg
+    "q143_retrieval_mrr"        // × broadcast query set (composes q29/q51's crosses)
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {

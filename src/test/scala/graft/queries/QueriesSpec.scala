@@ -2235,6 +2235,49 @@ class QueriesSpec extends SparkSpec {
       "every verified edge must land in exactly one split-pair cell")
   }
 
+  test("q145 chi-square matches a driver-side exact integer replay") {
+    import org.apache.spark.sql.functions.{col, to_date, datediff, lit}
+    val cells = graft.Tables.events(spark, sf)
+      .groupBy(datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+        .cast("long").as("day"), col("event_type"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("o"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val rt = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val ct = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val t = cells.map(_._3).sum
+    val ref = cells.groupBy(_._1).map { case (day, cs) =>
+      val scored = cs.map { case (_, ty, o) =>
+        val d = BigInt(o) * t - BigInt(rt(day)) * ct(ty)
+        (ty, d, (d * d * 1000 / (BigInt(rt(day)) * ct(ty) * t)).toLong)
+      }
+      day -> ((rt(day), cs.length.toLong, scored.map(_._3).sum,
+        scored.sortBy(s => (-s._2.abs, s._1)).head._1))
+    }
+    Events.q145Chi2DailyMix(spark, sf).collect().foreach { r =>
+      val (ev, ty, chi, top) = ref(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)) ===
+        ((ev, ty, chi, top)), s"day ${r.getLong(0)}: χ² replay disagrees")
+    }
+  }
+
+  test("q146 l-diversity: users conserved, l bounded by group size, q132-consistent") {
+    val rows = Events.q146LDiversity(spark, sf).collect()
+    val users = graft.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(3)).sum === users, "every user in one cell")
+    rows.foreach { r =>
+      val (kb, l, groups) = (r.getInt(0), r.getLong(1), r.getLong(2))
+      assert(l >= 1 && l <= (1L << (kb + 1)) - 1,
+        s"l=$l impossible for k-bucket $kb (k < 2^${kb + 1})")
+      assert(groups >= 1)
+    }
+    // the grid's group census must re-sum to q132's log2-grain rows
+    val q132groups = Events.q132GeneralizationLadder(spark, sf).collect()
+      .filter(_.getString(0) == "log2_counts").map(_.getLong(2)).sum
+    assert(rows.map(_.getLong(2)).sum === q132groups,
+      "q146's signature groups must be exactly q132's log2-grain signatures")
+  }
+
   test("q127 curriculum deciles: near-equal buckets, monotone score envelopes") {
     val rows = Text.q127CurriculumDeciles(spark, sf).collect()
       .sortBy(_.getInt(0))

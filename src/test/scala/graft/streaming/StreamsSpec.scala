@@ -115,6 +115,43 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful transitions: the carry emits cross-batch hand-offs, gap boundary exact") {
+    import graft.streaming.StatefulTransitions
+    import graft.streaming.StatefulTransitions.{TEvent, Transition}
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[TEvent]
+    val q = StatefulTransitions.transitions(in.toDS()).writeStream
+      .format("memory").queryName("stateful_transitions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(hhmmss: String) = Timestamp.valueOf(s"2024-01-01 $hhmmss")
+      // batch 1: one event — no transition yet
+      in.addData(TEvent(1L, t("10:00:00"), "view", 1L))
+      q.processAllAvailable()
+      // batch 2: within gap → the CROSS-BATCH transition view→click;
+      // exactly-30min gap → still same session (q139's > boundary)
+      in.addData(TEvent(1L, t("10:10:00"), "click", 2L),
+        TEvent(1L, t("10:40:00"), "purchase", 3L))
+      q.processAllAvailable()
+      // batch 3: 30min + 1s past → new session, NO transition
+      in.addData(TEvent(1L, t("11:10:01"), "view", 4L))
+      q.processAllAvailable()
+      val got = sql("SELECT from_type, to_type FROM stateful_transitions")
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted.toList
+      assert(got === List(("click", "purchase"), ("view", "click")),
+        s"expected exactly the two in-gap hand-offs, got $got")
+    } finally q.stop()
+  }
+
+  test("stateful transitions reproduce the batch q139 matrix at sf0.001") {
+    val streamed = rowsOf(graft.queries.StreamingQ
+      .q147IncrementalTransitions(spark, "/root/testdata/sf0.001"))
+    val batch = rowsOf(graft.queries.Events
+      .q139SessionTransitions(spark, "/root/testdata/sf0.001"))
+    assert(streamed === batch,
+      "the per-user carry must reproduce the batch window's matrix exactly")
+  }
+
   test("session_window streaming aggregation groups by inactivity gap") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
