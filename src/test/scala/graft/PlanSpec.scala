@@ -84,7 +84,8 @@ class PlanSpec extends SparkSpec {
     "q129_ann_recall",          // × broadcast query set (q29/q51's crosses)
     "q136_epoch_schedule",      // × 1-row corpus-budget agg (q97's cross + one)
     "q137_pmi_pairs",           // × 1-row bigram-total N agg
-    "q143_retrieval_mrr"        // × broadcast query set (composes q29/q51's crosses)
+    "q143_retrieval_mrr",       // × broadcast query set (composes q29/q51's crosses)
+    "q145_chi2_daily_mix"       // × 1-row contingency-total T agg
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
@@ -183,6 +184,57 @@ class PlanSpec extends SparkSpec {
         "model-sized pair table")
     assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
       "O(vocab) marginals sort-merging means a broadcast hint was dropped")
+  }
+
+  test("q140 Spearman: ONE exchange feeds both rank sorts, zero joins") {
+    import org.apache.spark.sql.execution.SortExec
+    val nodes = ops(planOf("q140_spearman_len_quality"))
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeExec]) == 1,
+      "both rank windows AND the census agg must ride the single " +
+        "hash(source) exchange — a second exchange means the final " +
+        "groupBy stopped reusing the window partitioning")
+    assert(nodes.count(_.isInstanceOf[SortExec]) == 2,
+      "exactly two partition-local sorts (one per rank ordering)")
+    assert(!nodes.exists(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[BroadcastHashJoinExec]),
+      "the ρ arithmetic is agg-side — any join is a regression")
+  }
+
+  test("q139 transitions: each window chain rides one sort; totals broadcast") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val nodes = ops(planOf("q139_session_transitions"))
+    // 3 window computations (lag, running sum, lead) per branch over
+    // ONE partition-local sort — a Sort count above 1 per Window
+    // triplet means a window stopped sharing the (user_id) sort
+    val sorts = nodes.count(_.isInstanceOf[SortExec])
+    val windows = nodes.count(_.isInstanceOf[WindowExec])
+    assert(windows == 3 * sorts,
+      s"every (ts, event_id) sort must carry all three windows: " +
+        s"$windows windows over $sorts sorts")
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "per-from totals must broadcast onto the O(T²) matrix")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]))
+  }
+
+  test("q142 packing: one packing sort, mass frame broadcasts, no sort-merge") {
+    import org.apache.spark.sql.execution.SortExec
+    val nodes = ops(planOf("q142_multimodal_packing"))
+    assert(nodes.count(_.isInstanceOf[SortExec]) == 1,
+      "exactly the q47 prefix-sum window's (source, doc_id) sort")
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the O(sources) mass frame must broadcast-join the manifest census")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]))
+  }
+
+  test("q145 chi-square: marginals broadcast onto cells, one top-dev sort") {
+    import org.apache.spark.sql.execution.SortExec
+    val nodes = ops(planOf("q145_chi2_daily_mix"))
+    assert(nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
+      "row and column marginals must broadcast onto the cell table")
+    assert(nodes.count(_.isInstanceOf[SortExec]) == 1,
+      "only the per-day top-deviator window sorts, at cell grain")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]))
   }
 
   test("q103 fused bootstrap: one corpus shuffle, no B× row explosion before it") {
