@@ -1183,7 +1183,11 @@ object Dedup {
         sum(col("chars")).cast("long").as("chars"),
         sum(col("kept_chars")).cast("long").as("kept_chars"),
         count(when(col("kept_segs") === col("segs"), 1)).as("intact_docs"))
-      .withColumn("retention_ppm", expr("kept_chars * 1000000 div chars"))
+      // greatest(chars, 1): an all-empty-text source has chars = 0
+      // (one zero-length segment per doc) — publish retention 0, not
+      // a NULL-vs-division-error engine divergence
+      .withColumn("retention_ppm",
+        expr("kept_chars * 1000000 div greatest(chars, 1)"))
   }
   val q134Sql: String =
     s"""WITH seg AS (
@@ -1213,7 +1217,7 @@ object Dedup {
        |       CAST(sum(kept_chars) AS BIGINT) AS kept_chars,
        |       count(CASE WHEN kept_segs = segs THEN 1 END) AS intact_docs,
        |       CAST(sum(kept_chars) AS BIGINT) * 1000000
-       |         // CAST(sum(chars) AS BIGINT) AS retention_ppm
+       |         // greatest(CAST(sum(chars) AS BIGINT), 1) AS retention_ppm
        |FROM per_doc GROUP BY 1""".stripMargin
 
   // ------------------------------------------------ cluster purity (q138)

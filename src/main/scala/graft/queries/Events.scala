@@ -853,8 +853,14 @@ object Events {
       .join(broadcast(ct), Seq("event_type"))
       .crossJoin(broadcast(tot))
       .withColumn("d", expr("o * t - rt * ctot"))
+      // divisor widened too: rt·ctot·t passes 2⁶³ near 10⁹ events —
+      // a silently-wrapped long divisor would corrupt every cell.
+      // (The ×1000 numerator itself leaves DECIMAL(38) around
+      // T ≈ 5·10⁸ per marginal product — past that, publish permille
+      // as ×1 and rescale, same identity.)
       .withColumn("chi2_cell_milli", expr(
-        "CAST(CAST(d AS DECIMAL(38,0)) * d * 1000 div (rt * ctot * t) AS BIGINT)"))
+        """CAST(CAST(d AS DECIMAL(38,0)) * d * 1000
+          |  div (CAST(rt AS DECIMAL(38,0)) * ctot * t) AS BIGINT)""".stripMargin))
     val topw = Window.partitionBy(col("day"))
       .orderBy(abs(col("d")).desc, col("event_type"))
     dev
@@ -878,7 +884,8 @@ object Events {
       |  SELECT day, event_type, rt, o * t - rt * ctot AS d,
       |         CAST(CAST(o * t - rt * ctot AS HUGEINT)
       |                * (o * t - rt * ctot) * 1000
-      |              // (rt * ctot * t) AS BIGINT) AS chi2_cell_milli
+      |              // (CAST(rt AS HUGEINT) * ctot * t) AS BIGINT)
+      |           AS chi2_cell_milli
       |  FROM cells JOIN rt USING (day) JOIN ct USING (event_type), tot),
       |rn AS (
       |  SELECT day, event_type, rt, chi2_cell_milli,

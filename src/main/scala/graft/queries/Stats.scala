@@ -591,9 +591,15 @@ object Stats {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n"),
         sum(expr("(rx - ry) * (rx - ry)")).cast("long").as("d2_sum"))
+      // n*n stays inside the DECIMAL product (a long n*n wraps past
+      // ~3e9 docs/source); n < 2 has no defined rank correlation —
+      // NULL on both engines, never a division by zero
       .withColumn("rho_ppm", expr(
-        """CAST((CAST(n AS DECIMAL(38,0)) * (n * n - 1) - 6 * CAST(d2_sum AS DECIMAL(38,0)))
-          |  * 1000000 div (CAST(n AS DECIMAL(38,0)) * (n * n - 1)) AS BIGINT)""".stripMargin))
+        """CASE WHEN n < 2 THEN CAST(NULL AS BIGINT) ELSE
+          |  CAST((CAST(n AS DECIMAL(38,0)) * n * n - n
+          |          - 6 * CAST(d2_sum AS DECIMAL(38,0)))
+          |    * 1000000 div (CAST(n AS DECIMAL(38,0)) * n * n - n) AS BIGINT)
+          |END""".stripMargin))
   }
   val q140Sql: String =
     """WITH scored AS (
@@ -613,8 +619,10 @@ object Stats {
       |         CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS d2_sum
       |  FROM ranked GROUP BY 1)
       |SELECT source, n, d2_sum,
-      |       CAST((CAST(n AS HUGEINT) * (n * n - 1) - 6 * CAST(d2_sum AS HUGEINT))
-      |         * 1000000 // (CAST(n AS HUGEINT) * (n * n - 1)) AS BIGINT)
-      |         AS rho_ppm
+      |       CASE WHEN n < 2 THEN CAST(NULL AS BIGINT) ELSE
+      |         CAST((CAST(n AS HUGEINT) * n * n - n
+      |                 - 6 * CAST(d2_sum AS HUGEINT))
+      |           * 1000000 // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT)
+      |       END AS rho_ppm
       |FROM agg""".stripMargin
 }

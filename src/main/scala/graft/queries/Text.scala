@@ -944,16 +944,24 @@ object Text {
   def q97MixtureWeights(s: SparkSession, dir: String, tau: Double = 0.7)
       : DataFrame =
     mixtureWeightsFrom(sourceTokenTotals(Tables.documents(s, dir)), tau)
-  val q97Sql: String =
-    """WITH per AS (
+
+  /** The per/q CTE pair of the τ-mixture (DuckDB spelling of
+    * [[sourceTokenTotals]] + the floor·1000 quantization) — ONE copy
+    * shared by q97Sql and q136Sql so the weight definition can't
+    * drift between the mixture and the epoch schedule built on it
+    * (the chunksSqlCte rule). */
+  private val mixtureSqlCtes: String =
+    """per AS (
       |  SELECT source, CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS tokens
       |  FROM documents GROUP BY 1),
       |q AS (SELECT source, tokens,
       |        CAST(floor(pow(CAST(tokens AS DOUBLE), 0.7) * 1000) AS BIGINT) AS q
-      |      FROM per),
-      |tot AS (SELECT CAST(sum(q) AS BIGINT) AS qtot FROM q)
-      |SELECT source, tokens, q * 1000000 // qtot AS mix_millionths
-      |FROM q, tot""".stripMargin
+      |      FROM per)""".stripMargin
+  val q97Sql: String =
+    s"""WITH $mixtureSqlCtes,
+       |tot AS (SELECT CAST(sum(q) AS BIGINT) AS qtot FROM q)
+       |SELECT source, tokens, q * 1000000 // qtot AS mix_millionths
+       |FROM q, tot""".stripMargin
 
   /** DSIR target source: importance weights are trained to prefer
     * documents that look like THIS slice of the corpus. */
@@ -1825,33 +1833,35 @@ object Text {
         expr("(corpus_tokens div 2) * mix_millionths div 1000000"))
       .withColumn("epochs",
         expr("(target_tokens + tokens - 1) div tokens"))
+      // a source whose floored share rounds to zero is EXCLUDED from
+      // the run: (epochs, fill) = (0, 0), never "zero epochs, full
+      // final epoch" (reachable when source masses span > ~10⁸× under
+      // τ=0.7 and mix_millionths floors to 0)
       .withColumn("last_epoch_fill_ppm",
-        expr("(target_tokens - (epochs - 1) * tokens) * 1000000 div tokens"))
+        expr("""CASE WHEN target_tokens = 0 THEN 0
+                |ELSE (target_tokens - (epochs - 1) * tokens) * 1000000
+                |       div tokens END""".stripMargin))
       .select(col("source"), col("tokens"), col("mix_millionths"),
         col("target_tokens"), col("epochs"), col("last_epoch_fill_ppm"))
   }
   val q136Sql: String =
-    """WITH per AS (
-      |  SELECT source, CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS tokens
-      |  FROM documents GROUP BY 1),
-      |q AS (SELECT source, tokens,
-      |        CAST(floor(pow(CAST(tokens AS DOUBLE), 0.7) * 1000) AS BIGINT) AS q
-      |      FROM per),
-      |tot AS (SELECT CAST(sum(q) AS BIGINT) AS qtot,
-      |               CAST(sum(tokens) AS BIGINT) AS corpus_tokens FROM q),
-      |w AS (SELECT source, tokens, q * 1000000 // qtot AS mix_millionths,
-      |             corpus_tokens
-      |      FROM q, tot),
-      |t AS (SELECT source, tokens, mix_millionths,
-      |        (corpus_tokens // 2) * mix_millionths // 1000000 AS target_tokens
-      |      FROM w),
-      |e AS (SELECT source, tokens, mix_millionths, target_tokens,
-      |        (target_tokens + tokens - 1) // tokens AS epochs
-      |      FROM t)
-      |SELECT source, tokens, mix_millionths, target_tokens, epochs,
-      |       (target_tokens - (epochs - 1) * tokens) * 1000000
-      |         // tokens AS last_epoch_fill_ppm
-      |FROM e""".stripMargin
+    s"""WITH $mixtureSqlCtes,
+       |tot AS (SELECT CAST(sum(q) AS BIGINT) AS qtot,
+       |               CAST(sum(tokens) AS BIGINT) AS corpus_tokens FROM q),
+       |w AS (SELECT source, tokens, q * 1000000 // qtot AS mix_millionths,
+       |             corpus_tokens
+       |      FROM q, tot),
+       |t AS (SELECT source, tokens, mix_millionths,
+       |        (corpus_tokens // 2) * mix_millionths // 1000000 AS target_tokens
+       |      FROM w),
+       |e AS (SELECT source, tokens, mix_millionths, target_tokens,
+       |        (target_tokens + tokens - 1) // tokens AS epochs
+       |      FROM t)
+       |SELECT source, tokens, mix_millionths, target_tokens, epochs,
+       |       CASE WHEN target_tokens = 0 THEN 0
+       |       ELSE (target_tokens - (epochs - 1) * tokens) * 1000000
+       |              // tokens END AS last_epoch_fill_ppm
+       |FROM e""".stripMargin
 
   // -------------------------------------------------- PMI pairs (q137)
 

@@ -16,8 +16,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the µs gap is ≤ 30 min (q139's `new_session` negation, µs-exact —
   * the [[StatefulSessions]] parity contract). Tie order at equal-µs
   * events is (ts, event_id), the q109/q139 attribution rule; the
-  * harness feeds event-time order, and the watermark absorbs bounded
-  * disorder in a real deployment.
+  * harness feeds event-time order, and late-but-within-watermark
+  * arrivals take [[foldBatch]]'s disorder path (chained among
+  * themselves, bridged into the carry — see its note for the one
+  * hand-off O(1) state cannot recover).
   *
   * State lifecycle: transitions never need a closure event (unlike
   * sessions), so no timeout is required for CORRECTNESS — state is
@@ -38,13 +40,41 @@ object StatefulTransitions {
 
   /** Pure per-batch fold shared with the spec's in-memory replay:
     * fold a batch's (µs, id, type) rows (any order) into the carried
-    * state, emitting completed transitions in order. */
+    * state, emitting completed transitions in order.
+    *
+    * Disorder handling: rows that sort BEFORE the carried last event
+    * (late-but-within-watermark arrivals) are chained among
+    * THEMSELVES in (ts, id) order — emitting their internal
+    * hand-offs — and then bridged INTO the carry (late → carry, the
+    * orientation batch q139 assigns), after which the carry resumes
+    * for the in-order rows. What O(1) state cannot recover is the
+    * hand-off from the event BEFORE the earliest late row (that
+    * predecessor was discarded when the carry advanced) — the
+    * documented bound of the single-row state; the full remedy is a
+    * watermark-deep buffer, i.e. the q113 sessionizer's span state. */
   def foldBatch(cur0: Option[TransState],
                 rows: Seq[(Long, Long, String)])
       : (List[Transition], Option[TransState]) = {
     var out = List.empty[Transition]
+    val sorted = rows.sortBy(r => (r._1, r._2))
+    val (late, inOrder) = cur0 match {
+      case Some(s) => sorted.partition(r =>
+        r._1 < s.last_us || (r._1 == s.last_us && r._2 < s.last_id))
+      case None => (Seq.empty[(Long, Long, String)], sorted)
+    }
+    // chain the late rows among themselves, then bridge into the carry
+    var prev = Option.empty[(Long, Long, String)]
+    late.foreach { r =>
+      prev.foreach { case (pt, _, pty) =>
+        if (r._1 - pt <= GapUs) out ::= Transition(0L, pty, r._3)
+      }
+      prev = Some(r)
+    }
+    for (s <- cur0; (lt, _, lty) <- prev)
+      if (s.last_us - lt <= GapUs) out ::= Transition(0L, lty, s.last_type)
+    // in-order rows advance the carry as usual
     var cur = cur0
-    rows.sortBy(r => (r._1, r._2)).foreach { case (t, id, ty) =>
+    inOrder.foreach { case (t, id, ty) =>
       cur match {
         case Some(s) if t - s.last_us <= GapUs =>
           out ::= Transition(0L, s.last_type, ty)

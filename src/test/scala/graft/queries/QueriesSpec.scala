@@ -2051,7 +2051,7 @@ class QueriesSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
           r.getLong(5), r.getLong(6))
       assert(kept <= segs && keptChars <= chars && intact <= docs)
-      assert(r.getLong(7) === keptChars * 1000000L / chars)
+      assert(r.getLong(7) === keptChars * 1000000L / math.max(chars, 1L))
     }
     // first-occurrence-wins conservation: exactly one survivor per
     // distinct fingerprint, summed across all sources
@@ -2075,12 +2075,18 @@ class QueriesSpec extends SparkSpec {
     rows.foreach { r =>
       val (tokens, target, epochs, fill) =
         (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))
-      assert(epochs >= 1)
-      // ceiling division: target lands strictly inside the last epoch
-      assert((epochs - 1) * tokens < target && target <= epochs * tokens)
-      assert(fill > 0 && fill <= 1000000L,
-        s"${r.getString(0)}: partial-epoch fill $fill outside (0, 1e6]")
-      assert(fill === (target - (epochs - 1) * tokens) * 1000000L / tokens)
+      if (target == 0) {
+        // floored-to-zero share = excluded source: (0, 0), never
+        // "zero epochs, full final epoch"
+        assert(epochs === 0L && fill === 0L)
+      } else {
+        assert(epochs >= 1)
+        // ceiling division: target lands strictly inside the last epoch
+        assert((epochs - 1) * tokens < target && target <= epochs * tokens)
+        assert(fill > 0 && fill <= 1000000L,
+          s"${r.getString(0)}: partial-epoch fill $fill outside (0, 1e6]")
+        assert(fill === (target - (epochs - 1) * tokens) * 1000000L / tokens)
+      }
     }
     // τ < 1 upsamples small sources: the largest source's sampling
     // rate never exceeds the smallest source's

@@ -143,6 +143,28 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful transitions: late arrivals chain among themselves and bridge into the carry") {
+    import graft.streaming.StatefulTransitions.{foldBatch, TransState}
+    val min = 60L * 1000000L // one minute in µs
+    // carry at t=50min; batch delivers two LATE rows (10min, 20min)
+    // and one in-order row (60min)
+    val (out, cur) = foldBatch(Some(TransState(50 * min, 9L, "C")),
+      Seq((60 * min, 10L, "D"), (10 * min, 1L, "A"), (20 * min, 2L, "B")))
+    assert(out.map(t => (t.from_type, t.to_type)) ===
+      List(("A", "B"), ("B", "C"), ("C", "D")),
+      "late rows must chain in order, bridge into the carry, then resume")
+    assert(cur.map(_.last_type) === Some("D"))
+    // a late row beyond the gap bridges nothing
+    val (out2, _) = foldBatch(Some(TransState(50 * min, 9L, "C")),
+      Seq((10 * min, 1L, "A")))
+    assert(out2.isEmpty, "a 40-minute-late row is a different session")
+    // equal-µs disorder: smaller event_id sorts before the carry
+    val (out3, cur3) = foldBatch(Some(TransState(50 * min, 9L, "C")),
+      Seq((50 * min, 3L, "B")))
+    assert(out3.map(t => (t.from_type, t.to_type)) === List(("B", "C")))
+    assert(cur3.map(_.last_type) === Some("C"), "carry stays the latest")
+  }
+
   test("stateful transitions reproduce the batch q139 matrix at sf0.001") {
     val streamed = rowsOf(graft.queries.StreamingQ
       .q147IncrementalTransitions(spark, "/root/testdata/sf0.001"))
