@@ -291,6 +291,9 @@ object SparkEntry {
     // stateful streaming on the board, transition edition: per-user
     // last-event carry across batch boundaries must reproduce q139
     "q147_incremental_transitions" -> (StreamingQ.q147IncrementalTransitions _),
+    // the drift monitor lands per-batch contingency partials; the
+    // summed snapshot must reproduce batch q145's exact χ²
+    "q148_incremental_chi2" -> (StreamingQ.q148IncrementalChi2 _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -444,5 +447,6 @@ object SparkEntry {
     "q145_chi2_daily_mix" -> Events.q145Sql,
     "q146_l_diversity" -> Events.q146Sql,
     "q147_incremental_transitions" -> Events.q139Sql,
+    "q148_incremental_chi2" -> Events.q145Sql,
   )
 }

@@ -837,14 +837,25 @@ object Events {
     * past a long), and the per-day rollup + top-deviator window sort
     * only cell-grain rows.
     */
-  def q145Chi2DailyMix(s: SparkSession, dir: String): DataFrame = {
-    // integer day index, not a DATE column: date values cross the
-    // engine/pandas boundary with unstable dtypes (the Layout.q72
-    // epoch-days convention)
-    val cells = Tables.events(s, dir)
+  /** (day, event_type, o) contingency cells of an events frame —
+    * integer day index, not a DATE column (date values cross the
+    * engine/pandas boundary with unstable dtypes; the Layout.q72
+    * epoch-days convention). Frame-parameterized and SUM-mergeable,
+    * so the incremental monitor (Streams.incrementalDayTypeCells)
+    * lands per-batch partials through the same definition. */
+  private[graft] def dayTypeCells(events: DataFrame): DataFrame =
+    events
       .groupBy(datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
         .cast("long").as("day"), col("event_type"))
       .agg(count(lit(1)).as("o"))
+
+  def q145Chi2DailyMix(s: SparkSession, dir: String): DataFrame =
+    chi2CensusFrom(dayTypeCells(Tables.events(s, dir)))
+
+  /** The χ² census over an already-aggregated (day, event_type, o)
+    * cell frame — ONE arithmetic path for batch q145 and the
+    * incremental snapshot (q148). */
+  private[graft] def chi2CensusFrom(cells: DataFrame): DataFrame = {
     val rt = cells.groupBy(col("day")).agg(sum(col("o")).as("rt"))
     val ct = cells.groupBy(col("event_type")).agg(sum(col("o")).as("ctot"))
     val tot = cells.agg(sum(col("o")).as("t"))

@@ -192,6 +192,35 @@ object StreamingQ {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
+  /** Stream `cols` of the events table through `run` in ~4
+    * micro-batches (the [[streamed]] helper, events edition). */
+  private def streamedEvents(s: SparkSession, dir: String, cols: Seq[String],
+                             schemaDdl: String)
+                            (run: (DataFrame, String) => Unit): String = {
+    val work = java.nio.file.Files.createTempDirectory("graft_incev").toString
+    Tables.events(s, dir).select(cols.map(col): _*)
+      .repartition(4).write.parquet(s"$work/chunks")
+    val events = s.readStream.schema(StructType.fromDDL(schemaDdl))
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/chunks")
+    run(events, work)
+    work
+  }
+
+  /** q148: q145's χ² daily-mix census computed from the incremental
+    * monitor's landed per-batch contingency partials (sum-merge
+    * family, contingency-cell edition) — oracle: q145Sql. A green row
+    * means the per-batch cell partials re-summed across micro-batch
+    * boundaries reproduce the batch statistic bit-for-bit, DECIMAL
+    * arithmetic included. */
+  def q148IncrementalChi2(s: SparkSession, dir: String): DataFrame = {
+    val work = streamedEvents(s, dir, Seq("ts", "event_type"),
+      "ts timestamp_ntz, event_type string") { (events, work) =>
+      Streams.incrementalDayTypeCells(events, s"$work/cells", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Streams.chi2Snapshot(s, s"$work/cells")
+  }
+
   /** q147: the q139 Markov transition matrix with the transitions
     * extracted by the STATEFUL streaming operator
     * ([[graft.streaming.StatefulTransitions]]) — the full events

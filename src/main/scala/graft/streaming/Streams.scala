@@ -430,6 +430,36 @@ object Streams {
         "source string, h bigint, batch_id bigint")
         .select(col("source"), col("h")))
 
+  /** Incremental χ² drift cells — each micro-batch lands its
+    * (day, event_type, count) contingency partials as a
+    * replay-idempotent batch_id partition (SUM-mergeable: cells from
+    * any corpus split add — the mixture/OOV family's property, at
+    * contingency grain). State is O(days × types × batches) tiny
+    * rows; compaction = re-land summed cells, same as the CMS. */
+  def incrementalDayTypeCells(events: DataFrame, cellsPath: String,
+                              checkpoint: String): DataStreamWriter[Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchPartition(
+          graft.queries.Events.dayTypeCells(batch), batchId, cellsPath)
+      }
+
+  /** The live drift verdicts: summed cells through the exact batch
+    * χ² arithmetic — snapshot(union of batches) == q145(union
+    * corpus). Note the census is over the mix INGESTED SO FAR: each
+    * day's deviation is judged against the running corpus marginals,
+    * which is what an ingest monitor wants (yesterday's verdict can
+    * shift as the corpus baseline grows — rerun the snapshot, not
+    * the corpus). */
+  def chi2Snapshot(spark: SparkSession, cellsPath: String): DataFrame =
+    graft.queries.Events.chi2CensusFrom(
+      readPartialsOrEmpty(spark, cellsPath,
+        "day bigint, event_type string, o bigint, batch_id bigint")
+        .groupBy(col("day"), col("event_type"))
+        .agg(sum(col("o")).as("o")))
+
   /** Incremental OOV monitoring — vocabulary-drift detection at
     * ingest: each micro-batch joins its tokens against a FROZEN
     * vocabulary (a static frame broadcast inside foreachBatch — the

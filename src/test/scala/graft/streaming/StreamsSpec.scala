@@ -698,6 +698,29 @@ class StreamsSpec extends SparkSpec {
       "k-min of merged k-min partials must equal the batch sketch")
   }
 
+  test("incremental chi-square cells: summed partials equal the batch census") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_incchi")
+    val (cells, ckpt) = (s"$dir/cells", s"$dir/ckpt")
+    val sf = "/root/testdata/sf0.001"
+    assert(Streams.chi2Snapshot(spark, cells).count() === 0L) // poll-safe
+    val in = MemoryStream[(Timestamp, String)]
+    val q = Streams.incrementalDayTypeCells(
+      in.toDF().toDF("ts", "event_type"), cells, ckpt).start()
+    val events = graft.Tables.events(spark, sf)
+      .select(col("ts").cast("timestamp_ltz"), col("event_type")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)))
+    try {
+      events.grouped(math.max(1, events.length / 3)).foreach { g =>
+        in.addData(g.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = rowsOf(Streams.chi2Snapshot(spark, cells))
+    val batch = rowsOf(graft.queries.Events.q145Chi2DailyMix(spark, sf))
+    assert(streamed === batch,
+      "summed contingency partials must reproduce the batch χ² exactly")
+  }
+
   test("incremental OOV monitor: summed partials equal batch oovStats; planted drift fires") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_incoov")
