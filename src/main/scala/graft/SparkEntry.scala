@@ -294,6 +294,9 @@ object SparkEntry {
     // the drift monitor lands per-batch contingency partials; the
     // summed snapshot must reproduce batch q145's exact χ²
     "q148_incremental_chi2" -> (StreamingQ.q148IncrementalChi2 _),
+    // the release datasheet: one row composing the registry's own
+    // size/diversity/integrity/split/quality definitions
+    "q149_dataset_card" -> ((s, d) => PipelineQ.q149DatasetCard(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -448,5 +451,6 @@ object SparkEntry {
     "q146_l_diversity" -> Events.q146Sql,
     "q147_incremental_transitions" -> Events.q139Sql,
     "q148_incremental_chi2" -> Events.q145Sql,
+    "q149_dataset_card" -> PipelineQ.q149Sql,
   )
 }

@@ -80,25 +80,71 @@ object StreamBench {
     } finally queries.foreach(_.stop())
   }
 
+  /** Stateful-operator throughput: the full sf corpus of events
+    * through [[graft.streaming.StatefulTransitions]] in `batches`
+    * micro-batches (event-time order, the q147 feed), noop sink —
+    * measures the keyed state-store path (read-modify-write one
+    * TransState per user per batch), not result materialization.
+    * Returns (events, seconds) for the timed batches (first batch
+    * untimed: state-store provider init + codegen). */
+  private def runStateful(spark: SparkSession, sfDir: String,
+                          batches: Int): (Long, Double) = {
+    import graft.streaming.{StatefulSessions, StatefulTransitions}
+    import graft.streaming.StatefulTransitions.TEvent
+    implicit val sc = spark.sqlContext
+    implicit val ee = org.apache.spark.sql.Encoders.product[TEvent]
+    import org.apache.spark.sql.functions.col
+    val events = Tables.events(spark, sfDir)
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp_ltz"),
+        col("event_type"), col("event_id").cast("long"))
+      .collect()
+      .map(r => TEvent(r.getLong(0), r.getTimestamp(1), r.getString(2),
+        r.getLong(3)))
+      .sortBy(e => (StatefulSessions.micros(e.ts), e.event_id))
+    val in = MemoryStream[TEvent]
+    val q = StatefulTransitions.transitions(in.toDS()).writeStream
+      .format("noop").outputMode(OutputMode.Append()).start()
+    try {
+      val chunk = math.max(1, (events.length + batches - 1) / batches)
+      val groups = events.grouped(chunk).toSeq
+      in.addData(groups.head.toSeq: _*); q.processAllAvailable() // warmup
+      val t0 = System.nanoTime()
+      groups.tail.foreach { g =>
+        in.addData(g.toSeq: _*); q.processAllAvailable()
+      }
+      ((events.length - groups.head.length).toLong,
+        (System.nanoTime() - t0) / 1e9)
+    } finally q.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val pages = if (args.nonEmpty) args(0).toInt else 500
     val batchSize = if (args.length > 1) args(1).toInt else 50
     val fleetPages = math.max(pages / 5, 20) // 7 concurrent queries — smaller page budget
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
     val spark = session(rocksdb = false)
     spark.sparkContext.setLogLevel("ERROR")
     val singleSec = runSingle(spark, pages, batchSize)
     val fleetSec = runFleet(spark, fleetPages, batchSize)
+    // the state store inherits shuffle.partitions at first start — 8
+    // is the harness grain (the q113 sizing note)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val (nEv, statefulSec) = runStateful(spark, sfDir, 8)
     spark.stop()
 
     val sparkR = session(rocksdb = true)
     sparkR.sparkContext.setLogLevel("ERROR")
     val fleetRocksSec = runFleet(sparkR, fleetPages, batchSize)
+    sparkR.conf.set("spark.sql.shuffle.partitions", "8")
+    val (nEvR, statefulRocksSec) = runStateful(sparkR, sfDir, 8)
     sparkR.stop()
 
     val singleRate = pages * 100L / singleSec
     val fleetRate = fleetPages * 100L / fleetSec
     val fleetRocksRate = fleetPages * 100L / fleetRocksSec
-    println(f"""{"metric":"stream_products_per_sec","value":$singleRate%.0f,"fleet":$fleetRate%.0f,"fleet_rocksdb":$fleetRocksRate%.0f,"pages":$pages,"fleet_pages":$fleetPages,"seconds":$singleSec%.2f,"fleet_seconds":$fleetSec%.2f,"fleet_rocksdb_seconds":$fleetRocksSec%.2f}""")
+    val statefulRate = nEv / statefulSec
+    val statefulRocksRate = nEvR / statefulRocksSec
+    println(f"""{"metric":"stream_products_per_sec","value":$singleRate%.0f,"fleet":$fleetRate%.0f,"fleet_rocksdb":$fleetRocksRate%.0f,"stateful_events_per_sec":$statefulRate%.0f,"stateful_rocksdb_events_per_sec":$statefulRocksRate%.0f,"stateful_events":$nEv,"pages":$pages,"fleet_pages":$fleetPages,"seconds":$singleSec%.2f,"fleet_seconds":$fleetSec%.2f,"fleet_rocksdb_seconds":$fleetRocksSec%.2f,"stateful_seconds":$statefulSec%.2f,"stateful_rocksdb_seconds":$statefulRocksSec%.2f}""")
   }
 }

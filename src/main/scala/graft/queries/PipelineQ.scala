@@ -263,4 +263,94 @@ object PipelineQ {
        |       CAST(sum(n_toks) AS BIGINT) AS bin_tokens,
        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
        |FROM binned GROUP BY 1, 2""".stripMargin
+
+  // ------------------------------------------------ dataset card (q149)
+
+  /** Dataset datasheet (q149): the one-row "datasheet for datasets"
+    * manifest a corpus release ships — size (docs, tokens), diversity
+    * (sources, langs), integrity (exact-dup ppm, near-dup edge and
+    * doc counts from the verified ladder, cross-split leaked
+    * fingerprints), split sizes (the q77 cut), and a corpus quality
+    * summary (mean TTR permille). Every number is a composition of
+    * the registry's own shared definitions — fingerprint, split
+    * label, verified edges — so the card can never disagree with the
+    * queries it summarizes.
+    *
+    * Scale shape: one corpus scan feeds the base aggregate (counts,
+    * token mass, split sizes — conditional aggs, no distinct); each
+    * count-distinct member is its OWN small aggregate (fusing them
+    * would trigger the q37 distinct-rewrite Expand, multiplying the
+    * corpus scan per distinct column); the near-dup members ride the
+    * shared LSH ladder. All members collapse to one row and
+    * broadcast-cross (whitelisted in PlanSpec) — nothing corpus-sized
+    * joins anything.
+    */
+  def q149DatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs.agg(
+      count(lit(1)).as("docs"),
+      sum(size(TextOps.tokens(col("text"))).cast("long")).as("tokens"),
+      sum(expr("size(array_distinct(split(text, ' '))) * 1000" +
+        " div size(split(text, ' '))").cast("long")).as("ttr_sum"),
+      count(when(Text.splitLabel(col("doc_id")) === "train", 1)).as("train_docs"),
+      count(when(Text.splitLabel(col("doc_id")) === "val", 1)).as("val_docs"),
+      count(when(Text.splitLabel(col("doc_id")) === "test", 1)).as("test_docs"))
+    val sources = docs.select(col("source")).distinct()
+      .agg(count(lit(1)).as("sources"))
+    val langs = docs.select(col("lang")).distinct()
+      .agg(count(lit(1)).as("langs"))
+    val fps = docs.select(TextOps.fingerprint(col("text")).as("fp"),
+      Text.splitLabel(col("doc_id")).as("split"))
+    val dfp = fps.select(col("fp")).distinct()
+      .agg(count(lit(1)).as("distinct_fps"))
+    val leaks = fps.distinct().groupBy(col("fp"))
+      .agg(count(lit(1)).as("ns")).filter(col("ns") > 1)
+      .agg(count(lit(1)).as("leaked_fps"))
+    val edges = Dedup.verifiedEdges(docs)
+    val epairs = edges.agg(count(lit(1)).as("neardup_edges"))
+    val edocs = edges
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .distinct().agg(count(lit(1)).as("neardup_docs"))
+    base.crossJoin(broadcast(sources)).crossJoin(broadcast(langs))
+      .crossJoin(broadcast(dfp)).crossJoin(broadcast(leaks))
+      .crossJoin(broadcast(epairs)).crossJoin(broadcast(edocs))
+      .withColumn("exact_dup_ppm",
+        expr("(docs - distinct_fps) * 1000000 div docs"))
+      .withColumn("mean_ttr_pm", expr("ttr_sum div docs"))
+      .drop("ttr_sum")
+  }
+  val q149Sql: String = {
+    val canonical = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+    s"""WITH base AS (
+       |  SELECT count(*) AS docs,
+       |         CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS tokens,
+       |         CAST(sum(len(list_distinct(str_split(text, ' '))) * 1000
+       |                   // len(str_split(text, ' '))) AS BIGINT) AS ttr_sum,
+       |         count(CASE WHEN (${Text.splitLabelSql}) = 'train' THEN 1 END)
+       |           AS train_docs,
+       |         count(CASE WHEN (${Text.splitLabelSql}) = 'val' THEN 1 END)
+       |           AS val_docs,
+       |         count(CASE WHEN (${Text.splitLabelSql}) = 'test' THEN 1 END)
+       |           AS test_docs
+       |  FROM documents),
+       |src AS (SELECT count(DISTINCT source) AS sources FROM documents),
+       |lg AS (SELECT count(DISTINCT lang) AS langs FROM documents),
+       |fps AS (SELECT $canonical AS fp, (${Text.splitLabelSql}) AS split
+       |        FROM documents),
+       |dfp AS (SELECT count(DISTINCT fp) AS distinct_fps FROM fps),
+       |lk AS (SELECT count(*) AS leaked_fps
+       |       FROM (SELECT fp FROM (SELECT DISTINCT fp, split FROM fps)
+       |             GROUP BY fp HAVING count(*) > 1)),
+       |${Dedup.verifiedPairsSqlCtes("documents")},
+       |ep AS (SELECT count(*) AS neardup_edges
+       |       FROM scored WHERE jaccard >= 0.5),
+       |ed AS (SELECT count(DISTINCT d) AS neardup_docs
+       |       FROM (SELECT unnest([doc_a, doc_b]) AS d
+       |             FROM scored WHERE jaccard >= 0.5))
+       |SELECT docs, tokens, sources, langs, distinct_fps, leaked_fps,
+       |       neardup_edges, neardup_docs, train_docs, val_docs, test_docs,
+       |       (docs - distinct_fps) * 1000000 // docs AS exact_dup_ppm,
+       |       ttr_sum // docs AS mean_ttr_pm
+       |FROM base, src, lg, dfp, lk, ep, ed""".stripMargin
+  }
 }

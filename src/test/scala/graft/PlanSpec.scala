@@ -85,7 +85,9 @@ class PlanSpec extends SparkSpec {
     "q136_epoch_schedule",      // × 1-row corpus-budget agg (q97's cross + one)
     "q137_pmi_pairs",           // × 1-row bigram-total N agg
     "q143_retrieval_mrr",       // × broadcast query set (composes q29/q51's crosses)
-    "q145_chi2_daily_mix"       // × 1-row contingency-total T agg
+    "q145_chi2_daily_mix",      // × 1-row contingency-total T agg
+    "q148_incremental_chi2",    // q145's T cross over the landed partials
+    "q149_dataset_card"         // × six 1-row member aggs (the datasheet card)
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {

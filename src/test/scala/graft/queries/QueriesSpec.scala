@@ -2284,6 +2284,26 @@ class QueriesSpec extends SparkSpec {
       "q146's signature groups must be exactly q132's log2-grain signatures")
   }
 
+  test("q149 dataset card agrees with the member queries it summarizes") {
+    import org.apache.spark.sql.functions.col
+    val r = PipelineQ.q149DatasetCard(spark, sf).collect()(0)
+    def g(n: String): Long = r.getAs[Long](n)
+    val docs = graft.Tables.documents(spark, sf)
+    assert(g("docs") === docs.count())
+    assert(g("sources") === docs.select("source").distinct().count())
+    assert(g("langs") === docs.select("lang").distinct().count())
+    assert(g("train_docs") + g("val_docs") + g("test_docs") === g("docs"),
+      "split sizes must partition the corpus")
+    assert(g("neardup_edges") === Dedup.verifiedEdges(docs).count())
+    assert(g("neardup_docs") <= 2 * g("neardup_edges"))
+    val distinctFps = docs
+      .select(graft.ops.TextOps.fingerprint(col("text"))).distinct().count()
+    assert(g("distinct_fps") === distinctFps)
+    assert(g("exact_dup_ppm") ===
+      (g("docs") - distinctFps) * 1000000L / g("docs"))
+    assert(g("leaked_fps") <= distinctFps)
+  }
+
   test("q127 curriculum deciles: near-equal buckets, monotone score envelopes") {
     val rows = Text.q127CurriculumDeciles(spark, sf).collect()
       .sortBy(_.getInt(0))
