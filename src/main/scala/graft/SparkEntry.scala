@@ -297,6 +297,9 @@ object SparkEntry {
     // the release datasheet: one row composing the registry's own
     // size/diversity/integrity/split/quality definitions
     "q149_dataset_card" -> ((s, d) => PipelineQ.q149DatasetCard(s, d)),
+    // q144's remediation: drop the deterministic loser of every
+    // cross-split near-dup edge, publish the cleaned split manifest
+    "q150_decontaminated_splits" -> (Dedup.q150DecontaminatedSplits _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -452,5 +455,6 @@ object SparkEntry {
     "q147_incremental_transitions" -> Events.q139Sql,
     "q148_incremental_chi2" -> Events.q145Sql,
     "q149_dataset_card" -> PipelineQ.q149Sql,
+    "q150_decontaminated_splits" -> Dedup.q150Sql,
   )
 }

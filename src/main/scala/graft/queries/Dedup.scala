@@ -1307,6 +1307,64 @@ object Dedup {
        |FROM pc JOIN di USING (split_lo, split_hi)""".stripMargin
   }
 
+  /** Decontaminated split manifest (q150): q144's census turned into
+    * the ACTION a release gate takes — for every verified near-dup
+    * edge that straddles the split cut, drop the deterministic loser
+    * (the eval side of a train↔eval edge — train is never touched;
+    * the test side of a val↔test edge) and publish the per-split
+    * before/dropped/after sizes. This is the n-gram-decontamination
+    * remedy at near-dup grain: q93 removes exact copies, q144 shows
+    * where the fuzzy leakage sits, q150 is the cleaned manifest a
+    * trainer actually consumes.
+    *
+    * Scale shape: the drop set derives from the shared LSH ladder's
+    * edge list (O(pairs), never the corpus) and BROADCASTS back onto
+    * one corpus scan for the census — the q98 demotion shape, split
+    * edition. Split labels are scan-side doc_id hashes on both the
+    * edge and corpus sides, so no join assigns them. */
+  def q150DecontaminatedSplits(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val lab = verifiedEdges(docs)
+      .select(Text.splitLabel(col("doc_a")).as("la"), col("doc_a"),
+        Text.splitLabel(col("doc_b")).as("lb"), col("doc_b"))
+    val drops = lab.filter(col("la") =!= col("lb"))
+      .select(when(col("la") === "train", col("doc_b"))
+        .when(col("lb") === "train", col("doc_a"))
+        .when(col("la") === "test", col("doc_a"))
+        .otherwise(col("doc_b")).as("doc_id"))
+      .distinct()
+      .withColumn("dropped", lit(1))
+    docs.select(col("doc_id"), Text.splitLabel(col("doc_id")).as("split"))
+      .join(broadcast(drops), Seq("doc_id"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("docs_before"),
+        count(col("dropped")).as("docs_dropped"))
+      .withColumn("docs_after", expr("docs_before - docs_dropped"))
+      .withColumn("dropped_ppm",
+        expr("docs_dropped * 1000000 div docs_before"))
+  }
+  val q150Sql: String = {
+    def lbl(c: String) = s"(${Text.splitLabelSql.replace("doc_id", c)})"
+    s"""WITH ${verifiedPairsSqlCtes("documents")},
+       |lab AS (
+       |  SELECT ${lbl("doc_a")} AS la, doc_a, ${lbl("doc_b")} AS lb, doc_b
+       |  FROM scored WHERE jaccard >= 0.5),
+       |drops AS (
+       |  SELECT DISTINCT CASE WHEN la = 'train' THEN doc_b
+       |                       WHEN lb = 'train' THEN doc_a
+       |                       WHEN la = 'test' THEN doc_a
+       |                       ELSE doc_b END AS doc_id
+       |  FROM lab WHERE la <> lb),
+       |base AS (SELECT doc_id, (${Text.splitLabelSql}) AS split
+       |         FROM documents)
+       |SELECT split, count(*) AS docs_before,
+       |       count(d.doc_id) AS docs_dropped,
+       |       count(*) - count(d.doc_id) AS docs_after,
+       |       count(d.doc_id) * 1000000 // count(*) AS dropped_ppm
+       |FROM base LEFT JOIN drops d USING (doc_id)
+       |GROUP BY 1""".stripMargin
+  }
+
   val q138Sql: String =
     s"""WITH RECURSIVE ${verifiedPairsSqlCtes("documents")},
        |$clustersSqlCtes,

@@ -2304,6 +2304,31 @@ class QueriesSpec extends SparkSpec {
     assert(g("leaked_fps") <= distinctFps)
   }
 
+  test("q150 decontamination: train untouched, drops within q144's implicated set") {
+    import org.apache.spark.sql.functions.col
+    val rows = Dedup.q150DecontaminatedSplits(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // splits partition the corpus; after + dropped = before everywhere
+    assert(rows.values.map(_._1).sum ===
+      graft.Tables.documents(spark, sf).count())
+    rows.foreach { case (split, (before, dropped, after, ppm)) =>
+      assert(after + dropped === before, s"$split not conserved")
+      assert(ppm === dropped * 1000000L / before)
+    }
+    // the policy never touches train
+    assert(rows("train")._2 === 0L, "train docs must never be dropped")
+    // every dropped doc sits in some cross-split verified edge
+    val crossDocs = Dedup.verifiedEdges(graft.Tables.documents(spark, sf))
+      .withColumn("la", Text.splitLabel(col("doc_a")))
+      .withColumn("lb", Text.splitLabel(col("doc_b")))
+      .filter(col("la") =!= col("lb")).count()
+    assert(rows.values.map(_._2).sum <= 2 * crossDocs)
+    if (crossDocs > 0)
+      assert(rows.values.map(_._2).sum > 0,
+        "cross-split edges exist — zero drops means the policy broke")
+  }
+
   test("q127 curriculum deciles: near-equal buckets, monotone score envelopes") {
     val rows = Text.q127CurriculumDeciles(spark, sf).collect()
       .sortBy(_.getInt(0))
