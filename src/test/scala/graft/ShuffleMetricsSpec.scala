@@ -1,0 +1,89 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.DataFrame
+
+/** MEASURED shuffle-byte gates: PlanSpec pins plan shapes; these pin
+  * the bytes that actually crossed the wire, via task metrics. The
+  * claims under test are the load-bearing "only X crosses the
+  * shuffle" lines in the scale-shape docs — a regression that keeps
+  * the plan shape but widens the shuffled payload (a dropped column
+  * prune, a fingerprint swapped back to text) passes every plan gate
+  * and fails here.
+  *
+  * Methodology: a TaskEnd listener accumulates shuffle WRITE bytes
+  * (write ≈ read for a completed job, and write is attributed even if
+  * AQE re-plans readers); the bus is drained by polling the counter
+  * until stable. Bounds are asserted at sf0.01 against the corpus'
+  * own byte size, with the margins stated inline.
+  */
+class ShuffleMetricsSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.01"
+
+  /** Total shuffle bytes written while running `df` to the noop sink. */
+  private def shuffleBytesOf(df: => DataFrame): Long = {
+    val bytes = new AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          bytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      df.write.format("noop").mode("overwrite").save()
+      // drain the async listener bus: poll until stable for 500 ms
+      var last = -1L
+      var stableSince = System.nanoTime()
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      while (System.nanoTime() < deadline &&
+             (bytes.get() != last ||
+              System.nanoTime() - stableSince < 500000000L)) {
+        if (bytes.get() != last) { last = bytes.get(); stableSince = System.nanoTime() }
+        Thread.sleep(50)
+      }
+      bytes.get()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  private lazy val corpusTextBytes: Long =
+    Tables.documents(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")))).head().getLong(0)
+
+  test("q24 exact dedup shuffles fingerprints, never text (< 60% of corpus bytes)") {
+    val b = shuffleBytesOf(queries.Text.q24Fingerprints(spark, sf))
+    assert(b > 0, "expected a fingerprint exchange")
+    // 16-byte digests + row overhead vs ~300-char documents: a text
+    // shuffle would exceed corpus bytes; fingerprints stay well under
+    assert(b < corpusTextBytes * 6 / 10,
+      s"q24 shuffled $b bytes vs corpus $corpusTextBytes — text is crossing the wire")
+  }
+
+  test("q68 CMS shuffle is sketch-sized: O(d×w) cells per task, not corpus-sized") {
+    val b = shuffleBytesOf(queries.Stats.q68CmsHeavyHitters(spark, sf))
+    assert(b > 0)
+    // the whole point of the sketch: ≤ 256 cells per map task cross;
+    // 2 MB is two orders below the exploded token stream
+    assert(b < 2L * 1024 * 1024,
+      s"q68 shuffled $b bytes — the map-side cell combine regressed")
+  }
+
+  test("q97 mixture shuffle is O(sources × tasks): token totals, never tokens") {
+    val b = shuffleBytesOf(queries.Text.q97MixtureWeights(spark, sf))
+    assert(b > 0)
+    assert(b < 1L * 1024 * 1024,
+      s"q97 shuffled $b bytes — per-source partials regressed to row grain")
+  }
+
+  test("q134 segment dedup shuffle carries fingerprint rows, bounded by corpus bytes") {
+    val b = shuffleBytesOf(queries.Dedup.q134SegmentDedup(spark, sf))
+    assert(b > 0)
+    // two corpus-grain exchanges of fixed-width fingerprint rows; the
+    // 100-char segment TEXT never crosses (that spelling would carry
+    // > corpus bytes in the first exchange alone)
+    assert(b < corpusTextBytes,
+      s"q134 shuffled $b bytes vs corpus $corpusTextBytes — segment text is crossing")
+  }
+}
