@@ -89,18 +89,13 @@ object StreamBench {
     * untimed: state-store provider init + codegen). */
   private def runStateful(spark: SparkSession, sfDir: String,
                           batches: Int): (Long, Double) = {
-    import graft.streaming.{StatefulSessions, StatefulTransitions}
+    import graft.streaming.StatefulTransitions
     import graft.streaming.StatefulTransitions.TEvent
     implicit val sc = spark.sqlContext
     implicit val ee = org.apache.spark.sql.Encoders.product[TEvent]
-    import org.apache.spark.sql.functions.col
-    val events = Tables.events(spark, sfDir)
-      .select(col("user_id").cast("long"), col("ts").cast("timestamp_ltz"),
-        col("event_type"), col("event_id").cast("long"))
-      .collect()
-      .map(r => TEvent(r.getLong(0), r.getTimestamp(1), r.getString(2),
-        r.getLong(3)))
-      .sortBy(e => (StatefulSessions.micros(e.ts), e.event_id))
+    // the q147 oracle wrapper's exact feed (shared definition) — the
+    // benchmark measures the stream the oracle exercises
+    val events = StatefulTransitions.orderedFeed(spark, sfDir)
     val in = MemoryStream[TEvent]
     val q = StatefulTransitions.transitions(in.toDS()).writeStream
       .format("noop").outputMode(OutputMode.Append()).start()

@@ -589,17 +589,23 @@ object Stats {
       .withColumn("rx", row_number().over(byLen).cast("long"))
       .withColumn("ry", row_number().over(byScore).cast("long"))
       .groupBy(col("source"))
+      // Σd² accumulates in DECIMAL from the first multiply: a long
+      // sum wraps at ~3e6 docs/source (Σd² ~ n³/6), a thousand times
+      // earlier than the n³ denominator the CASE below widens — and
+      // the wrapped-long spelling would diverge silently from
+      // DuckDB's HUGEINT. The column stays internal: publishing it
+      // as BIGINT would reintroduce the same cap at the output.
       .agg(count(lit(1)).as("n"),
-        sum(expr("(rx - ry) * (rx - ry)")).cast("long").as("d2_sum"))
+        sum(expr("CAST(rx - ry AS DECIMAL(38,0)) * (rx - ry)")).as("d2"))
       // n*n stays inside the DECIMAL product (a long n*n wraps past
       // ~3e9 docs/source); n < 2 has no defined rank correlation —
       // NULL on both engines, never a division by zero
       .withColumn("rho_ppm", expr(
         """CASE WHEN n < 2 THEN CAST(NULL AS BIGINT) ELSE
-          |  CAST((CAST(n AS DECIMAL(38,0)) * n * n - n
-          |          - 6 * CAST(d2_sum AS DECIMAL(38,0)))
+          |  CAST((CAST(n AS DECIMAL(38,0)) * n * n - n - 6 * d2)
           |    * 1000000 div (CAST(n AS DECIMAL(38,0)) * n * n - n) AS BIGINT)
           |END""".stripMargin))
+      .select(col("source"), col("n"), col("rho_ppm"))
   }
   val q140Sql: String =
     """WITH scored AS (
@@ -616,12 +622,11 @@ object Stats {
       |  FROM scored),
       |agg AS (
       |  SELECT source, count(*) AS n,
-      |         CAST(sum((rx - ry) * (rx - ry)) AS BIGINT) AS d2_sum
+      |         sum((rx - ry) * (rx - ry)) AS d2
       |  FROM ranked GROUP BY 1)
-      |SELECT source, n, d2_sum,
+      |SELECT source, n,
       |       CASE WHEN n < 2 THEN CAST(NULL AS BIGINT) ELSE
-      |         CAST((CAST(n AS HUGEINT) * n * n - n
-      |                 - 6 * CAST(d2_sum AS HUGEINT))
+      |         CAST((CAST(n AS HUGEINT) * n * n - n - 6 * CAST(d2 AS HUGEINT))
       |           * 1000000 // (CAST(n AS HUGEINT) * n * n - n) AS BIGINT)
       |       END AS rho_ppm
       |FROM agg""".stripMargin

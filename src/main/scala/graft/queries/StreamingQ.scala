@@ -30,19 +30,27 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamingQ {
 
-  /** Stream `cols` of the documents table through `run` in ~4
-    * micro-batches, then hand the work dir to `snapshot`. */
-  private def streamed(s: SparkSession, dir: String, cols: Seq[String],
-                       schemaDdl: String)
-                      (run: (DataFrame, String) => Unit): String = {
+  /** Stream a base frame through `run` in ~4 micro-batches (file
+    * source, one file per trigger), then hand the work dir to the
+    * caller's snapshot — ONE chunking/readStream scaffold for every
+    * wrapper, whatever the table. */
+  private def streamedFrame(s: SparkSession, base: DataFrame,
+                            schemaDdl: String)
+                           (run: (DataFrame, String) => Unit): String = {
     val work = java.nio.file.Files.createTempDirectory("graft_incq").toString
-    Tables.documents(s, dir).select(cols.map(col): _*)
-      .repartition(4).write.parquet(s"$work/chunks")
-    val docs = s.readStream.schema(StructType.fromDDL(schemaDdl))
+    base.repartition(4).write.parquet(s"$work/chunks")
+    val stream = s.readStream.schema(StructType.fromDDL(schemaDdl))
       .option("maxFilesPerTrigger", "1").parquet(s"$work/chunks")
-    run(docs, work)
+    run(stream, work)
     work
   }
+
+  /** [[streamedFrame]] over `cols` of the documents table. */
+  private def streamed(s: SparkSession, dir: String, cols: Seq[String],
+                       schemaDdl: String)
+                      (run: (DataFrame, String) => Unit): String =
+    streamedFrame(s, Tables.documents(s, dir).select(cols.map(col): _*),
+      schemaDdl)(run)
 
   /** q105: q97's mixture weights computed from the incremental
     * monitor's landed per-batch token partials (sum-merge family) —
@@ -192,19 +200,12 @@ object StreamingQ {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
-  /** Stream `cols` of the events table through `run` in ~4
-    * micro-batches (the [[streamed]] helper, events edition). */
+  /** [[streamedFrame]] over `cols` of the events table. */
   private def streamedEvents(s: SparkSession, dir: String, cols: Seq[String],
                              schemaDdl: String)
-                            (run: (DataFrame, String) => Unit): String = {
-    val work = java.nio.file.Files.createTempDirectory("graft_incev").toString
-    Tables.events(s, dir).select(cols.map(col): _*)
-      .repartition(4).write.parquet(s"$work/chunks")
-    val events = s.readStream.schema(StructType.fromDDL(schemaDdl))
-      .option("maxFilesPerTrigger", "1").parquet(s"$work/chunks")
-    run(events, work)
-    work
-  }
+                            (run: (DataFrame, String) => Unit): String =
+    streamedFrame(s, Tables.events(s, dir).select(cols.map(col): _*),
+      schemaDdl)(run)
 
   /** q148: q145's χ² daily-mix census computed from the incremental
     * monitor's landed per-batch contingency partials (sum-merge
@@ -240,13 +241,7 @@ object StreamingQ {
     import org.apache.spark.sql.streaming.OutputMode
     implicit val sc = s.sqlContext
     implicit val ee = org.apache.spark.sql.Encoders.product[TEvent]
-    val events = Tables.events(s, dir)
-      .select(col("user_id").cast("long"), col("ts").cast("timestamp_ltz"),
-        col("event_type"), col("event_id").cast("long"))
-      .collect()
-      .map(r => TEvent(r.getLong(0), r.getTimestamp(1), r.getString(2),
-        r.getLong(3)))
-      .sortBy(e => (graft.streaming.StatefulSessions.micros(e.ts), e.event_id))
+    val events = StatefulTransitions.orderedFeed(s, dir)
     val in = MemoryStream[TEvent]
     val name = "q147_transitions_" +
       java.util.UUID.randomUUID.toString.replace("-", "")

@@ -47,11 +47,21 @@ object StatefulTransitions {
     * THEMSELVES in (ts, id) order — emitting their internal
     * hand-offs — and then bridged INTO the carry (late → carry, the
     * orientation batch q139 assigns), after which the carry resumes
-    * for the in-order rows. What O(1) state cannot recover is the
-    * hand-off from the event BEFORE the earliest late row (that
-    * predecessor was discarded when the carry advanced) — the
-    * documented bound of the single-row state; the full remedy is a
-    * watermark-deep buffer, i.e. the q113 sessionizer's span state. */
+    * for the in-order rows.
+    *
+    * The O(1)-state divergence bound, stated precisely: around each
+    * late insertion point the emitted chain can differ from the
+    * batch matrix in the edges TOUCHING that point — (a) the
+    * hand-off INTO the earliest late row is lost (its predecessor
+    * was discarded when the carry advanced), and (b) if the carry
+    * had already received an in-edge in an earlier batch, that edge
+    * reflects ARRIVAL order, not final event order (Append mode
+    * cannot retract it), so the carry can end up with both its
+    * original and the bridged in-edge. Every edge not adjacent to an
+    * insertion point is exact. Removing (a)+(b) requires buffering a
+    * watermark-deep window — the q113 sessionizer's span-state shape
+    * — which is the named upgrade path, not this operator's O(1)
+    * contract. */
   def foldBatch(cur0: Option[TransState],
                 rows: Seq[(Long, Long, String)])
       : (List[Transition], Option[TransState]) = {
@@ -101,5 +111,21 @@ object StatefulTransitions {
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState[TransState, Transition](
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateTransitions)
+  }
+
+  /** The event-time-ordered driver feed — ONE definition (column
+    * casts, (µs, event_id) tie-break sort) shared by the q147 oracle
+    * wrapper and StreamBench's stateful throughput leg, so the
+    * benchmark always measures the stream the oracle exercises. */
+  def orderedFeed(s: org.apache.spark.sql.SparkSession,
+                  dir: String): Array[TEvent] = {
+    import org.apache.spark.sql.functions.col
+    graft.Tables.events(s, dir)
+      .select(col("user_id").cast("long"), col("ts").cast("timestamp_ltz"),
+        col("event_type"), col("event_id").cast("long"))
+      .collect()
+      .map(r => TEvent(r.getLong(0), r.getTimestamp(1), r.getString(2),
+        r.getLong(3)))
+      .sortBy(e => (micros(e.ts), e.event_id))
   }
 }

@@ -49,16 +49,23 @@ class ShuffleMetricsSpec extends SparkSpec {
   private lazy val corpusTextBytes: Long =
     Tables.documents(spark, sf)
       .agg(org.apache.spark.sql.functions.sum(
-        org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.octet_length(
           org.apache.spark.sql.functions.col("text")))).head().getLong(0)
 
-  test("q24 exact dedup shuffles fingerprints, never text (< 60% of corpus bytes)") {
+  test("q24 exact dedup shuffles fingerprints, never text (differential baseline)") {
+    import org.apache.spark.sql.functions.{col, count, lit}
     val b = shuffleBytesOf(queries.Text.q24Fingerprints(spark, sf))
     assert(b > 0, "expected a fingerprint exchange")
-    // 16-byte digests + row overhead vs ~300-char documents: a text
-    // shuffle would exceed corpus bytes; fingerprints stay well under
-    assert(b < corpusTextBytes * 6 / 10,
-      s"q24 shuffled $b bytes vs corpus $corpusTextBytes — text is crossing the wire")
+    // DIFFERENTIAL bound: shuffle bytes are lz4-compressed, so an
+    // uncompressed-corpus comparison would be unsound (compressed
+    // text can slip under it). Measure the regressed text-keyed
+    // spelling under the SAME compression and demand a real gap —
+    // ~300-char docs compress to ~3× a 32-hex digest row.
+    val bText = shuffleBytesOf(Tables.documents(spark, sf)
+      .groupBy(col("text")).agg(count(lit(1))))
+    assert(b * 2 < bText,
+      s"q24 shuffled $b bytes vs $bText for the text-keyed spelling — " +
+        "the fingerprint exchange lost its size advantage")
   }
 
   test("q68 CMS shuffle is sketch-sized: O(d×w) cells per task, not corpus-sized") {
@@ -80,10 +87,13 @@ class ShuffleMetricsSpec extends SparkSpec {
   test("q134 segment dedup shuffle carries fingerprint rows, bounded by corpus bytes") {
     val b = shuffleBytesOf(queries.Dedup.q134SegmentDedup(spark, sf))
     assert(b > 0)
-    // two corpus-grain exchanges of fixed-width fingerprint rows; the
-    // 100-char segment TEXT never crosses (that spelling would carry
-    // > corpus bytes in the first exchange alone)
+    // ceiling bound: both corpus-grain exchanges together stay under
+    // the corpus' own (uncompressed) bytes. NOTE this is a budget
+    // pin, not a text-regression detector — at 100-char segments a
+    // compressed text row shrinks to roughly a 32-hex digest row, so
+    // only the q24 differential gate above can SEE a text swap; this
+    // gate catches exchange-count/row-width growth.
     assert(b < corpusTextBytes,
-      s"q134 shuffled $b bytes vs corpus $corpusTextBytes — segment text is crossing")
+      s"q134 shuffled $b bytes vs corpus $corpusTextBytes — the exchange budget grew")
   }
 }

@@ -2167,10 +2167,10 @@ class QueriesSpec extends SparkSpec {
       val d2 = scored.map(d => { val x = rx(d._1) - ry(d._1); x * x }).sum
       val denom = BigInt(n) * (n * n - 1)
       val rho = ((denom - 6 * BigInt(d2)) * 1000000 / denom).toLong
-      src -> ((n, d2, rho))
+      src -> ((n, rho))
     }
     Stats.q140SpearmanLenQuality(spark, sf).collect().foreach { r =>
-      assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ref(r.getString(0)),
+      assert((r.getLong(1), r.getLong(2)) === ref(r.getString(0)),
         s"${r.getString(0)}: Spearman disagrees with the exact reference")
     }
   }
