@@ -721,6 +721,47 @@ class StreamsSpec extends SparkSpec {
       "summed contingency partials must reproduce the batch χ² exactly")
   }
 
+  test("incremental KMV survives a restart: offsets resume, snapshot equals batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmvrec")
+    val (sk, cp) = (s"$dir/kmv", s"$dir/ckpt")
+    val in = dir.resolve("in"); java.nio.file.Files.createDirectory(in)
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("text"))
+    // land a deterministic half of the corpus as one parquet file
+    def land(half: Int): Unit = {
+      val stage = s"$dir/stage$half"
+      docs.filter(col("doc_id") % 2 === half).coalesce(1)
+        .write.parquet(stage)
+      new java.io.File(stage).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.move(f.toPath,
+          in.resolve(s"half$half.parquet")))
+    }
+    def start() = Streams.incrementalKmv(
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "source string, doc_id bigint, text string"))
+        .parquet(in.toString), sk, cp).start()
+    land(0)
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    // the second half arrives while the monitor is DOWN
+    land(1)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    // restart resumed from checkpointed offsets: half0 was not
+    // re-ingested as a new batch — exactly one landed partition per half
+    val batches = spark.read.parquet(sk)
+      .select(col("batch_id")).distinct().count()
+    assert(batches === 2, s"expected 2 batch partitions, got $batches")
+    val streamed = rowsOf(Streams.kmvSnapshot(spark, sk))
+    val batch = rowsOf(graft.queries.Stats.kmvSketchOf(
+      graft.queries.Stats.chunkHashesOf(docs)))
+    assert(streamed === batch,
+      "post-restart snapshot must equal the batch sketch over the union")
+  }
+
   test("incremental OOV monitor: summed partials equal batch oovStats; planted drift fires") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_incoov")
