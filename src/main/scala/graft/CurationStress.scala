@@ -427,7 +427,62 @@ object CurationStress {
       "q139 scaling law broken: cloned users must scale every transition " +
         "cell ×R with P(to|from) unchanged")
 
-    println(f"""{"metric":"curation_stress","reps":$reps,"q134_sec":$tSeg%.2f,"q137_sec":$tPmi%.2f,"q139_sec":$tTrans%.2f,"q121_sec":$tChunk%.2f,"q122_sec":$tLocf%.2f,"q126_sec":$tMask%.2f,"q127_sec":$tCur%.2f,"q108_sec":$tLex%.2f,"q109_sec":$tGaps%.2f,"q111_sec":$tMad%.2f,"q112_sec":$tGrid%.2f,"q114_sec":$tTri%.2f,"q114_cc_ppm":${rep114.getLong(4)},"q74_sec":$tSpan%.2f,"q74_rows":$spanRows,"q81_sec":$tOverlap%.2f,"q81_full_matches":$q81Full,"q79_sec":$tTrain%.2f,"q80_sec":$tApply%.2f,"q95_sec":$tBigram%.2f,"q98_sec":$tMix%.2f,"q98_surviving_tokens":$survTok,"q104_sec":$tSkew%.2f,"q99_sec":$tHeldout%.2f,"q101_sec":$tReid%.2f,"q102_sec":$tBoot%.2f,"q103_sec":$tBootFused%.2f,"bigram_types_base":$baseTypes,"bigram_types_train_r":$trainTypesR,"q95_skewcorpus_sec":$tFlatSkew%.2f,"q104_skewcorpus_sec":$tSplitSkew%.2f,"sf":"$sfDir"}""")
+    // ---- round-7 fifth wave (q142/q149/q150) at scale
+
+    // q142: packing is a pure function of (texts in doc_id order) per
+    // feed, and replica feeds preserve both — every replica feed's
+    // packing census must be ROW-IDENTICAL to its base feed's
+    // (sequences, masses, modality mix, fill)
+    noop(queries.MultimodalQ.q142MultimodalPacking(spark, sfDir)) // warmup + ref
+    val base142 = queries.MultimodalQ.q142MultimodalPacking(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val (rep142, tPack) = time(
+      queries.MultimodalQ.q142MultimodalPacking(spark, stressDir).collect())
+    rep142.foreach { r =>
+      val src = r.getString(0)
+      val want = base142(src.substring(0, src.lastIndexOf('_')))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)) == want,
+        s"q142 replica feed $src packing census drifted from its base")
+    }
+
+    // q149: the datasheet's scaling laws — size ×R, diversity feeds
+    // ×R with langs invariant, distinct fingerprints INVARIANT (every
+    // replica duplicates a base doc), so the exact-dup rate obeys
+    // (R·docs − fps)·10⁶ ÷ (R·docs) exactly; mean TTR invariant
+    noop(queries.PipelineQ.q149DatasetCard(spark, sfDir)) // warmup + ref
+    val baseCard = queries.PipelineQ.q149DatasetCard(spark, sfDir).collect()(0)
+    val (repCardArr, tCard) = time(
+      queries.PipelineQ.q149DatasetCard(spark, stressDir).collect())
+    val repCard = repCardArr(0)
+    def card(r: org.apache.spark.sql.Row, n: String): Long = r.getAs[Long](n)
+    assert(card(repCard, "docs") == reps * card(baseCard, "docs"))
+    assert(card(repCard, "tokens") == reps * card(baseCard, "tokens"))
+    assert(card(repCard, "sources") == reps * card(baseCard, "sources"))
+    assert(card(repCard, "langs") == card(baseCard, "langs"))
+    assert(card(repCard, "distinct_fps") == card(baseCard, "distinct_fps"),
+      "replication must add copies, never new fingerprints")
+    assert(card(repCard, "exact_dup_ppm") ==
+      (card(repCard, "docs") - card(repCard, "distinct_fps")) * 1000000L /
+        card(repCard, "docs"))
+    assert(card(repCard, "mean_ttr_pm") == card(baseCard, "mean_ttr_pm"),
+      "the TTR multiset replicates exactly — the mean cannot move")
+
+    // q150: the policy invariant that must hold at ANY scale — train
+    // is never dropped, and the splits still partition the R× corpus
+    noop(Dedup.q150DecontaminatedSplits(spark, sfDir)) // warmup
+    val (rep150, tDecon) = time(
+      Dedup.q150DecontaminatedSplits(spark, stressDir).collect())
+    assert(rep150.map(_.getLong(1)).sum == reps * card(baseCard, "docs"),
+      "q150 splits must partition the replicated corpus")
+    rep150.foreach { r =>
+      if (r.getString(0) == "train")
+        assert(r.getLong(2) == 0L, "q150 dropped train docs at R×")
+      assert(r.getLong(3) + r.getLong(2) == r.getLong(1))
+    }
+
+    println(f"""{"metric":"curation_stress","reps":$reps,"q142_sec":$tPack%.2f,"q149_sec":$tCard%.2f,"q150_sec":$tDecon%.2f,"q134_sec":$tSeg%.2f,"q137_sec":$tPmi%.2f,"q139_sec":$tTrans%.2f,"q121_sec":$tChunk%.2f,"q122_sec":$tLocf%.2f,"q126_sec":$tMask%.2f,"q127_sec":$tCur%.2f,"q108_sec":$tLex%.2f,"q109_sec":$tGaps%.2f,"q111_sec":$tMad%.2f,"q112_sec":$tGrid%.2f,"q114_sec":$tTri%.2f,"q114_cc_ppm":${rep114.getLong(4)},"q74_sec":$tSpan%.2f,"q74_rows":$spanRows,"q81_sec":$tOverlap%.2f,"q81_full_matches":$q81Full,"q79_sec":$tTrain%.2f,"q80_sec":$tApply%.2f,"q95_sec":$tBigram%.2f,"q98_sec":$tMix%.2f,"q98_surviving_tokens":$survTok,"q104_sec":$tSkew%.2f,"q99_sec":$tHeldout%.2f,"q101_sec":$tReid%.2f,"q102_sec":$tBoot%.2f,"q103_sec":$tBootFused%.2f,"bigram_types_base":$baseTypes,"bigram_types_train_r":$trainTypesR,"q95_skewcorpus_sec":$tFlatSkew%.2f,"q104_skewcorpus_sec":$tSplitSkew%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
