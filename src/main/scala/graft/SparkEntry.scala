@@ -300,6 +300,9 @@ object SparkEntry {
     // q144's remediation: drop the deterministic loser of every
     // cross-split near-dup edge, publish the cleaned split manifest
     "q150_decontaminated_splits" -> (Dedup.q150DecontaminatedSplits _),
+    // exact dedup at ingest: min-merged first-claims must reproduce
+    // the batch q134 retention census across batch boundaries
+    "q151_incremental_segments" -> (StreamingQ.q151IncrementalSegments _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -456,5 +459,6 @@ object SparkEntry {
     "q148_incremental_chi2" -> Events.q145Sql,
     "q149_dataset_card" -> PipelineQ.q149Sql,
     "q150_decontaminated_splits" -> Dedup.q150Sql,
+    "q151_incremental_segments" -> Dedup.q134Sql,
   )
 }

@@ -1155,8 +1155,12 @@ object Dedup {
     * At 100 TB the fp exchange is the cost — hash-partitioned,
     * combiner-less but fixed-width rows; the q24 discipline.
     */
-  def q134SegmentDedup(s: SparkSession, dir: String): DataFrame = {
-    val segs = Tables.documents(s, dir)
+  /** (source, doc_id, off, fp, slen) segment rows of a documents
+    * frame — ONE segmentation shared by batch q134 and the
+    * incremental first-claim index (Streams.incrementalSegmentDedup),
+    * so "a segment" can never mean two different cuts. */
+  private[graft] def segmentsOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("len", length(col("text")))
       .select(col("source"), col("doc_id"),
         explode(sequence(lit(0), greatest(col("len") - 1, lit(0)),
@@ -1167,15 +1171,11 @@ object Dedup {
       .select(col("source"), col("doc_id"), col("off"),
         md5(col("seg").cast("binary")).as("fp"),
         length(col("seg")).as("slen"))
-    val firstWins = Window.partitionBy(col("fp"))
-      .orderBy(col("doc_id"), col("off"))
-    val flagged = segs
-      .withColumn("kept", (row_number().over(firstWins) === 1).cast("long"))
-    val perDoc = flagged.groupBy(col("source"), col("doc_id"))
-      .agg(count(lit(1)).as("segs"),
-        sum(col("kept")).cast("long").as("kept_segs"),
-        sum(col("slen")).cast("long").as("chars"),
-        sum(col("slen") * col("kept")).cast("long").as("kept_chars"))
+
+  /** The q134 census over per-doc rollup rows (source, doc_id, segs,
+    * kept_segs, chars, kept_chars) — shared tail for the batch query
+    * and the incremental snapshot. */
+  private[graft] def segmentCensusFrom(perDoc: DataFrame): DataFrame =
     perDoc.groupBy(col("source"))
       .agg(count(lit(1)).as("docs"),
         sum(col("segs")).cast("long").as("segs"),
@@ -1188,6 +1188,19 @@ object Dedup {
       // a NULL-vs-division-error engine divergence
       .withColumn("retention_ppm",
         expr("kept_chars * 1000000 div greatest(chars, 1)"))
+
+  def q134SegmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val segs = segmentsOf(Tables.documents(s, dir))
+    val firstWins = Window.partitionBy(col("fp"))
+      .orderBy(col("doc_id"), col("off"))
+    val flagged = segs
+      .withColumn("kept", (row_number().over(firstWins) === 1).cast("long"))
+    val perDoc = flagged.groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("segs"),
+        sum(col("kept")).cast("long").as("kept_segs"),
+        sum(col("slen")).cast("long").as("chars"),
+        sum(col("slen") * col("kept")).cast("long").as("kept_chars"))
+    segmentCensusFrom(perDoc)
   }
   val q134Sql: String =
     s"""WITH seg AS (

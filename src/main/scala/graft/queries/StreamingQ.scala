@@ -222,6 +222,22 @@ object StreamingQ {
     Streams.chi2Snapshot(s, s"$work/cells")
   }
 
+  /** q151: q134's segment-dedup retention census with BOTH sides
+    * computed from the incremental first-claim index — the min-merge
+    * family's oracle row. A green row means claims merged across
+    * micro-batch boundaries pick exactly the global first occurrence
+    * per fingerprint (a replayed or late batch can never steal a
+    * claim), and the summed doc totals reproduce the batch census
+    * bit-for-bit. Oracle: q134Sql. */
+  def q151IncrementalSegments(s: SparkSession, dir: String): DataFrame = {
+    val work = streamed(s, dir, Seq("source", "doc_id", "text"),
+      "source string, doc_id bigint, text string") { (docs, work) =>
+      Streams.incrementalSegmentDedup(docs, s"$work/claims", s"$work/docs",
+        s"$work/ckpt").trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Streams.segmentDedupSnapshot(s, s"$work/claims", s"$work/docs")
+  }
+
   /** q147: the q139 Markov transition matrix with the transitions
     * extracted by the STATEFUL streaming operator
     * ([[graft.streaming.StatefulTransitions]]) — the full events

@@ -430,6 +430,67 @@ object Streams {
         "source string, h bigint, batch_id bigint")
         .select(col("source"), col("h")))
 
+  /** Incremental first-claim segment dedup — exact sub-document dedup
+    * AT INGEST (the q134 pass as a monitor): each micro-batch lands
+    * TWO partial sets, (a) per-fingerprint CLAIMS — the batch's
+    * earliest (doc_id, off) occurrence with its source and width,
+    * MIN-mergeable (first-claim-of-union = min of merged first-claims,
+    * the novelty index's merge at segment grain) — and (b) per-doc
+    * segment totals, SUM-mergeable. Both replay-idempotent batch_id
+    * partitions. State is O(distinct fingerprints + docs) — the
+    * honest price of EXACT dedup, the thing the KMV sketch
+    * (incrementalKmv) approximates when that price is too high; at
+    * ingest scale, partition the claims index by a fingerprint prefix
+    * (the LSH index's band-partition discipline) and compact by
+    * re-landing merged minima. */
+  def incrementalSegmentDedup(docs: DataFrame, claimsPath: String,
+                              docsPath: String, checkpoint: String)
+      : DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val segs = graft.queries.Dedup.segmentsOf(batch)
+        val claims = segs.groupBy(col("fp"))
+          .agg(min(struct(col("doc_id"), col("off"), col("source"),
+            col("slen"))).as("w"))
+          .select(col("fp"), col("w.doc_id").as("doc_id"),
+            col("w.off").as("off"), col("w.source").as("source"),
+            col("w.slen").as("slen"))
+        writeBatchPartition(claims, batchId, claimsPath)
+        val totals = segs.groupBy(col("source"), col("doc_id"))
+          .agg(count(lit(1)).as("segs"),
+            sum(col("slen")).cast("long").as("chars"))
+        writeBatchPartition(totals, batchId, docsPath)
+      }
+
+  /** The live retention census: merged first-claims + summed doc
+    * totals through the exact batch census tail
+    * (Dedup.segmentCensusFrom) — snapshot(union of batches) ==
+    * q134(union corpus). */
+  def segmentDedupSnapshot(spark: SparkSession, claimsPath: String,
+                           docsPath: String): DataFrame = {
+    val winners = readPartialsOrEmpty(spark, claimsPath,
+      "fp string, doc_id bigint, off int, source string, slen int, batch_id bigint")
+      .groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("off"), col("source"),
+        col("slen"))).as("w"))
+      .select(col("w.source").as("source"), col("w.doc_id").as("doc_id"),
+        col("w.slen").as("slen"))
+    val kept = winners.groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("kept_segs"),
+        sum(col("slen")).cast("long").as("kept_chars"))
+    val totals = readPartialsOrEmpty(spark, docsPath,
+      "source string, doc_id bigint, segs bigint, chars bigint, batch_id bigint")
+      .groupBy(col("source"), col("doc_id"))
+      .agg(sum(col("segs")).as("segs"), sum(col("chars")).as("chars"))
+    graft.queries.Dedup.segmentCensusFrom(
+      totals.join(kept, Seq("source", "doc_id"), "left")
+        .select(col("source"), col("doc_id"), col("segs"),
+          coalesce(col("kept_segs"), lit(0L)).as("kept_segs"),
+          col("chars"), coalesce(col("kept_chars"), lit(0L)).as("kept_chars")))
+  }
+
   /** Incremental χ² drift cells — each micro-batch lands its
     * (day, event_type, count) contingency partials as a
     * replay-idempotent batch_id partition (SUM-mergeable: cells from

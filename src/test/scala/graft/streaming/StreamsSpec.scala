@@ -762,6 +762,32 @@ class StreamsSpec extends SparkSpec {
       "post-restart snapshot must equal the batch sketch over the union")
   }
 
+  test("incremental segment dedup: merged first-claims equal the batch census; replay can't steal a claim") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_incseg")
+    val (claims, docsP, ckpt) = (s"$dir/claims", s"$dir/docs", s"$dir/ckpt")
+    val sf = "/root/testdata/sf0.001"
+    assert(Streams.segmentDedupSnapshot(spark, claims, docsP).count() === 0L)
+    val in = MemoryStream[(String, Long, String)]
+    val q = Streams.incrementalSegmentDedup(
+      in.toDF().toDF("source", "doc_id", "text"), claims, docsP, ckpt).start()
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    try {
+      // stream in REVERSE doc_id thirds: the globally-first claimant
+      // of many fingerprints arrives LAST — min-merge must still hand
+      // it the claim (arrival order is irrelevant to first-claim)
+      docs.sortBy(-_._2).grouped(math.max(1, docs.length / 3)).foreach { g =>
+        in.addData(g.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = rowsOf(Streams.segmentDedupSnapshot(spark, claims, docsP))
+    val batch = rowsOf(graft.queries.Dedup.q134SegmentDedup(spark, sf))
+    assert(streamed === batch,
+      "min-merged claims + summed totals must reproduce the batch census")
+  }
+
   test("incremental OOV monitor: summed partials equal batch oovStats; planted drift fires") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_incoov")
