@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.StructType
+
+/** Edge-corpus robustness: the sf corpora are well-formed (no nulls,
+  * no empty text, modest lengths), so the registry's degenerate-input
+  * behavior is otherwise untested. This spec routes a deliberately
+  * hostile documents table — empty text, single-token docs, an
+  * all-whitespace doc, astral-plane unicode, a 100k-char document, a
+  * single-doc source — through representative document-grain queries
+  * and asserts completion plus the documented degenerate semantics
+  * (q134's zero-char guard, q140's n<2 NULL, conservation laws).
+  */
+class RobustnessSpec extends SparkSpec {
+
+  private lazy val hostileDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hostile").toString
+    val schema = StructType.fromDDL(
+      "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    val rows = Seq(
+      Row(1L, "", "en", "srcEmpty", 0L),                     // empty text
+      Row(2L, "", "en", "srcEmpty", 0L),                     // duplicate empty
+      Row(3L, "tok", "en", "srcTiny", 3L),                   // single token
+      Row(4L, "   ", "en", "srcTiny", 3L),                   // whitespace only
+      Row(5L, "a b a b a b", "en", "srcTiny", 11L),          // 2-token vocab
+      Row(6L, "😀 café 中文 txt", "zh", "srcUni", 14L),
+      Row(7L, ("w " * 50000).trim, "en", "srcHuge", 99999L), // 100k chars
+      Row(8L, "only doc in its source", "en", "srcLone", 22L))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+      .repartition(2).write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("doc-grain registry members complete on the hostile corpus") {
+    val members: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame)] = Seq(
+      "q20" -> (queries.Text.q20DocStats _),
+      "q21" -> (queries.Text.q21LangId _),
+      "q24" -> (queries.Text.q24Fingerprints _),
+      "q97" -> ((s, d) => queries.Text.q97MixtureWeights(s, d)),
+      "q108" -> (queries.Text.q108LexicalDiversity _),
+      "q121" -> (queries.Text.q121DocChunks _),
+      "q134" -> (queries.Dedup.q134SegmentDedup _),
+      "q136" -> (queries.Text.q136EpochSchedule _),
+      "q137" -> (queries.Text.q137PmiPairs _),
+      "q149" -> ((s, d) => queries.PipelineQ.q149DatasetCard(s, d)))
+    members.foreach { case (name, fn) =>
+      val n = fn(spark, hostileDir).count()
+      assert(n >= 0, s"$name failed on the hostile corpus") // completion is the gate
+    }
+  }
+
+  test("q134 zero-char guard: the all-empty source reports retention 0, not a crash") {
+    val rows = queries.Dedup.q134SegmentDedup(spark, hostileDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val empty = rows("srcEmpty")
+    assert(empty.getLong(4) === 0L, "chars must be 0 for empty-text docs")
+    assert(empty.getLong(7) === 0L, "retention_ppm must publish 0, not NULL/error")
+    // the duplicate empty doc still dedups: one kept segment corpus-wide
+    assert(empty.getLong(2) === 2L && empty.getLong(3) <= 1L)
+  }
+
+  test("q140 single-doc source publishes NULL rho, never a division error") {
+    val rows = queries.Stats.q140SpearmanLenQuality(spark, hostileDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val lone = rows("srcLone")
+    assert(lone.getLong(1) === 1L)
+    assert(lone.isNullAt(2), "n=1 has no defined rank correlation — NULL")
+    rows.values.filter(_.getLong(1) >= 2).foreach(r =>
+      assert(!r.isNullAt(2), "multi-doc sources must publish a rho"))
+  }
+
+  test("q136 degenerate shares stay coherent on extreme source skew") {
+    // srcHuge dwarfs the others; every published row must still obey
+    // the (epochs, fill) contract incl. the zero-target branch
+    queries.Text.q136EpochSchedule(spark, hostileDir).collect().foreach { r =>
+      val (tokens, target, epochs, fill) =
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))
+      if (target == 0) assert(epochs === 0L && fill === 0L)
+      else {
+        assert((epochs - 1) * tokens < target && target <= epochs * tokens)
+        assert(fill > 0 && fill <= 1000000L)
+      }
+    }
+  }
+}
