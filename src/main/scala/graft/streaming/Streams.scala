@@ -450,19 +450,33 @@ object Streams {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val segs = graft.queries.Dedup.segmentsOf(batch)
-        val claims = segs.groupBy(col("fp"))
-          .agg(min(struct(col("doc_id"), col("off"), col("source"),
-            col("slen"))).as("w"))
-          .select(col("fp"), col("w.doc_id").as("doc_id"),
-            col("w.off").as("off"), col("w.source").as("source"),
-            col("w.slen").as("slen"))
-        writeBatchPartition(claims, batchId, claimsPath)
-        val totals = segs.groupBy(col("source"), col("doc_id"))
-          .agg(count(lit(1)).as("segs"),
-            sum(col("slen")).cast("long").as("chars"))
-        writeBatchPartition(totals, batchId, docsPath)
+        // persist: the segment fan-out (explode + substring + md5, the
+        // monitor's dominant cost) feeds TWO write actions — without
+        // this it re-runs per landed partial (the incrementalPipeline
+        // multi-write discipline)
+        val segs = graft.queries.Dedup.segmentsOf(batch).persist()
+        try {
+          writeBatchPartition(firstClaims(segs), batchId, claimsPath)
+          val totals = segs.groupBy(col("source"), col("doc_id"))
+            .agg(count(lit(1)).as("segs"),
+              sum(col("slen")).cast("long").as("chars"))
+          writeBatchPartition(totals, batchId, docsPath)
+        } finally { segs.unpersist(); () }
       }
+
+  /** Per-fingerprint earliest claim of a (fp, doc_id, off, source,
+    * slen) frame — THE claim ordering, one definition for the
+    * per-batch partials and the cross-batch merge (min-merge
+    * correctness requires both sides selecting winners by the
+    * identical struct order; the segmentsOf/segmentCensusFrom sharing
+    * rule, claim edition). */
+  private def firstClaims(segs: DataFrame): DataFrame =
+    segs.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("off"), col("source"),
+        col("slen"))).as("w"))
+      .select(col("fp"), col("w.doc_id").as("doc_id"),
+        col("w.off").as("off"), col("w.source").as("source"),
+        col("w.slen").as("slen"))
 
   /** The live retention census: merged first-claims + summed doc
     * totals through the exact batch census tail
@@ -470,13 +484,9 @@ object Streams {
     * q134(union corpus). */
   def segmentDedupSnapshot(spark: SparkSession, claimsPath: String,
                            docsPath: String): DataFrame = {
-    val winners = readPartialsOrEmpty(spark, claimsPath,
-      "fp string, doc_id bigint, off int, source string, slen int, batch_id bigint")
-      .groupBy(col("fp"))
-      .agg(min(struct(col("doc_id"), col("off"), col("source"),
-        col("slen"))).as("w"))
-      .select(col("w.source").as("source"), col("w.doc_id").as("doc_id"),
-        col("w.slen").as("slen"))
+    val winners = firstClaims(readPartialsOrEmpty(spark, claimsPath,
+      "fp string, doc_id bigint, off int, source string, slen int, batch_id bigint"))
+      .select(col("source"), col("doc_id"), col("slen"))
     val kept = winners.groupBy(col("source"), col("doc_id"))
       .agg(count(lit(1)).as("kept_segs"),
         sum(col("slen")).cast("long").as("kept_chars"))
