@@ -4,10 +4,18 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** `runMain graft.Verify <sfDir> <outDir> [queryName...]` — extra
+    * args subset the registry (local iteration; the driver passes 2). */
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    val subset = args.drop(2).toSet
     val spark = LocalSession.build()
-    run(spark, sfDir, outDir, SparkEntry.queries, SparkEntry.oracleSql)
+    if (subset.isEmpty)
+      run(spark, sfDir, outDir, SparkEntry.queries, SparkEntry.oracleSql)
+    else
+      run(spark, sfDir, outDir,
+        SparkEntry.queries.view.filterKeys(subset).toMap,
+        SparkEntry.oracleSql.view.filterKeys(subset).toMap)
     spark.stop()
   }
 

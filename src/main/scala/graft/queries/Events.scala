@@ -863,14 +863,19 @@ object Events {
       .join(broadcast(rt), Seq("day"))
       .join(broadcast(ct), Seq("event_type"))
       .crossJoin(broadcast(tot))
-      .withColumn("d", expr("o * t - rt * ctot"))
+      // d itself is computed in DECIMAL(38): the o·t and rt·ctot
+      // products pass 2⁶³ near ~3·10⁹ events, BEFORE the squared
+      // term — a long d would wrap silently (Spark) where DuckDB
+      // raises, corrupting every cell ahead of the widened cast
+      .withColumn("d",
+        expr("CAST(o AS DECIMAL(38,0)) * t - CAST(rt AS DECIMAL(38,0)) * ctot"))
       // divisor widened too: rt·ctot·t passes 2⁶³ near 10⁹ events —
       // a silently-wrapped long divisor would corrupt every cell.
       // (The ×1000 numerator itself leaves DECIMAL(38) around
       // T ≈ 5·10⁸ per marginal product — past that, publish permille
       // as ×1 and rescale, same identity.)
       .withColumn("chi2_cell_milli", expr(
-        """CAST(CAST(d AS DECIMAL(38,0)) * d * 1000
+        """CAST(d * d * 1000
           |  div (CAST(rt AS DECIMAL(38,0)) * ctot * t) AS BIGINT)""".stripMargin))
     val topw = Window.partitionBy(col("day"))
       .orderBy(abs(col("d")).desc, col("event_type"))
@@ -892,9 +897,11 @@ object Events {
       |       FROM cells GROUP BY 1),
       |tot AS (SELECT CAST(sum(o) AS BIGINT) AS t FROM cells),
       |dev AS (
-      |  SELECT day, event_type, rt, o * t - rt * ctot AS d,
-      |         CAST(CAST(o * t - rt * ctot AS HUGEINT)
-      |                * (o * t - rt * ctot) * 1000
+      |  SELECT day, event_type, rt,
+      |         CAST(o AS HUGEINT) * t - CAST(rt AS HUGEINT) * ctot AS d,
+      |         CAST((CAST(o AS HUGEINT) * t - CAST(rt AS HUGEINT) * ctot)
+      |                * (CAST(o AS HUGEINT) * t - CAST(rt AS HUGEINT) * ctot)
+      |                * 1000
       |              // (CAST(rt AS HUGEINT) * ctot * t) AS BIGINT)
       |           AS chi2_cell_milli
       |  FROM cells JOIN rt USING (day) JOIN ct USING (event_type), tot),

@@ -507,6 +507,23 @@ object Stats {
         conv(substring(md5(col("chunk").cast("binary")), 1, 8), 16, 10)
           .cast("long").as("h"))
 
+  /** (source, exact_distinct) audit counts over 60-bit (15-hex-char)
+    * chunk hashes — deliberately WIDER than the sketch's 32-bit
+    * universe: the audit column exists to measure the sketch against
+    * distinct CHUNKS, and at ~10⁵ chunks/source the 32-bit universe
+    * already loses ~1‰ to birthday collisions, which would bias
+    * err_ppm into measuring sketch-vs-hash-universe instead. 60 bits
+    * keeps the collision term < 1 ppm out to ~10⁸ chunks while still
+    * fitting a BIGINT on both engines (16 hex chars would overflow a
+    * signed long). Shared by batch q135 and the q141 snapshot. */
+  private[graft] def chunkAuditDistinct(docs: DataFrame): DataFrame =
+    Text.docChunksOf(docs)
+      .select(col("source"),
+        conv(substring(md5(col("chunk").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("ah"))
+      .distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("exact_distinct"))
+
   /** (source, n, kth) via the native kernel — the sketch side. */
   private[graft] def kmvSketchOf(h: DataFrame): DataFrame =
     h.groupBy(col("source"))
@@ -524,28 +541,29 @@ object Stats {
         expr("abs(est_distinct - exact_distinct) * 1000000 div exact_distinct"))
 
   def q135KmvDistinct(s: SparkSession, dir: String): DataFrame = {
-    val h = chunkHashesOf(Tables.documents(s, dir))
-    val exact = h.distinct()
-      .groupBy(col("source")).agg(count(lit(1)).as("exact_distinct"))
-    kmvCensus(kmvSketchOf(h), exact)
+    val docs = Tables.documents(s, dir)
+    kmvCensus(kmvSketchOf(chunkHashesOf(docs)), chunkAuditDistinct(docs))
   }
   val q135Sql: String =
     s"""WITH ${Text.chunksSqlCte},
        |h AS (SELECT DISTINCT source,
        |        CAST('0x' || substr(md5(chunk), 1, 8) AS BIGINT) AS h
        |      FROM ch),
+       |ex AS (SELECT source,
+       |         count(DISTINCT CAST('0x' || substr(md5(chunk), 1, 15)
+       |                             AS BIGINT)) AS exact_distinct
+       |       FROM ch GROUP BY 1),
        |rk AS (SELECT source, h,
        |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
        |       FROM h),
        |sk AS (SELECT source,
        |         count(CASE WHEN rn <= $KmvK THEN 1 END) AS n,
-       |         max(CASE WHEN rn <= $KmvK THEN h END) AS kth,
-       |         count(*) AS exact_distinct
+       |         max(CASE WHEN rn <= $KmvK THEN h END) AS kth
        |       FROM rk GROUP BY 1),
        |est AS (SELECT source, n, kth, exact_distinct,
        |          CASE WHEN n < $KmvK THEN n
        |               ELSE $KmvEst // kth END AS est_distinct
-       |        FROM sk)
+       |        FROM sk JOIN ex USING (source))
        |SELECT source, n, kth, exact_distinct, est_distinct,
        |       abs(est_distinct - exact_distinct) * 1000000
        |         // exact_distinct AS err_ppm

@@ -307,9 +307,7 @@ object StreamingQ {
       Streams.incrementalKmv(docs, s"$work/kmv", s"$work/ckpt")
         .trigger(Trigger.AvailableNow()).start().awaitTermination()
     }
-    val exact = Stats.chunkHashesOf(Tables.documents(s, dir))
-      .distinct()
-      .groupBy(col("source")).agg(count(lit(1)).as("exact_distinct"))
-    Stats.kmvCensus(Streams.kmvSnapshot(s, s"$work/kmv"), exact)
+    Stats.kmvCensus(Streams.kmvSnapshot(s, s"$work/kmv"),
+      Stats.chunkAuditDistinct(Tables.documents(s, dir)))
   }
 }

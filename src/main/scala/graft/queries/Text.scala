@@ -1820,17 +1820,22 @@ object Text {
     * O(sources) arithmetic — the budget row broadcast-crosses back,
     * nothing corpus-sized moves. Integerization: targets are exact
     * integer floor products of the published mix_millionths, epochs
-    * are ceiling division, the partial-epoch fill is an exact ppm —
-    * at 100 TB token counts the budget·mix product approaches 2⁶³,
-    * so spell it in DECIMAL(38) first (the q137 discipline; here the
-    * long product is exact through petabyte scale).
+    * are ceiling division, the partial-epoch fill is an exact ppm.
+    * The budget·mix product IS spelled in DECIMAL(38) (the q137
+    * discipline): near the 100 TB design point (~10¹³ tokens × 10⁶
+    * millionths) a plain BIGINT product wraps silently in Spark
+    * while DuckDB raises — an engine divergence, not just a wrong
+    * number. The halving runs in BIGINT first (corpus_tokens < 2⁶³
+    * by construction) so the floor sequence matches the published
+    * formula exactly; only the multiply is widened.
     */
   def q136EpochSchedule(s: SparkSession, dir: String): DataFrame = {
     val w = q97MixtureWeights(s, dir) // (source, tokens, mix_millionths)
     val tot = w.agg(sum(col("tokens")).as("corpus_tokens"))
     w.crossJoin(broadcast(tot))
       .withColumn("target_tokens",
-        expr("(corpus_tokens div 2) * mix_millionths div 1000000"))
+        expr("""CAST(CAST(corpus_tokens div 2 AS DECIMAL(38,0))
+               |  * mix_millionths div 1000000 AS BIGINT)""".stripMargin))
       .withColumn("epochs",
         expr("(target_tokens + tokens - 1) div tokens"))
       // a source whose floored share rounds to zero is EXCLUDED from
@@ -1852,7 +1857,8 @@ object Text {
        |             corpus_tokens
        |      FROM q, tot),
        |t AS (SELECT source, tokens, mix_millionths,
-       |        (corpus_tokens // 2) * mix_millionths // 1000000 AS target_tokens
+       |        CAST(CAST(corpus_tokens // 2 AS HUGEINT)
+       |               * mix_millionths // 1000000 AS BIGINT) AS target_tokens
        |      FROM w),
        |e AS (SELECT source, tokens, mix_millionths, target_tokens,
        |        (target_tokens + tokens - 1) // tokens AS epochs

@@ -103,6 +103,15 @@ object StatefulTransitions {
     emitted.iterator.map(_.copy(user_id = userId))
   }
 
+  /** Wire over an event stream. NOTE the watermark is a PRE-FILTER:
+    * `withWatermark` silently DROPS any row older than the watermark
+    * before it ever reaches the stateful operator, so [[foldBatch]]'s
+    * late-arrival path only sees WITHIN-watermark disorder — its
+    * divergence bound is conditional on that drop. An event later
+    * than the watermark is not "handled approximately", it is gone
+    * (and its would-be transitions with it); size `watermark` to the
+    * ingest pipeline's real disorder, it is the knob that trades
+    * state size against loss. */
   def transitions(events: Dataset[TEvent],
                   watermark: String = "10 minutes"): Dataset[Transition] = {
     implicit val se = Encoders.product[TransState]

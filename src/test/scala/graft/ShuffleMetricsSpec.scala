@@ -68,20 +68,37 @@ class ShuffleMetricsSpec extends SparkSpec {
         "the fingerprint exchange lost its size advantage")
   }
 
+  /** The row-grain regression both token-side gates compare against:
+    * the exploded token stream crossing the wire un-combined — what a
+    * lost map-side partial aggregation degrades to. Measured under the
+    * SAME codec/partition config as the query under test, so the gates
+    * are differential (a legitimate config change moves both sides)
+    * instead of absolute byte ceilings that break on a codec bump. */
+  private lazy val tokenStreamBytes: Long = {
+    import org.apache.spark.sql.functions.{col, explode}
+    shuffleBytesOf(Tables.documents(spark, sf)
+      .select(col("source"), explode(ops.TextOps.tokens(col("text"))).as("t"))
+      .repartition(col("source")))
+  }
+
   test("q68 CMS shuffle is sketch-sized: O(d×w) cells per task, not corpus-sized") {
     val b = shuffleBytesOf(queries.Stats.q68CmsHeavyHitters(spark, sf))
-    assert(b > 0)
-    // the whole point of the sketch: ≤ 256 cells per map task cross;
-    // 2 MB is two orders below the exploded token stream
-    assert(b < 2L * 1024 * 1024,
-      s"q68 shuffled $b bytes — the map-side cell combine regressed")
+    assert(b > 0, "expected a cell exchange")
+    // differential: the sketch's map-side cell combine (plus the
+    // top-10 audit's vocab-grain partials) must stay well under the
+    // un-combined token stream it exists to avoid
+    assert(b * 8 < tokenStreamBytes,
+      s"q68 shuffled $b bytes vs $tokenStreamBytes for the raw token " +
+        "stream — the map-side cell combine regressed")
   }
 
   test("q97 mixture shuffle is O(sources × tasks): token totals, never tokens") {
     val b = shuffleBytesOf(queries.Text.q97MixtureWeights(spark, sf))
-    assert(b > 0)
-    assert(b < 1L * 1024 * 1024,
-      s"q97 shuffled $b bytes — per-source partials regressed to row grain")
+    assert(b > 0, "expected a totals exchange")
+    // differential: per-source TOTALS vs the token rows themselves
+    assert(b * 8 < tokenStreamBytes,
+      s"q97 shuffled $b bytes vs $tokenStreamBytes for the raw token " +
+        "stream — per-source partials regressed to row grain")
   }
 
   test("q134 segment dedup shuffle carries fingerprint rows, bounded by corpus bytes") {
