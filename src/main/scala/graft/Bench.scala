@@ -79,5 +79,17 @@ object Bench {
     }
     spark.stop()
     println(json)
+    // the tail capture is ALSO byte-bounded: at 151 queries the
+    // full-name map overflows it and the captured JSON loses its head
+    // (r7/r8 "parsed": null, 73 of 151 queries recorded). The FINAL
+    // line — the one the driver parses — therefore keys the map by the
+    // short query id ("q85" for q85_embedding_manifest; ids are unique
+    // by construction), ~2.1 KB total. bench_out.json above stays the
+    // authoritative full-name edition.
+    val compactQs = results
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"total_s":$total,"unit":"sec","queries":$compactQs,"sf":"$sfDir"}""")
   }
 }

@@ -303,6 +303,7 @@ object SparkEntry {
     // exact dedup at ingest: min-merged first-claims must reproduce
     // the batch q134 retention census across batch boundaries
     "q151_incremental_segments" -> (StreamingQ.q151IncrementalSegments _),
+    "q152_incremental_ann" -> (StreamingQ.q152IncrementalAnn _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -460,5 +461,6 @@ object SparkEntry {
     "q149_dataset_card" -> PipelineQ.q149Sql,
     "q150_decontaminated_splits" -> Dedup.q150Sql,
     "q151_incremental_segments" -> Dedup.q134Sql,
+    "q152_incremental_ann" -> Similarity.q31Sql,
   )
 }

@@ -82,34 +82,33 @@ object StreamBench {
 
   /** Stateful-operator throughput: the full sf corpus of events
     * through [[graft.streaming.StatefulTransitions]] in `batches`
-    * micro-batches (event-time order, the q147 feed), noop sink —
-    * measures the keyed state-store path (read-modify-write one
-    * TransState per user per batch), not result materialization.
-    * Returns (events, seconds) for the timed batches (first batch
-    * untimed: state-store provider init + codegen). */
+    * micro-batches (event-time order, the q147 oracle wrapper's EXACT
+    * distributed feed — range-sorted chunk files, one per trigger),
+    * noop sink — measures the keyed state-store path (read-modify-
+    * write one TransState per user per batch), not result
+    * materialization. The feed is staged once; the stream runs twice
+    * on fresh checkpoints and the second (JIT- and provider-warm) run
+    * is reported — the per-batch-interleaved warmup of the old
+    * MemoryStream harness, AvailableNow edition. Returns
+    * (events, seconds) for the timed replay of all `batches`. */
   private def runStateful(spark: SparkSession, sfDir: String,
                           batches: Int): (Long, Double) = {
     import graft.streaming.StatefulTransitions
-    import graft.streaming.StatefulTransitions.TEvent
-    implicit val sc = spark.sqlContext
-    implicit val ee = org.apache.spark.sql.Encoders.product[TEvent]
-    // the q147 oracle wrapper's exact feed (shared definition) — the
-    // benchmark measures the stream the oracle exercises
-    val events = StatefulTransitions.orderedFeed(spark, sfDir)
-    val in = MemoryStream[TEvent]
-    val q = StatefulTransitions.transitions(in.toDS()).writeStream
-      .format("noop").outputMode(OutputMode.Append()).start()
-    try {
-      val chunk = math.max(1, (events.length + batches - 1) / batches)
-      val groups = events.grouped(chunk).toSeq
-      in.addData(groups.head.toSeq: _*); q.processAllAvailable() // warmup
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_statebench").toString
+    StatefulTransitions.stageOrderedFeed(spark, sfDir, s"$dir/feed", batches)
+    val nEv = spark.read.parquet(s"$dir/feed").count()
+    def run(tag: String): Double = {
       val t0 = System.nanoTime()
-      groups.tail.foreach { g =>
-        in.addData(g.toSeq: _*); q.processAllAvailable()
-      }
-      ((events.length - groups.head.length).toLong,
-        (System.nanoTime() - t0) / 1e9)
-    } finally q.stop()
+      StatefulTransitions.transitions(
+          StatefulTransitions.feedStream(spark, s"$dir/feed")).writeStream
+        .format("noop").option("checkpointLocation", s"$dir/ckpt_$tag")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+    run("warm")
+    (nEv, run("timed"))
   }
 
   def main(args: Array[String]): Unit = {

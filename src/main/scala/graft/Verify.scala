@@ -9,6 +9,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     val subset = args.drop(2).toSet
+    // a typo'd name must fail loudly — filterKeys would silently verify
+    // nothing and exit green (round-8 advice)
+    val unknown = subset -- SparkEntry.queries.keySet
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")}")
     val spark = LocalSession.build()
     if (subset.isEmpty)
       run(spark, sfDir, outDir, SparkEntry.queries, SparkEntry.oracleSql)

@@ -871,12 +871,25 @@ object Events {
         expr("CAST(o AS DECIMAL(38,0)) * t - CAST(rt AS DECIMAL(38,0)) * ctot"))
       // divisor widened too: rt·ctot·t passes 2⁶³ near 10⁹ events —
       // a silently-wrapped long divisor would corrupt every cell.
-      // (The ×1000 numerator itself leaves DECIMAL(38) around
-      // T ≈ 5·10⁸ per marginal product — past that, publish permille
-      // as ×1 and rescale, same identity.)
+      // The ×1000 numerator itself leaves DECIMAL(38) around
+      // T ≈ 5·10⁸ per marginal product; past that bound Spark (ANSI
+      // off) yields NULL and sum() would silently SKIP the cell where
+      // DuckDB's HUGEINT raises — so the guard below turns the
+      // d-was-finite-but-product-overflowed case into the same loud
+      // error (round-8 advice). The rescale escape hatch past the
+      // bound: publish permille as ×1 and rescale, same identity.
       .withColumn("chi2_cell_milli", expr(
-        """CAST(d * d * 1000
-          |  div (CAST(rt AS DECIMAL(38,0)) * ctot * t) AS BIGINT)""".stripMargin))
+        """CASE
+          |  WHEN d IS NOT NULL
+          |       AND d * d * 1000
+          |           div (CAST(rt AS DECIMAL(38,0)) * ctot * t) IS NULL
+          |  THEN CAST(raise_error(
+          |    'q145: d*d*1000 overflowed DECIMAL(38) — corpus past the '
+          |    || 'T~5e8 permille bound; publish permille as x1 and rescale')
+          |    AS BIGINT)
+          |  ELSE CAST(d * d * 1000
+          |    div (CAST(rt AS DECIMAL(38,0)) * ctot * t) AS BIGINT)
+          |END""".stripMargin))
     val topw = Window.partitionBy(col("day"))
       .orderBy(abs(col("d")).desc, col("event_type"))
     dev

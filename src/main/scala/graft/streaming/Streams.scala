@@ -74,6 +74,43 @@ object Streams {
     spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond.toString).load()
 
+  /** Distributed event-time-ordered chunk feed (the "streamedFrame,
+    * ordered edition"): range-partition `base` on `orderCols` into `n`
+    * chunks, sort within each chunk, and stage the chunk files under
+    * `feedDir` with strictly increasing modification times, so a file
+    * source with `maxFilesPerTrigger=1` replays them as up-to-`n`
+    * in-order micro-batches (`FileStreamSource` admits files
+    * oldest-mtime-first, and `RangePartitioner` assigns ascending key
+    * ranges to ascending partition ids = ascending part-file names).
+    * The corpus never touches the driver: ordering is a distributed
+    * range shuffle + per-partition sort; the driver's only work is
+    * O(chunks) renames. Calling again for the same `feedDir` APPENDS
+    * chunks that sort after everything already staged — how sentinel
+    * flush batches are added behind a corpus. Returns the number of
+    * chunk files staged (an empty range writes no file). */
+  def orderedChunkFeed(base: DataFrame, feedDir: String, n: Int,
+                       orderCols: org.apache.spark.sql.Column*): Int = {
+    val stage = java.nio.file.Files.createTempDirectory("graft_feedstage")
+    base.repartitionByRange(n, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .write.mode("overwrite").parquet(stage.toString)
+    val dst = new java.io.File(feedDir)
+    dst.mkdirs()
+    // strictly after both wall-clock now and every already-staged chunk
+    val t0 = (Option(dst.listFiles()).getOrElse(Array.empty)
+      .map(_.lastModified()) :+ System.currentTimeMillis()).max + 2000L
+    val parts = new java.io.File(stage.toString).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      val out = new java.io.File(dst, f.getName)
+      java.nio.file.Files.move(f.toPath, out.toPath)
+      out.setLastModified(t0 + i * 2000L)
+    }
+    parts.length
+  }
+
   // ------------------------------------------------------------------ sinks
 
   /** foreachBatch parquet sink, overwrite-per-batch — the scale-sane

