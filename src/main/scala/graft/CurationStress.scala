@@ -213,9 +213,17 @@ object CurationStress {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val (flatRows, tFlatSkew) = time(noop(Text.q95BigramSurprisal(spark, skewDir)))
     val (splitRows, tSplitSkew) = time(noop(Text.q104BigramSkewSafe(spark, skewDir)))
+    // held-out edition on the same boilerplate corpus: q153's split vs
+    // q99's flat left-joins (the boilerplate head rides the broadcasts,
+    // both the pair AND the context key)
+    val (flatHeldRows, tFlatHeld) = time(noop(Text.q99HeldoutSurprisal(spark, skewDir)))
+    val (splitHeldRows, tSplitHeld) = time(noop(Text.q153HeldoutSkewSafe(spark, skewDir)))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     assert(flatRows == splitRows,
       s"flat and split censuses disagree on the skew corpus: $flatRows != $splitRows")
+    assert(flatHeldRows == splitHeldRows,
+      s"flat and split held-out censuses disagree on the skew corpus: " +
+        s"$flatHeldRows != $splitHeldRows")
 
     // ---- round-7 second wave (q108/q109/q111/q112/q114) at scale
 
@@ -482,7 +490,7 @@ object CurationStress {
       assert(r.getLong(3) + r.getLong(2) == r.getLong(1))
     }
 
-    println(f"""{"metric":"curation_stress","reps":$reps,"q142_sec":$tPack%.2f,"q149_sec":$tCard%.2f,"q150_sec":$tDecon%.2f,"q134_sec":$tSeg%.2f,"q137_sec":$tPmi%.2f,"q139_sec":$tTrans%.2f,"q121_sec":$tChunk%.2f,"q122_sec":$tLocf%.2f,"q126_sec":$tMask%.2f,"q127_sec":$tCur%.2f,"q108_sec":$tLex%.2f,"q109_sec":$tGaps%.2f,"q111_sec":$tMad%.2f,"q112_sec":$tGrid%.2f,"q114_sec":$tTri%.2f,"q114_cc_ppm":${rep114.getLong(4)},"q74_sec":$tSpan%.2f,"q74_rows":$spanRows,"q81_sec":$tOverlap%.2f,"q81_full_matches":$q81Full,"q79_sec":$tTrain%.2f,"q80_sec":$tApply%.2f,"q95_sec":$tBigram%.2f,"q98_sec":$tMix%.2f,"q98_surviving_tokens":$survTok,"q104_sec":$tSkew%.2f,"q99_sec":$tHeldout%.2f,"q101_sec":$tReid%.2f,"q102_sec":$tBoot%.2f,"q103_sec":$tBootFused%.2f,"bigram_types_base":$baseTypes,"bigram_types_train_r":$trainTypesR,"q95_skewcorpus_sec":$tFlatSkew%.2f,"q104_skewcorpus_sec":$tSplitSkew%.2f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"curation_stress","reps":$reps,"q142_sec":$tPack%.2f,"q149_sec":$tCard%.2f,"q150_sec":$tDecon%.2f,"q134_sec":$tSeg%.2f,"q137_sec":$tPmi%.2f,"q139_sec":$tTrans%.2f,"q121_sec":$tChunk%.2f,"q122_sec":$tLocf%.2f,"q126_sec":$tMask%.2f,"q127_sec":$tCur%.2f,"q108_sec":$tLex%.2f,"q109_sec":$tGaps%.2f,"q111_sec":$tMad%.2f,"q112_sec":$tGrid%.2f,"q114_sec":$tTri%.2f,"q114_cc_ppm":${rep114.getLong(4)},"q74_sec":$tSpan%.2f,"q74_rows":$spanRows,"q81_sec":$tOverlap%.2f,"q81_full_matches":$q81Full,"q79_sec":$tTrain%.2f,"q80_sec":$tApply%.2f,"q95_sec":$tBigram%.2f,"q98_sec":$tMix%.2f,"q98_surviving_tokens":$survTok,"q104_sec":$tSkew%.2f,"q99_sec":$tHeldout%.2f,"q101_sec":$tReid%.2f,"q102_sec":$tBoot%.2f,"q103_sec":$tBootFused%.2f,"bigram_types_base":$baseTypes,"bigram_types_train_r":$trainTypesR,"q95_skewcorpus_sec":$tFlatSkew%.2f,"q104_skewcorpus_sec":$tSplitSkew%.2f,"q99_skewcorpus_sec":$tFlatHeld%.2f,"q153_skewcorpus_sec":$tSplitHeld%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

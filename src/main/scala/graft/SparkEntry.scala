@@ -304,6 +304,9 @@ object SparkEntry {
     // the batch q134 retention census across batch boundaries
     "q151_incremental_segments" -> (StreamingQ.q151IncrementalSegments _),
     "q152_incremental_ann" -> (StreamingQ.q152IncrementalAnn _),
+    // q99's held-out scoring with the q104 hot-split: identical output,
+    // shuffle keys capped at the hot cuts
+    "q153_heldout_skewsafe" -> ((s, d) => Text.q153HeldoutSkewSafe(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -462,5 +465,6 @@ object SparkEntry {
     "q150_decontaminated_splits" -> Dedup.q150Sql,
     "q151_incremental_segments" -> Dedup.q134Sql,
     "q152_incremental_ann" -> Similarity.q31Sql,
+    "q153_heldout_skewsafe" -> Text.q99Sql,
   )
 }

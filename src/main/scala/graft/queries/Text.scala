@@ -857,6 +857,77 @@ object Text {
           add1Surprisal(coalesce(col("c2"), lit(0L)),
             coalesce(col("c1"), lit(0L)), col("v")).as("s2")))
   }
+  /** Skew-safe held-out surprisal (q153) — q99 with the q104 hot-split
+    * treatment, closing the round-7/8 audit's last flat-path flag:
+    * q99's scoring joins shuffle every VAL bigram on (w1, w2) and then
+    * on w1 for the context total, and the w1 marginal is the most
+    * Zipf-concentrated key in the pipeline ("the" as context). The
+    * split is three-way and exhaustive (hot ∩ tail = ∅ at each level,
+    * so every val bigram scores exactly once, same formula):
+    *  1. hot PAIRS (top-K train-count bigrams, s2 precomputed at model
+    *     grain) — broadcast, matched map-side;
+    *  2. tail pairs with a hot CONTEXT (top-K w1 marginals, c1 carried
+    *     by the broadcast) — the pair c2 arrives via a shuffle whose
+    *     per-key mass is capped by the K-th hot pair's train count,
+    *     the context total map-side;
+    *  3. tail pairs with a cold context — ordinary shuffled left
+    *     joins, both keys now below their hot cuts.
+    * OOV degenerates identically to q99 (coalesce-0 through the same
+    * add-1 expression on branch 3).
+    *
+    * Honesty note: the cuts are by TRAIN-split counts while the skew
+    * is in the VAL scoring stream — held-out hygiene means the scored
+    * side cannot define its own cut. Train and val draw from the same
+    * corpus distribution (q77's content-stable hash split), so the
+    * train Zipf head IS the val Zipf head up to sampling noise; an
+    * adversarially divergent val stream degrades to q99's flat
+    * behavior, never below it. Oracle: q99Sql (identical output). */
+  def q153HeldoutSkewSafe(s: SparkSession, dir: String,
+                          hotK: Int = HotPairK): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("split", splitLabel(col("doc_id")))
+      .withColumn("toks", TextOps.tokens(col("text")))
+    val train = d.filter(col("split") === "train")
+    // model ladder runs once (the q104 localCheckpoint discipline):
+    // c2 feeds the hot cut, the tail model and the context totals
+    val c2 = bigramsOf(train).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2")).localCheckpoint()
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vocab = train.select(explode(col("toks")).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    // hot pairs, held-out edition: s2 fully precomputed (the c1/vocab
+    // joins run at MODEL grain — O(distinct bigrams), never corpus)
+    val hot = broadcast(c2.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+      .orderBy(col("c2").desc, col("w1"), col("w2")).limit(hotK)
+      .select(col("w1"), col("w2"),
+        add1Surprisal(col("c2"), col("c1"), col("v")).as("s2")))
+    // hot contexts: the Zipf head of the w1 marginal, c1 riding along
+    val hotCtx = broadcast(c1.orderBy(col("c1").desc, col("w1")).limit(hotK)
+      .select(col("w1"), col("c1").as("hot_c1")))
+    val bg = bigramsOf(d.filter(col("split") === "val"))
+    val hotScored = bg.join(hot, Seq("w1", "w2")) // map-side
+      .select(col("source"), col("doc_id"), col("s2"))
+    val tailC2 = c2.join(hot.select(col("w1"), col("w2")),
+      Seq("w1", "w2"), "left_anti")
+    val tailWithPair = bg
+      .join(hot.select(col("w1"), col("w2")), Seq("w1", "w2"), "left_anti")
+      .join(tailC2, Seq("w1", "w2"), "left") // capped at the K-th pair count
+    val tailHotCtx = tailWithPair.join(hotCtx, Seq("w1")) // map-side
+      .crossJoin(broadcast(vocab))
+      .select(col("source"), col("doc_id"),
+        add1Surprisal(coalesce(col("c2"), lit(0L)), col("hot_c1"),
+          col("v")).as("s2"))
+    val coldC1 = c1.join(hotCtx.select(col("w1")), Seq("w1"), "left_anti")
+    val tailColdCtx = tailWithPair
+      .join(hotCtx.select(col("w1")), Seq("w1"), "left_anti") // map-side cut
+      .join(coldC1, Seq("w1"), "left") // capped at the K-th context count
+      .crossJoin(broadcast(vocab))
+      .select(col("source"), col("doc_id"),
+        add1Surprisal(coalesce(col("c2"), lit(0L)),
+          coalesce(col("c1"), lit(0L)), col("v")).as("s2"))
+    surprisalCensus(hotScored.unionByName(tailHotCtx).unionByName(tailColdCtx))
+  }
+
   // lazy: splitLabelSql is declared further down the file — an eager
   // val here would interpolate null at object init (caught by the
   // oracle gate: every DuckDB row got split = NULL)

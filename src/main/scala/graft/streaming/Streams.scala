@@ -825,15 +825,28 @@ object Streams {
     *     cos_sim) into a batch_id-partitioned pairs log
     *     (replay-idempotent via writeBatchPartition);
     *  3. appends (vec_id, v, bucket) to the index partitioned by
-    *     (bucket, batch_id) so a replayed batch overwrites itself.
+    *     (bucket_grp, batch_id) so a replayed batch overwrites itself.
     * Unlike the MinHash index the rows carry the vector itself —
     * cosine verification needs it; that is inherent to ANN, and it is
     * why the history read pruning matters even more here: the
-    * per-batch join reads only the touched bucket partitions
-    * ([[annIndexHistory]], ≤ 2^planes literal filters), not O(corpus)
+    * per-batch join reads only the touched bucket-group partitions
+    * ([[annIndexHistory]], ≤ [[AnnBucketGroups]] literal partition
+    * filters + row-group stats on the exact buckets), not O(corpus)
     * vectors. [[compactLshIndex]] folds batch partitions for this
-    * index too (bandCols = Seq("bucket")).
+    * index too (bandCols = Seq("bucket_grp")).
     */
+  /** Partition-directory grain of the incremental ANN index: buckets
+    * are stored under `bucket_grp = bucket % AnnBucketGroups` dirs, NOT
+    * one dir per bucket — 2^planes directories per micro-batch (256 at
+    * 8 planes, 65k at 16) would drown the index in tiny files and make
+    * every history read's partition discovery O(batches × buckets).
+    * Groups keep the directory count bounded while the history read
+    * stays pruned: partition filters on the touched GROUPS, then
+    * parquet row-group min/max stats on the `bucket` data column inside
+    * them. At 100 TB, size this so a group partition meets the file-
+    * size target (the same rule that picks a table's partition key). */
+  val AnnBucketGroups = 16
+
   def incrementalAnnNearDups(emb: DataFrame, indexPath: String,
                              pairsPath: String, checkpoint: String,
                              minCosine: Double = 0.35)
@@ -846,6 +859,7 @@ object Streams {
         val spark = batch.sparkSession
         val coded = batch
           .withColumn("bucket", graft.queries.Similarity.bucketCode(col("v")))
+          .withColumn("bucket_grp", pmod(col("bucket"), lit(AnnBucketGroups)))
           .persist()
         def verified(pairs: DataFrame): DataFrame = pairs
           .withColumn("cos_sim", round(cosine(col("av"), col("bv")), 6))
@@ -858,7 +872,7 @@ object Streams {
             col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
             col("a.v").as("av"), col("b.v").as("bv")))
         val candidates =
-          if (partitionedIndexHasHistory(spark, indexPath, "bucket=")) {
+          if (partitionedIndexHasHistory(spark, indexPath, "bucket_grp=")) {
             val batchBuckets = coded.select(col("bucket")).distinct()
               .collect().map(_.getLong(0)).toSeq
             val hist = annIndexHistory(spark, indexPath, batchBuckets, batchId)
@@ -874,19 +888,25 @@ object Streams {
           } else withinBatch
         writeBatchPartition(candidates.distinct(), batchId, pairsPath)
         writeBatchPartition(coded, batchId, indexPath,
-          prefixPartitionCols = Seq("bucket"))
+          prefixPartitionCols = Seq("bucket_grp"))
         coded.unpersist()
         ()
       }
 
   /** The per-batch history read of the incremental ANN index: literal
-    * bucket isin → parquet PartitionFilters, current batch excluded
-    * (replay must not self-match). Factored out so tests assert the
-    * plan of the EXACT read the ingest path performs. */
+    * bucket-GROUP isin → parquet PartitionFilters (≤ [[AnnBucketGroups]]
+    * literals), then the exact bucket isin as a pushed data filter
+    * (row-group min/max pruning inside each group dir); current batch
+    * excluded (replay must not self-match). Factored out so tests
+    * assert the plan of the EXACT read the ingest path performs. */
   def annIndexHistory(spark: SparkSession, indexPath: String,
                       buckets: Seq[Long], excludeBatchId: Long): DataFrame =
     spark.read.parquet(indexPath)
-      .filter(col("bucket").isin(buckets: _*) && col("batch_id") =!= excludeBatchId)
+      .filter(col("bucket_grp")
+          .isin(buckets.map(b => math.floorMod(b, AnnBucketGroups.toLong))
+            .distinct: _*) &&
+        col("bucket").isin(buckets: _*) &&
+        col("batch_id") =!= excludeBatchId)
 
   /** Hadoop-FS check (portable across s3a/hdfs/local) that a
     * partitioned index already has `prefix`-partition directories.

@@ -162,6 +162,19 @@ class PlanSpec extends SparkSpec {
       "a shuffled anti would reintroduce the skewed exchange")
   }
 
+  test("q153 held-out skew-safe: hot cuts ride broadcasts on every branch") {
+    val nodes = ops(planOf("q153_heldout_skewsafe"))
+    assert(nodes.exists {
+      case b: BroadcastHashJoinExec => b.joinType.sql == "INNER"
+      case _ => false
+    }, "hot-pair/hot-context scoring must be map-side BroadcastHashJoins")
+    assert(nodes.count {
+      case b: BroadcastHashJoinExec => b.joinType == LeftAnti
+      case _ => false
+    } >= 2, "both hot exclusions (pair AND context) must be broadcast " +
+      "anti-joins — a shuffled anti reintroduces the skewed exchange")
+  }
+
   test("q134 segment dedup: join-free — dedup is a window, never a self-join") {
     val nodes = ops(planOf("q134_segment_dedup"))
     assert(!nodes.exists(n => n.isInstanceOf[SortMergeJoinExec] ||
@@ -306,9 +319,9 @@ class PlanSpec extends SparkSpec {
     Seq((0, "ab", 1L, 0L), (1, "cd", 2L, 0L))
       .toDF("band", "sig", "doc_id", "batch_id")
       .write.partitionBy("band", "batch_id").parquet(s"$base/lsh")
-    Seq((3L, 10L, Array(1.0, 0.0), 0L))
-      .toDF("bucket", "vec_id", "v", "batch_id")
-      .write.partitionBy("bucket", "batch_id").parquet(s"$base/ann")
+    Seq((3L, 10L, Array(1.0, 0.0), 3L, 0L))
+      .toDF("bucket", "vec_id", "v", "bucket_grp", "batch_id")
+      .write.partitionBy("bucket_grp", "batch_id").parquet(s"$base/ann")
     Seq(("ab", "abffff", 0L)).toDF("fp_prefix", "fp", "batch_id")
       .write.partitionBy("fp_prefix", "batch_id").parquet(s"$base/fp")
 
@@ -319,7 +332,7 @@ class PlanSpec extends SparkSpec {
       ("lsh", graft.streaming.Streams.lshIndexHistory(
         spark, s"$base/lsh", Seq(0, 1), 5L), Seq("band", "batch_id")),
       ("ann", graft.streaming.Streams.annIndexHistory(
-        spark, s"$base/ann", Seq(3L), 5L), Seq("bucket", "batch_id")),
+        spark, s"$base/ann", Seq(3L), 5L), Seq("bucket_grp", "batch_id")),
       ("fp", graft.streaming.Streams.fpIndexHistory(
         spark, s"$base/fp", Seq("ab"), 5L), Seq("fp_prefix", "batch_id")))) {
       val scans = scansOf(df)

@@ -1,5 +1,6 @@
 package graft
 
+import graft.streaming.Streams
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types.StructType
 
@@ -71,6 +72,58 @@ class RobustnessSpec extends SparkSpec {
     assert(lone.isNullAt(2), "n=1 has no defined rank correlation — NULL")
     rows.values.filter(_.getLong(1) >= 2).foreach(r =>
       assert(!r.isNullAt(2), "multi-doc sources must publish a rho"))
+  }
+
+  test("streaming snapshot wrappers reproduce their batch twins on the hostile corpus") {
+    // the round-8 verdict's gap: the snapshot family was edge-tested
+    // only at the batch grain — here the full wrapper path (chunked
+    // feed → incremental monitor → landed partials → snapshot) runs
+    // over empty/whitespace/astral/100k-char docs and must still equal
+    // its batch twin bit-for-bit (sum-, min- and k-min-merge families)
+    assert(rowsOf(queries.StreamingQ.q105IncrementalMixture(spark, hostileDir))
+      === rowsOf(queries.Text.q97MixtureWeights(spark, hostileDir)),
+      "q105 mixture snapshot diverged from batch q97 on the edge corpus")
+    assert(rowsOf(queries.StreamingQ.q141IncrementalKmv(spark, hostileDir))
+      === rowsOf(queries.Stats.q135KmvDistinct(spark, hostileDir)),
+      "q141 KMV snapshot diverged from batch q135 on the edge corpus")
+    assert(rowsOf(queries.StreamingQ.q151IncrementalSegments(spark, hostileDir))
+      === rowsOf(queries.Dedup.q134SegmentDedup(spark, hostileDir)),
+      "q151 segment snapshot diverged from batch q134 on the edge corpus")
+  }
+
+  test("empty first batch + whole-corpus-in-one-file feed: snapshot still equals batch") {
+    // exercises readPartialsOrEmpty's degenerate landings end-to-end:
+    // batch 0 is ZERO rows (its landed partial partition is empty or
+    // absent), batch 1 is the whole corpus in one file — the snapshot
+    // must read through both shapes and reproduce the batch census
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_edgefeed")
+    val in = dir.resolve("in"); java.nio.file.Files.createDirectory(in)
+    val docs = Tables.documents(spark, hostileDir)
+      .select(col("source"), col("doc_id"), col("text"))
+    def land(name: String, df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
+      val stage = s"$dir/stage_$name"
+      df.coalesce(1).write.parquet(stage)
+      val parts = new java.io.File(stage).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      assert(parts.length === 1, s"$name: expected one staged part file")
+      val out = in.resolve(s"$name.parquet")
+      java.nio.file.Files.move(parts.head.toPath, out)
+      out.toFile.setLastModified(mtime); ()
+    }
+    val t0 = System.currentTimeMillis()
+    land("empty", docs.limit(0), t0)
+    land("all", docs, t0 + 5000)
+    val q = Streams.incrementalSegmentDedup(
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "source string, doc_id bigint, text string"))
+        .option("maxFilesPerTrigger", "1").parquet(in.toString),
+      s"$dir/claims", s"$dir/docs", s"$dir/ckpt").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(rowsOf(Streams.segmentDedupSnapshot(spark, s"$dir/claims", s"$dir/docs"))
+      === rowsOf(queries.Dedup.q134SegmentDedup(spark, hostileDir)),
+      "zero-row batch or single-file corpus broke the snapshot merge")
   }
 
   test("q136 degenerate shares stay coherent on extreme source skew") {

@@ -21,8 +21,9 @@ import org.apache.spark.sql.DataFrame
 class ShuffleMetricsSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.01"
 
-  /** Total shuffle bytes written while running `df` to the noop sink. */
-  private def shuffleBytesOf(df: => DataFrame): Long = {
+  /** Total shuffle bytes written while `run` executes (any number of
+    * jobs — streaming micro-batches included). */
+  private def shuffleBytesDuring(run: => Unit): Long = {
     val bytes = new AtomicLong(0L)
     val listener = new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
@@ -31,7 +32,7 @@ class ShuffleMetricsSpec extends SparkSpec {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      df.write.format("noop").mode("overwrite").save()
+      run
       // drain the async listener bus: poll until stable for 500 ms
       var last = -1L
       var stableSince = System.nanoTime()
@@ -45,6 +46,10 @@ class ShuffleMetricsSpec extends SparkSpec {
       bytes.get()
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  /** Total shuffle bytes written while running `df` to the noop sink. */
+  private def shuffleBytesOf(df: => DataFrame): Long =
+    shuffleBytesDuring(df.write.format("noop").mode("overwrite").save())
 
   private lazy val corpusTextBytes: Long =
     Tables.documents(spark, sf)
@@ -108,6 +113,100 @@ class ShuffleMetricsSpec extends SparkSpec {
     assert(b * 32 < tokenStreamBytes,
       s"q97 shuffled $b bytes vs $tokenStreamBytes for the raw token " +
         "stream — per-source partials regressed to row grain")
+  }
+
+  test("q147/q113 stateful runs shuffle only the pruned event columns, never props") {
+    import graft.streaming.{StatefulSessions, StatefulTransitions, Streams}
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    // the regression both gates watch: the raw events table — props
+    // JSON and value included — crossing a user_id exchange, what the
+    // stateful paths degrade to if their column prune is dropped
+    val bWide = shuffleBytesOf(
+      Tables.events(spark, sf).repartition(col("user_id")))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val work = java.nio.file.Files.createTempDirectory("graft_statebytes").toString
+    // q147: the whole registered path — ordered feed staging (one
+    // narrow range pass) + per-batch state exchanges (a second narrow
+    // pass, summed over batches)
+    val b147 = shuffleBytesDuring {
+      StatefulTransitions.stageOrderedFeed(spark, sf, s"$work/feed", 6)
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        StatefulTransitions.transitions(
+            StatefulTransitions.feedStream(spark, s"$work/feed")).writeStream
+          .format("noop").option("checkpointLocation", s"$work/ckpt147")
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    // q113: narrower still (user_id, ts)
+    val b113 = shuffleBytesDuring {
+      Streams.orderedChunkFeed(Tables.events(spark, sf)
+        .select(col("user_id").cast("long").as("user_id"),
+          col("ts").cast("timestamp_ltz").as("ts")),
+        s"$work/feed113", 4, col("ts"))
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        implicit val ee =
+          org.apache.spark.sql.Encoders.product[StatefulSessions.Event]
+        StatefulSessions.sessionize(spark.readStream
+            .schema(org.apache.spark.sql.types.StructType.fromDDL(
+              "user_id bigint, ts timestamp_ltz"))
+            .option("maxFilesPerTrigger", "1").parquet(s"$work/feed113")
+            .as[StatefulSessions.Event]).writeStream
+          .format("noop").option("checkpointLocation", s"$work/ckpt113")
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    assert(b147 > 0 && b113 > 0, "expected state exchanges")
+    info(f"q147 stateful shuffle: ${bWide.toDouble / b147}%.1f× under full-width events")
+    info(f"q113 stateful shuffle: ${bWide.toDouble / b113}%.1f× under full-width events")
+    // each path shuffles the narrow rows ~twice (feed stage + state
+    // exchange); the full-width single pass must still dwarf that
+    assert(b147 * 2 < bWide,
+      s"q147 shuffled $b147 vs $bWide full-width — the column prune regressed")
+    assert(b113 * 2 < bWide,
+      s"q113 shuffled $b113 vs $bWide full-width — the column prune regressed")
+  }
+
+  test("q151 incremental claims shuffle carries fingerprints, never segment text") {
+    import graft.streaming.Streams
+    import org.apache.spark.sql.functions.{col, explode, expr, greatest, length, lit, min, sequence, struct}
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val work = java.nio.file.Files.createTempDirectory("graft_claimbytes").toString
+    // chunk staging is harness scaffolding (it round-robins raw text);
+    // stage OUTSIDE the measurement so the gate sees only the monitor's
+    // own exchanges: per-batch first-claims (fp-keyed) + doc totals
+    Tables.documents(spark, sf).select(col("source"), col("doc_id"), col("text"))
+      .repartition(4).write.parquet(s"$work/chunks")
+    val b = shuffleBytesDuring {
+      Streams.incrementalSegmentDedup(
+        spark.readStream
+          .schema(org.apache.spark.sql.types.StructType.fromDDL(
+            "source string, doc_id bigint, text string"))
+          .option("maxFilesPerTrigger", "1").parquet(s"$work/chunks"),
+        s"$work/claims", s"$work/docs", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(b > 0, "expected claim exchanges")
+    // differential (q24 pattern): the regressed spelling keys claims by
+    // the SEGMENT TEXT instead of its md5 fingerprint — same grain,
+    // same compression, wider rows
+    val bText = shuffleBytesOf(Tables.documents(spark, sf)
+      .withColumn("len", length(col("text")))
+      .select(col("source"), col("doc_id"),
+        explode(sequence(lit(0), greatest(col("len") - 1, lit(0)),
+          lit(queries.Dedup.SegW))).as("off"), col("text"))
+      .select(col("source"), col("doc_id"), col("off"),
+        expr(s"substring(text, off + 1, ${queries.Dedup.SegW})").as("seg"))
+      .groupBy(col("seg"))
+      .agg(min(struct(col("doc_id"), col("off"), col("source"))).as("first")))
+    info(f"q151 claims shuffle: ${bText.toDouble / b}%.1f× under the text-keyed spelling")
+    assert(b * 2 < bText,
+      s"q151 shuffled $b bytes vs $bText for the text-keyed spelling — " +
+        "the fingerprint exchange lost its size advantage")
   }
 
   test("q134 segment dedup shuffle carries fingerprint rows, bounded by corpus bytes") {
