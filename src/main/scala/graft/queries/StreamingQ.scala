@@ -166,7 +166,7 @@ object StreamingQ {
     // (orderedChunkFeed appends with later mtimes) — the 1-row agg is
     // the only driver materialization in this path
     val far = new java.sql.Timestamp(
-      events.agg(max(col("ts"))).head.getTimestamp(0).getTime
+      events.agg(max(col("ts"))).head().getTimestamp(0).getTime
         + 48L * 3600 * 1000)
     Seq(far, new java.sql.Timestamp(far.getTime + 60000)).foreach { t =>
       Streams.orderedChunkFeed(

@@ -174,6 +174,41 @@ class StreamsSpec extends SparkSpec {
       "the per-user carry must reproduce the batch window's matrix exactly")
   }
 
+  test("orderedChunkFeed replays range-sorted chunks as in-order micro-batches") {
+    // the contract the de-drivered q113/q147 harnesses rest on: range i
+    // lands in part file i, staged mtimes strictly increase, and the
+    // file source admits oldest-first — so batch k's key range sits
+    // entirely below batch k+1's. Appending (the sentinel-flush path)
+    // must sort after everything already staged.
+    import org.apache.spark.sql.types.StructType
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ordfeed").toString
+    val n = 5
+    Streams.orderedChunkFeed(
+      spark.range(1000).select(col("id").as("seq")), s"$dir/feed", n, col("seq"))
+    Streams.orderedChunkFeed( // appended chunk: must arrive LAST
+      Seq(5000L).toDF("seq"), s"$dir/feed", 1, col("seq"))
+    val ranges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = spark.readStream.schema(StructType.fromDDL("seq bigint"))
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/feed")
+      .writeStream.option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        val r = b.agg(min(col("seq")), max(col("seq"))).head()
+        ranges.synchronized { ranges += ((id, r.getLong(0), r.getLong(1))); () }
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val sorted = ranges.sortBy(_._1).toList
+    assert(sorted.size == n + 1, s"expected ${n + 1} micro-batches, got $sorted")
+    sorted.sliding(2).foreach {
+      case List((_, _, hi), (_, lo, _)) =>
+        assert(hi < lo, s"batch ranges out of order or overlapping: $sorted")
+      case _ => ()
+    }
+    assert(sorted.last._3 == 5000L, "appended chunk must replay last")
+  }
+
   test("transformWithState transitions twin reproduces the batch q139 matrix") {
     import graft.streaming.StatefulTransitions
     val sf = "/root/testdata/sf0.001"
@@ -797,6 +832,53 @@ class StreamsSpec extends SparkSpec {
       graft.queries.Stats.chunkHashesOf(docs)))
     assert(streamed === batch,
       "post-restart snapshot must equal the batch sketch over the union")
+  }
+
+  test("incremental ANN index survives a restart: offsets resume, pairs equal batch q31") {
+    // completes the restart-proof family (KMV=k-min, segments=min,
+    // chi2=sum): the ANN index's cross-batch pairing reads its own
+    // landed history — a lost offset would re-land half0 under a new
+    // batch_id AND re-pair it against itself; the pairs distinct()
+    // hides duplicate pairs but not self-matches, so equality with the
+    // batch q31 set is the sharp assertion.
+    val dir = java.nio.file.Files.createTempDirectory("graft_annrec")
+    val in = dir.resolve("in"); java.nio.file.Files.createDirectory(in)
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    def land(half: Int): Unit = {
+      val stage = s"$dir/stage$half"
+      emb.filter(col("vec_id") % 2 === half).coalesce(1).write.parquet(stage)
+      new java.io.File(stage).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.move(f.toPath,
+          in.resolve(s"half$half.parquet")))
+    }
+    def start() = Streams.incrementalAnnNearDups(
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "vec_id bigint, v array<double>"))
+        .parquet(in.toString),
+      s"$dir/index", s"$dir/pairs", s"$dir/ckpt").start()
+    land(0)
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    land(1) // arrives while the ingest is DOWN
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val batches = spark.read.parquet(s"$dir/index")
+      .select(col("batch_id")).distinct().count()
+    assert(batches === 2,
+      s"expected 2 landed index partitions (offsets resumed), got $batches")
+    val streamed = spark.read.parquet(s"$dir/pairs")
+      .select("bucket", "vec_a", "vec_b", "cos_sim").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = graft.queries.Similarity.q31EmbeddingNearDups(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed === batch,
+      "post-restart pairs must equal the batch q31 near-dup set")
+    assert(batch.nonEmpty)
   }
 
   test("incremental segment dedup survives a restart: a replayed batch cannot steal a claim") {
