@@ -41,7 +41,15 @@ object StreamingQ {
     base.repartition(4).write.parquet(s"$work/chunks")
     val stream = s.readStream.schema(StructType.fromDDL(schemaDdl))
       .option("maxFilesPerTrigger", "1").parquet(s"$work/chunks")
-    run(stream, work)
+    // the monitors' per-batch jobs aggregate a quarter-corpus each —
+    // 8 shuffle partitions is the right grain for their exchanges and
+    // landed partial files (the q113 state-partition sizing note,
+    // foreachBatch edition). Restored in the finally.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      run(stream, work)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     work
   }
 
