@@ -87,7 +87,14 @@ object Streams {
     * O(chunks) renames. Calling again for the same `feedDir` APPENDS
     * chunks that sort after everything already staged — how sentinel
     * flush batches are added behind a corpus. Returns the number of
-    * chunk files staged (an empty range writes no file). */
+    * chunk files staged (an empty range writes no file).
+    *
+    * Portability note: mtime staging assumes a filesystem with
+    * settable modification times (local/HDFS). On an object store,
+    * stage each chunk with a separate sequenced PUT instead (upload
+    * order sets the listed mtime order) — or skip the harness
+    * entirely: a production stream IS the in-order source; this feed
+    * exists to replay a batch corpus as one for the oracle. */
   def orderedChunkFeed(base: DataFrame, feedDir: String, n: Int,
                        orderCols: org.apache.spark.sql.Column*): Int = {
     val stage = java.nio.file.Files.createTempDirectory("graft_feedstage")
