@@ -86,6 +86,11 @@ object Bench {
     // short query id ("q85" for q85_embedding_manifest; ids are unique
     // by construction), ~2.1 KB total. bench_out.json above stays the
     // authoritative full-name edition.
+    // a duplicated short id would silently drop a query's timing from
+    // the parsed record (JSON last-wins) — turn "unique by
+    // construction" into a check
+    require(results.map(_._1.takeWhile(_ != '_')).distinct.size == results.size,
+      "duplicate short query ids — rename the colliding query")
     val compactQs = results
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")

@@ -307,6 +307,9 @@ object SparkEntry {
     // q99's held-out scoring with the q104 hot-split: identical output,
     // shuffle keys capped at the hot cuts
     "q153_heldout_skewsafe" -> ((s, d) => Text.q153HeldoutSkewSafe(s, d)),
+    // measured-head auto-selector between q95's flat plan and q104's
+    // split — output branch-independent
+    "q154_surprisal_auto" -> ((s, d) => Text.q154SurprisalAuto(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -466,5 +469,6 @@ object SparkEntry {
     "q151_incremental_segments" -> Dedup.q134Sql,
     "q152_incremental_ann" -> Similarity.q31Sql,
     "q153_heldout_skewsafe" -> Text.q99Sql,
+    "q154_surprisal_auto" -> Text.q95Sql,
   )
 }

@@ -95,7 +95,7 @@ object StreamBench {
                           batches: Int): (Long, Double) = {
     import graft.streaming.StatefulTransitions
     import org.apache.spark.sql.streaming.Trigger
-    val dir = java.nio.file.Files.createTempDirectory("graft_statebench").toString
+    val dir = graft.streaming.Streams.scratchDir("graft_statebench")
     StatefulTransitions.stageOrderedFeed(spark, sfDir, s"$dir/feed", batches)
     val nEv = spark.read.parquet(s"$dir/feed").count()
     def run(tag: String): Double = {

@@ -37,7 +37,7 @@ object StreamingQ {
   private def streamedFrame(s: SparkSession, base: DataFrame,
                             schemaDdl: String)
                            (run: (DataFrame, String) => Unit): String = {
-    val work = java.nio.file.Files.createTempDirectory("graft_incq").toString
+    val work = Streams.scratchDir("graft_incq")
     base.repartition(4).write.parquet(s"$work/chunks")
     val stream = s.readStream.schema(StructType.fromDDL(schemaDdl))
       .option("maxFilesPerTrigger", "1").parquet(s"$work/chunks")
@@ -164,7 +164,7 @@ object StreamingQ {
     import graft.streaming.StatefulSessions.Event
     import org.apache.spark.sql.streaming.OutputMode
     implicit val ee = org.apache.spark.sql.Encoders.product[Event]
-    val work = java.nio.file.Files.createTempDirectory("graft_q113").toString
+    val work = Streams.scratchDir("graft_q113")
     val events = Tables.events(s, dir)
       .select(col("user_id").cast("long").as("user_id"),
         col("ts").cast("timestamp_ltz").as("ts"))
@@ -173,9 +173,16 @@ object StreamingQ {
     // sentinel flush: two single-row chunks staged AFTER the corpus
     // (orderedChunkFeed appends with later mtimes) — the 1-row agg is
     // the only driver materialization in this path
+    val maxRow = events.agg(max(col("ts"))).head()
+    if (maxRow.isNullAt(0))
+      // empty corpus (or all-null ts): no sessions exist and the sink
+      // would never write — return the empty census the oracle computes
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL(
+          "user_id bigint, session_count bigint, max_session_events bigint"))
     val far = new java.sql.Timestamp(
-      events.agg(max(col("ts"))).head().getTimestamp(0).getTime
-        + 48L * 3600 * 1000)
+      maxRow.getTimestamp(0).getTime + 48L * 3600 * 1000)
     Seq(far, new java.sql.Timestamp(far.getTime + 60000)).foreach { t =>
       Streams.orderedChunkFeed(
         s.createDataset(Seq(Event(flushUser, t)))(ee).toDF(),
@@ -267,7 +274,7 @@ object StreamingQ {
   def q147IncrementalTransitions(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.StatefulTransitions
     import org.apache.spark.sql.streaming.OutputMode
-    val work = java.nio.file.Files.createTempDirectory("graft_q147").toString
+    val work = Streams.scratchDir("graft_q147")
     StatefulTransitions.stageOrderedFeed(s, dir, s"$work/feed", 6)
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     try {

@@ -830,6 +830,52 @@ object Text {
     surprisalCensus(hotScored.unionByName(tailScored))
   }
 
+  /** The scoring-plan decision statistic (q154's probe): the share of
+    * total bigram occurrences held by the single HOTTEST pair, in ppm
+    * — exactly the mass the worst reducer would carry in the flat
+    * shuffled join (a top-K share would saturate to 100% whenever the
+    * model has fewer than K pairs, as this synthetic corpus does, and
+    * say nothing about any one reducer). Measured on a deterministic
+    * 1-in-8 doc sample: a ratio statistic is robust to uniform doc
+    * sampling, so the probe costs one model-grain agg over ~12% of
+    * the corpus — orders cheaper than either scoring pass it gates.
+    * Expects a frame with (doc_id, toks). The sample is taken on the
+    * md5 split-byte ([[splitByte]] with a probe-specific salt), NOT
+    * raw `doc_id % k` — a sharded id scheme (ids ≡ 1 mod 8, say)
+    * would leave a modulo sample empty and silently defeat the
+    * selector; the content-stable hash is unbiased for any id
+    * assignment (the q77 split discipline). */
+  def hottestBigramSharePpm(d: DataFrame): Long = {
+    val probeByte = conv(substring(md5(
+      concat(lit("probe:"), col("doc_id").cast("string")).cast("binary")),
+      1, 2), 16, 10).cast("long")
+    val c2 = bigramsOf(d.filter(probeByte < 32)) // 32/256 = 1-in-8
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .agg(coalesce(max(col("c2")), lit(0L)).as("top"),
+        coalesce(sum(col("c2")), lit(0L)).as("total")).head()
+    if (c2.getLong(1) == 0L) 0L else c2.getLong(0) * 1000000L / c2.getLong(1)
+  }
+
+  /** Adaptive surprisal scoring (q154) — the [[contaminationAuto]]
+    * discipline for the skew family: MEASURE the reducer concentration
+    * first, then pick q95's flat single-join plan or q104's hot-split.
+    * Default threshold 20,000 ppm: a pair holding ≥2% of corpus
+    * bigrams puts 20× the fair share on one task in a 1000-task
+    * shuffle — the regime where the split's second scan is cheaper
+    * than the serialized reducer (PLANS.md's crossover rows); the
+    * driver testdata probes ~1,300-13,000 ppm and takes the flat
+    * plan. Both branches produce identical output by construction, so
+    * the choice is a pure physical-plan decision and the oracle
+    * (q95Sql) is branch-independent. */
+  def q154SurprisalAuto(s: SparkSession, dir: String,
+                        splitThresholdPpm: Long = 20000L): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+    if (hottestBigramSharePpm(d) >= splitThresholdPpm)
+      q104BigramSkewSafe(s, dir)
+    else q95BigramSurprisal(s, dir)
+  }
+
   /** Held-out surprisal census (q99) — eval hygiene for the LM-quality
     * ladder: the bigram model is trained ONLY on the train split
     * (q77's salted content-stable cut) and scores ONLY val docs, so

@@ -113,10 +113,43 @@ object Streams {
     parts.zipWithIndex.foreach { case (f, i) =>
       val out = new java.io.File(dst, f.getName)
       java.nio.file.Files.move(f.toPath, out.toPath)
-      out.setLastModified(t0 + i * 2000L)
+      // setLastModified FAILS by returning false (not throwing) on
+      // filesystems without settable mtimes — and the whole in-order
+      // replay invariant rides on these mtimes, so a silent false
+      // would surface only as an inexplicable oracle mismatch (or a
+      // sentinel flush replaying BEFORE the corpus). Fail loudly here.
+      require(out.setLastModified(t0 + i * 2000L),
+        s"orderedChunkFeed: cannot set mtime on $out — this filesystem " +
+          "cannot stage an ordered feed (see the portability note)")
     }
     parts.length
   }
+
+  /** A temp work dir removed recursively at JVM exit. The streaming
+    * oracle wrappers stage corpus-scale feeds, sinks and checkpoints;
+    * without cleanup one bench sweep (warmup + 2 timed runs × several
+    * wrappers) accumulates a dozen corpus copies under /tmp until
+    * staging writes start failing. Deletion must wait for JVM exit —
+    * each wrapper RETURNS a DataFrame lazily backed by these files,
+    * so a finally-block delete would break the caller's plan. */
+  def scratchDir(prefix: String): String = {
+    cleanupHookInstalled
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
+    p.toString
+  }
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val cleanupHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.forEach { p =>
+        try {
+          val s = java.nio.file.Files.walk(p)
+          try s.sorted(java.util.Comparator.reverseOrder())
+            .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+          finally s.close()
+        } catch { case _: Throwable => () } // never fail JVM exit
+      }))
 
   // ------------------------------------------------------------------ sinks
 
@@ -894,8 +927,13 @@ object Streams {
             withinBatch.unionByName(vsHistory)
           } else withinBatch
         writeBatchPartition(candidates.distinct(), batchId, pairsPath)
-        writeBatchPartition(coded, batchId, indexPath,
-          prefixPartitionCols = Seq("bucket_grp"))
+        // sort by bucket inside each task: rows of one bucket_grp dir
+        // otherwise interleave buckets {g, g+16, ...} in arrival order
+        // and every row group's bucket min/max spans the whole group —
+        // the pushed bucket-isin filter would prune nothing. Sorted,
+        // the row-group stats the history read relies on are tight.
+        writeBatchPartition(coded.sortWithinPartitions(col("bucket")),
+          batchId, indexPath, prefixPartitionCols = Seq("bucket_grp"))
         coded.unpersist()
         ()
       }

@@ -48,6 +48,7 @@ class PlanSpec extends SparkSpec {
     "q95_bigram_surprisal",     // × 1-row vocab-size agg
     "q99_heldout_surprisal",    // × 1-row train-vocab-size agg
     "q153_heldout_skewsafe",    // × 1-row train-vocab-size agg (q99's cross, per branch)
+    "q154_surprisal_auto",      // selector: either branch plans q95/q104's vocab cross
     "q21_langid",               // × 1-row corpus stats
     "q37_sketches",             // × 1-row sketch-params frame
     "q49_contamination",        // × 1-row collected bench shingle set

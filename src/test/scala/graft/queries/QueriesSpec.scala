@@ -1332,6 +1332,31 @@ class QueriesSpec extends SparkSpec {
       rowsOf(Text.q95BigramSurprisal(spark, sf)))
   }
 
+  test("q154 selector: flat on the testdata head, split past a boilerplate head") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val d = graft.Tables.documents(spark, sf)
+      .withColumn("toks", graft.ops.TextOps.tokens(col("text")))
+    val basePpm = Text.hottestBigramSharePpm(d)
+    assert(basePpm < 20000L,
+      s"testdata hottest-pair share is $basePpm ppm — the probe must pick the flat plan")
+    // a boilerplate-saturated corpus: every doc shares a preamble, so
+    // each preamble pair holds ~1/9 of the total bigram mass
+    val boiler = "terms of service apply all rights reserved contact us"
+    val planted = (0L until 64L).map(i => ("crawl", i, s"$boiler unique$i tail$i"))
+      .toDF("source", "doc_id", "text")
+      .withColumn("toks", graft.ops.TextOps.tokens(col("text")))
+    val plantedPpm = Text.hottestBigramSharePpm(planted)
+    assert(plantedPpm >= 20000L,
+      s"boilerplate hottest-pair share is $plantedPpm ppm — the probe must pick the split")
+    // whichever branch the probe picks, the registered output is q95's
+    assert(rowsOf(Text.q154SurprisalAuto(spark, sf)) ===
+      rowsOf(Text.q95BigramSurprisal(spark, sf)))
+    // forced-split spelling (threshold 0) is row-identical too
+    assert(rowsOf(Text.q154SurprisalAuto(spark, sf, splitThresholdPpm = 0L)) ===
+      rowsOf(Text.q95BigramSurprisal(spark, sf)))
+  }
+
   test("q101 re-id census: users conserved; equals an in-memory signature reference") {
     val events = graft.Tables.events(spark, sf)
       .select("user_id", "event_type").collect()
