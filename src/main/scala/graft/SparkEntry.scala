@@ -310,6 +310,12 @@ object SparkEntry {
     // measured-head auto-selector between q95's flat plan and q104's
     // split — output branch-independent
     "q154_surprisal_auto" -> ((s, d) => Text.q154SurprisalAuto(s, d)),
+    // deterministic bottom-k-by-hash sampled quantiles (native
+    // TypedImperativeAggregate) + exact-median audit
+    "q155_sampled_quantiles" -> ((s, d) => Stats.q155SampledQuantiles(s, d)),
+    // the min-merge streamed twin: landed per-batch bottom-k partials
+    // must reproduce batch q155 bit-exact
+    "q156_incremental_quantiles" -> (StreamingQ.q156IncrementalQuantiles _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -470,5 +476,7 @@ object SparkEntry {
     "q152_incremental_ann" -> Similarity.q31Sql,
     "q153_heldout_skewsafe" -> Text.q99Sql,
     "q154_surprisal_auto" -> Text.q95Sql,
+    "q155_sampled_quantiles" -> Stats.q155Sql,
+    "q156_incremental_quantiles" -> Stats.q155Sql,
   )
 }

@@ -569,6 +569,122 @@ object Stats {
        |         // exact_distinct AS err_ppm
        |FROM est""".stripMargin
 
+  // -------------------------------- sampled quantiles (q155 / q156)
+
+  /** Sample size for the bottom-k quantile sketch — 256 values bound
+    * the ceil-rank quantile's deviation like any uniform-sample
+    * estimator (±~6% of rank mass at p50, 95% CI); the audit columns
+    * measure the realized error per source. */
+  val SampleK = 256
+
+  /** (source, h, v) rows for the quantile sample: a 60-bit md5 row
+    * hash (the q135 audit-hash collision budget — the BottomKSample
+    * buffer collapses equal (h, v) pairs, so the hash must make that
+    * term sub-ppm) and the doc length as the sampled value. */
+  private[graft] def quantileSampleOf(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+      conv(substring(md5(concat(lit("qtl:"), col("doc_id").cast("string"))),
+        1, 15), 16, 10).cast("long").as("h"),
+      col("n_chars").cast("long").as("v"))
+
+  /** Exact per-source median of n_chars by the ceil-rank convention —
+    * the audit side. Sorts each source once (two windows over one
+    * exchange, the q140 discipline); this is the column you DROP at
+    * 100 TB — the sample is what you keep, and err_pm measures
+    * exactly that trade. */
+  private[graft] def exactMedianOf(docs: DataFrame): DataFrame = {
+    val byLen = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    docs.select(col("source"), col("n_chars").cast("long").as("n_chars"),
+        col("doc_id"))
+      .withColumn("r", row_number().over(byLen).cast("long"))
+      .withColumn("c",
+        count(lit(1)).over(Window.partitionBy(col("source"))).cast("long"))
+      .groupBy(col("source"))
+      .agg(max(when(expr("r = (c * 50 + 99) div 100"), col("n_chars")))
+        .as("exact_p50"))
+  }
+
+  /** The census over (source, h, v) sample-pair rows + the exact
+    * audit — ONE definition for batch q155 and the incremental
+    * snapshot (q156): bottom-k via the native kernel, then integer
+    * ceil-rank quantiles indexed from the sorted sample (identical
+    * spelling in the DuckDB oracle, so the estimates hash-match). */
+  private[graft] def sampledQuantileCensus(pairs: DataFrame,
+                                           exact: DataFrame,
+                                           k: Int = SampleK): DataFrame = {
+    def q(p: Int) = element_at(col("sample"),
+      expr(s"cast((size(sample) * $p + 99) div 100 as int)"))
+    pairs.groupBy(col("source"))
+      .agg(graft.functions.BottomKSample
+        .bottomk_sample(col("h"), col("v"), k).as("sample"))
+      .select(col("source"), size(col("sample")).cast("long").as("sample_n"),
+        q(50).as("p50"), q(90).as("p90"), q(99).as("p99"))
+      .join(broadcast(exact), "source")
+      .withColumn("p50_err_pm",
+        expr("abs(p50 - exact_p50) * 1000 div greatest(exact_p50, 1)"))
+  }
+
+  /** Deterministic sampled quantiles (q155) — length-distribution
+    * monitoring at sketch cost: per source, p50/p90/p99 of n_chars
+    * estimated from a bottom-k-by-hash sample
+    * ([[graft.functions.BottomKSample]] — O(k) state, map-side
+    * partial merge, merge-order-invariant), exact median as audit.
+    * t-digest / GK / `approx_percentile` cannot sit on this oracle
+    * board: their results depend on merge order, which both the
+    * DuckDB hash-compare and the partitioning-invariance gate forbid;
+    * a bottom-k-of-uniform-hash sample is a uniform sample with NONE
+    * of that order dependence (the KMV determinism argument, quantile
+    * edition). Min-merge family, so q156 lands per-batch partials
+    * through this same census. */
+  /** The k the REGISTERED q155/q156 pin: smaller than every driver
+    * source (25 docs/source at sf0.01), so the oracle rows exercise
+    * the TRUNCATING bottom-k path — with the production default
+    * (k=256 > any driver source) the sample would be the under-full
+    * identity and the oracle would never see a sampling decision. */
+  val QuantileRegK = 16
+
+  def q155SampledQuantiles(s: SparkSession, dir: String,
+                           k: Int = QuantileRegK): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    sampledQuantileCensus(quantileSampleOf(docs), exactMedianOf(docs), k)
+  }
+  val q155Sql: String =
+    s"""WITH hv AS (
+       |  SELECT source, CAST(n_chars AS BIGINT) AS v,
+       |         CAST('0x' || substr(md5('qtl:' || CAST(doc_id AS VARCHAR)),
+       |                             1, 15) AS BIGINT) AS h
+       |  FROM documents),
+       |samp AS (
+       |  SELECT source, v FROM (
+       |    SELECT source, v,
+       |           row_number() OVER (PARTITION BY source ORDER BY h, v) AS rn
+       |    FROM hv) WHERE rn <= $QuantileRegK),
+       |sv AS (
+       |  SELECT source, v,
+       |         row_number() OVER (PARTITION BY source ORDER BY v) AS vr,
+       |         count(*) OVER (PARTITION BY source) AS m
+       |  FROM samp),
+       |qn AS (
+       |  SELECT source, CAST(max(m) AS BIGINT) AS sample_n,
+       |         max(CASE WHEN vr = (m * 50 + 99) // 100 THEN v END) AS p50,
+       |         max(CASE WHEN vr = (m * 90 + 99) // 100 THEN v END) AS p90,
+       |         max(CASE WHEN vr = (m * 99 + 99) // 100 THEN v END) AS p99
+       |  FROM sv GROUP BY 1),
+       |ex AS (
+       |  SELECT source,
+       |         max(CASE WHEN r = (c * 50 + 99) // 100 THEN n_chars END)
+       |           AS exact_p50
+       |  FROM (SELECT source, CAST(n_chars AS BIGINT) AS n_chars,
+       |               row_number() OVER (PARTITION BY source
+       |                                  ORDER BY n_chars, doc_id) AS r,
+       |               count(*) OVER (PARTITION BY source) AS c
+       |        FROM documents) GROUP BY 1)
+       |SELECT qn.source, sample_n, p50, p90, p99, exact_p50,
+       |       abs(p50 - exact_p50) * 1000
+       |         // greatest(exact_p50, 1) AS p50_err_pm
+       |FROM qn JOIN ex USING (source)""".stripMargin
+
   // -------------------------------------------------- Spearman (q140)
 
   /** Spearman rank correlation, exact-integer (q140): does document

@@ -296,6 +296,25 @@ object StreamingQ {
         expr("transitions * 1000000 div from_total").as("prob_ppm"))
   }
 
+  /** q156: q155's sampled length quantiles with the SAMPLE side
+    * computed from the incremental monitor's landed per-batch
+    * bottom-k partials (min-merge family, (hash, value)-pair
+    * edition; ≤k rows per source per batch). The exact-median audit
+    * recomputes in batch — it exists to measure the sample. Oracle:
+    * q155Sql — a green row means the streamed O(k) sample reproduced
+    * the batch kernel's quantiles bit-for-bit across micro-batch
+    * boundaries. */
+  def q156IncrementalQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val work = streamed(s, dir, Seq("source", "doc_id", "n_chars"),
+      "source string, doc_id bigint, n_chars bigint") { (docs, work) =>
+      Streams.incrementalQuantileSample(docs, s"$work/sample", s"$work/ckpt",
+        Stats.QuantileRegK)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Streams.quantileSnapshot(s, s"$work/sample",
+      Stats.exactMedianOf(Tables.documents(s, dir)), Stats.QuantileRegK)
+  }
+
   /** q152: q31's embedding near-dup pairs from the incremental ANN
     * ingest (round-7/8 verdict: the last incremental index without an
     * oracle row) — the bucket-partitioned hyperplane signature index

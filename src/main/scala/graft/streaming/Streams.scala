@@ -507,6 +507,42 @@ object Streams {
         "source string, h bigint, batch_id bigint")
         .select(col("source"), col("h")))
 
+  /** Incremental bottom-k quantile sample (min-merge family, sample
+    * edition — the incrementalKmv discipline over (hash, value)
+    * PAIRS): each micro-batch lands its own bottom-k (source, h, v)
+    * rows — ≤[[graft.queries.Stats.SampleK]] per source per batch;
+    * bottom-k-of-union = bottom-k of merged bottom-ks — as a
+    * replay-idempotent batch_id partition. The live length
+    * distribution is then [[quantileSnapshot]]'s re-merge. */
+  def incrementalQuantileSample(docs: DataFrame, samplePath: String,
+                                checkpoint: String,
+                                k: Int = graft.queries.Stats.SampleK)
+      : DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        val bottomk = Window.partitionBy(col("source"))
+          .orderBy(col("h"), col("v"))
+        val partial = graft.queries.Stats.quantileSampleOf(batch)
+          .withColumn("rn", row_number().over(bottomk))
+          .filter(col("rn") <= k)
+          .select(col("source"), col("h"), col("v"))
+        writeBatchPartition(partial, batchId, samplePath)
+      }
+
+  /** The live quantile census: the batch census tail over the merged
+    * per-batch bottom-k partials (+ the caller's exact audit frame —
+    * recomputed in batch, it exists to measure the sample). */
+  def quantileSnapshot(spark: SparkSession, samplePath: String,
+                       exact: DataFrame,
+                       k: Int = graft.queries.Stats.SampleK): DataFrame =
+    graft.queries.Stats.sampledQuantileCensus(
+      readPartialsOrEmpty(spark, samplePath,
+        "source string, h bigint, v bigint, batch_id bigint")
+        .select(col("source"), col("h"), col("v")), exact, k)
+
   /** Incremental first-claim segment dedup — exact sub-document dedup
     * AT INGEST (the q134 pass as a monitor): each micro-batch lands
     * TWO partial sets, (a) per-fingerprint CLAIMS — the batch's
