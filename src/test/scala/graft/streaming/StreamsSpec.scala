@@ -834,6 +834,51 @@ class StreamsSpec extends SparkSpec {
       "post-restart snapshot must equal the batch sketch over the union")
   }
 
+  test("incremental quantile sample survives a restart: snapshot equals batch q155") {
+    // the 5th member of the restart family (KMV=k-min, segments=min,
+    // chi2=sum, ANN=index pairing): a lost offset would re-land
+    // half0's bottom-k partials — harmless to the min-merge values but
+    // a duplicated (h, v) partial row changes nothing ONLY because the
+    // kernel collapses pairs; the sharp assertion is offsets resumed +
+    // snapshot == batch census bit-for-bit
+    val dir = java.nio.file.Files.createTempDirectory("graft_qtlrec")
+    val in = dir.resolve("in"); java.nio.file.Files.createDirectory(in)
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    def land(half: Int): Unit = {
+      val stage = s"$dir/stage$half"
+      docs.filter(col("doc_id") % 2 === half).coalesce(1).write.parquet(stage)
+      new java.io.File(stage).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.move(f.toPath,
+          in.resolve(s"half$half.parquet")))
+    }
+    def start() = Streams.incrementalQuantileSample(
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "source string, doc_id bigint, n_chars bigint"))
+        .parquet(in.toString),
+      s"$dir/sample", s"$dir/ckpt", graft.queries.Stats.QuantileRegK).start()
+    land(0)
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    land(1) // arrives while the monitor is DOWN
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val batches = spark.read.parquet(s"$dir/sample")
+      .select(col("batch_id")).distinct().count()
+    assert(batches === 2,
+      s"expected 2 landed partitions (offsets resumed), got $batches")
+    val exact = graft.queries.Stats.exactMedianOf(
+      graft.Tables.documents(spark, sf))
+    val streamed = rowsOf(Streams.quantileSnapshot(spark, s"$dir/sample",
+      exact, graft.queries.Stats.QuantileRegK))
+    val batch = rowsOf(graft.queries.Stats.q155SampledQuantiles(spark, sf))
+    assert(streamed === batch,
+      "post-restart merged bottom-k partials must equal the batch census")
+  }
+
   test("incremental ANN index survives a restart: offsets resume, pairs equal batch q31") {
     // completes the restart-proof family (KMV=k-min, segments=min,
     // chi2=sum): the ANN index's cross-batch pairing reads its own
