@@ -189,6 +189,37 @@ class ShuffleMetricsSpec extends SparkSpec {
         "exchange budget grew (an extra exchange or a widened claim row)")
   }
 
+  test("q155 sample-side shuffle is O(k × sources): bottom-k partials, never doc rows") {
+    import org.apache.spark.sql.functions.col
+    // the PRODUCTION path alone (the exact-median audit is the
+    // documented 100 TB drop — its window exchange is O(docs) by
+    // design and would drown the signal): the kernel agg's map-side
+    // bottom-k combine must shrink each partition's contribution to
+    // ≤k pairs before the exchange. Measured on a generated 200k-row
+    // frame, not the sf corpus — at sf0.01 the corpus (500 docs) is
+    // SMALLER than the partial-slot capacity (partitions × sources ×
+    // k), so the combine has nothing to combine and the differential
+    // cannot show; the property under test is scale-shape, and it
+    // needs rows >> slots to be visible
+    import org.apache.spark.sql.functions.expr
+    val pairs = spark.range(200000).select(
+      (col("id") % 4).cast("string").as("source"),
+      expr("cast(conv(substring(md5(cast(id as string)), 1, 15), 16, 10) " +
+        "as bigint)").as("h"),
+      (col("id") % 997).as("v"))
+    val b = shuffleBytesOf(pairs.groupBy(col("source"))
+      .agg(graft.functions.BottomKSample.bottomk_sample(
+        col("h"), col("v"), queries.Stats.QuantileRegK).as("s")))
+    assert(b > 0, "expected a partial-sample exchange")
+    // differential: the un-combined (source, h, v) row stream — what a
+    // lost partial aggregation degrades to
+    val bRows = shuffleBytesOf(pairs.repartition(col("source")))
+    info(f"q155 shuffle ratio: ${bRows.toDouble / b}%.0f× under the pair stream")
+    assert(b * 32 < bRows,
+      s"q155 sample shuffled $b bytes vs $bRows for the raw pair stream — " +
+        "the map-side bottom-k combine regressed")
+  }
+
   test("q134 segment dedup shuffle carries fingerprint rows, bounded by corpus bytes") {
     val b = shuffleBytesOf(queries.Dedup.q134SegmentDedup(spark, sf))
     assert(b > 0)
