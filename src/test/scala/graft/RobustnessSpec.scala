@@ -128,6 +128,77 @@ class RobustnessSpec extends SparkSpec {
       "zero-row batch or single-file corpus broke the snapshot merge")
   }
 
+  /** Hostile EVENTS corpus — the event-grain edge cases the sf tables
+    * never produce: equal-timestamp ties, an exactly-30-minute gap
+    * (the > boundary), a lone single-event user, one user carrying
+    * almost all events, and a far-future outlier. */
+  private lazy val hostileEventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hostile_ev").toString
+    val schema = StructType.fromDDL(
+      "event_id bigint, ts timestamp_ntz, user_id bigint, " +
+        "event_type string, value double, props string")
+    def t(s: String) = java.time.LocalDateTime.parse(s)
+    val rows = Seq(
+      // user 1: three events at the SAME microsecond (tie-break paths)
+      Row(1L, t("2026-01-01T10:00:00"), 1L, "view", 1.0, "{}"),
+      Row(2L, t("2026-01-01T10:00:00"), 1L, "click", 1.0, "{}"),
+      Row(3L, t("2026-01-01T10:00:00"), 1L, "purchase", 1.0, "{}"),
+      // user 2: gap of EXACTLY 30 minutes — same session (> boundary),
+      // then 30min + 1µs — new session
+      Row(4L, t("2026-01-01T09:00:00"), 2L, "view", 0.5, "{}"),
+      Row(5L, t("2026-01-01T09:30:00"), 2L, "click", 0.5, "{}"),
+      Row(6L, t("2026-01-01T10:00:00.000001"), 2L, "view", 0.5, "{}"),
+      // user 3: a single lone event
+      Row(7L, t("2026-01-02T12:00:00"), 3L, "view", 2.0, "{}"),
+      // user 4: the hot user — a burst within one session
+      Row(8L, t("2026-01-03T08:00:00"), 4L, "view", 1.0, "{}"),
+      Row(9L, t("2026-01-03T08:01:00"), 4L, "view", 1.0, "{}"),
+      Row(10L, t("2026-01-03T08:02:00"), 4L, "click", 1.0, "{}"),
+      Row(11L, t("2026-01-03T08:03:00"), 4L, "click", 1.0, "{}"),
+      Row(12L, t("2026-01-03T08:04:00"), 4L, "purchase", 1.0, "{}"),
+      // user 5: a far-future outlier (watermark / day-grain stress)
+      Row(13L, t("2031-06-15T23:59:59.999999"), 5L, "view", 9.9, "{}"))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+      .repartition(2).write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("event-grain members complete on the hostile events corpus") {
+    val members: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame)] = Seq(
+      "q17" -> (queries.Events.q17UserSessions _),
+      "q109" -> (queries.Events.q109IntereventGaps _),
+      "q139" -> (queries.Events.q139SessionTransitions _),
+      "q145" -> (queries.Events.q145Chi2DailyMix _),
+      "q113" -> (queries.StreamingQ.q113StatefulSessions _),
+      "q147" -> (queries.StreamingQ.q147IncrementalTransitions _))
+    members.foreach { case (name, fn) =>
+      val n = fn(spark, hostileEventsDir).count()
+      assert(n >= 0, s"$name failed on the hostile events corpus")
+    }
+  }
+
+  test("exactly-30-minute gap stays one session; +1µs splits — batch AND stateful agree") {
+    // the µs-exact boundary contract (q17's `> 1800000000L` micros):
+    // user 2's 30:00.000000 gap merges, its 30:00.000001 gap splits —
+    // and the STREAMED q113 census must land the identical verdict
+    def censusOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    val batch = censusOf(queries.Events.q17UserSessions(spark, hostileEventsDir))
+    assert(batch(2L) === ((2L, 2L)),
+      s"user 2 must have 2 sessions (30:00 merges, +1µs splits), got ${batch(2L)}")
+    assert(batch(1L) === ((1L, 3L)),
+      s"user 1's equal-µs burst is one 3-event session, got ${batch(1L)}")
+    assert(batch(3L) === ((1L, 1L)), "a lone event is its own session")
+    val streamed = censusOf(
+      queries.StreamingQ.q113StatefulSessions(spark, hostileEventsDir))
+    assert(streamed === batch,
+      "streamed sessionizer census diverged from batch q17 on the edge corpus")
+  }
+
   test("q136 degenerate shares stay coherent on extreme source skew") {
     // srcHuge dwarfs the others; every published row must still obey
     // the (epochs, fill) contract incl. the zero-target branch
