@@ -199,6 +199,47 @@ class RobustnessSpec extends SparkSpec {
       "streamed sessionizer census diverged from batch q17 on the edge corpus")
   }
 
+  test("zero vectors: cosine NaN never ranks, buckets to 0, near-dups drop it") {
+    // a failed embedder emits zero vectors at 100 TB scale; naive
+    // cosine against one is 0/0 = NaN, and Spark ORDERS NaN ABOVE
+    // every double — an unguarded top-k would surface NaN "matches"
+    // first. The native kernel guards the zero norm (returns 0.0,
+    // VectorExpressions.scala:91) — this pins that guard END-TO-END
+    // through ranking and the near-dup threshold, so a kernel rewrite
+    // that drops it fails here, not in a production index.
+    import org.apache.spark.sql.functions.{broadcast, col, round, row_number}
+    import org.apache.spark.sql.expressions.{Window => W}
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)),
+      (3L, Array(0.0, 0.0)), // the zero vector
+      (4L, Array(0.0, 1.0))).toDF("vec_id", "v")
+    val q = emb.filter(col("vec_id") === 1L)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val ranked = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("vec_id").as("neighbor_id"),
+        round(queries.Similarity.cosine(col("qv"), col("v")), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(
+        W.orderBy(col("cos_sim").desc, col("neighbor_id"))))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    info(s"zero-vector rank: ${ranked(3L)} of 3")
+    assert(ranked(2L) === 1,
+      s"the genuine near-neighbor must rank first; got ranks $ranked")
+    // bucketCode on the zero vector: every plane sum is 0 → bucket 0,
+    // and q31's cos_sim >= 0.35 filter drops NaN pairs (NaN
+    // comparisons are false) — the near-dup set stays NaN-free
+    val dir = java.nio.file.Files.createTempDirectory("graft_hostile_emb").toString
+    Seq((1L, Array(1.0f, 0.0f), 0), (2L, Array(0.999f, 0.01f), 0),
+      (3L, Array(0.0f, 0.0f), 1), (4L, Array(0.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .repartition(2).write.parquet(s"$dir/embeddings.parquet")
+    val dups = queries.Similarity.q31EmbeddingNearDups(spark, dir).collect()
+    assert(dups.forall(r => !r.getDouble(3).isNaN),
+      "NaN pairs leaked through the near-dup threshold")
+    assert(dups.map(r => (r.getLong(1), r.getLong(2))).toSet === Set((1L, 2L)),
+      "the genuine near-dup pair must survive; zero-zero pairs must not")
+  }
+
   test("q136 degenerate shares stay coherent on extreme source skew") {
     // srcHuge dwarfs the others; every published row must still obey
     // the (epochs, fill) contract incl. the zero-target branch
