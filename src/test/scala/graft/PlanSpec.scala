@@ -395,6 +395,65 @@ class PlanSpec extends SparkSpec {
         "sorts the whole exploded corpus")
   }
 
+  test("AQE splits a planted skewed sort-merge join at runtime") {
+    // PLANS.md leans on "AQE handles skew and runtime re-planning" for
+    // every join this engine does NOT hand-salt — this proves the
+    // mechanism actually fires in this session's config: a join where
+    // one key holds 80% of the rows must come out of adaptive
+    // execution as a SortMergeJoin with isSkewJoin=true (the hot
+    // partition split across reducers), not a serialized reducer.
+    import org.apache.spark.sql.functions.when
+    import spark.implicits._
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAB = spark.conf.getOption(
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prevT = spark.conf.getOption(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    val prevA = spark.conf.getOption(
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    try {
+      // thresholds scaled to test data (defaults are 256 MB-grade)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // AQE re-decides broadcast from RUNTIME sizes via its own knob —
+      // the static -1 alone does not stop the runtime promotion
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+      val left = spark.range(100000).select(
+        when(col("id") % 5 =!= 0, 0L).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+      val right = spark.range(2000).select(col("id").as("k"),
+        (col("id") * 7).as("rv"))
+      val joined = left.join(right, "k")
+      // execute THIS Dataset's own QueryExecution: count() builds a
+      // different plan and would leave this one's AQE un-finalized
+      assert(joined.collect().length > 0)
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // the executed tree nests the join inside ResultQueryStage /
+      // ShuffleQueryStage nodes that plain collect() does not cross —
+      // assert on the rendered plan, where the skew rewrite prints as
+      // "(skew=true)" on the join and "skewed" on the AQEShuffleRead
+      val tree = finalPlan.treeString
+      assert(tree.contains("Join"), "expected a shuffled join (broadcast disabled)")
+      assert(tree.contains("skew=true") && tree.contains("skewed"),
+        "AQE did not split the planted 80%-hot key — the skew-join " +
+          s"safety net the un-salted joins rely on is not firing:\n$tree")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      def restore(k: String, v: Option[String]): Unit = v match {
+        case Some(x) => spark.conf.set(k, x)
+        case None => spark.conf.unset(k)
+      }
+      restore("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAB)
+      restore("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", prevT)
+      restore("spark.sql.adaptive.advisoryPartitionSizeInBytes", prevA)
+    }
+  }
+
   test("registered streaming harness paths stay driver-free (no corpus collect)") {
     // round-9 gate closing the round-7/8 verdict's standing weak: the
     // q113/q147 oracle wrappers, the shared stateful feed, and
