@@ -168,12 +168,16 @@ class RobustnessSpec extends SparkSpec {
   test("event-grain members complete on the hostile events corpus") {
     val members: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
       org.apache.spark.sql.DataFrame)] = Seq(
+      "q16" -> (queries.Events.q16HourlyEventStats _),
       "q17" -> (queries.Events.q17UserSessions _),
+      "q83" -> (queries.Events.q83TransitionMatrix _),
+      "q90" -> ((s, d) => queries.Events.q90RateAnomaly(s, d)),
       "q109" -> (queries.Events.q109IntereventGaps _),
       "q139" -> (queries.Events.q139SessionTransitions _),
       "q145" -> (queries.Events.q145Chi2DailyMix _),
       "q113" -> (queries.StreamingQ.q113StatefulSessions _),
-      "q147" -> (queries.StreamingQ.q147IncrementalTransitions _))
+      "q147" -> (queries.StreamingQ.q147IncrementalTransitions _),
+      "q148" -> (queries.StreamingQ.q148IncrementalChi2 _))
     members.foreach { case (name, fn) =>
       val n = fn(spark, hostileEventsDir).count()
       assert(n >= 0, s"$name failed on the hostile events corpus")
