@@ -1031,7 +1031,11 @@ object Streams {
     *     anti-join against the persistent fingerprint index
     *     (partitioned by 2-hex-char fp_prefix + batch_id, so the
     *     history read prunes to ≤256 touched prefixes exactly like the
-    *     LSH band index), then register the survivors' fingerprints;
+    *     LSH band index — 256 dirs is the right grain HERE because an
+    *     fp index at ingest scale fills them, unlike the ANN index's
+    *     per-bucket layout which [[AnnBucketGroups]] had to group; at
+    *     small batch sizes shorten the prefix by the same rule), then
+    *     register the survivors' fingerprints;
     *  3. append survivors to a batch_id-partitioned corpus log;
     *  4. the [[lshDedupStep]] over the survivors (band-partitioned
     *     signature index + candidate pairs log).
