@@ -79,22 +79,52 @@ object Bench {
     }
     spark.stop()
     println(json)
-    // the tail capture is ALSO byte-bounded: at 151 queries the
-    // full-name map overflows it and the captured JSON loses its head
-    // (r7/r8 "parsed": null, 73 of 151 queries recorded). The FINAL
-    // line — the one the driver parses — therefore keys the map by the
-    // short query id ("q85" for q85_embedding_manifest; ids are unique
-    // by construction), ~2.1 KB total. bench_out.json above stays the
-    // authoritative full-name edition.
+    // the tail capture is ALSO byte-bounded: the driver records only the
+    // LAST 2000 bytes of stdout (measured: BENCH_r09 "tail" is exactly
+    // 2000 chars), so any final line longer than that loses its head and
+    // parses as null — which is exactly what happened at 151 queries
+    // with full names (r7/r8) and AGAIN at 156 queries with short ids
+    // (r9, the line had grown to ~2.15 KB). The final line therefore
+    // self-limits to a hard byte budget: short query ids, and if the
+    // full map still doesn't fit, the SLOWEST queries keep their
+    // entries (they're the ones worth reading in a truncated record)
+    // and a "queries_omitted" count marks the cut. bench_out.json above
+    // stays the authoritative full-name, full-map edition.
     // a duplicated short id would silently drop a query's timing from
     // the parsed record (JSON last-wins) — turn "unique by
     // construction" into a check
     require(results.map(_._1.takeWhile(_ != '_')).distinct.size == results.size,
       "duplicate short query ids — rename the colliding query")
-    val compactQs = results
+    println(compactLine(results, total, sfDir))
+  }
+
+  /** The driver-parsed final line, guaranteed under `budget` bytes.
+    * Entries are admitted slowest-first until the budget is spent;
+    * anything cut is counted in "queries_omitted" (0 = full map). */
+  private[graft] def compactLine(results: Seq[(String, Double)],
+                                 total: String, sfDir: String,
+                                 budget: Int = 1900): String = {
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    def render(entries: Seq[String], omitted: Int): String = {
+      val qs = entries.mkString("{", ",", "}")
+      val omit = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":$total,"total_s":$total,"unit":"sec","queries":$qs$omit,"sf":"$sfDir"}"""
+    }
+    val bySlow = results.sortBy { case (_, v) => -math.abs(v) }
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    println(
-      s"""{"metric":"total","value":$total,"total_s":$total,"unit":"sec","queries":$compactQs,"sf":"$sfDir"}""")
+    val full = render(bySlow, 0)
+    if (full.length <= budget) full
+    else {
+      // fixed overhead measured with an empty map and the max omitted
+      // count; each entry then costs its own length + 1 (the comma)
+      val overhead = render(Nil, results.size).length
+      var room = budget - overhead
+      val kept = bySlow.takeWhile { e =>
+        room -= e.length + 1; room >= 0
+      }
+      render(kept, results.size - kept.size)
+    }
   }
 }

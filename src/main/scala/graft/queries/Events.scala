@@ -884,8 +884,9 @@ object Events {
           |       AND d * d * 1000
           |           div (CAST(rt AS DECIMAL(38,0)) * ctot * t) IS NULL
           |  THEN CAST(raise_error(
-          |    'q145: d*d*1000 overflowed DECIMAL(38) — corpus past the '
-          |    || 'T~5e8 permille bound; publish permille as x1 and rescale')
+          |    'q145: d*d*1000 (or the divisor rt*ctot*t) overflowed '
+          |    || 'DECIMAL(38) — corpus past the T~5e8 permille bound; '
+          |    || 'publish permille as x1 and rescale')
           |    AS BIGINT)
           |  ELSE CAST(d * d * 1000
           |    div (CAST(rt AS DECIMAL(38,0)) * ctot * t) AS BIGINT)

@@ -613,8 +613,20 @@ object Stats {
   private[graft] def sampledQuantileCensus(pairs: DataFrame,
                                            exact: DataFrame,
                                            k: Int = SampleK): DataFrame = {
-    def q(p: Int) = element_at(col("sample"),
-      expr(s"cast((size(sample) * $p + 99) div 100 as int)"))
+    // A source whose every (h, v) pair was null (e.g. all-null
+    // n_chars) leaves an EMPTY bottom-k sample: the ceil-rank index
+    // is then 0 and bare element_at dies with Spark's opaque "SQL
+    // array indices start at 1" far from the cause (where the DuckDB
+    // spelling would emit NULL quantiles — no hash-match is possible
+    // either way). Fail loudly, naming the source.
+    def q(p: Int) = expr(
+      s"""CASE WHEN size(sample) >= 1
+         |  THEN element_at(sample,
+         |         cast((size(sample) * $p + 99) div 100 as int))
+         |  ELSE CAST(raise_error('sampledQuantileCensus: source "'
+         |    || source || '" produced an EMPTY quantile sample — every '
+         |    || 'hash/value pair was null; repair or drop the source')
+         |    AS BIGINT) END""".stripMargin)
     pairs.groupBy(col("source"))
       .agg(graft.functions.BottomKSample
         .bottomk_sample(col("h"), col("v"), k).as("sample"))

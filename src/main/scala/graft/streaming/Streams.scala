@@ -122,6 +122,14 @@ object Streams {
         s"orderedChunkFeed: cannot set mtime on $out — this filesystem " +
           "cannot stage an ordered feed (see the portability note)")
     }
+    // every data file just moved OUT; only _SUCCESS/.crc markers remain.
+    // Delete the stage now — unlike scratchDir feeds, nothing returned
+    // to the caller is backed by these files, and a bench sweep stages
+    // one of these per feed (JVM-exit cleanup would let them pile up).
+    val walk = java.nio.file.Files.walk(stage)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(q => { java.nio.file.Files.deleteIfExists(q); () })
+    finally walk.close()
     parts.length
   }
 

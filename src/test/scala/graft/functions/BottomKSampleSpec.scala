@@ -51,6 +51,23 @@ class BottomKSampleSpec extends SparkSpec {
       }
   }
 
+  test("census on an all-null source fails loudly, naming the source") {
+    // every (h, v) pair null → empty sample → the ceil-rank index is 0;
+    // without the guard element_at dies with Spark's opaque "SQL array
+    // indices start at 1" far from the cause. The census must instead
+    // raise a descriptive error carrying the offending source name.
+    val pairs = Seq(("bad_src", None: Option[Long], None: Option[Long]),
+      ("bad_src", None, None)).toDF("source", "h", "v")
+    val exact = Seq(("bad_src", 0L)).toDF("source", "exact_p50")
+    val e = intercept[Exception] {
+      graft.queries.Stats.sampledQuantileCensus(pairs, exact, 16).collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("bad_src") && msg.contains("EMPTY quantile sample"),
+      s"expected the descriptive empty-sample error, got: $msg")
+  }
+
   test("sampled median lands near the true median on a uniform stream") {
     // values 1..100k with a multiplicative row hash: the bottom-256
     // sample's ceil-rank p50 must land within ~12% of the true median

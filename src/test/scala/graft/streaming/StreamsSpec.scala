@@ -207,6 +207,13 @@ class StreamsSpec extends SparkSpec {
       case _ => ()
     }
     assert(sorted.last._3 == 5000L, "appended chunk must replay last")
+    // the staging temp dir must not outlive the call: a bench sweep
+    // stages one per feed and /tmp fills with _SUCCESS/.crc husks
+    val husks = new java.io.File(
+      System.getProperty("java.io.tmpdir")).listFiles()
+      .filter(_.getName.startsWith("graft_feedstage"))
+    assert(husks.isEmpty,
+      s"orderedChunkFeed left staging dirs behind: ${husks.mkString(", ")}")
   }
 
   test("transformWithState transitions twin reproduces the batch q139 matrix") {
