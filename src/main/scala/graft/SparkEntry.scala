@@ -316,6 +316,12 @@ object SparkEntry {
     // the min-merge streamed twin: landed per-batch bottom-k partials
     // must reproduce batch q155 bit-exact
     "q156_incremental_quantiles" -> (StreamingQ.q156IncrementalQuantiles _),
+    // q156 with the partials log FOLDED (in-place min-merge compaction)
+    // between ingest and snapshot — compaction must preserve the sketch
+    "q157_compacted_quantiles" -> (StreamingQ.q157CompactedQuantiles _),
+    // q105 with the SUM-merge token log compacted via the atomic
+    // stage-and-swap protocol — the fold must preserve summed totals
+    "q158_compacted_mixture" -> (StreamingQ.q158CompactedMixture _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -478,5 +484,7 @@ object SparkEntry {
     "q154_surprisal_auto" -> Text.q95Sql,
     "q155_sampled_quantiles" -> Stats.q155Sql,
     "q156_incremental_quantiles" -> Stats.q155Sql,
+    "q157_compacted_quantiles" -> Stats.q155Sql,
+    "q158_compacted_mixture" -> Text.q97Sql,
   )
 }

@@ -356,4 +356,41 @@ object StreamingQ {
     Stats.kmvCensus(Streams.kmvSnapshot(s, s"$work/kmv"),
       Stats.chunkAuditDistinct(Tables.documents(s, dir)))
   }
+
+  /** q157: q156's sampled-quantile census with the partials log
+    * COMPACTED between ingest and snapshot — the micro-batches' landed
+    * bottom-k partitions are folded into one merged batch_id=-1
+    * partition (min-merge in-place protocol, the duplication-tolerant
+    * family) before the same snapshot runs. Oracle: q155Sql — a green
+    * row means compaction preserved the sketch BIT-EXACTLY; this is
+    * the maintenance operation that keeps a long-running monitor's
+    * partial count O(1) instead of O(ingest age). */
+  def q157CompactedQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val work = streamed(s, dir, Seq("source", "doc_id", "n_chars"),
+      "source string, doc_id bigint, n_chars bigint") { (docs, work) =>
+      Streams.incrementalQuantileSample(docs, s"$work/sample", s"$work/ckpt",
+        Stats.QuantileRegK)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Streams.compactMinMergePartials(s, s"$work/sample",
+      Streams.quantileSampleMerge(Stats.QuantileRegK))
+    Streams.quantileSnapshot(s, s"$work/sample",
+      Stats.exactMedianOf(Tables.documents(s, dir)), Stats.QuantileRegK)
+  }
+
+  /** q158: q105's mixture weights with the SUM-merge token log
+    * compacted through the stage-and-swap protocol (the family where
+    * an in-place fold could double-count under a crash) before the
+    * same snapshot runs. Oracle: q97Sql — a green row means the
+    * all-or-nothing swap preserved the summed totals exactly. */
+  def q158CompactedMixture(s: SparkSession, dir: String): DataFrame = {
+    val work = streamed(s, dir, Seq("source", "text"),
+      "source string, text string") { (docs, work) =>
+      Streams.incrementalSourceTokens(docs, s"$work/tokens", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Streams.compactSummedPartials(s, s"$work/tokens",
+      _.groupBy(col("source")).agg(sum(col("tokens")).as("tokens")))
+    Streams.mixtureWeightsSnapshot(s, s"$work/tokens")
+  }
 }

@@ -465,6 +465,10 @@ object Streams {
                                   ddl: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a missing log may be a compaction swap interrupted between its
+    // two commit renames — repair it rather than report "no partials
+    // yet" (which would be a silently-empty WRONG snapshot)
+    if (!fs.exists(p)) recoverCompaction(spark, path)
     if (fs.exists(p)) spark.read.parquet(path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
       org.apache.spark.sql.types.StructType.fromDDL(ddl))
@@ -495,14 +499,9 @@ object Streams {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import org.apache.spark.sql.expressions.Window
-        val kmin = Window.partitionBy(col("source")).orderBy(col("h"))
-        val partial = graft.queries.Stats.chunkHashesOf(batch)
-          .distinct()
-          .withColumn("rn", row_number().over(kmin))
-          .filter(col("rn") <= graft.queries.Stats.KmvK)
-          .select(col("source"), col("h"))
-        writeBatchPartition(partial, batchId, sketchPath)
+        writeBatchPartition(
+          kmvMerge()(graft.queries.Stats.chunkHashesOf(batch)),
+          batchId, sketchPath)
       }
 
   /** The live sketch: KmvAgg over the union of landed k-min partials
@@ -530,14 +529,9 @@ object Streams {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import org.apache.spark.sql.expressions.Window
-        val bottomk = Window.partitionBy(col("source"))
-          .orderBy(col("h"), col("v"))
-        val partial = graft.queries.Stats.quantileSampleOf(batch)
-          .withColumn("rn", row_number().over(bottomk))
-          .filter(col("rn") <= k)
-          .select(col("source"), col("h"), col("v"))
-        writeBatchPartition(partial, batchId, samplePath)
+        writeBatchPartition(
+          quantileSampleMerge(k)(graft.queries.Stats.quantileSampleOf(batch)),
+          batchId, samplePath)
       }
 
   /** The live quantile census: the batch census tail over the merged
@@ -1191,5 +1185,160 @@ object Streams {
         fs.delete(new org.apache.hadoop.fs.Path(bandDir.getPath, s"batch_id=$b"), true)
       }
     }
+  }
+
+  // ------------------------------------------- partials-log compaction
+
+  /** Folds a partials log's accumulated `batch_id=` partitions into one
+    * merged `batch_id=-1` partition, keeping the LATEST batch partition
+    * live — it is the only one a crash-recovery replay can rewrite;
+    * everything older is immutable and safe to fold. `merge` is the
+    * family's OWN partial merge (the same function the snapshot applies
+    * to the union of partials), so snapshot(compacted) ==
+    * snapshot(raw) by the merge's associativity; steady-state snapshot
+    * reads then see O(1) consolidated partitions instead of O(ingest
+    * age) small files. Idempotent: re-folding includes the previous
+    * merged partition.
+    *
+    * This IN-PLACE protocol (merged write, then folded deletes —
+    * [[compactLshIndex]]'s discipline, partial-log edition) is only
+    * safe for DUPLICATION-TOLERANT merges: min / bottom-k / distinct
+    * families, where a batch partition that survives a crash alongside
+    * its merged copy merely duplicates rows the next merge collapses
+    * (min of a duplicate is the same min). A SUM family double-counts
+    * under exactly that crash — fold those with
+    * [[compactSummedPartials]]' all-or-nothing swap instead. */
+  def compactMinMergePartials(spark: SparkSession, path: String,
+                              merge: DataFrame => DataFrame): Unit = {
+    val idx = spark.read.parquet(path)
+    val batchIds = idx.select(col("batch_id")).distinct()
+      .collect().map(_.get(0).toString.toLong)
+    val latest = batchIds.max
+    val foldable = batchIds.filter(b => b != latest && b != -1L)
+    if (foldable.isEmpty) return
+    // localCheckpoint: the write below overwrites partitions of the
+    // same path it reads, which the file sink (correctly) refuses
+    // inside one plan
+    val merged = merge(idx.filter(col("batch_id") =!= latest)
+      .drop("batch_id")).localCheckpoint(true)
+    merged.withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    foldable.foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"batch_id=$b"), true)
+    }
+  }
+
+  /** The quantile sample log's partial merge — per-source bottom-k
+    * over (h, v) pairs; bottom-k-of-union = bottom-k of merged
+    * bottom-ks (the property [[incrementalQuantileSample]] lands on
+    * and [[quantileSnapshot]] re-merges with). */
+  def quantileSampleMerge(k: Int)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bottomk = Window.partitionBy(col("source")).orderBy(col("h"), col("v"))
+    df.withColumn("rn", row_number().over(bottomk))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("h"), col("v"))
+  }
+
+  /** The KMV sketch log's partial merge — per-source k smallest
+    * DISTINCT hashes (k-min-of-union = k-min of merged k-mins). */
+  def kmvMerge(k: Int = graft.queries.Stats.KmvK)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kmin = Window.partitionBy(col("source")).orderBy(col("h"))
+    df.distinct()
+      .withColumn("rn", row_number().over(kmin))
+      .filter(col("rn") <= k)
+      .select(col("source"), col("h"))
+  }
+
+  private val CompactStageSuffix = ".graft_compact_stage"
+  private val CompactOldSuffix = ".graft_compact_old"
+  private val StageCompleteMarker = "_GRAFT_STAGE_COMPLETE"
+
+  /** All-or-nothing compaction for SUM-merge partial logs (mixture
+    * token totals, OOV stats, CMS / contingency cells, hourly counts):
+    * the in-place protocol above would DOUBLE-COUNT if a crash landed
+    * between the merged write and the folded deletes, so the new
+    * layout — merged `batch_id=-1` plus the live latest partition,
+    * copied raw — is first fully staged in a sibling directory and
+    * then committed by directory swap:
+    *
+    *   1. write stage (next to the log), then its completion marker;
+    *   2. rename log → log.old;
+    *   3. rename stage → log;
+    *   4. delete log.old.
+    *
+    * Every crash point is unambiguous: before (2) the raw log is
+    * untouched (a stale stage is deleted on the next attempt); between
+    * (2) and (3) [[recoverCompaction]] rolls FORWARD iff the stage
+    * marker exists (the stage is a complete, correct layout) and BACK
+    * to the raw log otherwise; after (3) only a leftover .old needs
+    * deleting. The snapshot read path ([[readPartialsOrEmpty]]) runs
+    * the same recovery, so a monitor polling after a mid-swap crash
+    * repairs the log instead of silently reading an empty frame.
+    * Rename-atomicity note: directory rename is atomic on HDFS and
+    * POSIX; on an object store back this with the store's equivalent
+    * (e.g. a manifest pointer swap) — the crash-point analysis is the
+    * same. */
+  def compactSummedPartials(spark: SparkSession, path: String,
+                            merge: DataFrame => DataFrame): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    recoverCompaction(spark, path)
+    val stage = new org.apache.hadoop.fs.Path(path + CompactStageSuffix)
+    val old = new org.apache.hadoop.fs.Path(path + CompactOldSuffix)
+    fs.delete(stage, true) // a stale stage from an earlier mid-stage crash
+    fs.delete(old, true)
+    val idx = spark.read.parquet(path)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+    val batchIds = idx.select(col("batch_id")).distinct()
+      .collect().map(_.get(0).toString.toLong)
+    val latest = batchIds.max
+    val foldable = batchIds.filter(b => b != latest && b != -1L)
+    if (foldable.isEmpty) return
+    merge(idx.filter(col("batch_id") =!= latest).drop("batch_id"))
+      .withColumn("batch_id", lit(-1L))
+      .unionByName(idx.filter(col("batch_id") === latest))
+      .write.mode("overwrite")
+      .partitionBy("batch_id")
+      .parquet(stage.toString)
+    fs.create(new org.apache.hadoop.fs.Path(stage, StageCompleteMarker)).close()
+    require(fs.rename(root, old),
+      s"compactSummedPartials: cannot rename $root aside — aborting " +
+        "before commit; the raw log is untouched")
+    require(fs.rename(stage, root),
+      s"compactSummedPartials: commit rename $stage -> $root failed; " +
+        s"recoverCompaction will roll forward from the completed stage")
+    fs.delete(old, true)
+  }
+
+  /** Repairs a partials log caught mid-[[compactSummedPartials]] swap.
+    * No-op when the log directory exists. Called by the compactor and
+    * by [[readPartialsOrEmpty]] (the snapshot path) so a crash between
+    * the two commit renames can never present as "no partials yet". */
+  private def recoverCompaction(spark: SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    if (fs.exists(root)) return
+    val stage = new org.apache.hadoop.fs.Path(path + CompactStageSuffix)
+    val old = new org.apache.hadoop.fs.Path(path + CompactOldSuffix)
+    val stageComplete = fs.exists(
+      new org.apache.hadoop.fs.Path(stage, StageCompleteMarker))
+    if (stageComplete) { // crashed between the two commit renames
+      require(fs.rename(stage, root),
+        s"recoverCompaction: roll-forward rename $stage -> $root failed")
+      fs.delete(old, true)
+    } else if (fs.exists(old)) { // crashed before the stage completed
+      require(fs.rename(old, root),
+        s"recoverCompaction: roll-back rename $old -> $root failed")
+      fs.delete(stage, true)
+    } else fs.delete(stage, true) // incomplete stage, nothing to restore
   }
 }

@@ -777,6 +777,127 @@ class StreamsSpec extends SparkSpec {
       "k-min of merged k-min partials must equal the batch sketch")
   }
 
+  /** Recursive dir copy (crash-state construction for the compaction
+    * recovery tests). */
+  private def copyDir(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src); val d = java.nio.file.Paths.get(dst)
+    val walk = java.nio.file.Files.walk(s)
+    try walk.forEach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else { java.nio.file.Files.createDirectories(t.getParent)
+        java.nio.file.Files.copy(p, t); () }
+    } finally walk.close()
+  }
+
+  test("min-merge compaction folds the KMV log to merged+latest, snapshot unchanged") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmvcomp")
+    val (sk, ckpt) = (s"$dir/kmv", s"$dir/ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val in = MemoryStream[(String, Long, String)]
+    val q = Streams.incrementalKmv(
+      in.toDF().toDF("source", "doc_id", "text"), sk, ckpt).start()
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    try {
+      docs.grouped(math.max(1, docs.length / 4)).foreach { g =>
+        in.addData(g.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val before = rowsOf(Streams.kmvSnapshot(spark, sk))
+    val latest = spark.read.parquet(sk).agg(max(col("batch_id")))
+      .head().get(0).toString.toLong
+    // keep one folded batch's raw rows to resurrect after the fold
+    val resurrect = spark.read.parquet(sk)
+      .filter(col("batch_id") === 0L).drop("batch_id").collect().toSeq
+    Streams.compactMinMergePartials(spark, sk, Streams.kmvMerge())
+    val partsAfter = spark.read.parquet(sk)
+      .select(col("batch_id")).distinct().collect()
+      .map(_.get(0).toString.toLong).sorted
+    assert(partsAfter === Array(-1L, latest),
+      s"expected merged(-1) + latest($latest), got ${partsAfter.mkString(",")}")
+    assert(rowsOf(Streams.kmvSnapshot(spark, sk)) === before,
+      "compaction must not change the snapshot")
+    // idempotent: a second fold finds nothing foldable and no-ops
+    Streams.compactMinMergePartials(spark, sk, Streams.kmvMerge())
+    assert(rowsOf(Streams.kmvSnapshot(spark, sk)) === before)
+    // duplication tolerance — THE property that makes the in-place
+    // protocol crash-safe: a folded batch partition that survives a
+    // crash alongside its merged copy only duplicates rows the k-min
+    // merge collapses
+    import spark.implicits._
+    resurrect.map(r => (r.getString(0), r.getLong(1))).toDF("source", "h")
+      .withColumn("batch_id", lit(0L))
+      .write.mode("append").partitionBy("batch_id").parquet(sk)
+    assert(rowsOf(Streams.kmvSnapshot(spark, sk)) === before,
+      "a resurrected folded partition must not change the min-merge snapshot")
+  }
+
+  test("summed compaction: atomic swap preserves totals; recovery handles both crash points") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sumcomp")
+    val (toks, ckpt) = (s"$dir/tokens", s"$dir/ckpt")
+    val sf = "/root/testdata/sf0.001"
+    val in = MemoryStream[(String, String)]
+    val q = Streams.incrementalSourceTokens(
+      in.toDF().toDF("source", "text"), toks, ckpt).start()
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    try {
+      docs.grouped(math.max(1, docs.length / 4)).foreach { g =>
+        in.addData(g.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val before = rowsOf(Streams.mixtureWeightsSnapshot(spark, toks))
+    val latest = spark.read.parquet(toks).agg(max(col("batch_id")))
+      .head().get(0).toString.toLong
+    def sumMerge(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("source")).agg(sum(col("tokens")).as("tokens"))
+    Streams.compactSummedPartials(spark, toks, sumMerge)
+    val partsAfter = spark.read.parquet(toks)
+      .select(col("batch_id")).distinct().collect()
+      .map(_.get(0).toString.toLong).sorted
+    assert(partsAfter === Array(-1L, latest))
+    assert(rowsOf(Streams.mixtureWeightsSnapshot(spark, toks)) === before,
+      "the swap must preserve summed totals exactly")
+    // no commit debris
+    assert(!new java.io.File(toks + ".graft_compact_stage").exists())
+    assert(!new java.io.File(toks + ".graft_compact_old").exists())
+    // idempotent second fold
+    Streams.compactSummedPartials(spark, toks, sumMerge)
+    assert(rowsOf(Streams.mixtureWeightsSnapshot(spark, toks)) === before)
+
+    // crash point A — between the two commit renames (stage is
+    // complete and marked): the snapshot path must roll FORWARD
+    val logA = s"$dir/tokensA"
+    copyDir(toks, logA)
+    copyDir(logA, logA + ".graft_compact_stage")
+    new java.io.File(logA + ".graft_compact_stage/_GRAFT_STAGE_COMPLETE")
+      .createNewFile()
+    assert(new java.io.File(logA).renameTo(
+      new java.io.File(logA + ".graft_compact_old")))
+    assert(rowsOf(Streams.mixtureWeightsSnapshot(spark, logA)) === before,
+      "a mid-swap crash with a completed stage must roll forward")
+    assert(new java.io.File(logA).exists())
+    assert(!new java.io.File(logA + ".graft_compact_old").exists())
+
+    // crash point B — stage NOT complete (no marker): roll BACK to the
+    // raw log; the half-written stage is swept
+    val logB = s"$dir/tokensB"
+    copyDir(toks, logB)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(logB + ".graft_compact_stage/batch_id=-1"))
+    assert(new java.io.File(logB).renameTo(
+      new java.io.File(logB + ".graft_compact_old")))
+    assert(rowsOf(Streams.mixtureWeightsSnapshot(spark, logB)) === before,
+      "a crash before the stage completed must roll back to the raw log")
+    assert(new java.io.File(logB).exists())
+    assert(!new java.io.File(logB + ".graft_compact_stage").exists())
+  }
+
   test("incremental chi-square cells: summed partials equal the batch census") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_incchi")
