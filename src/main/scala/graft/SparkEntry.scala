@@ -322,6 +322,9 @@ object SparkEntry {
     // q105 with the SUM-merge token log compacted via the atomic
     // stage-and-swap protocol — the fold must preserve summed totals
     "q158_compacted_mixture" -> (StreamingQ.q158CompactedMixture _),
+    // the COMPOSED q50 pipeline ingested incrementally (ordered feed →
+    // per-batch triage/exact-dedup/LSH → corpus-global finalize)
+    "q159_incremental_pipeline" -> (StreamingQ.q159IncrementalPipeline _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -486,5 +489,6 @@ object SparkEntry {
     "q156_incremental_quantiles" -> Stats.q155Sql,
     "q157_compacted_quantiles" -> Stats.q155Sql,
     "q158_compacted_mixture" -> Text.q97Sql,
+    "q159_incremental_pipeline" -> PipelineQ.q50Sql,
   )
 }

@@ -357,6 +357,40 @@ object StreamingQ {
       Stats.chunkAuditDistinct(Tables.documents(s, dir)))
   }
 
+  /** q159: the COMPOSED training-data pipeline, ingested incrementally
+    * — the q50 flagship's streaming half on the oracle board. The
+    * corpus replays as 4 doc_id-ordered micro-batches
+    * ([[Streams.orderedChunkFeed]] — ordered because the pipeline's
+    * exact dedup keeps the FIRST-ARRIVED doc per fingerprint, which
+    * equals batch q50's min-doc_id exactly when ingest is
+    * doc_id-ordered; see the semantics note on
+    * [[Streams.incrementalPipeline]]). Each micro-batch runs quality
+    * triage, fp-index exact dedup (prefix-pruned history reads), and
+    * the LSH dedup step; [[Streams.finalizePipeline]] then runs the
+    * corpus-global stages (fuzzy clustering, sampling, packing) over
+    * the accumulated logs. Oracle: q50Sql — a green row means the
+    * whole streamed-ingest-plus-finalize stack reproduced the batch
+    * pipeline's packed manifest bit-for-bit. */
+  def q159IncrementalPipeline(s: SparkSession, dir: String): DataFrame = {
+    val work = Streams.scratchDir("graft_incq")
+    Streams.orderedChunkFeed(
+      Tables.documents(s, dir).select(col("source"), col("doc_id"),
+        col("text"), col("n_chars")),
+      s"$work/feed", 4, col("doc_id"))
+    val stream = s.readStream
+      .schema(StructType.fromDDL(
+        "source string, doc_id bigint, text string, n_chars bigint"))
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      Streams.incrementalPipeline(stream, s"$work/fp", s"$work/survivors",
+        s"$work/lsh", s"$work/pairs", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    Streams.finalizePipeline(s, s"$work/survivors", s"$work/pairs")
+  }
+
   /** q157: q156's sampled-quantile census with the partials log
     * COMPACTED between ingest and snapshot — the micro-batches' landed
     * bottom-k partitions are folded into one merged batch_id=-1

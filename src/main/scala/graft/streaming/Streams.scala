@@ -195,6 +195,17 @@ object Streams {
     * batch replayed after a crash-between-commit-and-checkpoint
     * OVERWRITES its own partition instead of appending duplicates —
     * exactly-once output from an at-least-once foreachBatch. */
+  /** File-count note for the prefix-partitioned writes: every task
+    * writes a file into every partition dir it touches, so a batch
+    * costs up to tasks × dirs small files. At production scale,
+    * cluster by the prefix first (`batch.repartition(prefixCols)`) —
+    * one file per touched dir per batch, and the extra shuffle moves
+    * fingerprint-grain rows, not documents. NOT done here: measured at
+    * sf0.1 / 8 tasks the added shuffles cost q159 ~0.8 s/run while the
+    * listing they save is negligible (≤128 files/batch) — the
+    * crossover is where dirs × tasks outruns the prefix-row shuffle,
+    * i.e. exactly the regime the [[FpPrefixLen]]/[[AnnBucketGroups]]
+    * grain rules push wide. */
   private def writeBatchPartition(batch: DataFrame, batchId: Long, path: String,
                                   prefixPartitionCols: Seq[String] = Nil): Unit =
     batch.withColumn("batch_id", lit(batchId))
@@ -1031,13 +1042,10 @@ object Streams {
     *  1. quality triage (THE q22/q50 predicate — batch/stream duality);
     *  2. exact dedup: min doc_id per fingerprint within the batch,
     *     anti-join against the persistent fingerprint index
-    *     (partitioned by 2-hex-char fp_prefix + batch_id, so the
-    *     history read prunes to ≤256 touched prefixes exactly like the
-    *     LSH band index — 256 dirs is the right grain HERE because an
-    *     fp index at ingest scale fills them, unlike the ANN index's
-    *     per-bucket layout which [[AnnBucketGroups]] had to group; at
-    *     small batch sizes shorten the prefix by the same rule), then
-    *     register the survivors' fingerprints;
+    *     (partitioned by [[FpPrefixLen]]-hex-char fp_prefix +
+    *     batch_id, so the history read prunes to the touched prefixes
+    *     exactly like the LSH band index), then register the
+    *     survivors' fingerprints;
     *  3. append survivors to a batch_id-partitioned corpus log;
     *  4. the [[lshDedupStep]] over the survivors (band-partitioned
     *     signature index + candidate pairs log).
@@ -1059,6 +1067,21 @@ object Streams {
     * first-arrival is the only semantics an index-append pipeline can
     * offer without rewriting history.
     */
+  /** Partition-directory grain of the fingerprint index: 1 hex char =
+    * 16 dirs per micro-batch. Round 9 defended the 2-hex/256-dir grain
+    * in prose ("an fp index at ingest scale fills them"); round 10's
+    * first actual bench falsified it at test scale — 256 dirs × tasks
+    * per batch meant thousands of tiny files and an O(batches × dirs)
+    * partition discovery on every history read, ~30 s/run for q159
+    * where the streaming-family norm is ≤4 s (the q152 ANN-index
+    * lesson, fingerprint edition). Exact-dedup pruning does not need
+    * partition dirs that narrow: the prefix partition filter prunes
+    * 16×, and parquet row-group min/max stats on the sorted-ish `fp`
+    * data column prune inside a dir. At a true 100 TB ingest, where
+    * every batch genuinely fills 256+ prefixes with file-sized
+    * output, widen by the same file-size rule as [[AnnBucketGroups]]. */
+  val FpPrefixLen = 1
+
   def incrementalPipeline(docs: DataFrame, fpIndexPath: String,
                           survivorsPath: String, lshIndexPath: String,
                           pairsPath: String, checkpoint: String)
@@ -1072,8 +1095,13 @@ object Streams {
         val quality = batch
           .withColumn("toks", TextOps.tokens(col("text")))
           .filter(TextOps.qualityBucket(col("toks"), col("n_chars")) === "ok")
+          // the token array is dead weight past the predicate (every
+          // downstream consumer uses text/fp only; finalize recomputes
+          // tokens for packing) — persisting it roughly doubles the
+          // cached row width for nothing
+          .drop("toks")
           .withColumn("fp", TextOps.fingerprint(col("text")))
-          .withColumn("fp_prefix", substring(col("fp"), 1, 2))
+          .withColumn("fp_prefix", substring(col("fp"), 1, FpPrefixLen))
           .persist()
         val inBatch = quality.join(
           quality.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id")),

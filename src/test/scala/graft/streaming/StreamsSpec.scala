@@ -1528,7 +1528,7 @@ class StreamsSpec extends SparkSpec {
       "streamed ingest + finalize must reproduce the batch q50 manifest")
     assert(rowsOf(batch).nonEmpty)
     // the fingerprint history read prunes on fp_prefix partitions
-    val hist = Streams.fpIndexHistory(spark, s"$dir/fp", Seq("aa", "bb"), 99L)
+    val hist = Streams.fpIndexHistory(spark, s"$dir/fp", Seq("a", "b"), 99L)
     val plan = hist.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: ["), plan.take(2000))
     val pf = plan.substring(plan.indexOf("PartitionFilters: ["))
