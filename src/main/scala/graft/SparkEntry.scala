@@ -325,6 +325,15 @@ object SparkEntry {
     // the COMPOSED q50 pipeline ingested incrementally (ordered feed →
     // per-batch triage/exact-dedup/LSH → corpus-global finalize)
     "q159_incremental_pipeline" -> (StreamingQ.q159IncrementalPipeline _),
+    // loss-percentile data selection: keep the per-source p25..p75
+    // surprisal band (the learnable middle; both tails are waste)
+    "q160_surprisal_band" -> (Text.q160SurprisalBand _),
+    // DoReMi-flavored mixture tilt: upweight sources whose per-token
+    // surprisal exceeds the corpus mean, integer-exact
+    "q161_excess_mixture" -> (Text.q161ExcessMixture _),
+    // q107 with the LSH index compacted MID-INGEST, then resumed from
+    // checkpoint — pairing over the folded index must be transparent
+    "q162_compacted_lsh_index" -> (StreamingQ.q162CompactedLshIndex _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -490,5 +499,8 @@ object SparkEntry {
     "q157_compacted_quantiles" -> Stats.q155Sql,
     "q158_compacted_mixture" -> Text.q97Sql,
     "q159_incremental_pipeline" -> PipelineQ.q50Sql,
+    "q160_surprisal_band" -> Text.q160Sql,
+    "q161_excess_mixture" -> Text.q161Sql,
+    "q162_compacted_lsh_index" -> Dedup.q44Sql,
   )
 }

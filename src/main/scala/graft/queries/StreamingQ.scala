@@ -391,6 +391,46 @@ object StreamingQ {
     Streams.finalizePipeline(s, s"$work/survivors", s"$work/pairs")
   }
 
+  /** q162: q107's LSH near-dup ladder with the signature index
+    * COMPACTED MID-INGEST — the row that proves compaction is
+    * transparent to the pairing, not just to a snapshot. Half the
+    * corpus streams in 2 micro-batches; the stream stops;
+    * [[Streams.compactLshIndex]] folds the landed (band, batch_id)
+    * partitions into merged batch_id=-1 partitions; the second half
+    * then streams FROM THE SAME CHECKPOINT (the file source's
+    * seen-files log admits only the appended chunks), and its
+    * vs-history pairing reads the COMPACTED index. Oracle: q44Sql —
+    * the union pair set must be indistinguishable from never having
+    * compacted. This is the real maintenance cycle of a long-running
+    * ingest: compact during a quiet window, resume, keep pairing. */
+  def q162CompactedLshIndex(s: SparkSession, dir: String): DataFrame = {
+    val work = Streams.scratchDir("graft_incq")
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    def run(): Unit = {
+      val stream = s.readStream
+        .schema(StructType.fromDDL("doc_id bigint, text string"))
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        Streams.incrementalLshDedup(stream, s"$work/index", s"$work/pairs",
+          s"$work/ckpt")
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    Streams.orderedChunkFeed(docs.filter(col("doc_id") % 2 === 0),
+      s"$work/feed", 2, col("doc_id"))
+    run()
+    Streams.compactLshIndex(s, s"$work/index")
+    Streams.orderedChunkFeed(docs.filter(col("doc_id") % 2 === 1),
+      s"$work/feed", 2, col("doc_id"))
+    run()
+    Dedup.jaccardVerify(
+      s.read.parquet(s"$work/pairs")
+        .select(col("doc_a"), col("doc_b")).distinct(),
+      Tables.documents(s, dir))
+  }
+
   /** q157: q156's sampled-quantile census with the partials log
     * COMPACTED between ingest and snapshot — the micro-batches' landed
     * bottom-k partitions are folded into one merged batch_id=-1

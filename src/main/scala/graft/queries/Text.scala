@@ -658,6 +658,157 @@ object Text {
        |FROM doc GROUP BY 1, 2""".stripMargin
   }
 
+  /** Mid-band surprisal pruning (q160) — loss-percentile data
+    * selection, the document-grain cousin of RHO-style "learnable
+    * token" selection: per source, rank every document by its q64
+    * average unigram surprisal and keep only the middle band
+    * (ceil-rank p25..p75). The tails are the point — the low tail is
+    * boilerplate/duplicated text the model already "knows" (low loss
+    * teaches nothing), the high tail is noise/OCR garbage/wrong-
+    * language text (high loss isn't learnable); the band between is
+    * where training signal lives. Census output: per source, the kept
+    * doc/token counts and the band's surprisal bounds — the numbers a
+    * curation run uses to set its final keep predicate.
+    *
+    * Scale shape: one corpus scan scores documents with the codegen'd
+    * [[graft.functions.LexiconSum]] fold (q64's kernel — the vocab
+    * rides the plan, the corpus never joins); ranking is ONE hash
+    * exchange on source feeding a per-source sort (the q140 window
+    * discipline); the census collapses to O(sources) rows. Ties take
+    * the doc_id tie-break — a pinned total order, so both engines walk
+    * the identical permutation and the band edges are bit-exact. At
+    * extreme docs-per-source the exact rank sort gives way to the q155
+    * sampled-quantile cut (select by value against sampled band
+    * bounds, no full sort) — same trade the exact-median audit
+    * documents there. */
+  def q160SurprisalBand(s: SparkSession, dir: String): DataFrame = {
+    val (table, oov) = surprisalTable(s, dir)
+    val scored = Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("nll", graft.functions.LexiconFunctions
+        .lexicon_sum(col("toks"), table.toMap, oov))
+      .select(col("source"), col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        (col("nll") / size(col("toks"))).cast("long").as("avg_millinats"))
+    val bySurprisal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("avg_millinats"), col("doc_id"))
+    scored
+      .withColumn("r", row_number().over(bySurprisal).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))).cast("long"))
+      .filter(expr("r >= (n * 25 + 99) div 100 AND r <= (n * 75 + 99) div 100"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept_docs"),
+        sum(col("n_toks")).cast("long").as("kept_tokens"),
+        min(col("avg_millinats")).as("lo_millinats"),
+        max(col("avg_millinats")).as("hi_millinats"))
+  }
+
+  /** q160 oracle — q64's model + quantization, then the identical
+    * ceil-rank band in DuckDB windows. */
+  val q160Sql: String = {
+    val toks = "str_split(text, ' ')"
+    s"""WITH tk AS (
+       |  SELECT doc_id, source, unnest($toks) AS t FROM documents),
+       |cnt AS (SELECT t, count(*) AS c FROM tk GROUP BY 1),
+       |tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM cnt),
+       |st AS (SELECT t, CAST(floor(-ln((c + 1.0) / (total + vocab))
+       |                              * $SurprisalScale) AS BIGINT) AS s
+       |       FROM cnt, tot),
+       |doc AS (
+       |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_toks,
+       |         CAST(sum(s) AS BIGINT) // count(*) AS avg_millinats
+       |  FROM tk JOIN st USING (t) GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT *,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY avg_millinats, doc_id) AS r,
+       |         count(*) OVER (PARTITION BY source) AS n
+       |  FROM doc)
+       |SELECT source, CAST(count(*) AS BIGINT) AS kept_docs,
+       |       CAST(sum(n_toks) AS BIGINT) AS kept_tokens,
+       |       min(avg_millinats) AS lo_millinats,
+       |       max(avg_millinats) AS hi_millinats
+       |FROM rk
+       |WHERE r >= (n * 25 + 99) // 100 AND r <= (n * 75 + 99) // 100
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** Excess-surprisal-tilted mixture (q161) — a DoReMi-flavored
+    * reweighting step: sources whose per-token surprisal EXCEEDS the
+    * corpus mean (the proxy for "the model finds this domain hard /
+    * underfit") get their mixture weight tilted up, proportionally to
+    * the excess. This is one LINEAR multiplicative-weights step of the
+    * reference algorithm, kept integer-exact so it can sit on the hash
+    * oracle (the true exponential update is a deploy-time rescale of
+    * the same excess column — q136's rescale convention). Output per
+    * source: token count, per-token mean surprisal, excess over the
+    * corpus mean, and the tilted weight in ppm.
+    *
+    * Scale shape: the q64 kernel scores the scan; everything after is
+    * O(sources) arithmetic behind two broadcast 1-row crosses (the
+    * q97/q136 cross, documented in PlanSpec). Corpus-total nll sums
+    * reach ~10¹⁷ at 100 TB (tokens ~10¹³ × ~10⁴ millinats) — inside a
+    * long; the weight numerator w·10⁶ is NOT, so it is spelled in
+    * DECIMAL(38)/HUGEINT (the q137 lift convention). */
+  def q161ExcessMixture(s: SparkSession, dir: String): DataFrame = {
+    val (table, oov) = surprisalTable(s, dir)
+    val per = Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .select(col("source"),
+        graft.functions.LexiconFunctions
+          .lexicon_sum(col("toks"), table.toMap, oov).as("nll"),
+        size(col("toks")).cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(sum(col("nll")).as("nll"), sum(col("n_toks")).as("tokens"))
+    val corpus = per.agg(sum(col("nll")).as("nll_all"),
+      sum(col("tokens")).as("tokens_all"))
+    val tilted = per.crossJoin(broadcast(corpus))
+      .withColumn("mean_milli", expr("nll div tokens"))
+      .withColumn("excess_milli",
+        expr("greatest(nll div tokens - nll_all div tokens_all, 0)"))
+      .withColumn("w", expr("tokens * (1000 + excess_milli)"))
+    val wtot = tilted.agg(sum(col("w")).as("wtot"))
+    tilted.crossJoin(broadcast(wtot))
+      .select(col("source"), col("tokens"), col("mean_milli"),
+        col("excess_milli"),
+        expr("CAST(CAST(w AS DECIMAL(38,0)) * 1000000 div wtot AS BIGINT)")
+          .as("weight_ppm"))
+  }
+
+  /** q161 oracle — same model, same integer tilt, HUGEINT for the
+    * weight numerator. */
+  val q161Sql: String = {
+    val toks = "str_split(text, ' ')"
+    s"""WITH tk AS (
+       |  SELECT doc_id, source, unnest($toks) AS t FROM documents),
+       |cnt AS (SELECT t, count(*) AS c FROM tk GROUP BY 1),
+       |tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM cnt),
+       |st AS (SELECT t, CAST(floor(-ln((c + 1.0) / (total + vocab))
+       |                              * $SurprisalScale) AS BIGINT) AS s
+       |       FROM cnt, tot),
+       |per AS (
+       |  SELECT source, CAST(sum(s) AS BIGINT) AS nll,
+       |         CAST(count(*) AS BIGINT) AS tokens
+       |  FROM tk JOIN st USING (t) GROUP BY 1),
+       |c AS (SELECT CAST(sum(nll) AS BIGINT) AS nll_all,
+       |             CAST(sum(tokens) AS BIGINT) AS tokens_all FROM per),
+       |tilt AS (
+       |  SELECT source, tokens, nll // tokens AS mean_milli,
+       |         greatest(nll // tokens - nll_all // tokens_all, 0)
+       |           AS excess_milli,
+       |         tokens * (1000 + greatest(nll // tokens
+       |           - nll_all // tokens_all, 0)) AS w
+       |  FROM per, c),
+       |wt AS (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM tilt)
+       |SELECT source, tokens, mean_milli, excess_milli,
+       |       CAST(CAST(w AS HUGEINT) * 1000000 // wtot AS BIGINT)
+       |         AS weight_ppm
+       |FROM tilt, wt""".stripMargin
+  }
+
   /** Bigram-LM surprisal census (q95) — the next rung of the LM-quality
     * ladder above q64/q65: score every document by its average
     * CONDITIONAL token surprisal −ln p(w2|w1), with the bigram model
