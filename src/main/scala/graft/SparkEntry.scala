@@ -334,6 +334,9 @@ object SparkEntry {
     // q107 with the LSH index compacted MID-INGEST, then resumed from
     // checkpoint — pairing over the folded index must be transparent
     "q162_compacted_lsh_index" -> (StreamingQ.q162CompactedLshIndex _),
+    // the ANN edition: bucket_grp index folded mid-ingest, vectors and
+    // all, then checkpoint-resumed pairing over the merged history
+    "q163_compacted_ann_index" -> (StreamingQ.q163CompactedAnnIndex _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -502,5 +505,6 @@ object SparkEntry {
     "q160_surprisal_band" -> Text.q160Sql,
     "q161_excess_mixture" -> Text.q161Sql,
     "q162_compacted_lsh_index" -> Dedup.q44Sql,
+    "q163_compacted_ann_index" -> Similarity.q31Sql,
   )
 }

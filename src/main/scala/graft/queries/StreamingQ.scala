@@ -339,6 +339,44 @@ object StreamingQ {
       .distinct()
   }
 
+  /** q163: q152's ANN near-dup pairing with the bucket-partitioned
+    * hyperplane index COMPACTED MID-INGEST (q162's maintenance cycle,
+    * ANN edition — and the index where compaction matters most: its
+    * rows carry the vectors, so un-folded batch fragments are the
+    * biggest small-file surface in the engine). Half the embeddings
+    * ingest in 2 micro-batches; [[Streams.compactLshIndex]] folds the
+    * (bucket_grp, batch_id) partitions; the second half resumes from
+    * the same checkpoint and its vs-history pairing reads the merged
+    * index. Oracle: q31Sql — the union pair set must equal the batch
+    * hyperplane self-join exactly, cosine rounding included. */
+  def q163CompactedAnnIndex(s: SparkSession, dir: String): DataFrame = {
+    val work = Streams.scratchDir("graft_incq")
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    def run(): Unit = {
+      val stream = s.readStream
+        .schema(StructType.fromDDL("vec_id bigint, v array<double>"))
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        Streams.incrementalAnnNearDups(stream, s"$work/index", s"$work/pairs",
+          s"$work/ckpt")
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+    Streams.orderedChunkFeed(emb.filter(col("vec_id") % 2 === 0),
+      s"$work/feed", 2, col("vec_id"))
+    run()
+    Streams.compactLshIndex(s, s"$work/index", Seq("bucket_grp"))
+    Streams.orderedChunkFeed(emb.filter(col("vec_id") % 2 === 1),
+      s"$work/feed", 2, col("vec_id"))
+    run()
+    s.read.parquet(s"$work/pairs")
+      .select(col("bucket"), col("vec_a"), col("vec_b"), col("cos_sim"))
+      .distinct()
+  }
+
   /** q141: q135's KMV distinct census with the SKETCH side computed
     * from the incremental monitor's landed per-batch k-min partials
     * (≤k rows per source per batch; k-min-of-union = k-min of merged

@@ -689,7 +689,10 @@ object Text {
         .lexicon_sum(col("toks"), table.toMap, oov))
       .select(col("source"), col("doc_id"),
         size(col("toks")).cast("long").as("n_toks"),
-        (col("nll") / size(col("toks"))).cast("long").as("avg_millinats"))
+        // exact integer division (not q64's double-divide-then-cast):
+        // the band EDGES ride on this value, and a double quotient a
+        // hair under an integer can round up where `//` floors
+        expr("nll div size(toks)").as("avg_millinats"))
     val bySurprisal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
       .orderBy(col("avg_millinats"), col("doc_id"))

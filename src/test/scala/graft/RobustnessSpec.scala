@@ -49,7 +49,9 @@ class RobustnessSpec extends SparkSpec {
       "q137" -> (queries.Text.q137PmiPairs _),
       "q149" -> ((s, d) => queries.PipelineQ.q149DatasetCard(s, d)),
       "q153" -> ((s, d) => queries.Text.q153HeldoutSkewSafe(s, d)),
-      "q155" -> ((s, d) => queries.Stats.q155SampledQuantiles(s, d)))
+      "q155" -> ((s, d) => queries.Stats.q155SampledQuantiles(s, d)),
+      "q160" -> (queries.Text.q160SurprisalBand _),
+      "q161" -> (queries.Text.q161ExcessMixture _))
     members.foreach { case (name, fn) =>
       val n = fn(spark, hostileDir).count()
       assert(n >= 0, s"$name failed on the hostile corpus") // completion is the gate

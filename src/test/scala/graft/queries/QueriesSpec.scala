@@ -2200,6 +2200,58 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q160 surprisal band matches a driver-side rank replay") {
+    import org.apache.spark.sql.functions.col
+    val (table, oov) = Text.surprisalTable(spark, sf)
+    val m = table.toMap
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val ref = docs.groupBy(_._1).map { case (src, ds) =>
+      val scored = ds.map { case (_, id, text) =>
+        val toks = text.split(" ", -1)
+        val nll = toks.map(t => m.getOrElse(t, oov)).sum
+        (id, toks.length.toLong, nll / toks.length)
+      }
+      val n = scored.length.toLong
+      val ranked = scored.sortBy(d => (d._3, d._1))
+      val band = ranked.zipWithIndex
+        .filter { case (_, i) =>
+          val r = i + 1L
+          r >= (n * 25 + 99) / 100 && r <= (n * 75 + 99) / 100
+        }.map(_._1)
+      src -> ((band.length.toLong, band.map(_._2).sum,
+        band.map(_._3).min, band.map(_._3).max))
+    }
+    val got = Text.q160SurprisalBand(spark, sf).collect()
+    assert(got.length === ref.size)
+    got.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+        ref(r.getString(0)),
+        s"${r.getString(0)}: band census disagrees with the rank replay")
+    }
+  }
+
+  test("q161 tilt: zero-excess sources keep their plain token share") {
+    import org.apache.spark.sql.functions.col
+    val rows = Text.q161ExcessMixture(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    val wtot = rows.map { case (_, tk, ex, _) => BigInt(tk) * (1000 + ex) }.sum
+    rows.foreach { case (src, tk, excess, ppm) =>
+      val expect = (BigInt(tk) * (1000 + excess) * 1000000 / wtot).toLong
+      assert(ppm === expect, s"$src: weight_ppm disagrees with the tilt math")
+    }
+    // at least one source must sit at zero excess (everything at or
+    // below the corpus mean), and the tilt must never DOWN-weight:
+    // weight_ppm >= the plain (untilted) token share only when excess
+    // dilution is accounted — assert the exact invariant instead:
+    // zero-excess weight equals tokens*1000 over the tilted total
+    assert(rows.exists(_._3 == 0L), "fixture should have a zero-excess source")
+    val sumPpm = rows.map(_._4).sum
+    assert(sumPpm <= 1000000L && sumPpm > 1000000L - rows.length,
+      s"ppm weights must sum to 1e6 minus truncation, got $sumPpm")
+  }
+
   test("q142 multimodal packing matches a driver-side greedy replay") {
     import org.apache.spark.sql.functions.col
     def md5hex(s: String): String =
