@@ -337,6 +337,9 @@ object SparkEntry {
     // the ANN edition: bucket_grp index folded mid-ingest, vectors and
     // all, then checkpoint-resumed pairing over the merged history
     "q163_compacted_ann_index" -> (StreamingQ.q163CompactedAnnIndex _),
+    // q160's at-scale spelling: value cut against deterministic
+    // sampled band bounds — no corpus sort, bounds broadcast back
+    "q164_sampled_band" -> ((s, d) => Text.q164SampledBand(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -506,5 +509,6 @@ object SparkEntry {
     "q161_excess_mixture" -> Text.q161Sql,
     "q162_compacted_lsh_index" -> Dedup.q44Sql,
     "q163_compacted_ann_index" -> Similarity.q31Sql,
+    "q164_sampled_band" -> Text.q164Sql,
   )
 }

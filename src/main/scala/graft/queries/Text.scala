@@ -681,18 +681,43 @@ object Text {
     * sampled-quantile cut (select by value against sampled band
     * bounds, no full sort) — same trade the exact-median audit
     * documents there. */
-  def q160SurprisalBand(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc q64 scoring, shared by the band cuts (q160 exact rank /
+    * q164 sampled): (source, doc_id, n_toks, avg_millinats), the
+    * average in exact integer division (not q64's double-divide-then-
+    * cast: the band EDGES ride on this value, and a double quotient a
+    * hair under an integer can round up where `//` floors). */
+  private def surprisalScored(s: SparkSession, dir: String): DataFrame = {
     val (table, oov) = surprisalTable(s, dir)
-    val scored = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("nll", graft.functions.LexiconFunctions
         .lexicon_sum(col("toks"), table.toMap, oov))
       .select(col("source"), col("doc_id"),
         size(col("toks")).cast("long").as("n_toks"),
-        // exact integer division (not q64's double-divide-then-cast):
-        // the band EDGES ride on this value, and a double quotient a
-        // hair under an integer can round up where `//` floors
         expr("nll div size(toks)").as("avg_millinats"))
+  }
+
+  /** The doc-scoring CTEs of the q160/q164 oracles — q64's model and
+    * quantization, ending in a `doc(doc_id, source, n_toks,
+    * avg_millinats)` relation (ONE copy so the two band spellings
+    * can't drift). */
+  private val surprisalDocSqlCtes: String = {
+    val toks = "str_split(text, ' ')"
+    s"""tk AS (
+       |  SELECT doc_id, source, unnest($toks) AS t FROM documents),
+       |cnt AS (SELECT t, count(*) AS c FROM tk GROUP BY 1),
+       |tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM cnt),
+       |st AS (SELECT t, CAST(floor(-ln((c + 1.0) / (total + vocab))
+       |                              * $SurprisalScale) AS BIGINT) AS s
+       |       FROM cnt, tot),
+       |doc AS (
+       |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_toks,
+       |         CAST(sum(s) AS BIGINT) // count(*) AS avg_millinats
+       |  FROM tk JOIN st USING (t) GROUP BY 1, 2)""".stripMargin
+  }
+
+  def q160SurprisalBand(s: SparkSession, dir: String): DataFrame = {
+    val scored = surprisalScored(s, dir)
     val bySurprisal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"))
       .orderBy(col("avg_millinats"), col("doc_id"))
@@ -712,18 +737,7 @@ object Text {
   /** q160 oracle — q64's model + quantization, then the identical
     * ceil-rank band in DuckDB windows. */
   val q160Sql: String = {
-    val toks = "str_split(text, ' ')"
-    s"""WITH tk AS (
-       |  SELECT doc_id, source, unnest($toks) AS t FROM documents),
-       |cnt AS (SELECT t, count(*) AS c FROM tk GROUP BY 1),
-       |tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM cnt),
-       |st AS (SELECT t, CAST(floor(-ln((c + 1.0) / (total + vocab))
-       |                              * $SurprisalScale) AS BIGINT) AS s
-       |       FROM cnt, tot),
-       |doc AS (
-       |  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_toks,
-       |         CAST(sum(s) AS BIGINT) // count(*) AS avg_millinats
-       |  FROM tk JOIN st USING (t) GROUP BY 1, 2),
+    s"""WITH $surprisalDocSqlCtes,
        |rk AS (
        |  SELECT *,
        |         row_number() OVER (PARTITION BY source
@@ -738,6 +752,74 @@ object Text {
        |WHERE r >= (n * 25 + 99) // 100 AND r <= (n * 75 + 99) // 100
        |GROUP BY 1""".stripMargin
   }
+
+  /** Sampled band cut (q164) — q160's documented escape hatch made
+    * real: at extreme docs-per-source the exact rank band's per-source
+    * sort is the operator's whole cost, so the at-scale spelling cuts
+    * BY VALUE against band bounds estimated from a deterministic
+    * bottom-k-by-hash sample ([[graft.functions.BottomKSample]] —
+    * O(k) state, merge-order-invariant, so the bounds and therefore
+    * the whole census stay hash-exact against the oracle). Plan: the
+    * scored scan feeds one O(sources·k) sample agg; the p25/p75 bounds
+    * broadcast back; the keep predicate is a scan-side BETWEEN — no
+    * corpus sort, no rank window, O(sources) census. Semantic
+    * difference from q160, by design: the cut is value-inclusive
+    * (every doc AT a bound value is kept, whatever its rank) and the
+    * bounds carry sampling error measured by q155's err_pm machinery —
+    * the price of dropping the sort, stated instead of hidden. */
+  def q164SampledBand(s: SparkSession, dir: String,
+                      k: Int = Stats.QuantileRegK): DataFrame = {
+    val scored = surprisalScored(s, dir)
+    val pairs = scored.select(col("source"),
+      conv(substring(md5(concat(lit("band:"), col("doc_id").cast("string"))),
+        1, 15), 16, 10).cast("long").as("h"),
+      col("avg_millinats").as("v"))
+    def q(p: Int) = element_at(col("sample"),
+      expr(s"cast((size(sample) * $p + 99) div 100 as int)"))
+    val bounds = pairs.groupBy(col("source"))
+      .agg(graft.functions.BottomKSample
+        .bottomk_sample(col("h"), col("v"), k).as("sample"))
+      .select(col("source"), q(25).as("lo"), q(75).as("hi"))
+    scored.join(broadcast(bounds), Seq("source"))
+      .filter(col("avg_millinats").between(col("lo"), col("hi")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept_docs"),
+        sum(col("n_toks")).cast("long").as("kept_tokens"),
+        max(col("lo")).as("lo_millinats"),
+        max(col("hi")).as("hi_millinats"))
+  }
+
+  /** q164 oracle — the identical sample (same "band:" hash tag, same
+    * bottom-k and ceil-rank spelling as q155Sql) and the identical
+    * value-inclusive cut. */
+  val q164Sql: String =
+    s"""WITH $surprisalDocSqlCtes,
+       |hv AS (
+       |  SELECT source, avg_millinats AS v,
+       |         CAST('0x' || substr(md5('band:' || CAST(doc_id AS VARCHAR)),
+       |                             1, 15) AS BIGINT) AS h
+       |  FROM doc),
+       |samp AS (
+       |  SELECT source, v FROM (
+       |    SELECT source, v,
+       |           row_number() OVER (PARTITION BY source ORDER BY h, v) AS rn
+       |    FROM hv) WHERE rn <= ${Stats.QuantileRegK}),
+       |sv AS (
+       |  SELECT source, v,
+       |         row_number() OVER (PARTITION BY source ORDER BY v) AS vr,
+       |         count(*) OVER (PARTITION BY source) AS m
+       |  FROM samp),
+       |b AS (
+       |  SELECT source,
+       |         max(CASE WHEN vr = (m * 25 + 99) // 100 THEN v END) AS lo,
+       |         max(CASE WHEN vr = (m * 75 + 99) // 100 THEN v END) AS hi
+       |  FROM sv GROUP BY 1)
+       |SELECT source, CAST(count(*) AS BIGINT) AS kept_docs,
+       |       CAST(sum(n_toks) AS BIGINT) AS kept_tokens,
+       |       max(lo) AS lo_millinats, max(hi) AS hi_millinats
+       |FROM doc JOIN b USING (source)
+       |WHERE avg_millinats BETWEEN lo AND hi
+       |GROUP BY 1""".stripMargin
 
   /** Excess-surprisal-tilted mixture (q161) — a DoReMi-flavored
     * reweighting step: sources whose per-token surprisal EXCEEDS the

@@ -219,6 +219,19 @@ class PlanSpec extends SparkSpec {
       "the ρ arithmetic is agg-side — any join is a regression")
   }
 
+  test("q164 sampled band: value cut — no rank window, bounds broadcast back") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val nodes = ops(planOf("q164_sampled_band"))
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      "the whole point of the sampled cut is dropping q160's per-source " +
+        "rank window — a WindowExec here means the escape hatch regressed " +
+        "to the exact path")
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the O(sources) band bounds must broadcast back to the scan")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "nothing may sort-merge at corpus grain")
+  }
+
   test("q139 transitions: each window chain rides one sort; totals broadcast") {
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.window.WindowExec
