@@ -340,6 +340,9 @@ object SparkEntry {
     // q160's at-scale spelling: value cut against deterministic
     // sampled band bounds — no corpus sort, bounds broadcast back
     "q164_sampled_band" -> ((s, d) => Text.q164SampledBand(s, d)),
+    // embedding-drift monitor: vector-valued SUM partials (label
+    // centroids) must reproduce the batch q110 matrix
+    "q165_incremental_centroids" -> (StreamingQ.q165IncrementalCentroids _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -510,5 +513,6 @@ object SparkEntry {
     "q162_compacted_lsh_index" -> Dedup.q44Sql,
     "q163_compacted_ann_index" -> Similarity.q31Sql,
     "q164_sampled_band" -> Text.q164Sql,
+    "q165_incremental_centroids" -> Similarity.q110Sql,
   )
 }

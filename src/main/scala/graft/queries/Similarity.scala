@@ -986,14 +986,29 @@ object Similarity {
     * order), and the cosine to 5 — double guard, same convention as
     * q33's round-before-hash.
     */
-  def q110LabelCentroidSim(s: SparkSession, dir: String): DataFrame = {
-    val cent = Tables.embeddings(s, dir)
-      .filter(size(col("embedding")) === ExpectedDim &&
+  def q110LabelCentroidSim(s: SparkSession, dir: String): DataFrame =
+    centroidSimFrom(centroidPartialsOf(Tables.embeddings(s, dir))
+      .select(col("label"), col("pos"),
+        round(col("s") / col("n"), 7).as("c")))
+
+  /** Per-label centroid partials (label, pos, Σv, n) with the q94
+    * malformed-vector filter — the vector-valued SUM-mergeable state
+    * the q165 monitor lands per batch. sum+count is exactly what the
+    * batch `avg()` partial-aggregates internally, made persistent:
+    * centroid-of-union = Σ of merged Σs over Σ of merged counts. */
+  private[graft] def centroidPartialsOf(emb: DataFrame): DataFrame =
+    emb.filter(size(col("embedding")) === ExpectedDim &&
         !expr("exists(embedding, x -> isnan(x))"))
       .select(col("label"), posexplode(col("embedding")))
       .toDF("label", "pos", "v")
       .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("v")), 7).as("c"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+
+  /** The q110 pairwise tail over a (label, pos, c) centroid frame —
+    * ONE definition shared with the incremental twin (q165) so the
+    * matrix math can't drift between the batch census and the
+    * monitor's snapshot. */
+  private[graft] def centroidSimFrom(cent: DataFrame): DataFrame = {
     val a = cent.select(col("label").as("label_a"), col("pos"),
       col("c").as("ca"))
     val b = cent.select(col("label").as("label_b"), col("pos"),

@@ -377,6 +377,23 @@ object StreamingQ {
       .distinct()
   }
 
+  /** q165: q110's label-centroid similarity matrix computed from the
+    * incremental centroid monitor's landed per-batch (label, dim,
+    * Σv, n) partials — the vector-valued SUM member of the snapshot
+    * family. Oracle: q110Sql — a green row means the persisted
+    * running-mean state reproduced the batch centroids through the
+    * shared matrix tail, 7-digit round and all, across micro-batch
+    * boundaries. */
+  def q165IncrementalCentroids(s: SparkSession, dir: String): DataFrame = {
+    val work = streamedFrame(s,
+      Tables.embeddings(s, dir).select(col("label"), col("embedding")),
+      "label int, embedding array<float>") { (emb, work) =>
+      Streams.incrementalCentroids(emb, s"$work/cent", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Streams.centroidSnapshot(s, s"$work/cent")
+  }
+
   /** q141: q135's KMV distinct census with the SKETCH side computed
     * from the incremental monitor's landed per-batch k-min partials
     * (≤k rows per source per batch; k-min-of-union = k-min of merged

@@ -525,6 +525,44 @@ object Streams {
         "source string, h bigint, batch_id bigint")
         .select(col("source"), col("h")))
 
+  /** Incremental label centroids (q165) — embedding-drift monitoring
+    * at ingest, and the monitor family's vector-valued SUM member:
+    * each micro-batch lands its per-(label, dim) running-mean partials
+    * (Σv, n — exactly what batch `avg()` partial-aggregates, made
+    * persistent via [[graft.queries.Similarity.centroidPartialsOf]])
+    * as a replay-idempotent batch_id partition. State is O(labels ×
+    * dim × batches) tiny rows — compactable with
+    * [[compactSummedPartials]] (Σ/n are both plain sums). The live
+    * snapshot re-merges and runs the exact q110 matrix tail: an
+    * encoder regression or a poisoned feed shows up as a centroid
+    * pair collapsing toward cosine 1 (two labels become one) or a
+    * label drifting from every other — without re-embedding anything.
+    *
+    * Float discipline, stated: Σv is a DOUBLE sum, so batch-boundary
+    * re-association can move the last ulp vs the batch plan; the
+    * 7-digit centroid round (q110's convention, shared tail) is what
+    * absorbs it — the same slack that already absorbs engine-order
+    * differences on the oracle row. */
+  def incrementalCentroids(emb: DataFrame, centPath: String,
+                           checkpoint: String): DataStreamWriter[Row] =
+    emb.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchPartition(
+          graft.queries.Similarity.centroidPartialsOf(batch),
+          batchId, centPath)
+      }
+
+  /** The live centroid-similarity matrix: merged Σ/n through the
+    * shared q110 tail. */
+  def centroidSnapshot(spark: SparkSession, centPath: String): DataFrame =
+    graft.queries.Similarity.centroidSimFrom(
+      readPartialsOrEmpty(spark, centPath,
+        "label int, pos int, s double, n bigint, batch_id bigint")
+        .groupBy(col("label"), col("pos"))
+        .agg(round(sum(col("s")) / sum(col("n")), 7).as("c")))
+
   /** Incremental bottom-k quantile sample (min-merge family, sample
     * edition — the incrementalKmv discipline over (hash, value)
     * PAIRS): each micro-batch lands its own bottom-k (source, h, v)

@@ -898,6 +898,34 @@ class StreamsSpec extends SparkSpec {
     assert(!new java.io.File(logB + ".graft_compact_stage").exists())
   }
 
+  test("incremental centroids: vector-SUM partials reproduce the batch q110 matrix") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_inccent")
+    val (cent, ckpt) = (s"$dir/cent", s"$dir/ckpt")
+    val sf = "/root/testdata/sf0.001"
+    assert(Streams.centroidSnapshot(spark, cent).count() === 0L) // poll-safe
+    val in = MemoryStream[(Int, Seq[Float])]
+    val q = Streams.incrementalCentroids(
+      in.toDF().toDF("label", "embedding"), cent, ckpt).start()
+    val embs = graft.Tables.embeddings(spark, sf)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    try {
+      embs.grouped(math.max(1, embs.length / 3)).foreach { g =>
+        in.addData(g.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val batch = rowsOf(graft.queries.Similarity.q110LabelCentroidSim(spark, sf))
+    assert(rowsOf(Streams.centroidSnapshot(spark, cent)) === batch,
+      "merged running-mean partials must reproduce the batch matrix")
+    // the vector-state log folds with the SUM-family swap compactor
+    Streams.compactSummedPartials(spark, cent,
+      _.groupBy(col("label"), col("pos"))
+        .agg(sum(col("s")).as("s"), sum(col("n")).as("n")))
+    assert(rowsOf(Streams.centroidSnapshot(spark, cent)) === batch,
+      "compaction must preserve the centroid matrix")
+  }
+
   test("incremental chi-square cells: summed partials equal the batch census") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_incchi")
