@@ -792,7 +792,7 @@ object Text {
   /** q164 oracle — the identical sample (same "band:" hash tag, same
     * bottom-k and ceil-rank spelling as q155Sql) and the identical
     * value-inclusive cut. */
-  val q164Sql: String =
+  lazy val q164Sql: String =
     s"""WITH $surprisalDocSqlCtes,
        |hv AS (
        |  SELECT source, avg_millinats AS v,

@@ -1276,6 +1276,12 @@ object Streams {
     * [[compactSummedPartials]]' all-or-nothing swap instead. */
   def compactMinMergePartials(spark: SparkSession, path: String,
                               merge: DataFrame => DataFrame): Unit = {
+    // poll-safe before the first commit (the readPartialsOrEmpty
+    // contract, maintenance edition): a fold scheduled ahead of the
+    // monitor's first batch is a no-op, not an AnalysisException
+    val root0 = new org.apache.hadoop.fs.Path(path)
+    if (!root0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(root0)) return
     val idx = spark.read.parquet(path)
     val batchIds = idx.select(col("batch_id")).distinct()
       .collect().map(_.get(0).toString.toLong)
@@ -1361,6 +1367,7 @@ object Streams {
     val old = new org.apache.hadoop.fs.Path(path + CompactOldSuffix)
     fs.delete(stage, true) // a stale stage from an earlier mid-stage crash
     fs.delete(old, true)
+    if (!fs.exists(root)) return // poll-safe before the first commit
     val idx = spark.read.parquet(path)
       .withColumn("batch_id", col("batch_id").cast("long"))
     val batchIds = idx.select(col("batch_id")).distinct()

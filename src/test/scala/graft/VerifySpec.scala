@@ -8,6 +8,30 @@ import org.apache.spark.sql.functions._
   * mode. */
 class VerifySpec extends SparkSpec {
 
+  test("no oracle SQL baked a null from an object-init cycle") {
+    // Scala object initializers run on first access; an eager `val
+    // xSql` in object A interpolating a member of object B, while B's
+    // init (directly or transitively) touches A, sees B's
+    // not-yet-assigned field as null and bakes the literal text
+    // "null" into the SQL forever (round-10: Text.q164Sql -> Stats
+    // mid-init -> Stats.q135Sql -> Text.chunksSqlCte = null; DuckDB
+    // then fails with "syntax error at or near null" two objects away
+    // from the cause). Break such cycles with `lazy val` on the
+    // cross-object edge; this gate catches any regression whatever
+    // the init order the test JVM happens to take.
+    SparkEntry.queries // force the query map first, as Verify does
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      assert(sql != null, s"$name: oracle SQL itself is null")
+      // bare lowercase `null` only: '<null>' literals and identifiers
+      // like null_vecs are legitimate SQL
+      val bare = "(?<![\\w'<_])null(?![\\w'>_])".r.findFirstIn(sql)
+      assert(bare.isEmpty,
+        s"$name: oracle SQL contains a lowercase 'null' — almost " +
+          "certainly an interpolated not-yet-initialized val " +
+          "(object-init cycle); make the cross-object edge lazy")
+    }
+  }
+
   test("Verify.run records throwing queries and still dumps the healthy ones") {
     val out = java.nio.file.Files.createTempDirectory("graft_verify").toString
     val failures = Verify.run(spark, "/root/testdata/sf0.001", out,

@@ -790,6 +790,16 @@ class StreamsSpec extends SparkSpec {
     } finally walk.close()
   }
 
+  test("compaction before the first commit is a no-op, not an exception") {
+    val ghost = java.nio.file.Files.createTempDirectory("graft_ghost")
+      .toString + "/never_written"
+    Streams.compactMinMergePartials(spark, ghost, Streams.kmvMerge())
+    Streams.compactSummedPartials(spark, ghost,
+      _.groupBy(col("source")).agg(sum(col("tokens")).as("tokens")))
+    assert(!new java.io.File(ghost).exists(),
+      "a fold ahead of the monitor's first batch must leave nothing behind")
+  }
+
   test("min-merge compaction folds the KMV log to merged+latest, snapshot unchanged") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_kmvcomp")
@@ -947,6 +957,44 @@ class StreamsSpec extends SparkSpec {
     val batch = rowsOf(graft.queries.Events.q145Chi2DailyMix(spark, sf))
     assert(streamed === batch,
       "summed contingency partials must reproduce the batch χ² exactly")
+  }
+
+  test("incremental centroids survive a restart: offsets resume, matrix equals batch") {
+    // 6th member of the restart family (KMV=k-min, segments=min,
+    // chi2=sum, ANN=index, quantiles=bottom-k — and now the
+    // vector-SUM member): a lost offset would re-land half0's Σ/n and
+    // DOUBLE-COUNT the centroids, so offsets-resumed is the sharp half
+    // of this assertion
+    val dir = java.nio.file.Files.createTempDirectory("graft_centrec")
+    val (cent, cp) = (s"$dir/cent", s"$dir/ckpt")
+    val in = dir.resolve("in"); java.nio.file.Files.createDirectory(in)
+    val sf = "/root/testdata/sf0.001"
+    val embs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"), col("embedding"))
+    def land(half: Int): Unit = {
+      val stage = s"$dir/stage$half"
+      embs.filter(col("vec_id") % 2 === half).coalesce(1).write.parquet(stage)
+      new java.io.File(stage).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.move(f.toPath,
+          in.resolve(s"half$half.parquet")))
+    }
+    def start() = Streams.incrementalCentroids(
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "vec_id bigint, label int, embedding array<float>"))
+        .parquet(in.toString), cent, cp).start()
+    land(0)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    land(1) // arrives while the monitor is DOWN
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val batches = spark.read.parquet(cent)
+      .select(col("batch_id")).distinct().count()
+    assert(batches === 2, s"expected 2 batch partitions, got $batches")
+    assert(rowsOf(Streams.centroidSnapshot(spark, cent)) ===
+      rowsOf(graft.queries.Similarity.q110LabelCentroidSim(spark, sf)),
+      "post-restart matrix must equal the batch q110 matrix")
   }
 
   test("incremental KMV survives a restart: offsets resume, snapshot equals batch") {
