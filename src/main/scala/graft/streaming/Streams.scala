@@ -480,7 +480,15 @@ object Streams {
     // two commit renames — repair it rather than report "no partials
     // yet" (which would be a silently-empty WRONG snapshot)
     if (!fs.exists(p)) recoverCompaction(spark, path)
-    if (fs.exists(p)) spark.read.parquet(path)
+    // read with the EXPLICIT schema, never inference: a monitor whose
+    // every batch landed an empty partial (e.g. all rows filtered by a
+    // validity predicate) leaves a footer-less log that inference dies
+    // on (UNABLE_TO_INFER_SCHEMA) — the finalizePipeline lesson, made
+    // structural for the whole snapshot family; it also drops the
+    // footer-read from every poll
+    if (fs.exists(p)) spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      .parquet(path)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
       org.apache.spark.sql.types.StructType.fromDDL(ddl))
   }

@@ -95,6 +95,30 @@ class RobustnessSpec extends SparkSpec {
       "q151 segment snapshot diverged from batch q134 on the edge corpus")
   }
 
+  test("centroid monitor on an all-malformed embeddings corpus: empty matrix, no crash") {
+    // every vector trips the q94 predicate (null / wrong dim / NaN) —
+    // the per-batch partials are empty frames, the landed log may
+    // never materialize a partition, and the snapshot must come back
+    // EMPTY (no labels survive), not throw
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    val dir = java.nio.file.Files.createTempDirectory("graft_badvec").toString
+    val schema = StructType.fromDDL(
+      "vec_id bigint, embedding array<float>, label int")
+    val rows = Seq(
+      Row(1L, null, 0),
+      Row(2L, Seq(1.0f, 2.0f), 0),                       // wrong dim
+      Row(3L, Seq.fill(64)(Float.NaN), 1))               // NaN vector
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+      .write.parquet(s"$dir/embeddings.parquet")
+    assert(queries.StreamingQ.q165IncrementalCentroids(spark, dir).count() === 0L,
+      "an all-malformed corpus must yield an empty matrix, not a crash")
+    assert(queries.Similarity.q110LabelCentroidSim(spark, dir).count() === 0L,
+      "batch twin must agree on the empty matrix")
+  }
+
   test("empty first batch + whole-corpus-in-one-file feed: snapshot still equals batch") {
     // exercises readPartialsOrEmpty's degenerate landings end-to-end:
     // batch 0 is ZERO rows (its landed partial partition is empty or
