@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Bpe, Dedup, Events, Graph, Layout, MultimodalQ, Parity, PipelineQ, Relational, Similarity, Stats, StreamingQ, Temporal, Text}
+import graft.queries.{Bpe, Dedup, Events, Graph, Layout, MultimodalQ, Parity, PipelineQ, Relational, Selection, Similarity, Stats, StreamingQ, Temporal, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -343,6 +343,18 @@ object SparkEntry {
     // embedding-drift monitor: vector-valued SUM partials (label
     // centroids) must reproduce the batch q110 matrix
     "q165_incremental_centroids" -> (StreamingQ.q165IncrementalCentroids _),
+    // multi-objective selection: grid-partitioned Pareto skyline —
+    // keyed windows + a tiny bucket suffix frame, no global sort
+    "q166_pareto_frontier" -> (Selection.q166ParetoFrontier _),
+    // q86's coverage as merged intervals (gaps-and-islands on span
+    // starts — k× fewer rows than the position explode, same union)
+    "q167_merged_spans" -> (Dedup.q167MergedSpans _),
+    // market-basket affinity at brand grain: contract-first pair
+    // generation, supports and basket count broadcast back
+    "q168_association_rules" -> (Relational.q168AssociationRules _),
+    // hard global token budget: distributed prefix scan (score-class
+    // frame + doc_id-bucketed boundary), no global sort
+    "q169_token_budget" -> (Selection.q169TokenBudget _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -514,5 +526,9 @@ object SparkEntry {
     "q163_compacted_ann_index" -> Similarity.q31Sql,
     "q164_sampled_band" -> Text.q164Sql,
     "q165_incremental_centroids" -> Similarity.q110Sql,
+    "q166_pareto_frontier" -> Selection.q166Sql,
+    "q167_merged_spans" -> Dedup.q167Sql,
+    "q168_association_rules" -> Relational.q168Sql,
+    "q169_token_budget" -> Selection.q169Sql,
   )
 }

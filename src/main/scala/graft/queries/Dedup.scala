@@ -752,13 +752,25 @@ object Dedup {
     * (source, doc) shuffle as the final census join. Everything is
     * gram- or doc-keyed — nothing pairwise.
     */
-  def q86SpanSurgery(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  /** The ≥[[SpanK]]-token corpus with its staged token arrays — the
+    * shared entry of the span family (q86 surgery / q167 islands). */
+  private def spanDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .withColumn("toks", TextOps.tokens(col("text"))) // staged: see minhashSignatures
       .filter(size(col("toks")) >= SpanK)
-    // positional (non-distinct) grams: where each span STARTS —
-    // native kernel (the interpreted TextOps.shingles HOF is its
-    // differential reference, NGramSetSpec)
+
+  /** Start positions of cross-doc duplicated [[SpanK]]-grams, one row
+    * per (source, doc_id, pos) — the ONE definition of "a duplicated
+    * span starts here" that q86's position-union and q167's interval
+    * merge both consume, so the two censuses can never disagree about
+    * which text is duplicated.
+    *
+    * Scale shape: positional grams explode once (the q74 gram table
+    * plus a position int — native kernel; the interpreted
+    * TextOps.shingles HOF is its differential reference,
+    * NGramSetSpec); dup grams come from the same hash-agg; the
+    * semi-join is gram-keyed. Nothing pairwise. */
+  private[graft] def dupSpanStarts(docs: DataFrame): DataFrame = {
     val posGrams = docs.select(col("source"), col("doc_id"),
       posexplode(graft.functions.NGramSetFunctions.ngram_list(col("toks"), SpanK))
         .as(Seq("pos", "gram")))
@@ -769,8 +781,14 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)
       .select(col("gram"))
-    val covered = posGrams
+    posGrams
       .join(dupGrams.hint("shuffle_hash"), Seq("gram"), "left_semi")
+      .select(col("source"), col("doc_id"), col("pos"))
+  }
+
+  def q86SpanSurgery(s: SparkSession, dir: String): DataFrame = {
+    val docs = spanDocs(s, dir)
+    val covered = dupSpanStarts(docs)
       .select(col("source"), col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (SpanK - 1))).as("cpos"))
       .distinct()
@@ -812,6 +830,78 @@ object Dedup {
        |       CAST(sum(removed) AS BIGINT) * 100 // CAST(sum(n_toks) AS BIGINT)
        |         AS removed_pct
        |FROM j GROUP BY 1""".stripMargin
+  }
+
+  /** Merged duplicated spans (q167) — q86's coverage set expressed as
+    * INTERVALS: the duplicated [[SpanK]]-gram start positions of each
+    * document are merged into maximal contiguous covered runs
+    * (gaps-and-islands), and the census reports the per-source span
+    * inventory — how many distinct duplicated passages exist, how
+    * long they run — which is what a span-surgery review actually
+    * reads (q86's position count says how MUCH is cut; this says in
+    * how many PIECES, and how big the biggest is).
+    *
+    * Conservation law (spec-asserted): covered_positions here equals
+    * q86's tokens_removed per source exactly — both are |union of
+    * [pos, pos+k-1]| — while this spelling never materializes the
+    * position explosion: islands are found on the START rows alone
+    * (k× fewer rows than q86's explode+distinct, same answer).
+    *
+    * Scale shape: [[dupSpanStarts]]'s gram-keyed semi-join, then
+    * every window is partitioned by (source, doc_id) — the merge is
+    * embarrassingly doc-parallel; the census is one hash agg.
+    */
+  def q167MergedSpans(s: SparkSession, dir: String): DataFrame = {
+    val byDoc = Window.partitionBy(col("source"), col("doc_id"))
+      .orderBy(col("pos"))
+    // a new island starts where the gap to the previous span's end
+    // exceeds adjacency: spans are fixed-length k, so prev end =
+    // lag(pos) + k - 1 and "touching or overlapping" is pos ≤ lag + k
+    val flagged = dupSpanStarts(spanDocs(s, dir))
+      .withColumn("ni",
+        when(lag(col("pos"), 1).over(byDoc).isNull ||
+          col("pos") > lag(col("pos"), 1).over(byDoc) + SpanK, 1L)
+          .otherwise(0L))
+      .withColumn("iid", sum(col("ni")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col("source"), col("doc_id"), col("iid"))
+      .agg((max(col("pos")) - min(col("pos")) + SpanK).cast("long").as("len"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("docs_hit"),
+        count(lit(1)).as("merged_spans"),
+        sum(col("len")).as("covered_positions"),
+        max(col("len")).as("longest_span"))
+  }
+
+  val q167Sql: String = {
+    val toks = "str_split(text, ' ')"
+    s"""WITH d AS (
+       |  SELECT source, doc_id, $toks AS toks FROM documents
+       |  WHERE len($toks) >= $SpanK),
+       |pg AS (
+       |  SELECT source, doc_id, i - 1 AS pos,
+       |         array_to_string(list_slice(toks, i, i + ${SpanK - 1}), ' ') AS gram
+       |  FROM d, unnest(range(1, len(toks) - ${SpanK - 2})) AS t(i)),
+       |dup AS (SELECT gram FROM (
+       |  SELECT gram, count(DISTINCT doc_id) AS nd FROM pg GROUP BY 1) WHERE nd >= 2),
+       |st AS (SELECT pg.source, pg.doc_id, pg.pos FROM pg JOIN dup USING (gram)),
+       |fl AS (
+       |  SELECT source, doc_id, pos,
+       |         CASE WHEN lag(pos) OVER w IS NULL
+       |                OR pos > lag(pos) OVER w + $SpanK THEN 1 ELSE 0 END AS ni
+       |  FROM st WINDOW w AS (PARTITION BY source, doc_id ORDER BY pos)),
+       |isl AS (
+       |  SELECT source, doc_id, pos,
+       |         sum(ni) OVER (PARTITION BY source, doc_id ORDER BY pos) AS iid
+       |  FROM fl),
+       |sp AS (
+       |  SELECT source, doc_id, iid, max(pos) - min(pos) + $SpanK AS len
+       |  FROM isl GROUP BY 1, 2, 3)
+       |SELECT source, count(DISTINCT doc_id) AS docs_hit,
+       |       count(*) AS merged_spans,
+       |       CAST(sum(len) AS BIGINT) AS covered_positions,
+       |       CAST(max(len) AS BIGINT) AS longest_span
+       |FROM sp GROUP BY 1""".stripMargin
   }
 
   // ------------------------------------------------- novelty curve

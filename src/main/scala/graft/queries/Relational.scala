@@ -312,4 +312,75 @@ object Relational {
        |FROM lineitem l, bloom
        |GROUP BY 1""".stripMargin
   }
+
+  /** Market-basket association rules (q168) at brand grain: each
+    * order is a basket of the part BRANDS it bought; every brand pair
+    * co-occurring in a basket gets its support, both directed
+    * confidences, and lift — the classic affinity surface (and, for a
+    * training-data pipeline, the source co-occurrence signal behind
+    * "docs from A usually arrive with docs from B").
+    *
+    * Scale shape — contract first, the q70 discipline: the corpus-
+    * sized work is one lineitem→part equi-join (AQE broadcasts part
+    * at these SFs; at 100 TB both sides hash on partkey) and one
+    * distinct to (order, brand). Pair generation self-joins THAT
+    * contracted frame on the order key with brand_a < brand_b — the
+    * fan-out is bounded by brands-per-basket², never corpus², and the
+    * result aggregates straight down to ≤ brands² rows. Per-brand
+    * supports and the basket count are tiny aggregates broadcast
+    * back; nothing corpus-sized is touched twice.
+    *
+    * Lift is spelled in DECIMAL(38) (the q137 convention): sup_ab ·
+    * N · 1000 overflows a long once baskets pass ~10⁹, and the
+    * permille quotient is exact integer division on both engines.
+    */
+  def q168AssociationRules(s: SparkSession, dir: String): DataFrame = {
+    val baskets = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey"))
+      .join(Tables.part(s, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("ok"), col("p_brand").as("brand"))
+      .distinct()
+    val sup = baskets.groupBy(col("brand")).agg(count(lit(1)).as("s"))
+    val n = baskets.agg(countDistinct(col("ok")).as("n_baskets"))
+    val pairs = baskets.as("a")
+      .join(baskets.as("b"),
+        col("a.ok") === col("b.ok") && col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("brand_a"), col("b.brand").as("brand_b"))
+      .agg(count(lit(1)).as("sup_ab"))
+    pairs
+      .join(broadcast(sup.select(col("brand").as("brand_a"),
+        col("s").as("sup_a"))), Seq("brand_a"))
+      .join(broadcast(sup.select(col("brand").as("brand_b"),
+        col("s").as("sup_b"))), Seq("brand_b"))
+      .crossJoin(broadcast(n)) // 1-row stat cross (the repo's broadcast-stat idiom)
+      .select(col("brand_a"), col("brand_b"), col("sup_ab"),
+        col("sup_a"), col("sup_b"),
+        expr("sup_ab * 1000 div sup_a").as("conf_ab_pm"),
+        expr("sup_ab * 1000 div sup_b").as("conf_ba_pm"),
+        expr("""CAST(CAST(sup_ab AS DECIMAL(38,0)) * n_baskets * 1000
+                |  div (CAST(sup_a AS DECIMAL(38,0)) * sup_b) AS BIGINT)"""
+          .stripMargin).as("lift_pm"))
+  }
+
+  val q168Sql: String =
+    """WITH baskets AS (
+      |  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |sup AS (SELECT brand, count(*) AS s FROM baskets GROUP BY 1),
+      |n AS (SELECT count(DISTINCT ok) AS n_baskets FROM baskets),
+      |pairs AS (
+      |  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS sup_ab
+      |  FROM baskets a JOIN baskets b
+      |    ON a.ok = b.ok AND a.brand < b.brand
+      |  GROUP BY 1, 2)
+      |SELECT brand_a, brand_b, sup_ab,
+      |       sa.s AS sup_a, sb.s AS sup_b,
+      |       sup_ab * 1000 // sa.s AS conf_ab_pm,
+      |       sup_ab * 1000 // sb.s AS conf_ba_pm,
+      |       CAST(CAST(sup_ab AS HUGEINT) * n.n_baskets * 1000
+      |         // (CAST(sa.s AS HUGEINT) * sb.s) AS BIGINT) AS lift_pm
+      |FROM pairs
+      |JOIN sup sa ON brand_a = sa.brand
+      |JOIN sup sb ON brand_b = sb.brand, n""".stripMargin
 }

@@ -1,0 +1,211 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-objective / budgeted data-selection operators — the two
+  * selection shapes a curation run reaches for once single-score
+  * filtering (q22 buckets, q127 deciles, q160 bands) is exhausted:
+  * a Pareto frontier over competing objectives, and a hard global
+  * token budget.
+  *
+  * Both are spelled WITHOUT a global sort: the corpus-scale work is
+  * hash-keyed windows plus a tiny (score-class / bucket-count sized)
+  * prefix frame that broadcasts back — the distributed prefix-scan
+  * decomposition. This is the at-scale answer to the "one global
+  * ORDER BY" that q127's scaladoc flags as its honest 100 TB trade.
+  */
+object Selection {
+
+  /** Per-doc selection objectives — ONE scoring discipline shared by
+    * q166/q169 and identical to q127's curriculum score, so "quality"
+    * can never mean two things in the same pipeline: token count and
+    * type-token ratio in integer permille (ties broken by doc_id
+    * downstream; no float crosses any cut). */
+  private[graft] def ttrScored(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("t"),
+        size(array_distinct(TextOps.tokens(col("text")))).cast("long")
+          .as("types"))
+      .withColumn("r", expr("types * 1000 div t"))
+      .drop("types")
+
+  /** The scored-docs CTE both oracles share (DuckDB spelling of
+    * [[ttrScored]] — q127Sql's score arithmetic verbatim). */
+  private val scoredCte: String =
+    """scored AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(str_split(text, ' ')) AS BIGINT) AS t,
+      |         CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT)
+      |           * 1000 // CAST(len(str_split(text, ' ')) AS BIGINT) AS r
+      |  FROM documents)""".stripMargin
+
+  /** Bucket width for the frontier's coarse grid on the token axis.
+    * Data-independent (a fixed integer divisor of t), so bucketing is
+    * deterministic — no sampled range boundaries to drift between
+    * runs. */
+  val FrontierBucket = 64L
+
+  /** Pareto frontier (q166) — multi-objective document selection:
+    * keep every document not dominated under (maximize tokens t,
+    * maximize type-token ratio r). A dominates B iff t_A ≥ t_B and
+    * r_A ≥ r_B with at least one strict; equal (t, r) twins are
+    * mutually non-dominated and both survive. The two objectives pull
+    * against each other (long documents repeat tokens), so the
+    * frontier is the "no free lunch" boundary a curation run trades
+    * along — every kept doc is the best available r at its length.
+    *
+    * Scale shape — the grid-partitioned skyline, not a global sort:
+    * dominance splits exactly three ways and each way is a keyed
+    * window or a tiny broadcast:
+    *   1. dominator in a HIGHER t-bucket (t' > t guaranteed): per-
+    *      bucket max-r suffix-scanned over the tiny bucket frame
+    *      (≤ max_t / [[FrontierBucket]] rows) and broadcast back —
+    *      dominated iff that suffix max ≥ r.
+    *   2. dominator in the SAME bucket with t' > t: max-r over a
+    *      range frame (t DESC, 1 PRECEDING) inside the bucket — a
+    *      hash-keyed window, never global.
+    *   3. dominator with t' = t, r' > r: max-r over the (bucket, t)
+    *      sub-window — same exchange, dominated iff r below it.
+    * Every corpus-sized operation is hashed on bkt; the only ordered
+    * structure is the bucket frame, whose size is bounded by the
+    * longest document, not the corpus.
+    */
+  def q166ParetoFrontier(s: SparkSession, dir: String): DataFrame = {
+    val scored = ttrScored(s, dir)
+      .withColumn("bkt", expr(s"t div $FrontierBucket"))
+    // tiny frame: per-bucket max r, then the suffix max over strictly
+    // higher buckets (rows preceding under bkt DESC)
+    val suffix = scored.groupBy(col("bkt")).agg(max(col("r")).as("bm"))
+      .withColumn("hmax", max(col("bm")).over(
+        Window.orderBy(col("bkt").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("bkt"), col("hmax"))
+    val inBucket = Window.partitionBy(col("bkt")).orderBy(col("t").desc)
+      .rangeBetween(Window.unboundedPreceding, -1)
+    scored.join(broadcast(suffix), Seq("bkt"), "left")
+      .withColumn("m1", max(col("r")).over(inBucket))
+      .withColumn("mt", max(col("r")).over(
+        Window.partitionBy(col("bkt"), col("t"))))
+      .filter(col("r") > coalesce(col("hmax"), lit(-1L)) &&
+        col("r") > coalesce(col("m1"), lit(-1L)) &&
+        col("r") === col("mt"))
+      .select(col("doc_id"), col("source"),
+        col("t").as("n_toks"), col("r").as("ttr_pm"))
+  }
+
+  /** q166 oracle — the bucket decomposition collapses back to two
+    * global windows (the buckets only exist to keep Spark's windows
+    * keyed): dominated iff max r over strictly-longer docs ≥ r, or r
+    * below the max r of its exact length. */
+  val q166Sql: String =
+    s"""WITH $scoredCte,
+       |w AS (
+       |  SELECT *,
+       |         max(r) OVER (ORDER BY t DESC
+       |           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+       |         max(r) OVER (PARTITION BY t) AS mt
+       |  FROM scored)
+       |SELECT doc_id, source, t AS n_toks, r AS ttr_pm
+       |FROM w WHERE r > coalesce(m1, -1) AND r = mt""".stripMargin
+
+  /** Kept fraction of the corpus token mass for q169 (integer
+    * percent). */
+  val BudgetPct = 40L
+
+  /** doc_id bucket width for the boundary class's two-pass prefix
+    * sum — bounds the widest window partition q169 ever sorts. */
+  val BudgetBucket = 4096L
+
+  /** Token-budget selection (q169) — the terminal act of a curation
+    * run: rank documents by quality (TTR permille, doc_id tie-break)
+    * and keep the best prefix whose running token total fits a hard
+    * budget B = [[BudgetPct]]% of the corpus token mass. Emits the
+    * per-source census of what survived plus the realized quality
+    * cut — the number a dataset card records as "kept top-X% by
+    * quality to a N-token budget".
+    *
+    * Scale shape — a distributed prefix scan, no global sort:
+    *   1. token mass per score CLASS (≤1001 integer-permille values):
+    *      one hash agg, then the exclusive prefix over the tiny class
+    *      frame classifies every class keep-all / drop-all / boundary
+    *      (at most ONE boundary class — the prefix intervals
+    *      partition the number line).
+    *   2. only boundary-class docs need per-doc resolution, and their
+    *      prefix is itself two-passed: doc_id div [[BudgetBucket]]
+    *      buckets → tiny bucket-prefix frame → an in-bucket running
+    *      sum. No window partition ever exceeds [[BudgetBucket]]-ish
+    *      docs, no matter how many documents tie at the cut score —
+    *      the hot-key failure mode of "window over the one boundary
+    *      class" is designed out.
+    * Equivalence to the oracle's one global cumsum: the global order
+    * (r DESC, doc_id) visits classes contiguously, so inclusive-cum ≤
+    * B decomposes exactly into class-prefix + in-class prefix.
+    */
+  def q169TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = ttrScored(s, dir)
+    val classes = perDoc.groupBy(col("r")).agg(sum(col("t")).as("ctoks"))
+      .withColumn("p", coalesce(sum(col("ctoks")).over(
+        Window.orderBy(col("r").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("b", expr(
+        s"sum(ctoks) over () * $BudgetPct div 100"))
+      .withColumn("cls",
+        when(col("p") + col("ctoks") <= col("b"), lit("keep"))
+          .when(col("p") > col("b"), lit("drop"))
+          .otherwise(lit("bdy")))
+    val joined = perDoc
+      .join(broadcast(classes.select(col("r"), col("p"), col("b"), col("cls"))),
+        Seq("r"))
+    val keptFull = joined.filter(col("cls") === "keep")
+      .select(col("source"), col("doc_id"), col("t"), col("r"))
+    val bdy = joined.filter(col("cls") === "bdy")
+      .withColumn("bb", expr(s"doc_id div $BudgetBucket"))
+    val bucketPrefix = bdy.groupBy(col("bb")).agg(sum(col("t")).as("btoks"))
+      .withColumn("q", coalesce(sum(col("btoks")).over(
+        Window.orderBy(col("bb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bb"), col("q"))
+    val keptBdy = bdy.join(broadcast(bucketPrefix), Seq("bb"))
+      .withColumn("w", sum(col("t")).over(
+        Window.partitionBy(col("bb")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("p") + col("q") + col("w") <= col("b"))
+      .select(col("source"), col("doc_id"), col("t"), col("r"))
+    val kept = keptFull.union(keptBdy)
+    val cut = kept.agg(min(col("r")).as("cut_score"))
+    val totals = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("total_docs"), sum(col("t")).as("total_tokens"))
+    val keptAgg = kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("t")).as("kept_tokens"))
+    totals.join(keptAgg, Seq("source"), "left")
+      .withColumn("kept_docs", coalesce(col("kept_docs"), lit(0L)))
+      .withColumn("kept_tokens", coalesce(col("kept_tokens"), lit(0L)))
+      .crossJoin(broadcast(cut)) // 1-row stat cross (the repo's broadcast-stat idiom)
+  }
+
+  /** q169 oracle — the straight-line spelling: one global cumsum in
+    * (r DESC, doc_id) order, keep while within budget. */
+  val q169Sql: String =
+    s"""WITH $scoredCte,
+       |b AS (SELECT CAST(sum(t) AS BIGINT) * $BudgetPct // 100 AS budget
+       |      FROM scored),
+       |w AS (SELECT *, CAST(sum(t) OVER (ORDER BY r DESC, doc_id) AS BIGINT)
+       |        AS cum FROM scored),
+       |k AS (SELECT * FROM w WHERE cum <= (SELECT budget FROM b)),
+       |t2 AS (SELECT source, count(*) AS total_docs,
+       |              CAST(sum(t) AS BIGINT) AS total_tokens
+       |       FROM scored GROUP BY 1),
+       |k2 AS (SELECT source, count(*) AS kept_docs,
+       |              CAST(sum(t) AS BIGINT) AS kept_tokens
+       |       FROM k GROUP BY 1)
+       |SELECT t2.source, total_docs, total_tokens,
+       |       CAST(coalesce(kept_docs, 0) AS BIGINT) AS kept_docs,
+       |       CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       |       (SELECT min(r) FROM k) AS cut_score
+       |FROM t2 LEFT JOIN k2 ON t2.source = k2.source""".stripMargin
+}

@@ -91,7 +91,9 @@ class PlanSpec extends SparkSpec {
     "q148_incremental_chi2",    // q145's T cross over the landed partials
     "q149_dataset_card",        // × six 1-row member aggs (the datasheet card)
     "q158_compacted_mixture",   // q105's 1-row qtot cross, compacted log
-    "q161_excess_mixture"       // × 1-row corpus-mean + 1-row wtot aggs
+    "q161_excess_mixture",      // × 1-row corpus-mean + 1-row wtot aggs
+    "q168_association_rules",   // × 1-row basket-count agg
+    "q169_token_budget"         // × 1-row min-kept-score agg
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
@@ -230,6 +232,55 @@ class PlanSpec extends SparkSpec {
       "the O(sources) band bounds must broadcast back to the scan")
     assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
       "nothing may sort-merge at corpus grain")
+  }
+
+  test("q166 frontier: one tiny single-partition frame, suffix maxima broadcast back") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    val nodes = ops(planOf("q166_pareto_frontier"))
+    val singles = nodes.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }
+    assert(singles.size == 1,
+      "exactly the bucket-suffix frame (≤ max_t/64 rows) may collapse to " +
+        "one partition — a second SinglePartition exchange means a corpus " +
+        "window went global")
+    assert(nodes.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the suffix-max frame must broadcast back onto the scored corpus")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]))
+  }
+
+  test("q167 merged spans: islands on START rows only — no position explode") {
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val nodes = ops(planOf("q167_merged_spans"))
+    assert(nodes.count(_.isInstanceOf[GenerateExec]) == 2,
+      "exactly the two gram explodes (positional list + distinct set) — a " +
+        "third Generate means the k-position coverage explode crept back in " +
+        "(q86's spelling; the interval merge exists to avoid it)")
+    nodes.collect { case w: WindowExec => w }.foreach(w =>
+      assert(w.partitionSpec.nonEmpty,
+        "island windows must stay (source, doc_id)-keyed"))
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "the dup-gram semi-join is hinted shuffle-hash at corpus grain")
+  }
+
+  test("q169 budget: boundary window stays bucketed; tiny frames broadcast back") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val nodes = ops(planOf("q169_token_budget"))
+    val (global, keyed) = nodes.collect { case w: WindowExec => w }
+      .partition(_.partitionSpec.isEmpty)
+    assert(keyed.nonEmpty,
+      "the boundary-class running sum must be partitioned by doc_id bucket")
+    // global windows are legal ONLY on the tiny score-class / bucket
+    // frames (≤1001 rows each) — both sit strictly downstream of a
+    // corpus-collapsing aggregate, never on a scan
+    assert(global.forall(w => w.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }.nonEmpty),
+      "a global window with no aggregate beneath it is running on the corpus")
+    assert(nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
+      "class frame and bucket-prefix frame must both broadcast back")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]))
   }
 
   test("q139 transitions: each window chain rides one sort; totals broadcast") {

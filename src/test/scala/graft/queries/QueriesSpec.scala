@@ -2406,6 +2406,102 @@ class QueriesSpec extends SparkSpec {
         "cross-split edges exist — zero drops means the policy broke")
   }
 
+  test("q166 frontier equals the brute-force NOT EXISTS skyline") {
+    import org.apache.spark.sql.functions.col
+    // the O(n²) definitional spelling — dominance as an anti-join —
+    // on the sf0.001 corpus; the grid decomposition must reproduce it
+    val scored = Selection.ttrScored(spark, sf)
+    val dominated = scored.as("x").join(scored.as("y"),
+      col("y.t") >= col("x.t") && col("y.r") >= col("x.r") &&
+        (col("y.t") > col("x.t") || col("y.r") > col("x.r")),
+      "left_semi")
+    val brute = rowsOf(scored.join(dominated.select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"),
+        col("t").as("n_toks"), col("r").as("ttr_pm")))
+    val grid = rowsOf(Selection.q166ParetoFrontier(spark, sf))
+    assert(grid === brute)
+    assert(grid.nonEmpty)
+  }
+
+  test("q166 frontier members are mutually non-dominated") {
+    val rows = Selection.q166ParetoFrontier(spark, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    for (a <- rows; b <- rows if a != b)
+      assert(!(a._1 >= b._1 && a._2 >= b._2 && (a._1 > b._1 || a._2 > b._2)),
+        s"$a dominates $b inside the frontier")
+  }
+
+  test("q167 merged spans conserve q86's removed-position mass") {
+    val spans = Dedup.q167MergedSpans(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val surgery = Dedup.q86SpanSurgery(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    // both spellings compute |union of [pos, pos+k-1]| — the interval
+    // merge must agree with the position-explode census exactly
+    spans.foreach { case (src, (hit, nSpans, covered, longest)) =>
+      assert(covered === surgery(src), s"$src: island mass != q86 removed")
+      assert(covered >= nSpans * Dedup.SpanK,
+        s"$src: every island covers at least one full k-gram")
+      assert(longest <= covered && hit <= nSpans)
+    }
+    // sources absent from q167 must have zero removed in q86
+    surgery.filterNot { case (src, _) => spans.contains(src) }
+      .foreach { case (src, removed) =>
+        assert(removed === 0L, s"$src removed>0 but has no islands") }
+  }
+
+  test("q168 association rules: support bounds, exact confidence/lift arithmetic") {
+    import org.apache.spark.sql.functions.col
+    val rows = Relational.q168AssociationRules(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent basket count for the lift recompute
+    val n = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey")).distinct().count()
+    rows.foreach { r =>
+      val (supAb, supA, supB) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(supAb >= 1 && supAb <= math.min(supA, supB))
+      assert(r.getLong(5) === supAb * 1000 / supA, "conf_ab_pm")
+      assert(r.getLong(6) === supAb * 1000 / supB, "conf_ba_pm")
+      assert(r.getLong(7) ===
+        (BigInt(supAb) * n * 1000 / (BigInt(supA) * supB)).toLong, "lift_pm")
+      assert(r.getString(0) < r.getString(1), "pairs are ordered once")
+    }
+  }
+
+  test("q169 budget selection equals the global-cumsum spelling; budget is binding") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val scored = Selection.ttrScored(spark, sf)
+    val total = scored.agg(sum(col("t"))).head.getLong(0)
+    val budget = total * Selection.BudgetPct / 100
+    // the definitional spelling: one global inclusive cumsum
+    val w = Window.orderBy(col("r").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val kept = scored.withColumn("cum", sum(col("t")).over(w))
+      .filter(col("cum") <= budget)
+    val expected = rowsOf(
+      scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("total_docs"), sum(col("t")).as("total_tokens"))
+        .join(kept.groupBy(col("source"))
+          .agg(count(lit(1)).as("kept_docs"), sum(col("t")).as("kept_tokens")),
+          Seq("source"), "left")
+        .withColumn("kept_docs", coalesce(col("kept_docs"), lit(0L)))
+        .withColumn("kept_tokens", coalesce(col("kept_tokens"), lit(0L)))
+        .crossJoin(kept.agg(min(col("r")).as("cut_score"))))
+    assert(rowsOf(Selection.q169TokenBudget(spark, sf)) === expected)
+    // binding: the kept mass fits, and the next doc in order would not
+    val keptMass = kept.agg(sum(col("t"))).head.getLong(0)
+    assert(keptMass <= budget)
+    val nextDoc = scored.withColumn("cum", sum(col("t")).over(w))
+      .filter(col("cum") > budget)
+      .orderBy(col("r").desc, col("doc_id")).limit(1)
+      .select(col("cum")).collect()
+    nextDoc.headOption.foreach(r =>
+      assert(r.getLong(0) > budget, "greedy prefix must be maximal"))
+  }
+
   test("q127 curriculum deciles: near-equal buckets, monotone score envelopes") {
     val rows = Text.q127CurriculumDeciles(spark, sf).collect()
       .sortBy(_.getInt(0))
