@@ -355,6 +355,23 @@ object SparkEntry {
     // hard global token budget: distributed prefix scan (score-class
     // frame + doc_id-bucketed boundary), no global sort
     "q169_token_budget" -> (Selection.q169TokenBudget _),
+    // q169's fairness twin: per-source budgets — every window gains
+    // the source key, nothing is corpus-ordered
+    "q170_source_budget" -> (Selection.q170SourceBudget _),
+    // pairwise source overlap from KMV sketches: O(k) state per
+    // source, estimates off the tiny sketch frame; exact audit rides
+    // one hash-keyed join (the drop-at-scale column)
+    "q171_sketch_overlap" -> (Dedup.q171SketchOverlap _),
+    // controlled duplication: ≤ cap copies per fingerprint via the
+    // bottom-k kernel — O(cap) state, hot-fingerprint-immune
+    "q172_capped_dedup" -> (Dedup.q172CappedDedup _),
+    // q172 at ingest: per-batch bottom-cap claim partials, min-merge
+    // family — snapshot == the batch census (bottom-cap-of-union law)
+    "q173_incremental_cap" -> (StreamingQ.q173IncrementalCap _),
+    // q171's sketch half at ingest: per-batch k-min partials per
+    // source (k-min-of-union law) — the O(sources·k) overlap matrix a
+    // live ingest keeps; the exact audit is what it drops
+    "q174_incremental_overlap" -> (StreamingQ.q174IncrementalOverlap _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -530,5 +547,10 @@ object SparkEntry {
     "q167_merged_spans" -> Dedup.q167Sql,
     "q168_association_rules" -> Relational.q168Sql,
     "q169_token_budget" -> Selection.q169Sql,
+    "q170_source_budget" -> Selection.q170Sql,
+    "q171_sketch_overlap" -> Dedup.q171Sql,
+    "q172_capped_dedup" -> Dedup.q172Sql,
+    "q173_incremental_cap" -> Dedup.q172Sql,
+    "q174_incremental_overlap" -> Dedup.q174Sql,
   )
 }

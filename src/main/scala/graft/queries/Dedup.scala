@@ -904,6 +904,284 @@ object Dedup {
        |FROM sp GROUP BY 1""".stripMargin
   }
 
+  // ------------------------------------- sketch overlap / capped dedup
+
+  /** Sketch size for the pairwise source-overlap estimator (q171).
+    * 16 keeps BOTH regimes exercised by the test corpora (sf0.001
+    * sources hold < k distinct docs → exact path; sf0.01's 25-doc
+    * sources saturate the sketch → estimator path). Production sizing
+    * is k ≈ 1024–4096: KMV's relative error is ~1/√(k−1), so k=1024
+    * reads ~3% — and the sketch frame stays |sources|·k longs. */
+  val OverlapK = 16
+
+  /** The KMV hash domain: fingerprints are hashed to 60 bits
+    * (15 hex digits — the q135 audit-hash collision budget). */
+  val OverlapDomain = 1152921504606846976L // 2^60
+
+  /** Pairwise source content overlap from KMV sketches (q171) — "how
+    * much of source A's content is also in source B", for every
+    * source pair, WITHOUT a pairwise document join: each source keeps
+    * only its k minimum fingerprint hashes ([[graft.functions
+    * .BottomKSample]] — O(k) state, map-side partials), and the
+    * bottom-k of two unioned sketches is exactly the bottom-k of the
+    * unioned sets, so union cardinality, intersection and Jaccard all
+    * estimate from the tiny sketch frame (Beyer et al. 2007, "On
+    * synopses for distinct value estimation under multiset
+    * operations"): with U = bottom-k(K_A ∪ K_B), h_k its largest
+    * member and D the hash domain, |A∪B| ≈ (k−1)·D/h_k and
+    * |A∩B| ≈ |{h ∈ K_A∩K_B : h ≤ h_k}| · |A∪B| / k. When the merged
+    * sketch holds fewer than k hashes the sets were exhaustively
+    * sketched and every estimate collapses to the exact value — the
+    * same CASE in both engines, so the oracle hash-matches estimates
+    * in BOTH regimes. All arithmetic is integer (the one wide product
+    * (k−1)·2⁶⁰ rides DECIMAL(38)/HUGEINT).
+    *
+    * The exact audit columns (n_a/n_b/exact_*) come from ONE distinct
+    * (source, h) frame: a hash-keyed self-join whose per-key fan-out
+    * is bounded by sources-per-hash², never corpus². At 100 TB the
+    * audit is what you DROP (q155's discipline — the sketch column is
+    * what you keep; err_pm measures exactly that trade); the sketch
+    * side's corpus work is one scan + one O(k)-state hash agg, and
+    * the pair frame is |sources|² rows of k-long arrays.
+    */
+  /** The (source, h) fingerprint-hash frame the overlap family
+    * sketches — ONE definition for batch q171 and the incremental
+    * sketch log (q174). */
+  private[graft] def overlapHashesOf(docs: DataFrame): DataFrame =
+    docs.select(col("source"),
+      conv(substring(TextOps.fingerprint(col("text")), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      // a NULL-text doc hashes to NULL; dropping it here (not inside the
+      // kernel, which also skips nulls) keeps an all-null source OUT of
+      // the census entirely — otherwise its empty sketch would make
+      // element_at(u_all, 0) die downstream (both engines filter alike)
+      .filter(col("h").isNotNull)
+
+  /** The Beyer et al. pairwise estimates over a (source, ks) sketch
+    * frame — the part of q171 that survives at 100 TB, shared with the
+    * incremental snapshot (q174): broadcast |sources|²-pair join,
+    * integer estimator, exact-collapse CASE when a merged sketch is
+    * unsaturated. */
+  private[graft] def overlapEstimates(sketches: DataFrame): DataFrame =
+    sketches.as("a")
+      .join(broadcast(sketches.as("b")), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.ks").as("ka"), col("b.ks").as("kb"))
+      .withColumn("u_all", expr("array_sort(array_distinct(concat(ka, kb)))"))
+      .withColumn("kk", expr(s"least(size(u_all), $OverlapK)"))
+      .withColumn("hk", expr("element_at(u_all, kk)")) // kk ≥ 1: both sources hold ≥1 doc
+      .withColumn("est_union", expr(
+        s"""CASE WHEN size(u_all) < $OverlapK THEN CAST(size(u_all) AS BIGINT)
+           |     ELSE CAST(CAST(${OverlapK - 1} AS DECIMAL(38,0))
+           |            * $OverlapDomain div hk AS BIGINT) END""".stripMargin))
+      .withColumn("c", expr(
+        "size(filter(ka, x -> array_contains(kb, x) AND x <= hk))"))
+      .withColumn("est_common", expr("c * est_union div kk"))
+      .select(col("src_a"), col("src_b"), col("est_common"), col("est_union"))
+
+  /** Per-source bottom-k sketches of a (source, h) frame via the
+    * native kernel (O(k) state, map-side partials). */
+  private[graft] def overlapSketchesOf(hashes: DataFrame): DataFrame =
+    hashes.groupBy(col("source"))
+      .agg(graft.functions.BottomKSample
+        .bottomk_sample(col("h"), col("h"), OverlapK).as("ks"))
+
+  def q171SketchOverlap(s: SparkSession, dir: String): DataFrame = {
+    val hashes = overlapHashesOf(Tables.documents(s, dir))
+    val ex = hashes.distinct()
+    val na = ex.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val common = ex.as("a")
+      .join(ex.as("b").hint("shuffle_hash"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("exact_common"))
+    overlapEstimates(overlapSketchesOf(hashes))
+      .join(broadcast(na.select(col("source").as("src_a"),
+        col("n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(na.select(col("source").as("src_b"),
+        col("n").as("n_b"))), Seq("src_b"))
+      .join(broadcast(common), Seq("src_a", "src_b"), "left")
+      .withColumn("exact_common", coalesce(col("exact_common"), lit(0L)))
+      .withColumn("exact_union", col("n_a") + col("n_b") - col("exact_common"))
+      .withColumn("union_err_pm", expr(
+        "abs(est_union - exact_union) * 1000 div exact_union"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("exact_common"), col("exact_union"),
+        col("est_common"), col("est_union"), col("union_err_pm"))
+  }
+
+  val q171Sql: String = {
+    val h = "CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), " +
+      "'\\s+', ' ', 'g')), 1, 15) AS BIGINT)"
+    s"""WITH x AS (SELECT DISTINCT source, $h AS h FROM documents
+       |           WHERE $h IS NOT NULL),
+       |na AS (SELECT source, count(*) AS n FROM x GROUP BY 1),
+       |cm AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |         count(*) AS exact_common
+       |  FROM x a JOIN x b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |rk AS (SELECT source, h,
+       |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |       FROM x),
+       |sk AS (SELECT source, list(h ORDER BY h) AS ks
+       |       FROM rk WHERE rn <= $OverlapK GROUP BY 1),
+       |p AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |         a.ks AS ka, b.ks AS kb,
+       |         list_sort(list_distinct(a.ks || b.ks)) AS u_all
+       |  FROM sk a JOIN sk b ON a.source < b.source),
+       |e AS (
+       |  SELECT *, least(len(u_all), $OverlapK) AS kk,
+       |         u_all[least(len(u_all), $OverlapK)] AS hk
+       |  FROM p),
+       |f AS (
+       |  SELECT src_a, src_b, kk, hk,
+       |         CASE WHEN len(u_all) < $OverlapK THEN CAST(len(u_all) AS BIGINT)
+       |              ELSE CAST(CAST(${OverlapK - 1} AS HUGEINT)
+       |                     * $OverlapDomain // hk AS BIGINT) END AS est_union,
+       |         len(list_filter(ka,
+       |           x -> list_contains(kb, x) AND x <= hk)) AS c
+       |  FROM e)
+       |SELECT f.src_a, f.src_b,
+       |       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       |       CAST(coalesce(cm.exact_common, 0) AS BIGINT) AS exact_common,
+       |       CAST(a.n + b.n - coalesce(cm.exact_common, 0) AS BIGINT)
+       |         AS exact_union,
+       |       CAST(c AS BIGINT) * est_union // kk AS est_common,
+       |       est_union,
+       |       abs(est_union - (a.n + b.n - coalesce(cm.exact_common, 0)))
+       |         * 1000 // (a.n + b.n - coalesce(cm.exact_common, 0))
+       |         AS union_err_pm
+       |FROM f
+       |JOIN na a ON f.src_a = a.source
+       |JOIN na b ON f.src_b = b.source
+       |LEFT JOIN cm ON f.src_a = cm.src_a AND f.src_b = cm.src_b""".stripMargin
+  }
+
+  /** q174's oracle — q171's sketch half alone (no exact audit: the
+    * incremental monitor keeps only the O(sources·k) sketch state,
+    * exactly what a 100 TB ingest keeps live). */
+  val q174Sql: String = {
+    val h = "CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), " +
+      "'\\s+', ' ', 'g')), 1, 15) AS BIGINT)"
+    s"""WITH x AS (SELECT DISTINCT source, $h AS h FROM documents
+       |           WHERE $h IS NOT NULL),
+       |rk AS (SELECT source, h,
+       |         row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |       FROM x),
+       |sk AS (SELECT source, list(h ORDER BY h) AS ks
+       |       FROM rk WHERE rn <= $OverlapK GROUP BY 1),
+       |p AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |         a.ks AS ka, b.ks AS kb,
+       |         list_sort(list_distinct(a.ks || b.ks)) AS u_all
+       |  FROM sk a JOIN sk b ON a.source < b.source),
+       |e AS (
+       |  SELECT *, least(len(u_all), $OverlapK) AS kk,
+       |         u_all[least(len(u_all), $OverlapK)] AS hk
+       |  FROM p),
+       |f AS (
+       |  SELECT src_a, src_b, kk, hk,
+       |         CASE WHEN len(u_all) < $OverlapK THEN CAST(len(u_all) AS BIGINT)
+       |              ELSE CAST(CAST(${OverlapK - 1} AS HUGEINT)
+       |                     * $OverlapDomain // hk AS BIGINT) END AS est_union,
+       |         len(list_filter(ka,
+       |           x -> list_contains(kb, x) AND x <= hk)) AS c
+       |  FROM e)
+       |SELECT src_a, src_b,
+       |       CAST(c AS BIGINT) * est_union // kk AS est_common,
+       |       est_union
+       |FROM f""".stripMargin
+  }
+
+  /** Copies retained per distinct fingerprint by q172 — a small cap
+    * ≥ 2 keeps SOME natural duplication (cap = 1 is exact dedup;
+    * the spec pins that degeneration). */
+  val DupCap = 3
+
+  /** The globally kept (doc_id, source, fp) rows under a per-
+    * fingerprint copy cap: of every fingerprint's copies, the `cap`
+    * with the smallest (md5(doc_id), doc_id) survive — a
+    * deterministic uniform choice among copies, independent of
+    * layout.
+    *
+    * Scale shape — the reason this is NOT the rank-window spelling
+    * (`row_number() over (partition by fp order by h)` ≤ cap, the
+    * oracle's): a window partition is a fingerprint, and the corpus'
+    * hottest fingerprint (a boilerplate page duplicated 10⁹×) becomes
+    * one executor's sort. The bottom-k kernel keeps O(cap) state per
+    * fingerprint with MAP-SIDE partials — each input partition's
+    * copies collapse to ≤ cap before the shuffle, so the exchange
+    * carries ≤ cap·|partitions| rows per fingerprint no matter the
+    * multiplicity. The survivors then semi-join back doc_id-keyed. */
+  private[graft] def cappedKept(docs: DataFrame, cap: Int): DataFrame = {
+    val keptIds = docs.groupBy(col("fp"))
+      .agg(graft.functions.BottomKSample
+        .bottomk_sample(col("h"), col("doc_id"), cap).as("ids"))
+      .select(explode(col("ids")).as("doc_id"))
+    docs.join(keptIds.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+  }
+
+  /** Frequency-capped dedup census (q172) — controlled duplication:
+    * instead of q25's one-survivor-per-fingerprint, keep up to
+    * [[DupCap]] copies of each distinct content (full dedup measurably
+    * hurts some mixes; a small cap keeps natural-duplication signal
+    * while bounding any one document's epoch share). Reports, per
+    * source, the corpus/distinct/kept/dropped census the mixture
+    * planner reads next to q24.
+    */
+  /** q172's input frame: (doc_id, source, fp, h) with the survivor-
+    * choice hash h owned by the ROW (md5 of doc_id), so which copies
+    * survive is deterministic and layout-independent — and, because h
+    * never depends on WHICH batch carried the row, identical between
+    * the batch census and the incremental claims index. */
+  private[graft] def cappedDocsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      TextOps.fingerprint(col("text")).as("fp"),
+      conv(substring(md5(concat(lit("cap:"), col("doc_id").cast("string"))),
+        1, 15), 16, 10).cast("long").as("h"))
+
+  private[graft] def cappedDocs(s: SparkSession, dir: String): DataFrame =
+    cappedDocsOf(Tables.documents(s, dir))
+
+  /** The census over a (doc_id, source, fp, h) frame — ONE definition
+    * for batch q172 and the incremental snapshot's re-merge shape. */
+  private[graft] def cappedCensus(docs: DataFrame, cap: Int): DataFrame = {
+    val kept = cappedKept(docs, cap)
+      .groupBy(col("source")).agg(count(lit(1)).as("kept_docs"))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("doc_count"),
+        countDistinct(col("fp")).as("distinct_docs"))
+      // LEFT: a source every one of whose copies loses the survivor
+      // race to other sources' copies of the same content keeps ZERO
+      // docs — it must still appear in the census (kept = 0), as the
+      // oracle's group-by-source spelling naturally does
+      .join(broadcast(kept), Seq("source"), "left")
+      .withColumn("kept_docs", coalesce(col("kept_docs"), lit(0L)))
+      .withColumn("dropped_docs", col("doc_count") - col("kept_docs"))
+  }
+
+  def q172CappedDedup(s: SparkSession, dir: String): DataFrame =
+    cappedCensus(cappedDocs(s, dir), DupCap)
+
+  val q172Sql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, source,
+       |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       |         CAST('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)),
+       |           1, 15) AS BIGINT) AS h
+       |  FROM documents),
+       |r AS (SELECT *, row_number() OVER
+       |        (PARTITION BY fp ORDER BY h, doc_id) AS rn FROM f)
+       |SELECT source, count(*) AS doc_count,
+       |       count(DISTINCT fp) AS distinct_docs,
+       |       CAST(sum(CASE WHEN rn <= $DupCap THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS kept_docs,
+       |       CAST(sum(CASE WHEN rn > $DupCap THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS dropped_docs
+       |FROM r GROUP BY 1""".stripMargin
+
   // ------------------------------------------------- novelty curve
 
   /** Ingest-order batch width for the novelty curve (docs per batch,

@@ -121,62 +121,81 @@ object Selection {
     * sum — bounds the widest window partition q169 ever sorts. */
   val BudgetBucket = 4096L
 
+  /** The budget prefix's KEPT rows (source, doc_id, t, r) — the one
+    * shared core of q169 (global budget, `keys = Nil`) and q170
+    * (per-source budgets, `keys = Seq("source")`). Within each key
+    * group, documents are ranked (r DESC, doc_id) and the best prefix
+    * whose running token total fits `pct`% of the GROUP's token mass
+    * survives.
+    *
+    * Scale shape — a distributed prefix scan, no corpus-grain sort:
+    *   1. token mass per (keys, score CLASS) — ≤ |groups|·1001 rows:
+    *      one hash agg, then the exclusive prefix over the tiny class
+    *      frame classifies every class keep-all / drop-all / boundary
+    *      (at most ONE boundary class per group — the prefix
+    *      intervals partition each group's number line).
+    *   2. only boundary-class docs need per-doc resolution, and their
+    *      prefix is itself two-passed: doc_id div [[BudgetBucket]]
+    *      buckets → tiny (keys, bucket)-prefix frame → an in-bucket
+    *      running sum. No window partition ever exceeds
+    *      [[BudgetBucket]]-ish docs, no matter how many documents tie
+    *      at a cut score — the hot-key failure mode of "window over
+    *      the one boundary class" is designed out.
+    * Equivalence to the one-cumsum-per-group oracle: the group order
+    * (r DESC, doc_id) visits classes contiguously, so inclusive-cum ≤
+    * B decomposes exactly into class-prefix + in-class prefix.
+    */
+  private def budgetKept(perDoc: DataFrame, keys: Seq[String],
+                         pct: Long): DataFrame = {
+    val kc = keys.map(col)
+    val classes = perDoc.groupBy((kc :+ col("r")): _*)
+      .agg(sum(col("t")).as("ctoks"))
+      .withColumn("p", coalesce(sum(col("ctoks")).over(
+        Window.partitionBy(kc: _*).orderBy(col("r").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("gtoks",
+        sum(col("ctoks")).over(Window.partitionBy(kc: _*)))
+      .withColumn("b", expr(s"gtoks * $pct div 100"))
+      .withColumn("cls",
+        when(col("p") + col("ctoks") <= col("b"), lit("keep"))
+          .when(col("p") > col("b"), lit("drop"))
+          .otherwise(lit("bdy")))
+    val joined = perDoc
+      .join(broadcast(classes.select(
+        (kc :+ col("r") :+ col("p") :+ col("b") :+ col("cls")): _*)),
+        keys :+ "r")
+    val keptFull = joined.filter(col("cls") === "keep")
+      .select(col("source"), col("doc_id"), col("t"), col("r"))
+    val bdy = joined.filter(col("cls") === "bdy")
+      .withColumn("bb", expr(s"doc_id div $BudgetBucket"))
+    val bucketPrefix = bdy.groupBy((kc :+ col("bb")): _*)
+      .agg(sum(col("t")).as("btoks"))
+      .withColumn("q", coalesce(sum(col("btoks")).over(
+        Window.partitionBy(kc: _*).orderBy(col("bb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select((kc :+ col("bb") :+ col("q")): _*)
+    val keptBdy = bdy.join(broadcast(bucketPrefix), keys :+ "bb")
+      .withColumn("w", sum(col("t")).over(
+        Window.partitionBy((kc :+ col("bb")): _*).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("p") + col("q") + col("w") <= col("b"))
+      .select(col("source"), col("doc_id"), col("t"), col("r"))
+    keptFull.union(keptBdy)
+  }
+
   /** Token-budget selection (q169) — the terminal act of a curation
     * run: rank documents by quality (TTR permille, doc_id tie-break)
     * and keep the best prefix whose running token total fits a hard
     * budget B = [[BudgetPct]]% of the corpus token mass. Emits the
     * per-source census of what survived plus the realized quality
     * cut — the number a dataset card records as "kept top-X% by
-    * quality to a N-token budget".
-    *
-    * Scale shape — a distributed prefix scan, no global sort:
-    *   1. token mass per score CLASS (≤1001 integer-permille values):
-    *      one hash agg, then the exclusive prefix over the tiny class
-    *      frame classifies every class keep-all / drop-all / boundary
-    *      (at most ONE boundary class — the prefix intervals
-    *      partition the number line).
-    *   2. only boundary-class docs need per-doc resolution, and their
-    *      prefix is itself two-passed: doc_id div [[BudgetBucket]]
-    *      buckets → tiny bucket-prefix frame → an in-bucket running
-    *      sum. No window partition ever exceeds [[BudgetBucket]]-ish
-    *      docs, no matter how many documents tie at the cut score —
-    *      the hot-key failure mode of "window over the one boundary
-    *      class" is designed out.
-    * Equivalence to the oracle's one global cumsum: the global order
-    * (r DESC, doc_id) visits classes contiguously, so inclusive-cum ≤
-    * B decomposes exactly into class-prefix + in-class prefix.
+    * quality to a N-token budget". Core: [[budgetKept]] with no group
+    * keys — ONE global budget, high-quality sources free to crowd out
+    * the rest (q170 is the fairness twin).
     */
   def q169TokenBudget(s: SparkSession, dir: String): DataFrame = {
     val perDoc = ttrScored(s, dir)
-    val classes = perDoc.groupBy(col("r")).agg(sum(col("t")).as("ctoks"))
-      .withColumn("p", coalesce(sum(col("ctoks")).over(
-        Window.orderBy(col("r").desc)
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("b", expr(
-        s"sum(ctoks) over () * $BudgetPct div 100"))
-      .withColumn("cls",
-        when(col("p") + col("ctoks") <= col("b"), lit("keep"))
-          .when(col("p") > col("b"), lit("drop"))
-          .otherwise(lit("bdy")))
-    val joined = perDoc
-      .join(broadcast(classes.select(col("r"), col("p"), col("b"), col("cls"))),
-        Seq("r"))
-    val keptFull = joined.filter(col("cls") === "keep")
-      .select(col("source"), col("doc_id"), col("t"), col("r"))
-    val bdy = joined.filter(col("cls") === "bdy")
-      .withColumn("bb", expr(s"doc_id div $BudgetBucket"))
-    val bucketPrefix = bdy.groupBy(col("bb")).agg(sum(col("t")).as("btoks"))
-      .withColumn("q", coalesce(sum(col("btoks")).over(
-        Window.orderBy(col("bb"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("bb"), col("q"))
-    val keptBdy = bdy.join(broadcast(bucketPrefix), Seq("bb"))
-      .withColumn("w", sum(col("t")).over(
-        Window.partitionBy(col("bb")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, 0)))
-      .filter(col("p") + col("q") + col("w") <= col("b"))
-      .select(col("source"), col("doc_id"), col("t"), col("r"))
-    val kept = keptFull.union(keptBdy)
+    val kept = budgetKept(perDoc, Nil, BudgetPct)
     val cut = kept.agg(min(col("r")).as("cut_score"))
     val totals = perDoc.groupBy(col("source"))
       .agg(count(lit(1)).as("total_docs"), sum(col("t")).as("total_tokens"))
@@ -207,5 +226,57 @@ object Selection {
        |       CAST(coalesce(kept_docs, 0) AS BIGINT) AS kept_docs,
        |       CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens,
        |       (SELECT min(r) FROM k) AS cut_score
+       |FROM t2 LEFT JOIN k2 ON t2.source = k2.source""".stripMargin
+
+  /** Per-source token budgets (q170) — q169's fairness twin: each
+    * SOURCE keeps its own best-quality prefix to [[BudgetPct]]% of its
+    * OWN token mass, so the mixture's source shares survive the cut
+    * (one global budget lets a single high-TTR source crowd out
+    * everything else; per-source budgets are how a recipe like
+    * q97/q136's holds its proportions through quality selection). The
+    * census adds each source's realized quality cut — NULL when a
+    * source kept nothing (its single best doc alone overflows the
+    * budget), which the card must surface, not hide.
+    *
+    * Scale shape: [[budgetKept]] keyed by source — the class frame
+    * grows to |sources|·1001 rows (still broadcast-sized), every
+    * window gains the source key (so even the "global" prefix frames
+    * of q169 become hash-keyed here), and the boundary-class machinery
+    * runs once per source in parallel. Nothing is corpus-ordered.
+    */
+  def q170SourceBudget(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = ttrScored(s, dir)
+    val kept = budgetKept(perDoc, Seq("source"), BudgetPct)
+    val cut = kept.groupBy(col("source")).agg(min(col("r")).as("cut_score"))
+    val totals = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("total_docs"), sum(col("t")).as("total_tokens"))
+    val keptAgg = kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("t")).as("kept_tokens"))
+    totals.join(keptAgg, Seq("source"), "left")
+      .join(cut, Seq("source"), "left")
+      .withColumn("kept_docs", coalesce(col("kept_docs"), lit(0L)))
+      .withColumn("kept_tokens", coalesce(col("kept_tokens"), lit(0L)))
+  }
+
+  /** q170 oracle — one cumsum PER SOURCE, keep while within that
+    * source's budget. */
+  val q170Sql: String =
+    s"""WITH $scoredCte,
+       |b AS (SELECT source, CAST(sum(t) AS BIGINT) * $BudgetPct // 100
+       |        AS budget FROM scored GROUP BY 1),
+       |w AS (SELECT *, CAST(sum(t) OVER (PARTITION BY source
+       |        ORDER BY r DESC, doc_id) AS BIGINT) AS cum FROM scored),
+       |k AS (SELECT w.* FROM w JOIN b USING (source) WHERE cum <= budget),
+       |t2 AS (SELECT source, count(*) AS total_docs,
+       |              CAST(sum(t) AS BIGINT) AS total_tokens
+       |       FROM scored GROUP BY 1),
+       |k2 AS (SELECT source, count(*) AS kept_docs,
+       |              CAST(sum(t) AS BIGINT) AS kept_tokens,
+       |              min(r) AS cut_score
+       |       FROM k GROUP BY 1)
+       |SELECT t2.source, total_docs, total_tokens,
+       |       CAST(coalesce(kept_docs, 0) AS BIGINT) AS kept_docs,
+       |       CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       |       cut_score
        |FROM t2 LEFT JOIN k2 ON t2.source = k2.source""".stripMargin
 }

@@ -250,6 +250,39 @@ object StreamingQ {
     Streams.segmentDedupSnapshot(s, s"$work/claims", s"$work/docs")
   }
 
+  /** q173: q172's controlled-duplication census with the survivors
+    * chosen by the INCREMENTAL capped-claims index — the documents
+    * table streamed through ~4 micro-batches, each landing its
+    * bottom-cap claims + (source, fp) copy partials; the snapshot
+    * re-merges (bottom-cap-of-union law). Oracle: q172Sql — a green
+    * row means the cross-batch merge reproduced the batch kernel's
+    * survivor set bit-for-bit, kept-zero sources included. */
+  def q173IncrementalCap(s: SparkSession, dir: String): DataFrame = {
+    val work = streamed(s, dir, Seq("doc_id", "source", "text"),
+      "doc_id bigint, source string, text string") { (docs, work) =>
+      Streams.incrementalCappedDedup(docs, s"$work/claims", s"$work/copies",
+        s"$work/ckpt").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+    Streams.cappedDedupSnapshot(s, s"$work/claims", s"$work/copies")
+  }
+
+  /** q174: the q171 pairwise source-overlap estimates with the
+    * sketches built by the INCREMENTAL k-min monitor — the documents
+    * table streamed through ~4 micro-batches, each landing ≤k distinct
+    * hashes per source; the snapshot re-merges (k-min-of-union law)
+    * and runs the estimator. Oracle: the sketch half of q171Sql — a
+    * green row means the merged sketches elected exactly the corpus
+    * bottom-k, so every estimate matches the batch run bit-for-bit. */
+  def q174IncrementalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val work = streamed(s, dir, Seq("source", "text"),
+      "source string, text string") { (docs, work) =>
+      Streams.incrementalOverlapSketch(docs, s"$work/sketch", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Streams.overlapSnapshot(s, s"$work/sketch")
+  }
+
   /** q147: the q139 Markov transition matrix with the transitions
     * extracted by the STATEFUL streaming operator
     * ([[graft.streaming.StatefulTransitions]]) — the full events

@@ -533,6 +533,38 @@ object Streams {
         "source string, h bigint, batch_id bigint")
         .select(col("source"), col("h")))
 
+  /** Incremental pairwise source-overlap sketches (q174) — "has
+    * source A started mirroring source B?" AT INGEST: each
+    * micro-batch lands its per-source k smallest DISTINCT fingerprint
+    * hashes (60-bit domain, [[graft.queries.Dedup.OverlapK]]) as a
+    * replay-idempotent batch_id partition — k-min-of-union = k-min of
+    * merged k-mins ([[kmvMerge]]'s law on q171's hash frame), so the
+    * snapshot's Beyer et al. estimates equal the batch q171 run's
+    * bit-for-bit. State is O(sources · k) longs — the overlap matrix
+    * a 100 TB ingest can afford to keep live (q171's exact audit is
+    * the column it drops). */
+  def incrementalOverlapSketch(docs: DataFrame, sketchPath: String,
+                               checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchPartition(
+          kmvMerge(graft.queries.Dedup.OverlapK)(
+            graft.queries.Dedup.overlapHashesOf(batch)),
+          batchId, sketchPath)
+      }
+
+  /** The live overlap matrix: merged per-batch k-min partials through
+    * q171's pairwise estimator — snapshot(union of batches) ==
+    * q171's estimate columns on the union corpus. */
+  def overlapSnapshot(spark: SparkSession, sketchPath: String): DataFrame =
+    graft.queries.Dedup.overlapEstimates(
+      graft.queries.Dedup.overlapSketchesOf(
+        readPartialsOrEmpty(spark, sketchPath,
+          "source string, h bigint, batch_id bigint")
+          .select(col("source"), col("h"))))
+
   /** Incremental label centroids (q165) — embedding-drift monitoring
     * at ingest, and the monitor family's vector-valued SUM member:
     * each micro-batch lands its per-(label, dim) running-mean partials
@@ -671,6 +703,77 @@ object Streams {
         .select(col("source"), col("doc_id"), col("segs"),
           coalesce(col("kept_segs"), lit(0L)).as("kept_segs"),
           col("chars"), coalesce(col("kept_chars"), lit(0L)).as("kept_chars")))
+  }
+
+  /** Incremental frequency-capped dedup — q172's controlled-
+    * duplication census AT INGEST: each micro-batch lands TWO partial
+    * sets, (a) per-fingerprint capped CLAIMS — the batch's ≤cap
+    * survivors (fp, h, doc_id, source), chosen by the bottom-k kernel
+    * exactly as the batch census chooses (same row-owned hash h, so
+    * bottom-cap-of-union = bottom-cap of merged bottom-caps — the
+    * quantile-sample merge law at fingerprint grain) — and (b) per
+    * (source, fp) copy counts, SUM-mergeable. Both replay-idempotent
+    * batch_id partitions. Claims state is O(cap · distinct
+    * fingerprints) — the exact-dedup price with the cap as a
+    * constant; the copies log is the same (source, fp) grain. At
+    * ingest scale both logs take the fingerprint-prefix partition +
+    * compaction discipline of the segment-claims index (re-land
+    * merged bottom-caps / summed copies; bottom-k and SUM are both
+    * fold-safe). */
+  def incrementalCappedDedup(docs: DataFrame, claimsPath: String,
+                             copiesPath: String, checkpoint: String,
+                             cap: Int = graft.queries.Dedup.DupCap)
+      : DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // fingerprint + survivor hash computed once feed both write
+        // actions (the incrementalSegmentDedup persist discipline)
+        val d = graft.queries.Dedup.cappedDocsOf(batch).persist()
+        try {
+          writeBatchPartition(
+            graft.queries.Dedup.cappedKept(d, cap)
+              .select(col("fp"), col("h"), col("doc_id"), col("source")),
+            batchId, claimsPath)
+          writeBatchPartition(
+            d.groupBy(col("source"), col("fp"))
+              .agg(count(lit(1)).as("copies")),
+            batchId, copiesPath)
+        } finally { d.unpersist(); () }
+      }
+
+  /** The capped-claims log's partial merge — per-fingerprint bottom-
+    * cap by the (h, doc_id) survivor order, the SAME order the kernel
+    * buffers, so merged claims equal the batch census's survivors.
+    * The window partition is a fingerprint's CLAIMS (≤ cap·batches
+    * rows — compaction folds it back to cap), never its corpus copies:
+    * the hot-fingerprint sort q172 designs out stays designed out. */
+  def cappedClaimsMerge(cap: Int)(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("fp")).orderBy(col("h"), col("doc_id"))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= cap)
+      .select(col("fp"), col("h"), col("doc_id"), col("source"))
+  }
+
+  /** The live controlled-duplication census: merged capped claims +
+    * summed (source, fp) copies through q172's census columns —
+    * snapshot(union of batches) == q172(union corpus). */
+  def cappedDedupSnapshot(spark: SparkSession, claimsPath: String,
+                          copiesPath: String,
+                          cap: Int = graft.queries.Dedup.DupCap): DataFrame = {
+    val kept = cappedClaimsMerge(cap)(readPartialsOrEmpty(spark, claimsPath,
+      "fp string, h bigint, doc_id bigint, source string, batch_id bigint"))
+      .groupBy(col("source")).agg(count(lit(1)).as("kept_docs"))
+    val copies = readPartialsOrEmpty(spark, copiesPath,
+      "source string, fp string, copies bigint, batch_id bigint")
+      .groupBy(col("source"), col("fp")).agg(sum(col("copies")).as("copies"))
+    copies.groupBy(col("source"))
+      .agg(sum(col("copies")).as("doc_count"),
+        count(lit(1)).as("distinct_docs"))
+      .join(broadcast(kept), Seq("source"), "left")
+      .withColumn("kept_docs", coalesce(col("kept_docs"), lit(0L)))
+      .withColumn("dropped_docs", col("doc_count") - col("kept_docs"))
   }
 
   /** Incremental χ² drift cells — each micro-batch lands its

@@ -93,7 +93,9 @@ class PlanSpec extends SparkSpec {
     "q158_compacted_mixture",   // q105's 1-row qtot cross, compacted log
     "q161_excess_mixture",      // × 1-row corpus-mean + 1-row wtot aggs
     "q168_association_rules",   // × 1-row basket-count agg
-    "q169_token_budget"         // × 1-row min-kept-score agg
+    "q169_token_budget",        // × 1-row min-kept-score agg
+    "q171_sketch_overlap",      // × broadcast |sources|-row sketch frame
+    "q174_incremental_overlap"  // × the same pair join over the merged log
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
@@ -281,6 +283,47 @@ class PlanSpec extends SparkSpec {
     assert(nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
       "class frame and bucket-prefix frame must both broadcast back")
     assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]))
+  }
+
+  test("q170 source budgets: every window is source-keyed — nothing corpus-ordered") {
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    import org.apache.spark.sql.execution.window.WindowExec
+    val nodes = ops(planOf("q170_source_budget"))
+    nodes.collect { case w: WindowExec => w }.foreach(w =>
+      assert(w.partitionSpec.nonEmpty,
+        "q169's tiny global frames must all gain the source key here — " +
+          "an unkeyed window means the per-source decomposition regressed"))
+    assert(!nodes.exists {
+      case e: ShuffleExchangeExec => e.outputPartitioning == SinglePartition
+      case _ => false
+    }, "no frame may collapse to one partition in the keyed edition")
+    assert(nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
+      "class frame and bucket-prefix frame must broadcast back")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]))
+  }
+
+  test("q171 overlap: pairs form on the broadcast sketch frame; audit join is hashed") {
+    val nodes = ops(planOf("q171_sketch_overlap"))
+    assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) == 1,
+      "exactly the |sources|² pair join may nested-loop (on the " +
+        "broadcast O(sources·k) sketch frame) — a second one means a " +
+        "corpus-grain frame got crossed")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "the exact-audit self-join is hinted shuffle-hash at corpus grain")
+  }
+
+  test("q172 capped dedup: the kernel replaces the rank window entirely") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    val nodes = ops(planOf("q172_capped_dedup"))
+    assert(!nodes.exists(_.isInstanceOf[WindowExec]),
+      "a Window here means the row_number-over-fingerprint spelling crept " +
+        "in — the hot-fingerprint sort the bottom-k kernel exists to avoid")
+    assert(nodes.exists(_.isInstanceOf[ObjectHashAggregateExec]),
+      "the bottom-k survivor choice must run as the typed aggregate " +
+        "(map-side partials are the cap's scale property)")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "the survivor semi-join is hinted shuffle-hash")
   }
 
   test("q139 transitions: each window chain rides one sort; totals broadcast") {

@@ -51,7 +51,13 @@ class RobustnessSpec extends SparkSpec {
       "q153" -> ((s, d) => queries.Text.q153HeldoutSkewSafe(s, d)),
       "q155" -> ((s, d) => queries.Stats.q155SampledQuantiles(s, d)),
       "q160" -> (queries.Text.q160SurprisalBand _),
-      "q161" -> (queries.Text.q161ExcessMixture _))
+      "q161" -> (queries.Text.q161ExcessMixture _),
+      "q166" -> (queries.Selection.q166ParetoFrontier _),
+      "q167" -> (queries.Dedup.q167MergedSpans _),
+      "q169" -> (queries.Selection.q169TokenBudget _),
+      "q170" -> (queries.Selection.q170SourceBudget _),
+      "q171" -> (queries.Dedup.q171SketchOverlap _),
+      "q172" -> (queries.Dedup.q172CappedDedup _))
     members.foreach { case (name, fn) =>
       val n = fn(spark, hostileDir).count()
       assert(n >= 0, s"$name failed on the hostile corpus") // completion is the gate
@@ -152,6 +158,20 @@ class RobustnessSpec extends SparkSpec {
     assert(rowsOf(Streams.segmentDedupSnapshot(spark, s"$dir/claims", s"$dir/docs"))
       === rowsOf(queries.Dedup.q134SegmentDedup(spark, hostileDir)),
       "zero-row batch or single-file corpus broke the snapshot merge")
+    // the capped-claims index through the same hostile feed shapes
+    // (empty texts collapse to ONE null fingerprint group — the cap
+    // must bound even that group's claims)
+    val qc = Streams.incrementalCappedDedup(
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "source string, doc_id bigint, text string"))
+        .option("maxFilesPerTrigger", "1").parquet(in.toString),
+      s"$dir/capclaims", s"$dir/capcopies", s"$dir/capckpt").start()
+    try qc.processAllAvailable() finally qc.stop()
+    assert(rowsOf(Streams.cappedDedupSnapshot(
+      spark, s"$dir/capclaims", s"$dir/capcopies"))
+      === rowsOf(queries.Dedup.q172CappedDedup(spark, hostileDir)),
+      "hostile corpus broke the capped-claims snapshot merge")
   }
 
   /** Hostile EVENTS corpus — the event-grain edge cases the sf tables

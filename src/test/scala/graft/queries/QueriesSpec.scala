@@ -2502,6 +2502,146 @@ class QueriesSpec extends SparkSpec {
       assert(r.getLong(0) > budget, "greedy prefix must be maximal"))
   }
 
+  test("q170 per-source budgets equal the keyed-cumsum spelling; every budget binds") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val scored = Selection.ttrScored(spark, sf)
+    // the definitional spelling: one cumsum per source
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("r").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val budgets = scored.groupBy(col("source"))
+      .agg(expr(s"sum(t) * ${Selection.BudgetPct} div 100").as("budget"))
+    val kept = scored.withColumn("cum", sum(col("t")).over(w))
+      .join(budgets, "source").filter(col("cum") <= col("budget"))
+    val expected = rowsOf(
+      scored.groupBy(col("source"))
+        .agg(count(lit(1)).as("total_docs"), sum(col("t")).as("total_tokens"))
+        .join(kept.groupBy(col("source"))
+          .agg(count(lit(1)).as("kept_docs"), sum(col("t")).as("kept_tokens"),
+            min(col("r")).as("cut_score")),
+          Seq("source"), "left")
+        .withColumn("kept_docs", coalesce(col("kept_docs"), lit(0L)))
+        .withColumn("kept_tokens", coalesce(col("kept_tokens"), lit(0L))))
+    val got = Selection.q170SourceBudget(spark, sf)
+    assert(rowsOf(got) === expected)
+    // binding: no source's kept mass exceeds its own budget
+    assert(got.filter(col("kept_tokens") >
+      expr(s"total_tokens * ${Selection.BudgetPct} div 100")).count() === 0L)
+    assert(got.count() === scored.select(col("source")).distinct().count(),
+      "every source must appear in the census, kept or not")
+  }
+
+  test("q171 estimates collapse to exact on unsaturated sketches; planted overlap found") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    // an engineered corpus below the sketch size: A∩B = 3 shared texts,
+    // A∩C = ∅ — with every source under k distinct docs the sketches
+    // are exhaustive and ALL estimates must equal the exact audit
+    val dir = java.nio.file.Files.createTempDirectory("graft_ovl").toString
+    val schema = StructType.fromDDL(
+      "doc_id bigint, text string, lang string, source string, n_chars bigint")
+    val mk = (id: Long, txt: String, src: String) =>
+      Row(id, txt, "en", src, txt.length.toLong)
+    val rows =
+      (1L to 8L).map(i => mk(i, s"alpha unique text $i", "srcA")) ++
+      (11L to 13L).map(i => mk(i, s"shared passage ${i - 10}", "srcA")) ++
+      (21L to 23L).map(i => mk(i, s"shared passage ${i - 20}", "srcB")) ++
+      (31L to 34L).map(i => mk(i, s"beta unique text $i", "srcB")) ++ // 4: A∪B = 15 < k
+      (41L to 44L).map(i => mk(i, s"gamma unique text $i", "srcC"))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Dedup.q171SketchOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.size === 3)
+    got.values.foreach { r =>
+      assert(r.getLong(2) < Dedup.OverlapK && r.getLong(3) < Dedup.OverlapK)
+      assert(r.getLong(6) === r.getLong(4), s"est_common != exact_common: $r")
+      assert(r.getLong(7) === r.getLong(5), s"est_union != exact_union: $r")
+      assert(r.getLong(8) === 0L, s"union_err_pm != 0 in the exact regime: $r")
+    }
+    val ab = got(("srcA", "srcB"))
+    assert(ab.getLong(4) === 3L, "planted A∩B overlap missed")
+    assert(ab.getLong(5) === 11L + 7L - 3L)
+    assert(got(("srcA", "srcC")).getLong(4) === 0L, "phantom A∩C overlap")
+  }
+
+  test("q171 saturated estimator agrees with a driver-side KMV recompute (sf0.01)") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.01"
+    // exact per-source DISTINCT hash sets, recomputed independently of
+    // the kernel: the sketch path must reproduce the Beyer et al.
+    // estimator bit-for-bit from each source's true bottom-k
+    val sets = graft.Tables.documents(spark, dir)
+      .select(col("source"),
+        org.apache.spark.sql.functions.conv(
+          org.apache.spark.sql.functions.substring(
+            graft.ops.TextOps.fingerprint(col("text")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(1)).sorted.toVector).toMap
+    val k = Dedup.OverlapK
+    var saturated = 0
+    Dedup.q171SketchOverlap(spark, dir).collect().foreach { r =>
+      val ka = sets(r.getString(0)).take(k)
+      val kb = sets(r.getString(1)).take(k)
+      val uAll = (ka ++ kb).distinct.sorted
+      val kk = math.min(uAll.size, k)
+      val hk = uAll(kk - 1)
+      val estUnion =
+        if (uAll.size < k) uAll.size.toLong
+        else (BigInt(k - 1) * BigInt(Dedup.OverlapDomain) / hk).toLong
+      val c = ka.count(x => kb.contains(x) && x <= hk)
+      val estCommon = c * estUnion / kk
+      assert(r.getLong(7) === estUnion, s"est_union mismatch for $r")
+      assert(r.getLong(6) === estCommon, s"est_common mismatch for $r")
+      if (uAll.size >= k) saturated += 1
+    }
+    assert(saturated > 0,
+      "no pair saturated its sketch at sf0.01 — the estimator path went untested")
+  }
+
+  test("q172 cap law: global kept = Σ min(cap, copies); cap=1 is exact dedup") {
+    import org.apache.spark.sql.functions._
+    val docs = Dedup.cappedDocs(spark, sf)
+    val expectKept = docs.groupBy(col("fp")).count()
+      .agg(sum(least(col("count"), lit(Dedup.DupCap.toLong)))).head.getLong(0)
+    val census = Dedup.q172CappedDedup(spark, sf).collect()
+    assert(census.map(_.getLong(3)).sum === expectKept,
+      "kept mass must equal the per-fingerprint min(cap, copies) sum")
+    census.foreach { r =>
+      assert(r.getLong(1) === r.getLong(3) + r.getLong(4),
+        s"kept + dropped != doc_count: $r")
+      assert(r.getLong(2) <= r.getLong(1), s"distinct > doc_count: $r")
+    }
+    // cap = 1 degenerates to q25's one-survivor-per-fingerprint law
+    assert(Dedup.cappedKept(docs, 1).count() ===
+      docs.select(col("fp")).distinct().count())
+    // the registered cap keeps at least as much as full dedup
+    assert(expectKept >= docs.select(col("fp")).distinct().count())
+  }
+
+  test("q172 census keeps a source that lost every survivor race (kept = 0)") {
+    import spark.implicits._
+    // srcB holds ONLY copies of content whose cap survivors all live
+    // in srcA (h engineered): it must still appear, kept 0, dropped 2
+    val docs = Seq(
+      (1L, "srcA", "X", 1L), (2L, "srcA", "X", 2L), (3L, "srcA", "X", 3L),
+      (4L, "srcB", "X", 10L), (5L, "srcB", "X", 11L))
+      .toDF("doc_id", "source", "fp", "h")
+    val got = Dedup.cappedCensus(docs, 3).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.size === 2, "both sources must appear in the census")
+    val b = got("srcB")
+    assert(b.getLong(3) === 0L && b.getLong(4) === 2L &&
+      b.getLong(1) === 2L && b.getLong(2) === 1L,
+      s"losing source misreported: $b")
+    assert(got("srcA").getLong(3) === 3L)
+  }
+
   test("q127 curriculum deciles: near-equal buckets, monotone score envelopes") {
     val rows = Text.q127CurriculumDeciles(spark, sf).collect()
       .sortBy(_.getInt(0))

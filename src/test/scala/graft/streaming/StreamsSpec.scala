@@ -1038,6 +1038,110 @@ class StreamsSpec extends SparkSpec {
       "post-restart snapshot must equal the batch sketch over the union")
   }
 
+  test("incremental capped dedup: merged bottom-cap claims equal the batch census") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_inccap")
+    val (claims, copies, ckpt) = (s"$dir/claims", s"$dir/copies", s"$dir/ckpt")
+    val sf = "/root/testdata/sf0.001"
+    assert(Streams.cappedDedupSnapshot(spark, claims, copies).count() === 0L)
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams.incrementalCappedDedup(
+      in.toDF().toDF("doc_id", "source", "text"), claims, copies, ckpt).start()
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    try {
+      // stream in REVERSE doc_id thirds: many of a fingerprint's
+      // cap-survivors (smallest row hashes) arrive in LATE batches —
+      // bottom-cap-of-union must still elect exactly them
+      docs.sortBy(-_._1).grouped(math.max(1, docs.length / 3)).foreach { g =>
+        in.addData(g.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = rowsOf(Streams.cappedDedupSnapshot(spark, claims, copies))
+    val batch = rowsOf(graft.queries.Dedup.q172CappedDedup(spark, sf))
+    assert(streamed === batch,
+      "merged capped claims + summed copies must reproduce the batch census")
+    // the claims log never exceeds cap rows per (fp, batch)
+    val overCap = spark.read.parquet(claims)
+      .groupBy(col("fp"), col("batch_id")).count()
+      .filter(col("count") > graft.queries.Dedup.DupCap).count()
+    assert(overCap === 0L, "a batch landed more than cap claims for one fp")
+  }
+
+  test("incremental overlap sketches: merged k-mins reproduce the batch estimator") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_incovl")
+    val (sketch, ckpt) = (s"$dir/sketch", s"$dir/ckpt")
+    val sf = "/root/testdata/sf0.01" // saturates sketches (QueriesSpec pin)
+    assert(Streams.overlapSnapshot(spark, sketch).count() === 0L)
+    val in = MemoryStream[(String, String)]
+    val q = Streams.incrementalOverlapSketch(
+      in.toDF().toDF("source", "text"), sketch, ckpt).start()
+    val docs = graft.Tables.documents(spark, sf)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    try {
+      // REVERSE order: most sources' true bottom-k hashes arrive
+      // spread across late batches — k-min-of-union must elect them
+      docs.reverse.grouped(math.max(1, docs.length / 3)).foreach { g =>
+        in.addData(g.toSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = rowsOf(Streams.overlapSnapshot(spark, sketch))
+    val batch = rowsOf(graft.queries.Dedup.q171SketchOverlap(spark, sf)
+      .select(col("src_a"), col("src_b"),
+        col("est_common"), col("est_union")))
+    assert(streamed === batch,
+      "merged k-min sketches must reproduce the batch estimates")
+    // the landed log obeys the state bound: ≤ k rows per (source, batch)
+    val overK = spark.read.parquet(sketch)
+      .groupBy(col("source"), col("batch_id")).count()
+      .filter(col("count") > graft.queries.Dedup.OverlapK).count()
+    assert(overK === 0L, "a batch landed more than k sketch rows for one source")
+  }
+
+  test("incremental capped dedup survives a restart: replay cannot double copies or claims") {
+    // bottom-cap is min-merge-family (idempotent under re-landing);
+    // the copies log is SUM-merge — the side a lost offset would
+    // corrupt. Kill between halves, resume, snapshot == batch census.
+    val dir = java.nio.file.Files.createTempDirectory("graft_caprec")
+    val (claims, copies, cp) = (s"$dir/claims", s"$dir/copies", s"$dir/ckpt")
+    val in = dir.resolve("in"); java.nio.file.Files.createDirectory(in)
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+    def land(half: Int): Unit = {
+      val stage = s"$dir/stage$half"
+      // REVERSED halves: low-doc_id survivors arrive after the restart
+      docs.filter(col("doc_id") % 2 === (1 - half)).coalesce(1)
+        .write.parquet(stage)
+      new java.io.File(stage).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.move(f.toPath,
+          in.resolve(s"half$half.parquet")))
+    }
+    def start() = Streams.incrementalCappedDedup(
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id bigint, source string, text string"))
+        .parquet(in.toString), claims, copies, cp).start()
+    land(0)
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    land(1)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val batches = spark.read.parquet(copies)
+      .select(col("batch_id")).distinct().count()
+    assert(batches === 2,
+      s"expected 2 landed partitions (offsets resumed), got $batches")
+    val streamed = rowsOf(Streams.cappedDedupSnapshot(spark, claims, copies))
+    val batch = rowsOf(graft.queries.Dedup.q172CappedDedup(spark, sf))
+    assert(streamed === batch,
+      "post-restart merged claims must equal the batch census")
+  }
+
   test("incremental quantile sample survives a restart: snapshot equals batch q155") {
     // the 5th member of the restart family (KMV=k-min, segments=min,
     // chi2=sum, ANN=index pairing): a lost offset would re-land
