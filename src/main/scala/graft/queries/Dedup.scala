@@ -1108,13 +1108,20 @@ object Dedup {
     *
     * Scale shape — the reason this is NOT the rank-window spelling
     * (`row_number() over (partition by fp order by h)` ≤ cap, the
-    * oracle's): a window partition is a fingerprint, and the corpus'
-    * hottest fingerprint (a boilerplate page duplicated 10⁹×) becomes
-    * one executor's sort. The bottom-k kernel keeps O(cap) state per
+    * oracle's): the bottom-k kernel keeps O(cap) state per
     * fingerprint with MAP-SIDE partials — each input partition's
-    * copies collapse to ≤ cap before the shuffle, so the exchange
-    * carries ≤ cap·|partitions| rows per fingerprint no matter the
-    * multiplicity. The survivors then semi-join back doc_id-keyed. */
+    * copies collapse to ONE ≤cap-pair buffer row before the shuffle,
+    * and the reduce side is a hash agg, no sort. Honest Spark-4
+    * accounting (measured in ShuffleMetricsSpec on a 64×-duplicated
+    * corpus): `InferWindowGroupLimit` now gives the literal
+    * rank-window spelling its own map-side cut, so it shuffles
+    * cap·|partitions| rows per fingerprint (not the corpus) and sorts
+    * only bounded runs — the kernel's remaining edge is the cap×
+    * record shrink (one buffer row vs cap rows per partition), the
+    * sort-free object-hash reduce, and immunity to the patterns the
+    * inference rule can't see (rank used in a later stage, a filter
+    * the optimizer can't prove ≤cap). The survivors then semi-join
+    * back doc_id-keyed. */
   private[graft] def cappedKept(docs: DataFrame, cap: Int): DataFrame = {
     val keptIds = docs.groupBy(col("fp"))
       .agg(graft.functions.BottomKSample

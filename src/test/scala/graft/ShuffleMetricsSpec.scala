@@ -51,6 +51,33 @@ class ShuffleMetricsSpec extends SparkSpec {
   private def shuffleBytesOf(df: => DataFrame): Long =
     shuffleBytesDuring(df.write.format("noop").mode("overwrite").save())
 
+  /** Total shuffle RECORDS written while running `df` — the metric for
+    * combine-grain claims ("≤k rows per partition cross the wire"),
+    * where a bytes differential is compression-confounded: repetitive
+    * text lz4-collapses while hash buffers stay incompressible. */
+  private def shuffleRecordsOf(df: => DataFrame): Long = {
+    val records = new AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          records.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      df.write.format("noop").mode("overwrite").save()
+      var last = -1L
+      var stableSince = System.nanoTime()
+      val deadline = System.nanoTime() + 15L * 1000000000L
+      while (System.nanoTime() < deadline &&
+             (records.get() != last ||
+              System.nanoTime() - stableSince < 500000000L)) {
+        if (records.get() != last) { last = records.get(); stableSince = System.nanoTime() }
+        Thread.sleep(50)
+      }
+      records.get()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   private lazy val corpusTextBytes: Long =
     Tables.documents(spark, sf)
       .agg(org.apache.spark.sql.functions.sum(
@@ -231,5 +258,69 @@ class ShuffleMetricsSpec extends SparkSpec {
     // gate catches exchange-count/row-width growth.
     assert(b < corpusTextBytes,
       s"q134 shuffled $b bytes vs corpus $corpusTextBytes — the exchange budget grew")
+  }
+
+  test("q172 survivor choice is cap-bounded per fingerprint before the shuffle") {
+    import org.apache.spark.sql.functions.{col, expr, row_number}
+    import org.apache.spark.sql.expressions.Window
+    // The scale claim under test: the bottom-k kernel's MAP-SIDE
+    // partials collapse each input partition's copies of a fingerprint
+    // to ≤cap rows before the exchange, so a boilerplate page
+    // duplicated 10⁹× shuffles cap·partitions rows, not 10⁹. The sf
+    // corpora barely duplicate, so measure in the regime the cap
+    // exists for: every sf0.001 doc replicated 64× under fresh row
+    // ids across 4 input partitions — the window spelling (the
+    // oracle's, and the regression a refactor would slide back to)
+    // must shuffle the full 64 rows/fp; the kernel ≤ cap·4 = 12.
+    val R = 64
+    val base = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("source"), col("text"))
+    val hot = queries.Dedup.cappedDocsOf(
+      base.crossJoin(spark.range(R).select(col("id").as("rep")))
+        .withColumn("doc_id", expr(s"doc_id * $R + rep")).drop("rep"))
+      .repartition(4).localCheckpoint(true) // pin layout; exclude build cost
+    val cap = queries.Dedup.DupCap
+    // the survivor-choice stage alone: the doc_id semi-join both
+    // spellings share is O(corpus) but evenly keyed (doc_id is
+    // unique) — including it would drown the stage this gate pins.
+    // RECORDS, not bytes: the 64 replicas are byte-identical text, so
+    // lz4 collapses the window's corpus-grain exchange to within ~1.2×
+    // of the kernel's incompressible hash buffers — a bytes
+    // differential is blind here (the q151 note, inverted); the claim
+    // is row-grain ("≤ cap·partitions rows per fp"), so count rows.
+    val rKernel = shuffleRecordsOf(
+      hot.groupBy(col("fp")).agg(graft.functions.BottomKSample
+        .bottomk_sample(col("h"), col("doc_id"), cap).as("ids")))
+    def windowSpelling = {
+      val w = Window.partitionBy(col("fp")).orderBy(col("h"), col("doc_id"))
+      hot.withColumn("rn", row_number().over(w)).filter(col("rn") <= cap)
+    }
+    // Spark 4's InferWindowGroupLimit gives the rank-window spelling
+    // its own map-side cut (cap rows/fp/partition — measured below,
+    // exactly cap× the kernel's one-buffer-row/fp/partition); the
+    // REGRESSION a lost combine degrades to is the un-inferred window
+    // shuffling the whole corpus, so that is the differential's far side
+    val rWindowOpt = shuffleRecordsOf(windowSpelling)
+    val excludeKey = "spark.sql.optimizer.excludedRules"
+    val prev = spark.conf.getOption(excludeKey)
+    val rWindowRaw = try {
+      spark.conf.set(excludeKey,
+        "org.apache.spark.sql.catalyst.optimizer.InferWindowGroupLimit")
+      shuffleRecordsOf(windowSpelling)
+    } finally prev match {
+      case Some(v) => spark.conf.set(excludeKey, v)
+      case None => spark.conf.unset(excludeKey)
+    }
+    assert(rKernel > 0 && rWindowOpt > 0 && rWindowRaw > 0)
+    info(f"q172 shuffle records: kernel $rKernel, group-limited window " +
+      f"$rWindowOpt (${rWindowOpt.toDouble / rKernel}%.1f×), raw window " +
+      f"$rWindowRaw (${rWindowRaw.toDouble / rKernel}%.1f×)")
+    assert(rKernel < rWindowOpt,
+      s"q172 kernel shuffled $rKernel records vs $rWindowOpt for even the " +
+        "group-limited window — the one-buffer-per-fp partial regressed")
+    assert(rKernel * 4 < rWindowRaw,
+      s"q172 kernel shuffled $rKernel records vs $rWindowRaw for the " +
+        "un-combined window on a 64×-duplicated corpus — the map-side " +
+        "cap combine regressed")
   }
 }
