@@ -490,7 +490,76 @@ object CurationStress {
       assert(r.getLong(3) + r.getLong(2) == r.getLong(1))
     }
 
-    println(f"""{"metric":"curation_stress","reps":$reps,"q142_sec":$tPack%.2f,"q149_sec":$tCard%.2f,"q150_sec":$tDecon%.2f,"q134_sec":$tSeg%.2f,"q137_sec":$tPmi%.2f,"q139_sec":$tTrans%.2f,"q121_sec":$tChunk%.2f,"q122_sec":$tLocf%.2f,"q126_sec":$tMask%.2f,"q127_sec":$tCur%.2f,"q108_sec":$tLex%.2f,"q109_sec":$tGaps%.2f,"q111_sec":$tMad%.2f,"q112_sec":$tGrid%.2f,"q114_sec":$tTri%.2f,"q114_cc_ppm":${rep114.getLong(4)},"q74_sec":$tSpan%.2f,"q74_rows":$spanRows,"q81_sec":$tOverlap%.2f,"q81_full_matches":$q81Full,"q79_sec":$tTrain%.2f,"q80_sec":$tApply%.2f,"q95_sec":$tBigram%.2f,"q98_sec":$tMix%.2f,"q98_surviving_tokens":$survTok,"q104_sec":$tSkew%.2f,"q99_sec":$tHeldout%.2f,"q101_sec":$tReid%.2f,"q102_sec":$tBoot%.2f,"q103_sec":$tBootFused%.2f,"bigram_types_base":$baseTypes,"bigram_types_train_r":$trainTypesR,"q95_skewcorpus_sec":$tFlatSkew%.2f,"q104_skewcorpus_sec":$tSplitSkew%.2f,"q99_skewcorpus_sec":$tFlatHeld%.2f,"q153_skewcorpus_sec":$tSplitHeld%.2f,"sf":"$sfDir"}""")
+    // ---- round-11 wave (q169/q170/q171+q174 path/q172) at scale
+
+    // q169: every score class's token mass scales exactly ×R, so the
+    // keep/drop/boundary classification is near-identical (integer
+    // budget floors can wobble the boundary by a doc) — the LAWS that
+    // must hold at any scale: the kept mass fits the budget and the
+    // prefix is maximal (no dropped doc could still fit)
+    noop(queries.Selection.q169TokenBudget(spark, sfDir)) // warmup
+    val (rep169, tBudget) = time(
+      queries.Selection.q169TokenBudget(spark, stressDir).collect())
+    val totTok169 = rep169.map(_.getLong(2)).sum
+    val keptTok169 = rep169.map(_.getLong(4)).sum
+    val budget169 = totTok169 * queries.Selection.BudgetPct / 100
+    assert(keptTok169 <= budget169, "q169 kept mass exceeds the R× budget")
+    val maxDoc = queries.Selection.ttrScored(spark, stressDir)
+      .agg(max(col("t"))).head().getLong(0)
+    assert(budget169 - keptTok169 < maxDoc,
+      "q169 prefix not maximal at R× — a doc-sized budget gap remains")
+
+    // q170: per-source budgets are a pure per-source function, and a
+    // replica source is its base feed under an order-preserving
+    // doc_id shift — every replica census row must be IDENTICAL to
+    // its base source's (kept docs/tokens, cut score)
+    noop(queries.Selection.q170SourceBudget(spark, sfDir)) // warmup + ref
+    val base170 = queries.Selection.q170SourceBudget(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) -1L else r.getLong(5))).toMap
+    val (rep170, tSrcBudget) = time(
+      queries.Selection.q170SourceBudget(spark, stressDir).collect())
+    rep170.foreach { r =>
+      val src = r.getString(0)
+      val want = base170(src.substring(0, src.lastIndexOf('_')))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5)) == want,
+        s"q170 replica source $src census drifted from its base")
+    }
+
+    // q171 vs the sketch-only path (q174's snapshot shape): the exact
+    // audit's hash-keyed self-join output grows ~R² on a replicated
+    // corpus (every base hash is now held by R sources) while the
+    // estimator stays O(sources²·k) off O(sources·k) state — the
+    // measured version of "the audit is what you DROP at scale".
+    // Replica invariant: a same-base source pair holds IDENTICAL
+    // content, so est_common == est_union (sketches are content-keyed)
+    noop(Dedup.q171SketchOverlap(spark, sfDir)) // warmup
+    val (rep171, tOverlapFull) = time(
+      Dedup.q171SketchOverlap(spark, stressDir).collect())
+    val (_, tOverlapSketch) = time(noop(Dedup.overlapEstimates(
+      Dedup.overlapSketchesOf(Dedup.overlapHashesOf(
+        Tables.documents(spark, stressDir))))))
+    rep171.filter(r => r.getString(0).substring(0, r.getString(0).lastIndexOf('_'))
+        == r.getString(1).substring(0, r.getString(1).lastIndexOf('_')))
+      .foreach { r =>
+        assert(r.getLong(4) == r.getLong(2) && r.getLong(4) == r.getLong(3),
+          s"q171 same-base pair must fully overlap exactly: $r")
+        assert(r.getLong(6) == r.getLong(7),
+          s"q171 same-base pair sketches identical => est_common == est_union: $r")
+      }
+
+    // q172: replication adds copies, never content — with R ≥ cap,
+    // every fingerprint saturates its cap, so global kept ==
+    // cap · distinct_fps EXACTLY, independent of R
+    assert(reps >= Dedup.DupCap, "wave assumes R >= cap")
+    noop(Dedup.q172CappedDedup(spark, sfDir)) // warmup
+    val (rep172, tCap) = time(Dedup.q172CappedDedup(spark, stressDir).collect())
+    assert(rep172.map(_.getLong(3)).sum ==
+      Dedup.DupCap.toLong * card(baseCard, "distinct_fps"),
+      "q172 at R≥cap must keep exactly cap copies of every distinct content")
+
+    println(f"""{"metric":"curation_stress","reps":$reps,"q169_sec":$tBudget%.2f,"q170_sec":$tSrcBudget%.2f,"q171_sec":$tOverlapFull%.2f,"q171_sketch_sec":$tOverlapSketch%.2f,"q172_sec":$tCap%.2f,"q142_sec":$tPack%.2f,"q149_sec":$tCard%.2f,"q150_sec":$tDecon%.2f,"q134_sec":$tSeg%.2f,"q137_sec":$tPmi%.2f,"q139_sec":$tTrans%.2f,"q121_sec":$tChunk%.2f,"q122_sec":$tLocf%.2f,"q126_sec":$tMask%.2f,"q127_sec":$tCur%.2f,"q108_sec":$tLex%.2f,"q109_sec":$tGaps%.2f,"q111_sec":$tMad%.2f,"q112_sec":$tGrid%.2f,"q114_sec":$tTri%.2f,"q114_cc_ppm":${rep114.getLong(4)},"q74_sec":$tSpan%.2f,"q74_rows":$spanRows,"q81_sec":$tOverlap%.2f,"q81_full_matches":$q81Full,"q79_sec":$tTrain%.2f,"q80_sec":$tApply%.2f,"q95_sec":$tBigram%.2f,"q98_sec":$tMix%.2f,"q98_surviving_tokens":$survTok,"q104_sec":$tSkew%.2f,"q99_sec":$tHeldout%.2f,"q101_sec":$tReid%.2f,"q102_sec":$tBoot%.2f,"q103_sec":$tBootFused%.2f,"bigram_types_base":$baseTypes,"bigram_types_train_r":$trainTypesR,"q95_skewcorpus_sec":$tFlatSkew%.2f,"q104_skewcorpus_sec":$tSplitSkew%.2f,"q99_skewcorpus_sec":$tFlatHeld%.2f,"q153_skewcorpus_sec":$tSplitHeld%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -76,6 +76,11 @@ object Selection {
     * longest document, not the corpus.
     */
   def q166ParetoFrontier(s: SparkSession, dir: String): DataFrame = {
+    // scanned twice (bucket frame + dominance pass) — measured at
+    // sf0.1: materializing first (the q169 localCheckpoint) is ~20%
+    // SLOWER here (0.83→1.02s median; only one extra scan to save,
+    // and the second consumer is a tiny O(buckets) agg). At corpus
+    // scales where re-tokenizing dominates, flip to the q169 spelling.
     val scored = ttrScored(s, dir)
       .withColumn("bkt", expr(s"t div $FrontierBucket"))
     // tiny frame: per-bucket max r, then the suffix max over strictly
@@ -194,7 +199,14 @@ object Selection {
     * the rest (q170 is the fairness twin).
     */
   def q169TokenBudget(s: SparkSession, dir: String): DataFrame = {
-    val perDoc = ttrScored(s, dir)
+    // materialize the scored frame ONCE (eager, memory+disk, lineage
+    // cut): the budget machinery reads it from four subtrees (class
+    // masses, the class join-back, kept aggs, source totals) and
+    // without this each subtree re-tokenizes the corpus — cost-neutral
+    // at sf0.1 (inside the host-noise band, AbBench medians 2.42 vs
+    // 2.44s), but at 100 TB it's one corpus scan + a ~32 B/doc narrow
+    // frame instead of four corpus scans
+    val perDoc = ttrScored(s, dir).localCheckpoint(true)
     val kept = budgetKept(perDoc, Nil, BudgetPct)
     val cut = kept.agg(min(col("r")).as("cut_score"))
     val totals = perDoc.groupBy(col("source"))
@@ -245,7 +257,7 @@ object Selection {
     * runs once per source in parallel. Nothing is corpus-ordered.
     */
   def q170SourceBudget(s: SparkSession, dir: String): DataFrame = {
-    val perDoc = ttrScored(s, dir)
+    val perDoc = ttrScored(s, dir).localCheckpoint(true) // see q169
     val kept = budgetKept(perDoc, Seq("source"), BudgetPct)
     val cut = kept.groupBy(col("source")).agg(min(col("r")).as("cut_score"))
     val totals = perDoc.groupBy(col("source"))
