@@ -845,6 +845,59 @@ class StreamsSpec extends SparkSpec {
       "a resurrected folded partition must not change the min-merge snapshot")
   }
 
+  test("capped-dedup and overlap logs compact through their family protocols") {
+    // claims = min-merge family (in-place: duplication-tolerant),
+    // copies = SUM family (stage-and-swap: double-count-unsafe),
+    // sketch = min-merge — the round-11 logs ride the SAME protocols
+    // their scaladocs claim; snapshots must be fold-transparent
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_capcomp")
+    val (claims, copies, ck1) = (s"$dir/claims", s"$dir/copies", s"$dir/c1")
+    val (sketch, ck2) = (s"$dir/sketch", s"$dir/c2")
+    val sf = "/root/testdata/sf0.001"
+    val in = MemoryStream[(Long, String, String)]
+    val q1 = Streams.incrementalCappedDedup(
+      in.toDF().toDF("doc_id", "source", "text"), claims, copies, ck1).start()
+    val in2 = MemoryStream[(String, String)]
+    val q2 = Streams.incrementalOverlapSketch(
+      in2.toDF().toDF("source", "text"), sketch, ck2).start()
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    try {
+      docs.grouped(math.max(1, docs.length / 4)).foreach { g =>
+        in.addData(g.toSeq: _*); q1.processAllAvailable()
+        in2.addData(g.map(d => (d._2, d._3)).toSeq: _*); q2.processAllAvailable()
+      }
+    } finally { q1.stop(); q2.stop() }
+    val capBefore = rowsOf(Streams.cappedDedupSnapshot(spark, claims, copies))
+    val ovlBefore = rowsOf(Streams.overlapSnapshot(spark, sketch))
+    val cap = graft.queries.Dedup.DupCap
+    Streams.compactMinMergePartials(spark, claims,
+      Streams.cappedClaimsMerge(cap))
+    Streams.compactSummedPartials(spark, copies,
+      _.groupBy(col("source"), col("fp")).agg(sum(col("copies")).as("copies")))
+    Streams.compactMinMergePartials(spark, sketch,
+      Streams.kmvMerge(graft.queries.Dedup.OverlapK))
+    Seq(claims, copies, sketch).foreach { p =>
+      val parts = spark.read.parquet(p).select(col("batch_id")).distinct()
+        .collect().map(_.get(0).toString.toLong).sorted
+      assert(parts.length === 2 && parts.head === -1L,
+        s"$p: expected merged(-1) + latest, got ${parts.mkString(",")}")
+      // the folded claims hold ≤cap rows per fp; the folded sketch ≤k
+      // per source — compaction restores the state bound the scaladocs
+      // promise ("folds it back to cap")
+    }
+    val claimsPerFp = spark.read.parquet(claims)
+      .filter(col("batch_id") === -1L)
+      .groupBy(col("fp")).count().agg(max(col("count"))).head.getLong(0)
+    assert(claimsPerFp <= cap, s"folded claims exceed cap: $claimsPerFp")
+    assert(rowsOf(Streams.cappedDedupSnapshot(spark, claims, copies))
+      === capBefore, "claims/copies compaction changed the census")
+    assert(rowsOf(Streams.overlapSnapshot(spark, sketch)) === ovlBefore,
+      "sketch compaction changed the overlap estimates")
+  }
+
   test("summed compaction: atomic swap preserves totals; recovery handles both crash points") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sumcomp")
