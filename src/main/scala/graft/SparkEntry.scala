@@ -372,6 +372,10 @@ object SparkEntry {
     // source (k-min-of-union law) — the O(sources·k) overlap matrix a
     // live ingest keeps; the exact audit is what it drops
     "q174_incremental_overlap" -> (StreamingQ.q174IncrementalOverlap _),
+    // the board's one stream-STREAM join: watermarked symmetric hash
+    // interval join (view→click ≤24h) — state bounded by the
+    // watermark, key-parallel on user_id
+    "q175_stream_join_pairs" -> (StreamingQ.q175StreamJoinPairs _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -552,5 +556,6 @@ object SparkEntry {
     "q172_capped_dedup" -> Dedup.q172Sql,
     "q173_incremental_cap" -> Dedup.q172Sql,
     "q174_incremental_overlap" -> Dedup.q174Sql,
+    "q175_stream_join_pairs" -> StreamingQ.q175Sql,
   )
 }

@@ -283,6 +283,83 @@ object StreamingQ {
     Streams.overlapSnapshot(s, s"$work/sketch")
   }
 
+  /** q175: stream-STREAM interval join — the funnel's view→click
+    * step as Spark's symmetric hash join over two watermarked legs of
+    * the live event stream (every other streaming rung here is
+    * stream-batch or keyed-state; this is the missing structural
+    * member). Both legs filter the same ordered file feed; the join
+    * is user_id-equi + a 24 h time bound, so
+    * StreamingSymmetricHashJoinExec hash-partitions BOTH sides by
+    * user_id and buffers only the watermark-bounded window: view
+    * state lives 24 h + delay, click state just the delay — O(events
+    * in window) per key, evicted as the watermark passes, which is
+    * the whole 100 TB story (an unwatermarked inner S-S join is
+    * correct but its state never shrinks).
+    *
+    * Correctness under the watermark: the feed is range-sorted ts
+    * chunks ([[graft.streaming.Streams.orderedChunkFeed]]), so each
+    * micro-batch's rows are ≥ every earlier batch's — arriving rows
+    * never trail the watermark and the 1 h delay is pure slack; on an
+    * unordered production stream the delay must exceed the real
+    * disorder bound or late pairs drop (stated, not hidden). Oracle:
+    * the same pair census in batch SQL — a green row means the
+    * cross-batch buffered join found EXACTLY the batch join's pairs.
+    */
+  def q175StreamJoinPairs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val work = Streams.scratchDir("graft_q175")
+    Streams.orderedChunkFeed(
+      Tables.events(s, dir).select(col("user_id"),
+        col("ts").cast("timestamp_ltz").as("ts"),
+        col("event_type"), col("event_id")),
+      s"$work/feed", 4, col("ts"), col("event_id"))
+    val feed = s.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id bigint, ts timestamp_ltz, event_type string, event_id bigint"))
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+    val v = feed.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("v_id"))
+      .withWatermark("v_ts", "1 hour")
+    val c = feed.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "1 hour")
+    v.join(c, expr(
+        """user_id = c_user AND c_ts > v_ts
+          |AND c_ts <= v_ts + INTERVAL 24 HOURS""".stripMargin))
+      .select(col("user_id"), col("v_id"), col("c_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+      .writeStream.format("parquet").option("path", s"$work/pairs")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id bigint, v_id bigint, c_id bigint, gap_us bigint"))
+      .parquet(s"$work/pairs")
+      .agg(count(lit(1)).as("pairs"),
+        countDistinct(col("user_id")).as("users"),
+        min(col("gap_us")).as("min_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        sum(col("gap_us")).as("sum_gap_us"))
+  }
+
+  /** q175 oracle — the batch spelling of the same interval join. */
+  val q175Sql: String =
+    """WITH v AS (SELECT user_id, event_id,
+      |             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |           FROM events WHERE event_type = 'view'),
+      |c AS (SELECT user_id, event_id,
+      |        epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |      FROM events WHERE event_type = 'click'),
+      |p AS (SELECT v.user_id, c.us - v.us AS gap_us
+      |      FROM v JOIN c ON v.user_id = c.user_id
+      |        AND c.us > v.us AND c.us <= v.us + 86400000000)
+      |SELECT count(*) AS pairs,
+      |       count(DISTINCT user_id) AS users,
+      |       min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+      |       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us
+      |FROM p""".stripMargin
+
   /** q147: the q139 Markov transition matrix with the transitions
     * extracted by the STATEFUL streaming operator
     * ([[graft.streaming.StatefulTransitions]]) — the full events

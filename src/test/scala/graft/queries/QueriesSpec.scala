@@ -2642,6 +2642,31 @@ class QueriesSpec extends SparkSpec {
     assert(got("srcA").getLong(3) === 3L)
   }
 
+  test("q175 stream-stream join finds exactly the batch interval join's pairs") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, sf).select(col("user_id"),
+      unix_micros(col("ts").cast("timestamp_ltz")).as("us"),
+      col("event_type"), col("event_id"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("us").as("v_us"), col("event_id").as("v_id"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("us").as("c_us"),
+        col("event_id").as("c_id"))
+    val batch = v.join(c, col("user_id") === col("c_user") &&
+        col("c_us") > col("v_us") &&
+        col("c_us") <= col("v_us") + expr("86400000000"))
+      .agg(count(lit(1)).as("pairs"),
+        countDistinct(col("user_id")).as("users"),
+        min(col("c_us") - col("v_us")).as("min_gap_us"),
+        max(col("c_us") - col("v_us")).as("max_gap_us"),
+        sum(col("c_us") - col("v_us")).as("sum_gap_us"))
+    val got = StreamingQ.q175StreamJoinPairs(spark, sf)
+    assert(rowsOf(got) === rowsOf(batch),
+      "the watermarked symmetric hash join missed or duplicated pairs " +
+        "across micro-batch boundaries")
+    assert(got.head.getLong(0) > 0L, "corpus must produce view→click pairs")
+  }
+
   test("q127 curriculum deciles: near-equal buckets, monotone score envelopes") {
     val rows = Text.q127CurriculumDeciles(spark, sf).collect()
       .sortBy(_.getInt(0))
