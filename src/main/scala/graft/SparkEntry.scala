@@ -376,6 +376,9 @@ object SparkEntry {
     // interval join (view→click ≤24h) — state bounded by the
     // watermark, key-parallel on user_id
     "q175_stream_join_pairs" -> (StreamingQ.q175StreamJoinPairs _),
+    // the OUTER edition: watermark-proven absence (funnel drop-off at
+    // ingest), flushed by heartbeat sentinels — the production pattern
+    "q176_stream_join_dropoff" -> (StreamingQ.q176StreamJoinDropoff _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -557,5 +560,6 @@ object SparkEntry {
     "q173_incremental_cap" -> Dedup.q172Sql,
     "q174_incremental_overlap" -> Dedup.q174Sql,
     "q175_stream_join_pairs" -> StreamingQ.q175Sql,
+    "q176_stream_join_dropoff" -> StreamingQ.q176Sql,
   )
 }

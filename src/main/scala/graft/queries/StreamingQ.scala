@@ -343,6 +343,85 @@ object StreamingQ {
         sum(col("gap_us")).as("sum_gap_us"))
   }
 
+  /** q176: q175's LEFT OUTER edition — funnel drop-off at ingest
+    * ("views that never clicked within 24 h"). Outer S-S join is the
+    * semantically hard member: a view's null row may only be emitted
+    * once the WATERMARK proves no click can still arrive (before
+    * that, absence is indistinguishable from lateness), so a corpus
+    * that simply ends strands its last 24 h + delay of views in
+    * state. The fix is the production pattern: HEARTBEAT flush events
+    * — two sentinels staged 26 h past the corpus max on impossible
+    * users (one per leg: each must pass its leg's type filter or that
+    * leg's watermark never advances), excluded from the census by
+    * user_id < 0. AvailableNow's no-data final batches then evict and
+    * emit every real view. Oracle: the batch anti-join census.
+    */
+  def q176StreamJoinDropoff(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val work = Streams.scratchDir("graft_q176")
+    val ev = Tables.events(s, dir).select(col("user_id"),
+      col("ts").cast("timestamp_ltz").as("ts"),
+      col("event_type"), col("event_id"))
+    Streams.orderedChunkFeed(ev, s"$work/feed", 4,
+      col("ts"), col("event_id"))
+    val sentinels = ev.agg(max(col("ts")).as("mx"))
+      .select(explode(array(
+        struct(lit(-1L).as("user_id"),
+          expr("mx + INTERVAL 26 HOURS").as("ts"),
+          lit("view").as("event_type"), lit(-1L).as("event_id")),
+        struct(lit(-2L).as("user_id"),
+          expr("mx + INTERVAL 26 HOURS").as("ts"),
+          lit("click").as("event_type"), lit(-2L).as("event_id")))).as("r"))
+      .select(col("r.*"))
+    Streams.orderedChunkFeed(sentinels, s"$work/feed", 1,
+      col("ts"), col("event_id"))
+    val feed = s.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id bigint, ts timestamp_ltz, event_type string, event_id bigint"))
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+    val v = feed.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("v_id"))
+      .withWatermark("v_ts", "1 hour")
+    val c = feed.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "1 hour")
+    v.join(c, expr(
+        """user_id = c_user AND c_ts > v_ts
+          |AND c_ts <= v_ts + INTERVAL 24 HOURS""".stripMargin), "leftOuter")
+      .select(col("user_id"), col("v_id"), col("c_id"))
+      .writeStream.format("parquet").option("path", s"$work/rows")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id bigint, v_id bigint, c_id bigint"))
+      .parquet(s"$work/rows")
+      .filter(col("user_id") >= 0L) // sentinels out
+      .agg(countDistinct(col("v_id")).as("views"),
+        countDistinct(when(col("c_id").isNotNull, col("v_id")))
+          .as("converted"))
+      .withColumn("dropped", col("views") - col("converted"))
+      .withColumn("drop_ppm", expr("dropped * 1000000 div views"))
+  }
+
+  /** q176 oracle — batch census: distinct views, views with ≥1 click
+    * inside the 24 h window, the rest dropped. */
+  val q176Sql: String =
+    """WITH v AS (SELECT user_id, event_id,
+      |             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |           FROM events WHERE event_type = 'view'),
+      |c AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |      FROM events WHERE event_type = 'click'),
+      |m AS (SELECT DISTINCT v.event_id FROM v JOIN c
+      |      ON v.user_id = c.user_id
+      |        AND c.us > v.us AND c.us <= v.us + 86400000000)
+      |SELECT CAST(v_n AS BIGINT) AS views, CAST(m_n AS BIGINT) AS converted,
+      |       CAST(v_n - m_n AS BIGINT) AS dropped,
+      |       (v_n - m_n) * 1000000 // v_n AS drop_ppm
+      |FROM (SELECT (SELECT count(*) FROM v) AS v_n,
+      |             (SELECT count(*) FROM m) AS m_n)""".stripMargin
+
   /** q175 oracle — the batch spelling of the same interval join. */
   val q175Sql: String =
     """WITH v AS (SELECT user_id, event_id,

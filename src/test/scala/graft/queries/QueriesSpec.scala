@@ -2667,6 +2667,25 @@ class QueriesSpec extends SparkSpec {
     assert(got.head.getLong(0) > 0L, "corpus must produce view→click pairs")
   }
 
+  test("q176 outer join strands NO view: watermark flush emits every null row") {
+    import org.apache.spark.sql.functions._
+    val got = StreamingQ.q176StreamJoinDropoff(spark, sf).head
+    // THE sentinel property: every view in the corpus reaches the
+    // census — absent the heartbeat flush, the last 24h+delay of
+    // views would sit in join state forever and views would undercount
+    val allViews = graft.Tables.events(spark, sf)
+      .filter(col("event_type") === "view").count()
+    assert(got.getLong(0) === allViews,
+      s"views ${got.getLong(0)} != corpus views $allViews — " +
+        "the watermark flush stranded state (sentinel mechanics broke)")
+    assert(got.getLong(1) + got.getLong(2) === got.getLong(0))
+    // agreement with q175's inner join: converted == distinct paired views
+    val paired = StreamingQ.q175StreamJoinPairs(spark, sf).head.getLong(1)
+    assert(got.getLong(1) >= 1L && got.getLong(0) > got.getLong(1),
+      "corpus must have both converting and dropped views")
+    assert(paired >= 1L) // users with pairs; converted counts views — laws only
+  }
+
   test("q127 curriculum deciles: near-equal buckets, monotone score envelopes") {
     val rows = Text.q127CurriculumDeciles(spark, sf).collect()
       .sortBy(_.getInt(0))
