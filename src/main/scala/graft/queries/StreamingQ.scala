@@ -308,10 +308,13 @@ object StreamingQ {
   def q175StreamJoinPairs(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
     val work = Streams.scratchDir("graft_q175")
+    // stage only the two subscribed types (a production stream IS the
+    // filtered topic); the legs' filters below stay as the contract
     Streams.orderedChunkFeed(
       Tables.events(s, dir).select(col("user_id"),
         col("ts").cast("timestamp_ltz").as("ts"),
-        col("event_type"), col("event_id")),
+        col("event_type"), col("event_id"))
+        .filter(col("event_type").isin("view", "click")),
       s"$work/feed", 4, col("ts"), col("event_id"))
     val feed = s.readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
@@ -324,15 +327,23 @@ object StreamingQ {
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("c_id"))
       .withWatermark("c_ts", "1 hour")
-    v.join(c, expr(
-        """user_id = c_user AND c_ts > v_ts
-          |AND c_ts <= v_ts + INTERVAL 24 HOURS""".stripMargin))
-      .select(col("user_id"), col("v_id"), col("c_id"),
-        (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
-      .writeStream.format("parquet").option("path", s"$work/pairs")
-      .option("checkpointLocation", s"$work/ckpt")
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    // the join's state store inherits shuffle.partitions at first
+    // start (the q147 sizing note, S-S edition): 8 instead of 32
+    // quarters the per-micro-batch store commit overhead — the run's
+    // dominant cost at this corpus size
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      v.join(c, expr(
+          """user_id = c_user AND c_ts > v_ts
+            |AND c_ts <= v_ts + INTERVAL 24 HOURS""".stripMargin))
+        .select(col("user_id"), col("v_id"), col("c_id"),
+          (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+        .writeStream.format("parquet").option("path", s"$work/pairs")
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
         "user_id bigint, v_id bigint, c_id bigint, gap_us bigint"))
       .parquet(s"$work/pairs")
@@ -362,6 +373,7 @@ object StreamingQ {
     val ev = Tables.events(s, dir).select(col("user_id"),
       col("ts").cast("timestamp_ltz").as("ts"),
       col("event_type"), col("event_id"))
+      .filter(col("event_type").isin("view", "click")) // q175's topic note
     Streams.orderedChunkFeed(ev, s"$work/feed", 4,
       col("ts"), col("event_id"))
     val sentinels = ev.agg(max(col("ts")).as("mx"))
@@ -386,14 +398,20 @@ object StreamingQ {
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("c_id"))
       .withWatermark("c_ts", "1 hour")
-    v.join(c, expr(
-        """user_id = c_user AND c_ts > v_ts
-          |AND c_ts <= v_ts + INTERVAL 24 HOURS""".stripMargin), "leftOuter")
-      .select(col("user_id"), col("v_id"), col("c_id"))
-      .writeStream.format("parquet").option("path", s"$work/rows")
-      .option("checkpointLocation", s"$work/ckpt")
-      .outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    // 8 state-store partitions, as in q175 (the outer join also pays
+    // the eviction/no-data batches — store count is the lever)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      v.join(c, expr(
+          """user_id = c_user AND c_ts > v_ts
+            |AND c_ts <= v_ts + INTERVAL 24 HOURS""".stripMargin), "leftOuter")
+        .select(col("user_id"), col("v_id"), col("c_id"))
+        .writeStream.format("parquet").option("path", s"$work/rows")
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
         "user_id bigint, v_id bigint, c_id bigint"))
       .parquet(s"$work/rows")
