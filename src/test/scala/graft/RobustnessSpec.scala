@@ -223,7 +223,12 @@ class RobustnessSpec extends SparkSpec {
       "q145" -> (queries.Events.q145Chi2DailyMix _),
       "q113" -> (queries.StreamingQ.q113StatefulSessions _),
       "q147" -> (queries.StreamingQ.q147IncrementalTransitions _),
-      "q148" -> (queries.StreamingQ.q148IncrementalChi2 _))
+      "q148" -> (queries.StreamingQ.q148IncrementalChi2 _),
+      // the S-S joins: equal-µs ties exercise the strict c_ts > v_ts
+      // bound; the click leg may see ONLY its sentinel (watermark
+      // still advances — the heartbeat property, edge edition)
+      "q175" -> (queries.StreamingQ.q175StreamJoinPairs _),
+      "q176" -> (queries.StreamingQ.q176StreamJoinDropoff _))
     members.foreach { case (name, fn) =>
       val n = fn(spark, hostileEventsDir).count()
       assert(n >= 0, s"$name failed on the hostile events corpus")
