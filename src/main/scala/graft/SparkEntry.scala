@@ -379,6 +379,10 @@ object SparkEntry {
     // the OUTER edition: watermark-proven absence (funnel drop-off at
     // ingest), flushed by heartbeat sentinels — the production pattern
     "q176_stream_join_dropoff" -> (StreamingQ.q176StreamJoinDropoff _),
+    // at-least-once delivery collapsed to exactly-once at ingest:
+    // every event delivered twice, dropDuplicatesWithinWatermark must
+    // make the doubling invisible downstream
+    "q177_stream_dedup" -> (StreamingQ.q177StreamDedup _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -561,5 +565,6 @@ object SparkEntry {
     "q174_incremental_overlap" -> Dedup.q174Sql,
     "q175_stream_join_pairs" -> StreamingQ.q175Sql,
     "q176_stream_join_dropoff" -> StreamingQ.q176Sql,
+    "q177_stream_dedup" -> StreamingQ.q177Sql,
   )
 }

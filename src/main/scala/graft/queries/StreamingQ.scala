@@ -423,6 +423,60 @@ object StreamingQ {
       .withColumn("drop_ppm", expr("dropped * 1000000 div views"))
   }
 
+  /** q177: at-least-once → EXACTLY-ONCE at ingest via
+    * `dropDuplicatesWithinWatermark` — the feed delivers every event
+    * TWICE (the duplicate delivery a retrying producer or replayed
+    * upstream partition produces; staged as one ordered feed of the
+    * doubled frame, so each duplicate pair lands within the same
+    * ts-range chunk), and the watermarked dedup must collapse the
+    * stream back to the corpus. The API's contract is exactly its
+    * name: state is kept per key only WITHIN the watermark delay, so
+    * the delay must exceed the worst real re-delivery lag — here
+    * duplicates arrive adjacent (1 h delay is pure slack); a replayed
+    * partition hours behind needs a delay that long, priced as
+    * O(events within the lag window) of state, key-parallel. Oracle:
+    * the per-type census of the ORIGINAL corpus — green means the
+    * doubled delivery was invisible downstream.
+    */
+  def q177StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val work = Streams.scratchDir("graft_q177")
+    val ev = Tables.events(s, dir).select(col("user_id"),
+      col("ts").cast("timestamp_ltz").as("ts"),
+      col("event_type"), col("event_id"))
+    Streams.orderedChunkFeed(ev.union(ev), s"$work/feed", 4,
+      col("ts"), col("event_id"))
+    val feed = s.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id bigint, ts timestamp_ltz, event_type string, event_id bigint"))
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8") // the q175 sizing
+      feed.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("parquet").option("path", s"$work/rows")
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id bigint, event_type string, event_id bigint")) // ts projected out
+      .parquet(s"$work/rows")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("events"),
+        countDistinct(col("user_id")).as("users"),
+        min(col("event_id")).as("min_event_id"),
+        max(col("event_id")).as("max_event_id"))
+  }
+
+  /** q177 oracle — the original (single-delivery) corpus census. */
+  val q177Sql: String =
+    """SELECT event_type, count(*) AS events,
+      |       count(DISTINCT user_id) AS users,
+      |       min(event_id) AS min_event_id, max(event_id) AS max_event_id
+      |FROM events GROUP BY 1""".stripMargin
+
   /** q176 oracle — batch census: distinct views, views with ≥1 click
     * inside the 24 h window, the rest dropped. */
   val q176Sql: String =

@@ -228,7 +228,8 @@ class RobustnessSpec extends SparkSpec {
       // bound; the click leg may see ONLY its sentinel (watermark
       // still advances — the heartbeat property, edge edition)
       "q175" -> (queries.StreamingQ.q175StreamJoinPairs _),
-      "q176" -> (queries.StreamingQ.q176StreamJoinDropoff _))
+      "q176" -> (queries.StreamingQ.q176StreamJoinDropoff _),
+      "q177" -> (queries.StreamingQ.q177StreamDedup _))
     members.foreach { case (name, fn) =>
       val n = fn(spark, hostileEventsDir).count()
       assert(n >= 0, s"$name failed on the hostile events corpus")

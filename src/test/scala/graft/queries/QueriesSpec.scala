@@ -2686,6 +2686,18 @@ class QueriesSpec extends SparkSpec {
     assert(paired >= 1L) // users with pairs; converted counts views — laws only
   }
 
+  test("q177 collapses doubled delivery to exactly-once: census equals the single corpus") {
+    import org.apache.spark.sql.functions._
+    val got = StreamingQ.q177StreamDedup(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = graft.Tables.events(spark, sf)
+      .groupBy(col("event_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === base,
+      "the watermarked dedup failed to make the 2× delivery invisible")
+    assert(got.values.sum > 0L)
+  }
+
   test("q127 curriculum deciles: near-equal buckets, monotone score envelopes") {
     val rows = Text.q127CurriculumDeciles(spark, sf).collect()
       .sortBy(_.getInt(0))
