@@ -383,6 +383,21 @@ object SparkEntry {
     // every event delivered twice, dropDuplicatesWithinWatermark must
     // make the doubling invisible downstream
     "q177_stream_dedup" -> (StreamingQ.q177StreamDedup _),
+    // q169's terminal budget selection at ingest: per-batch scored
+    // manifest partials, snapshot through the exact q169 tail — the
+    // last batch-curation operator gains its ingest-time twin
+    "q178_incremental_budget" -> (StreamingQ.q178IncrementalBudget _),
+    // the FULL-outer stream-stream join: both absence columns
+    // watermark-proven (dropped views AND orphan clicks), dual-leg
+    // heartbeat sentinels
+    "q179_stream_join_full" -> (StreamingQ.q179StreamJoinFull _),
+    // the built-in session_window sessionizer pinned to the same
+    // answer as the custom state machine (q113) and batch q17
+    "q180_session_window" -> (StreamingQ.q180SessionWindow _),
+    // q127's plan auto-selector: measured probe picks the exact global
+    // ntile or the sort-free exact histogram decomposition — output
+    // branch-independent, so the q127 oracle gates both spellings
+    "q181_curriculum_auto" -> ((s, d) => Text.q181CurriculumAuto(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -566,5 +581,9 @@ object SparkEntry {
     "q175_stream_join_pairs" -> StreamingQ.q175Sql,
     "q176_stream_join_dropoff" -> StreamingQ.q176Sql,
     "q177_stream_dedup" -> StreamingQ.q177Sql,
+    "q178_incremental_budget" -> Selection.q169Sql,
+    "q179_stream_join_full" -> StreamingQ.q179Sql,
+    "q180_session_window" -> Events.q17Sql,
+    "q181_curriculum_auto" -> Text.q127Sql,
   )
 }

@@ -45,6 +45,80 @@ object Multimodal {
         .otherwise(lit("jpeg")).as("format"))
   }
 
+  // ------------------------------------------ real BMP header codec
+
+  /** 4-byte little-endian integer serialized scan-side (codegen'd
+    * string/binary functions only — no UDF, no library). */
+  private def le4(v: Column): Column = unhex(format_string("%02x%02x%02x%02x",
+    v.bitwiseAND(lit(255)),
+    shiftright(v, 8).bitwiseAND(lit(255)),
+    shiftright(v, 16).bitwiseAND(lit(255)),
+    shiftright(v, 24).bitwiseAND(lit(255))))
+
+  /** 2-byte little-endian integer, same discipline. */
+  private def le2(v: Column): Column = unhex(format_string("%02x%02x",
+    v.bitwiseAND(lit(255)), shiftright(v, 8).bitwiseAND(lit(255))))
+
+  /** 4-byte little-endian integer READ from a binary column at 1-based
+    * byte offset `off` — substring the 4 bytes, hex them, reorder the
+    * byte pairs big-endian, conv back. All codegen'd. */
+  private def leInt4(payload: Column, off: Int): Column = {
+    val h = hex(substring(payload, off, 4))
+    conv(concat(substring(h, 7, 2), substring(h, 5, 2),
+      substring(h, 3, 2), substring(h, 1, 2)), 16, 10).cast("int")
+  }
+
+  /** 2-byte little-endian read, same discipline. */
+  private def leInt2(payload: Column, off: Int): Column = {
+    val h = hex(substring(payload, off, 2))
+    conv(concat(substring(h, 3, 2), substring(h, 1, 2)), 16, 10).cast("int")
+  }
+
+  /** Serialize decoded metadata into a REAL 54-byte BMP header
+    * (BITMAPFILEHEADER + BITMAPINFOHEADER, the fixed-offset layout
+    * every BMP reader parses: 'BM' magic, pixel-data offset 54, width
+    * LE at byte 18, height at 22, planes 1, bpp = channels·8 at 28)
+    * followed by `body` as the pixel payload (not transcoded — the
+    * harness has no real image files, so this encoder is what stands
+    * in for them; [[decodeBmpMeta]] is the REAL parser under test).
+    * Every field is scan-side codegen'd binary arithmetic. */
+  def encodeBmpPayload(meta: Column, body: Column): Column = {
+    val w = meta.getField("width")
+    val h = meta.getField("height")
+    val bpp = meta.getField("channels") * lit(8)
+    concat(
+      unhex(lit("424D")),                 //  0: 'BM'
+      le4(length(body) + lit(54)),        //  2: file size
+      le4(lit(0)),                        //  6: reserved
+      le4(lit(54)),                       // 10: pixel data offset
+      le4(lit(40)),                       // 14: info header size
+      le4(w),                             // 18: width
+      le4(h),                             // 22: height
+      le2(lit(1)),                        // 26: planes
+      le2(bpp),                           // 28: bits per pixel
+      le4(lit(0)),                        // 30: compression (BI_RGB)
+      le4(w * h * meta.getField("channels")), // 34: image size
+      le4(lit(2835)), le4(lit(2835)),     // 38/42: 72 dpi in px/m
+      le4(lit(0)), le4(lit(0)),           // 46/50: palette counts
+      body)
+  }
+
+  /** REAL header parse — the fixed-offset integer fields of a BMP,
+    * read from the payload BYTES (magic check, 4-byte LE dims at
+    * offsets 18/22, 2-byte LE bpp at 28 → channels): NULL on a payload
+    * that is not a BMP (wrong magic or shorter than its 54-byte
+    * header), which is the decode contract a corrupt blob hits instead
+    * of garbage dims. Entirely codegen'd scan-side expressions (hex /
+    * substring / conv) — the decode cost is a per-row map, no shuffle,
+    * exactly where a real libjpeg/libpng header probe would sit. */
+  def decodeBmpMeta(payload: Column): Column =
+    when(length(payload) >= 54 && hex(substring(payload, 1, 2)) === "424D",
+      struct(
+        leInt4(payload, 19).as("width"),
+        leInt4(payload, 23).as("height"),
+        (leInt2(payload, 29) / 8).cast("int").as("channels"),
+        lit("bmp").as("format")))
+
   /** Frame sampling stub for video-like payloads: pick every nth
     * "frame offset" — the plumbing is a lateral explode over a
     * sequence bounded by payload length, exactly how frame extraction

@@ -154,8 +154,18 @@ object MultimodalQ {
   def q125AspectBuckets(s: SparkSession, dir: String): DataFrame = {
     Tables.documents(s, dir)
       .transform(MM.withPayload)
-      .withColumn("meta", MM.decodeImageMeta(col("payload")))
-      .select(col("meta.format").as("format"),
+      .withColumn("stub", MM.decodeImageMeta(col("payload")))
+      // the dims travel as REAL image bytes: the stub meta (kept as
+      // the differential reference — MultimodalSpec pins the
+      // roundtrip) is serialized into a real 54-byte BMP header and
+      // the census reads width/height from decodeBmpMeta's BYTE parse
+      // (fixed-offset LE fields), not from the stub columns. Values
+      // are identical by the codec roundtrip, so the oracle is
+      // unchanged; `format` stays the stub's (a BMP header carries no
+      // png/jpeg tag to recover).
+      .withColumn("meta", MM.decodeBmpMeta(
+        MM.encodeBmpPayload(col("stub"), col("payload"))))
+      .select(col("stub.format").as("format"),
         expr("meta.width * 1000 div greatest(meta.height, 1)").as("apm"))
       .withColumn("bucket",
         when(col("apm") < 900, "tall")
@@ -210,7 +220,11 @@ object MultimodalQ {
   def q142MultimodalPacking(s: SparkSession, dir: String): DataFrame = {
     val perDoc = Tables.documents(s, dir)
       .transform(MM.withPayload)
-      .withColumn("meta", MM.decodeImageMeta(col("payload")))
+      .withColumn("stub", MM.decodeImageMeta(col("payload")))
+      // dims from REAL header bytes (the q125 discipline): resize
+      // reads decodeBmpMeta's byte-parsed width/height, not the stub's
+      .withColumn("meta", MM.decodeBmpMeta(
+        MM.encodeBmpPayload(col("stub"), col("payload"))))
       .withColumn("rs", MM.resizeMeta(col("meta"), 336, 336))
       .select(col("source"), col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("text_toks"),

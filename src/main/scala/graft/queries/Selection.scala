@@ -26,7 +26,13 @@ object Selection {
     * type-token ratio in integer permille (ties broken by doc_id
     * downstream; no float crosses any cut). */
   private[graft] def ttrScored(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    ttrScoredOf(Tables.documents(s, dir))
+
+  /** [[ttrScored]] over any (doc_id, source, text) frame — the shape
+    * the incremental twin (q178) scores per micro-batch; ONE scoring
+    * definition so batch and ingest can never drift. */
+  private[graft] def ttrScoredOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("source"),
         size(TextOps.tokens(col("text"))).cast("long").as("t"),
         size(array_distinct(TextOps.tokens(col("text")))).cast("long")
@@ -198,7 +204,14 @@ object Selection {
     * keys — ONE global budget, high-quality sources free to crowd out
     * the rest (q170 is the fairness twin).
     */
-  def q169TokenBudget(s: SparkSession, dir: String): DataFrame = {
+  def q169TokenBudget(s: SparkSession, dir: String): DataFrame =
+    budgetCensus(ttrScored(s, dir))
+
+  /** The q169 census tail over a scored (doc_id, source, t, r) frame —
+    * ONE definition for batch q169 and the incremental snapshot's
+    * re-merge (q178), so ingest-time and batch budget selection can
+    * never drift. */
+  private[graft] def budgetCensus(scored: DataFrame): DataFrame = {
     // materialize the scored frame ONCE (eager, memory+disk, lineage
     // cut): the budget machinery reads it from four subtrees (class
     // masses, the class join-back, kept aggs, source totals) and
@@ -206,7 +219,7 @@ object Selection {
     // at sf0.1 (inside the host-noise band, AbBench medians 2.42 vs
     // 2.44s), but at 100 TB it's one corpus scan + a ~32 B/doc narrow
     // frame instead of four corpus scans
-    val perDoc = ttrScored(s, dir).localCheckpoint(true)
+    val perDoc = scored.localCheckpoint(true)
     val kept = budgetKept(perDoc, Nil, BudgetPct)
     val cut = kept.agg(min(col("r")).as("cut_score"))
     val totals = perDoc.groupBy(col("source"))

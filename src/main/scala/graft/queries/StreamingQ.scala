@@ -30,6 +30,22 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamingQ {
 
+  /** A CHILD session pinned to 8 shuffle partitions for the streaming
+    * runs (SQL configs are session-scoped; `newSession` shares the
+    * SparkContext and catalog but gets its own conf). The monitors'
+    * per-batch jobs aggregate a quarter-corpus each — 8 shuffle
+    * partitions is the right grain for their exchanges, landed partial
+    * files, and state stores (the q113/q175 sizing notes). A child
+    * session instead of set-and-restore on the shared session: any
+    * query planned CONCURRENTLY on the caller's session during the
+    * streaming run would silently inherit the mutated value, and the
+    * mutate-restore pattern is not re-entrant across wrappers. */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss
+  }
+
   /** Stream a base frame through `run` in ~4 micro-batches (file
     * source, one file per trigger), then hand the work dir to the
     * caller's snapshot — ONE chunking/readStream scaffold for every
@@ -39,17 +55,10 @@ object StreamingQ {
                            (run: (DataFrame, String) => Unit): String = {
     val work = Streams.scratchDir("graft_incq")
     base.repartition(4).write.parquet(s"$work/chunks")
-    val stream = s.readStream.schema(StructType.fromDDL(schemaDdl))
+    val stream = streamSession(s).readStream
+      .schema(StructType.fromDDL(schemaDdl))
       .option("maxFilesPerTrigger", "1").parquet(s"$work/chunks")
-    // the monitors' per-batch jobs aggregate a quarter-corpus each —
-    // 8 shuffle partitions is the right grain for their exchanges and
-    // landed partial files (the q113 state-partition sizing note,
-    // foreachBatch edition). Restored in the finally.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      run(stream, work)
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    run(stream, work)
     work
   }
 
@@ -192,19 +201,15 @@ object StreamingQ {
     // pays per-partition provider overhead EVERY micro-batch; at the
     // harness's corpus size 8 state partitions is the right grain (a
     // real deployment sizes this to keys/executor, set once — it is
-    // sticky in the checkpoint). Restored in the finally.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val stream = s.readStream
-        .schema(StructType.fromDDL("user_id bigint, ts timestamp_ltz"))
-        .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
-      StatefulSessions.sessionize(stream.as[Event]).writeStream
-        .format("parquet").option("path", s"$work/sessions")
-        .option("checkpointLocation", s"$work/ckpt")
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow()).start().awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // sticky in the checkpoint). Child session: see streamSession.
+    val stream = streamSession(s).readStream
+      .schema(StructType.fromDDL("user_id bigint, ts timestamp_ltz"))
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+    StatefulSessions.sessionize(stream.as[Event]).writeStream
+      .format("parquet").option("path", s"$work/sessions")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
     s.read.parquet(s"$work/sessions")
       .filter(col("user_id") =!= flushUser)
       .groupBy(col("user_id"))
@@ -283,6 +288,25 @@ object StreamingQ {
     Streams.overlapSnapshot(s, s"$work/sketch")
   }
 
+  /** q178: q169's hard-token-budget selection with the scored manifest
+    * built by the INCREMENTAL monitor — the documents table streamed
+    * through ~4 micro-batches, each landing its per-doc (doc_id,
+    * source, t, r) scored rows ([[graft.streaming.Streams
+    * .incrementalBudgetSelection]]); the snapshot re-merges (distinct
+    * — rows are fully doc-keyed) and runs the exact q169 tail (class
+    * frame, boundary resolution, census). Oracle: q169Sql — a green
+    * row means the terminal curation act computed AT INGEST reproduced
+    * the batch selection bit-for-bit, cut score included. This closes
+    * the last batch-curation operator without an ingest-time twin. */
+  def q178IncrementalBudget(s: SparkSession, dir: String): DataFrame = {
+    val work = streamed(s, dir, Seq("doc_id", "source", "text"),
+      "doc_id bigint, source string, text string") { (docs, work) =>
+      Streams.incrementalBudgetSelection(docs, s"$work/scored", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Streams.budgetSnapshot(s, s"$work/scored")
+  }
+
   /** q175: stream-STREAM interval join — the funnel's view→click
     * step as Spark's symmetric hash join over two watermarked legs of
     * the live event stream (every other streaming rung here is
@@ -316,7 +340,11 @@ object StreamingQ {
         col("event_type"), col("event_id"))
         .filter(col("event_type").isin("view", "click")),
       s"$work/feed", 4, col("ts"), col("event_id"))
-    val feed = s.readStream
+    // the join's state store inherits shuffle.partitions at first
+    // start (the q147 sizing note, S-S edition): 8 instead of 32
+    // quarters the per-micro-batch store commit overhead — the run's
+    // dominant cost at this corpus size. Child session: streamSession.
+    val feed = streamSession(s).readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
         "user_id bigint, ts timestamp_ltz, event_type string, event_id bigint"))
       .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
@@ -327,23 +355,15 @@ object StreamingQ {
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("c_id"))
       .withWatermark("c_ts", "1 hour")
-    // the join's state store inherits shuffle.partitions at first
-    // start (the q147 sizing note, S-S edition): 8 instead of 32
-    // quarters the per-micro-batch store commit overhead — the run's
-    // dominant cost at this corpus size
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      v.join(c, expr(
-          """user_id = c_user AND c_ts > v_ts
-            |AND c_ts <= v_ts + INTERVAL 24 HOURS""".stripMargin))
-        .select(col("user_id"), col("v_id"), col("c_id"),
-          (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
-        .writeStream.format("parquet").option("path", s"$work/pairs")
-        .option("checkpointLocation", s"$work/ckpt")
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow()).start().awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    v.join(c, expr(
+        """user_id = c_user AND c_ts > v_ts
+          |AND c_ts <= v_ts + INTERVAL 24 HOURS""".stripMargin))
+      .select(col("user_id"), col("v_id"), col("c_id"),
+        (unix_micros(col("c_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+      .writeStream.format("parquet").option("path", s"$work/pairs")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
     s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
         "user_id bigint, v_id bigint, c_id bigint, gap_us bigint"))
       .parquet(s"$work/pairs")
@@ -387,7 +407,9 @@ object StreamingQ {
       .select(col("r.*"))
     Streams.orderedChunkFeed(sentinels, s"$work/feed", 1,
       col("ts"), col("event_id"))
-    val feed = s.readStream
+    // 8 state-store partitions, as in q175 (the outer join also pays
+    // the eviction/no-data batches — store count is the lever)
+    val feed = streamSession(s).readStream
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
         "user_id bigint, ts timestamp_ltz, event_type string, event_id bigint"))
       .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
@@ -398,20 +420,14 @@ object StreamingQ {
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("c_id"))
       .withWatermark("c_ts", "1 hour")
-    // 8 state-store partitions, as in q175 (the outer join also pays
-    // the eviction/no-data batches — store count is the lever)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      v.join(c, expr(
-          """user_id = c_user AND c_ts > v_ts
-            |AND c_ts <= v_ts + INTERVAL 24 HOURS""".stripMargin), "leftOuter")
-        .select(col("user_id"), col("v_id"), col("c_id"))
-        .writeStream.format("parquet").option("path", s"$work/rows")
-        .option("checkpointLocation", s"$work/ckpt")
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow()).start().awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    v.join(c, expr(
+        """user_id = c_user AND c_ts > v_ts
+          |AND c_ts <= v_ts + INTERVAL 24 HOURS""".stripMargin), "leftOuter")
+      .select(col("user_id"), col("v_id"), col("c_id"))
+      .writeStream.format("parquet").option("path", s"$work/rows")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
     s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
         "user_id bigint, v_id bigint, c_id bigint"))
       .parquet(s"$work/rows")
@@ -446,20 +462,16 @@ object StreamingQ {
       col("event_type"), col("event_id"))
     Streams.orderedChunkFeed(ev.union(ev), s"$work/feed", 4,
       col("ts"), col("event_id"))
-    val feed = s.readStream
+    val feed = streamSession(s).readStream // the q175 store sizing
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
         "user_id bigint, ts timestamp_ltz, event_type string, event_id bigint"))
       .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", "8") // the q175 sizing
-      feed.withWatermark("ts", "1 hour")
-        .dropDuplicatesWithinWatermark("event_id")
-        .writeStream.format("parquet").option("path", s"$work/rows")
-        .option("checkpointLocation", s"$work/ckpt")
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow()).start().awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    feed.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("parquet").option("path", s"$work/rows")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
     s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
         "user_id bigint, event_type string, event_id bigint")) // ts projected out
       .parquet(s"$work/rows")
@@ -468,6 +480,162 @@ object StreamingQ {
         countDistinct(col("user_id")).as("users"),
         min(col("event_id")).as("min_event_id"),
         max(col("event_id")).as("max_event_id"))
+  }
+
+  /** q179: the FULL-OUTER stream-stream join — q175/q176 complete the
+    * inner and left-outer members; full outer adds the column neither
+    * can see: clicks with NO prior view in the 24 h window (a click
+    * that tracking never attributed — the orphan census is a
+    * tracking-bug detector, the mirror image of q176's funnel
+    * drop-off). Both null legs are watermark-proven: a view's null
+    * row may only emit once no click can still arrive, a click's null
+    * row once no view can still arrive — so BOTH sides need their
+    * heartbeat sentinel (q176's staging, both legs' filters), and
+    * Spark requires the time bound + watermarks on both sides for the
+    * state to stay bounded. Census excludes sentinels by user < 0 on
+    * whichever leg carried them. Oracle: the batch full-outer census
+    * (matched views, dropped views, orphan clicks) — a green row means
+    * the symmetric-hash state machine emitted EXACTLY the batch join's
+    * null rows, neither early (absence claimed while lateness was
+    * still possible) nor never (stranded state). */
+  def q179StreamJoinFull(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val work = Streams.scratchDir("graft_q179")
+    val ev = Tables.events(s, dir).select(col("user_id"),
+      col("ts").cast("timestamp_ltz").as("ts"),
+      col("event_type"), col("event_id"))
+      .filter(col("event_type").isin("view", "click")) // q175's topic note
+    Streams.orderedChunkFeed(ev, s"$work/feed", 4,
+      col("ts"), col("event_id"))
+    val sentinels = ev.agg(max(col("ts")).as("mx"))
+      .select(explode(array(
+        struct(lit(-1L).as("user_id"),
+          expr("mx + INTERVAL 26 HOURS").as("ts"),
+          lit("view").as("event_type"), lit(-1L).as("event_id")),
+        struct(lit(-2L).as("user_id"),
+          expr("mx + INTERVAL 26 HOURS").as("ts"),
+          lit("click").as("event_type"), lit(-2L).as("event_id")))).as("r"))
+      .select(col("r.*"))
+    Streams.orderedChunkFeed(sentinels, s"$work/feed", 1,
+      col("ts"), col("event_id"))
+    val feed = streamSession(s).readStream // 8 store partitions (q175)
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id bigint, ts timestamp_ltz, event_type string, event_id bigint"))
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+    val v = feed.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withWatermark("v_ts", "1 hour")
+    val c = feed.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_ts", "1 hour")
+    v.join(c, expr(
+        """v_user = c_user AND c_ts > v_ts
+          |AND c_ts <= v_ts + INTERVAL 24 HOURS""".stripMargin), "fullOuter")
+      .select(col("v_user"), col("c_user"), col("v_id"), col("c_id"))
+      .writeStream.format("parquet").option("path", s"$work/rows")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    s.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "v_user bigint, c_user bigint, v_id bigint, c_id bigint"))
+      .parquet(s"$work/rows")
+      // sentinels out: each sentinel rides exactly one leg, so its
+      // row has that leg's user < 0 (and may carry NULL on the other)
+      .filter(coalesce(col("v_user"), lit(0L)) >= 0L &&
+        coalesce(col("c_user"), lit(0L)) >= 0L)
+      .agg(countDistinct(col("v_id")).as("views"),
+        countDistinct(when(col("c_id").isNotNull, col("v_id")))
+          .as("converted"),
+        countDistinct(col("c_id")).as("clicks"),
+        countDistinct(when(col("v_id").isNull, col("c_id")))
+          .as("orphan_clicks"))
+      .withColumn("dropped", col("views") - col("converted"))
+  }
+
+  /** q179 oracle — the batch full-outer census: view and click sides
+    * counted whole, matched views via the window join, orphan clicks
+    * as the anti-side of the reversed join. */
+  val q179Sql: String =
+    """WITH v AS (SELECT user_id, event_id,
+      |             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |           FROM events WHERE event_type = 'view'),
+      |c AS (SELECT user_id, event_id,
+      |        epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |      FROM events WHERE event_type = 'click'),
+      |m AS (SELECT DISTINCT v.event_id FROM v JOIN c
+      |      ON v.user_id = c.user_id
+      |        AND c.us > v.us AND c.us <= v.us + 86400000000),
+      |mc AS (SELECT DISTINCT c.event_id FROM c JOIN v
+      |       ON v.user_id = c.user_id
+      |         AND c.us > v.us AND c.us <= v.us + 86400000000)
+      |SELECT CAST(vn AS BIGINT) AS views, CAST(mn AS BIGINT) AS converted,
+      |       CAST(cn AS BIGINT) AS clicks,
+      |       CAST(cn - mcn AS BIGINT) AS orphan_clicks,
+      |       CAST(vn - mn AS BIGINT) AS dropped
+      |FROM (SELECT (SELECT count(*) FROM v) AS vn,
+      |             (SELECT count(*) FROM m) AS mn,
+      |             (SELECT count(*) FROM c) AS cn,
+      |             (SELECT count(*) FROM mc) AS mcn)""".stripMargin
+
+  /** q180: the BUILT-IN `session_window` sessionizer on the oracle
+    * board — q113 proves the custom flatMapGroupsWithState state
+    * machine against batch q17; this row pins Spark's native
+    * session-window aggregation to the SAME answer, so the two
+    * sessionizers (built-in and custom) can never drift from each
+    * other or from the batch window-function spelling. Gap semantics
+    * note: `session_window`'s window is [start, end) with end = last
+    * event + gap, so an event arriving at EXACTLY the gap boundary
+    * starts a new session — but q17 merges a gap of exactly 1800 s
+    * (strict `> 1800000000` µs splits). One extra microsecond of gap
+    * duration aligns the two: gap ≤ 1800 s merges, > splits, µs-exact.
+    * Flush: the far-future sentinel advances the watermark past every
+    * real session's end (q113's two-batch staging — the watermark
+    * computed at batch N's end applies in batch N+1), AvailableNow's
+    * no-data final batches emit the rest. Oracle: q17Sql. */
+  def q180SessionWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val work = Streams.scratchDir("graft_q180")
+    val events = Tables.events(s, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp_ltz").as("ts"))
+    val flushUser = -1L
+    Streams.orderedChunkFeed(events, s"$work/feed", 4, col("ts"))
+    val maxRow = events.agg(max(col("ts"))).head()
+    if (maxRow.isNullAt(0))
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL(
+          "user_id bigint, session_count bigint, max_session_events bigint"))
+    val far = new java.sql.Timestamp(
+      maxRow.getTimestamp(0).getTime + 48L * 3600 * 1000)
+    Seq(far, new java.sql.Timestamp(far.getTime + 60000)).foreach { t =>
+      Streams.orderedChunkFeed(
+        s.createDataFrame(java.util.List.of(
+          org.apache.spark.sql.Row(flushUser, t)),
+          StructType.fromDDL("user_id bigint, ts timestamp_ltz")),
+        s"$work/feed", 1, col("ts"))
+    }
+    val stream = streamSession(s).readStream // 8 store partitions (q113)
+      .schema(StructType.fromDDL("user_id bigint, ts timestamp_ltz"))
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+    stream.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes 1 microsecond").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("events_in_session"))
+      .select(col("user_id"), col("events_in_session"))
+      .writeStream.format("parquet").option("path", s"$work/sessions")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    s.read.schema(StructType.fromDDL(
+        "user_id bigint, events_in_session bigint"))
+      .parquet(s"$work/sessions")
+      .filter(col("user_id") =!= flushUser)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("session_count"),
+        max(col("events_in_session")).as("max_session_events"))
   }
 
   /** q177 oracle — the original (single-delivery) corpus census. */
@@ -537,16 +705,13 @@ object StreamingQ {
     import org.apache.spark.sql.streaming.OutputMode
     val work = Streams.scratchDir("graft_q147")
     StatefulTransitions.stageOrderedFeed(s, dir, s"$work/feed", 6)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      StatefulTransitions.transitions(
-          StatefulTransitions.feedStream(s, s"$work/feed")).writeStream
-        .format("parquet").option("path", s"$work/trans")
-        .option("checkpointLocation", s"$work/ckpt")
-        .outputMode(OutputMode.Append())
-        .trigger(Trigger.AvailableNow()).start().awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    StatefulTransitions.transitions(
+        StatefulTransitions.feedStream(streamSession(s), s"$work/feed"))
+      .writeStream
+      .format("parquet").option("path", s"$work/trans")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
     val matrix = s.read.parquet(s"$work/trans")
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("transitions"))
@@ -615,16 +780,12 @@ object StreamingQ {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
     def run(): Unit = {
-      val stream = s.readStream
+      val stream = streamSession(s).readStream
         .schema(StructType.fromDDL("vec_id bigint, v array<double>"))
         .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        Streams.incrementalAnnNearDups(stream, s"$work/index", s"$work/pairs",
-          s"$work/ckpt")
-          .trigger(Trigger.AvailableNow()).start().awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      Streams.incrementalAnnNearDups(stream, s"$work/index", s"$work/pairs",
+        s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
     }
     Streams.orderedChunkFeed(emb.filter(col("vec_id") % 2 === 0),
       s"$work/feed", 2, col("vec_id"))
@@ -693,17 +854,13 @@ object StreamingQ {
       Tables.documents(s, dir).select(col("source"), col("doc_id"),
         col("text"), col("n_chars")),
       s"$work/feed", 4, col("doc_id"))
-    val stream = s.readStream
+    val stream = streamSession(s).readStream
       .schema(StructType.fromDDL(
         "source string, doc_id bigint, text string, n_chars bigint"))
       .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      Streams.incrementalPipeline(stream, s"$work/fp", s"$work/survivors",
-        s"$work/lsh", s"$work/pairs", s"$work/ckpt")
-        .trigger(Trigger.AvailableNow()).start().awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    Streams.incrementalPipeline(stream, s"$work/fp", s"$work/survivors",
+      s"$work/lsh", s"$work/pairs", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
     Streams.finalizePipeline(s, s"$work/survivors", s"$work/pairs")
   }
 
@@ -723,16 +880,12 @@ object StreamingQ {
     val work = Streams.scratchDir("graft_incq")
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     def run(): Unit = {
-      val stream = s.readStream
+      val stream = streamSession(s).readStream
         .schema(StructType.fromDDL("doc_id bigint, text string"))
         .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        Streams.incrementalLshDedup(stream, s"$work/index", s"$work/pairs",
-          s"$work/ckpt")
-          .trigger(Trigger.AvailableNow()).start().awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      Streams.incrementalLshDedup(stream, s"$work/index", s"$work/pairs",
+        s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
     }
     Streams.orderedChunkFeed(docs.filter(col("doc_id") % 2 === 0),
       s"$work/feed", 2, col("doc_id"))

@@ -2124,13 +2124,24 @@ object Text {
     * CASE cut (the q88 winsorize pattern) — the census shape is
     * unchanged; the exact spelling IS the oracle-checkable one.
     */
-  def q127CurriculumDeciles(s: SparkSession, dir: String): DataFrame = {
-    val scored = Tables.documents(s, dir)
+  def q127CurriculumDeciles(s: SparkSession, dir: String): DataFrame =
+    exactDecileCensus(curriculumScored(s, dir))
+
+  /** The q127 per-doc score frame (doc_id, toks, score_pm) — shared by
+    * the exact-ntile and histogram decile spellings (one scoring
+    * definition, so the two branches of the q181 selector can never
+    * drift). */
+  private def curriculumScored(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("doc_id"),
         size(TextOps.tokens(col("text"))).cast("long").as("toks"),
         size(array_distinct(TextOps.tokens(col("text")))).cast("long")
           .as("types"))
       .withColumn("score_pm", expr("types * 1000 div toks"))
+      .drop("types")
+
+  /** q127's census tail, exact-ntile spelling: ONE global sort. */
+  private[graft] def exactDecileCensus(scored: DataFrame): DataFrame =
     scored.withColumn("decile",
         ntile(10).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("score_pm"), col("doc_id"))))
@@ -2139,6 +2150,102 @@ object Text {
         sum(col("toks")).cast("long").as("tokens"),
         min(col("score_pm")).as("min_score_pm"),
         max(col("score_pm")).as("max_score_pm"))
+
+  /** q127's census, SORT-FREE histogram spelling — the at-scale branch
+    * the q127 scaladoc promises, made EXACT (not approx-percentile):
+    * the score domain is integer permille (≤1001 values), so
+    *   1. the corpus compacts map-side to the (score_pm → docs,
+    *      tokens) histogram (the q88 discipline), and an exclusive
+    *      prefix over that TINY frame gives every class its global
+    *      rank interval [p+1, p+cdocs];
+    *   2. ntile bucket boundaries are pure arithmetic on (n, rank):
+    *      base = n div 10, rem = n mod 10, first `rem` deciles hold
+    *      base+1 rows — a class whose interval lies inside one decile
+    *      contributes WHOLE (no doc-grain work at all);
+    *   3. only classes STRADDLING a decile edge (≤9 of them) resolve
+    *      at doc grain, and their in-class rank — ntile's (score_pm,
+    *      doc_id) order, within the class = doc_id order — rides the
+    *      q169 two-pass bucket prefix (doc_id div [[graft.queries
+    *      .Selection.BudgetBucket]] buckets), so no window partition
+    *      ever exceeds ~4096 docs even when ONE score value dominates
+    *      the corpus (the hot-class failure mode of "window over the
+    *      boundary class", designed out as in q169).
+    * Output is bit-identical to [[exactDecileCensus]] by construction:
+    * decile(rank) decomposes exactly into class prefix + in-class
+    * doc_id rank. The only ordered structures are the ≤1001-row class
+    * frame and ≤9 broadcast joins — nothing corpus-ordered. */
+  private[graft] def histogramDecileCensus(scoredRaw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // two consumers (class histogram + boundary join-back): one scan,
+    // not two (the q169 materialization note)
+    val scored = scoredRaw.localCheckpoint(true)
+    val classes = scored.groupBy(col("score_pm"))
+      .agg(count(lit(1)).as("cdocs"), sum(col("toks")).as("ctoks"))
+    val tot = classes.agg(sum(col("cdocs")).as("n"))
+    // tiny frame: ≤1001 rows (the permille score domain) — the q166
+    // suffix-frame discipline; the deliberate single-partition window
+    // is score-bounded, never corpus-bounded
+    val prefix = Window.orderBy(col("score_pm"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def tile(r: String): String =
+      s"""CASE WHEN base = 0 OR ($r) <= rem * (base + 1)
+         |THEN (($r) + base) div (base + 1)
+         |ELSE rem + (($r) - rem * (base + 1) + base - 1) div base
+         |END""".stripMargin
+    val typed = classes.crossJoin(broadcast(tot))
+      .withColumn("p", coalesce(sum(col("cdocs")).over(prefix), lit(0L)))
+      .withColumn("base", expr("n div 10"))
+      .withColumn("rem", expr("n % 10"))
+      .withColumn("t1", expr(tile("p + 1")))
+      .withColumn("t2", expr(tile("p + cdocs")))
+    val whole = typed.filter(col("t1") === col("t2"))
+      .select(col("t1").as("decile"), col("cdocs").as("docs"),
+        col("ctoks").as("tokens"),
+        col("score_pm").as("mn"), col("score_pm").as("mx"))
+    val bdyCls = typed.filter(col("t1") =!= col("t2"))
+      .select(col("score_pm"), col("p"), col("base"), col("rem"))
+    val bdyDocs = scored.join(broadcast(bdyCls), Seq("score_pm"))
+      .withColumn("bb",
+        expr(s"doc_id div ${graft.queries.Selection.BudgetBucket}"))
+    val bucketPrefix = bdyDocs.groupBy(col("score_pm"), col("bb"))
+      .agg(count(lit(1)).as("bc"))
+      .withColumn("q", coalesce(sum(col("bc")).over(
+        Window.partitionBy(col("score_pm")).orderBy(col("bb"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("score_pm"), col("bb"), col("q"))
+    val bdy = bdyDocs.join(broadcast(bucketPrefix), Seq("score_pm", "bb"))
+      .withColumn("w", row_number().over(
+        Window.partitionBy(col("score_pm"), col("bb"))
+          .orderBy(col("doc_id"))).cast("long"))
+      .withColumn("decile", expr(tile("p + q + w")))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("docs"), sum(col("toks")).as("tokens"),
+        min(col("score_pm")).as("mn"), max(col("score_pm")).as("mx"))
+    whole.unionByName(bdy)
+      .groupBy(col("decile"))
+      .agg(sum(col("docs")).as("docs"),
+        sum(col("tokens")).as("tokens"),
+        min(col("mn")).as("min_score_pm"), max(col("mx")).as("max_score_pm"))
+      .select(col("decile").cast("int").as("decile"), col("docs"),
+        col("tokens"), col("min_score_pm"), col("max_score_pm"))
+  }
+
+  /** Curriculum plan auto-selector (q181) — the q154 measured-selector
+    * discipline applied to the board's one honest global sort: q127's
+    * exact ntile is the right plan while the corpus fits a sort
+    * comfortably; past that, [[histogramDecileCensus]] computes the
+    * IDENTICAL census with no corpus ORDER BY. The probe is the global
+    * document count (the exact quantity that prices the sort — one
+    * column-pruned count over parquet row-group metadata, orders
+    * cheaper than either branch). Both branches are bit-identical by
+    * construction, so the choice is a pure physical-plan decision and
+    * the oracle (q127Sql) is branch-independent — the q154 contract. */
+  def q181CurriculumAuto(s: SparkSession, dir: String,
+                         sortCeiling: Long = 10000000L): DataFrame = {
+    val scored = curriculumScored(s, dir)
+    val n = Tables.documents(s, dir).select(col("doc_id")).count()
+    if (n <= sortCeiling) exactDecileCensus(scored)
+    else histogramDecileCensus(scored)
   }
   val q127Sql: String =
     """WITH scored AS (

@@ -752,7 +752,18 @@ object Streams {
   def cappedClaimsMerge(cap: Int)(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("fp")).orderBy(col("h"), col("doc_id"))
-    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= cap)
+    // project to the claim key THEN distinct (claim rows are fully
+    // keyed by (fp,h,doc_id,source); the snapshot hands this merge the
+    // raw log WITH batch_id, under which a merged copy and a
+    // resurrected folded row are distinct): this log folds through the
+    // in-place min-merge protocol, whose crash-safety contract is
+    // duplication TOLERANCE — a folded batch partition resurrected
+    // next to its merged copy re-presents its rows, and without the
+    // distinct each duplicate would take a row_number slot and evict a
+    // true bottom-cap survivor (kmvMerge already does this via the
+    // snapshot's pre-select; the claims merge owns its projection).
+    df.select(col("fp"), col("h"), col("doc_id"), col("source")).distinct()
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= cap)
       .select(col("fp"), col("h"), col("doc_id"), col("source"))
   }
 
@@ -775,6 +786,53 @@ object Streams {
       .withColumn("kept_docs", coalesce(col("kept_docs"), lit(0L)))
       .withColumn("dropped_docs", col("doc_count") - col("kept_docs"))
   }
+
+  /** Incremental token-budget selection (q178) — the terminal curation
+    * act (q169's hard global budget) AT INGEST: each micro-batch scores
+    * its documents with THE shared TTR discipline
+    * ([[graft.queries.Selection.ttrScoredOf]] — one scoring definition,
+    * batch and ingest can never drift) and lands the per-doc scored
+    * rows (doc_id, source, t, r) as a replay-idempotent batch_id
+    * partition. The snapshot re-reads the log and runs the exact q169
+    * tail ([[graft.queries.Selection.budgetCensus]]): class masses,
+    * keep/drop/boundary classification, doc_id-bucketed boundary
+    * resolution — so snapshot(union of batches) == q169(union corpus)
+    * bit-for-bit at any point of the ingest.
+    *
+    * State is the scored MANIFEST, O(docs) × ~32 B rows — doc-grain
+    * metadata, never text. That is the honest price of an EXACT global
+    * budget: the budget's boundary class is unknowable until snapshot
+    * time (any score class can become the boundary as the corpus
+    * grows), so per-doc (t, r) must survive — and a curation ingest
+    * keeps exactly this manifest anyway to emit the kept-doc list.
+    * Rows are fully keyed by doc_id (each doc arrives in exactly one
+    * batch; a replayed batch overwrites its own partition), so the
+    * log is duplication-TOLERANT under `distinct()` and folds through
+    * the in-place min-merge protocol ([[compactMinMergePartials]] with
+    * the distinct merge), like the capped-claims index. */
+  def incrementalBudgetSelection(docs: DataFrame, scoredPath: String,
+                                 checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchPartition(
+          graft.queries.Selection.ttrScoredOf(batch), batchId, scoredPath)
+      }
+
+  /** The scored log's partial merge — rows are fully keyed, so the
+    * merge is plain distinct (duplication tolerance for the in-place
+    * fold protocol; see [[incrementalBudgetSelection]]). */
+  def budgetScoredMerge(df: DataFrame): DataFrame = df.distinct()
+
+  /** The live budget census: the merged scored manifest through the
+    * exact q169 tail — snapshot(union of batches) == q169(union
+    * corpus). */
+  def budgetSnapshot(spark: SparkSession, scoredPath: String): DataFrame =
+    graft.queries.Selection.budgetCensus(
+      budgetScoredMerge(readPartialsOrEmpty(spark, scoredPath,
+        "doc_id bigint, source string, t bigint, r bigint, batch_id bigint")
+        .select(col("doc_id"), col("source"), col("t"), col("r"))))
 
   /** Incremental χ² drift cells — each micro-batch lands its
     * (day, event_type, count) contingency partials as a

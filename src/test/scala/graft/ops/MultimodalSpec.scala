@@ -58,4 +58,55 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(_.getSeq[Double](0))
     assert(f.forall(v => v.size === 8 && v.forall(x => x >= 0 && x < 1)))
   }
+
+  test("BMP codec roundtrip: byte-parsed dims equal the encoded meta, corpus-wide") {
+    // the q125/q142 path: stub meta -> real 54-byte BMP header ->
+    // decodeBmpMeta's fixed-offset byte parse; dims and channels must
+    // survive the trip exactly (this is what keeps the oracles
+    // unchanged while the dims come from bytes)
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .transform(Multimodal.withPayload)
+      .withColumn("stub", Multimodal.decodeImageMeta(col("payload")))
+      .withColumn("hdr", Multimodal.decodeBmpMeta(
+        Multimodal.encodeBmpPayload(col("stub"), col("payload"))))
+    assert(d.filter(col("hdr").isNull).count() === 0,
+      "every encoded payload must parse as a valid BMP")
+    val drift = d.filter(
+      col("hdr.width") =!= col("stub.width") ||
+      col("hdr.height") =!= col("stub.height") ||
+      col("hdr.channels") =!= col("stub.channels")).count()
+    assert(drift === 0, s"$drift docs drifted through the BMP roundtrip")
+  }
+
+  test("BMP parse: a hand-built golden header yields its literal dims") {
+    // 640x480, 24 bpp, hand-assembled LE fields — the parser against
+    // bytes it did not encode
+    val hdr = "424D" + "36000000" + "00000000" + "36000000" +
+      "28000000" + "80020000" + "E0010000" + "0100" + "1800" +
+      "00000000" + "00000000" + "00000000" + "00000000" +
+      "00000000" + "00000000"
+    val m = Seq(hdr).toDF("h")
+      .select(Multimodal.decodeBmpMeta(unhex(col("h"))).as("m"))
+      .select(col("m.width"), col("m.height"), col("m.channels"),
+        col("m.format"))
+    assert(rowsOf(m) === Seq(Seq("640", "480", "3", "bmp")))
+  }
+
+  test("BMP parse contract: corrupt magic and truncated headers decode to NULL") {
+    val good = docs
+      .withColumn("stub", Multimodal.decodeImageMeta(col("payload")))
+      .select(Multimodal.encodeBmpPayload(col("stub"), col("payload"))
+        .as("bmp"))
+    // flip the magic ('BM' -> 'XM') and truncate below the 54-byte header
+    val cases = good
+      .withColumn("corrupt", concat(unhex(lit("584D")),
+        substring(col("bmp"), 3, 1 << 28)))
+      .withColumn("short", substring(col("bmp"), 1, 53))
+    assert(cases.filter(Multimodal.decodeBmpMeta(col("corrupt")).isNotNull)
+      .count() === 0, "wrong magic must decode to NULL, not garbage dims")
+    assert(cases.filter(Multimodal.decodeBmpMeta(col("short")).isNotNull)
+      .count() === 0, "a truncated header must decode to NULL")
+    assert(cases.filter(Multimodal.decodeBmpMeta(col("bmp")).isNull)
+      .count() === 0, "the uncorrupted payloads must still parse")
+  }
 }

@@ -1357,6 +1357,35 @@ class QueriesSpec extends SparkSpec {
       rowsOf(Text.q95BigramSurprisal(spark, sf)))
   }
 
+  test("q181 selector: histogram deciles bit-identical to the exact ntile, both branches") {
+    import spark.implicits._
+    // corpus differential: forcing the histogram branch (sortCeiling=0)
+    // must reproduce q127's global-ntile census exactly; the default
+    // probe (testdata well under the ceiling) picks the exact branch
+    val exact = rowsOf(Text.q127CurriculumDeciles(spark, sf))
+    assert(rowsOf(Text.q181CurriculumAuto(spark, sf)) === exact)
+    assert(rowsOf(Text.q181CurriculumAuto(spark, sf, sortCeiling = 0L))
+      === exact,
+      "the sort-free histogram branch drifted from the exact ntile")
+    // planted HOT CLASS: one score value holding 95% of the corpus, so
+    // its rank interval straddles ~9 decile edges — the doc-grain
+    // boundary resolution (two-pass doc_id-bucket prefix) must split
+    // the class's docs and token mass by doc_id order exactly as ntile
+    // does; sparse ids exercise non-contiguous buckets
+    val planted = ((0L until 95L).map(i => (i * 977L, i % 7 + 1L, 500L)) ++
+      Seq((93000L, 3L, 100L), (94000L, 4L, 200L), (95000L, 5L, 900L),
+        (96000L, 6L, 950L), (97000L, 2L, 990L)))
+      .toDF("doc_id", "toks", "score_pm")
+    assert(rowsOf(Text.histogramDecileCensus(planted)) ===
+      rowsOf(Text.exactDecileCensus(planted)),
+      "hot-class boundary resolution drifted from ntile")
+    // degenerate: fewer docs than deciles (ntile emits short buckets)
+    val tiny = Seq((1L, 2L, 300L), (2L, 3L, 700L), (3L, 5L, 700L))
+      .toDF("doc_id", "toks", "score_pm")
+    assert(rowsOf(Text.histogramDecileCensus(tiny)) ===
+      rowsOf(Text.exactDecileCensus(tiny)))
+  }
+
   test("q101 re-id census: users conserved; equals an in-memory signature reference") {
     val events = graft.Tables.events(spark, sf)
       .select("user_id", "event_type").collect()

@@ -873,6 +873,9 @@ class StreamsSpec extends SparkSpec {
     val capBefore = rowsOf(Streams.cappedDedupSnapshot(spark, claims, copies))
     val ovlBefore = rowsOf(Streams.overlapSnapshot(spark, sketch))
     val cap = graft.queries.Dedup.DupCap
+    // keep one folded batch's raw claim rows to resurrect after the fold
+    val resurrectClaims = spark.read.parquet(claims)
+      .filter(col("batch_id") === 0L).drop("batch_id").collect().toSeq
     Streams.compactMinMergePartials(spark, claims,
       Streams.cappedClaimsMerge(cap))
     Streams.compactSummedPartials(spark, copies,
@@ -896,6 +899,66 @@ class StreamsSpec extends SparkSpec {
       === capBefore, "claims/copies compaction changed the census")
     assert(rowsOf(Streams.overlapSnapshot(spark, sketch)) === ovlBefore,
       "sketch compaction changed the overlap estimates")
+    // duplication tolerance for the CLAIMS log — the in-place protocol's
+    // crash contract (merged batch_id=-1 written, crash before the folded
+    // deletes): a resurrected folded partition re-presents claim rows
+    // that also live in the merged copy. cappedClaimsMerge's distinct()
+    // must collapse them; without it each duplicate takes a row_number
+    // slot and evicts a true bottom-cap survivor, corrupting kept_docs.
+    import spark.implicits._
+    resurrectClaims
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toDF("fp", "h", "doc_id", "source")
+      .withColumn("batch_id", lit(0L))
+      .write.mode("append").partitionBy("batch_id").parquet(claims)
+    assert(rowsOf(Streams.cappedDedupSnapshot(spark, claims, copies))
+      === capBefore,
+      "a resurrected folded claims partition must not change the census")
+  }
+
+  test("incremental budget selection: restart + mid-ingest fold, snapshot equals batch q169") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_budget")
+    val (scored, ckpt, feed) = (s"$dir/scored", s"$dir/ckpt", s"$dir/feed")
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id bigint, source string, text string"))
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+      Streams.incrementalBudgetSelection(stream, scored, ckpt)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    // half the corpus in 2 micro-batches, then the stream "dies"
+    Streams.orderedChunkFeed(docs.filter(col("doc_id") % 2 === 0),
+      feed, 2, col("doc_id"))
+    run()
+    // keep one folded batch's raw rows to resurrect after the fold
+    val resurrect = spark.read.parquet(scored)
+      .filter(col("batch_id") === 0L).drop("batch_id").collect().toSeq
+    assert(resurrect.nonEmpty, "expected batch 0 rows to resurrect")
+    // mid-ingest maintenance: fold the landed partials (in-place
+    // protocol — the scored log's distinct merge is duplication-safe)
+    Streams.compactMinMergePartials(spark, scored, Streams.budgetScoredMerge)
+    // resume FROM THE SAME CHECKPOINT with the second half appended
+    Streams.orderedChunkFeed(docs.filter(col("doc_id") % 2 === 1),
+      feed, 2, col("doc_id"))
+    run()
+    val batch = rowsOf(graft.queries.Selection.q169TokenBudget(spark, sf))
+    assert(rowsOf(Streams.budgetSnapshot(spark, scored)) === batch,
+      "streamed-ingest budget census must equal batch q169 after restart + fold")
+    // duplication tolerance (the in-place fold's crash contract): a
+    // folded batch partition resurrected next to its merged copy must
+    // not change the census — budgetScoredMerge/budgetSnapshot distinct
+    import spark.implicits._
+    resurrect
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toDF("doc_id", "source", "t", "r")
+      .withColumn("batch_id", lit(0L))
+      .write.mode("append").partitionBy("batch_id").parquet(scored)
+    assert(rowsOf(Streams.budgetSnapshot(spark, scored)) === batch,
+      "a resurrected folded scored partition must not change the census")
   }
 
   test("summed compaction: atomic swap preserves totals; recovery handles both crash points") {
