@@ -21,6 +21,17 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // host-contention telemetry (the BENCH_r11 lesson: a contended
+    // sweep recorded 2-36x inflated outliers that only a judge re-run
+    // could falsify): stamp the 1-min load average at start and end so
+    // a noisy ledger is identifiable FROM the ledger's stderr. A load
+    // far above the core count at start means the sweep ran against a
+    // busy host and its outliers are suspect — compare against the
+    // AbBench medians table in PLANS.md before reading any regression.
+    def loadAvg: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    System.err.println(f"[bench] load_avg_start=$loadAvg%.2f cores=" +
+      Runtime.getRuntime.availableProcessors)
     val spark = LocalSession.build()
 
     def exec(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -77,6 +88,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
     }
+    System.err.println(f"[bench] load_avg_end=$loadAvg%.2f")
     spark.stop()
     println(json)
     // the tail capture is ALSO byte-bounded: the driver records only the

@@ -43,6 +43,18 @@ object StreamingQ {
   private def streamSession(s: SparkSession): SparkSession = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // state-store provider A/B hook (-Dgraft.stateStore=rocksdb): the
+    // default HDFS-backed in-memory provider wins at this corpus size
+    // (AbBench medians in PLANS.md — RocksDB pays native column-family
+    // commit overhead per store per micro-batch that in-memory maps
+    // don't, while the state here is far too small to page); at
+    // production state sizes (state >> executor heap, or sub-second
+    // triggers needing changelog checkpointing) flip this to rocksdb —
+    // the hook is the one-line switch, sticky per checkpoint.
+    if (sys.props.get("graft.stateStore").contains("rocksdb"))
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state" +
+          ".RocksDBStateStoreProvider")
     ss
   }
 

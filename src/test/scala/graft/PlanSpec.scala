@@ -94,6 +94,7 @@ class PlanSpec extends SparkSpec {
     "q161_excess_mixture",      // × 1-row corpus-mean + 1-row wtot aggs
     "q168_association_rules",   // × 1-row basket-count agg
     "q169_token_budget",        // × 1-row min-kept-score agg
+    "q178_incremental_budget",  // q169's cut cross over the landed manifest
     "q171_sketch_overlap",      // × broadcast |sources|-row sketch frame
     "q174_incremental_overlap"  // × the same pair join over the merged log
   )
