@@ -31,9 +31,11 @@ object Streams {
 
   /** Kafka source, reference-identical options (Consumer.scala:50-56).
     *
-    * Runtime constraint, verified round 5: the connector is a separate
+    * Runtime constraint, verified round 5 (re-censused every round
+    * since, latest round 12: 287 jars, zero kafka, none in the
+    * coursier cache): the connector is a separate
     * artifact (`spark-sql-kafka-0-10` + `kafka-clients`) that is NOT in
-    * `/opt/spark/jars` (286 jars, zero kafka), not in the offline
+    * `/opt/spark/jars`, not in the offline
     * coursier cache, and not resolvable (zero egress) — and an embedded
     * KRaft broker would need `kafka_2.13` server jars, equally absent.
     * So `.load()` here fails with DATA_SOURCE_NOT_FOUND in this
