@@ -398,6 +398,13 @@ object SparkEntry {
     // ntile or the sort-free exact histogram decomposition — output
     // branch-independent, so the q127 oracle gates both spellings
     "q181_curriculum_auto" -> ((s, d) => Text.q181CurriculumAuto(s, d)),
+    // q166's skyline at ingest: per-batch frontier partials re-skylined
+    // by the snapshot (frontier-of-union law) — with q178/q183 every
+    // selection operator has an ingest-time edition
+    "q182_incremental_frontier" -> (StreamingQ.q182IncrementalFrontier _),
+    // q170's fairness policy as a second snapshot over q178's monitor
+    // state: per-source budgets from the same landed scored manifest
+    "q183_incremental_source_budget" -> (StreamingQ.q183IncrementalSourceBudget _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -585,5 +592,7 @@ object SparkEntry {
     "q179_stream_join_full" -> StreamingQ.q179Sql,
     "q180_session_window" -> Events.q17Sql,
     "q181_curriculum_auto" -> Text.q127Sql,
+    "q182_incremental_frontier" -> Selection.q166Sql,
+    "q183_incremental_source_budget" -> Selection.q170Sql,
   )
 }

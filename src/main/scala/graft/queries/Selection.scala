@@ -81,13 +81,26 @@ object Selection {
     * structure is the bucket frame, whose size is bounded by the
     * longest document, not the corpus.
     */
-  def q166ParetoFrontier(s: SparkSession, dir: String): DataFrame = {
+  def q166ParetoFrontier(s: SparkSession, dir: String): DataFrame =
+    frontierKept(ttrScored(s, dir))
+      .select(col("doc_id"), col("source"),
+        col("t").as("n_toks"), col("r").as("ttr_pm"))
+
+  /** The skyline kernel over any scored (doc_id, source, t, r) frame,
+    * returning the surviving rows with their raw columns — ONE
+    * dominance definition for batch q166 and the incremental twin's
+    * per-batch partials AND cross-batch merge (q182; the merge law is
+    * frontier(A ∪ B) ⊆ frontier(A) ∪ frontier(B): dominance is
+    * transitive, so a doc dominated within its own batch is dominated
+    * in any union containing that batch — per-batch skylines lose
+    * nothing). */
+  private[graft] def frontierKept(scoredIn: DataFrame): DataFrame = {
     // scanned twice (bucket frame + dominance pass) — measured at
     // sf0.1: materializing first (the q169 localCheckpoint) is ~20%
     // SLOWER here (0.83→1.02s median; only one extra scan to save,
     // and the second consumer is a tiny O(buckets) agg). At corpus
     // scales where re-tokenizing dominates, flip to the q169 spelling.
-    val scored = ttrScored(s, dir)
+    val scored = scoredIn
       .withColumn("bkt", expr(s"t div $FrontierBucket"))
     // tiny frame: per-bucket max r, then the suffix max over strictly
     // higher buckets (rows preceding under bkt DESC)
@@ -105,8 +118,7 @@ object Selection {
       .filter(col("r") > coalesce(col("hmax"), lit(-1L)) &&
         col("r") > coalesce(col("m1"), lit(-1L)) &&
         col("r") === col("mt"))
-      .select(col("doc_id"), col("source"),
-        col("t").as("n_toks"), col("r").as("ttr_pm"))
+      .select(col("doc_id"), col("source"), col("t"), col("r"))
   }
 
   /** q166 oracle — the bucket decomposition collapses back to two
@@ -269,8 +281,15 @@ object Selection {
     * of q169 become hash-keyed here), and the boundary-class machinery
     * runs once per source in parallel. Nothing is corpus-ordered.
     */
-  def q170SourceBudget(s: SparkSession, dir: String): DataFrame = {
-    val perDoc = ttrScored(s, dir).localCheckpoint(true) // see q169
+  def q170SourceBudget(s: SparkSession, dir: String): DataFrame =
+    sourceBudgetCensus(ttrScored(s, dir))
+
+  /** The q170 census tail over a scored (doc_id, source, t, r) frame —
+    * ONE definition for batch q170 and the incremental snapshot's
+    * re-merge (q183), the [[budgetCensus]] discipline keyed by
+    * source. */
+  private[graft] def sourceBudgetCensus(scored: DataFrame): DataFrame = {
+    val perDoc = scored.localCheckpoint(true) // see q169
     val kept = budgetKept(perDoc, Seq("source"), BudgetPct)
     val cut = kept.groupBy(col("source")).agg(min(col("r")).as("cut_score"))
     val totals = perDoc.groupBy(col("source"))

@@ -319,6 +319,37 @@ object StreamingQ {
     Streams.budgetSnapshot(s, s"$work/scored")
   }
 
+  /** q182: q166's Pareto frontier with the skyline built by the
+    * INCREMENTAL monitor — per micro-batch only the batch's OWN
+    * skyline rows land (the exact batch dominance kernel); the
+    * snapshot re-skylines the union (frontier-of-union ⊆
+    * union-of-frontiers, dominance transitivity). Oracle: q166Sql — a
+    * green row means cross-batch dominance (a batch-3 doc dominating a
+    * batch-0 survivor, equal-(t,r) twins split across batches) resolved
+    * exactly as the batch skyline does. With q178/q183 this closes the
+    * selection family: every member has an ingest-time edition. */
+  def q182IncrementalFrontier(s: SparkSession, dir: String): DataFrame = {
+    val work = streamed(s, dir, Seq("doc_id", "source", "text"),
+      "doc_id bigint, source string, text string") { (docs, work) =>
+      Streams.incrementalFrontier(docs, s"$work/frontier", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Streams.frontierSnapshot(s, s"$work/frontier")
+  }
+
+  /** q183: q170's per-source budget census from the SAME landed scored
+    * manifest as q178 — the fairness policy as a second snapshot over
+    * one monitor's state (policy is a read-time decision, not an
+    * ingest-time one). Oracle: q170Sql. */
+  def q183IncrementalSourceBudget(s: SparkSession, dir: String): DataFrame = {
+    val work = streamed(s, dir, Seq("doc_id", "source", "text"),
+      "doc_id bigint, source string, text string") { (docs, work) =>
+      Streams.incrementalBudgetSelection(docs, s"$work/scored", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Streams.sourceBudgetSnapshot(s, s"$work/scored")
+  }
+
   /** q175: stream-STREAM interval join — the funnel's view→click
     * step as Spark's symmetric hash join over two watermarked legs of
     * the live event stream (every other streaming rung here is

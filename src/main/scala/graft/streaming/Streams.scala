@@ -836,6 +836,61 @@ object Streams {
         "doc_id bigint, source string, t bigint, r bigint, batch_id bigint")
         .select(col("doc_id"), col("source"), col("t"), col("r"))))
 
+  /** The live PER-SOURCE budget census (q183) — q178's landed scored
+    * manifest through the exact q170 tail: the two budget policies
+    * (one global pot vs per-source fairness) are SNAPSHOTS over the
+    * same ingest state, so an operator can publish both censuses from
+    * one monitor without re-scoring anything. */
+  def sourceBudgetSnapshot(spark: SparkSession, scoredPath: String): DataFrame =
+    graft.queries.Selection.sourceBudgetCensus(
+      budgetScoredMerge(readPartialsOrEmpty(spark, scoredPath,
+        "doc_id bigint, source string, t bigint, r bigint, batch_id bigint")
+        .select(col("doc_id"), col("source"), col("t"), col("r"))))
+
+  /** Incremental Pareto frontier (q182) — multi-objective selection AT
+    * INGEST: each micro-batch scores its documents (the shared
+    * [[graft.queries.Selection.ttrScoredOf]] discipline) and lands
+    * only its own SKYLINE rows ([[graft.queries.Selection
+    * .frontierKept]] — the exact batch dominance kernel) as a
+    * replay-idempotent batch_id partition. The merge law is the
+    * skyline's own: frontier(A ∪ B) ⊆ frontier(A) ∪ frontier(B)
+    * (dominance is transitive — a doc dominated inside its batch is
+    * dominated in every union containing it), so the snapshot
+    * re-skylines the union of landed frontiers and equals batch q166
+    * bit-for-bit. State is O(per-batch frontier × batches) rows —
+    * typically a vanishing fraction of the corpus (the whole point of
+    * a frontier), compactable with [[compactMinMergePartials]] and
+    * [[frontierMerge]] (distinct-then-skyline: rows are fully
+    * doc-keyed, so the fold is duplication-tolerant, and the skyline
+    * is idempotent). */
+  def incrementalFrontier(docs: DataFrame, frontierPath: String,
+                          checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchPartition(
+          graft.queries.Selection.frontierKept(
+            graft.queries.Selection.ttrScoredOf(batch)),
+          batchId, frontierPath)
+      }
+
+  /** The frontier log's partial merge — distinct (rows fully doc-keyed;
+    * a resurrected folded partition would otherwise present the same
+    * doc as its own (t, r) TWIN and survive the skyline twice), then
+    * the exact batch skyline. */
+  def frontierMerge(df: DataFrame): DataFrame =
+    graft.queries.Selection.frontierKept(
+      df.select(col("doc_id"), col("source"), col("t"), col("r")).distinct())
+
+  /** The live frontier: re-skylined union of per-batch skylines —
+    * snapshot(union of batches) == q166(union corpus). */
+  def frontierSnapshot(spark: SparkSession, frontierPath: String): DataFrame =
+    frontierMerge(readPartialsOrEmpty(spark, frontierPath,
+      "doc_id bigint, source string, t bigint, r bigint, batch_id bigint"))
+      .select(col("doc_id"), col("source"),
+        col("t").as("n_toks"), col("r").as("ttr_pm"))
+
   /** Incremental χ² drift cells — each micro-batch lands its
     * (day, event_type, count) contingency partials as a
     * replay-idempotent batch_id partition (SUM-mergeable: cells from

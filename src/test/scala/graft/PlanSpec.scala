@@ -303,6 +303,29 @@ class PlanSpec extends SparkSpec {
     assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]))
   }
 
+  test("q181 histogram branch: no corpus ntile — global windows only above aggregates") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the registered q181 takes the exact branch at this SF; gate the
+    // at-scale HISTOGRAM branch explicitly (sortCeiling = 0 forces it)
+    val nodes = ops(planOf(
+      graft.queries.Text.q181CurriculumAuto(spark, sf, sortCeiling = 0L)))
+    val (global, keyed) = nodes.collect { case w: WindowExec => w }
+      .partition(_.partitionSpec.isEmpty)
+    assert(keyed.nonEmpty,
+      "boundary-class rank windows must be keyed by (score_pm, doc_id bucket)")
+    // the exact branch's signature is an UNKEYED ntile window directly
+    // over the corpus scan; in the histogram branch every global window
+    // sits above a corpus-collapsing aggregate (the ≤1001-row class
+    // frame / tiny prefix frames)
+    assert(global.forall(w => w.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }.nonEmpty),
+      "a global window with no aggregate beneath it = the corpus ntile regressed in")
+    assert(nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
+      "boundary-class frame and bucket-prefix frame must broadcast back")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]))
+  }
+
   test("q171 overlap: pairs form on the broadcast sketch frame; audit join is hashed") {
     val nodes = ops(planOf("q171_sketch_overlap"))
     assert(nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]) == 1,

@@ -961,6 +961,51 @@ class StreamsSpec extends SparkSpec {
       "a resurrected folded scored partition must not change the census")
   }
 
+  test("incremental frontier: cross-batch dominance, split twins, fold + resurrect") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_frontier")
+    val (front, ckpt) = (s"$dir/frontier", s"$dir/ckpt")
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams.incrementalFrontier(
+      in.toDF().toDF("doc_id", "source", "text"), front, ckpt).start()
+    try {
+      // batch 0: doc 1 (t=2, r=1000) dominates doc 2 (t=2, r=500)
+      // in-batch — only doc 1's row may land
+      in.addData((1L, "s", "a b"), (2L, "s", "x x"))
+      q.processAllAvailable()
+      // batch 1: doc 3 (t=3, r=1000) dominates batch 0's survivor
+      // ACROSS the batch boundary (longer at equal ratio)
+      in.addData((3L, "s", "a b c"))
+      q.processAllAvailable()
+      // batch 2: doc 4 is doc 3's exact (t, r) TWIN from another batch
+      // — twins are mutually non-dominated, both must survive
+      in.addData((4L, "t", "p q r"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed0 = spark.read.parquet(front).filter(col("batch_id") === 0L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(landed0 === Array(1L),
+      "batch 0 must land ONLY its own skyline (doc 2 is dominated in-batch)")
+    def snap() = rowsOf(Streams.frontierSnapshot(spark, front))
+    val expect = Seq(Seq("3", "s", "3", "1000"), Seq("4", "t", "3", "1000"))
+    assert(snap() === expect,
+      "snapshot must drop the batch-0 survivor to the batch-1 dominator and keep both twins")
+    // fold (distinct-then-skyline merge), then resurrect the folded
+    // batch-0 partition — the crash contract of the in-place protocol
+    val resurrect = spark.read.parquet(front)
+      .filter(col("batch_id") === 0L).drop("batch_id").collect().toSeq
+    Streams.compactMinMergePartials(spark, front, Streams.frontierMerge)
+    assert(snap() === expect, "fold must be snapshot-transparent")
+    import spark.implicits._
+    resurrect
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toDF("doc_id", "source", "t", "r")
+      .withColumn("batch_id", lit(0L))
+      .write.mode("append").partitionBy("batch_id").parquet(front)
+    assert(snap() === expect,
+      "a resurrected folded frontier partition must not change the skyline")
+  }
+
   test("summed compaction: atomic swap preserves totals; recovery handles both crash points") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_sumcomp")
