@@ -405,6 +405,10 @@ object SparkEntry {
     // q170's fairness policy as a second snapshot over q178's monitor
     // state: per-source budgets from the same landed scored manifest
     "q183_incremental_source_budget" -> (StreamingQ.q183IncrementalSourceBudget _),
+    // the watermarked tumbling-window aggregation itself on the oracle
+    // board (append-mode window state machine vs a batch census;
+    // integer-cents value mass — double sums are not order-free)
+    "q184_stream_window_counts" -> (StreamingQ.q184StreamWindowCounts _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -594,5 +598,6 @@ object SparkEntry {
     "q181_curriculum_auto" -> Text.q127Sql,
     "q182_incremental_frontier" -> Selection.q166Sql,
     "q183_incremental_source_budget" -> Selection.q170Sql,
+    "q184_stream_window_counts" -> StreamingQ.q184Sql,
   )
 }

@@ -681,6 +681,73 @@ object StreamingQ {
         max(col("events_in_session")).as("max_session_events"))
   }
 
+  /** q184: the watermarked TUMBLING-window aggregation on the oracle
+    * board — §2.5's windowed-agg rung has been StreamsSpec-tested
+    * since round 2 but never oracle-gated (q16 is its batch twin);
+    * this row pins the streaming window state machine (append mode:
+    * a window emits only once the watermark passes its end) to a
+    * batch census. Value mass rides INTEGER CENTS (floor(value·100)
+    * per row, then sum): a double sum is not order-free across
+    * micro-batch boundaries, so the hash-exact contract demands the
+    * quantize-before-sum discipline (the q64 millinat convention,
+    * money edition). Sentinel flush on an impossible event_type
+    * advances the watermark past every real window (q113's two-batch
+    * staging); the census filters it out. Oracle: the same census in
+    * batch SQL. */
+  def q184StreamWindowCounts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val work = Streams.scratchDir("graft_q184")
+    val events = Tables.events(s, dir)
+      .select(col("ts").cast("timestamp_ltz").as("ts"),
+        col("event_type"), col("value"))
+    val flushType = "__flush"
+    Streams.orderedChunkFeed(events, s"$work/feed", 4, col("ts"))
+    val maxRow = events.agg(max(col("ts"))).head()
+    if (maxRow.isNullAt(0))
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL("hour_start bigint, event_type string, " +
+          "event_count bigint, value_cents bigint"))
+    val far = new java.sql.Timestamp(
+      maxRow.getTimestamp(0).getTime + 48L * 3600 * 1000)
+    Seq(far, new java.sql.Timestamp(far.getTime + 60000)).foreach { t =>
+      Streams.orderedChunkFeed(
+        s.createDataFrame(java.util.List.of(
+          org.apache.spark.sql.Row(t, flushType, 0.0)),
+          StructType.fromDDL(
+            "ts timestamp_ltz, event_type string, value double")),
+        s"$work/feed", 1, col("ts"))
+    }
+    val stream = streamSession(s).readStream // 8 store partitions (q113)
+      .schema(StructType.fromDDL(
+        "ts timestamp_ltz, event_type string, value double"))
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+    stream.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("event_count"),
+        sum(floor(col("value") * 100).cast("long")).as("value_cents"))
+      .select(unix_timestamp(col("w.start")).as("hour_start"),
+        col("event_type"), col("event_count"), col("value_cents"))
+      .writeStream.format("parquet").option("path", s"$work/windows")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    s.read.schema(StructType.fromDDL("hour_start bigint, " +
+        "event_type string, event_count bigint, value_cents bigint"))
+      .parquet(s"$work/windows")
+      .filter(col("event_type") =!= flushType)
+  }
+
+  /** q184 oracle — the batch spelling of the tumbling-window census
+    * with the identical integer-cents quantization. */
+  val q184Sql: String =
+    """SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+      |         AS hour_start,
+      |       event_type, count(*) AS event_count,
+      |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+      |         AS value_cents
+      |FROM events GROUP BY 1, 2""".stripMargin
+
   /** q177 oracle — the original (single-delivery) corpus census. */
   val q177Sql: String =
     """SELECT event_type, count(*) AS events,
