@@ -409,6 +409,9 @@ object SparkEntry {
     // board (append-mode window state machine vs a batch census;
     // integer-cents value mass — double sums are not order-free)
     "q184_stream_window_counts" -> (StreamingQ.q184StreamWindowCounts _),
+    // q127's curriculum census as the THIRD policy snapshot over the
+    // q178 monitor's manifest, through q181's sort-free histogram tail
+    "q185_incremental_curriculum" -> (StreamingQ.q185IncrementalCurriculum _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -599,5 +602,6 @@ object SparkEntry {
     "q182_incremental_frontier" -> Selection.q166Sql,
     "q183_incremental_source_budget" -> Selection.q170Sql,
     "q184_stream_window_counts" -> StreamingQ.q184Sql,
+    "q185_incremental_curriculum" -> Text.q127Sql,
   )
 }

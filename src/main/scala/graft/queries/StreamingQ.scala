@@ -350,6 +350,21 @@ object StreamingQ {
     Streams.sourceBudgetSnapshot(s, s"$work/scored")
   }
 
+  /** q185: q127's curriculum-decile census from the SAME landed scored
+    * manifest as q178/q183 — the third read-time policy over one
+    * monitor (budget, fairness, curriculum), and the oracle row for
+    * q181's sort-free histogram branch (the at-ingest tail here;
+    * registered q181 takes the exact-ntile branch at driver scale).
+    * Oracle: q127Sql. */
+  def q185IncrementalCurriculum(s: SparkSession, dir: String): DataFrame = {
+    val work = streamed(s, dir, Seq("doc_id", "source", "text"),
+      "doc_id bigint, source string, text string") { (docs, work) =>
+      Streams.incrementalBudgetSelection(docs, s"$work/scored", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Streams.curriculumSnapshot(s, s"$work/scored")
+  }
+
   /** q175: stream-STREAM interval join — the funnel's view→click
     * step as Spark's symmetric hash join over two watermarked legs of
     * the live event stream (every other streaming rung here is

@@ -847,6 +847,22 @@ object Streams {
         "doc_id bigint, source string, t bigint, r bigint, batch_id bigint")
         .select(col("doc_id"), col("source"), col("t"), col("r"))))
 
+  /** The live curriculum-decile census (q185) — a THIRD snapshot over
+    * q178's landed scored manifest (q127's score IS the shared TTR
+    * discipline: toks = t, score_pm = r): budget selection, per-source
+    * fairness and curriculum ordering are all read-time POLICIES over
+    * one monitor's state. The tail is the q181 HISTOGRAM spelling
+    * ([[graft.queries.Text.histogramDecileCensus]]) — sort-free is the
+    * natural at-ingest branch, and this row gives that branch an
+    * oracle of its own (q181's registered row takes the exact branch
+    * at driver scale). */
+  def curriculumSnapshot(spark: SparkSession, scoredPath: String): DataFrame =
+    graft.queries.Text.histogramDecileCensus(
+      budgetScoredMerge(readPartialsOrEmpty(spark, scoredPath,
+        "doc_id bigint, source string, t bigint, r bigint, batch_id bigint")
+        .select(col("doc_id"), col("source"), col("t"), col("r")))
+        .select(col("doc_id"), col("t").as("toks"), col("r").as("score_pm")))
+
   /** Incremental Pareto frontier (q182) — multi-objective selection AT
     * INGEST: each micro-batch scores its documents (the shared
     * [[graft.queries.Selection.ttrScoredOf]] discipline) and lands
