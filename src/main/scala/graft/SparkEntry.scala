@@ -412,6 +412,15 @@ object SparkEntry {
     // q127's curriculum census as the THIRD policy snapshot over the
     // q178 monitor's manifest, through q181's sort-free histogram tail
     "q185_incremental_curriculum" -> (StreamingQ.q185IncrementalCurriculum _),
+    // the remaining StreamsSpec-only monitors gain oracle rows: q88's
+    // winsorize histogram, q90's hourly anomaly, q93's split guard,
+    // q68's CMS cells, q81's source signatures — every incremental
+    // monitor in the engine is now gated by a batch oracle
+    "q186_incremental_winsorize" -> (StreamingQ.q186IncrementalWinsorize _),
+    "q187_incremental_anomaly" -> (StreamingQ.q187IncrementalAnomaly _),
+    "q188_incremental_split_guard" -> (StreamingQ.q188IncrementalSplitGuard _),
+    "q189_incremental_cms" -> (StreamingQ.q189IncrementalCms _),
+    "q190_incremental_signatures" -> (StreamingQ.q190IncrementalSignatures _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -603,5 +612,10 @@ object SparkEntry {
     "q183_incremental_source_budget" -> Selection.q170Sql,
     "q184_stream_window_counts" -> StreamingQ.q184Sql,
     "q185_incremental_curriculum" -> Text.q127Sql,
+    "q186_incremental_winsorize" -> Text.q88Sql,
+    "q187_incremental_anomaly" -> Events.q90Sql,
+    "q188_incremental_split_guard" -> Text.q93Sql,
+    "q189_incremental_cms" -> Stats.q68Sql,
+    "q190_incremental_signatures" -> Dedup.q81Sql,
   )
 }

@@ -678,8 +678,15 @@ object Dedup {
         (1 until SourceMinHashes).map(j => min(col("mh").getItem(j)).as(s"m$j")): _*)
   }
 
-  def q81SourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val sigs = sourceSignatures(Tables.documents(s, dir))
+  def q81SourceOverlap(s: SparkSession, dir: String): DataFrame =
+    signatureMatchCensus(sourceSignatures(Tables.documents(s, dir)))
+
+  /** The q81 pair census over a per-source (m0..m7) signature frame —
+    * ONE definition for batch q81 and the incremental snapshot (q190:
+    * signatures min-merged from the monitor's landed per-batch
+    * partials; elementwise-min mergeability is exactly why MinHash is
+    * the sketch a feed monitor can keep). */
+  private[graft] def signatureMatchCensus(sigs: DataFrame): DataFrame = {
     val matching = (0 until SourceMinHashes)
       .map(j => when(col(s"a.m$j") === col(s"b.m$j"), 1L).otherwise(0L))
       .reduce(_ + _)

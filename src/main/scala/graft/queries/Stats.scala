@@ -181,12 +181,26 @@ object Stats {
       .agg(count(lit(1)).as("cell_count"))
 
   def q68CmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
-    import graft.ops.TextOps
-    val tok = Tables.documents(s, dir)
-      .select(explode(TextOps.tokens(col("text"))).as("token"))
+    val tok = corpusTokens(s, dir)
+    cmsHeavyHittersFrom(tok, cmsCells(tok))
+  }
+
+  /** The exploded non-empty corpus token stream (q68's input, shared
+    * with the incremental edition q189). */
+  private[graft] def corpusTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(graft.ops.TextOps.tokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
+
+  /** The q68 census tail over a token stream + a cells frame — ONE
+    * definition for batch q68 (cells built in-query) and the
+    * incremental snapshot (q189: cells summed from the monitor's
+    * landed per-batch partials; the top-10 true counts are the exact
+    * AUDIT column, recomputed in batch like q141's — the sketch is
+    * what the monitor keeps, the audit is what measures it). */
+  private[graft] def cmsHeavyHittersFrom(tok: DataFrame,
+                                         cells: DataFrame): DataFrame = {
     val buckets = cmsBuckets(col("token"))
-    val cells = cmsCells(tok)
     val top = tok.groupBy(col("token"))
       .agg(count(lit(1)).as("true_count"))
       .orderBy(col("true_count").desc, col("token").asc)

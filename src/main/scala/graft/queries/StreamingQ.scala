@@ -365,6 +365,74 @@ object StreamingQ {
     Streams.curriculumSnapshot(s, s"$work/scored")
   }
 
+  /** q186: q88's winsorize thresholds + census computed from the
+    * incremental length-histogram monitor's landed per-source
+    * (n_chars, count) partials (SUM-merge family) — clip bounds that
+    * track the corpus as feeds drift, recomputed without rescanning a
+    * byte. Oracle: q88Sql. */
+  def q186IncrementalWinsorize(s: SparkSession, dir: String): DataFrame = {
+    val work = streamed(s, dir, Seq("source", "n_chars"),
+      "source string, n_chars bigint") { (docs, work) =>
+      Streams.incrementalLengthHistogram(docs, s"$work/hist", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Streams.winsorizeSnapshot(s, s"$work/hist")
+  }
+
+  /** q187: q90's hourly rate-anomaly verdicts from the incremental
+    * hourly-counts monitor's summed partials (SUM-merge family) — the
+    * ingest-telemetry monitor's oracle row. Oracle: q90Sql. */
+  def q187IncrementalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val work = streamedEvents(s, dir, Seq("ts", "event_type"),
+      "ts timestamp_ntz, event_type string") { (events, work) =>
+      Streams.incrementalHourlyCounts(events, s"$work/counts", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Streams.rateAnomalySnapshot(s, s"$work/counts")
+  }
+
+  /** q188: q93's split-leakage census from the incremental guard's
+    * landed (fingerprint, split) partials — a leak is visible the
+    * moment its second copy ARRIVES, not at the next full audit.
+    * Oracle: q93Sql. */
+  def q188IncrementalSplitGuard(s: SparkSession, dir: String): DataFrame = {
+    val work = streamed(s, dir, Seq("doc_id", "text"),
+      "doc_id bigint, text string") { (docs, work) =>
+      Streams.incrementalSplitGuard(docs, s"$work/fps", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Streams.splitGuardSnapshot(s, s"$work/fps")
+  }
+
+  /** q189: q68's CMS heavy-hitter audit with the SKETCH side summed
+    * from the incremental monitor's landed per-batch cell partials
+    * (the original SUM-merge member, finally oracle-gated); the top-10
+    * true counts are the exact audit, recomputed in batch — the q141
+    * discipline, count-min edition. Oracle: q68Sql. */
+  def q189IncrementalCms(s: SparkSession, dir: String): DataFrame = {
+    val work = streamed(s, dir, Seq("text"), "text string") { (docs, work) =>
+      Streams.incrementalCms(docs, s"$work/cells", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Stats.cmsHeavyHittersFrom(Stats.corpusTokens(s, dir),
+      Streams.cmsSnapshot(s, s"$work/cells"))
+  }
+
+  /** q190: q81's pairwise source-overlap census with the signatures
+    * MIN-merged from the incremental monitor's landed per-batch
+    * per-source MinHash partials (elementwise-min mergeability — the
+    * property that makes MinHash the signature a feed monitor can
+    * keep). Oracle: q81Sql. */
+  def q190IncrementalSignatures(s: SparkSession, dir: String): DataFrame = {
+    val work = streamed(s, dir, Seq("source", "text"),
+      "source string, text string") { (docs, work) =>
+      Streams.incrementalSourceSignatures(docs, s"$work/sigs", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    graft.queries.Dedup.signatureMatchCensus(
+      Streams.sourceSignatureSnapshot(s, s"$work/sigs"))
+  }
+
   /** q175: stream-STREAM interval join — the funnel's view→click
     * step as Spark's symmetric hash join over two watermarked legs of
     * the live event stream (every other streaming rung here is

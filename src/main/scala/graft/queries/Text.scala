@@ -1664,16 +1664,32 @@ object Text {
     * integer arithmetic end to end, so both engines agree exactly,
     * unlike interpolated quantiles.
     *
-    * Scale shape: scan 1 compacts to the length histogram (map-side
-    * partial agg does the heavy lifting); thresholds are O(sources)
-    * rows and BROADCAST back onto scan 2 for the census — the corpus
-    * is never shuffled, only scanned twice. At 100 TB the histogram
-    * is ~sources × 1e5 lengths — kilobytes per executor.
+    * Scale shape (round 12 — ONE scan, down from two): the only
+    * corpus-grain stage is the map-side-compacting histogram agg;
+    * thresholds AND the whole census are read off the compacted
+    * O(sources · distinct lengths) table (a doc's census contribution
+    * is a pure function of its length, so the histogram carries
+    * everything — counts weight the clip arithmetic). The corpus is
+    * never shuffled and never rescanned. At 100 TB the histogram is
+    * ~sources × 1e5 lengths — kilobytes per executor. The histogram is
+    * also SUM-mergeable, which is what the incremental twin (q186)
+    * lands per batch.
     */
-  def q88LengthWinsorize(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("source"), col("n_chars"))
-    val byLen = docs.groupBy(col("source"), col("n_chars"))
+  def q88LengthWinsorize(s: SparkSession, dir: String): DataFrame =
+    winsorizeCensus(lengthHistogramOf(
+      Tables.documents(s, dir).select(col("source"), col("n_chars"))))
+
+  /** The per-source length histogram — q88's one corpus-grain stage,
+    * shared with the incremental monitor's per-batch partials. */
+  private[graft] def lengthHistogramOf(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"), col("n_chars"))
       .agg(count(lit(1)).as("c"))
+
+  /** The q88 threshold + census arithmetic over a (source, n_chars, c)
+    * histogram — ONE definition for batch q88 and the incremental
+    * snapshot (q186), so batch and at-ingest winsorization can never
+    * drift. */
+  private[graft] def winsorizeCensus(byLen: DataFrame): DataFrame = {
     val wOrd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("n_chars"))
     val wAll = org.apache.spark.sql.expressions.Window
@@ -1687,15 +1703,17 @@ object Text {
           col("n_chars"))).as("p_lo"),
         min(when(col("cum") * 100 >= lit(WinsHiPct) * col("tot"),
           col("n_chars"))).as("p_hi"))
-    docs.join(broadcast(th), "source")
+    byLen.join(broadcast(th), "source")
       .groupBy(col("source"), col("p_lo"), col("p_hi"))
       .agg(
-        count(when(col("n_chars").between(col("p_lo"), col("p_hi")), lit(1)))
-          .as("kept_docs"),
-        count(when(col("n_chars") < col("p_lo"), lit(1))).as("clipped_low"),
-        count(when(col("n_chars") > col("p_hi"), lit(1))).as("clipped_high"),
-        sum(greatest(least(col("n_chars"), col("p_hi")), col("p_lo")))
-          .as("wins_chars"))
+        sum(when(col("n_chars").between(col("p_lo"), col("p_hi")), col("c"))
+          .otherwise(lit(0L))).as("kept_docs"),
+        sum(when(col("n_chars") < col("p_lo"), col("c")).otherwise(lit(0L)))
+          .as("clipped_low"),
+        sum(when(col("n_chars") > col("p_hi"), col("c")).otherwise(lit(0L)))
+          .as("clipped_high"),
+        sum(greatest(least(col("n_chars"), col("p_hi")), col("p_lo"))
+          * col("c")).as("wins_chars"))
   }
   val q88Sql: String =
     s"""WITH by_len AS (

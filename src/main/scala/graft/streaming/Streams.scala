@@ -907,6 +907,37 @@ object Streams {
       .select(col("doc_id"), col("source"),
         col("t").as("n_toks"), col("r").as("ttr_pm"))
 
+  /** Incremental length-winsorize histogram (q186) — outlier-clipping
+    * thresholds AT INGEST: each micro-batch lands its per-source
+    * (n_chars, count) histogram partials
+    * ([[graft.queries.Text.lengthHistogramOf]], the exact batch
+    * stage) as a replay-idempotent batch_id partition. Histograms are
+    * SUM-mergeable, so the live thresholds + census are the exact q88
+    * arithmetic over the summed cells — state O(sources × distinct
+    * lengths × batches) tiny rows, folded with
+    * [[compactSummedPartials]] (SUM family: the stage-and-swap
+    * protocol). This is the monitor that lets an ingest recompute its
+    * clip bounds as feeds drift, without rescanning a byte. */
+  def incrementalLengthHistogram(docs: DataFrame, histPath: String,
+                                 checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchPartition(
+          graft.queries.Text.lengthHistogramOf(batch), batchId, histPath)
+      }
+
+  /** The live winsorize census: summed histogram cells through the
+    * exact q88 threshold + census arithmetic —
+    * snapshot(union of batches) == q88(union corpus). */
+  def winsorizeSnapshot(spark: SparkSession, histPath: String): DataFrame =
+    graft.queries.Text.winsorizeCensus(
+      readPartialsOrEmpty(spark, histPath,
+        "source string, n_chars bigint, c bigint, batch_id bigint")
+        .groupBy(col("source"), col("n_chars"))
+        .agg(sum(col("c")).as("c")))
+
   /** Incremental χ² drift cells — each micro-batch lands its
     * (day, event_type, count) contingency partials as a
     * replay-idempotent batch_id partition (SUM-mergeable: cells from

@@ -96,6 +96,7 @@ class PlanSpec extends SparkSpec {
     "q169_token_budget",        // × 1-row min-kept-score agg
     "q178_incremental_budget",  // q169's cut cross over the landed manifest
     "q185_incremental_curriculum", // × 1-row corpus-n agg (the histogram tail)
+    "q190_incremental_signatures", // q81's broadcast |sources|-row pair cross
     "q171_sketch_overlap",      // × broadcast |sources|-row sketch frame
     "q174_incremental_overlap"  // × the same pair join over the merged log
   )
