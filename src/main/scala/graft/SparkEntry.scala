@@ -421,6 +421,11 @@ object SparkEntry {
     "q188_incremental_split_guard" -> (StreamingQ.q188IncrementalSplitGuard _),
     "q189_incremental_cms" -> (StreamingQ.q189IncrementalCms _),
     "q190_incremental_signatures" -> (StreamingQ.q190IncrementalSignatures _),
+    // q91's novelty curve at ingest, DATA-axis edition: the batch axis
+    // is doc_id-derived, so (batch, gram, occ) partials sum to the
+    // exact q91 frame from any micro-batch slicing — the last monitor
+    // gains its oracle row
+    "q191_incremental_novelty" -> (StreamingQ.q191IncrementalNovelty _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -617,5 +622,6 @@ object SparkEntry {
     "q188_incremental_split_guard" -> Text.q93Sql,
     "q189_incremental_cms" -> Stats.q68Sql,
     "q190_incremental_signatures" -> Dedup.q81Sql,
+    "q191_incremental_novelty" -> Dedup.q91Sql,
   )
 }

@@ -1220,8 +1220,16 @@ object Dedup {
     * rows. The cumulative sum runs unpartitioned on purpose: its
     * input IS tiny (one row per batch) at any corpus size.
     */
-  def q91NoveltyCurve(s: SparkSession, dir: String): DataFrame = {
-    val bg = Tables.documents(s, dir)
+  def q91NoveltyCurve(s: SparkSession, dir: String): DataFrame =
+    noveltyCensusFrom(noveltyGramsOf(Tables.documents(s, dir)))
+
+  /** q91's (batch, gram, occ) frame over any (doc_id, text) docs — the
+    * batch axis is a DATA property (doc_id div [[NoveltyBatchDocs]]),
+    * which is what lets the incremental twin (q191) land partials from
+    * arbitrary micro-batch slices: occ counts are SUM-mergeable per
+    * (batch, gram) regardless of which micro-batch carried the doc. */
+  private[graft] def noveltyGramsOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", TextOps.tokens(col("text")))
       .filter(size(col("toks")) >= SpanK)
       .select(expr(s"doc_id div $NoveltyBatchDocs").as("batch"),
@@ -1229,6 +1237,10 @@ object Dedup {
           .as("gram"))
       .groupBy(col("batch"), col("gram"))
       .agg(count(lit(1)).as("occ"))
+
+  /** q91's census tail over a (batch, gram, occ) frame — ONE
+    * definition for batch q91 and the incremental snapshot (q191). */
+  private[graft] def noveltyCensusFrom(bg: DataFrame): DataFrame = {
     val firstSeen = bg.groupBy(col("gram")).agg(min(col("batch")).as("fb"))
     val seen = bg.groupBy(col("batch"))
       .agg(count(lit(1)).as("grams_seen"), sum(col("occ")).as("gram_docs"))

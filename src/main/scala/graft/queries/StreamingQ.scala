@@ -433,6 +433,20 @@ object StreamingQ {
       Streams.sourceSignatureSnapshot(s, s"$work/sigs"))
   }
 
+  /** q191: q91's ingest-diversity novelty curve from the incremental
+    * DATA-axis monitor — the batch axis is doc_id-derived, so the
+    * monitor's (batch, gram, occ) partials sum to the exact q91 frame
+    * from any micro-batch slicing; this closes the last incremental
+    * monitor without an oracle row. Oracle: q91Sql. */
+  def q191IncrementalNovelty(s: SparkSession, dir: String): DataFrame = {
+    val work = streamed(s, dir, Seq("doc_id", "text"),
+      "doc_id bigint, text string") { (docs, work) =>
+      Streams.incrementalNoveltyCurve(docs, s"$work/grams", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Streams.noveltyCurveExactSnapshot(s, s"$work/grams")
+  }
+
   /** q175: stream-STREAM interval join — the funnel's view→click
     * step as Spark's symmetric hash join over two watermarked legs of
     * the live event stream (every other streaming rung here is

@@ -1079,6 +1079,39 @@ object Streams {
         expr("new_grams * 100 div grams_seen").as("novelty_pct"))
   }
 
+  /** Incremental novelty curve, DATA-axis edition (q191) — q91's exact
+    * census at ingest: each micro-batch lands its (batch, gram, occ)
+    * partials with the batch axis computed FROM doc_id
+    * ([[graft.queries.Dedup.noveltyGramsOf]] — a data property, so occ
+    * counts are SUM-mergeable per (batch, gram) no matter which
+    * micro-batch carried which doc), as a replay-idempotent batch_id
+    * partition. The snapshot re-sums and runs the exact q91 tail —
+    * snapshot(union of micro-batches) == q91(union corpus), closing
+    * the one monitor the oracle board couldn't previously gate
+    * (the arrival-axis sibling [[incrementalNoveltyGrams]] stays: its
+    * micro-batch axis is the ops-monitoring view; this one is the q91
+    * parity view). State is the distinct (batch, gram) set — the batch
+    * q91 asymptotics, spread across partitions. */
+  def incrementalNoveltyCurve(docs: DataFrame, gramsPath: String,
+                              checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchPartition(
+          graft.queries.Dedup.noveltyGramsOf(batch), batchId, gramsPath)
+      }
+
+  /** The live q91 census: summed (batch, gram) partials through the
+    * exact batch tail. */
+  def noveltyCurveExactSnapshot(spark: SparkSession,
+                                gramsPath: String): DataFrame =
+    graft.queries.Dedup.noveltyCensusFrom(
+      readPartialsOrEmpty(spark, gramsPath,
+        "batch bigint, gram string, occ bigint, batch_id bigint")
+        .groupBy(col("batch"), col("gram"))
+        .agg(sum(col("occ")).as("occ")))
+
   /** Incremental split-leakage guard — q93's streaming half: each
     * micro-batch lands its (fingerprint, split) counts (the exact
     * batch code path: q24's canonical fingerprint + q77's split
