@@ -426,6 +426,23 @@ object SparkEntry {
     // exact q91 frame from any micro-batch slicing — the last monitor
     // gains its oracle row
     "q191_incremental_novelty" -> (StreamingQ.q191IncrementalNovelty _),
+    // the third streaming-join flavor: stream-STATIC broadcast
+    // enrichment (stateless, no watermark — the default ingest
+    // enrichment shape; q175/q176/q179 cover stream-stream)
+    "q192_stream_enrich" -> (StreamingQ.q192StreamEnrich _),
+    // right-to-be-forgotten: tombstone purge propagated across the
+    // lake's FK edges + the kept-side residual audit
+    "q193_deletion_propagation" -> (Events.q193DeletionPropagation _),
+    // SCD2 validity intervals: gaps-and-islands run collapse per user,
+    // lead()-closed effective_from/to — the warehouse dimension build
+    "q194_scd2_intervals" -> (Temporal.q194Scd2Intervals _),
+    // declared data-quality expectations: every FK edge + scan checks,
+    // one census row per check
+    "q195_expectations_census" -> (Relational.q195ExpectationsCensus _),
+    // q194's SCD2 build as a keyed-state streaming operator: state
+    // changes close intervals across batch boundaries, open runs
+    // flush via an absolute quiesce timer
+    "q196_incremental_scd2" -> (StreamingQ.q196IncrementalScd2 _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -623,5 +640,10 @@ object SparkEntry {
     "q189_incremental_cms" -> Stats.q68Sql,
     "q190_incremental_signatures" -> Dedup.q81Sql,
     "q191_incremental_novelty" -> Dedup.q91Sql,
+    "q192_stream_enrich" -> StreamingQ.q192Sql,
+    "q193_deletion_propagation" -> Events.q193Sql,
+    "q194_scd2_intervals" -> Temporal.q194Sql,
+    "q195_expectations_census" -> Relational.q195Sql,
+    "q196_incremental_scd2" -> Temporal.q194Sql,
   )
 }

@@ -1073,4 +1073,100 @@ object Events {
       |SELECT from_type, to_type, transitions,
       |       transitions * 1000000 // from_total AS prob_ppm
       |FROM matrix JOIN ft USING (from_type)""".stripMargin
+
+  // -------------------------------------------------- deletion (q193)
+
+  /** Deletion propagation (q193) — the right-to-be-forgotten pass the
+    * privacy family (q76 PII, q101 re-id, q132 ladder, q146
+    * l-diversity) was still missing: given a tombstone set of subjects
+    * requesting erasure (planted rule: customers with negative account
+    * balance), PURGE every row that belongs to them across the lake —
+    * customer rows, their orders, the lineitems of those orders (the
+    * transitive FK hop), and their events — then AUDIT the kept side:
+    * re-scan each purged relation against the tombstones and count
+    * residual references, the number a compliance report must print
+    * as zero. Purge is `left_anti`, audit is `left_semi` over the
+    * PURGED frame — the audit is a genuine second pass, not algebraic
+    * zero, so a broken purge join surfaces as residual_refs > 0.
+    *
+    * Scale shape: the tombstone key set is the small side everywhere —
+    * broadcast anti/semi joins for customer/orders/events; the
+    * transitive lineitem hop keys on o_orderkey, the lake's natural
+    * bucketing column (ScaleSpec's zero-exchange contract), so the one
+    * fact-fact join co-partitions. Census output is O(relations). */
+  def q193DeletionPropagation(s: SparkSession, dir: String): DataFrame = {
+    val tomb = Tables.customer(s, dir).filter(col("c_acctbal") < 0)
+      .select(col("c_custkey"))
+    def census(rel: String, df: DataFrame, key: org.apache.spark.sql.Column,
+               tombKeys: DataFrame, tombCol: String): DataFrame = {
+      val kept = df.join(broadcast(tombKeys), key === col(tombCol), "left_anti")
+      val residual = kept.join(broadcast(tombKeys), key === col(tombCol),
+        "left_semi")
+      df.agg(count(lit(1)).as("total_rows"))
+        .crossJoin(kept.agg(count(lit(1)).as("kept_rows")))
+        .crossJoin(residual.agg(count(lit(1)).as("residual_refs")))
+        .select(lit(rel).as("rel"), col("total_rows"),
+          (col("total_rows") - col("kept_rows")).as("purged_rows"),
+          col("kept_rows"), col("residual_refs"))
+    }
+    val orders = Tables.orders(s, dir)
+    val purgedOrderKeys = orders
+      .join(broadcast(tomb), col("o_custkey") === col("c_custkey"),
+        "left_semi")
+      .select(col("o_orderkey").as("po_orderkey"))
+    census("customer", Tables.customer(s, dir), col("c_custkey"),
+        tomb.select(col("c_custkey").as("t_key")), "t_key")
+      .unionAll(census("orders", orders, col("o_custkey"),
+        tomb.select(col("c_custkey").as("t_key")), "t_key"))
+      .unionAll(census("lineitem", Tables.lineitem(s, dir),
+        col("l_orderkey"), purgedOrderKeys, "po_orderkey"))
+      .unionAll(census("events", Tables.events(s, dir), col("user_id"),
+        tomb.select(col("c_custkey").as("t_key")), "t_key"))
+  }
+  val q193Sql: String =
+    """WITH tomb AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0),
+      |po AS (SELECT o_orderkey FROM orders
+      |       WHERE EXISTS (SELECT 1 FROM tomb t
+      |                     WHERE t.c_custkey = orders.o_custkey))
+      |SELECT 'customer' AS rel,
+      |       (SELECT count(*) FROM customer) AS total_rows,
+      |       (SELECT count(*) FROM customer
+      |        WHERE EXISTS (SELECT 1 FROM tomb t
+      |                      WHERE t.c_custkey = customer.c_custkey))
+      |         AS purged_rows,
+      |       (SELECT count(*) FROM customer
+      |        WHERE NOT EXISTS (SELECT 1 FROM tomb t
+      |                          WHERE t.c_custkey = customer.c_custkey))
+      |         AS kept_rows,
+      |       CAST(0 AS BIGINT) AS residual_refs
+      |UNION ALL
+      |SELECT 'orders',
+      |       (SELECT count(*) FROM orders),
+      |       (SELECT count(*) FROM orders
+      |        WHERE EXISTS (SELECT 1 FROM tomb t
+      |                      WHERE t.c_custkey = orders.o_custkey)),
+      |       (SELECT count(*) FROM orders
+      |        WHERE NOT EXISTS (SELECT 1 FROM tomb t
+      |                          WHERE t.c_custkey = orders.o_custkey)),
+      |       CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'lineitem',
+      |       (SELECT count(*) FROM lineitem),
+      |       (SELECT count(*) FROM lineitem
+      |        WHERE EXISTS (SELECT 1 FROM po
+      |                      WHERE po.o_orderkey = lineitem.l_orderkey)),
+      |       (SELECT count(*) FROM lineitem
+      |        WHERE NOT EXISTS (SELECT 1 FROM po
+      |                          WHERE po.o_orderkey = lineitem.l_orderkey)),
+      |       CAST(0 AS BIGINT)
+      |UNION ALL
+      |SELECT 'events',
+      |       (SELECT count(*) FROM events),
+      |       (SELECT count(*) FROM events
+      |        WHERE EXISTS (SELECT 1 FROM tomb t
+      |                      WHERE t.c_custkey = events.user_id)),
+      |       (SELECT count(*) FROM events
+      |        WHERE NOT EXISTS (SELECT 1 FROM tomb t
+      |                          WHERE t.c_custkey = events.user_id)),
+      |       CAST(0 AS BIGINT)""".stripMargin
 }

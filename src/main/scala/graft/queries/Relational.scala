@@ -383,4 +383,119 @@ object Relational {
       |FROM pairs
       |JOIN sup sa ON brand_a = sa.brand
       |JOIN sup sb ON brand_b = sb.brand, n""".stripMargin
+
+  // ------------------------------------------- expectations (q195)
+
+  /** Data-quality expectations census (q195) — the validation suite a
+    * lake runs before admitting a snapshot to training (the
+    * Great-Expectations shape): one row per declared check with the
+    * rows checked, the violation count, and the distinct key census
+    * the check's join/scan actually computed. Referential integrity
+    * across every FK edge of the lake (lineitem→orders,
+    * orders→customer, customer→nation, supplier→nation,
+    * events→customer), non-null/non-empty text, positive order
+    * totals, and the n_chars==length(text) consistency contract. On
+    * clean synthetic data every violation count is zero — that IS the
+    * expected report — while `distinct_keys` (distinct FK/values seen)
+    * carries the non-trivial mass that catches a check that silently
+    * stopped scanning.
+    *
+    * Scale shape: each FK check is one anti-join censused in the same
+    * pass as the distinct-key count — dim-sided checks broadcast the
+    * PK side (nation/customer at any SF ratio); the lineitem→orders
+    * edge keys on the lake's bucketing column (zero-exchange SMJ per
+    * ScaleSpec). Scan checks are single-pass aggregates. Output is
+    * O(checks). */
+  def q195ExpectationsCensus(s: SparkSession, dir: String): DataFrame = {
+    def fk(name: String, fact: DataFrame, key: String, pk: DataFrame,
+           pkCol: String, bcast: Boolean): DataFrame = {
+      val dim0 = pk.select(col(pkCol).as("pk")).distinct()
+      val dim = if (bcast) broadcast(dim0) else dim0
+      fact.select(col(key).as("fk"))
+        .join(dim, col("fk") === col("pk"), "left")
+        .agg(count(lit(1)).as("rows_checked"),
+          sum(when(col("pk").isNull, 1L).otherwise(0L)).as("violations"),
+          countDistinct(col("fk")).as("distinct_keys"))
+        .select(lit(name).as("check_name"), col("rows_checked"),
+          col("violations"), col("distinct_keys"))
+    }
+    def scan(name: String, df: DataFrame, bad: Column,
+             keyed: Column): DataFrame =
+      df.agg(count(lit(1)).as("rows_checked"),
+          sum(when(bad, 1L).otherwise(0L)).as("violations"),
+          countDistinct(keyed).as("distinct_keys"))
+        .select(lit(name).as("check_name"), col("rows_checked"),
+          col("violations"), col("distinct_keys"))
+    val docs = Tables.documents(s, dir)
+    fk("fk_lineitem_orders", Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey", bcast = false)
+      .unionAll(fk("fk_orders_customer", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey", bcast = true))
+      .unionAll(fk("fk_customer_nation", Tables.customer(s, dir),
+        "c_nationkey", Tables.nation(s, dir), "n_nationkey", bcast = true))
+      .unionAll(fk("fk_supplier_nation", Tables.supplier(s, dir),
+        "s_nationkey", Tables.nation(s, dir), "n_nationkey", bcast = true))
+      .unionAll(fk("fk_events_customer", Tables.events(s, dir), "user_id",
+        Tables.customer(s, dir), "c_custkey", bcast = true))
+      .unionAll(scan("nn_documents_text", docs,
+        col("text").isNull || length(col("text")) === 0, col("doc_id")))
+      .unionAll(scan("range_orders_totalprice", Tables.orders(s, dir),
+        col("o_totalprice") <= 0, col("o_orderkey")))
+      .unionAll(scan("consistency_documents_chars", docs,
+        col("n_chars") =!= length(col("text")), col("doc_id")))
+  }
+  val q195Sql: String =
+    """SELECT 'fk_lineitem_orders' AS check_name,
+      |       count(*) AS rows_checked,
+      |       CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_orderkey = l.l_orderkey)
+      |         THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+      |       count(DISTINCT l_orderkey) AS distinct_keys
+      |FROM lineitem l
+      |UNION ALL
+      |SELECT 'fk_orders_customer', count(*),
+      |       CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c
+      |                  WHERE c.c_custkey = o.o_custkey)
+      |         THEN 1 ELSE 0 END) AS BIGINT),
+      |       count(DISTINCT o_custkey)
+      |FROM orders o
+      |UNION ALL
+      |SELECT 'fk_customer_nation', count(*),
+      |       CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM nation n
+      |                  WHERE n.n_nationkey = c.c_nationkey)
+      |         THEN 1 ELSE 0 END) AS BIGINT),
+      |       count(DISTINCT c_nationkey)
+      |FROM customer c
+      |UNION ALL
+      |SELECT 'fk_supplier_nation', count(*),
+      |       CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM nation n
+      |                  WHERE n.n_nationkey = s.s_nationkey)
+      |         THEN 1 ELSE 0 END) AS BIGINT),
+      |       count(DISTINCT s_nationkey)
+      |FROM supplier s
+      |UNION ALL
+      |SELECT 'fk_events_customer', count(*),
+      |       CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c
+      |                  WHERE c.c_custkey = e.user_id)
+      |         THEN 1 ELSE 0 END) AS BIGINT),
+      |       count(DISTINCT user_id)
+      |FROM events e
+      |UNION ALL
+      |SELECT 'nn_documents_text', count(*),
+      |       CAST(sum(CASE WHEN text IS NULL OR length(text) = 0
+      |         THEN 1 ELSE 0 END) AS BIGINT),
+      |       count(DISTINCT doc_id)
+      |FROM documents
+      |UNION ALL
+      |SELECT 'range_orders_totalprice', count(*),
+      |       CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+      |         AS BIGINT),
+      |       count(DISTINCT o_orderkey)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'consistency_documents_chars', count(*),
+      |       CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+      |         AS BIGINT),
+      |       count(DISTINCT doc_id)
+      |FROM documents""".stripMargin
 }

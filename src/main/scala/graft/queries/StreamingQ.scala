@@ -835,6 +835,111 @@ object StreamingQ {
       .filter(col("event_type") =!= flushType)
   }
 
+  /** q192: the STREAM-STATIC enrichment join on the oracle board — the
+    * streaming-join flavor q175/q176/q179 do NOT cover (those are
+    * stream-STREAM). Each micro-batch of the event feed joins to the
+    * STATIC customer dimension with an explicit broadcast hint; the
+    * static side is re-planned per trigger (how a dim update between
+    * triggers becomes visible) and the join holds NO state — no
+    * watermark, no state store, which is exactly why this shape is
+    * the default enrichment pattern at 100 TB ingest: a dim⋈stream
+    * broadcast join costs the same per batch forever, while buffering
+    * the dim into a stream-stream join would pin it in state stores.
+    * Enriched rows land in an append parquet sink (the enriched feed
+    * IS the product; the census is its verification); value mass
+    * rides integer cents per the q184 discipline. Oracle: the batch
+    * join census. */
+  def q192StreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val work = Streams.scratchDir("graft_q192")
+    val events = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"))
+    Streams.orderedChunkFeed(events, s"$work/feed", 4, col("user_id"))
+    val ss = streamSession(s)
+    val dim = graft.Tables.customer(ss, dir)
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))
+    val stream = ss.readStream
+      .schema(StructType.fromDDL(
+        "user_id bigint, event_type string, value double"))
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+    stream.join(broadcast(dim), Seq("user_id"))
+      .select(col("segment"), col("event_type"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .writeStream.format("parquet").option("path", s"$work/rows")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    s.read.schema(StructType.fromDDL(
+        "segment string, event_type string, cents bigint"))
+      .parquet(s"$work/rows")
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("events"), sum(col("cents")).as("value_cents"))
+  }
+
+  /** q196: SCD2 dimension maintenance AT INGEST — the q194
+    * gaps-and-islands build as a keyed-state streaming operator
+    * ([[graft.streaming.StatefulScd2]]): state changes close validity
+    * intervals across micro-batch boundaries (the hand-offs a
+    * per-batch window would lose), the carry is O(1) per user, and
+    * the open runs flush through an absolute quiesce timer when the
+    * sentinel advances the watermark past it. Closed + open intervals
+    * land in a parquet sink; the census is q194's. Oracle: q194Sql —
+    * a green row means the streaming state machine reproduced the
+    * batch SCD2 build µs-exactly, open intervals included. */
+  def q196IncrementalScd2(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{StatefulScd2, StatefulTransitions}
+    import graft.streaming.StatefulScd2.SEvent
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ee = org.apache.spark.sql.Encoders.product[SEvent]
+    val work = Streams.scratchDir("graft_q196")
+    val flushUser = -1L
+    StatefulTransitions.stageOrderedFeed(s, dir, s"$work/feed", 4)
+    val maxRow = Tables.events(s, dir)
+      .agg(max(col("ts").cast("timestamp_ltz"))).head()
+    if (maxRow.isNullAt(0))
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL("event_type string, intervals bigint, " +
+          "closed bigint, dur_us_sum bigint, dur_us_max bigint"))
+    val maxTs = maxRow.getTimestamp(0)
+    // quiesce point 1 h past the corpus; sentinels 48 h past it drive
+    // the watermark over the flush timer (q113's two-chunk staging)
+    val flushUs = graft.streaming.StatefulSessions.micros(
+      new java.sql.Timestamp(maxTs.getTime)) + 3600L * 1000000L
+    val far = new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000)
+    Seq(far, new java.sql.Timestamp(far.getTime + 60000)).foreach { t =>
+      Streams.orderedChunkFeed(
+        s.createDataset(Seq(SEvent(flushUser, t, "__flush", -1L)))(ee)
+          .toDF(),
+        s"$work/feed", 1, col("ts"))
+    }
+    val feed = StatefulTransitions.feedStream(streamSession(s), s"$work/feed")
+      .map(e => SEvent(e.user_id, e.ts, e.event_type, e.event_id))(ee)
+    StatefulScd2.intervals(feed, flushUs).writeStream
+      .format("parquet").option("path", s"$work/intervals")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    s.read.parquet(s"$work/intervals")
+      .filter(col("user_id") =!= flushUser)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("intervals"),
+        sum(when(col("to_us").isNull, 0L).otherwise(1L)).as("closed"),
+        sum(col("to_us") - col("from_us")).as("dur_us_sum"),
+        max(col("to_us") - col("from_us")).as("dur_us_max"))
+  }
+
+  /** q192 oracle — the batch spelling of the enrichment join census,
+    * identical integer-cents quantization. */
+  val q192Sql: String =
+    """SELECT c.c_mktsegment AS segment, e.event_type,
+      |       count(*) AS events,
+      |       CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+      |         AS value_cents
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1, 2""".stripMargin
+
   /** q184 oracle — the batch spelling of the tumbling-window census
     * with the identical integer-cents quantization. */
   val q184Sql: String =

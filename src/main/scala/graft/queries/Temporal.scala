@@ -65,4 +65,75 @@ object Temporal {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
       |FROM events WHERE user_id < 20
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin
+
+  /** SCD2 validity intervals (q194) — the slowly-changing-dimension
+    * build every warehouse ingest runs: per user, consecutive events
+    * with the SAME event_type collapse into one validity interval
+    * [effective_from, effective_to), where effective_to is the next
+    * DIFFERENT state's start (the last run per user stays open,
+    * effective_to NULL). Gaps-and-islands spelling: run id = global
+    * row_number − per-state row_number over the same (ts, event_id)
+    * order (both windows partition by user_id, so one exchange feeds
+    * both sorts — HashPartitioning(user_id) satisfies the
+    * (user_id, event_type) clustering), runs close via lead() over
+    * (from_us, min event_id) — the event_id tie-break keeps equal-µs
+    * runs deterministic. Census per state: interval count, closed
+    * count, and closed-interval duration mass in integer µs (no
+    * float path anywhere).
+    *
+    * Scale shape: every window partitions by user_id — key-parallel,
+    * no global sort, one shuffle; state cardinality never exceeds the
+    * event count and the census is an O(states) aggregate. At 100 TB
+    * this is the q139/q122 shape: users hash across executors. */
+  def q194Scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    // order by (us, event_id), not raw ts: both engines then sort the
+    // IDENTICAL µs integers (events.ts is ns in the lake; DuckDB would
+    // otherwise order sub-µs neighbors by ns while Spark ties on id)
+    val wAll = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val wState = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us").asc, col("event_id").asc)
+    val runs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp_ltz")).as("us"),
+        col("event_id"))
+      .withColumn("grp",
+        row_number().over(wAll) - row_number().over(wState))
+      .groupBy(col("user_id"), col("event_type"), col("grp"))
+      .agg(min(col("us")).as("from_us"), min(col("event_id")).as("min_eid"))
+    val wRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("from_us").asc, col("min_eid").asc)
+    runs.withColumn("to_us", lead(col("from_us"), 1).over(wRun))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("intervals"),
+        sum(when(col("to_us").isNull, 0L).otherwise(1L)).as("closed"),
+        sum(col("to_us") - col("from_us")).as("dur_us_sum"),
+        max(col("to_us") - col("from_us")).as("dur_us_max"))
+  }
+  val q194Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, event_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC,
+      |                                     event_id ASC)
+      |         - row_number() OVER (PARTITION BY user_id, event_type
+      |                              ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC,
+      |                                       event_id ASC) AS grp
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id, event_type, grp, min(us) AS from_us,
+      |         min(event_id) AS min_eid
+      |  FROM e GROUP BY 1, 2, 3),
+      |scd AS (
+      |  SELECT user_id, event_type, from_us,
+      |         lead(from_us) OVER (PARTITION BY user_id
+      |                             ORDER BY from_us ASC, min_eid ASC) AS to_us
+      |  FROM runs)
+      |SELECT event_type, count(*) AS intervals,
+      |       CAST(sum(CASE WHEN to_us IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+      |         AS closed,
+      |       CAST(sum(to_us - from_us) AS BIGINT) AS dur_us_sum,
+      |       CAST(max(to_us - from_us) AS BIGINT) AS dur_us_max
+      |FROM scd GROUP BY 1""".stripMargin
 }

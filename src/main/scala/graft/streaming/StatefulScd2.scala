@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** SCD2 dimension maintenance at ingest via flatMapGroupsWithState —
+  * the streaming twin of the batch gaps-and-islands build
+  * (graft.queries.Temporal.q194Scd2Intervals). The warehouse shape:
+  * per subject (user), consecutive events with the same state collapse
+  * into one validity interval [effective_from, effective_to); a state
+  * CHANGE closes the current interval at the changing event's
+  * timestamp and opens the next. The keyed carry is O(1) per user —
+  * (current state, from_us, last_us/id) — so an interval spanning any
+  * number of events and micro-batches costs one state row, never a
+  * buffer of events.
+  *
+  * OPEN intervals (each user's live run — by definition never closed
+  * by data) are emitted through an ABSOLUTE event-time flush timer:
+  * the caller passes a quiesce point `flushUs`, every update arms the
+  * timer there, and when the watermark passes it each key emits its
+  * open interval with `to_us` NULL and clears. That is the streaming
+  * spelling of "snapshot the open runs at a quiesce point" — a
+  * production deployment would instead read the live state store (or
+  * keep running); the harness needs the open rows in the sink to
+  * census them. The timer is clamped above the current watermark so a
+  * key touched AFTER the flush point (the second sentinel) re-arms
+  * legally rather than throwing.
+  *
+  * Ordering contract: within a batch rows fold in (µs, event_id)
+  * order, the q194/q139 attribution rule. Cross-batch disorder
+  * (late-but-within-watermark rows older than the carry's last event)
+  * folds at arrival position: the affected boundary edges can differ
+  * from the batch build — exactly the O(1)-state divergence bound
+  * documented on [[StatefulTransitions.foldBatch]]; the staged
+  * ts-range feed replays in order, so the oracle path never exercises
+  * it. Rows older than the WATERMARK are dropped by Spark before the
+  * operator, as everywhere.
+  */
+object StatefulScd2 {
+
+  import StatefulSessions.micros
+
+  case class SEvent(user_id: Long, ts: java.sql.Timestamp,
+                    event_type: String, event_id: Long)
+  /** The O(1) carry: the open run. */
+  case class RunState(cur_type: String, from_us: Long, last_us: Long,
+                      last_id: Long)
+  /** One validity interval; `to_us` None = still open at flush. */
+  case class Interval(user_id: Long, event_type: String, from_us: Long,
+                      to_us: Option[Long])
+
+  /** Pure per-batch fold shared with the spec's in-memory replay:
+    * fold a batch's (µs, id, type) rows (any order — sorted here)
+    * into the carried run, emitting every interval the batch CLOSES,
+    * oldest first. */
+  def foldBatch(cur0: Option[RunState],
+                rows: Seq[(Long, Long, String)])
+      : (List[Interval], Option[RunState]) = {
+    var out = List.empty[Interval]
+    var cur = cur0
+    rows.sortBy(r => (r._1, r._2)).foreach { case (t, id, ty) =>
+      cur match {
+        case Some(r) if r.cur_type == ty =>
+          cur = Some(r.copy(last_us = math.max(r.last_us, t),
+            last_id = id))
+        case Some(r) =>
+          out ::= Interval(0L, r.cur_type, r.from_us, Some(t))
+          cur = Some(RunState(ty, t, t, id))
+        case None =>
+          cur = Some(RunState(ty, t, t, id))
+      }
+    }
+    (out.reverse, cur)
+  }
+
+  /** flatMapGroupsWithState update: close runs on state change; on
+    * timer expiry (watermark past `flushUs`) emit the open run with
+    * to_us = None and clear. */
+  def updateRuns(flushUs: Long)(userId: Long, events: Iterator[SEvent],
+                                state: GroupState[RunState])
+      : Iterator[Interval] = {
+    if (state.hasTimedOut) {
+      val open = state.getOption
+        .map(r => Interval(userId, r.cur_type, r.from_us, None)).iterator
+      state.remove()
+      open
+    } else {
+      val (closed, cur) = foldBatch(state.getOption,
+        events.map(e => (micros(e.ts), e.event_id, e.event_type)).toSeq)
+      cur.foreach { r =>
+        state.update(r)
+        // absolute quiesce timer, clamped above the live watermark
+        // (ms granularity; ceil so it can't fire a µs early)
+        state.setTimeoutTimestamp(math.max(
+          math.floorDiv(flushUs + 999L, 1000L),
+          state.getCurrentWatermarkMs() + 60000L))
+      }
+      closed.iterator.map(_.copy(user_id = userId))
+    }
+  }
+
+  /** Wire over an event stream; `flushUs` is the quiesce point whose
+    * watermark passage emits every open interval. */
+  def intervals(events: Dataset[SEvent], flushUs: Long,
+                watermark: String = "10 minutes"): Dataset[Interval] = {
+    implicit val rs = Encoders.product[RunState]
+    implicit val ie = Encoders.product[Interval]
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[RunState, Interval](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        updateRuns(flushUs))
+  }
+}

@@ -2727,6 +2727,90 @@ class QueriesSpec extends SparkSpec {
     assert(got.values.sum > 0L)
   }
 
+  test("q192 stream-static enrichment equals the batch join census") {
+    import org.apache.spark.sql.functions._
+    val got = rowsOf(StreamingQ.q192StreamEnrich(spark, sf))
+    val ev = graft.Tables.events(spark, sf)
+    val dim = graft.Tables.customer(spark, sf)
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))
+    val want = rowsOf(ev.join(dim, Seq("user_id"))
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("events"),
+        sum(floor(col("value") * 100).cast("long")).as("value_cents")))
+    assert(got === want,
+      "per-micro-batch broadcast enrichment must equal the batch join")
+    assert(got.nonEmpty)
+  }
+
+  test("q193 deletion propagation: conservation, zero residuals, real purges") {
+    import org.apache.spark.sql.functions._
+    val rows = Events.q193DeletionPropagation(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.keySet === Set("customer", "orders", "lineitem", "events"))
+    rows.foreach { case (rel, (total, purged, kept, residual)) =>
+      assert(purged + kept === total, s"$rel: purge must partition the table")
+      assert(residual === 0L,
+        s"$rel: $residual kept rows still reference a tombstoned subject")
+    }
+    // the planted rule fires at sf0.001: some customer purges, and the
+    // purge PROPAGATES (orders + events of tombstoned users go too)
+    assert(rows("customer")._2 > 0L, "no tombstones — planted rule dead")
+    assert(rows("orders")._2 > 0L && rows("events")._2 > 0L,
+      "tombstoned subjects had orders/events; propagation dropped none")
+    // transitive hop: purged lineitems == lineitems of purged orders
+    val tomb = graft.Tables.customer(spark, sf)
+      .filter(col("c_acctbal") < 0).select(col("c_custkey"))
+    val po = graft.Tables.orders(spark, sf)
+      .join(tomb, col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"))
+    val liOfPurged = graft.Tables.lineitem(spark, sf)
+      .join(po, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    assert(rows("lineitem")._2 === liOfPurged)
+  }
+
+  test("q194 SCD2 intervals: one open interval per user, µs-positive closed durations") {
+    import org.apache.spark.sql.functions._
+    val rows = Temporal.q194Scd2Intervals(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val intervals = rows.map(_.getLong(1)).sum
+    val closed = rows.map(_.getLong(2)).sum
+    val users = graft.Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    // exactly one OPEN interval per user: the last run never closes
+    assert(intervals - closed === users,
+      s"open intervals ${intervals - closed} != users $users")
+    // runs compress: strictly fewer intervals than events (states repeat)
+    assert(intervals < graft.Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      if (r.getLong(2) > 0L) {
+        assert(!r.isNullAt(3) && r.getLong(3) > 0L,
+          s"${r.getString(0)}: closed intervals need positive duration mass")
+        assert(r.getLong(4) > 0L)
+      }
+    }
+  }
+
+  test("q195 expectations census: all eight checks report, clean lake, honest distinct mass") {
+    val rows = Relational.q195ExpectationsCensus(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet === Set(
+      "fk_lineitem_orders", "fk_orders_customer", "fk_customer_nation",
+      "fk_supplier_nation", "fk_events_customer", "nn_documents_text",
+      "range_orders_totalprice", "consistency_documents_chars"))
+    rows.foreach { case (name, (checked, violations, distinct)) =>
+      assert(violations === 0L, s"$name: synthetic lake must verify clean")
+      assert(checked > 0L && distinct > 0L && distinct <= checked, name)
+    }
+    // rows_checked is the real table size — the check scanned everything
+    assert(rows("fk_orders_customer")._1 ===
+      graft.Tables.orders(spark, sf).count())
+    assert(rows("fk_events_customer")._1 ===
+      graft.Tables.events(spark, sf).count())
+  }
+
   test("q127 curriculum deciles: near-equal buckets, monotone score envelopes") {
     val rows = Text.q127CurriculumDeciles(spark, sf).collect()
       .sortBy(_.getInt(0))

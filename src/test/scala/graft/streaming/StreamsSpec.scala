@@ -165,6 +165,74 @@ class StreamsSpec extends SparkSpec {
     assert(cur3.map(_.last_type) === Some("C"), "carry stays the latest")
   }
 
+  test("SCD2 fold: runs collapse, a change closes at the changing event's µs") {
+    import graft.streaming.StatefulScd2.{foldBatch, RunState}
+    val min = 60L * 1000000L
+    // fresh key: A A B A — two closures, open run A
+    val (out, cur) = foldBatch(None, Seq(
+      (10 * min, 1L, "A"), (20 * min, 2L, "A"),
+      (30 * min, 3L, "B"), (40 * min, 4L, "A")))
+    assert(out.map(i => (i.event_type, i.from_us, i.to_us)) === List(
+      ("A", 10 * min, Some(30 * min)), ("B", 30 * min, Some(40 * min))))
+    assert(cur === Some(RunState("A", 40 * min, 40 * min, 4L)))
+    // carry continues across the batch boundary: same type = no closure
+    val (out2, cur2) = foldBatch(cur, Seq((50 * min, 5L, "A")))
+    assert(out2.isEmpty && cur2.get.from_us === 40 * min,
+      "a same-type event must extend the carried run, not restart it")
+    // rows fold in (µs, event_id) order whatever the arrival order
+    val (out3, _) = foldBatch(None, Seq(
+      (30 * min, 3L, "B"), (10 * min, 1L, "A"), (20 * min, 2L, "A")))
+    assert(out3.map(i => (i.event_type, i.to_us)) ===
+      List(("A", Some(30 * min))))
+  }
+
+  test("stateful SCD2: cross-batch run continuation; flush timer emits open intervals") {
+    import graft.streaming.StatefulScd2
+    import graft.streaming.StatefulScd2.{Interval, SEvent}
+    implicit val sc = spark.sqlContext
+    def t(x: String) = Timestamp.valueOf(x)
+    val flushUs = graft.streaming.StatefulSessions.micros(
+      t("2024-01-01 12:00:00"))
+    val in = MemoryStream[SEvent]
+    val q = StatefulScd2.intervals(in.toDS(), flushUs).writeStream
+      .format("memory").queryName("scd2_intervals")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: u1 opens run A; u2 opens run C
+      in.addData(SEvent(1L, t("2024-01-01 10:00:00"), "A", 1L),
+        SEvent(2L, t("2024-01-01 10:01:00"), "C", 2L))
+      q.processAllAvailable()
+      // batch 2: u1's A CONTINUES across the boundary, then closes at B
+      in.addData(SEvent(1L, t("2024-01-01 10:05:00"), "A", 3L),
+        SEvent(1L, t("2024-01-01 10:20:00"), "B", 4L))
+      q.processAllAvailable()
+      // two sentinel batches push the watermark past the quiesce point
+      in.addData(SEvent(-1L, t("2024-01-02 10:00:00"), "__flush", 5L))
+      q.processAllAvailable()
+      in.addData(SEvent(-1L, t("2024-01-02 10:01:00"), "__flush", 6L))
+      q.processAllAvailable()
+      val got = sql("SELECT * FROM scd2_intervals").as[Interval].collect()
+        .filter(_.user_id >= 0L).sortBy(i => (i.user_id, i.from_us)).toList
+      def us(x: String) = graft.streaming.StatefulSessions.micros(t(x))
+      assert(got === List(
+        Interval(1L, "A", us("2024-01-01 10:00:00"),
+          Some(us("2024-01-01 10:20:00"))),
+        Interval(1L, "B", us("2024-01-01 10:20:00"), None),
+        Interval(2L, "C", us("2024-01-01 10:01:00"), None)),
+        s"one closed A spanning the batch boundary + two flushed opens; got $got")
+    } finally q.stop()
+  }
+
+  test("stateful SCD2 reproduces the batch q194 census at sf0.001") {
+    val streamed = rowsOf(graft.queries.StreamingQ
+      .q196IncrementalScd2(spark, "/root/testdata/sf0.001"))
+    val batch = rowsOf(graft.queries.Temporal
+      .q194Scd2Intervals(spark, "/root/testdata/sf0.001"))
+    assert(streamed === batch,
+      "the keyed-state SCD2 build must equal the batch gaps-and-islands µs-exactly")
+    assert(streamed.nonEmpty)
+  }
+
   test("stateful transitions reproduce the batch q139 matrix at sf0.001") {
     val streamed = rowsOf(graft.queries.StreamingQ
       .q147IncrementalTransitions(spark, "/root/testdata/sf0.001"))
