@@ -435,6 +435,24 @@ object CurationStress {
       "q139 scaling law broken: cloned users must scale every transition " +
         "cell ×R with P(to|from) unchanged")
 
+    // q194: cloned users replay identical state runs under fresh ids →
+    // intervals/closed/duration mass all scale ×R per state while the
+    // longest single interval is R-invariant (no run spans users); the
+    // window chain stays key-parallel on user_id, so wall tracks the
+    // q139/q122 exchange shape, never a global sort
+    noop(queries.Temporal.q194Scd2Intervals(spark, sfDir)) // warmup + ref
+    val base194 = queries.Temporal.q194Scd2Intervals(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (rep194, tScd) = time(
+      queries.Temporal.q194Scd2Intervals(spark, stressDir).collect())
+    val got194 = rep194.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got194 == base194.map { case (k, (n, c, s, m)) =>
+      k -> (n * reps, c * reps, s * reps, m) },
+      "q194 scaling law broken: cloned users must scale every interval " +
+        "cell ×R with the max duration unchanged")
+
     // ---- round-7 fifth wave (q142/q149/q150) at scale
 
     // q142: packing is a pure function of (texts in doc_id order) per
@@ -559,7 +577,7 @@ object CurationStress {
       Dedup.DupCap.toLong * card(baseCard, "distinct_fps"),
       "q172 at R≥cap must keep exactly cap copies of every distinct content")
 
-    println(f"""{"metric":"curation_stress","reps":$reps,"q169_sec":$tBudget%.2f,"q170_sec":$tSrcBudget%.2f,"q171_sec":$tOverlapFull%.2f,"q171_sketch_sec":$tOverlapSketch%.2f,"q172_sec":$tCap%.2f,"q142_sec":$tPack%.2f,"q149_sec":$tCard%.2f,"q150_sec":$tDecon%.2f,"q134_sec":$tSeg%.2f,"q137_sec":$tPmi%.2f,"q139_sec":$tTrans%.2f,"q121_sec":$tChunk%.2f,"q122_sec":$tLocf%.2f,"q126_sec":$tMask%.2f,"q127_sec":$tCur%.2f,"q108_sec":$tLex%.2f,"q109_sec":$tGaps%.2f,"q111_sec":$tMad%.2f,"q112_sec":$tGrid%.2f,"q114_sec":$tTri%.2f,"q114_cc_ppm":${rep114.getLong(4)},"q74_sec":$tSpan%.2f,"q74_rows":$spanRows,"q81_sec":$tOverlap%.2f,"q81_full_matches":$q81Full,"q79_sec":$tTrain%.2f,"q80_sec":$tApply%.2f,"q95_sec":$tBigram%.2f,"q98_sec":$tMix%.2f,"q98_surviving_tokens":$survTok,"q104_sec":$tSkew%.2f,"q99_sec":$tHeldout%.2f,"q101_sec":$tReid%.2f,"q102_sec":$tBoot%.2f,"q103_sec":$tBootFused%.2f,"bigram_types_base":$baseTypes,"bigram_types_train_r":$trainTypesR,"q95_skewcorpus_sec":$tFlatSkew%.2f,"q104_skewcorpus_sec":$tSplitSkew%.2f,"q99_skewcorpus_sec":$tFlatHeld%.2f,"q153_skewcorpus_sec":$tSplitHeld%.2f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"curation_stress","reps":$reps,"q169_sec":$tBudget%.2f,"q170_sec":$tSrcBudget%.2f,"q171_sec":$tOverlapFull%.2f,"q171_sketch_sec":$tOverlapSketch%.2f,"q172_sec":$tCap%.2f,"q142_sec":$tPack%.2f,"q149_sec":$tCard%.2f,"q150_sec":$tDecon%.2f,"q134_sec":$tSeg%.2f,"q137_sec":$tPmi%.2f,"q139_sec":$tTrans%.2f,"q194_sec":$tScd%.2f,"q121_sec":$tChunk%.2f,"q122_sec":$tLocf%.2f,"q126_sec":$tMask%.2f,"q127_sec":$tCur%.2f,"q108_sec":$tLex%.2f,"q109_sec":$tGaps%.2f,"q111_sec":$tMad%.2f,"q112_sec":$tGrid%.2f,"q114_sec":$tTri%.2f,"q114_cc_ppm":${rep114.getLong(4)},"q74_sec":$tSpan%.2f,"q74_rows":$spanRows,"q81_sec":$tOverlap%.2f,"q81_full_matches":$q81Full,"q79_sec":$tTrain%.2f,"q80_sec":$tApply%.2f,"q95_sec":$tBigram%.2f,"q98_sec":$tMix%.2f,"q98_surviving_tokens":$survTok,"q104_sec":$tSkew%.2f,"q99_sec":$tHeldout%.2f,"q101_sec":$tReid%.2f,"q102_sec":$tBoot%.2f,"q103_sec":$tBootFused%.2f,"bigram_types_base":$baseTypes,"bigram_types_train_r":$trainTypesR,"q95_skewcorpus_sec":$tFlatSkew%.2f,"q104_skewcorpus_sec":$tSplitSkew%.2f,"q99_skewcorpus_sec":$tFlatHeld%.2f,"q153_skewcorpus_sec":$tSplitHeld%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

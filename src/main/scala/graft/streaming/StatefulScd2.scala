@@ -111,4 +111,60 @@ object StatefulScd2 {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         updateRuns(flushUs))
   }
+
+  /** The same SCD2 machine on the NEW arbitrary-state API
+    * (transformWithState, Spark 4) — the [[StatefulSessions
+    * .TwsSessionizer]] pattern, dimension-maintenance edition.
+    * Semantics are pinned to the classic path through the shared
+    * [[foldBatch]] (StreamsSpec diffs both APIs' sinks and checks
+    * each against the batch q194 build). ONE absolute timer per key
+    * (the quiesce flush), registered when the key's state is first
+    * created — the timer is a constant, so no re-arm churn on run
+    * extension, unlike the sessionizer's sliding last+gap timer. */
+  class TwsScd2(flushUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, SEvent, Interval] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    @transient private var state: ValueState[RunState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[RunState](
+        "run", Encoders.product[RunState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[SEvent],
+                                 tv: TimerValues): Iterator[Interval] = {
+      val prev = if (state.exists()) Some(state.get()) else None
+      val (closed, cur) = foldBatch(prev,
+        rows.map(e => (StatefulSessions.micros(e.ts), e.event_id,
+          e.event_type)).toSeq)
+      cur.foreach { r =>
+        state.update(r)
+        if (prev.isEmpty)
+          getHandle.registerTimer(math.max(
+            math.floorDiv(flushUs + 999L, 1000L),
+            tv.getCurrentWatermarkInMs() + 60000L))
+      }
+      closed.iterator.map(_.copy(user_id = key))
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[Interval] = {
+      val open = (if (state.exists()) Some(state.get()) else None)
+        .map(r => Interval(key, r.cur_type, r.from_us, None))
+      state.clear()
+      open.iterator
+    }
+  }
+
+  /** [[intervals]] on transformWithState — identical output contract. */
+  def intervalsTws(events: Dataset[SEvent], flushUs: Long,
+                   watermark: String = "10 minutes"): Dataset[Interval] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    implicit val ie = Encoders.product[Interval]
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new TwsScd2(flushUs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

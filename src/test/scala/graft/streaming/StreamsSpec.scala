@@ -223,6 +223,56 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState SCD2 twin reproduces the batch q194 census") {
+    import graft.streaming.{StatefulScd2, StatefulTransitions}
+    import graft.streaming.StatefulScd2.SEvent
+    implicit val ee = org.apache.spark.sql.Encoders.product[SEvent]
+    val sf = "/root/testdata/sf0.001"
+    val work = java.nio.file.Files.createTempDirectory("graft_tws196").toString
+    StatefulTransitions.stageOrderedFeed(spark, sf, s"$work/feed", 4)
+    val maxTs = graft.Tables.events(spark, sf)
+      .agg(max(col("ts").cast("timestamp_ltz"))).head().getTimestamp(0)
+    val flushUs = graft.streaming.StatefulSessions.micros(maxTs) +
+      3600L * 1000000L
+    val far = new Timestamp(maxTs.getTime + 48L * 3600 * 1000)
+    Seq(far, new Timestamp(far.getTime + 60000)).foreach { t =>
+      graft.streaming.Streams.orderedChunkFeed(
+        spark.createDataset(Seq(SEvent(-1L, t, "__flush", -1L)))(ee).toDF(),
+        s"$work/feed", 1, col("ts"))
+    }
+    // transformWithState needs multi-column-family state — RocksDB only
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val feed = StatefulTransitions.feedStream(spark, s"$work/feed")
+        .map(e => SEvent(e.user_id, e.ts, e.event_type, e.event_id))(ee)
+      StatefulScd2.intervalsTws(feed, flushUs).writeStream
+        .format("parquet").option("path", s"$work/intervals")
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val tws = rowsOf(spark.read.parquet(s"$work/intervals")
+      .filter(col("user_id") >= 0L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("intervals"),
+        sum(when(col("to_us").isNull, 0L).otherwise(1L)).as("closed"),
+        sum(col("to_us") - col("from_us")).as("dur_us_sum"),
+        max(col("to_us") - col("from_us")).as("dur_us_max")))
+    val batch = rowsOf(graft.queries.Temporal.q194Scd2Intervals(spark, sf))
+    assert(tws === batch,
+      "the transformWithState SCD2 twin must reproduce the batch build")
+  }
+
   test("stateful SCD2 reproduces the batch q194 census at sf0.001") {
     val streamed = rowsOf(graft.queries.StreamingQ
       .q196IncrementalScd2(spark, "/root/testdata/sf0.001"))
