@@ -839,9 +839,12 @@ object StreamingQ {
     * streaming-join flavor q175/q176/q179 do NOT cover (those are
     * stream-STREAM). Each micro-batch of the event feed joins to the
     * STATIC customer dimension with an explicit broadcast hint; the
-    * static side is re-planned per trigger (how a dim update between
-    * triggers becomes visible) and the join holds NO state — no
-    * watermark, no state store, which is exactly why this shape is
+    * static side re-plans per RUN (a parquet dim pins its file
+    * listing at query start, so a dim refresh lands on restart —
+    * stream offsets continue exactly-once from the checkpoint;
+    * refresh-per-trigger needs a listing-free source like JDBC —
+    * StreamsSpec pins the restart semantics) and the join holds NO
+    * state — no watermark, no state store, which is exactly why this shape is
     * the default enrichment pattern at 100 TB ingest: a dim⋈stream
     * broadcast join costs the same per batch forever, while buffering
     * the dim into a stream-stream join would pin it in state stores.

@@ -98,7 +98,8 @@ class PlanSpec extends SparkSpec {
     "q185_incremental_curriculum", // × 1-row corpus-n agg (the histogram tail)
     "q190_incremental_signatures", // q81's broadcast |sources|-row pair cross
     "q171_sketch_overlap",      // × broadcast |sources|-row sketch frame
-    "q174_incremental_overlap"  // × the same pair join over the merged log
+    "q174_incremental_overlap", // × the same pair join over the merged log
+    "q193_deletion_propagation" // × three 1-row census aggs per relation
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
@@ -113,6 +114,41 @@ class PlanSpec extends SparkSpec {
       else None
     }
     assert(offenders.isEmpty, s"\n${offenders.mkString("\n")}")
+  }
+
+  test("q194 SCD2: one corpus exchange feeds all three windows, zero joins") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val nodes = ops(planOf("q194_scd2_intervals"))
+    assert(nodes.count(_.isInstanceOf[WindowExec]) == 3,
+      "two rn windows + the lead window")
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeExec]) == 2,
+      "ONE hash(user_id) exchange must feed all three windows and the " +
+        "run groupBy (HashPartitioning(user_id) satisfies the " +
+        "(user_id, event_type) clustering); only the O(states) census " +
+        "re-exchanges — a third exchange means a window stopped " +
+        "reusing the corpus partitioning")
+    assert(!nodes.exists(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[BroadcastHashJoinExec]),
+      "SCD2 is windows + aggregates — any join is a regression")
+  }
+
+  test("q193 deletion propagation: every purge/audit join is broadcast") {
+    val nodes = ops(planOf("q193_deletion_propagation"))
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "tombstones are the small side everywhere — a sort-merge join " +
+        "means a fact table shuffled for the purge")
+    assert(nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 8,
+      "four relations × (anti purge + semi audit) ride broadcast joins")
+  }
+
+  test("q195 expectations: five FK checks broadcast their PK side, none sort-merge") {
+    val nodes = ops(planOf("q195_expectations_census"))
+    assert(nodes.count(_.isInstanceOf[BroadcastHashJoinExec]) == 5,
+      "exactly the five FK-edge probes join; scan checks are join-free")
+    assert(!nodes.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "at oracle SF every PK side fits a broadcast; at 100 TB the " +
+        "lineitem→orders edge becomes the bucketed SMJ by AQE, not by " +
+        "a plan rewrite")
   }
 
   test("q49 contamination: bench set is a broadcast cross, corpus never shuffle-joins") {

@@ -165,6 +165,46 @@ class StreamsSpec extends SparkSpec {
     assert(cur3.map(_.last_type) === Some("C"), "carry stays the latest")
   }
 
+  test("stream-static enrichment: dim refresh lands on restart, stream offsets stay exactly-once") {
+    import org.apache.spark.sql.types.StructType
+    val work = java.nio.file.Files.createTempDirectory("graft_ss_dim").toString
+    def writeDim(seg: String): Unit =
+      spark.createDataFrame(java.util.List.of(
+          org.apache.spark.sql.Row(1L, seg)),
+        StructType.fromDDL("user_id bigint, segment string"))
+        .write.mode("overwrite").parquet(s"$work/dim")
+    def feedChunk(id: Long): Unit =
+      graft.streaming.Streams.orderedChunkFeed(
+        spark.createDataFrame(java.util.List.of(
+            org.apache.spark.sql.Row(id, 1L)),
+          StructType.fromDDL("event_id bigint, user_id bigint")),
+        s"$work/feed", 1, col("event_id"))
+    def runOnce(): Unit = {
+      // dim REBUILT per run: the static side's file listing pins at
+      // query start — this is the re-plan the q192 scaladoc describes
+      val dim = spark.read.schema("user_id bigint, segment string")
+        .parquet(s"$work/dim")
+      val stream = spark.readStream
+        .schema(StructType.fromDDL("event_id bigint, user_id bigint"))
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+      stream.join(broadcast(dim), Seq("user_id"))
+        .writeStream.format("parquet").option("path", s"$work/out")
+        .option("checkpointLocation", s"$work/ckpt")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    writeDim("v1"); feedChunk(10L); runOnce()
+    // refresh the dim, append one event, RESTART from the checkpoint
+    writeDim("v2"); feedChunk(20L); runOnce()
+    val got = spark.read.parquet(s"$work/out")
+      .select(col("event_id"), col("segment")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toList
+    assert(got === List((10L, "v1"), (20L, "v2")),
+      "pre-refresh events keep the dim they were enriched with; the " +
+        "restarted run reads the refreshed dim and ONLY the new offsets " +
+        s"(no reprocessing of chunk 10) — got $got")
+  }
+
   test("SCD2 fold: runs collapse, a change closes at the changing event's µs") {
     import graft.streaming.StatefulScd2.{foldBatch, RunState}
     val min = 60L * 1000000L
