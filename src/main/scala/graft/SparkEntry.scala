@@ -443,6 +443,9 @@ object SparkEntry {
     // changes close intervals across batch boundaries, open runs
     // flush via an absolute quiesce timer
     "q196_incremental_scd2" -> (StreamingQ.q196IncrementalScd2 _),
+    // dataset versioning: fingerprint-manifest diff between two crawl
+    // snapshots — added/removed/modified/unchanged per source
+    "q197_snapshot_diff" -> (PipelineQ.q197SnapshotDiff _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -645,5 +648,6 @@ object SparkEntry {
     "q194_scd2_intervals" -> Temporal.q194Sql,
     "q195_expectations_census" -> Relational.q195Sql,
     "q196_incremental_scd2" -> Temporal.q194Sql,
+    "q197_snapshot_diff" -> PipelineQ.q197Sql,
   )
 }

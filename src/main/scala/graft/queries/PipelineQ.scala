@@ -353,4 +353,75 @@ object PipelineQ {
        |       ttr_sum // docs AS mean_ttr_pm
        |FROM base, src, lg, dfp, lk, ep, ed""".stripMargin
   }
+
+  /** Snapshot diff (q197) — the dataset-versioning census: what
+    * changed between crawl N and crawl N+1. Two deterministic
+    * snapshots derive from the corpus (A drops doc_id%10==0, B drops
+    * %10==1 and RE-CRAWLS %7==0 pages with a " v2" suffix — planted
+    * churn so every class fires); each is reduced to its fingerprint
+    * MANIFEST (doc_id, source, canonical md5 — the q149 convention),
+    * the manifests full-outer join on doc_id, and each doc classifies
+    * as added (B only) / removed (A only) / modified (both, fp
+    * differs) / unchanged. Census per source.
+    *
+    * Scale shape: the diff joins two (doc_id, fp) MANIFESTS — ~48
+    * bytes/row — never texts; full-outer on doc_id is the lake's
+    * natural bucketing key (zero-exchange SMJ under ScaleSpec's
+    * layout), classification is scan-side arithmetic, census is
+    * O(sources). This is the operator a 100 TB lake runs nightly to
+    * answer "what did the new crawl actually change". */
+  def q197SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val a = docs.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("source").as("source_a"),
+        TextOps.fingerprint(col("text")).as("fp_a"))
+    val b = docs.filter(col("doc_id") % 10 =!= 1)
+      .select(col("doc_id"), col("source").as("source_b"),
+        TextOps.fingerprint(
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("fp_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("source_a"), col("source_b")).as("source"),
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") === col("fp_b"), "unchanged")
+          .otherwise("modified").as("change"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("change") === "added", 1L).otherwise(0L)).as("added"),
+        sum(when(col("change") === "removed", 1L).otherwise(0L))
+          .as("removed"),
+        sum(when(col("change") === "modified", 1L).otherwise(0L))
+          .as("modified"),
+        sum(when(col("change") === "unchanged", 1L).otherwise(0L))
+          .as("unchanged"))
+  }
+  val q197Sql: String = {
+    def canon(e: String) =
+      s"md5(regexp_replace(lower(trim($e)), '\\s+', ' ', 'g'))"
+    s"""WITH a AS (
+       |  SELECT doc_id, source, ${canon("text")} AS fp
+       |  FROM documents WHERE doc_id % 10 <> 0),
+       |b AS (
+       |  SELECT doc_id, source,
+       |         ${canon("CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END")} AS fp
+       |  FROM documents WHERE doc_id % 10 <> 1),
+       |d AS (
+       |  SELECT coalesce(a.source, b.source) AS source,
+       |         CASE WHEN a.fp IS NULL THEN 'added'
+       |              WHEN b.fp IS NULL THEN 'removed'
+       |              WHEN a.fp = b.fp THEN 'unchanged'
+       |              ELSE 'modified' END AS change
+       |  FROM a FULL OUTER JOIN b USING (doc_id))
+       |SELECT source,
+       |       CAST(sum(CASE WHEN change = 'added' THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS added,
+       |       CAST(sum(CASE WHEN change = 'removed' THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS removed,
+       |       CAST(sum(CASE WHEN change = 'modified' THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS modified,
+       |       CAST(sum(CASE WHEN change = 'unchanged' THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS unchanged
+       |FROM d GROUP BY 1""".stripMargin
+  }
 }

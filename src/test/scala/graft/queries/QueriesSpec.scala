@@ -2811,6 +2811,23 @@ class QueriesSpec extends SparkSpec {
       graft.Tables.events(spark, sf).count())
   }
 
+  test("q197 snapshot diff: conservation against both snapshots, every class fires") {
+    import org.apache.spark.sql.functions._
+    val rows = PipelineQ.q197SnapshotDiff(spark, sf).collect()
+    val (added, removed, modified, unchanged) =
+      (rows.map(_.getLong(1)).sum, rows.map(_.getLong(2)).sum,
+        rows.map(_.getLong(3)).sum, rows.map(_.getLong(4)).sum)
+    val docs = graft.Tables.documents(spark, sf)
+    val aN = docs.filter(col("doc_id") % 10 =!= 0).count()
+    val bN = docs.filter(col("doc_id") % 10 =!= 1).count()
+    // every A doc is removed/modified/unchanged; every B doc is
+    // added/modified/unchanged — the diff must partition BOTH sides
+    assert(removed + modified + unchanged === aN, "snapshot A not conserved")
+    assert(added + modified + unchanged === bN, "snapshot B not conserved")
+    assert(added > 0 && removed > 0 && modified > 0 && unchanged > 0,
+      "planted churn must fire all four classes")
+  }
+
   test("q127 curriculum deciles: near-equal buckets, monotone score envelopes") {
     val rows = Text.q127CurriculumDeciles(spark, sf).collect()
       .sortBy(_.getInt(0))
