@@ -446,6 +446,9 @@ object SparkEntry {
     // dataset versioning: fingerprint-manifest diff between two crawl
     // snapshots — added/removed/modified/unchanged per source
     "q197_snapshot_diff" -> (PipelineQ.q197SnapshotDiff _),
+    // the versioning diff at ingest: the new crawl's manifest lands
+    // per micro-batch, the snapshot diffs it against the old crawl
+    "q198_incremental_diff" -> (StreamingQ.q198IncrementalSnapshotDiff _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -649,5 +652,6 @@ object SparkEntry {
     "q195_expectations_census" -> Relational.q195Sql,
     "q196_incremental_scd2" -> Temporal.q194Sql,
     "q197_snapshot_diff" -> PipelineQ.q197Sql,
+    "q198_incremental_diff" -> PipelineQ.q197Sql,
   )
 }

@@ -370,17 +370,26 @@ object PipelineQ {
     * layout), classification is scan-side arithmetic, census is
     * O(sources). This is the operator a 100 TB lake runs nightly to
     * answer "what did the new crawl actually change". */
-  def q197SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"), col("text"))
-    val a = docs.filter(col("doc_id") % 10 =!= 0)
+  /** Snapshot A's fingerprint manifest (crawl N). */
+  def snapshotAManifest(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 0)
       .select(col("doc_id"), col("source").as("source_a"),
         TextOps.fingerprint(col("text")).as("fp_a"))
-    val b = docs.filter(col("doc_id") % 10 =!= 1)
-      .select(col("doc_id"), col("source").as("source_b"),
-        TextOps.fingerprint(
-          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
-            .otherwise(col("text"))).as("fp_b"))
+
+  /** Snapshot B's DOCUMENT rows (crawl N+1 — the simulated re-crawl:
+    * %10==1 pages gone, %7==0 pages re-crawled with new content).
+    * The q198 ingest twin streams exactly this frame; its monitor
+    * reduces each arriving batch to manifest rows scan-side. */
+  def snapshotBDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 1)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+
+  /** The diff tail shared by q197 and its ingest twin q198: full-outer
+    * manifest join on doc_id, per-doc classification, per-source
+    * census. */
+  def diffCensus(a: DataFrame, b: DataFrame): DataFrame =
     a.join(b, Seq("doc_id"), "full_outer")
       .select(coalesce(col("source_a"), col("source_b")).as("source"),
         when(col("fp_a").isNull, "added")
@@ -395,7 +404,12 @@ object PipelineQ {
           .as("modified"),
         sum(when(col("change") === "unchanged", 1L).otherwise(0L))
           .as("unchanged"))
-  }
+
+  def q197SnapshotDiff(s: SparkSession, dir: String): DataFrame =
+    diffCensus(snapshotAManifest(s, dir),
+      snapshotBDocs(s, dir)
+        .select(col("doc_id"), col("source").as("source_b"),
+          TextOps.fingerprint(col("text")).as("fp_b")))
   val q197Sql: String = {
     def canon(e: String) =
       s"md5(regexp_replace(lower(trim($e)), '\\s+', ' ', 'g'))"

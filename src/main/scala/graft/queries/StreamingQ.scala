@@ -933,6 +933,35 @@ object StreamingQ {
         max(col("to_us") - col("from_us")).as("dur_us_max"))
   }
 
+  /** q198: the q197 snapshot diff AT INGEST — the new crawl lands as a
+    * stream, each micro-batch reduced scan-side to its fingerprint
+    * manifest rows (doc_id, source, canonical md5 — texts never enter
+    * the state) and appended as a replay-idempotent batch_id
+    * partition; the snapshot distincts the doc-keyed log (the
+    * min-merge family's duplication tolerance) and runs q197's exact
+    * diff tail against the old crawl's manifest. This is nightly
+    * versioning without the nightly rescan: the diff is available
+    * mid-crawl, and its cost is the manifest join, never the corpus.
+    * Oracle: q197Sql. */
+  def q198IncrementalSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val work = streamedFrame(s, PipelineQ.snapshotBDocs(s, dir),
+      "doc_id bigint, source string, text string") { (docs, work) =>
+      Streams.appendParquetSink(
+        docs.select(col("doc_id"), col("source"),
+          graft.ops.TextOps.fingerprint(col("text")).as("fp")),
+        s"$work/manifest", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    val bManifest = s.read
+      .schema(StructType.fromDDL(
+        "doc_id bigint, source string, fp string, batch_id bigint"))
+      .parquet(s"$work/manifest")
+      .select(col("doc_id"), col("source").as("source_b"),
+        col("fp").as("fp_b"))
+      .distinct()
+    PipelineQ.diffCensus(PipelineQ.snapshotAManifest(s, dir), bManifest)
+  }
+
   /** q192 oracle — the batch spelling of the enrichment join census,
     * identical integer-cents quantization. */
   val q192Sql: String =
