@@ -1316,6 +1316,56 @@ class StreamsSpec extends SparkSpec {
       "post-restart matrix must equal the batch q110 matrix")
   }
 
+  test("incremental snapshot diff survives a restart; duplicate manifest rows are harmless") {
+    import graft.queries.PipelineQ
+    val dir = java.nio.file.Files.createTempDirectory("graft_diffrec")
+    val (man, cp) = (s"$dir/manifest", s"$dir/ckpt")
+    val in = dir.resolve("in"); java.nio.file.Files.createDirectory(in)
+    val sf = "/root/testdata/sf0.001"
+    val bDocs = PipelineQ.snapshotBDocs(spark, sf)
+    def land(half: Int): Unit = {
+      val stage = s"$dir/stage$half"
+      bDocs.filter(col("doc_id") % 2 === half).coalesce(1)
+        .write.parquet(stage)
+      new java.io.File(stage).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.move(f.toPath,
+          in.resolve(s"half$half.parquet")))
+    }
+    def start() = Streams.appendParquetSink(
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id bigint, source string, text string"))
+        .parquet(in.toString)
+        .select(col("doc_id"), col("source"),
+          graft.ops.TextOps.fingerprint(col("text")).as("fp")),
+      man, cp).start()
+    land(0)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    land(1) // the second crawl shard arrives while the monitor is DOWN
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val batches = spark.read.parquet(man)
+      .select(col("batch_id")).distinct().count()
+    assert(batches === 2, s"expected 2 batch partitions, got $batches")
+    def snap(): Seq[Seq[String]] = rowsOf(PipelineQ.diffCensus(
+      PipelineQ.snapshotAManifest(spark, sf),
+      spark.read.parquet(man)
+        .select(col("doc_id"), col("source").as("source_b"),
+          col("fp").as("fp_b")).distinct()))
+    val expect = rowsOf(PipelineQ.q197SnapshotDiff(spark, sf))
+    assert(snap() === expect,
+      "post-restart diff must equal the batch q197 census")
+    // duplication tolerance: a resurrected copy of a landed partition
+    // (the fold-crash shape) must not shift any census cell
+    val b0 = spark.read.parquet(man).filter(col("batch_id") === 0L)
+      .select(col("doc_id"), col("source"), col("fp"))
+    b0.withColumn("batch_id", lit(7L))
+      .write.mode("append").partitionBy("batch_id").parquet(man)
+    assert(snap() === expect,
+      "a duplicated manifest partition must be invisible to the diff")
+  }
+
   test("incremental KMV survives a restart: offsets resume, snapshot equals batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kmvrec")
     val (sk, cp) = (s"$dir/kmv", s"$dir/ckpt")
