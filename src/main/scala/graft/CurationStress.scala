@@ -453,6 +453,43 @@ object CurationStress {
       "q194 scaling law broken: cloned users must scale every interval " +
         "cell ×R with the max duration unchanged")
 
+    // q197: a SEPARATE replication with the doc_id stride rounded up
+    // to a multiple of 70, so doc_id mod 10 and mod 7 — the snapshot
+    // membership and churn rules — are preserved per replica: every
+    // replica doc lands in the SAME diff class as its base doc, and
+    // every (source, class) census cell must scale EXACTLY ×R. The
+    // manifests under the join grow R×; the join stays doc_id-keyed.
+    val diffDir = s"/tmp/graft_diff_stress_$reps"
+    val stride70 = ((base + 69L) / 70L) * 70L
+    Tables.documents(spark, sfDir)
+      .crossJoin(spark.range(reps).toDF("rep"))
+      .select((col("doc_id") + col("rep") * stride70).as("doc_id"),
+        col("text"), col("lang"),
+        concat(col("source"), lit("_"), col("rep")).as("source"),
+        col("n_chars"))
+      .write.mode("overwrite").parquet(s"$diffDir/documents.parquet")
+    noop(queries.PipelineQ.q197SnapshotDiff(spark, sfDir)) // warmup + ref
+    val base197 = queries.PipelineQ.q197SnapshotDiff(spark, sfDir).collect()
+      .map(r => r.getString(0).takeWhile(_ != '_') ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val (rep197, tDiff) = time(
+      queries.PipelineQ.q197SnapshotDiff(spark, diffDir).collect())
+    // fold replica feeds back onto their base source: each base cell
+    // must appear exactly reps times, value-identical
+    val got197 = rep197.map(r => r.getString(0).takeWhile(_ != '_') ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(got197.keySet == base197.keySet)
+    got197.foreach { case (src, cells) =>
+      val want = base197(src)
+      assert(cells.length == want.length * reps &&
+        cells.distinct.sorted.sameElements(want.distinct.sorted),
+        s"q197 scaling law broken for $src: replica diff cells must " +
+          s"replay the base cells exactly (got ${cells.toList.distinct}, " +
+          s"want ${want.toList.distinct})")
+    }
+
     // ---- round-7 fifth wave (q142/q149/q150) at scale
 
     // q142: packing is a pure function of (texts in doc_id order) per
@@ -577,7 +614,7 @@ object CurationStress {
       Dedup.DupCap.toLong * card(baseCard, "distinct_fps"),
       "q172 at R≥cap must keep exactly cap copies of every distinct content")
 
-    println(f"""{"metric":"curation_stress","reps":$reps,"q169_sec":$tBudget%.2f,"q170_sec":$tSrcBudget%.2f,"q171_sec":$tOverlapFull%.2f,"q171_sketch_sec":$tOverlapSketch%.2f,"q172_sec":$tCap%.2f,"q142_sec":$tPack%.2f,"q149_sec":$tCard%.2f,"q150_sec":$tDecon%.2f,"q134_sec":$tSeg%.2f,"q137_sec":$tPmi%.2f,"q139_sec":$tTrans%.2f,"q194_sec":$tScd%.2f,"q121_sec":$tChunk%.2f,"q122_sec":$tLocf%.2f,"q126_sec":$tMask%.2f,"q127_sec":$tCur%.2f,"q108_sec":$tLex%.2f,"q109_sec":$tGaps%.2f,"q111_sec":$tMad%.2f,"q112_sec":$tGrid%.2f,"q114_sec":$tTri%.2f,"q114_cc_ppm":${rep114.getLong(4)},"q74_sec":$tSpan%.2f,"q74_rows":$spanRows,"q81_sec":$tOverlap%.2f,"q81_full_matches":$q81Full,"q79_sec":$tTrain%.2f,"q80_sec":$tApply%.2f,"q95_sec":$tBigram%.2f,"q98_sec":$tMix%.2f,"q98_surviving_tokens":$survTok,"q104_sec":$tSkew%.2f,"q99_sec":$tHeldout%.2f,"q101_sec":$tReid%.2f,"q102_sec":$tBoot%.2f,"q103_sec":$tBootFused%.2f,"bigram_types_base":$baseTypes,"bigram_types_train_r":$trainTypesR,"q95_skewcorpus_sec":$tFlatSkew%.2f,"q104_skewcorpus_sec":$tSplitSkew%.2f,"q99_skewcorpus_sec":$tFlatHeld%.2f,"q153_skewcorpus_sec":$tSplitHeld%.2f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"curation_stress","reps":$reps,"q169_sec":$tBudget%.2f,"q170_sec":$tSrcBudget%.2f,"q171_sec":$tOverlapFull%.2f,"q171_sketch_sec":$tOverlapSketch%.2f,"q172_sec":$tCap%.2f,"q142_sec":$tPack%.2f,"q149_sec":$tCard%.2f,"q150_sec":$tDecon%.2f,"q134_sec":$tSeg%.2f,"q137_sec":$tPmi%.2f,"q139_sec":$tTrans%.2f,"q194_sec":$tScd%.2f,"q197_sec":$tDiff%.2f,"q121_sec":$tChunk%.2f,"q122_sec":$tLocf%.2f,"q126_sec":$tMask%.2f,"q127_sec":$tCur%.2f,"q108_sec":$tLex%.2f,"q109_sec":$tGaps%.2f,"q111_sec":$tMad%.2f,"q112_sec":$tGrid%.2f,"q114_sec":$tTri%.2f,"q114_cc_ppm":${rep114.getLong(4)},"q74_sec":$tSpan%.2f,"q74_rows":$spanRows,"q81_sec":$tOverlap%.2f,"q81_full_matches":$q81Full,"q79_sec":$tTrain%.2f,"q80_sec":$tApply%.2f,"q95_sec":$tBigram%.2f,"q98_sec":$tMix%.2f,"q98_surviving_tokens":$survTok,"q104_sec":$tSkew%.2f,"q99_sec":$tHeldout%.2f,"q101_sec":$tReid%.2f,"q102_sec":$tBoot%.2f,"q103_sec":$tBootFused%.2f,"bigram_types_base":$baseTypes,"bigram_types_train_r":$trainTypesR,"q95_skewcorpus_sec":$tFlatSkew%.2f,"q104_skewcorpus_sec":$tSplitSkew%.2f,"q99_skewcorpus_sec":$tFlatHeld%.2f,"q153_skewcorpus_sec":$tSplitHeld%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
