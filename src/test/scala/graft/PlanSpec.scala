@@ -149,6 +149,21 @@ class PlanSpec extends SparkSpec {
       "at oracle SF every PK side fits a broadcast; at 100 TB the " +
         "lineitem→orders edge becomes the bucketed SMJ by AQE, not by " +
         "a plan rewrite")
+    // pruning reaches every scan: an FK probe over a 100 TB fact table
+    // must read its key column, never the row — the lineitem probe
+    // reads EXACTLY l_orderkey; the widest scan in the whole plan is
+    // the 3-column documents consistency check (doc_id, text, n_chars)
+    val scans = nodes.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    val li = scans.filter(_.requiredSchema.fieldNames.contains("l_orderkey"))
+    assert(li.nonEmpty &&
+      li.forall(_.requiredSchema.fieldNames.toSeq == Seq("l_orderkey")),
+      s"lineitem probe must read only its key: ${li.map(
+        _.requiredSchema.fieldNames.mkString(",")).mkString(" | ")}")
+    scans.foreach { sc =>
+      assert(sc.requiredSchema.length <= 3,
+        s"unpruned scan: ${sc.requiredSchema.fieldNames.mkString(",")}")
+    }
   }
 
   test("q49 contamination: bench set is a broadcast cross, corpus never shuffle-joins") {
