@@ -490,7 +490,53 @@ object CurationStress {
           s"want ${want.toList.distinct})")
     }
 
-    // ---- round-7 fifth wave (q142/q149/q150) at scale
+    // q193: replicate the WHOLE FK chain (customer→orders→lineitem +
+    // events) with consistent key strides — acctbal is preserved, so
+    // the tombstone rule fires identically per replica and purge
+    // propagation must scale every census cell EXACTLY ×R with
+    // residual_refs pinned at 0. The lake-scale claim under test: the
+    // transitive purge stays a key-join cascade, never a rescan whose
+    // cost depends on the tombstone count.
+    val purgeDir = s"/tmp/graft_purge_stress_$reps"
+    val ckS = Tables.customer(spark, sfDir)
+      .agg(max(col("c_custkey"))).head().getLong(0) + 1L
+    val okS = Tables.orders(spark, sfDir)
+      .agg(max(col("o_orderkey"))).head().getLong(0) + 1L
+    Tables.customer(spark, sfDir).crossJoin(spark.range(reps).toDF("rep"))
+      .select((col("c_custkey") + col("rep") * ckS).as("c_custkey"),
+        col("c_name"), col("c_nationkey"), col("c_acctbal"),
+        col("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$purgeDir/customer.parquet")
+    Tables.orders(spark, sfDir).crossJoin(spark.range(reps).toDF("rep"))
+      .select((col("o_orderkey") + col("rep") * okS).as("o_orderkey"),
+        (col("o_custkey") + col("rep") * ckS).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$purgeDir/orders.parquet")
+    Tables.lineitem(spark, sfDir).crossJoin(spark.range(reps).toDF("rep"))
+      .select((col("l_orderkey") + col("rep") * okS).as("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+        col("l_tax"), col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$purgeDir/lineitem.parquet")
+    Tables.events(spark, sfDir).crossJoin(spark.range(reps).toDF("rep"))
+      .select((col("event_id") + col("rep") * eventStride).as("event_id"),
+        col("ts"), (col("user_id") + col("rep") * ckS).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$purgeDir/events.parquet")
+    noop(Events.q193DeletionPropagation(spark, sfDir)) // warmup + 1× ref
+    val base193 = Events.q193DeletionPropagation(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (rep193, tPurge) = time(
+      Events.q193DeletionPropagation(spark, purgeDir).collect())
+    val got193 = rep193.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got193 == base193.map { case (k, (t, p, kept, _)) =>
+      k -> (t * reps, p * reps, kept * reps, 0L) },
+      s"q193 scaling law broken: the transitive purge must scale every " +
+        s"cell ×R with residual 0 (got $got193)")
 
     // q142: packing is a pure function of (texts in doc_id order) per
     // feed, and replica feeds preserve both — every replica feed's
@@ -614,7 +660,7 @@ object CurationStress {
       Dedup.DupCap.toLong * card(baseCard, "distinct_fps"),
       "q172 at R≥cap must keep exactly cap copies of every distinct content")
 
-    println(f"""{"metric":"curation_stress","reps":$reps,"q169_sec":$tBudget%.2f,"q170_sec":$tSrcBudget%.2f,"q171_sec":$tOverlapFull%.2f,"q171_sketch_sec":$tOverlapSketch%.2f,"q172_sec":$tCap%.2f,"q142_sec":$tPack%.2f,"q149_sec":$tCard%.2f,"q150_sec":$tDecon%.2f,"q134_sec":$tSeg%.2f,"q137_sec":$tPmi%.2f,"q139_sec":$tTrans%.2f,"q194_sec":$tScd%.2f,"q197_sec":$tDiff%.2f,"q121_sec":$tChunk%.2f,"q122_sec":$tLocf%.2f,"q126_sec":$tMask%.2f,"q127_sec":$tCur%.2f,"q108_sec":$tLex%.2f,"q109_sec":$tGaps%.2f,"q111_sec":$tMad%.2f,"q112_sec":$tGrid%.2f,"q114_sec":$tTri%.2f,"q114_cc_ppm":${rep114.getLong(4)},"q74_sec":$tSpan%.2f,"q74_rows":$spanRows,"q81_sec":$tOverlap%.2f,"q81_full_matches":$q81Full,"q79_sec":$tTrain%.2f,"q80_sec":$tApply%.2f,"q95_sec":$tBigram%.2f,"q98_sec":$tMix%.2f,"q98_surviving_tokens":$survTok,"q104_sec":$tSkew%.2f,"q99_sec":$tHeldout%.2f,"q101_sec":$tReid%.2f,"q102_sec":$tBoot%.2f,"q103_sec":$tBootFused%.2f,"bigram_types_base":$baseTypes,"bigram_types_train_r":$trainTypesR,"q95_skewcorpus_sec":$tFlatSkew%.2f,"q104_skewcorpus_sec":$tSplitSkew%.2f,"q99_skewcorpus_sec":$tFlatHeld%.2f,"q153_skewcorpus_sec":$tSplitHeld%.2f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"curation_stress","reps":$reps,"q169_sec":$tBudget%.2f,"q170_sec":$tSrcBudget%.2f,"q171_sec":$tOverlapFull%.2f,"q171_sketch_sec":$tOverlapSketch%.2f,"q172_sec":$tCap%.2f,"q142_sec":$tPack%.2f,"q149_sec":$tCard%.2f,"q150_sec":$tDecon%.2f,"q134_sec":$tSeg%.2f,"q137_sec":$tPmi%.2f,"q139_sec":$tTrans%.2f,"q194_sec":$tScd%.2f,"q197_sec":$tDiff%.2f,"q193_sec":$tPurge%.2f,"q121_sec":$tChunk%.2f,"q122_sec":$tLocf%.2f,"q126_sec":$tMask%.2f,"q127_sec":$tCur%.2f,"q108_sec":$tLex%.2f,"q109_sec":$tGaps%.2f,"q111_sec":$tMad%.2f,"q112_sec":$tGrid%.2f,"q114_sec":$tTri%.2f,"q114_cc_ppm":${rep114.getLong(4)},"q74_sec":$tSpan%.2f,"q74_rows":$spanRows,"q81_sec":$tOverlap%.2f,"q81_full_matches":$q81Full,"q79_sec":$tTrain%.2f,"q80_sec":$tApply%.2f,"q95_sec":$tBigram%.2f,"q98_sec":$tMix%.2f,"q98_surviving_tokens":$survTok,"q104_sec":$tSkew%.2f,"q99_sec":$tHeldout%.2f,"q101_sec":$tReid%.2f,"q102_sec":$tBoot%.2f,"q103_sec":$tBootFused%.2f,"bigram_types_base":$baseTypes,"bigram_types_train_r":$trainTypesR,"q95_skewcorpus_sec":$tFlatSkew%.2f,"q104_skewcorpus_sec":$tSplitSkew%.2f,"q99_skewcorpus_sec":$tFlatHeld%.2f,"q153_skewcorpus_sec":$tSplitHeld%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
