@@ -470,24 +470,24 @@ object CurationStress {
       .write.mode("overwrite").parquet(s"$diffDir/documents.parquet")
     noop(queries.PipelineQ.q197SnapshotDiff(spark, sfDir)) // warmup + ref
     val base197 = queries.PipelineQ.q197SnapshotDiff(spark, sfDir).collect()
-      .map(r => r.getString(0).takeWhile(_ != '_') ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     val (rep197, tDiff) = time(
       queries.PipelineQ.q197SnapshotDiff(spark, diffDir).collect())
-    // fold replica feeds back onto their base source: each base cell
-    // must appear exactly reps times, value-identical
-    val got197 = rep197.map(r => r.getString(0).takeWhile(_ != '_') ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    assert(got197.keySet == base197.keySet)
-    got197.foreach { case (src, cells) =>
-      val want = base197(src)
-      assert(cells.length == want.length * reps &&
-        cells.distinct.sorted.sameElements(want.distinct.sorted),
-        s"q197 scaling law broken for $src: replica diff cells must " +
-          s"replay the base cells exactly (got ${cells.toList.distinct}, " +
-          s"want ${want.toList.distinct})")
+    // the census emits ONE row per source, so the law is row-exact:
+    // replica feed `src_<rep>` must carry its base source's cell
+    // verbatim, and every (base, rep) pair must appear exactly once
+    // — stripping the LAST `_<rep>` segment, never a prefix (a base
+    // source name containing '_' must not merge groups)
+    assert(rep197.length == base197.size * reps,
+      s"q197: expected ${base197.size * reps} replica rows, got ${rep197.length}")
+    rep197.foreach { r =>
+      val src = r.getString(0)
+      val baseSrc = src.substring(0, src.lastIndexOf('_'))
+      val cell = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(base197.get(baseSrc).contains(cell),
+        s"q197 scaling law broken: $src must replay $baseSrc's cell " +
+          s"verbatim (got $cell, want ${base197.get(baseSrc)})")
     }
 
     // q193: replicate the WHOLE FK chain (customer→orders→lineitem +

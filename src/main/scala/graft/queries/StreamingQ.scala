@@ -895,9 +895,8 @@ object StreamingQ {
     import graft.streaming.StatefulScd2.SEvent
     import org.apache.spark.sql.streaming.OutputMode
     implicit val ee = org.apache.spark.sql.Encoders.product[SEvent]
-    val work = Streams.scratchDir("graft_q196")
-    val flushUser = -1L
-    StatefulTransitions.stageOrderedFeed(s, dir, s"$work/feed", 4)
+    // empty-corpus guard BEFORE any staging work: the early return
+    // must not pay the corpus range-shuffle it exists to skip
     val maxRow = Tables.events(s, dir)
       .agg(max(col("ts").cast("timestamp_ltz"))).head()
     if (maxRow.isNullAt(0))
@@ -905,6 +904,9 @@ object StreamingQ {
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType.fromDDL("event_type string, intervals bigint, " +
           "closed bigint, dur_us_sum bigint, dur_us_max bigint"))
+    val work = Streams.scratchDir("graft_q196")
+    val flushUser = -1L
+    StatefulTransitions.stageOrderedFeed(s, dir, s"$work/feed", 4)
     val maxTs = maxRow.getTimestamp(0)
     // quiesce point 1 h past the corpus; sentinels 48 h past it drive
     // the watermark over the flush timer (q113's two-chunk staging)

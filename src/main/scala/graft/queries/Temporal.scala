@@ -76,7 +76,7 @@ object Temporal {
     * order (both windows partition by user_id, so one exchange feeds
     * both sorts — HashPartitioning(user_id) satisfies the
     * (user_id, event_type) clustering), runs close via lead() over
-    * (from_us, min event_id) — the event_id tie-break keeps equal-µs
+    * (from_us, first event id) — the run-START tie-break keeps equal-µs
     * runs deterministic. Census per state: interval count, closed
     * count, and closed-interval duration mass in integer µs (no
     * float path anywhere).
@@ -97,12 +97,20 @@ object Temporal {
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts").cast("timestamp_ltz")).as("us"),
         col("event_id"))
-      .withColumn("grp",
-        row_number().over(wAll) - row_number().over(wState))
+      .withColumn("rn", row_number().over(wAll))
+      .withColumn("grp", col("rn") - row_number().over(wState))
       .groupBy(col("user_id"), col("event_type"), col("grp"))
-      .agg(min(col("us")).as("from_us"), min(col("event_id")).as("min_eid"))
+      // tie-break on the run's FIRST event id (min_by rn — the id at
+      // the minimal (us, event_id)), NOT min(event_id) over the run:
+      // with equal-µs run starts and non-monotone ids, a later run
+      // could hold the smaller id and lead() would close intervals in
+      // an order the streaming fold (q196, strict (us, id) order)
+      // never produces — run-START order is the one order both builds
+      // share
+      .agg(min(col("us")).as("from_us"),
+        min_by(col("event_id"), col("rn")).as("first_eid"))
     val wRun = Window.partitionBy(col("user_id"))
-      .orderBy(col("from_us").asc, col("min_eid").asc)
+      .orderBy(col("from_us").asc, col("first_eid").asc)
     runs.withColumn("to_us", lead(col("from_us"), 1).over(wRun))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("intervals"),
@@ -116,19 +124,19 @@ object Temporal {
       |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
       |         row_number() OVER (PARTITION BY user_id
       |                            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC,
-      |                                     event_id ASC)
-      |         - row_number() OVER (PARTITION BY user_id, event_type
-      |                              ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC,
-      |                                       event_id ASC) AS grp
+      |                                     event_id ASC) AS rn,
+      |         row_number() OVER (PARTITION BY user_id, event_type
+      |                            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC,
+      |                                     event_id ASC) AS rns
       |  FROM events),
       |runs AS (
-      |  SELECT user_id, event_type, grp, min(us) AS from_us,
-      |         min(event_id) AS min_eid
+      |  SELECT user_id, event_type, rn - rns AS grp, min(us) AS from_us,
+      |         arg_min(event_id, rn) AS first_eid
       |  FROM e GROUP BY 1, 2, 3),
       |scd AS (
       |  SELECT user_id, event_type, from_us,
       |         lead(from_us) OVER (PARTITION BY user_id
-      |                             ORDER BY from_us ASC, min_eid ASC) AS to_us
+      |                             ORDER BY from_us ASC, first_eid ASC) AS to_us
       |  FROM runs)
       |SELECT event_type, count(*) AS intervals,
       |       CAST(sum(CASE WHEN to_us IS NULL THEN 0 ELSE 1 END) AS BIGINT)

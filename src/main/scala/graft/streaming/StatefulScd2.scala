@@ -73,6 +73,13 @@ object StatefulScd2 {
     (out.reverse, cur)
   }
 
+  /** The absolute quiesce timer, ONE definition for both state APIs:
+    * ceil `flushUs` to the next ms (so it can't fire a µs early) and
+    * clamp above the live watermark (so a key touched AFTER the flush
+    * point re-arms legally instead of throwing). */
+  def flushTimerMs(flushUs: Long, watermarkMs: Long): Long =
+    math.max(math.floorDiv(flushUs + 999L, 1000L), watermarkMs + 60000L)
+
   /** flatMapGroupsWithState update: close runs on state change; on
     * timer expiry (watermark past `flushUs`) emit the open run with
     * to_us = None and clear. */
@@ -89,11 +96,8 @@ object StatefulScd2 {
         events.map(e => (micros(e.ts), e.event_id, e.event_type)).toSeq)
       cur.foreach { r =>
         state.update(r)
-        // absolute quiesce timer, clamped above the live watermark
-        // (ms granularity; ceil so it can't fire a µs early)
-        state.setTimeoutTimestamp(math.max(
-          math.floorDiv(flushUs + 999L, 1000L),
-          state.getCurrentWatermarkMs() + 60000L))
+        state.setTimeoutTimestamp(
+          flushTimerMs(flushUs, state.getCurrentWatermarkMs()))
       }
       closed.iterator.map(_.copy(user_id = userId))
     }
@@ -141,9 +145,8 @@ object StatefulScd2 {
       cur.foreach { r =>
         state.update(r)
         if (prev.isEmpty)
-          getHandle.registerTimer(math.max(
-            math.floorDiv(flushUs + 999L, 1000L),
-            tv.getCurrentWatermarkInMs() + 60000L))
+          getHandle.registerTimer(
+            flushTimerMs(flushUs, tv.getCurrentWatermarkInMs()))
       }
       closed.iterator.map(_.copy(user_id = key))
     }
