@@ -449,6 +449,19 @@ object SparkEntry {
     // the versioning diff at ingest: the new crawl's manifest lands
     // per micro-batch, the snapshot diffs it against the old crawl
     "q198_incremental_diff" -> (StreamingQ.q198IncrementalSnapshotDiff _),
+    // right-to-be-forgotten at the write path: stream-static broadcast
+    // anti-join drops tombstoned users' rows before they land
+    "q199_incremental_purge" -> (StreamingQ.q199IncrementalPurge _),
+    // per-source content-integrity roots: order-independent xor/sum
+    // commitments — replica drift is an O(sources) comparison
+    "q200_integrity_roots" -> (PipelineQ.q200IntegrityRoots _),
+    // reliability-diagram census for the langid-style classifier:
+    // per-confidence-bin predicted vs realized rates (ECE table)
+    "q201_calibration_bins" -> (Text.q201CalibrationBins _),
+    // the q195 expectations gate at ingest: per-batch sum-mergeable
+    // (check, key) partials from a stream-static FK probe + scan flags
+    "q202_incremental_expectations" ->
+      (StreamingQ.q202IncrementalExpectations _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -653,5 +666,9 @@ object SparkEntry {
     "q196_incremental_scd2" -> Temporal.q194Sql,
     "q197_snapshot_diff" -> PipelineQ.q197Sql,
     "q198_incremental_diff" -> PipelineQ.q197Sql,
+    "q199_incremental_purge" -> StreamingQ.q199Sql,
+    "q200_integrity_roots" -> PipelineQ.q200Sql,
+    "q201_calibration_bins" -> Text.q201Sql,
+    "q202_incremental_expectations" -> StreamingQ.q202Sql,
   )
 }

@@ -438,4 +438,59 @@ object PipelineQ {
        |         AS BIGINT) AS unchanged
        |FROM d GROUP BY 1""".stripMargin
   }
+
+  /** Content-integrity roots (q200) — the tamper/corruption audit that
+    * complements the q197 diff: q197 tells you WHAT changed between
+    * snapshots; q200 gives each source a constant-size commitment so
+    * "did anything change / did a replica drift" is an O(sources)
+    * comparison, not a re-diff. Every doc contributes a 60-bit
+    * keyed content hash h = md5(doc_id ‖ ':' ‖ text) (doc_id in the
+    * preimage so content swapped BETWEEN docs — same multiset of
+    * texts — still flips the root), and the per-source roots fold
+    * h with ORDER-INDEPENDENT combiners: bit_xor and an exact
+    * decimal(38) sum folded mod 2⁶¹−1 back into a 64-bit lane (two
+    * independent algebras + an independently-salted second xor, so a
+    * collision must fool all three at once).
+    *
+    * Scale shape: this is the q149 datasheet's discipline applied to
+    * integrity — one corpus scan, hash computed scan-side, then a
+    * plain hash-agg on (source); the combiners are commutative and
+    * associative, so map-side partials shrink every partition to one
+    * row per source before the shuffle and the roots merge across
+    * files/batches/replicas without any ordering contract (a Merkle
+    * tree's sort-by-leaf step is exactly what does NOT survive a
+    * 1000-executor scan order). The decimal(38) sum cannot overflow
+    * below ~10^19 docs/source. Verification of a 100 TB lake = re-scan
+    * + compare O(sources) rows. */
+  /** The roots themselves, over any (source, doc_id, text) frame —
+    * factored so the spec can feed tampered/permuted corpora. */
+  def integrityRoots(docs: DataFrame): DataFrame = {
+    def root(salt: String): org.apache.spark.sql.Column =
+      conv(substring(md5(concat(lit(salt), col("doc_id").cast("string"),
+        lit(":"), col("text"))), 1, 15), 16, 10).cast("long")
+    docs
+      .select(col("source"), root("").as("h1"), root("b:").as("h2"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        expr("bit_xor(h1)").as("xor_root"),
+        expr("CAST(sum(CAST(h1 AS DECIMAL(38,0))) % 2305843009213693951L " +
+          "AS BIGINT)").as("sum_root"),
+        expr("bit_xor(h2)").as("xor_root_b"))
+  }
+
+  def q200IntegrityRoots(s: SparkSession, dir: String): DataFrame =
+    integrityRoots(Tables.documents(s, dir))
+  val q200Sql: String = {
+    def h(salt: String) =
+      s"CAST('0x' || substr(md5('$salt' || CAST(doc_id AS VARCHAR) || " +
+        "':' || text), 1, 15) AS BIGINT)"
+    s"""WITH r AS (
+       |  SELECT source, ${h("")} AS h1, ${h("b:")} AS h2 FROM documents)
+       |SELECT source, count(*) AS docs,
+       |       bit_xor(h1) AS xor_root,
+       |       CAST(sum(CAST(h1 AS HUGEINT)) % 2305843009213693951
+       |         AS BIGINT) AS sum_root,
+       |       bit_xor(h2) AS xor_root_b
+       |FROM r GROUP BY 1""".stripMargin
+  }
 }

@@ -444,6 +444,30 @@ object Relational {
       .unionAll(scan("consistency_documents_chars", docs,
         col("n_chars") =!= length(col("text")), col("doc_id")))
   }
+  /** Per-micro-batch expectation partials for the q202 ingest gate:
+    * the batch arrives already FK-flagged (left-joined `pk` column
+    * from the broadcast active-customer dim upstream in the streaming
+    * plan), and each check reduces to (check_name, key, rows,
+    * violations) at a BOUNDED key grain — user_id for the FK probe,
+    * event_type for the scans — so the landed partials are
+    * sum-mergeable AND distinct_keys stays exactly reconstructible
+    * across batches. Runs batch-local inside foreachBatch: no stream
+    * shuffle, no state store. */
+  def expectationPartials(flagged: DataFrame): DataFrame = {
+    def census(name: String, key: Column, bad: Column): DataFrame =
+      flagged.groupBy(key.as("key"))
+        .agg(count(lit(1)).as("rows"),
+          sum(when(bad, 1L).otherwise(0L)).as("violations"))
+        .select(lit(name).as("check_name"), col("key"), col("rows"),
+          col("violations"))
+    census("fk_events_active_customer", col("user_id").cast("string"),
+        col("pk").isNull)
+      .unionAll(census("nn_events_type", col("event_type"),
+        col("event_type").isNull || length(col("event_type")) === 0))
+      .unionAll(census("range_events_value", col("event_type"),
+        col("value") < 1))
+  }
+
   val q195Sql: String =
     """SELECT 'fk_lineitem_orders' AS check_name,
       |       count(*) AS rows_checked,

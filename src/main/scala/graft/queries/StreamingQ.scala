@@ -964,6 +964,124 @@ object StreamingQ {
     PipelineQ.diffCensus(PipelineQ.snapshotAManifest(s, dir), bManifest)
   }
 
+  /** q199: deletion propagation AT INGEST — q193's right-to-be-
+    * forgotten purge applied while the data is still arriving, so
+    * erased users' rows never LAND (GDPR storage-limitation wants the
+    * tombstone enforced at the write path, not only by a nightly
+    * sweep). Each micro-batch anti-joins the broadcast tombstone set
+    * (stream-static left_anti — the complement of q192's enrichment
+    * join: same no-state/no-watermark shape, same per-batch broadcast
+    * cost forever); kept rows land in the append sink, and the census
+    * re-audits the LANDED product with a semi-join so residual_refs
+    * is a measured zero over what was actually written, q193's
+    * discipline. Oracle: the events leg of the batch purge census.
+    *
+    * Scale shape: the tombstone dim is O(erasure requests) —
+    * broadcast-able by definition; the stream side never shuffles and
+    * holds no state, so ingest throughput is the scan rate. The
+    * total/kept counts are sink-side aggregates of the landed feed,
+    * not driver accumulators. */
+  def q199IncrementalPurge(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val ddl = "event_id bigint, user_id bigint"
+    def tombOf(sess: SparkSession) =
+      Tables.customer(sess, dir).filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("t_key"))
+    val work = streamedEvents(s, dir, Seq("event_id", "user_id"), ddl) {
+      (events, work) =>
+        events.join(broadcast(tombOf(events.sparkSession)),
+            col("user_id") === col("t_key"), "left_anti")
+          .writeStream.format("parquet").option("path", s"$work/kept")
+          .option("checkpointLocation", s"$work/ckpt")
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    val kept = s.read.schema(StructType.fromDDL(ddl)).parquet(s"$work/kept")
+    val staged = s.read.schema(StructType.fromDDL(ddl))
+      .parquet(s"$work/chunks")
+    staged.agg(count(lit(1)).as("total_rows"))
+      .crossJoin(kept.agg(count(lit(1)).as("kept_rows")))
+      .crossJoin(kept.join(broadcast(tombOf(s)),
+          col("user_id") === col("t_key"), "left_semi")
+        .agg(count(lit(1)).as("residual_refs")))
+      .select(lit("events").as("rel"), col("total_rows"),
+        (col("total_rows") - col("kept_rows")).as("purged_rows"),
+        col("kept_rows"), col("residual_refs"))
+  }
+
+  /** q199 oracle — the events leg of q193's purge census. */
+  val q199Sql: String =
+    """WITH tomb AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+      |SELECT 'events' AS rel,
+      |       (SELECT count(*) FROM events) AS total_rows,
+      |       (SELECT count(*) FROM events
+      |        WHERE EXISTS (SELECT 1 FROM tomb t
+      |                      WHERE t.c_custkey = events.user_id))
+      |         AS purged_rows,
+      |       (SELECT count(*) FROM events
+      |        WHERE NOT EXISTS (SELECT 1 FROM tomb t
+      |                          WHERE t.c_custkey = events.user_id))
+      |         AS kept_rows,
+      |       CAST(0 AS BIGINT) AS residual_refs""".stripMargin
+
+  /** q202: the q195 data-quality expectations gate AT INGEST — the
+    * admit-to-training validation run where it belongs at 100 TB: on
+    * each arriving micro-batch, not as a nightly full rescan. The FK
+    * probe is a stream-static broadcast left join against the ACTIVE
+    * customer dimension (c_acctbal ≥ 0 — referential integrity
+    * against the non-erased dim, the q199/q193 governance tie-in, and
+    * a check with real violation mass); the null and range scans are
+    * scan-side flags. Each batch lands per-(check, key) partials —
+    * rows and violations are SUM-mergeable, and the keyed grain keeps
+    * distinct_keys reconstructible exactly (keys are bounded: users ×
+    * event types, never rows) — as replay-idempotent batch_id
+    * partitions; the snapshot re-sums and counts distinct keys.
+    * Oracle: the batch spelling of all three checks ([[q202Sql]]).
+    *
+    * Scale shape: no state store at all — the monitor is the
+    * sum-merge family's shape (q105's token log, check-census
+    * edition): per-batch state is O(active users + event types), the
+    * stream never shuffles corpus rows (the groupBy runs inside
+    * foreachBatch on batch-local rows), and the gate's verdict is
+    * readable mid-ingest from O(keys) partials. */
+  def q202IncrementalExpectations(s: SparkSession, dir: String): DataFrame = {
+    val work = streamedEvents(s, dir, Seq("user_id", "event_type", "value"),
+      "user_id bigint, event_type string, value double") { (events, work) =>
+      val active = Tables.customer(events.sparkSession, dir)
+        .filter(col("c_acctbal") >= 0)
+        .select(col("c_custkey").as("pk")).distinct()
+      Streams.incrementalExpectations(
+        events.join(broadcast(active), col("user_id") === col("pk"), "left"),
+        s"$work/checks", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Streams.expectationsSnapshot(s, s"$work/checks")
+  }
+
+  /** q202 oracle — the batch expectations census over the full events
+    * table: FK against the active (non-tombstoned) customer dim,
+    * non-empty event_type, value ≥ 1. */
+  val q202Sql: String =
+    """SELECT 'fk_events_active_customer' AS check_name,
+      |       count(*) AS rows_checked,
+      |       CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c
+      |                  WHERE c.c_custkey = e.user_id
+      |                    AND c.c_acctbal >= 0)
+      |         THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+      |       count(DISTINCT user_id) AS distinct_keys
+      |FROM events e
+      |UNION ALL
+      |SELECT 'nn_events_type', count(*),
+      |       CAST(sum(CASE WHEN event_type IS NULL OR length(event_type) = 0
+      |         THEN 1 ELSE 0 END) AS BIGINT),
+      |       count(DISTINCT event_type)
+      |FROM events
+      |UNION ALL
+      |SELECT 'range_events_value', count(*),
+      |       CAST(sum(CASE WHEN value < 1 THEN 1 ELSE 0 END) AS BIGINT),
+      |       count(DISTINCT event_type)
+      |FROM events""".stripMargin
+
   /** q192 oracle — the batch spelling of the enrichment join census,
     * identical integer-cents quantization. */
   val q192Sql: String =

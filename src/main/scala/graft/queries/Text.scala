@@ -2408,4 +2408,57 @@ object Text {
        |r AS (SELECT *, row_number() OVER (
        |        ORDER BY lift_ppm DESC, w1, w2) AS rnk FROM l)
        |SELECT rnk, w1, w2, c2, lift_ppm FROM r WHERE rnk <= $PmiTopK""".stripMargin
+
+  /** Classifier-calibration census (q201) — the reliability diagram
+    * behind every "quality/language classifier gated this corpus"
+    * claim: a filter whose scores are miscalibrated silently skews the
+    * admitted mixture, so the census a curation pipeline wants is
+    * per-confidence-bin (predicted vs realized) rates, the table an
+    * expected-calibration-error (ECE) number is read off of. The
+    * predictor under audit is deterministic — P(english) ≈
+    * least(999, stopword_count·4000 div tokens) permille (the q21
+    * langid family's marker evidence, rescaled) — and the realized
+    * outcome is the corpus's own lang label, so the census measures a
+    * real (and really miscalibrated) classifier with no RNG in the
+    * loop. Per bin (pred div 100): docs, mean predicted permille,
+    * positives, realized permille, |gap| permille.
+    *
+    * Scale shape: marker counting is the codegen'd [[graft.functions
+    * .MarkerCount]] kernel scan-side, then ONE hash-agg on a ≤10-key
+    * bin column — map-side partials collapse every partition to ≤10
+    * rows before the shuffle; all arithmetic is integer (permille),
+    * so the oracle comparison is exact. The census is O(bins)
+    * however large the corpus; ECE itself is a driver-side fold over
+    * 10 rows. */
+  def q201CalibrationBins(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("toks", TextOps.tokens(col("text")))
+      .withColumn("stopn",
+        TextOps.markerCount(col("toks"), TextOps.enMarkers).cast("long"))
+      .select(expr("least(999L, stopn * 4000 div size(toks))").as("pred_pm"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy(expr("pred_pm div 100").as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(pred_pm) div count(1)").as("mean_pred_pm"),
+        sum(col("pos")).as("positives"))
+      .withColumn("actual_pm", expr("positives * 1000 div n_docs"))
+      .withColumn("gap_pm", abs(col("mean_pred_pm") - col("actual_pm")))
+  val q201Sql: String = {
+    val toks = "str_split(text, ' ')"
+    val stop = "len(list_filter(str_split(text, ' '), t -> t IN " +
+      "('the','and','of','to','a')))"
+    s"""WITH sc AS (
+       |  SELECT least(999, $stop * 4000 // len($toks)) AS pred_pm,
+       |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+       |  FROM documents),
+       |c AS (
+       |  SELECT pred_pm // 100 AS bin, count(*) AS n_docs,
+       |         CAST(sum(pred_pm) AS BIGINT) // count(*) AS mean_pred_pm,
+       |         CAST(sum(pos) AS BIGINT) AS positives
+       |  FROM sc GROUP BY 1)
+       |SELECT bin, n_docs, mean_pred_pm, positives,
+       |       positives * 1000 // n_docs AS actual_pm,
+       |       abs(mean_pred_pm - positives * 1000 // n_docs) AS gap_pm
+       |FROM c""".stripMargin
+  }
 }

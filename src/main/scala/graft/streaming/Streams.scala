@@ -460,6 +460,35 @@ object Streams {
     * here), and the snapshot's weight step is O(sources). This is the
     * piece a streaming ingest actually wants live: sampling rates
     * that track the corpus as feeds grow at different speeds. */
+  /** Expectations-gate monitor (q202): each micro-batch of the
+    * FK-flagged event feed (stream-static broadcast join upstream)
+    * lands its per-(check, key) row/violation partials as a
+    * replay-idempotent batch_id partition — the sum-merge family,
+    * check-census edition. Keys are bounded (users × event types), so
+    * per-batch state is O(keys), never O(rows). */
+  def incrementalExpectations(flagged: DataFrame, checksPath: String,
+                              checkpoint: String): DataStreamWriter[Row] =
+    flagged.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchPartition(
+          graft.queries.Relational.expectationPartials(batch), batchId,
+          checksPath)
+      }
+
+  /** The q202 census from the landed check partials: rows/violations
+    * re-sum across batches; distinct_keys distincts the bounded key
+    * column — exact because every batch lands every key it saw. */
+  def expectationsSnapshot(spark: SparkSession, checksPath: String): DataFrame =
+    readPartialsOrEmpty(spark, checksPath,
+      "check_name string, key string, rows bigint, violations bigint, " +
+        "batch_id bigint")
+      .groupBy(col("check_name"))
+      .agg(sum(col("rows")).as("rows_checked"),
+        sum(col("violations")).as("violations"),
+        countDistinct(col("key")).as("distinct_keys"))
+
   def incrementalSourceTokens(docs: DataFrame, tokensPath: String,
                               checkpoint: String): DataStreamWriter[Row] =
     docs.writeStream

@@ -166,6 +166,34 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q200 integrity roots: one scan, one agg exchange, no join/sort/window") {
+    val nodes = ops(planOf("q200_integrity_roots"))
+    assert(nodes.count(_.isInstanceOf[FileSourceScanExec]) == 1,
+      "the commitment is ONE corpus scan")
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeExec]) == 1,
+      "commutative combiners: map-side partials, one (source) exchange")
+    assert(!nodes.exists(n => n.isInstanceOf[SortMergeJoinExec] ||
+      n.isInstanceOf[BroadcastHashJoinExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+      "order-independent roots must not plan a sort or join")
+    // pruning: only the three contributing columns reach the scan
+    val sc = nodes.collect { case f: FileSourceScanExec => f }.head
+    assert(sc.requiredSchema.fieldNames.toSet ===
+      Set("source", "doc_id", "text"))
+  }
+
+  test("q201 calibration: one scan, one ≤10-key agg exchange, kernel stays codegen") {
+    val nodes = ops(planOf("q201_calibration_bins"))
+    assert(nodes.count(_.isInstanceOf[FileSourceScanExec]) == 1)
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeExec]) == 1,
+      "bin census: map-side partials collapse to ≤10 rows per task")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "the reliability table needs no window")
+    val sc = nodes.collect { case f: FileSourceScanExec => f }.head
+    assert(sc.requiredSchema.fieldNames.toSet === Set("lang", "text"),
+      "only the predictor and outcome columns may reach the scan")
+  }
+
   test("q49 contamination: bench set is a broadcast cross, corpus never shuffle-joins") {
     val nodes = ops(planOf("q49_contamination"))
     assert(nodes.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),

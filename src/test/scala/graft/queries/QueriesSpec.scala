@@ -2843,4 +2843,98 @@ class QueriesSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("q199 ingest purge equals the batch anti-join; nothing tombstoned lands") {
+    import org.apache.spark.sql.functions._
+    val r = StreamingQ.q199IncrementalPurge(spark, sf).head
+    val ev = graft.Tables.events(spark, sf)
+    val tomb = graft.Tables.customer(spark, sf)
+      .filter(col("c_acctbal") < 0).select(col("c_custkey"))
+    val keptWant = ev.join(tomb, col("user_id") === col("c_custkey"),
+      "left_anti").count()
+    assert(r.getString(0) === "events")
+    assert(r.getLong(1) === ev.count(), "total must be the full feed")
+    assert(r.getLong(2) + r.getLong(3) === r.getLong(1),
+      "purge must partition the feed")
+    assert(r.getLong(3) === keptWant,
+      "landed rows must equal the batch anti-join")
+    assert(r.getLong(2) > 0L, "planted tombstones must purge something")
+    assert(r.getLong(4) === 0L,
+      s"${r.getLong(4)} tombstoned rows LANDED — the write-path gate leaked")
+  }
+
+  test("q200 integrity roots: partition/order independent, tamper- and swap-sensitive") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("text"))
+    val base = rowsOf(PipelineQ.integrityRoots(docs))
+    // commutative combiners: any partitioning/order yields the same roots
+    val permuted = rowsOf(PipelineQ.integrityRoots(
+      docs.repartition(13).sortWithinPartitions(col("text"))))
+    assert(base === permuted, "roots must not depend on scan order")
+    // tampering one doc's content flips that source's roots
+    val src = docs.head.getString(0)
+    val victim = docs.filter(col("source") === src)
+      .agg(min(col("doc_id"))).head.getLong(0)
+    val tampered = rowsOf(PipelineQ.integrityRoots(docs.withColumn("text",
+      when(col("doc_id") === victim, concat(col("text"), lit("x")))
+        .otherwise(col("text")))))
+    assert(tampered !== base, "single-byte tamper must flip a root")
+    assert(tampered.size === base.size)
+    // swapping texts BETWEEN two docs preserves the text multiset but
+    // must still flip the root — doc_id rides in the preimage
+    val pair = docs.filter(col("source") === src).select(col("doc_id"))
+      .orderBy(col("doc_id")).limit(2).collect().map(_.getLong(0))
+    val a = pair(0); val b = pair(1)
+    val swapped = rowsOf(PipelineQ.integrityRoots(docs.withColumn("doc_id",
+      when(col("doc_id") === a, b).when(col("doc_id") === b, a)
+        .otherwise(col("doc_id")))))
+    assert(swapped !== base, "content swap between docs must flip a root")
+  }
+
+  test("q201 calibration bins: partition the corpus, envelopes and gap law hold") {
+    import org.apache.spark.sql.functions._
+    val rows = Text.q201CalibrationBins(spark, sf).collect()
+    val docs = graft.Tables.documents(spark, sf)
+    assert(rows.map(_.getLong(1)).sum === docs.count(),
+      "bins must partition the corpus")
+    assert(rows.map(_.getLong(3)).sum ===
+      docs.filter(col("lang") === "en").count(),
+      "positives must sum to the corpus's en docs")
+    rows.foreach { r =>
+      val (bin, n, mean, pos, actual, gap) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(bin >= 0L && bin <= 9L)
+      assert(mean >= bin * 100 && mean < (bin + 1) * 100,
+        s"bin $bin mean $mean escaped its envelope")
+      assert(pos <= n && actual === pos * 1000 / n)
+      assert(gap === math.abs(mean - actual))
+    }
+  }
+
+  test("q202 ingest expectations equal the batch census; planted masses fire") {
+    import org.apache.spark.sql.functions._
+    val got = StreamingQ.q202IncrementalExpectations(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet === Set("fk_events_active_customer",
+      "nn_events_type", "range_events_value"))
+    val ev = graft.Tables.events(spark, sf)
+    val n = ev.count()
+    assert(got.values.forall(_._1 === n), "every check scans every row")
+    // batch recompute of the FK probe against the ACTIVE dim
+    val active = graft.Tables.customer(spark, sf)
+      .filter(col("c_acctbal") >= 0).select(col("c_custkey"))
+    val fkBad = ev.join(active, col("user_id") === col("c_custkey"),
+      "left_anti").count()
+    assert(got("fk_events_active_customer")._2 === fkBad && fkBad > 0L,
+      "tombstoned users' events must flag as FK violations")
+    assert(got("fk_events_active_customer")._3 ===
+      ev.select(col("user_id")).distinct().count())
+    assert(got("nn_events_type")._2 === 0L, "synthetic types are clean")
+    assert(got("range_events_value")._2 ===
+      ev.filter(col("value") < 1).count())
+    assert(got("range_events_value")._3 ===
+      ev.select(col("event_type")).distinct().count())
+  }
 }
