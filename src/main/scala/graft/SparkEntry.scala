@@ -462,6 +462,9 @@ object SparkEntry {
     // (check, key) partials from a stream-static FK probe + scan flags
     "q202_incremental_expectations" ->
       (StreamingQ.q202IncrementalExpectations _),
+    // the integrity roots at ingest: per-batch per-source root
+    // partials merge exactly (commutative monoid) to the corpus roots
+    "q203_incremental_roots" -> (StreamingQ.q203IncrementalRoots _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -670,5 +673,6 @@ object SparkEntry {
     "q200_integrity_roots" -> PipelineQ.q200Sql,
     "q201_calibration_bins" -> Text.q201Sql,
     "q202_incremental_expectations" -> StreamingQ.q202Sql,
+    "q203_incremental_roots" -> PipelineQ.q200Sql,
   )
 }

@@ -1082,6 +1082,26 @@ object StreamingQ {
       |       count(DISTINCT event_type)
       |FROM events""".stripMargin
 
+  /** q203: the q200 content-integrity roots AT INGEST — each arriving
+    * micro-batch folds to per-source root partials ([[graft.streaming
+    * .Streams.incrementalIntegrityRoots]]); because the q200 combiners
+    * form a commutative monoid, the landed partials merge to EXACTLY
+    * the batch corpus roots whatever the batch boundaries (xor of
+    * xors; (Σ sᵢ mod p) mod p). This is what makes the commitment
+    * usable on a live lake: the current root is readable mid-crawl
+    * from O(sources × batches) partials, and a replica re-computing
+    * from its own scan order must agree bit-for-bit. Oracle: q200Sql —
+    * the ingest fold and the one-shot batch scan pinned to the same
+    * roots. */
+  def q203IncrementalRoots(s: SparkSession, dir: String): DataFrame = {
+    val work = streamed(s, dir, Seq("source", "doc_id", "text"),
+      "source string, doc_id bigint, text string") { (docs, work) =>
+      Streams.incrementalIntegrityRoots(docs, s"$work/roots", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Streams.integrityRootsSnapshot(s, s"$work/roots")
+  }
+
   /** q192 oracle — the batch spelling of the enrichment join census,
     * identical integer-cents quantization. */
   val q192Sql: String =

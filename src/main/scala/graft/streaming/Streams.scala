@@ -489,6 +489,39 @@ object Streams {
         sum(col("violations")).as("violations"),
         countDistinct(col("key")).as("distinct_keys"))
 
+  /** Integrity-root monitor (q203): each micro-batch folds its docs to
+    * per-source root PARTIALS (the q200 combiners — bit_xor, sum mod
+    * 2⁶¹−1, salted xor — are commutative AND associative, so a batch
+    * partial is just the roots of that batch's docs) landed as a
+    * replay-idempotent batch_id partition. O(sources) rows per batch;
+    * texts never enter state. */
+  def incrementalIntegrityRoots(docs: DataFrame, rootsPath: String,
+                                checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchPartition(
+          graft.queries.PipelineQ.integrityRoots(batch), batchId, rootsPath)
+      }
+
+  /** The corpus roots from landed per-batch partials: xor of xors IS
+    * the corpus xor, and (Σ (sᵢ mod p)) mod p = (Σ sᵢ) mod p — the
+    * merge is exact whatever the batch boundaries, which is the whole
+    * reason q200 refuses order-dependent (Merkle-leaf-sorted)
+    * commitments. */
+  def integrityRootsSnapshot(spark: SparkSession, rootsPath: String)
+      : DataFrame =
+    readPartialsOrEmpty(spark, rootsPath,
+      "source string, docs bigint, xor_root bigint, sum_root bigint, " +
+        "xor_root_b bigint, batch_id bigint")
+      .groupBy(col("source"))
+      .agg(sum(col("docs")).as("docs"),
+        expr("bit_xor(xor_root)").as("xor_root"),
+        expr("CAST(sum(CAST(sum_root AS DECIMAL(38,0))) % " +
+          "2305843009213693951L AS BIGINT)").as("sum_root"),
+        expr("bit_xor(xor_root_b)").as("xor_root_b"))
+
   def incrementalSourceTokens(docs: DataFrame, tokensPath: String,
                               checkpoint: String): DataStreamWriter[Row] =
     docs.writeStream

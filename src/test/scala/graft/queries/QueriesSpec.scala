@@ -2912,6 +2912,14 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q203 ingest roots equal the one-shot batch roots across batch boundaries") {
+    val got = rowsOf(StreamingQ.q203IncrementalRoots(spark, sf))
+    val want = rowsOf(PipelineQ.q200IntegrityRoots(spark, sf))
+    assert(got === want,
+      "per-batch root partials must merge to the batch-scan roots exactly")
+    assert(got.nonEmpty)
+  }
+
   test("q202 ingest expectations equal the batch census; planted masses fire") {
     import org.apache.spark.sql.functions._
     val got = StreamingQ.q202IncrementalExpectations(spark, sf).collect()
