@@ -465,6 +465,13 @@ object SparkEntry {
     // the integrity roots at ingest: per-batch per-source root
     // partials merge exactly (commutative monoid) to the corpus roots
     "q203_incremental_roots" -> (StreamingQ.q203IncrementalRoots _),
+    // q49's contamination screen per arriving micro-batch: plan-
+    // constant benchmark array, mergeable per-source (count, max)
+    "q204_incremental_contamination" ->
+      (StreamingQ.q204IncrementalContamination _),
+    // graded ranking quality for the ANN tier: integer-exact
+    // nDCG-style score over the existing exact/probe top-K manifests
+    "q205_ranking_quality" -> (Similarity.q205RankingQuality _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -674,5 +681,7 @@ object SparkEntry {
     "q201_calibration_bins" -> Text.q201Sql,
     "q202_incremental_expectations" -> StreamingQ.q202Sql,
     "q203_incremental_roots" -> PipelineQ.q200Sql,
+    "q204_incremental_contamination" -> Text.q49Sql,
+    "q205_ranking_quality" -> Similarity.q205Sql,
   )
 }

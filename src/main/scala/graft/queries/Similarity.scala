@@ -1265,4 +1265,58 @@ object Similarity {
        |            THEN 1000000 // coalesce(p.rk, 0) ELSE 0 END AS rr_ppm
        |FROM truth t LEFT JOIN probe p
        |  ON t.query_id = p.query_id AND t.true_top1 = p.neighbor_id""".stripMargin
+
+  /** Graded ranking quality (q205) — the third member of the
+    * retrieval-eval triad: q129 asks IF the true neighbors surface
+    * (recall), q143 asks WHERE the single best one lands (MRR), this
+    * asks how good the WHOLE returned ranking is — an nDCG-style
+    * score where each ANN hit earns a graded gain (4 − exact_rank:
+    * the exact scan's #1 is worth 3, #2 worth 2, #3 worth 1, misses
+    * 0) discounted by the position the ANN put it at. The discount is
+    * LINEAR-RECIPROCAL in integer permille (1000 div rank) rather
+    * than the textbook log₂ — deliberately: the metric stays exact
+    * integer arithmetic end-to-end, so the oracle comparison is
+    * hash-exact instead of float-tolerant, and the ranking it induces
+    * over queries is the same monotone story. Ideal DCG is the
+    * constant 3·1000 + 2·500 + 1·333 (gains in perfect order), so
+    * ndcg_pm = dcg · 1000 div 4333. Queries whose probe set came back
+    * empty still report (dcg 0) — an eval that silently drops its
+    * failures isn't one.
+    *
+    * Scale shape: the q123/q143 rule — eval fuses the two O(queries ×
+    * K) top-K manifests the retrieval tier already produced (exact =
+    * broadcast-query cross, probe = Hamming-1 bucket predicate) and
+    * never rescans the corpus; the join keys on (query, neighbor),
+    * the rollup is O(queries). */
+  def q205RankingQuality(s: SparkSession, dir: String): DataFrame = {
+    val idcg = 3 * 1000 + 2 * 500 + 1 * 333
+    val exact = q29CosineTopK(s, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rk").as("ek"))
+    val probe = q51MultiprobeAnn(s, dir)
+      .select(col("query_id"), col("neighbor_id"), col("rk"))
+    val dcg = probe.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"),
+        (coalesce(lit(4) - col("ek"), lit(0)).cast("long") *
+          expr("1000 div rk")).as("part"))
+      .groupBy(col("query_id"))
+      .agg(sum(col("part")).as("dcg"))
+    exact.select(col("query_id")).distinct()
+      .join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("dcg"), lit(0L)).as("dcg"))
+      .withColumn("ndcg_pm", expr(s"dcg * 1000 div $idcg"))
+  }
+  val q205Sql: String =
+    s"""WITH exact AS ($q29Sql),
+       |probe AS ($q51Sql),
+       |g AS (
+       |  SELECT p.query_id,
+       |         coalesce(4 - e.rk, 0) * (1000 // p.rk) AS part
+       |  FROM probe p LEFT JOIN exact e
+       |    ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id),
+       |d AS (SELECT query_id, CAST(sum(part) AS BIGINT) AS dcg
+       |      FROM g GROUP BY 1),
+       |qs AS (SELECT DISTINCT query_id FROM exact)
+       |SELECT qs.query_id, coalesce(d.dcg, 0) AS dcg,
+       |       coalesce(d.dcg, 0) * 1000 // 4333 AS ndcg_pm
+       |FROM qs LEFT JOIN d USING (query_id)""".stripMargin
 }

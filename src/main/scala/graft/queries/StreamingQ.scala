@@ -1102,6 +1102,30 @@ object StreamingQ {
     Streams.integrityRootsSnapshot(s, s"$work/roots")
   }
 
+  /** q204: benchmark-contamination screening AT INGEST — q49's
+    * train/test hygiene check where a production pipeline actually
+    * wants it: on each arriving micro-batch, so a contaminated crawl
+    * shard is visible (and quarantinable) before the corpus lands in a
+    * training mix. The benchmark's sorted shingle array is pulled once
+    * before the stream (size-gated — the same bound as q49's one-row
+    * broadcast; a benchmark past that bound takes q56's shuffle-join
+    * spelling instead) and rides the foreachBatch closure as a
+    * plan-constant, so each batch pays |doc shingles|·log|bench|
+    * binary searches scan-side and lands O(sources) mergeable
+    * (count, max) partials — no state store, no corpus shuffle.
+    * Oracle: q49Sql — the ingest gate and the batch screen pinned to
+    * the same census. */
+  def q204IncrementalContamination(s: SparkSession, dir: String): DataFrame = {
+    val bench = Text.benchShingleArray(s, dir)
+    val work = streamed(s, dir, Seq("source", "doc_id", "text"),
+      "source string, doc_id bigint, text string") { (docs, work) =>
+      Streams.incrementalContamination(docs, bench, s"$work/hits",
+        s"$work/ckpt").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+    Streams.contaminationSnapshot(s, s"$work/hits")
+  }
+
   /** q192 oracle — the batch spelling of the enrichment join census,
     * identical integer-cents quantization. */
   val q192Sql: String =

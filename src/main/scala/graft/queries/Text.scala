@@ -341,6 +341,36 @@ object Text {
     if (nBench <= maxBroadcastShingles) q49Contamination(s, dir)
     else q56ContaminationJoined(s, dir)
   }
+  /** The benchmark's sorted distinct shingle array, pulled once to the
+    * driver — size-gated by the same bound as q49's one-row broadcast
+    * (a benchmark is MBs of n-grams by definition; past
+    * [[contaminationAuto]]'s threshold the right spelling is q56's
+    * shuffle join, not a bigger pull). Feeds the q204 ingest gate as a
+    * plan-constant array, the Lexicon kernels' pattern. */
+  def benchShingleArray(s: SparkSession, dir: String): Seq[String] =
+    docShingleSets(s, dir).filter(col("doc_id") < 20)
+      .agg(array_sort(array_distinct(flatten(collect_list(col("shset"))))))
+      .head.getSeq[String](0)
+
+  /** Per-micro-batch contamination partials for the q204 ingest gate:
+    * the batch's docs score their overlap against the plan-constant
+    * sorted benchmark array scan-side (same [[graft.functions
+    * .SortedMemberCountKernel]] binary-search kernel as q49), hits
+    * fold to per-source (count, max) — both mergeable across batches
+    * (sum of counts, max of maxes), so the landed partials are
+    * O(sources) per batch and the snapshot is exact. */
+  def contaminationPartials(batch: DataFrame, bench: Seq[String]): DataFrame =
+    batch.withColumn("toks", TextOps.tokens(col("text")))
+      .filter(size(col("toks")) >= 3 && col("doc_id") >= 20)
+      .select(col("source"),
+        graft.functions.NGramSetFunctions.sorted_member_count(
+          graft.functions.NGramSetFunctions.ngram_set(col("toks"), 3),
+          typedLit(bench)).as("n_overlap"))
+      .filter(col("n_overlap") > 0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("contaminated_docs"),
+        max(col("n_overlap")).as("max_overlap"))
+
   val q49Sql: String = {
     val toks = "str_split(text, ' ')"
     s"""WITH sh AS (

@@ -522,6 +522,34 @@ object Streams {
           "2305843009213693951L AS BIGINT)").as("sum_root"),
         expr("bit_xor(xor_root_b)").as("xor_root_b"))
 
+  /** Contamination-gate monitor (q204): each micro-batch scores its
+    * docs against the plan-constant sorted benchmark shingle array
+    * and lands per-source (count, max-overlap) partials — both
+    * mergeable, O(sources) rows per batch. The benchmark is static by
+    * definition (that is what makes it a benchmark), so the one
+    * size-gated driver pull happens before the stream starts. */
+  def incrementalContamination(docs: DataFrame, bench: Seq[String],
+                               hitsPath: String, checkpoint: String)
+      : DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchPartition(
+          graft.queries.Text.contaminationPartials(batch, bench), batchId,
+          hitsPath)
+      }
+
+  /** The q49 census from landed contamination partials: counts re-sum,
+    * maxima re-max — exact whatever the batch boundaries. */
+  def contaminationSnapshot(spark: SparkSession, hitsPath: String): DataFrame =
+    readPartialsOrEmpty(spark, hitsPath,
+      "source string, contaminated_docs bigint, max_overlap int, " +
+        "batch_id bigint")
+      .groupBy(col("source"))
+      .agg(sum(col("contaminated_docs")).as("contaminated_docs"),
+        max(col("max_overlap")).as("max_overlap"))
+
   def incrementalSourceTokens(docs: DataFrame, tokensPath: String,
                               checkpoint: String): DataStreamWriter[Row] =
     docs.writeStream

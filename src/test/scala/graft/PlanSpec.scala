@@ -87,6 +87,7 @@ class PlanSpec extends SparkSpec {
     "q136_epoch_schedule",      // × 1-row corpus-budget agg (q97's cross + one)
     "q137_pmi_pairs",           // × 1-row bigram-total N agg
     "q143_retrieval_mrr",       // × broadcast query set (composes q29/q51's crosses)
+    "q205_ranking_quality",     // × broadcast query set (q143's composition)
     "q145_chi2_daily_mix",      // × 1-row contingency-total T agg
     "q148_incremental_chi2",    // q145's T cross over the landed partials
     "q149_dataset_card",        // × six 1-row member aggs (the datasheet card)
@@ -99,7 +100,8 @@ class PlanSpec extends SparkSpec {
     "q190_incremental_signatures", // q81's broadcast |sources|-row pair cross
     "q171_sketch_overlap",      // × broadcast |sources|-row sketch frame
     "q174_incremental_overlap", // × the same pair join over the merged log
-    "q193_deletion_propagation" // × three 1-row census aggs per relation
+    "q193_deletion_propagation", // × three 1-row census aggs per relation
+    "q199_incremental_purge"    // × two 1-row total/kept count aggs (q193's shape)
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {

@@ -2920,6 +2920,49 @@ class QueriesSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q204 ingest contamination equals the batch screen; hits have real mass") {
+    val got = rowsOf(StreamingQ.q204IncrementalContamination(spark, sf))
+    val want = rowsOf(Text.q49Contamination(spark, sf))
+    assert(got === want,
+      "per-batch (count, max) partials must merge to the batch census")
+    assert(got.nonEmpty, "the stand-in benchmark must contaminate something")
+  }
+
+  test("q205 ranking quality: every query reports, bounds hold, perfect rankings score 1000") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.q205RankingQuality(spark, sf).collect()
+    val queries = Similarity.q29CosineTopK(spark, sf)
+      .select(col("query_id")).distinct().count()
+    assert(rows.length.toLong === queries,
+      "every evaluated query must report — failures included")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= 4333L,
+        s"query ${r.getLong(0)}: dcg ${r.getLong(1)} outside [0, idcg]")
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 1000L)
+      assert(r.getLong(2) === r.getLong(1) * 1000 / 4333)
+    }
+    assert(rows.exists(_.getLong(1) > 0L), "ANN finds nothing — eval dead")
+    // a query whose probe top-3 equals the exact top-3 in order must
+    // score exactly idcg → ndcg_pm 1000 (the metric's fixed point)
+    val exact = Similarity.q29CosineTopK(spark, sf)
+      .select(col("query_id"), col("neighbor_id"), col("rk")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq }
+    val probe = Similarity.q51MultiprobeAnn(spark, sf)
+      .select(col("query_id"), col("neighbor_id"), col("rk")).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq }
+    val perfect = exact.collect {
+      case (q, nb) if probe.get(q).contains(nb) => q }.toSet
+    val scored = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    perfect.foreach { q =>
+      assert(scored(q) === 1000L,
+        s"query $q: probe ranking equals exact but ndcg_pm ${scored(q)}")
+    }
+  }
+
   test("q202 ingest expectations equal the batch census; planted masses fire") {
     import org.apache.spark.sql.functions._
     val got = StreamingQ.q202IncrementalExpectations(spark, sf).collect()

@@ -1366,6 +1366,86 @@ class StreamsSpec extends SparkSpec {
       "a duplicated manifest partition must be invisible to the diff")
   }
 
+  test("incremental integrity roots survive a restart: partials merge to the batch roots") {
+    import graft.queries.PipelineQ
+    val dir = java.nio.file.Files.createTempDirectory("graft_rootsrec")
+    val (roots, cp) = (s"$dir/roots", s"$dir/ckpt")
+    val in = dir.resolve("in"); java.nio.file.Files.createDirectory(in)
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("text"))
+    def land(half: Int): Unit = {
+      val stage = s"$dir/stage$half"
+      docs.filter(col("doc_id") % 2 === half).coalesce(1)
+        .write.parquet(stage)
+      new java.io.File(stage).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.move(f.toPath,
+          in.resolve(s"half$half.parquet")))
+    }
+    def start() = Streams.incrementalIntegrityRoots(
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "source string, doc_id bigint, text string"))
+        .parquet(in.toString), roots, cp).start()
+    land(0)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    land(1) // the second crawl shard arrives while the monitor is DOWN
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val batches = spark.read.parquet(roots)
+      .select(col("batch_id")).distinct().count()
+    assert(batches === 2, s"expected 2 batch partitions, got $batches")
+    assert(rowsOf(Streams.integrityRootsSnapshot(spark, roots)) ===
+      rowsOf(PipelineQ.q200IntegrityRoots(spark, sf)),
+      "post-restart roots must equal the one-shot batch scan")
+  }
+
+  test("incremental expectations survive a restart: re-summed partials equal the batch census") {
+    import graft.queries.Relational
+    val dir = java.nio.file.Files.createTempDirectory("graft_exprec")
+    val (checks, cp) = (s"$dir/checks", s"$dir/ckpt")
+    val in = dir.resolve("in"); java.nio.file.Files.createDirectory(in)
+    val sf = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value"))
+    val active = graft.Tables.customer(spark, sf)
+      .filter(col("c_acctbal") >= 0)
+      .select(col("c_custkey").as("pk")).distinct()
+    def land(half: Int): Unit = {
+      val stage = s"$dir/stage$half"
+      ev.filter(col("user_id") % 2 === half).coalesce(1)
+        .write.parquet(stage)
+      new java.io.File(stage).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.move(f.toPath,
+          in.resolve(s"half$half.parquet")))
+    }
+    def start() = Streams.incrementalExpectations(
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id bigint, event_type string, value double"))
+        .parquet(in.toString)
+        .join(broadcast(active), col("user_id") === col("pk"), "left"),
+      checks, cp).start()
+    land(0)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    land(1) // arrives while the gate is DOWN
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val batches = spark.read.parquet(checks)
+      .select(col("batch_id")).distinct().count()
+    assert(batches === 2, s"expected 2 batch partitions, got $batches")
+    val want = rowsOf(Relational.expectationPartials(
+        ev.join(broadcast(active), col("user_id") === col("pk"), "left"))
+      .groupBy(col("check_name"))
+      .agg(sum(col("rows")).as("rows_checked"),
+        sum(col("violations")).as("violations"),
+        countDistinct(col("key")).as("distinct_keys")))
+    assert(rowsOf(Streams.expectationsSnapshot(spark, checks)) === want,
+      "post-restart census must equal the whole-feed batch gate")
+  }
+
   test("incremental KMV survives a restart: offsets resume, snapshot equals batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kmvrec")
     val (sk, cp) = (s"$dir/kmv", s"$dir/ckpt")
