@@ -472,6 +472,10 @@ object SparkEntry {
     // graded ranking quality for the ANN tier: integer-exact
     // nDCG-style score over the existing exact/probe top-K manifests
     "q205_ranking_quality" -> (Similarity.q205RankingQuality _),
+    // near-dup cluster assignment from the ingest-logged pairs: the
+    // batch ladder's last rung (q46) available mid-crawl
+    "q206_incremental_clusters" ->
+      (StreamingQ.q206IncrementalClusters _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -683,5 +687,6 @@ object SparkEntry {
     "q203_incremental_roots" -> PipelineQ.q200Sql,
     "q204_incremental_contamination" -> Text.q49Sql,
     "q205_ranking_quality" -> Similarity.q205Sql,
+    "q206_incremental_clusters" -> Dedup.q46Sql,
   )
 }

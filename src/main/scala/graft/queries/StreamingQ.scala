@@ -1126,6 +1126,40 @@ object StreamingQ {
     Streams.contaminationSnapshot(s, s"$work/hits")
   }
 
+  /** q206: near-dup CLUSTER assignment from the ingest-accumulated
+    * pair log — the dedup ladder's last batch-only rung made
+    * available mid-crawl. q107 proved the incremental LSH index logs
+    * exactly the batch candidate set; this row takes the next step a
+    * curation pipeline actually needs: verified edges (Jaccard ≥ 0.5,
+    * the one [[graft.queries.Dedup.verifiedEdges]] bar) from the
+    * logged candidates, then the cluster propagation over that edge
+    * list — so "which canonical does this doc collapse to" is
+    * answerable while the crawl is still landing, not after a nightly
+    * ladder re-run. Oracle: q46Sql — the ingest-fed clustering and
+    * the batch clustering pinned to identical assignments, canonicals
+    * included.
+    *
+    * Scale shape: the stream side is q107's audited machinery
+    * ((band, batch)-partitioned signature index, pruned history
+    * reads); verification touches only logged candidates; the
+    * propagation runs on the verified EDGE list — O(docs-in-pairs),
+    * tiny against the corpus. */
+  def q206IncrementalClusters(s: SparkSession, dir: String): DataFrame = {
+    val work = streamed(s, dir, Seq("doc_id", "text"),
+      "doc_id bigint, text string") { (docs, work) =>
+      Streams.incrementalLshDedup(docs, s"$work/index", s"$work/pairs",
+        s"$work/ckpt").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+    val verified = Dedup.jaccardVerify(
+        s.read.parquet(s"$work/pairs")
+          .select(col("doc_a"), col("doc_b")).distinct(),
+        Tables.documents(s, dir))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    Dedup.clustersFromEdgesCounted(verified)._1
+  }
+
   /** q192 oracle — the batch spelling of the enrichment join census,
     * identical integer-cents quantization. */
   val q192Sql: String =

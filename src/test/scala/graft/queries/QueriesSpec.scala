@@ -2963,6 +2963,14 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q206 ingest clusters equal the batch clustering, canonicals included") {
+    val got = rowsOf(StreamingQ.q206IncrementalClusters(spark, sf))
+    val want = rowsOf(Dedup.q46DedupClusters(spark, sf))
+    assert(got === want,
+      "clusters from the ingest pair log must match the batch ladder")
+    assert(got.nonEmpty)
+  }
+
   test("q202 ingest expectations equal the batch census; planted masses fire") {
     import org.apache.spark.sql.functions._
     val got = StreamingQ.q202IncrementalExpectations(spark, sf).collect()
