@@ -476,6 +476,9 @@ object SparkEntry {
     // batch ladder's last rung (q46) available mid-crawl
     "q206_incremental_clusters" ->
       (StreamingQ.q206IncrementalClusters _),
+    // the release datasheet maintained while the crawl lands: every
+    // card member landed at its natural partial grain, shared tail
+    "q207_incremental_card" -> (StreamingQ.q207IncrementalCard _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -688,5 +691,6 @@ object SparkEntry {
     "q204_incremental_contamination" -> Text.q49Sql,
     "q205_ranking_quality" -> Similarity.q205Sql,
     "q206_incremental_clusters" -> Dedup.q46Sql,
+    "q207_incremental_card" -> PipelineQ.q149Sql,
   )
 }

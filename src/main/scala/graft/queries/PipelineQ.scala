@@ -285,28 +285,30 @@ object PipelineQ {
     * broadcast-cross (whitelisted in PlanSpec) — nothing corpus-sized
     * joins anything.
     */
-  def q149DatasetCard(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val base = docs.agg(
-      count(lit(1)).as("docs"),
-      sum(size(TextOps.tokens(col("text"))).cast("long")).as("tokens"),
-      sum(expr("size(array_distinct(split(text, ' '))) * 1000" +
-        " div size(split(text, ' '))").cast("long")).as("ttr_sum"),
-      count(when(Text.splitLabel(col("doc_id")) === "train", 1)).as("train_docs"),
-      count(when(Text.splitLabel(col("doc_id")) === "val", 1)).as("val_docs"),
-      count(when(Text.splitLabel(col("doc_id")) === "test", 1)).as("test_docs"))
-    val sources = docs.select(col("source")).distinct()
-      .agg(count(lit(1)).as("sources"))
-    val langs = docs.select(col("lang")).distinct()
-      .agg(count(lit(1)).as("langs"))
-    val fps = docs.select(TextOps.fingerprint(col("text")).as("fp"),
-      Text.splitLabel(col("doc_id")).as("split"))
+  /** The card's scan aggregate — size, token mass, TTR sum, split
+    * sizes — over any documents frame. Every member is SUM-mergeable,
+    * which is what lets the q207 ingest twin land this as a 1-row
+    * partial per micro-batch and re-sum. */
+  def cardBase(docs: DataFrame): DataFrame = docs.agg(
+    count(lit(1)).as("docs"),
+    sum(size(TextOps.tokens(col("text"))).cast("long")).as("tokens"),
+    sum(expr("size(array_distinct(split(text, ' '))) * 1000" +
+      " div size(split(text, ' '))").cast("long")).as("ttr_sum"),
+    count(when(Text.splitLabel(col("doc_id")) === "train", 1)).as("train_docs"),
+    count(when(Text.splitLabel(col("doc_id")) === "val", 1)).as("val_docs"),
+    count(when(Text.splitLabel(col("doc_id")) === "test", 1)).as("test_docs"))
+
+  /** The fp/leak and near-dup censuses + the compose tail, shared by
+    * q149 and the q207 ingest twin so the card arithmetic can never
+    * drift between them. `fps` is the distinct-tolerant (fp, split)
+    * manifest; `edges` the verified near-dup edge list. */
+  def cardTail(base: DataFrame, sources: DataFrame, langs: DataFrame,
+               fps: DataFrame, edges: DataFrame): DataFrame = {
     val dfp = fps.select(col("fp")).distinct()
       .agg(count(lit(1)).as("distinct_fps"))
     val leaks = fps.distinct().groupBy(col("fp"))
       .agg(count(lit(1)).as("ns")).filter(col("ns") > 1)
       .agg(count(lit(1)).as("leaked_fps"))
-    val edges = Dedup.verifiedEdges(docs)
     val epairs = edges.agg(count(lit(1)).as("neardup_edges"))
     val edocs = edges
       .select(explode(array(col("doc_a"), col("doc_b"))).as("d"))
@@ -318,6 +320,17 @@ object PipelineQ {
         expr("(docs - distinct_fps) * 1000000 div docs"))
       .withColumn("mean_ttr_pm", expr("ttr_sum div docs"))
       .drop("ttr_sum")
+  }
+
+  def q149DatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    cardTail(
+      cardBase(docs),
+      docs.select(col("source")).distinct().agg(count(lit(1)).as("sources")),
+      docs.select(col("lang")).distinct().agg(count(lit(1)).as("langs")),
+      docs.select(TextOps.fingerprint(col("text")).as("fp"),
+        Text.splitLabel(col("doc_id")).as("split")),
+      Dedup.verifiedEdges(docs))
   }
   val q149Sql: String = {
     val canonical = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"

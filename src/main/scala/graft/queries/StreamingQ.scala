@@ -1160,6 +1160,28 @@ object StreamingQ {
     Dedup.clustersFromEdgesCounted(verified)._1
   }
 
+  /** q207: the q149 dataset datasheet AT INGEST — the release card a
+    * corpus ships, maintainable WHILE the crawl lands. One stream
+    * pass; each micro-batch lands every card member at its natural
+    * partial grain ([[graft.streaming.Streams.incrementalDatasetCard]]:
+    * 1-row sums, distinct key rows, the (fp, split) manifest, the
+    * audited LSH candidate log), and the snapshot re-merges them
+    * through the SHARED compose tail — so the mid-crawl card and the
+    * batch card are the same arithmetic by construction, and the
+    * oracle row (q149Sql) proves it bit-for-bit, near-dup members
+    * included. The near-dup census rides the same signature index the
+    * dedup pipeline already pays for: the datasheet is a free
+    * by-product of ingest-time dedup, not a nightly corpus re-scan. */
+  def q207IncrementalCard(s: SparkSession, dir: String): DataFrame = {
+    val work = streamed(s, dir, Seq("doc_id", "source", "lang", "text"),
+      "doc_id bigint, source string, lang string, text string") {
+      (docs, work) =>
+        Streams.incrementalDatasetCard(docs, work, s"$work/ckpt")
+          .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Streams.datasetCardSnapshot(s, work, Tables.documents(s, dir))
+  }
+
   /** q192 oracle — the batch spelling of the enrichment join census,
     * identical integer-cents quantization. */
   val q192Sql: String =

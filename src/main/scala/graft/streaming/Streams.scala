@@ -550,6 +550,74 @@ object Streams {
       .agg(sum(col("contaminated_docs")).as("contaminated_docs"),
         max(col("max_overlap")).as("max_overlap"))
 
+  /** Dataset-card monitor (q207): ONE pass over each arriving
+    * micro-batch lands every member the q149 datasheet needs, each at
+    * the grain you'd land at 100 TB —
+    *   base:    1 sum-mergeable row (docs, tokens, ttr_sum, splits)
+    *   sources/langs: the batch's distinct key rows (O(keys))
+    *   fps:     the batch's distinct (fp, split) manifest (fingerprints
+    *            shuffle, never text — the q151 discipline)
+    *   pairs:   the audited [[lshDedupStep]] candidate log + signature
+    *            index (q107's machinery, shared verbatim)
+    * so the release datasheet is maintainable WHILE the crawl lands —
+    * no nightly corpus re-scan, and the near-dup members come from the
+    * same index the dedup pipeline already pays for. */
+  def incrementalDatasetCard(docs: DataFrame, work: String,
+                             checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        writeBatchPartition(graft.queries.PipelineQ.cardBase(b), batchId,
+          s"$work/base")
+        writeBatchPartition(b.select(col("source")).distinct(), batchId,
+          s"$work/sources")
+        writeBatchPartition(b.select(col("lang")).distinct(), batchId,
+          s"$work/langs")
+        writeBatchPartition(b.select(
+            graft.ops.TextOps.fingerprint(col("text")).as("fp"),
+            graft.queries.Text.splitLabel(col("doc_id")).as("split"))
+          .distinct(), batchId, s"$work/fps")
+        lshDedupStep(b.select(col("doc_id"), col("text")), batchId,
+          s"$work/index", s"$work/pairs")
+        b.unpersist()
+        ()
+      }
+
+  /** The q149 card from the landed member partials: base re-sums,
+    * keys and fps distinct (duplication-tolerant), near-dup members
+    * verify the logged candidates against the corpus — then the
+    * SHARED [[graft.queries.PipelineQ.cardTail]] composes, so the
+    * ingest card cannot drift from the batch card's arithmetic. */
+  def datasetCardSnapshot(spark: SparkSession, work: String,
+                          corpus: DataFrame): DataFrame = {
+    val base = readPartialsOrEmpty(spark, s"$work/base",
+      "docs bigint, tokens bigint, ttr_sum bigint, train_docs bigint, " +
+        "val_docs bigint, test_docs bigint, batch_id bigint")
+      .agg(sum(col("docs")).as("docs"), sum(col("tokens")).as("tokens"),
+        sum(col("ttr_sum")).as("ttr_sum"),
+        sum(col("train_docs")).as("train_docs"),
+        sum(col("val_docs")).as("val_docs"),
+        sum(col("test_docs")).as("test_docs"))
+    val sources = readPartialsOrEmpty(spark, s"$work/sources",
+      "source string, batch_id bigint")
+      .select(col("source")).distinct().agg(count(lit(1)).as("sources"))
+    val langs = readPartialsOrEmpty(spark, s"$work/langs",
+      "lang string, batch_id bigint")
+      .select(col("lang")).distinct().agg(count(lit(1)).as("langs"))
+    val fps = readPartialsOrEmpty(spark, s"$work/fps",
+      "fp string, split string, batch_id bigint")
+      .select(col("fp"), col("split")).distinct()
+    val edges = graft.queries.Dedup.jaccardVerify(
+        readPartialsOrEmpty(spark, s"$work/pairs",
+          "doc_a bigint, doc_b bigint, batch_id bigint")
+          .select(col("doc_a"), col("doc_b")).distinct(), corpus)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    graft.queries.PipelineQ.cardTail(base, sources, langs, fps, edges)
+  }
+
   def incrementalSourceTokens(docs: DataFrame, tokensPath: String,
                               checkpoint: String): DataStreamWriter[Row] =
     docs.writeStream

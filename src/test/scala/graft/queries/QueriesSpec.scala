@@ -2971,6 +2971,13 @@ class QueriesSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q207 ingest card equals the batch datasheet, near-dup members included") {
+    val got = rowsOf(StreamingQ.q207IncrementalCard(spark, sf))
+    val want = rowsOf(PipelineQ.q149DatasetCard(spark, sf))
+    assert(got === want,
+      "member partials re-merged must reproduce the batch card exactly")
+  }
+
   test("q202 ingest expectations equal the batch census; planted masses fire") {
     import org.apache.spark.sql.functions._
     val got = StreamingQ.q202IncrementalExpectations(spark, sf).collect()
