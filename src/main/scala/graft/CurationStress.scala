@@ -660,7 +660,70 @@ object CurationStress {
       Dedup.DupCap.toLong * card(baseCard, "distinct_fps"),
       "q172 at R≥cap must keep exactly cap copies of every distinct content")
 
-    println(f"""{"metric":"curation_stress","reps":$reps,"q169_sec":$tBudget%.2f,"q170_sec":$tSrcBudget%.2f,"q171_sec":$tOverlapFull%.2f,"q171_sketch_sec":$tOverlapSketch%.2f,"q172_sec":$tCap%.2f,"q142_sec":$tPack%.2f,"q149_sec":$tCard%.2f,"q150_sec":$tDecon%.2f,"q134_sec":$tSeg%.2f,"q137_sec":$tPmi%.2f,"q139_sec":$tTrans%.2f,"q194_sec":$tScd%.2f,"q197_sec":$tDiff%.2f,"q193_sec":$tPurge%.2f,"q121_sec":$tChunk%.2f,"q122_sec":$tLocf%.2f,"q126_sec":$tMask%.2f,"q127_sec":$tCur%.2f,"q108_sec":$tLex%.2f,"q109_sec":$tGaps%.2f,"q111_sec":$tMad%.2f,"q112_sec":$tGrid%.2f,"q114_sec":$tTri%.2f,"q114_cc_ppm":${rep114.getLong(4)},"q74_sec":$tSpan%.2f,"q74_rows":$spanRows,"q81_sec":$tOverlap%.2f,"q81_full_matches":$q81Full,"q79_sec":$tTrain%.2f,"q80_sec":$tApply%.2f,"q95_sec":$tBigram%.2f,"q98_sec":$tMix%.2f,"q98_surviving_tokens":$survTok,"q104_sec":$tSkew%.2f,"q99_sec":$tHeldout%.2f,"q101_sec":$tReid%.2f,"q102_sec":$tBoot%.2f,"q103_sec":$tBootFused%.2f,"bigram_types_base":$baseTypes,"bigram_types_train_r":$trainTypesR,"q95_skewcorpus_sec":$tFlatSkew%.2f,"q104_skewcorpus_sec":$tSplitSkew%.2f,"q99_skewcorpus_sec":$tFlatHeld%.2f,"q153_skewcorpus_sec":$tSplitHeld%.2f,"sf":"$sfDir"}""")
+    // ---- round-12 governance wave (q200/q202) at scale
+
+    // q200: the commutative-monoid law at ANY fan-out — the corpus
+    // split into R disjoint shards, each shard's roots computed
+    // INDEPENDENTLY (the "every executor/replica computes its own
+    // partial" shape), then folded through the snapshot merge
+    // arithmetic: the fold must be BIT-IDENTICAL to the one-shot
+    // corpus scan. This is the property that lets a 1000-executor
+    // lake (or R mirrored replicas) agree on the commitment with no
+    // ordering contract. Wall law on the R× corpus: one scan, linear.
+    noop(queries.PipelineQ.q200IntegrityRoots(spark, sfDir)) // warmup + ref
+    def rootsMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val baseRoots = rootsMap(
+      queries.PipelineQ.q200IntegrityRoots(spark, sfDir).collect())
+    val docsBase = Tables.documents(spark, sfDir)
+    val shardPartials = (0 until reps).map(k =>
+        queries.PipelineQ.integrityRoots(
+          docsBase.filter(col("doc_id") % reps === k)))
+      .reduce(_.unionAll(_))
+    // the same merge arithmetic integrityRootsSnapshot applies to
+    // landed batch partials — xor of xors, (Σ sᵢ mod p) mod p
+    val mergedRoots = rootsMap(shardPartials.groupBy(col("source"))
+      .agg(sum(col("docs")).as("docs"),
+        expr("bit_xor(xor_root)").as("xor_root"),
+        expr("CAST(sum(CAST(sum_root AS DECIMAL(38,0))) % " +
+          "2305843009213693951L AS BIGINT)").as("sum_root"),
+        expr("bit_xor(xor_root_b)").as("xor_root_b")).collect())
+    assert(mergedRoots == baseRoots,
+      s"q200 monoid law broken at fan-out $reps: shard-fold != corpus scan")
+    val (_, tRoots) = time(
+      noop(queries.PipelineQ.q200IntegrityRoots(spark, stressDir)))
+
+    // q202: the ingest expectations gate on an R×-replicated event
+    // feed with SUBJECTS PRESERVED (same user ids, same types — the
+    // "traffic grows, population doesn't" regime): every check's
+    // rows_checked and violations scale EXACTLY ×R while
+    // distinct_keys is INVARIANT. The wrapper runs its real
+    // micro-batched ingest (stream-static FK probe included) on the
+    // inflated feed — per-batch state stays O(users + types) however
+    // large the traffic, which is the monitor's scale claim.
+    val expDir = s"/tmp/graft_exp_stress_$reps"
+    Tables.events(spark, sfDir).crossJoin(spark.range(reps).toDF("rep"))
+      .select((col("event_id") + col("rep") * eventStride).as("event_id"),
+        col("ts"), col("user_id"), col("event_type"), col("value"),
+        col("props"))
+      .write.mode("overwrite").parquet(s"$expDir/events.parquet")
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .write.mode("overwrite").parquet(s"$expDir/customer.parquet")
+    noop(queries.StreamingQ.q202IncrementalExpectations(spark, sfDir))
+    val base202 = queries.StreamingQ.q202IncrementalExpectations(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (rep202, tExp) = time(
+      queries.StreamingQ.q202IncrementalExpectations(spark, expDir).collect())
+    val got202 = rep202.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got202 == base202.map { case (k, (n, v, d)) =>
+      k -> (n * reps, v * reps, d) },
+      s"q202 scaling law broken: cloned traffic must scale rows and " +
+        s"violations ×R with distinct keys invariant (got $got202)")
+
+    println(f"""{"metric":"curation_stress","reps":$reps,"q200_sec":$tRoots%.2f,"q202_sec":$tExp%.2f,"q169_sec":$tBudget%.2f,"q170_sec":$tSrcBudget%.2f,"q171_sec":$tOverlapFull%.2f,"q171_sketch_sec":$tOverlapSketch%.2f,"q172_sec":$tCap%.2f,"q142_sec":$tPack%.2f,"q149_sec":$tCard%.2f,"q150_sec":$tDecon%.2f,"q134_sec":$tSeg%.2f,"q137_sec":$tPmi%.2f,"q139_sec":$tTrans%.2f,"q194_sec":$tScd%.2f,"q197_sec":$tDiff%.2f,"q193_sec":$tPurge%.2f,"q121_sec":$tChunk%.2f,"q122_sec":$tLocf%.2f,"q126_sec":$tMask%.2f,"q127_sec":$tCur%.2f,"q108_sec":$tLex%.2f,"q109_sec":$tGaps%.2f,"q111_sec":$tMad%.2f,"q112_sec":$tGrid%.2f,"q114_sec":$tTri%.2f,"q114_cc_ppm":${rep114.getLong(4)},"q74_sec":$tSpan%.2f,"q74_rows":$spanRows,"q81_sec":$tOverlap%.2f,"q81_full_matches":$q81Full,"q79_sec":$tTrain%.2f,"q80_sec":$tApply%.2f,"q95_sec":$tBigram%.2f,"q98_sec":$tMix%.2f,"q98_surviving_tokens":$survTok,"q104_sec":$tSkew%.2f,"q99_sec":$tHeldout%.2f,"q101_sec":$tReid%.2f,"q102_sec":$tBoot%.2f,"q103_sec":$tBootFused%.2f,"bigram_types_base":$baseTypes,"bigram_types_train_r":$trainTypesR,"q95_skewcorpus_sec":$tFlatSkew%.2f,"q104_skewcorpus_sec":$tSplitSkew%.2f,"q99_skewcorpus_sec":$tFlatHeld%.2f,"q153_skewcorpus_sec":$tSplitHeld%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
