@@ -479,6 +479,9 @@ object SparkEntry {
     // the release datasheet maintained while the crawl lands: every
     // card member landed at its natural partial grain, shared tail
     "q207_incremental_card" -> (StreamingQ.q207IncrementalCard _),
+    // the governance family composed as one write-path front door:
+    // redact -> triage -> contamination screen -> land + commit root
+    "q208_ingest_gate" -> (PipelineQ.q208WritePathGate _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -692,5 +695,6 @@ object SparkEntry {
     "q205_ranking_quality" -> Similarity.q205Sql,
     "q206_incremental_clusters" -> Dedup.q46Sql,
     "q207_incremental_card" -> PipelineQ.q149Sql,
+    "q208_ingest_gate" -> PipelineQ.q208Sql,
   )
 }

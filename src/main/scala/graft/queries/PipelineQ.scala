@@ -452,6 +452,113 @@ object PipelineQ {
        |FROM d GROUP BY 1""".stripMargin
   }
 
+  /** The write-path gate (q208) — the governance family composed as
+    * ONE front door for an arriving crawl shard, the way q50 composes
+    * the curation stages: PII is REDACTED first (scrub, not drop —
+    * q76's planted corpus gives the stage real mass), the redacted
+    * text is quality-triaged (q22's bucket), survivors are screened
+    * against the benchmark shingle set (q49's kernel), and what lands
+    * is COMMITTED to with the q200 xor root — so the census row per
+    * source answers, in one pass: what arrived, what was scrubbed,
+    * what was quarantined and why, what landed, and the integrity
+    * commitment of exactly the landed bytes. Quarantine precedence is
+    * quality-first (a low-quality contaminated doc counts as quality —
+    * one verdict per doc, the census partitions).
+    *
+    * Scale shape: one corpus scan stages tokens once and every stage
+    * is scan-side (regex redaction, MarkerCount bucket, binary-search
+    * contamination against the broadcast bench row, md5 root); the
+    * only shuffle is the final O(sources) census agg, and the only
+    * broadcast is the one-row bench (whitelisted cross). The gate adds
+    * NO cost beyond the scan ingest already pays. */
+  def q208WritePathGate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NGramSetFunctions.{ngram_set, sorted_member_count}
+    val staged = Tables.documents(s, dir)
+      .withColumn("t2", Text.plantedPii)
+      .withColumn("emails", regexp_count(col("t2"), lit(Text.EmailRe)))
+      .withColumn("ips", regexp_count(col("t2"), lit(Text.Ipv4Re)))
+      .withColumn("tc", Text.redactPii(col("t2")))
+      .withColumn("toks", TextOps.tokens(col("tc")))
+      .withColumn("quality",
+        TextOps.qualityBucket(col("toks"), length(col("tc"))))
+    val bench = staged.filter(col("doc_id") < 20 && size(col("toks")) >= 3)
+      .agg(array_sort(array_distinct(flatten(collect_list(
+        ngram_set(col("toks"), 3))))).as("bench_sh"))
+    staged.filter(col("doc_id") >= 20)
+      .crossJoin(broadcast(bench))
+      .withColumn("n_overlap", when(size(col("toks")) >= 3,
+        sorted_member_count(ngram_set(col("toks"), 3), col("bench_sh")))
+        .otherwise(lit(0)))
+      .withColumn("verdict",
+        when(col("quality") =!= "ok", "quarantined_quality")
+          .when(col("n_overlap") > 0, "quarantined_contaminated")
+          .otherwise("landed"))
+      .withColumn("h", conv(substring(md5(concat(
+        col("doc_id").cast("string"), lit(":"), col("tc"))), 1, 15), 16, 10)
+        .cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_in"),
+        sum(col("emails")).cast("long").as("emails_redacted"),
+        sum(col("ips")).cast("long").as("ips_redacted"),
+        sum(when(col("verdict") === "quarantined_quality", 1L).otherwise(0L))
+          .as("quarantined_quality"),
+        sum(when(col("verdict") === "quarantined_contaminated", 1L)
+          .otherwise(0L)).as("quarantined_contaminated"),
+        sum(when(col("verdict") === "landed", 1L).otherwise(0L))
+          .as("landed_docs"),
+        expr("bit_xor(CASE WHEN verdict = 'landed' THEN h END)")
+          .as("landed_xor_root"))
+  }
+  val q208Sql: String = {
+    val toks = "str_split(tc, ' ')"
+    val stop = "len(list_filter(str_split(tc, ' '), t -> t IN " +
+      "('the','and','of','to','a')))"
+    s"""WITH p AS (
+       |  SELECT doc_id, source, ${Text.plantedPiiSql} AS t2 FROM documents),
+       |r AS (
+       |  SELECT doc_id, source,
+       |    len(regexp_extract_all(t2, '${Text.EmailRe}')) AS emails,
+       |    len(regexp_extract_all(t2, '${Text.Ipv4Re}')) AS ips,
+       |    regexp_replace(regexp_replace(t2, '${Text.EmailRe}', '<EMAIL>', 'g'),
+       |                   '${Text.Ipv4Re}', '<IP>', 'g') AS tc
+       |  FROM p),
+       |q AS (
+       |  SELECT *,
+       |    CASE WHEN len($toks) < 10 OR len(tc) < 50 THEN 'too_short'
+       |         WHEN ($stop * 100) // len($toks) > 30 THEN 'high_stopword'
+       |         WHEN (len(list_distinct($toks)) * 100) // len($toks) < 30
+       |           THEN 'repetitive'
+       |         ELSE 'ok' END AS quality,
+       |    CASE WHEN len($toks) >= 3 THEN
+       |      list_distinct(list_transform(range(1, len($toks) - 1),
+       |        i -> array_to_string(list_slice($toks, i, i + 2), ' ')))
+       |      ELSE CAST([] AS VARCHAR[]) END AS shset
+       |  FROM r),
+       |bench AS (
+       |  SELECT list_distinct(flatten(list(shset))) AS bench_sh FROM q
+       |  WHERE doc_id < 20 AND len($toks) >= 3),
+       |v AS (
+       |  SELECT q.*,
+       |    CASE WHEN quality <> 'ok' THEN 'quarantined_quality'
+       |         WHEN len(list_intersect(shset, bench_sh)) > 0
+       |           THEN 'quarantined_contaminated'
+       |         ELSE 'landed' END AS verdict
+       |  FROM q, bench WHERE doc_id >= 20)
+       |SELECT source, count(*) AS docs_in,
+       |       CAST(sum(emails) AS BIGINT) AS emails_redacted,
+       |       CAST(sum(ips) AS BIGINT) AS ips_redacted,
+       |       CAST(sum(CASE WHEN verdict = 'quarantined_quality'
+       |         THEN 1 ELSE 0 END) AS BIGINT) AS quarantined_quality,
+       |       CAST(sum(CASE WHEN verdict = 'quarantined_contaminated'
+       |         THEN 1 ELSE 0 END) AS BIGINT) AS quarantined_contaminated,
+       |       CAST(sum(CASE WHEN verdict = 'landed' THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS landed_docs,
+       |       bit_xor(CASE WHEN verdict = 'landed'
+       |         THEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+       |           || ':' || tc), 1, 15) AS BIGINT) END) AS landed_xor_root
+       |FROM v GROUP BY 1""".stripMargin
+  }
+
   /** Content-integrity roots (q200) — the tamper/corruption audit that
     * complements the q197 diff: q197 tells you WHAT changed between
     * snapshots; q200 gives each source a constant-size commitment so

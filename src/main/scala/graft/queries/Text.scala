@@ -1517,14 +1517,25 @@ object Text {
     * ingest-time curation (Streams.curationIngest). */
   def redactPii(c: Column): Column =
     regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
+  /** The deterministic PII plant (q76's convention — the synthetic
+    * corpus carries no real PII, so the stage under test gets real
+    * mass): every doc gains an email, every third an IP. Shared by
+    * q76 and the q208 write-path gate so the plant can't drift. */
+  def plantedPii: Column = concat(col("text"),
+    lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+    when(col("doc_id") % 3 === 0,
+      concat(lit(" from 10.0."), (col("doc_id") % 200).cast("string"), lit(".7")))
+      .otherwise(lit("")))
+  /** [[plantedPii]], spelled for DuckDB over `documents`. */
+  val plantedPiiSql: String =
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ||" +
+      " (CASE WHEN doc_id % 3 = 0" +
+      " THEN ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7'" +
+      " ELSE '' END)"
+
   def q76PiiRedaction(s: SparkSession, dir: String): DataFrame = {
-    val planted = concat(col("text"),
-      lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
-      when(col("doc_id") % 3 === 0,
-        concat(lit(" from 10.0."), (col("doc_id") % 200).cast("string"), lit(".7")))
-        .otherwise(lit("")))
     Tables.documents(s, dir)
-      .withColumn("t2", planted)
+      .withColumn("t2", plantedPii)
       .withColumn("emails", regexp_count(col("t2"), lit(EmailRe)))
       .withColumn("ips", regexp_count(col("t2"), lit(Ipv4Re)))
       .withColumn("redacted", redactPii(col("t2")))
@@ -1537,11 +1548,7 @@ object Text {
   }
   val q76Sql: String =
     s"""WITH p AS (
-       |  SELECT source,
-       |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
-       |    (CASE WHEN doc_id % 3 = 0
-       |          THEN ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.7'
-       |          ELSE '' END) AS t2
+       |  SELECT source, $plantedPiiSql AS t2
        |  FROM documents),
        |r AS (
        |  SELECT source, t2,

@@ -88,6 +88,7 @@ class PlanSpec extends SparkSpec {
     "q137_pmi_pairs",           // × 1-row bigram-total N agg
     "q143_retrieval_mrr",       // × broadcast query set (composes q29/q51's crosses)
     "q205_ranking_quality",     // × broadcast query set (q143's composition)
+    "q208_ingest_gate",         // × 1-row bench shingle agg (q49's cross)
     "q145_chi2_daily_mix",      // × 1-row contingency-total T agg
     "q148_incremental_chi2",    // q145's T cross over the landed partials
     "q149_dataset_card",        // × six 1-row member aggs (the datasheet card)

@@ -2978,6 +2978,36 @@ class QueriesSpec extends SparkSpec {
       "member partials re-merged must reproduce the batch card exactly")
   }
 
+  test("q208 write-path gate: verdicts partition, every stage fires, roots commit landed docs") {
+    import org.apache.spark.sql.functions._
+    val rows = PipelineQ.q208WritePathGate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val corpusIn = graft.Tables.documents(spark, sf)
+      .filter(col("doc_id") >= 20).count()
+    assert(rows.map(_.getLong(1)).sum === corpusIn,
+      "the gate must census every arriving corpus doc")
+    rows.foreach { r =>
+      assert(r.getLong(4) + r.getLong(5) + r.getLong(6) === r.getLong(1),
+        s"${r.getString(0)}: verdicts must partition docs_in")
+    }
+    // every stage fires on the planted corpus: PII in every doc, some
+    // quality quarantines, some contamination hits, and docs that land
+    assert(rows.map(_.getLong(2)).sum === corpusIn,
+      "the plant gives every doc exactly one email")
+    assert(rows.map(_.getLong(3)).sum > 0L, "planted IPs missing")
+    assert(rows.map(_.getLong(4)).sum > 0L, "no quality quarantines")
+    assert(rows.map(_.getLong(5)).sum > 0L, "no contamination quarantines")
+    assert(rows.map(_.getLong(6)).sum > 0L, "the gate landed nothing")
+    // the commitment covers exactly the landed docs: a source with
+    // landed docs has a root; a source with none has a null root
+    rows.foreach { r =>
+      if (r.getLong(6) > 0L) assert(!r.isNullAt(7),
+        s"${r.getString(0)}: landed docs but no root")
+      else assert(r.isNullAt(7),
+        s"${r.getString(0)}: root committed over zero landed docs")
+    }
+  }
+
   test("q202 ingest expectations equal the batch census; planted masses fire") {
     import org.apache.spark.sql.functions._
     val got = StreamingQ.q202IncrementalExpectations(spark, sf).collect()
