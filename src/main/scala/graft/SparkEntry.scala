@@ -482,6 +482,9 @@ object SparkEntry {
     // the governance family composed as one write-path front door:
     // redact -> triage -> contamination screen -> land + commit root
     "q208_ingest_gate" -> (PipelineQ.q208WritePathGate _),
+    // the same front door per arriving micro-batch: mergeable census
+    // partials (sums + xor of landed-root xors)
+    "q209_incremental_gate" -> (StreamingQ.q209IncrementalGate _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -696,5 +699,6 @@ object SparkEntry {
     "q206_incremental_clusters" -> Dedup.q46Sql,
     "q207_incremental_card" -> PipelineQ.q149Sql,
     "q208_ingest_gate" -> PipelineQ.q208Sql,
+    "q209_incremental_gate" -> PipelineQ.q208Sql,
   )
 }

@@ -471,23 +471,36 @@ object PipelineQ {
     * only shuffle is the final O(sources) census agg, and the only
     * broadcast is the one-row bench (whitelisted cross). The gate adds
     * NO cost beyond the scan ingest already pays. */
-  def q208WritePathGate(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.NGramSetFunctions.{ngram_set, sorted_member_count}
-    val staged = Tables.documents(s, dir)
-      .withColumn("t2", Text.plantedPii)
+  /** The gate's scan stages (plant → count → redact → tokenize →
+    * triage), shared by q208, its bench pull, and the q209 ingest
+    * partials so no stage can drift between spellings. */
+  def gateStaged(docs: DataFrame): DataFrame =
+    docs.withColumn("t2", Text.plantedPii)
       .withColumn("emails", regexp_count(col("t2"), lit(Text.EmailRe)))
       .withColumn("ips", regexp_count(col("t2"), lit(Text.Ipv4Re)))
       .withColumn("tc", Text.redactPii(col("t2")))
       .withColumn("toks", TextOps.tokens(col("tc")))
       .withColumn("quality",
         TextOps.qualityBucket(col("toks"), length(col("tc"))))
-    val bench = staged.filter(col("doc_id") < 20 && size(col("toks")) >= 3)
+
+  /** The benchmark shingle row over the gate's REDACTED bench docs. */
+  def gateBench(docs: DataFrame): DataFrame = {
+    import graft.functions.NGramSetFunctions.ngram_set
+    gateStaged(docs).filter(col("doc_id") < 20 && size(col("toks")) >= 3)
       .agg(array_sort(array_distinct(flatten(collect_list(
         ngram_set(col("toks"), 3))))).as("bench_sh"))
-    staged.filter(col("doc_id") >= 20)
-      .crossJoin(broadcast(bench))
+  }
+
+  /** Verdict + census over a staged CORPUS frame (doc_id ≥ 20 already
+    * applied) against a bench shingle column — the one census both
+    * the batch gate and the q209 ingest partials run; the xor member
+    * is a valid PARTIAL (xor of per-batch xors = corpus xor). */
+  def gateCensus(corpusStaged: DataFrame,
+                 benchSh: org.apache.spark.sql.Column): DataFrame = {
+    import graft.functions.NGramSetFunctions.{ngram_set, sorted_member_count}
+    corpusStaged
       .withColumn("n_overlap", when(size(col("toks")) >= 3,
-        sorted_member_count(ngram_set(col("toks"), 3), col("bench_sh")))
+        sorted_member_count(ngram_set(col("toks"), 3), benchSh))
         .otherwise(lit(0)))
       .withColumn("verdict",
         when(col("quality") =!= "ok", "quarantined_quality")
@@ -508,6 +521,14 @@ object PipelineQ {
           .as("landed_docs"),
         expr("bit_xor(CASE WHEN verdict = 'landed' THEN h END)")
           .as("landed_xor_root"))
+  }
+
+  def q208WritePathGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    gateCensus(
+      gateStaged(docs).filter(col("doc_id") >= 20)
+        .crossJoin(broadcast(gateBench(docs))),
+      col("bench_sh"))
   }
   val q208Sql: String = {
     val toks = "str_split(tc, ' ')"

@@ -1182,6 +1182,28 @@ object StreamingQ {
     Streams.datasetCardSnapshot(s, work, Tables.documents(s, dir))
   }
 
+  /** q209: the q208 write-path gate AT INGEST — the front door run
+    * where a front door belongs, on each arriving micro-batch: the
+    * shared gate stages execute scan-side per batch against the
+    * plan-constant bench array (one size-gated pull pre-stream, q204's
+    * pattern), and per-source census partials land replay-idempotent —
+    * counts sum-merge, the landed commitment xor-merges, so "what has
+    * the gate admitted so far, and what is its integrity root" is an
+    * O(sources) read at any moment of the crawl. Oracle: q208Sql —
+    * the ingest gate and the batch gate pinned to the same census,
+    * xor commitment included. */
+  def q209IncrementalGate(s: SparkSession, dir: String): DataFrame = {
+    val bench = PipelineQ.gateBench(Tables.documents(s, dir))
+      .head.getSeq[String](0)
+    val work = streamed(s, dir, Seq("doc_id", "source", "text"),
+      "doc_id bigint, source string, text string") { (docs, work) =>
+      Streams.incrementalWritePathGate(docs, bench, s"$work/census",
+        s"$work/ckpt").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+    Streams.writePathGateSnapshot(s, s"$work/census")
+  }
+
   /** q192 oracle — the batch spelling of the enrichment join census,
     * identical integer-cents quantization. */
   val q192Sql: String =

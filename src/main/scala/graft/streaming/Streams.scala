@@ -618,6 +618,47 @@ object Streams {
     graft.queries.PipelineQ.cardTail(base, sources, langs, fps, edges)
   }
 
+  /** Write-path-gate monitor (q209): the whole q208 front door per
+    * ARRIVING micro-batch — plant/redact/triage/screen run scan-side
+    * on the batch (the shared [[graft.queries.PipelineQ.gateCensus]]
+    * against the plan-constant bench array), and the per-source census
+    * row (counts + the landed-xor PARTIAL) lands replay-idempotent.
+    * Every member is mergeable (sums; xor of xors), so the gate's
+    * verdict for the whole crawl-so-far is O(sources) to read at any
+    * moment of the ingest. */
+  def incrementalWritePathGate(docs: DataFrame, bench: Seq[String],
+                               censusPath: String, checkpoint: String)
+      : DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchPartition(
+          graft.queries.PipelineQ.gateCensus(
+            graft.queries.PipelineQ.gateStaged(batch)
+              .filter(col("doc_id") >= 20),
+            typedLit(bench)), batchId, censusPath)
+      }
+
+  /** The q208 census from landed gate partials: counts re-sum, the
+    * landed commitment re-xors (nulls — batches where a source landed
+    * nothing — drop out of the fold, exactly as they must). */
+  def writePathGateSnapshot(spark: SparkSession, censusPath: String)
+      : DataFrame =
+    readPartialsOrEmpty(spark, censusPath,
+      "source string, docs_in bigint, emails_redacted bigint, " +
+        "ips_redacted bigint, quarantined_quality bigint, " +
+        "quarantined_contaminated bigint, landed_docs bigint, " +
+        "landed_xor_root bigint, batch_id bigint")
+      .groupBy(col("source"))
+      .agg(sum(col("docs_in")).as("docs_in"),
+        sum(col("emails_redacted")).as("emails_redacted"),
+        sum(col("ips_redacted")).as("ips_redacted"),
+        sum(col("quarantined_quality")).as("quarantined_quality"),
+        sum(col("quarantined_contaminated")).as("quarantined_contaminated"),
+        sum(col("landed_docs")).as("landed_docs"),
+        expr("bit_xor(landed_xor_root)").as("landed_xor_root"))
+
   def incrementalSourceTokens(docs: DataFrame, tokensPath: String,
                               checkpoint: String): DataStreamWriter[Row] =
     docs.writeStream

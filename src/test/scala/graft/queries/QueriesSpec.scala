@@ -3008,6 +3008,14 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q209 ingest gate equals the batch gate, landed commitment included") {
+    val got = rowsOf(StreamingQ.q209IncrementalGate(spark, sf))
+    val want = rowsOf(PipelineQ.q208WritePathGate(spark, sf))
+    assert(got === want,
+      "per-batch gate partials must merge to the batch front door exactly")
+    assert(got.nonEmpty)
+  }
+
   test("q202 ingest expectations equal the batch census; planted masses fire") {
     import org.apache.spark.sql.functions._
     val got = StreamingQ.q202IncrementalExpectations(spark, sf).collect()
