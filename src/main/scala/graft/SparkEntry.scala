@@ -485,6 +485,10 @@ object SparkEntry {
     // the same front door per arriving micro-batch: mergeable census
     // partials (sums + xor of landed-root xors)
     "q209_incremental_gate" -> (StreamingQ.q209IncrementalGate _),
+    // the classifier reliability diagram maintained mid-ingest:
+    // ≤10-row bin partials, ratios derived after the merge
+    "q210_incremental_calibration" ->
+      (StreamingQ.q210IncrementalCalibration _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -700,5 +704,6 @@ object SparkEntry {
     "q207_incremental_card" -> PipelineQ.q149Sql,
     "q208_ingest_gate" -> PipelineQ.q208Sql,
     "q209_incremental_gate" -> PipelineQ.q208Sql,
+    "q210_incremental_calibration" -> Text.q201Sql,
   )
 }

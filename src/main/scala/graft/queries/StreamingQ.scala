@@ -1204,6 +1204,21 @@ object StreamingQ {
     Streams.writePathGateSnapshot(s, s"$work/census")
   }
 
+  /** q210: the q201 calibration census AT INGEST — the classifier
+    * reliability diagram maintained while the corpus lands, so a
+    * drifting quality/language gate is visible per crawl shard, not at
+    * the next offline eval. Pure sum-merge family: each batch lands
+    * ≤10 bin partials (n, Σpred, positives) and the ratio columns are
+    * derived AFTER the merge. Oracle: q201Sql. */
+  def q210IncrementalCalibration(s: SparkSession, dir: String): DataFrame = {
+    val work = streamed(s, dir, Seq("lang", "text"),
+      "lang string, text string") { (docs, work) =>
+      Streams.incrementalCalibration(docs, s"$work/bins", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Streams.calibrationSnapshot(s, s"$work/bins")
+  }
+
   /** q192 oracle — the batch spelling of the enrichment join census,
     * identical integer-cents quantization. */
   val q192Sql: String =

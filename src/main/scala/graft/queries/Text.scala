@@ -2467,8 +2467,13 @@ object Text {
     * so the oracle comparison is exact. The census is O(bins)
     * however large the corpus; ECE itself is a driver-side fold over
     * 10 rows. */
-  def q201CalibrationBins(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+  /** Per-bin SUM partials of the calibration census (bin, n, Σpred,
+    * positives) over any documents frame — the q210 ingest twin lands
+    * exactly this per micro-batch; [[calibrationFrom]] derives the
+    * ratio columns only AFTER the merge (means of sums, never sums of
+    * means — the arithmetic reason the census is mergeable at all). */
+  def calibrationPartials(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", TextOps.tokens(col("text")))
       .withColumn("stopn",
         TextOps.markerCount(col("toks"), TextOps.enMarkers).cast("long"))
@@ -2476,10 +2481,20 @@ object Text {
         when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
       .groupBy(expr("pred_pm div 100").as("bin"))
       .agg(count(lit(1)).as("n_docs"),
-        expr("sum(pred_pm) div count(1)").as("mean_pred_pm"),
+        sum(col("pred_pm")).as("pred_sum"),
         sum(col("pos")).as("positives"))
+
+  /** The reliability table from (merged) bin partials. */
+  def calibrationFrom(partials: DataFrame): DataFrame =
+    partials
+      .withColumn("mean_pred_pm", expr("pred_sum div n_docs"))
       .withColumn("actual_pm", expr("positives * 1000 div n_docs"))
       .withColumn("gap_pm", abs(col("mean_pred_pm") - col("actual_pm")))
+      .select(col("bin"), col("n_docs"), col("mean_pred_pm"),
+        col("positives"), col("actual_pm"), col("gap_pm"))
+
+  def q201CalibrationBins(s: SparkSession, dir: String): DataFrame =
+    calibrationFrom(calibrationPartials(Tables.documents(s, dir)))
   val q201Sql: String = {
     val toks = "str_split(text, ' ')"
     val stop = "len(list_filter(str_split(text, ' '), t -> t IN " +

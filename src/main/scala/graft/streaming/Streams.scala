@@ -659,6 +659,32 @@ object Streams {
         sum(col("landed_docs")).as("landed_docs"),
         expr("bit_xor(landed_xor_root)").as("landed_xor_root"))
 
+  /** Calibration monitor (q210): each micro-batch lands its ≤10-row
+    * per-bin SUM partials (n, Σpred, positives); the snapshot re-sums
+    * and derives the ratio columns — means of sums, never sums of
+    * means. A quality/language classifier's reliability diagram is
+    * thus readable mid-ingest at O(bins) cost. */
+  def incrementalCalibration(docs: DataFrame, binsPath: String,
+                             checkpoint: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchPartition(
+          graft.queries.Text.calibrationPartials(batch), batchId, binsPath)
+      }
+
+  /** The q201 reliability table from landed bin partials. */
+  def calibrationSnapshot(spark: SparkSession, binsPath: String): DataFrame =
+    graft.queries.Text.calibrationFrom(
+      readPartialsOrEmpty(spark, binsPath,
+        "bin bigint, n_docs bigint, pred_sum bigint, positives bigint, " +
+          "batch_id bigint")
+        .groupBy(col("bin"))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("pred_sum")).as("pred_sum"),
+          sum(col("positives")).as("positives")))
+
   def incrementalSourceTokens(docs: DataFrame, tokensPath: String,
                               checkpoint: String): DataStreamWriter[Row] =
     docs.writeStream

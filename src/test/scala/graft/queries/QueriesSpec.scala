@@ -3016,6 +3016,14 @@ class QueriesSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q210 ingest calibration equals the batch reliability table") {
+    val got = rowsOf(StreamingQ.q210IncrementalCalibration(spark, sf))
+    val want = rowsOf(Text.q201CalibrationBins(spark, sf))
+    assert(got === want,
+      "bin partials re-summed must reproduce the batch table exactly")
+    assert(got.nonEmpty)
+  }
+
   test("q202 ingest expectations equal the batch census; planted masses fire") {
     import org.apache.spark.sql.functions._
     val got = StreamingQ.q202IncrementalExpectations(spark, sf).collect()
