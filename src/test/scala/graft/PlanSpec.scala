@@ -92,6 +92,7 @@ class PlanSpec extends SparkSpec {
     "q145_chi2_daily_mix",      // × 1-row contingency-total T agg
     "q148_incremental_chi2",    // q145's T cross over the landed partials
     "q149_dataset_card",        // × six 1-row member aggs (the datasheet card)
+    "q207_incremental_card",    // q149's member crosses over landed partials
     "q158_compacted_mixture",   // q105's 1-row qtot cross, compacted log
     "q161_excess_mixture",      // × 1-row corpus-mean + 1-row wtot aggs
     "q168_association_rules",   // × 1-row basket-count agg
