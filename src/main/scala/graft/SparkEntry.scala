@@ -489,6 +489,9 @@ object SparkEntry {
     // ≤10-row bin partials, ratios derived after the merge
     "q210_incremental_calibration" ->
       (StreamingQ.q210IncrementalCalibration _),
+    // z-order clustering at ingest: each batch lands curve-clustered,
+    // zone maps stay tight with no nightly whole-table rewrite
+    "q211_incremental_zorder" -> (StreamingQ.q211IncrementalZorder _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -705,5 +708,6 @@ object SparkEntry {
     "q208_ingest_gate" -> PipelineQ.q208Sql,
     "q209_incremental_gate" -> PipelineQ.q208Sql,
     "q210_incremental_calibration" -> Text.q201Sql,
+    "q211_incremental_zorder" -> Layout.q72Sql,
   )
 }

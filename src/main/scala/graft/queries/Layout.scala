@@ -17,11 +17,27 @@ object Layout {
     * for "one parquet file per range" that keeps the oracle exact. */
   val ZFileShift = 4194304L // 2^22
 
-  private def dayAndCust(s: SparkSession, dir: String): DataFrame =
+  def dayAndCust(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir).select(
       datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
         .cast("long").as("day"),
       col("o_custkey"))
+
+  /** Curve position + census grain over any (day, o_custkey) frame —
+    * shared by q72 and the q211 ingest-clustering twin. */
+  def curveFrame(df: DataFrame): DataFrame =
+    df.select(col("day"), col("o_custkey"),
+        ZOrderFunctions.zorder2(col("day") % 65536, col("o_custkey") % 65536)
+          .as("z"))
+      .withColumn("zfile", expr(s"z div $ZFileShift"))
+
+  /** The per-curve-range zone-map census both spellings report. */
+  def zoneCensus(curved: DataFrame): DataFrame =
+    curved.groupBy(col("zfile"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"),
+        min(col("o_custkey")).as("min_cust"),
+        max(col("o_custkey")).as("max_cust"))
 
   /** Z-order layout census (q72): Morton-interleave (order day,
     * customer) and report, per curve-range "file", the row count and
@@ -32,16 +48,8 @@ object Layout {
     * prune files. The write path for a real table is
     * [[zorderWrite]] — this census is its oracle-checkable shadow.
     */
-  def q72ZorderCensus(s: SparkSession, dir: String): DataFrame = {
-    dayAndCust(s, dir)
-      .select(col("day"), col("o_custkey"),
-        ZOrderFunctions.zorder2(col("day") % 65536, col("o_custkey") % 65536)
-          .as("z"))
-      .groupBy(expr(s"z div $ZFileShift").as("zfile"))
-      .agg(count(lit(1)).as("n_rows"),
-        min(col("day")).as("min_day"), max(col("day")).as("max_day"),
-        min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"))
-  }
+  def q72ZorderCensus(s: SparkSession, dir: String): DataFrame =
+    zoneCensus(curveFrame(dayAndCust(s, dir)))
 
   val q72Sql: String = {
     val day = "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)"

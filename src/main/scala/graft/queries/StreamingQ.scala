@@ -1219,6 +1219,25 @@ object StreamingQ {
     Streams.calibrationSnapshot(s, s"$work/bins")
   }
 
+  /** q211: z-order clustering AT INGEST — the lake-maintenance write
+    * path that keeps zone maps tight WHILE the fact table streams in,
+    * instead of a nightly whole-table OPTIMIZE rewrite: each
+    * micro-batch lands curve-clustered (one file per touched coarse
+    * curve dir, fine-grain zfile locality inside — [[graft.streaming
+    * .Streams.incrementalZorder]]), and the zone-map census over the
+    * landed index is bit-equal to the batch q72 census because the
+    * curve position is a pure function of the row. Readers get
+    * directory pruning on zdir + row-group locality on zfile from the
+    * moment a batch commits. Oracle: q72Sql. */
+  def q211IncrementalZorder(s: SparkSession, dir: String): DataFrame = {
+    val work = streamedFrame(s, Layout.dayAndCust(s, dir),
+      "day bigint, o_custkey bigint") { (facts, work) =>
+      Streams.incrementalZorder(facts, s"$work/index", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Streams.zorderSnapshot(s, s"$work/index")
+  }
+
   /** q192 oracle — the batch spelling of the enrichment join census,
     * identical integer-cents quantization. */
   val q192Sql: String =

@@ -685,6 +685,39 @@ object Streams {
           sum(col("pred_sum")).as("pred_sum"),
           sum(col("positives")).as("positives")))
 
+  /** Z-order ingest maintenance (q211): arriving fact rows are
+    * clustered to the curve AT WRITE TIME — each micro-batch computes
+    * its curve positions scan-side, repartitions ONCE by the coarse
+    * directory grain (zdir = zfile div 8, ≤128 dirs, so each batch
+    * writes one file per touched dir — the writeBatchPartition
+    * file-count note's "cluster by the prefix first" production
+    * spelling), and lands as a replay-idempotent batch_id partition
+    * of the curve-partitioned index. Readers prune directories by
+    * zdir (partition pruning) and row groups by the in-file zfile
+    * locality — zone maps stay tight WHILE data streams in, no
+    * nightly OPTIMIZE rewrite of the whole table. */
+  def incrementalZorder(facts: DataFrame, indexPath: String,
+                        checkpoint: String): DataStreamWriter[Row] =
+    facts.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchPartition(
+          graft.queries.Layout.curveFrame(batch)
+            .withColumn("zdir", expr("zfile div 8"))
+            .repartition(col("zdir")),
+          batchId, indexPath, prefixPartitionCols = Seq("zdir"))
+      }
+
+  /** The q72 zone-map census over the landed curve index — bit-equal
+    * to the batch census because the curve position is a pure
+    * function of the row. */
+  def zorderSnapshot(spark: SparkSession, indexPath: String): DataFrame =
+    graft.queries.Layout.zoneCensus(
+      readPartialsOrEmpty(spark, indexPath,
+        "day bigint, o_custkey bigint, z bigint, zfile bigint, " +
+          "zdir bigint, batch_id bigint"))
+
   def incrementalSourceTokens(docs: DataFrame, tokensPath: String,
                               checkpoint: String): DataStreamWriter[Row] =
     docs.writeStream

@@ -1446,6 +1446,47 @@ class StreamsSpec extends SparkSpec {
       "post-restart census must equal the whole-feed batch gate")
   }
 
+  test("incremental z-order: landed index census equals batch q72; readers prune by zdir") {
+    import graft.queries.Layout
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorderrec")
+    val (idx, cp) = (s"$dir/index", s"$dir/ckpt")
+    val in = dir.resolve("in"); java.nio.file.Files.createDirectory(in)
+    val sf = "/root/testdata/sf0.001"
+    val facts = Layout.dayAndCust(spark, sf)
+    def land(half: Int): Unit = {
+      val stage = s"$dir/stage$half"
+      facts.filter(col("o_custkey") % 2 === half).coalesce(1)
+        .write.parquet(stage)
+      new java.io.File(stage).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.move(f.toPath,
+          in.resolve(s"half$half.parquet")))
+    }
+    def start() = Streams.incrementalZorder(
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "day bigint, o_custkey bigint"))
+        .parquet(in.toString), idx, cp).start()
+    land(0)
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    land(1) // arrives while the maintainer is DOWN
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(rowsOf(Streams.zorderSnapshot(spark, idx)) ===
+      rowsOf(Layout.q72ZorderCensus(spark, sf)),
+      "the landed curve index must census exactly like the batch table")
+    // THE claim: the landed layout is queryable with directory pruning
+    // — a zdir predicate reaches PartitionFilters, so a curve-range
+    // scan lists only its own directories
+    // plain read: partition discovery types zdir as int — take it as-is
+    val zdir = spark.read.parquet(idx).select(col("zdir"))
+      .agg(min(col("zdir"))).head.get(0)
+    val plan = spark.read.parquet(idx).filter(col("zdir") === zdir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(zdir"),
+      plan.take(1500))
+  }
+
   test("incremental KMV survives a restart: offsets resume, snapshot equals batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kmvrec")
     val (sk, cp) = (s"$dir/kmv", s"$dir/ckpt")
