@@ -492,6 +492,9 @@ object SparkEntry {
     // z-order clustering at ingest: each batch lands curve-clustered,
     // zone maps stay tight with no nightly whole-table rewrite
     "q211_incremental_zorder" -> (StreamingQ.q211IncrementalZorder _),
+    // both real header codecs (BMP fixed-offset + netpbm ASCII) on
+    // the oracle board: dims read from bytes via the format sniff
+    "q212_mixed_codec_census" -> (MultimodalQ.q212MixedCodecCensus _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -709,5 +712,6 @@ object SparkEntry {
     "q209_incremental_gate" -> PipelineQ.q208Sql,
     "q210_incremental_calibration" -> Text.q201Sql,
     "q211_incremental_zorder" -> Layout.q72Sql,
+    "q212_mixed_codec_census" -> MultimodalQ.q212Sql,
   )
 }

@@ -119,6 +119,45 @@ object Multimodal {
         (leInt2(payload, 29) / 8).cast("int").as("channels"),
         lit("bmp").as("format")))
 
+  // ------------------------------------------ real PPM header codec
+
+  /** Serialize decoded metadata into a REAL binary-PPM/PGM header
+    * ("P6\n<w> <h>\n255\n" — the ASCII-header netpbm layout every PPM
+    * reader parses; P5 for 1-channel graymaps, P6 otherwise with the
+    * 3-channel contract the format imposes) followed by `body` as the
+    * pixel payload. Scan-side codegen'd string functions only. */
+  def encodePpmPayload(meta: Column, body: Column): Column =
+    concat(
+      format_string("%s\n%d %d\n255\n",
+        when(meta.getField("channels") === 1, "P5").otherwise(lit("P6")),
+        meta.getField("width"), meta.getField("height")).cast("binary"),
+      body)
+
+  /** REAL netpbm header parse from the payload BYTES: magic check
+    * (P5/P6), whitespace-separated ASCII dims, maxval 255 — NULL on
+    * anything else (wrong magic, truncated or malformed header), the
+    * same corrupt-blob contract as [[decodeBmpMeta]]. The header
+    * prefix is byte-substring'd BEFORE the string cast, so arbitrary
+    * pixel bytes after it can never confuse the anchored parse.
+    * Entirely codegen'd (substring / regexp_extract / cast). */
+  def decodePpmMeta(payload: Column): Column = {
+    val hdr = substring(payload, 1, 24).cast("string")
+    val magic = substring(payload, 1, 2).cast("string")
+    val re = "^P[56]\\s+(\\d+)\\s+(\\d+)\\s+255\\s"
+    // a failed regexp yields "" — CASE keeps the ANSI int cast off the
+    // no-match branch (try_cast semantics without leaving codegen)
+    def num(group: Int): Column = {
+      val g = regexp_extract(hdr, re, group)
+      when(g =!= "", g.cast("int"))
+    }
+    val w = num(1)
+    val h = num(2)
+    when(magic.isin("P5", "P6") && w.isNotNull && h.isNotNull,
+      struct(w.as("width"), h.as("height"),
+        when(magic === "P5", 1).otherwise(lit(3)).as("channels"),
+        when(magic === "P5", "pgm").otherwise(lit("ppm")).as("format")))
+  }
+
   /** Frame sampling stub for video-like payloads: pick every nth
     * "frame offset" — the plumbing is a lateral explode over a
     * sequence bounded by payload length, exactly how frame extraction

@@ -51,6 +51,48 @@ object MultimodalQ {
       |       CAST(sum(channels) AS BIGINT) AS total_channels
       |FROM meta GROUP BY 1""".stripMargin
 
+  /** Mixed-codec census (q212) — BOTH real header codecs on the
+    * oracle board at once: every payload is serialized into a REAL
+    * container (even doc_ids a 54-byte BMP, odd a netpbm P6/P5 —
+    * channels==1 graymaps take P5, the format's own contract) and the
+    * census reads width/height/channels from the BYTE parse
+    * (`coalesce(decodeBmpMeta, decodePpmMeta)` — the format sniff a
+    * real ingest runs), never from the stub. A green oracle row means
+    * both fixed-offset binary (BMP) and ASCII-header (netpbm) parsing
+    * reproduce the encoder's dims exactly; a parser regression breaks
+    * the hash. Scale shape: encode+sniff+parse are scan-side codegen'd
+    * string/binary functions, the only shuffle is the O(formats)
+    * census agg. */
+  def q212MixedCodecCensus(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .transform(MM.withPayload)
+      .withColumn("stub", MM.decodeImageMeta(col("payload")))
+      .withColumn("enc",
+        when(col("doc_id") % 2 === 0,
+          MM.encodeBmpPayload(col("stub"), col("payload")))
+          .otherwise(MM.encodePpmPayload(col("stub"), col("payload"))))
+      .withColumn("meta",
+        coalesce(MM.decodeBmpMeta(col("enc")), MM.decodePpmMeta(col("enc"))))
+      .select(col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.channels").as("channels"))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("image_count"),
+        round(avg(col("width")), 2).as("avg_width"),
+        round(avg(col("height")), 2).as("avg_height"),
+        sum(col("channels")).cast("long").as("total_channels"))
+  val q212Sql: String =
+    s"""WITH $metaCte
+       |SELECT CASE WHEN doc_id % 2 = 0 THEN 'bmp'
+       |            WHEN channels = 1 THEN 'pgm' ELSE 'ppm' END AS format,
+       |       count(*) AS image_count,
+       |       round(avg(width), 2) AS avg_width,
+       |       round(avg(height), 2) AS avg_height,
+       |       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN channels
+       |                     WHEN channels = 1 THEN 1 ELSE 3 END)
+       |         AS BIGINT) AS total_channels
+       |FROM meta GROUP BY 1""".stripMargin
+
   /** Frame-sampling manifest (q67) — the video-shaped pipeline
     * composed end-to-end: decode (stub) → resize to a 256×256 box
     * (integer-permille aspect-preserving math, oracle-exact) → sample

@@ -78,6 +78,44 @@ class MultimodalSpec extends SparkSpec {
     assert(drift === 0, s"$drift docs drifted through the BMP roundtrip")
   }
 
+  test("PPM codec roundtrip: ASCII-parsed dims equal the encoded meta; P5/P6 by channels") {
+    val d = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .transform(Multimodal.withPayload)
+      .withColumn("stub", Multimodal.decodeImageMeta(col("payload")))
+      .withColumn("hdr", Multimodal.decodePpmMeta(
+        Multimodal.encodePpmPayload(col("stub"), col("payload"))))
+    assert(d.filter(col("hdr").isNull).count() === 0,
+      "every encoded payload must parse as a valid netpbm")
+    val drift = d.filter(
+      col("hdr.width") =!= col("stub.width") ||
+      col("hdr.height") =!= col("stub.height")).count()
+    assert(drift === 0, s"$drift docs drifted through the PPM roundtrip")
+    // the format's own channel contract: 1-channel stubs take P5/1,
+    // everything else P6/3
+    assert(d.filter(col("stub.channels") === 1 &&
+      (col("hdr.format") =!= "pgm" || col("hdr.channels") =!= 1))
+      .count() === 0)
+    assert(d.filter(col("stub.channels") =!= 1 &&
+      (col("hdr.format") =!= "ppm" || col("hdr.channels") =!= 3))
+      .count() === 0)
+  }
+
+  test("PPM parse: a golden header yields literal dims; corrupt/truncated decode NULL") {
+    val m = Seq("P6\n640 480\n255\nXYZ").toDF("s")
+      .select(Multimodal.decodePpmMeta(col("s").cast("binary")).as("m"))
+      .select(col("m.width"), col("m.height"), col("m.channels"),
+        col("m.format"))
+    assert(rowsOf(m) === Seq(Seq("640", "480", "3", "ppm")))
+    val bad = Seq(
+      "P4\n640 480\n255\n",   // wrong magic (bitmap, not byte map)
+      "P6\n640 480\n127\n",   // wrong maxval
+      "P6\n640",              // truncated header
+      "BM whatever").toDF("s")
+      .select(Multimodal.decodePpmMeta(col("s").cast("binary")).as("m"))
+    assert(bad.filter(col("m").isNotNull).count() === 0,
+      "corrupt netpbm headers must decode to NULL, never garbage dims")
+  }
+
   test("BMP parse: a hand-built golden header yields its literal dims") {
     // 640x480, 24 bpp, hand-assembled LE fields — the parser against
     // bytes it did not encode
