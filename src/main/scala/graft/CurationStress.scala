@@ -681,14 +681,10 @@ object CurationStress {
         queries.PipelineQ.integrityRoots(
           docsBase.filter(col("doc_id") % reps === k)))
       .reduce(_.unionAll(_))
-    // the same merge arithmetic integrityRootsSnapshot applies to
-    // landed batch partials — xor of xors, (Σ sᵢ mod p) mod p
-    val mergedRoots = rootsMap(shardPartials.groupBy(col("source"))
-      .agg(sum(col("docs")).as("docs"),
-        expr("bit_xor(xor_root)").as("xor_root"),
-        expr("CAST(sum(CAST(sum_root AS DECIMAL(38,0))) % " +
-          "2305843009213693951L AS BIGINT)").as("sum_root"),
-        expr("bit_xor(xor_root_b)").as("xor_root_b")).collect())
+    // the SAME merge the q203 snapshot applies to landed batch
+    // partials — one shared fold algebra, no drift surface
+    val mergedRoots = rootsMap(
+      queries.PipelineQ.mergeRootPartials(shardPartials).collect())
     assert(mergedRoots == baseRoots,
       s"q200 monoid law broken at fan-out $reps: shard-fold != corpus scan")
     val (_, tRoots) = time(

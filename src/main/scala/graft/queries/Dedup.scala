@@ -345,13 +345,28 @@ object Dedup {
   def q46DedupClusters(s: SparkSession, dir: String): DataFrame =
     clusters(Tables.documents(s, dir))
 
-  /** The verified near-dup edge list (Jaccard ≥ 0.5) — the ONE
-    * definition both clustering algorithms (q46 propagation, q55 star
-    * contraction) consume, so the similarity bar can never drift
+  /** The near-dup similarity bar — ONE constant for every verified
+    * consumer (batch ladder, ingest logs, stress laws); the SQL CTEs
+    * spell the same literal. */
+  val JaccardBar = 0.5
+
+  /** The verified near-dup edge list (Jaccard ≥ [[JaccardBar]]) — the
+    * ONE definition both clustering algorithms (q46 propagation, q55
+    * star contraction) consume, so the similarity bar can never drift
     * between them. */
   def verifiedEdges(docs: DataFrame): DataFrame =
     verifiedPairs(docs)
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= JaccardBar)
+      .select(col("doc_a"), col("doc_b"))
+
+  /** The SAME bar applied to an ingest-accumulated candidate-pair log
+    * (q107/q206/the ingest card/finalizePipeline): distinct the log,
+    * verify against the corpus, keep edges at [[JaccardBar]] — one
+    * definition, so the ingest consumers can never drift from the
+    * batch ladder. */
+  def verifiedEdgesFromLog(pairs: DataFrame, corpus: DataFrame): DataFrame =
+    jaccardVerify(pairs.select(col("doc_a"), col("doc_b")).distinct(), corpus)
+      .filter(col("jaccard") >= JaccardBar)
       .select(col("doc_a"), col("doc_b"))
 
   /** q46 parametrized by the corpus frame (see [[verifiedPairs]]).

@@ -491,6 +491,27 @@ object PipelineQ {
         ngram_set(col("toks"), 3))))).as("bench_sh"))
   }
 
+  /** [[gateBench]] pulled to the driver for the q209 ingest gate —
+    * size-GATED like [[Text.benchShingleArray]]: a pre-count job
+    * (benchmark-bounded) refuses past the plan-literal bound, where
+    * the screen stage takes q56's per-batch shuffle spelling
+    * instead. */
+  def gateBenchArray(s: SparkSession, dir: String,
+                     maxBroadcastShingles: Long = 10L * 1000 * 1000)
+      : Seq[String] = {
+    import graft.functions.NGramSetFunctions.ngram_set
+    val docs = Tables.documents(s, dir)
+    val n = gateStaged(docs)
+      .filter(col("doc_id") < 20 && size(col("toks")) >= 3)
+      .select(explode(ngram_set(col("toks"), 3)).as("sh"))
+      .distinct().count()
+    require(n <= maxBroadcastShingles,
+      s"gate benchmark has $n distinct shingles — past the" +
+        s" $maxBroadcastShingles plan-literal bound; screen with q56's" +
+        " shuffle-join spelling per batch instead of a driver pull")
+    gateBench(docs).head.getSeq[String](0)
+  }
+
   /** Verdict + census over a staged CORPUS frame (doc_id ≥ 20 already
     * applied) against a bench shingle column — the one census both
     * the batch gate and the q209 ingest partials run; the xor member
@@ -618,6 +639,19 @@ object PipelineQ {
           "AS BIGINT)").as("sum_root"),
         expr("bit_xor(h2)").as("xor_root_b"))
   }
+
+  /** The ONE merge of per-source root partials (ingest batches, scan
+    * shards, replicas — any fan-out): xor of xors, (Σ sᵢ mod p) mod p.
+    * Shared by the q203 snapshot and the CurationStress monoid law so
+    * the fold algebra lives in exactly one place beside its SQL
+    * spelling. */
+  def mergeRootPartials(partials: DataFrame): DataFrame =
+    partials.groupBy(col("source"))
+      .agg(sum(col("docs")).as("docs"),
+        expr("bit_xor(xor_root)").as("xor_root"),
+        expr("CAST(sum(CAST(sum_root AS DECIMAL(38,0))) % " +
+          "2305843009213693951L AS BIGINT)").as("sum_root"),
+        expr("bit_xor(xor_root_b)").as("xor_root_b"))
 
   def q200IntegrityRoots(s: SparkSession, dir: String): DataFrame =
     integrityRoots(Tables.documents(s, dir))

@@ -1151,13 +1151,8 @@ object StreamingQ {
         s"$work/ckpt").trigger(Trigger.AvailableNow()).start()
         .awaitTermination()
     }
-    val verified = Dedup.jaccardVerify(
-        s.read.parquet(s"$work/pairs")
-          .select(col("doc_a"), col("doc_b")).distinct(),
-        Tables.documents(s, dir))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"))
-    Dedup.clustersFromEdgesCounted(verified)._1
+    Dedup.clustersFromEdgesCounted(Dedup.verifiedEdgesFromLog(
+      s.read.parquet(s"$work/pairs"), Tables.documents(s, dir)))._1
   }
 
   /** q207: the q149 dataset datasheet AT INGEST — the release card a
@@ -1193,8 +1188,7 @@ object StreamingQ {
     * the ingest gate and the batch gate pinned to the same census,
     * xor commitment included. */
   def q209IncrementalGate(s: SparkSession, dir: String): DataFrame = {
-    val bench = PipelineQ.gateBench(Tables.documents(s, dir))
-      .head.getSeq[String](0)
+    val bench = PipelineQ.gateBenchArray(s, dir)
     val work = streamed(s, dir, Seq("doc_id", "source", "text"),
       "doc_id bigint, source string, text string") { (docs, work) =>
       Streams.incrementalWritePathGate(docs, bench, s"$work/census",

@@ -342,15 +342,26 @@ object Text {
     else q56ContaminationJoined(s, dir)
   }
   /** The benchmark's sorted distinct shingle array, pulled once to the
-    * driver — size-gated by the same bound as q49's one-row broadcast
-    * (a benchmark is MBs of n-grams by definition; past
-    * [[contaminationAuto]]'s threshold the right spelling is q56's
-    * shuffle join, not a bigger pull). Feeds the q204 ingest gate as a
-    * plan-constant array, the Lexicon kernels' pattern. */
-  def benchShingleArray(s: SparkSession, dir: String): Seq[String] =
+    * driver — size-GATED (a pre-count job, benchmark-bounded like
+    * [[contaminationAuto]]'s probe, runs BEFORE the pull and refuses
+    * past the broadcast bound): a benchmark is MBs of n-grams by
+    * definition, and past the bound the right ingest spelling is
+    * q56's per-batch shuffle join, not a bigger plan literal. Feeds
+    * the q204 ingest gate as a plan-constant array, the Lexicon
+    * kernels' pattern. */
+  def benchShingleArray(s: SparkSession, dir: String,
+                        maxBroadcastShingles: Long = 10L * 1000 * 1000)
+      : Seq[String] = {
+    val n = docShingleSets(s, dir).filter(col("doc_id") < 20)
+      .select(explode(col("shset")).as("shingle")).distinct().count()
+    require(n <= maxBroadcastShingles,
+      s"benchmark has $n distinct shingles — past the $maxBroadcastShingles" +
+        " plan-literal bound; screen at this size with q56's shuffle-join" +
+        " spelling per batch instead of a driver pull")
     docShingleSets(s, dir).filter(col("doc_id") < 20)
       .agg(array_sort(array_distinct(flatten(collect_list(col("shset"))))))
       .head.getSeq[String](0)
+  }
 
   /** Per-micro-batch contamination partials for the q204 ingest gate:
     * the batch's docs score their overlap against the plan-constant

@@ -512,15 +512,10 @@ object Streams {
     * commitments. */
   def integrityRootsSnapshot(spark: SparkSession, rootsPath: String)
       : DataFrame =
-    readPartialsOrEmpty(spark, rootsPath,
-      "source string, docs bigint, xor_root bigint, sum_root bigint, " +
-        "xor_root_b bigint, batch_id bigint")
-      .groupBy(col("source"))
-      .agg(sum(col("docs")).as("docs"),
-        expr("bit_xor(xor_root)").as("xor_root"),
-        expr("CAST(sum(CAST(sum_root AS DECIMAL(38,0))) % " +
-          "2305843009213693951L AS BIGINT)").as("sum_root"),
-        expr("bit_xor(xor_root_b)").as("xor_root_b"))
+    graft.queries.PipelineQ.mergeRootPartials(
+      readPartialsOrEmpty(spark, rootsPath,
+        "source string, docs bigint, xor_root bigint, sum_root bigint, " +
+          "xor_root_b bigint, batch_id bigint"))
 
   /** Contamination-gate monitor (q204): each micro-batch scores its
     * docs against the plan-constant sorted benchmark shingle array
@@ -592,9 +587,10 @@ object Streams {
     * ingest card cannot drift from the batch card's arithmetic. */
   def datasetCardSnapshot(spark: SparkSession, work: String,
                           corpus: DataFrame): DataFrame = {
-    val base = readPartialsOrEmpty(spark, s"$work/base",
+    val rawBase = readPartialsOrEmpty(spark, s"$work/base",
       "docs bigint, tokens bigint, ttr_sum bigint, train_docs bigint, " +
         "val_docs bigint, test_docs bigint, batch_id bigint")
+    val base = rawBase
       .agg(sum(col("docs")).as("docs"), sum(col("tokens")).as("tokens"),
         sum(col("ttr_sum")).as("ttr_sum"),
         sum(col("train_docs")).as("train_docs"),
@@ -609,13 +605,15 @@ object Streams {
     val fps = readPartialsOrEmpty(spark, s"$work/fps",
       "fp string, split string, batch_id bigint")
       .select(col("fp"), col("split")).distinct()
-    val edges = graft.queries.Dedup.jaccardVerify(
-        readPartialsOrEmpty(spark, s"$work/pairs",
-          "doc_a bigint, doc_b bigint, batch_id bigint")
-          .select(col("doc_a"), col("doc_b")).distinct(), corpus)
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"))
-    graft.queries.PipelineQ.cardTail(base, sources, langs, fps, edges)
+    val edges = graft.queries.Dedup.verifiedEdgesFromLog(
+      readPartialsOrEmpty(spark, s"$work/pairs",
+        "doc_a bigint, doc_b bigint, batch_id bigint"), corpus)
+    val card = graft.queries.PipelineQ.cardTail(base, sources, langs, fps,
+      edges)
+    // pre-first-commit the family's contract is "no data yet" = ZERO
+    // rows — a global agg over empty partials would otherwise dress an
+    // all-null row up as a datasheet
+    if (rawBase.limit(1).count() == 0L) card.limit(0) else card
   }
 
   /** Write-path-gate monitor (q209): the whole q208 front door per
@@ -1762,9 +1760,7 @@ object Streams {
           spark.range(0).select(col("id").as("doc_a"), col("id").as("doc_b"))
       })
       .select(col("doc_a"), col("doc_b")).distinct()
-    val edges = Dedup.jaccardVerify(pairs, docs)
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a"), col("doc_b"))
+    val edges = Dedup.verifiedEdgesFromLog(pairs, docs)
     val dropped = Dedup.clustersFromEdgesCounted(edges)._1
       .filter(col("cluster_id") =!= col("doc_id"))
       .select(col("doc_id"))
