@@ -1487,6 +1487,31 @@ class StreamsSpec extends SparkSpec {
       plan.take(1500))
   }
 
+  test("dataset-card snapshot before any commit is ZERO rows, never a null card") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cardempty")
+    val sf = "/root/testdata/sf0.001"
+    val card = Streams.datasetCardSnapshot(spark, dir.toString,
+      graft.Tables.documents(spark, sf))
+    assert(card.count() === 0L,
+      "a poller mid-startup must read 'no data yet', not an all-null row")
+    // schema is the real card's, so a consumer's projection still binds
+    assert(card.columns.contains("exact_dup_ppm"))
+  }
+
+  test("benchmark driver pulls refuse past the plan-literal bound") {
+    val sf = "/root/testdata/sf0.001"
+    intercept[IllegalArgumentException] {
+      graft.queries.Text.benchShingleArray(spark, sf,
+        maxBroadcastShingles = 1L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.queries.PipelineQ.gateBenchArray(spark, sf,
+        maxBroadcastShingles = 1L)
+    }
+    // under the bound both pulls succeed and stay benchmark-sized
+    assert(graft.queries.Text.benchShingleArray(spark, sf).nonEmpty)
+  }
+
   test("incremental KMV survives a restart: offsets resume, snapshot equals batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_kmvrec")
     val (sk, cp) = (s"$dir/kmv", s"$dir/ckpt")
