@@ -55,7 +55,11 @@ object CurationStress {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = LocalSession.build()
 
-    val stressDir = s"/tmp/graft_curation_stress_$reps"
+    // run-unique scratch roots (Streams.scratchDir: mkdtemp + JVM-exit
+    // cleanup), so two concurrent sweeps at the same reps value can
+    // never race on a shared fixed /tmp path
+    val stressDir =
+      graft.streaming.Streams.scratchDir(s"graft_curation_stress_$reps")
     // replica ids must not collide with real ones: derive the stride
     // from the actual corpus (max id + 1), not a fixed constant that a
     // larger SF would silently overflow into
@@ -459,7 +463,8 @@ object CurationStress {
     // replica doc lands in the SAME diff class as its base doc, and
     // every (source, class) census cell must scale EXACTLY ×R. The
     // manifests under the join grow R×; the join stays doc_id-keyed.
-    val diffDir = s"/tmp/graft_diff_stress_$reps"
+    val diffDir =
+      graft.streaming.Streams.scratchDir(s"graft_diff_stress_$reps")
     val stride70 = ((base + 69L) / 70L) * 70L
     Tables.documents(spark, sfDir)
       .crossJoin(spark.range(reps).toDF("rep"))
@@ -497,7 +502,8 @@ object CurationStress {
     // residual_refs pinned at 0. The lake-scale claim under test: the
     // transitive purge stays a key-join cascade, never a rescan whose
     // cost depends on the tombstone count.
-    val purgeDir = s"/tmp/graft_purge_stress_$reps"
+    val purgeDir =
+      graft.streaming.Streams.scratchDir(s"graft_purge_stress_$reps")
     val ckS = Tables.customer(spark, sfDir)
       .agg(max(col("c_custkey"))).head().getLong(0) + 1L
     val okS = Tables.orders(spark, sfDir)
@@ -698,7 +704,8 @@ object CurationStress {
     // micro-batched ingest (stream-static FK probe included) on the
     // inflated feed — per-batch state stays O(users + types) however
     // large the traffic, which is the monitor's scale claim.
-    val expDir = s"/tmp/graft_exp_stress_$reps"
+    val expDir =
+      graft.streaming.Streams.scratchDir(s"graft_exp_stress_$reps")
     Tables.events(spark, sfDir).crossJoin(spark.range(reps).toDF("rep"))
       .select((col("event_id") + col("rep") * eventStride).as("event_id"),
         col("ts"), col("user_id"), col("event_type"), col("value"),

@@ -133,15 +133,29 @@ object Multimodal {
         meta.getField("width"), meta.getField("height")).cast("binary"),
       body)
 
+  /** The fixed byte window [[decodePpmMeta]] inspects: magic (2) +
+    * three single-byte separators + "255" + trailing separator = 9
+    * framing bytes, leaving [[PpmMaxDimChars]] = 15 for the two
+    * dimension fields combined (e.g. 7+8 digits ≈ a 10-megapixel-per-
+    * side bound, far past any real raster). A structurally valid
+    * header WIDER than this window decodes to NULL-as-malformed by
+    * contract — the bound is part of the decode contract, not an
+    * accident of the parse. */
+  val PpmMaxDimChars: Int = 15
+  val PpmHeaderWindow: Int = 9 + PpmMaxDimChars
+
   /** REAL netpbm header parse from the payload BYTES: magic check
     * (P5/P6), whitespace-separated ASCII dims, maxval 255 — NULL on
     * anything else (wrong magic, truncated or malformed header), the
     * same corrupt-blob contract as [[decodeBmpMeta]]. The header
     * prefix is byte-substring'd BEFORE the string cast, so arbitrary
     * pixel bytes after it can never confuse the anchored parse.
+    * Headers longer than [[PpmHeaderWindow]] bytes (width+height
+    * fields past [[PpmMaxDimChars]] combined digits) are REJECTED as
+    * malformed — a documented bound, not a silent truncation.
     * Entirely codegen'd (substring / regexp_extract / cast). */
   def decodePpmMeta(payload: Column): Column = {
-    val hdr = substring(payload, 1, 24).cast("string")
+    val hdr = substring(payload, 1, PpmHeaderWindow).cast("string")
     val magic = substring(payload, 1, 2).cast("string")
     val re = "^P[56]\\s+(\\d+)\\s+(\\d+)\\s+255\\s"
     // a failed regexp yields "" — CASE keeps the ANSI int cast off the

@@ -501,15 +501,24 @@ object PipelineQ {
       : Seq[String] = {
     import graft.functions.NGramSetFunctions.ngram_set
     val docs = Tables.documents(s, dir)
-    val n = gateStaged(docs)
+    // ONE staging scan: the distinct-shingle frame is persisted across
+    // the size-gate count and the driver pull (the count materializes
+    // the cache; the pull reads it), keeping the refuse-BEFORE-pull
+    // ordering without paying the full gate staging twice per ingest
+    // start. The count is benchmark-bounded, so the cached frame is
+    // exactly the thing the gate bounds.
+    val sh = gateStaged(docs)
       .filter(col("doc_id") < 20 && size(col("toks")) >= 3)
       .select(explode(ngram_set(col("toks"), 3)).as("sh"))
-      .distinct().count()
-    require(n <= maxBroadcastShingles,
-      s"gate benchmark has $n distinct shingles — past the" +
-        s" $maxBroadcastShingles plan-literal bound; screen with q56's" +
-        " shuffle-join spelling per batch instead of a driver pull")
-    gateBench(docs).head.getSeq[String](0)
+      .distinct().persist()
+    try {
+      val n = sh.count()
+      require(n <= maxBroadcastShingles,
+        s"gate benchmark has $n distinct shingles — past the" +
+          s" $maxBroadcastShingles plan-literal bound; screen with q56's" +
+          " shuffle-join spelling per batch instead of a driver pull")
+      sh.agg(array_sort(collect_list(col("sh")))).head.getSeq[String](0)
+    } finally { sh.unpersist(); () }
   }
 
   /** Verdict + census over a staged CORPUS frame (doc_id ≥ 20 already

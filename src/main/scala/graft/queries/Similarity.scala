@@ -23,6 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** The retrieval tier's top-K cut — ONE constant shared by the exact
+    * scan (q29), the multiprobe search (q51) and every eval that fuses
+    * their manifests (q129 recall, q143 MRR, q205 nDCG), so a K retune
+    * adapts the graded-gain base and ideal DCG with it instead of
+    * silently corrupting the metric. */
+  val AnnTopK: Int = 3
+
+  /** q205's ideal DCG at [[AnnTopK]]: gains (K..1) in perfect order
+    * under the integer linear-reciprocal discount (1000 div rank). */
+  val AnnIdcgPm: Int =
+    (1 to AnnTopK).map(i => (AnnTopK + 1 - i) * (1000 / i)).sum
+
   /** embedding column cast float[] → double[] for stable arithmetic —
     * a native array Cast (codegen'd element loop), NOT a `transform`
     * lambda: the HOF spelling put an interpreted per-element closure
@@ -59,11 +71,11 @@ object Similarity {
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("query_id"))
           .orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
-      .filter(col("rk") <= 3)
+      .filter(col("rk") <= AnnTopK)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
   }
   val q29Sql: String =
-    """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
       |q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5),
       |scored AS (
       |  SELECT query_id, e.vec_id AS neighbor_id,
@@ -76,7 +88,8 @@ object Similarity {
       |         row_number() OVER (PARTITION BY query_id
       |                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
       |  FROM scored)
-      |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3""".stripMargin
+      |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked
+      |WHERE rk <= $AnnTopK""".stripMargin
 
   /** Deterministic random-hyperplane LSH: 8 hyperplanes whose weights
     * are ±1 derived from md5(plane:dim) — reproducible on any engine,
@@ -181,7 +194,7 @@ object Similarity {
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("query_id"))
           .orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
-      .filter(col("rk") <= 3)
+      .filter(col("rk") <= AnnTopK)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
   }
   /** DuckDB spelling of [[multiprobeCandidates]]'s predicate (aliases
@@ -204,7 +217,8 @@ object Similarity {
        |         row_number() OVER (PARTITION BY query_id
        |                            ORDER BY cos_sim DESC, neighbor_id ASC) AS rk
        |  FROM scored)
-       |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked WHERE rk <= 3""".stripMargin
+       |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked
+       |WHERE rk <= $AnnTopK""".stripMargin
 
   /** Scalar int8 quantization of an embedding column: per-vector
     * min/max affine map to [0,255] stored as smallint + (lo, scale) —
@@ -1270,18 +1284,23 @@ object Similarity {
     * retrieval-eval triad: q129 asks IF the true neighbors surface
     * (recall), q143 asks WHERE the single best one lands (MRR), this
     * asks how good the WHOLE returned ranking is — an nDCG-style
-    * score where each ANN hit earns a graded gain (4 − exact_rank:
-    * the exact scan's #1 is worth 3, #2 worth 2, #3 worth 1, misses
+    * score where each ANN hit earns a graded gain (K+1 − exact_rank,
+    * clamped at 0: the exact scan's #1 is worth K, #K worth 1, misses
     * 0) discounted by the position the ANN put it at. The discount is
     * LINEAR-RECIPROCAL in integer permille (1000 div rank) rather
     * than the textbook log₂ — deliberately: the metric stays exact
     * integer arithmetic end-to-end, so the oracle comparison is
     * hash-exact instead of float-tolerant, and the ranking it induces
-    * over queries is the same monotone story. Ideal DCG is the
-    * constant 3·1000 + 2·500 + 1·333 (gains in perfect order), so
-    * ndcg_pm = dcg · 1000 div 4333. Queries whose probe set came back
-    * empty still report (dcg 0) — an eval that silently drops its
-    * failures isn't one.
+    * over queries is the same monotone story. The gain base and the
+    * ideal DCG ([[AnnIdcgPm]] — gains in perfect order under the same
+    * discount) both derive from [[AnnTopK]], the SAME constant that
+    * cuts the q29/q51 manifests this metric fuses, so a K retune
+    * adapts the metric instead of silently corrupting it; the
+    * greatest(0, ·) clamp makes an exact rank past the gain base
+    * (possible only if the manifests' K outgrows the metric's) score
+    * 0 loudly rather than go negative. Queries whose probe set came
+    * back empty still report (dcg 0) — an eval that silently drops
+    * its failures isn't one.
     *
     * Scale shape: the q123/q143 rule — eval fuses the two O(queries ×
     * K) top-K manifests the retrieval tier already produced (exact =
@@ -1289,34 +1308,34 @@ object Similarity {
     * never rescans the corpus; the join keys on (query, neighbor),
     * the rollup is O(queries). */
   def q205RankingQuality(s: SparkSession, dir: String): DataFrame = {
-    val idcg = 3 * 1000 + 2 * 500 + 1 * 333
     val exact = q29CosineTopK(s, dir)
       .select(col("query_id"), col("neighbor_id"), col("rk").as("ek"))
     val probe = q51MultiprobeAnn(s, dir)
       .select(col("query_id"), col("neighbor_id"), col("rk"))
     val dcg = probe.join(exact, Seq("query_id", "neighbor_id"), "left")
       .select(col("query_id"),
-        (coalesce(lit(4) - col("ek"), lit(0)).cast("long") *
-          expr("1000 div rk")).as("part"))
+        (greatest(coalesce(lit(AnnTopK + 1) - col("ek"), lit(0)), lit(0))
+          .cast("long") * expr("1000 div rk")).as("part"))
       .groupBy(col("query_id"))
       .agg(sum(col("part")).as("dcg"))
     exact.select(col("query_id")).distinct()
       .join(dcg, Seq("query_id"), "left")
       .select(col("query_id"), coalesce(col("dcg"), lit(0L)).as("dcg"))
-      .withColumn("ndcg_pm", expr(s"dcg * 1000 div $idcg"))
+      .withColumn("ndcg_pm", expr(s"dcg * 1000 div $AnnIdcgPm"))
   }
   val q205Sql: String =
     s"""WITH exact AS ($q29Sql),
        |probe AS ($q51Sql),
        |g AS (
        |  SELECT p.query_id,
-       |         coalesce(4 - e.rk, 0) * (1000 // p.rk) AS part
+       |         greatest(coalesce(${AnnTopK + 1} - e.rk, 0), 0)
+       |           * (1000 // p.rk) AS part
        |  FROM probe p LEFT JOIN exact e
        |    ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id),
        |d AS (SELECT query_id, CAST(sum(part) AS BIGINT) AS dcg
        |      FROM g GROUP BY 1),
        |qs AS (SELECT DISTINCT query_id FROM exact)
        |SELECT qs.query_id, coalesce(d.dcg, 0) AS dcg,
-       |       coalesce(d.dcg, 0) * 1000 // 4333 AS ndcg_pm
+       |       coalesce(d.dcg, 0) * 1000 // $AnnIdcgPm AS ndcg_pm
        |FROM qs LEFT JOIN d USING (query_id)""".stripMargin
 }

@@ -352,15 +352,20 @@ object Text {
   def benchShingleArray(s: SparkSession, dir: String,
                         maxBroadcastShingles: Long = 10L * 1000 * 1000)
       : Seq[String] = {
-    val n = docShingleSets(s, dir).filter(col("doc_id") < 20)
-      .select(explode(col("shset")).as("shingle")).distinct().count()
-    require(n <= maxBroadcastShingles,
-      s"benchmark has $n distinct shingles — past the $maxBroadcastShingles" +
-        " plan-literal bound; screen at this size with q56's shuffle-join" +
-        " spelling per batch instead of a driver pull")
-    docShingleSets(s, dir).filter(col("doc_id") < 20)
-      .agg(array_sort(array_distinct(flatten(collect_list(col("shset"))))))
-      .head.getSeq[String](0)
+    // ONE staging scan (the gateBenchArray discipline): the distinct-
+    // shingle frame is persisted across the size-gate count and the
+    // driver pull, so the gate costs one scan while still refusing
+    // BEFORE anything past the bound is collected
+    val sh = docShingleSets(s, dir).filter(col("doc_id") < 20)
+      .select(explode(col("shset")).as("shingle")).distinct().persist()
+    try {
+      val n = sh.count()
+      require(n <= maxBroadcastShingles,
+        s"benchmark has $n distinct shingles — past the $maxBroadcastShingles" +
+          " plan-literal bound; screen at this size with q56's shuffle-join" +
+          " spelling per batch instead of a driver pull")
+      sh.agg(array_sort(collect_list(col("shingle")))).head.getSeq[String](0)
+    } finally { sh.unpersist(); () }
   }
 
   /** Per-micro-batch contamination partials for the q204 ingest gate:

@@ -2936,10 +2936,10 @@ class QueriesSpec extends SparkSpec {
     assert(rows.length.toLong === queries,
       "every evaluated query must report — failures included")
     rows.foreach { r =>
-      assert(r.getLong(1) >= 0L && r.getLong(1) <= 4333L,
+      assert(r.getLong(1) >= 0L && r.getLong(1) <= Similarity.AnnIdcgPm.toLong,
         s"query ${r.getLong(0)}: dcg ${r.getLong(1)} outside [0, idcg]")
       assert(r.getLong(2) >= 0L && r.getLong(2) <= 1000L)
-      assert(r.getLong(2) === r.getLong(1) * 1000 / 4333)
+      assert(r.getLong(2) === r.getLong(1) * 1000 / Similarity.AnnIdcgPm)
     }
     assert(rows.exists(_.getLong(1) > 0L), "ANN finds nothing — eval dead")
     // a query whose probe top-3 equals the exact top-3 in order must
