@@ -495,6 +495,18 @@ object SparkEntry {
     // both real header codecs (BMP fixed-offset + netpbm ASCII) on
     // the oracle board: dims read from bytes via the format sniff
     "q212_mixed_codec_census" -> (MultimodalQ.q212MixedCodecCensus _),
+    // the watermarked SLIDING-window aggregation: overlapping windows
+    // multi-assign each event (×4 here), integer-cents mass
+    "q213_stream_sliding_counts" -> (StreamingQ.q213StreamSlidingCounts _),
+    // Spark 4's transformWithState sessionizer end-to-end (RocksDB
+    // state): third state machine pinned to the q17 answer
+    "q214_tws_sessions" -> (StreamingQ.q214TwsSessions _),
+    // the z-order curve index compacted mid-ingest (staged atomic
+    // swap — fact rows tolerate no duplication), census unchanged
+    "q215_compacted_zorder" -> (StreamingQ.q215CompactedZorder _),
+    // right-to-be-forgotten for LANDED indexes: tombstone vacuum of
+    // the LSH index + pair log, measured-zero residuals
+    "q216_index_vacuum" -> (StreamingQ.q216IndexVacuum _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -713,5 +725,9 @@ object SparkEntry {
     "q210_incremental_calibration" -> Text.q201Sql,
     "q211_incremental_zorder" -> Layout.q72Sql,
     "q212_mixed_codec_census" -> MultimodalQ.q212Sql,
+    "q213_stream_sliding_counts" -> StreamingQ.q213Sql,
+    "q214_tws_sessions" -> Events.q17Sql,
+    "q215_compacted_zorder" -> Layout.q72Sql,
+    "q216_index_vacuum" -> StreamingQ.q216Sql,
   )
 }

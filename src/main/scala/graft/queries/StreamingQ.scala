@@ -1550,4 +1550,231 @@ object StreamingQ {
       _.groupBy(col("source")).agg(sum(col("tokens")).as("tokens")))
     Streams.mixtureWeightsSnapshot(s, s"$work/tokens")
   }
+
+  /** q213: the watermarked SLIDING-window aggregation on the oracle
+    * board — the last §2.5-claimed window shape without a CORRECTNESS
+    * row (tumbling got q184, sessions q17/q113/q180). Overlapping
+    * windows MULTI-ASSIGN each event: at 1 h length / 15 min slide
+    * every event lands in exactly length/slide = 4 windows, so the
+    * census is 4× the event mass by construction and the oracle must
+    * reproduce that fan-out (a lateral k∈[0,4) cross in SQL, the
+    * built-in `window(ts, len, slide)` expansion in Spark). Value
+    * mass rides INTEGER CENTS per row before summing (the q184
+    * discipline — a double sum is not order-free across micro-batch
+    * boundaries, and here each row's cents are summed into 4
+    * different windows, so quantize-before-sum is what makes the 4
+    * sums mutually consistent too). Sentinel flush on an impossible
+    * event_type advances the watermark past every real window's end;
+    * AvailableNow's no-data final batches emit the rest. Oracle: the
+    * batch spelling of the same multi-assigned census ([[q213Sql]]).
+    *
+    * Scale shape: state is O(open windows × types) — the multi-assign
+    * inflates the AGGREGATION KEY space ×(len/slide), never the
+    * buffered rows (Spark expands the 4 window keys scan-side and
+    * partial-aggregates map-side before the one shuffle); watermark
+    * eviction caps open windows at horizon/slide per type. */
+  def q213StreamSlidingCounts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val work = Streams.scratchDir("graft_q213")
+    val events = Tables.events(s, dir)
+      .select(col("ts").cast("timestamp_ltz").as("ts"),
+        col("event_type"), col("value"))
+    val flushType = "__flush"
+    Streams.orderedChunkFeed(events, s"$work/feed", 4, col("ts"))
+    val maxRow = events.agg(max(col("ts"))).head()
+    if (maxRow.isNullAt(0))
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL("win_start bigint, event_type string, " +
+          "event_count bigint, value_cents bigint"))
+    val far = new java.sql.Timestamp(
+      maxRow.getTimestamp(0).getTime + 48L * 3600 * 1000)
+    Seq(far, new java.sql.Timestamp(far.getTime + 60000)).foreach { t =>
+      Streams.orderedChunkFeed(
+        s.createDataFrame(java.util.List.of(
+          org.apache.spark.sql.Row(t, flushType, 0.0)),
+          StructType.fromDDL(
+            "ts timestamp_ltz, event_type string, value double")),
+        s"$work/feed", 1, col("ts"))
+    }
+    val stream = streamSession(s).readStream // 8 store partitions (q113)
+      .schema(StructType.fromDDL(
+        "ts timestamp_ltz, event_type string, value double"))
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+    stream.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("event_count"),
+        sum(floor(col("value") * 100).cast("long")).as("value_cents"))
+      .select(unix_timestamp(col("w.start")).as("win_start"),
+        col("event_type"), col("event_count"), col("value_cents"))
+      .writeStream.format("parquet").option("path", s"$work/windows")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    s.read.schema(StructType.fromDDL("win_start bigint, " +
+        "event_type string, event_count bigint, value_cents bigint"))
+      .parquet(s"$work/windows")
+      .filter(col("event_type") =!= flushType)
+  }
+
+  /** q213 oracle — the batch spelling of the sliding census: each
+    * event fans out to its 4 overlapping windows (start = its 15-min
+    * floor minus k slides, k∈[0,4)), integer-cents quantization
+    * identical. The 15-min floor runs on INTEGER epoch µs (never a
+    * float epoch), so sub-second event times can't drift the window
+    * boundary. */
+  val q213Sql: String =
+    """SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 900000000 - t.k) * 900
+      |         AS win_start,
+      |       event_type, count(*) AS event_count,
+      |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+      |         AS value_cents
+      |FROM events, range(4) t(k)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** q214: the `transformWithState` sessionizer on the oracle board —
+    * Spark 4's arbitrary-state successor API run END-TO-END against
+    * the SAME batch oracle as the classic flatMapGroupsWithState path
+    * (q113) and the built-in session_window (q180): three state
+    * machines, one answer (q17Sql). The processor keeps named
+    * ValueState + one explicit event-time timer per key
+    * ([[graft.streaming.StatefulSessions.TwsSessionizer]], semantics
+    * pinned to the classic path through the shared mergeBatch fold);
+    * StreamsSpec diffs the twins per-batch — this row pins the whole
+    * harness (ordered feed, timer close path, sentinel flush,
+    * AvailableNow no-data batches, parquet sink) to the batch
+    * window-function answer µs-exactly. transformWithState requires
+    * multi-column-family state, so the child session runs the RocksDB
+    * state store provider — which also makes this the one oracle row
+    * exercising RocksDB end-to-end (the q113-family rows measure the
+    * default provider). */
+  def q214TwsSessions(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StatefulSessions
+    import graft.streaming.StatefulSessions.Event
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ee = org.apache.spark.sql.Encoders.product[Event]
+    val work = Streams.scratchDir("graft_q214")
+    val events = Tables.events(s, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp_ltz").as("ts"))
+    val flushUser = -1L
+    Streams.orderedChunkFeed(events, s"$work/feed", 4, col("ts"))
+    val maxRow = events.agg(max(col("ts"))).head()
+    if (maxRow.isNullAt(0))
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL(
+          "user_id bigint, session_count bigint, max_session_events bigint"))
+    val far = new java.sql.Timestamp(
+      maxRow.getTimestamp(0).getTime + 48L * 3600 * 1000)
+    Seq(far, new java.sql.Timestamp(far.getTime + 60000)).foreach { t =>
+      Streams.orderedChunkFeed(
+        s.createDataset(Seq(Event(flushUser, t)))(ee).toDF(),
+        s"$work/feed", 1, col("ts"))
+    }
+    val ss = streamSession(s)
+    // transformWithState needs multi-column-family state — RocksDB only
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+    val stream = ss.readStream
+      .schema(StructType.fromDDL("user_id bigint, ts timestamp_ltz"))
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+    StatefulSessions.sessionizeTws(stream.as[Event]).writeStream
+      .format("parquet").option("path", s"$work/sessions")
+      .option("checkpointLocation", s"$work/ckpt")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    s.read.parquet(s"$work/sessions")
+      .filter(col("user_id") =!= flushUser)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("session_count"),
+        max(col("event_count")).as("max_session_events"))
+  }
+
+  /** q215: the z-order curve index COMPACTED MID-INGEST — q211 lands
+    * one file per touched zdir per micro-batch, so each curve dir
+    * accumulates O(batches) fragments; this row runs the q162/q163
+    * maintenance cycle on the LAYOUT index: half the facts ingest in
+    * 2 micro-batches, [[Streams.compactZorderIndex]] folds the landed
+    * (zdir, batch_id) partitions into one merged batch_id=-1 file per
+    * zdir — through the all-or-nothing staged swap, because index
+    * rows are FACTS and an in-place fold could double-count them
+    * under a crash — and the second half resumes from the same
+    * checkpoint onto the folded index. Oracle: q72Sql — the zone-map
+    * census over the compacted index must be bit-equal to never
+    * having compacted; StreamsSpec proves the fold's payoff (one
+    * consolidated file per zdir, zdir predicates still reaching
+    * PartitionFilters). */
+  def q215CompactedZorder(s: SparkSession, dir: String): DataFrame = {
+    val work = Streams.scratchDir("graft_q215")
+    val facts = graft.queries.Layout.dayAndCust(s, dir)
+    def run(): Unit = {
+      val stream = streamSession(s).readStream
+        .schema(StructType.fromDDL("day bigint, o_custkey bigint"))
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+      Streams.incrementalZorder(stream, s"$work/index", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Streams.orderedChunkFeed(facts.filter(col("o_custkey") % 2 === 0),
+      s"$work/feed", 2, col("o_custkey"))
+    run()
+    Streams.compactZorderIndex(s, s"$work/index")
+    Streams.orderedChunkFeed(facts.filter(col("o_custkey") % 2 === 1),
+      s"$work/feed", 2, col("o_custkey"))
+    run()
+    Streams.zorderSnapshot(s, s"$work/index")
+  }
+
+  /** q216: the tombstone VACUUM for landed indexes — the
+    * right-to-be-forgotten gap q199 leaves: the write-path purge
+    * keeps erased subjects out of NEW batches, but their rows already
+    * inside the persisted LSH signature index and candidate-pair log
+    * outlive it. Here the full corpus ingests through the q107
+    * ladder, a tombstone set (every doc with doc_id % 10 = 3 — the
+    * erasure-request stand-in) then vacuums BOTH artifacts
+    * ([[Streams.vacuumTombstoned]]: affected partitions only, rewrite
+    * through the per-partition staged atomic swap; a pair dies if
+    * EITHER endpoint is tombstoned), the residual audit measures ZERO
+    * remaining references (q193's discipline, enforced loudly — a
+    * silent non-zero would make the census row meaningless), and the
+    * census Jaccard-verifies the vacuumed pair log against the live
+    * corpus. Oracle: the batch LSH ladder over documents MINUS the
+    * tombstoned set — green means the vacuumed index is
+    * indistinguishable from one the erased docs never entered
+    * (signatures and shingle sets are per-doc, so candidacy of a live
+    * pair is corpus-independent — the law that makes the oracle
+    * exact). */
+  def q216IndexVacuum(s: SparkSession, dir: String): DataFrame = {
+    val work = streamed(s, dir, Seq("doc_id", "text"),
+      "doc_id bigint, text string") { (docs, work) =>
+      Streams.incrementalLshDedup(docs, s"$work/index", s"$work/pairs",
+        s"$work/ckpt").trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    val tombs = Tables.documents(s, dir).filter(col("doc_id") % 10 === 3)
+      .select(col("doc_id"))
+    Streams.vacuumTombstoned(s, s"$work/index", tombs,
+      Seq("doc_id"), Seq("band", "batch_id"))
+    Streams.vacuumTombstoned(s, s"$work/pairs", tombs,
+      Seq("doc_a", "doc_b"), Seq("batch_id"))
+    val residual =
+      Streams.tombstoneResiduals(s, s"$work/index", tombs, Seq("doc_id")) +
+        Streams.tombstoneResiduals(s, s"$work/pairs", tombs,
+          Seq("doc_a", "doc_b"))
+    require(residual == 0L,
+      s"index vacuum left $residual tombstoned references — audit failed")
+    Dedup.jaccardVerify(
+      s.read.parquet(s"$work/pairs")
+        .select(col("doc_a"), col("doc_b")).distinct(),
+      Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 3))
+  }
+
+  /** q216 oracle — the batch LSH ladder over the corpus with the
+    * tombstoned docs REMOVED: what the index must look like after the
+    * vacuum, as if the erased docs had never arrived. */
+  val q216Sql: String =
+    s"""WITH live AS (SELECT * FROM documents WHERE doc_id % 10 <> 3),
+       |${Dedup.verifiedPairsSqlCtes("live")}
+       |SELECT doc_a, doc_b, jaccard FROM scored""".stripMargin
 }

@@ -1918,7 +1918,8 @@ object Streams {
     * (e.g. a manifest pointer swap) — the crash-point analysis is the
     * same. */
   def compactSummedPartials(spark: SparkSession, path: String,
-                            merge: DataFrame => DataFrame): Unit = {
+                            merge: DataFrame => DataFrame,
+                            prefixCols: Seq[String] = Nil): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
@@ -1939,7 +1940,7 @@ object Streams {
       .withColumn("batch_id", lit(-1L))
       .unionByName(idx.filter(col("batch_id") === latest))
       .write.mode("overwrite")
-      .partitionBy("batch_id")
+      .partitionBy(prefixCols :+ "batch_id": _*)
       .parquet(stage.toString)
     fs.create(new org.apache.hadoop.fs.Path(stage, StageCompleteMarker)).close()
     require(fs.rename(root, old),
@@ -1974,4 +1975,176 @@ object Streams {
       fs.delete(stage, true)
     } else fs.delete(stage, true) // incomplete stage, nothing to restore
   }
+
+  /** Z-order index compaction (q215): folds the curve index's
+    * accumulated per-batch partitions into one merged batch_id=-1
+    * partition PER zdir — one consolidated file per curve directory —
+    * keeping the LATEST batch partition live (the only one a
+    * crash-recovery replay can rewrite). The index rows are FACTS, so
+    * this is the duplication-INTOLERANT family: a crash that left a
+    * batch partition alive next to its merged copy would double-count
+    * the census — hence [[compactSummedPartials]]' all-or-nothing
+    * staged directory swap, with the zdir prefix preserved in the
+    * staged layout so directory pruning survives the fold. The merge
+    * is row identity clustered back to one file per zdir (the
+    * repartition moves already-landed index rows, never the source
+    * table). Steady-state reads then list O(zdirs) consolidated files
+    * + the live batch instead of O(ingest age × zdirs) fragments. */
+  def compactZorderIndex(spark: SparkSession, indexPath: String): Unit =
+    compactSummedPartials(spark, indexPath,
+      _.repartition(col("zdir")), prefixCols = Seq("zdir"))
+
+  // --------------------------------------- tombstone vacuum (landed state)
+
+  private val VacuumStageDir = ".graft_vacuum_stage"
+  private val VacuumOldDir = ".graft_vacuum_old"
+
+  /** Right-to-be-forgotten for LANDED artifacts (q216): the write-path
+    * purge (q199) keeps tombstoned subjects' rows from landing in NEW
+    * batches, but rows already inside a persisted index (LSH
+    * signatures, candidate-pair logs, fingerprint claims, scored
+    * manifests) outlive the purge — this vacuum closes that gap.
+    * It rewrites ONLY the partitions that still reference a tombstoned
+    * id ([[compactLshIndex]]'s bounded-fan-out discipline: the
+    * affected-partition list is O(purge fan-out), collected as literal
+    * partition filters — the unaffected 99.9% of a 100 TB index is
+    * never read, never rewritten), dropping the referencing rows, and
+    * commits per partition with a staged atomic swap:
+    *
+    *   1. kept rows of every affected partition land in a dot-dir
+    *      stage (invisible to readers), then its completion marker;
+    *   2. per partition: rename live → old, rename staged → live
+    *      (a partition whose EVERY row was tombstoned has no staged
+    *      leaf — the rename-away IS its vacuum);
+    *   3. delete stage + old.
+    *
+    * Crash points: before the marker nothing moved (stale stage
+    * deleted on the next attempt); after it [[recoverVacuum]] rolls
+    * forward from the staged leaves. Partitions whose swap never
+    * started keep their rows — the vacuum is IDEMPOTENT (rerun
+    * re-detects them as affected), and [[tombstoneResiduals]] is the
+    * measured-zero gate (q193's residual-audit discipline) that
+    * proves convergence after any crash story.
+    *
+    * `tombstones`' FIRST column is the erased id; `refCols` are the
+    * artifact's columns that reference it (an index row dies if ANY
+    * of them matches — a pair log purges on either endpoint). The
+    * tombstone side is O(erasure requests) and broadcast. */
+  def vacuumTombstoned(spark: SparkSession, path: String,
+                       tombstones: DataFrame, refCols: Seq[String],
+                       partCols: Seq[String]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverVacuum(fs, root)
+    if (!fs.exists(root)) return
+    val tomb = broadcast(
+      tombstones.select(col(tombstones.columns.head).as("__t")).distinct())
+    val hit = refCols.map(c => col(c) === col("__t")).reduce(_ || _)
+    // O(affected partitions) driver list — bounded by the purge
+    // fan-out, the same bounded-collect contract as lshIndexHistory
+    val affected = spark.read.parquet(path).join(tomb, hit, "left_semi")
+      .select(partCols.map(col): _*).distinct().collect()
+    if (affected.isEmpty) return
+    val affFilter = affected.map(r => partCols.zipWithIndex
+        .map { case (c, i) => col(c) === lit(r.get(i)) }.reduce(_ && _))
+      .reduce(_ || _)
+    val stage = new org.apache.hadoop.fs.Path(root, VacuumStageDir)
+    val old = new org.apache.hadoop.fs.Path(root, VacuumOldDir)
+    fs.delete(stage, true)
+    fs.delete(old, true)
+    // kept rows of the affected partitions only: the read is
+    // partition-pruned by the literal filter, the anti-join drops
+    // every row referencing a tombstoned id
+    spark.read.parquet(path).filter(affFilter)
+      .join(tomb, hit, "left_anti")
+      .write.mode("overwrite").partitionBy(partCols: _*)
+      .parquet(stage.toString)
+    fs.create(new org.apache.hadoop.fs.Path(stage, StageCompleteMarker)).close()
+    affected.foreach { r =>
+      val rel = partCols.zipWithIndex
+        .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("/")
+      val live = new org.apache.hadoop.fs.Path(root, rel)
+      val aside = new org.apache.hadoop.fs.Path(old, rel)
+      val staged = new org.apache.hadoop.fs.Path(stage, rel)
+      fs.mkdirs(aside.getParent)
+      if (fs.exists(live))
+        require(fs.rename(live, aside),
+          s"vacuumTombstoned: cannot move $live aside")
+      if (fs.exists(staged)) {
+        fs.mkdirs(live.getParent)
+        require(fs.rename(staged, live),
+          s"vacuumTombstoned: commit rename $staged -> $live failed; " +
+            "recoverVacuum rolls forward from the completed stage")
+      } // no staged leaf: every row was tombstoned — gone is correct
+    }
+    fs.delete(stage, true)
+    fs.delete(old, true)
+  }
+
+  /** The q193 residual-audit discipline applied to a landed artifact:
+    * rows still referencing a tombstoned id — a MEASURED zero after a
+    * completed [[vacuumTombstoned]], and the convergence gate that
+    * backs its crash-idempotence story. */
+  def tombstoneResiduals(spark: SparkSession, path: String,
+                         tombstones: DataFrame, refCols: Seq[String]): Long = {
+    val tomb = broadcast(
+      tombstones.select(col(tombstones.columns.head).as("__t")).distinct())
+    spark.read.parquet(path)
+      .join(tomb, refCols.map(c => col(c) === col("__t")).reduce(_ || _),
+        "left_semi")
+      .count()
+  }
+
+  /** Repairs an artifact caught mid-[[vacuumTombstoned]] swap. A
+    * COMPLETE stage (marker present) rolls forward: every staged leaf
+    * replaces its live partition, moved-aside originals are dropped.
+    * An incomplete stage rolls back: nothing was renamed yet (renames
+    * start only after the marker), so restoring any stray old leaves
+    * and deleting the stage returns the artifact to its pre-vacuum
+    * state. Either way the vacuum's rerun converges, and the residual
+    * audit proves it. */
+  private def recoverVacuum(fs: org.apache.hadoop.fs.FileSystem,
+                            root: org.apache.hadoop.fs.Path): Unit = {
+    val stage = new org.apache.hadoop.fs.Path(root, VacuumStageDir)
+    val old = new org.apache.hadoop.fs.Path(root, VacuumOldDir)
+    if (!fs.exists(stage) && !fs.exists(old)) return
+    if (fs.exists(new org.apache.hadoop.fs.Path(stage, StageCompleteMarker))) {
+      leafDirs(fs, stage).foreach { leaf =>
+        val live = new org.apache.hadoop.fs.Path(root, relPath(stage, leaf))
+        fs.delete(live, true)
+        fs.mkdirs(live.getParent)
+        require(fs.rename(leaf, live),
+          s"recoverVacuum: roll-forward rename $leaf -> $live failed")
+      }
+    } else if (fs.exists(old)) {
+      leafDirs(fs, old).foreach { leaf =>
+        val live = new org.apache.hadoop.fs.Path(root, relPath(old, leaf))
+        if (!fs.exists(live)) {
+          fs.mkdirs(live.getParent)
+          require(fs.rename(leaf, live),
+            s"recoverVacuum: roll-back rename $leaf -> $live failed")
+        }
+      }
+    }
+    fs.delete(stage, true)
+    fs.delete(old, true)
+  }
+
+  /** Partition leaf directories under `dir`: dirs holding at least one
+    * data file (names not starting with `_`/`.` — markers and commit
+    * files don't make a leaf). */
+  private def leafDirs(fs: org.apache.hadoop.fs.FileSystem,
+                       dir: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.Path] = {
+    val st = fs.listStatus(dir)
+    val subs = st.filter(_.isDirectory).toSeq
+      .flatMap(s => leafDirs(fs, s.getPath))
+    val hasData = st.exists(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    (if (hasData) Seq(dir) else Nil) ++ subs
+  }
+
+  private def relPath(base: org.apache.hadoop.fs.Path,
+                      p: org.apache.hadoop.fs.Path): String =
+    p.toUri.getPath.stripPrefix(base.toUri.getPath).stripPrefix("/")
 }

@@ -1638,6 +1638,33 @@ class QueriesSpec extends SparkSpec {
       rowsOf(Events.q17UserSessions(spark, sf)))
   }
 
+  test("q214 transformWithState session census equals batch q17 row-for-row") {
+    assert(rowsOf(StreamingQ.q214TwsSessions(spark, sf)) ===
+      rowsOf(Events.q17UserSessions(spark, sf)))
+  }
+
+  test("q213 streamed sliding census equals the batch multi-assign spelling") {
+    import org.apache.spark.sql.functions._
+    // batch twin: every event fans out to its 4 overlapping windows —
+    // integer-µs floor to the 15-min slide, k∈[0,4) starts back
+    val batch = graft.Tables.events(spark, sf)
+      .select(col("ts").cast("timestamp_ltz").as("ts"),
+        col("event_type"), col("value"))
+      .select(explode(sequence(lit(0L), lit(3L))).as("k"),
+        expr("unix_micros(ts) div 900000000").as("slot"),
+        col("event_type"), floor(col("value") * 100).cast("long").as("cents"))
+      .select(((col("slot") - col("k")) * 900).as("win_start"),
+        col("event_type"), col("cents"))
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("event_count"), sum(col("cents")).as("value_cents"))
+    val got = StreamingQ.q213StreamSlidingCounts(spark, sf)
+    assert(rowsOf(got) === rowsOf(batch))
+    // the multi-assign law: streamed census carries exactly 4× the
+    // event mass of the corpus
+    val events = graft.Tables.events(spark, sf).count()
+    assert(got.agg(sum(col("event_count"))).head.getLong(0) === 4 * events)
+  }
+
   test("q117 attribution equals an in-memory last-touch reference; purchases conserved") {
     val ev = graft.Tables.events(spark, sf)
       .selectExpr("user_id", "unix_micros(cast(ts as timestamp_ltz)) AS us",

@@ -2264,6 +2264,138 @@ class StreamsSpec extends SparkSpec {
     assert(sampledDocs > 0, "fixture should have at least one sampled doc")
   }
 
+  test("z-order compaction: staged swap folds to one file per zdir; census and pruning survive; idempotent") {
+    import graft.queries.Layout
+    val dir = java.nio.file.Files.createTempDirectory("graft_zcompact")
+    val (idx, cp) = (s"$dir/index", s"$dir/ckpt")
+    val in = dir.resolve("in"); java.nio.file.Files.createDirectory(in)
+    val sf = "/root/testdata/sf0.001"
+    val facts = Layout.dayAndCust(spark, sf)
+    def land(half: Int): Unit = {
+      val stage = s"$dir/stage$half"
+      facts.filter(col("o_custkey") % 2 === half).coalesce(1)
+        .write.parquet(stage)
+      new java.io.File(stage).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.move(f.toPath,
+          in.resolve(s"half$half.parquet")))
+    }
+    def start() = Streams.incrementalZorder(
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "day bigint, o_custkey bigint"))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in.toString), idx, cp).start()
+    land(0); land(1)
+    val q1 = start(); q1.processAllAvailable(); q1.stop() // 2 micro-batches
+    def dataFiles(): Seq[java.io.File] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (!f.getName.startsWith("_") && !f.getName.startsWith("."))
+          Seq(f)
+        else Nil
+      walk(new java.io.File(idx))
+    }
+    val before = rowsOf(Streams.zorderSnapshot(spark, idx))
+    assert(before === rowsOf(Layout.q72ZorderCensus(spark, sf)))
+    Streams.compactZorderIndex(spark, idx)
+    // THE fold's payoff: every folded zdir holds exactly ONE merged
+    // file (batch_id=-1); only the live latest batch keeps its own
+    val mergedByZdir = dataFiles()
+      .filter(_.getPath.contains("batch_id=-1"))
+      .groupBy(_.getParentFile.getParentFile.getName)
+    assert(mergedByZdir.nonEmpty, "compaction must fold batch 0")
+    mergedByZdir.foreach { case (zdir, fs) =>
+      assert(fs.size === 1, s"$zdir: folded partition must be one file") }
+    assert(!dataFiles().exists(_.getPath.contains("batch_id=0")),
+      "folded batch partitions must be gone")
+    // census bit-equal to never having compacted
+    assert(rowsOf(Streams.zorderSnapshot(spark, idx)) === before)
+    // directory pruning intact on the compacted index
+    val zdir = spark.read.parquet(idx).select(col("zdir"))
+      .agg(min(col("zdir"))).head.get(0)
+    val plan = spark.read.parquet(idx).filter(col("zdir") === zdir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(zdir"), plan.take(1500))
+    // idempotent: a second fold with nothing foldable is a no-op
+    val files = dataFiles().map(_.getPath).sorted
+    Streams.compactZorderIndex(spark, idx)
+    assert(dataFiles().map(_.getPath).sorted === files)
+  }
+
+  test("tombstone vacuum: affected partitions swap, fully-purged vanish, unaffected untouched, idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vacuum")
+    val log = s"$dir/log"
+    // batch 0: docs {1 live, 2 tomb}; batch 1: {3, 4} untouched;
+    // batch 2: {5, 6} BOTH tombstoned (the fully-purged partition)
+    Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L), (5L, 2L), (6L, 2L))
+      .toDF("doc_id", "batch_id")
+      .write.partitionBy("batch_id").parquet(log)
+    val tombs = Seq(2L, 5L, 6L).toDF("doc_id")
+    def files(sub: String): Seq[(String, Long)] = {
+      val d = new java.io.File(s"$log/$sub")
+      if (!d.isDirectory) Nil
+      else d.listFiles().filter(f => !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+        .map(f => f.getName -> f.lastModified()).toSeq.sorted
+    }
+    val untouchedBefore = files("batch_id=1")
+    Streams.vacuumTombstoned(spark, log, tombs, Seq("doc_id"),
+      Seq("batch_id"))
+    assert(Streams.tombstoneResiduals(spark, log, tombs, Seq("doc_id")) === 0L)
+    assert(rowsOf(spark.read.parquet(log).select(col("doc_id"))) ===
+      Seq(Seq("1"), Seq("3"), Seq("4")))
+    assert(!new java.io.File(s"$log/batch_id=2").exists,
+      "a partition whose every row was tombstoned must be GONE")
+    assert(files("batch_id=1") === untouchedBefore,
+      "unaffected partitions must not be rewritten (same files, same mtimes)")
+    assert(!new java.io.File(s"$log/.graft_vacuum_stage").exists &&
+      !new java.io.File(s"$log/.graft_vacuum_old").exists)
+    // idempotent: nothing left to vacuum — file set unchanged
+    val after = files("batch_id=0") ++ files("batch_id=1")
+    Streams.vacuumTombstoned(spark, log, tombs, Seq("doc_id"),
+      Seq("batch_id"))
+    assert(files("batch_id=0") ++ files("batch_id=1") === after)
+  }
+
+  test("tombstone vacuum crash recovery: complete stage rolls forward, incomplete rolls back") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    // --- roll FORWARD: crash after the marker, mid-swap ---
+    val d1 = java.nio.file.Files.createTempDirectory("graft_vrecf")
+    val log1 = s"$d1/log"
+    Seq((1L, 0L), (2L, 0L), (3L, 1L)).toDF("doc_id", "batch_id")
+      .write.partitionBy("batch_id").parquet(log1)
+    // staged kept-rows for batch 0 (doc 2 tombstoned), marker present
+    Seq((1L, 0L)).toDF("doc_id", "batch_id")
+      .write.partitionBy("batch_id").parquet(s"$log1/.graft_vacuum_stage")
+    fs.create(p(s"$log1/.graft_vacuum_stage/_GRAFT_STAGE_COMPLETE")).close()
+    // simulate: live batch 0 already renamed aside, stage not yet in
+    fs.mkdirs(p(s"$log1/.graft_vacuum_old"))
+    assert(fs.rename(p(s"$log1/batch_id=0"),
+      p(s"$log1/.graft_vacuum_old/batch_id=0")))
+    // any vacuum call repairs first — tombstones that hit nothing
+    Streams.vacuumTombstoned(spark, log1, Seq(999L).toDF("doc_id"),
+      Seq("doc_id"), Seq("batch_id"))
+    assert(rowsOf(spark.read.parquet(log1).select(col("doc_id"))) ===
+      Seq(Seq("1"), Seq("3")), "roll-forward must commit the staged rows")
+    assert(!fs.exists(p(s"$log1/.graft_vacuum_stage")) &&
+      !fs.exists(p(s"$log1/.graft_vacuum_old")))
+    // --- roll BACK: crash before the marker (no renames happened) ---
+    val d2 = java.nio.file.Files.createTempDirectory("graft_vrecb")
+    val log2 = s"$d2/log"
+    Seq((1L, 0L), (2L, 0L)).toDF("doc_id", "batch_id")
+      .write.partitionBy("batch_id").parquet(log2)
+    Seq((1L, 0L)).toDF("doc_id", "batch_id") // incomplete: NO marker
+      .write.partitionBy("batch_id").parquet(s"$log2/.graft_vacuum_stage")
+    Streams.vacuumTombstoned(spark, log2, Seq(999L).toDF("doc_id"),
+      Seq("doc_id"), Seq("batch_id"))
+    assert(rowsOf(spark.read.parquet(log2).select(col("doc_id"))) ===
+      Seq(Seq("1"), Seq("2")), "roll-back must leave the log pre-vacuum")
+    assert(!fs.exists(p(s"$log2/.graft_vacuum_stage")))
+  }
+
   // Streams.kafkaSource mirrors the reference's Kafka options 1:1
   // (Consumer.scala:50-56) but the spark-sql-kafka connector jar is not
   // shipped in this container, so `.load()` is untestable offline; the
