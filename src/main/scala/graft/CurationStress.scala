@@ -726,7 +726,66 @@ object CurationStress {
       s"q202 scaling law broken: cloned traffic must scale rows and " +
         s"violations ×R with distinct keys invariant (got $got202)")
 
-    println(f"""{"metric":"curation_stress","reps":$reps,"q200_sec":$tRoots%.2f,"q202_sec":$tExp%.2f,"q169_sec":$tBudget%.2f,"q170_sec":$tSrcBudget%.2f,"q171_sec":$tOverlapFull%.2f,"q171_sketch_sec":$tOverlapSketch%.2f,"q172_sec":$tCap%.2f,"q142_sec":$tPack%.2f,"q149_sec":$tCard%.2f,"q150_sec":$tDecon%.2f,"q134_sec":$tSeg%.2f,"q137_sec":$tPmi%.2f,"q139_sec":$tTrans%.2f,"q194_sec":$tScd%.2f,"q197_sec":$tDiff%.2f,"q193_sec":$tPurge%.2f,"q121_sec":$tChunk%.2f,"q122_sec":$tLocf%.2f,"q126_sec":$tMask%.2f,"q127_sec":$tCur%.2f,"q108_sec":$tLex%.2f,"q109_sec":$tGaps%.2f,"q111_sec":$tMad%.2f,"q112_sec":$tGrid%.2f,"q114_sec":$tTri%.2f,"q114_cc_ppm":${rep114.getLong(4)},"q74_sec":$tSpan%.2f,"q74_rows":$spanRows,"q81_sec":$tOverlap%.2f,"q81_full_matches":$q81Full,"q79_sec":$tTrain%.2f,"q80_sec":$tApply%.2f,"q95_sec":$tBigram%.2f,"q98_sec":$tMix%.2f,"q98_surviving_tokens":$survTok,"q104_sec":$tSkew%.2f,"q99_sec":$tHeldout%.2f,"q101_sec":$tReid%.2f,"q102_sec":$tBoot%.2f,"q103_sec":$tBootFused%.2f,"bigram_types_base":$baseTypes,"bigram_types_train_r":$trainTypesR,"q95_skewcorpus_sec":$tFlatSkew%.2f,"q104_skewcorpus_sec":$tSplitSkew%.2f,"q99_skewcorpus_sec":$tFlatHeld%.2f,"q153_skewcorpus_sec":$tSplitHeld%.2f,"sf":"$sfDir"}""")
+    // q206/q207 INGEST law — the first R-law on a STREAMING wrapper's
+    // index growth (every law above replays batch rows; this one runs
+    // the real micro-batched lshDedupStep ingest shared by q107, q206,
+    // q207's card and the q159 pipeline): replicas carry IDENTICAL
+    // text, so the landed candidate-pair log must scale like the LSH
+    // candidate STRUCTURE — R² cross-pairs per base candidate pair
+    // plus C(R,2) same-doc pairs per signed doc, asserted EXACTLY —
+    // and the near-dup cluster census must fold every replica family
+    // into one cluster: base clusters keep their cluster_id (rep 0
+    // keeps original ids, the component min) with membership ×R, and
+    // every signed-but-unclustered doc becomes a fresh R-clique. Wall
+    // (recorded below) tracks the pair log — O(candidates), the
+    // band-bucket structure — never corpus².
+    val ingestDir = graft.streaming.Streams.scratchDir("graft_ingest_stress")
+    val baseDocs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val basePairs = Dedup.lshCandidates(baseDocs).count()
+    val signedArr = Dedup.bandedSignatures(baseDocs)
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0))
+    val ss206 = spark.newSession()
+    ss206.conf.set("spark.sql.shuffle.partitions", "8")
+    graft.streaming.Streams.orderedChunkFeed(
+      Tables.documents(spark, stressDir).select(col("doc_id"), col("text")),
+      s"$ingestDir/feed", 4, col("doc_id"))
+    val stream206 = ss206.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id bigint, text string"))
+      .option("maxFilesPerTrigger", "1").parquet(s"$ingestDir/feed")
+    val (_, tIngest) = time {
+      graft.streaming.Streams.incrementalLshDedup(stream206,
+        s"$ingestDir/index", s"$ingestDir/pairs", s"$ingestDir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    val pairLog = spark.read.parquet(s"$ingestDir/pairs")
+      .select(col("doc_a"), col("doc_b")).distinct().persist()
+    val gotPairs = pairLog.count()
+    val wantPairs = reps.toLong * reps * basePairs +
+      reps.toLong * (reps - 1) / 2 * signedArr.length
+    assert(gotPairs == wantPairs,
+      s"ingest pair-log law broken at R=$reps: got $gotPairs, want " +
+        s"R²·$basePairs + C(R,2)·${signedArr.length} = $wantPairs")
+    val baseLabels = Dedup.clustersFromEdgesCounted(
+      Dedup.verifiedEdges(baseDocs))._1.collect()
+    val clusteredDocs = baseLabels.map(_.getAs[Long]("doc_id")).toSet
+    val expectedClusters =
+      baseLabels.groupBy(_.getAs[Long]("cluster_id"))
+        .map { case (c, rs) => c -> rs.length.toLong * reps } ++
+        signedArr.filterNot(clusteredDocs).map(_ -> reps.toLong).toMap
+    val (gotClusters, tCluster) = time(
+      Dedup.clustersFromEdgesCounted(Dedup.verifiedEdgesFromLog(pairLog,
+          Tables.documents(spark, stressDir)))._1
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    assert(gotClusters == expectedClusters,
+      s"ingest cluster law broken at R=$reps: ${gotClusters.size} clusters" +
+        s" vs expected ${expectedClusters.size}")
+    pairLog.unpersist()
+
+    println(f"""{"metric":"curation_stress","reps":$reps,"q200_sec":$tRoots%.2f,"q202_sec":$tExp%.2f,"q206_ingest_sec":$tIngest%.2f,"q206_pairs":$gotPairs,"q206_cluster_sec":$tCluster%.2f,"q206_clusters":${gotClusters.size},"q169_sec":$tBudget%.2f,"q170_sec":$tSrcBudget%.2f,"q171_sec":$tOverlapFull%.2f,"q171_sketch_sec":$tOverlapSketch%.2f,"q172_sec":$tCap%.2f,"q142_sec":$tPack%.2f,"q149_sec":$tCard%.2f,"q150_sec":$tDecon%.2f,"q134_sec":$tSeg%.2f,"q137_sec":$tPmi%.2f,"q139_sec":$tTrans%.2f,"q194_sec":$tScd%.2f,"q197_sec":$tDiff%.2f,"q193_sec":$tPurge%.2f,"q121_sec":$tChunk%.2f,"q122_sec":$tLocf%.2f,"q126_sec":$tMask%.2f,"q127_sec":$tCur%.2f,"q108_sec":$tLex%.2f,"q109_sec":$tGaps%.2f,"q111_sec":$tMad%.2f,"q112_sec":$tGrid%.2f,"q114_sec":$tTri%.2f,"q114_cc_ppm":${rep114.getLong(4)},"q74_sec":$tSpan%.2f,"q74_rows":$spanRows,"q81_sec":$tOverlap%.2f,"q81_full_matches":$q81Full,"q79_sec":$tTrain%.2f,"q80_sec":$tApply%.2f,"q95_sec":$tBigram%.2f,"q98_sec":$tMix%.2f,"q98_surviving_tokens":$survTok,"q104_sec":$tSkew%.2f,"q99_sec":$tHeldout%.2f,"q101_sec":$tReid%.2f,"q102_sec":$tBoot%.2f,"q103_sec":$tBootFused%.2f,"bigram_types_base":$baseTypes,"bigram_types_train_r":$trainTypesR,"q95_skewcorpus_sec":$tFlatSkew%.2f,"q104_skewcorpus_sec":$tSplitSkew%.2f,"q99_skewcorpus_sec":$tFlatHeld%.2f,"q153_skewcorpus_sec":$tSplitHeld%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -111,9 +111,42 @@ object StreamBench {
     (nEv, run("timed"))
   }
 
+  /** The stateful leg at REPLICATED state size (r12 verdict item 5):
+    * events cloned R× with FRESH user ids (user_id + rep·stride) so
+    * keyed state grows ×R — the regime where the RocksDB-vs-default
+    * A/B actually has something to disagree about (the 1× A/B measured
+    * kilobyte state and correctly kept the default; its documented
+    * inversion point — state ≫ heap — was untested). Three configs on
+    * ONE staged feed, fresh checkpoints each run, warm + 3 timed,
+    * MEDIANS reported: default HDFS-backed, RocksDB, and RocksDB with
+    * changelog checkpointing (`...rocksdb.changelogCheckpointing
+    * .enabled` — uploads per-batch changelogs instead of full
+    * snapshots, the knob the 100 TB design cites for sub-second
+    * triggers over large state). */
+  private def runReplicated(spark: SparkSession, feedDir: String,
+                            tag: String, timed: Int = 3): Seq[Double] = {
+    import graft.streaming.StatefulTransitions
+    import org.apache.spark.sql.streaming.Trigger
+    def once(i: Int): Double = {
+      val t0 = System.nanoTime()
+      StatefulTransitions.transitions(
+          StatefulTransitions.feedStream(spark, feedDir)).writeStream
+        .format("noop").option("checkpointLocation",
+          s"$feedDir/../ckpt_${tag}_$i")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once(-1) // JIT + provider warmup
+    (0 until timed).map(once)
+  }
+
+  private def medianOf(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+
   def main(args: Array[String]): Unit = {
     val pages = if (args.nonEmpty) args(0).toInt else 500
     val batchSize = if (args.length > 1) args(1).toInt else 50
+    val reps = if (args.length > 2) args(2).toInt else 20
     val fleetPages = math.max(pages / 5, 20) // 7 concurrent queries — smaller page budget
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -125,6 +158,24 @@ object StreamBench {
     // is the harness grain (the q113 sizing note)
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val (nEv, statefulSec) = runStateful(spark, sfDir, 8)
+
+    // stage the R×-state feed once (fresh user ids per replica; event
+    // ids offset so the (ts, event_id) replay order stays total)
+    import org.apache.spark.sql.functions._
+    val bigDir = graft.streaming.Streams.scratchDir("graft_statebench_r")
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp_ltz").as("ts"),
+        col("event_type"), col("event_id").cast("long").as("event_id"))
+    val strides = ev.agg(max(col("user_id")), max(col("event_id"))).head()
+    val (uS, eS) = (strides.getLong(0) + 1L, strides.getLong(1) + 1L)
+    Streams.orderedChunkFeed(
+      ev.crossJoin(spark.range(reps).toDF("rep"))
+        .select((col("user_id") + col("rep") * uS).as("user_id"), col("ts"),
+          col("event_type"), (col("event_id") + col("rep") * eS).as("event_id")),
+      s"$bigDir/feed", 8, col("ts"), col("event_id"))
+    val nBig = spark.read.parquet(s"$bigDir/feed").count()
+    val bigDefault = runReplicated(spark, s"$bigDir/feed", "default")
     spark.stop()
 
     val sparkR = session(rocksdb = true)
@@ -132,6 +183,11 @@ object StreamBench {
     val fleetRocksSec = runFleet(sparkR, fleetPages, batchSize)
     sparkR.conf.set("spark.sql.shuffle.partitions", "8")
     val (nEvR, statefulRocksSec) = runStateful(sparkR, sfDir, 8)
+    val bigRocks = runReplicated(sparkR, s"$bigDir/feed", "rocksdb")
+    sparkR.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    val bigRocksCl = runReplicated(sparkR, s"$bigDir/feed", "rocksdb_cl")
     sparkR.stop()
 
     val singleRate = pages * 100L / singleSec
@@ -139,6 +195,6 @@ object StreamBench {
     val fleetRocksRate = fleetPages * 100L / fleetRocksSec
     val statefulRate = nEv / statefulSec
     val statefulRocksRate = nEvR / statefulRocksSec
-    println(f"""{"metric":"stream_products_per_sec","value":$singleRate%.0f,"fleet":$fleetRate%.0f,"fleet_rocksdb":$fleetRocksRate%.0f,"stateful_events_per_sec":$statefulRate%.0f,"stateful_rocksdb_events_per_sec":$statefulRocksRate%.0f,"stateful_events":$nEv,"pages":$pages,"fleet_pages":$fleetPages,"seconds":$singleSec%.2f,"fleet_seconds":$fleetSec%.2f,"fleet_rocksdb_seconds":$fleetRocksSec%.2f,"stateful_seconds":$statefulSec%.2f,"stateful_rocksdb_seconds":$statefulRocksSec%.2f}""")
+    println(f"""{"metric":"stream_products_per_sec","value":$singleRate%.0f,"fleet":$fleetRate%.0f,"fleet_rocksdb":$fleetRocksRate%.0f,"stateful_events_per_sec":$statefulRate%.0f,"stateful_rocksdb_events_per_sec":$statefulRocksRate%.0f,"stateful_events":$nEv,"pages":$pages,"fleet_pages":$fleetPages,"seconds":$singleSec%.2f,"fleet_seconds":$fleetSec%.2f,"fleet_rocksdb_seconds":$fleetRocksSec%.2f,"stateful_seconds":$statefulSec%.2f,"stateful_rocksdb_seconds":$statefulRocksSec%.2f,"state_reps":$reps,"stateful_r_events":$nBig,"stateful_r_default_med":${medianOf(bigDefault)}%.2f,"stateful_r_rocksdb_med":${medianOf(bigRocks)}%.2f,"stateful_r_rocksdb_changelog_med":${medianOf(bigRocksCl)}%.2f,"stateful_r_default_runs":"${bigDefault.map(t => f"$t%.2f").mkString(" ")}","stateful_r_rocksdb_runs":"${bigRocks.map(t => f"$t%.2f").mkString(" ")}","stateful_r_rocksdb_changelog_runs":"${bigRocksCl.map(t => f"$t%.2f").mkString(" ")}"}""")
   }
 }

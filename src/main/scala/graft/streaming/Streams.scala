@@ -32,8 +32,8 @@ object Streams {
   /** Kafka source, reference-identical options (Consumer.scala:50-56).
     *
     * Runtime constraint, verified round 5 (re-censused every round
-    * since, latest round 12: 287 jars, zero kafka, none in the
-    * coursier cache): the connector is a separate
+    * since, latest round 13: zero kafka jars in /opt/spark/jars, none
+    * in the coursier cache): the connector is a separate
     * artifact (`spark-sql-kafka-0-10` + `kafka-clients`) that is NOT in
     * `/opt/spark/jars`, not in the offline
     * coursier cache, and not resolvable (zero egress) — and an embedded
