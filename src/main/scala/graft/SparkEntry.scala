@@ -507,6 +507,11 @@ object SparkEntry {
     // right-to-be-forgotten for LANDED indexes: tombstone vacuum of
     // the LSH index + pair log, measured-zero residuals
     "q216_index_vacuum" -> (StreamingQ.q216IndexVacuum _),
+    // the remaining two transformWithState twins oracle-gated: the
+    // transition extractor vs batch q139, the SCD2 builder vs q194 —
+    // every custom state machine now has its Spark-4 twin on the board
+    "q217_tws_transitions" -> (StreamingQ.q217TwsTransitions _),
+    "q218_tws_scd2" -> (StreamingQ.q218TwsScd2 _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -729,5 +734,7 @@ object SparkEntry {
     "q214_tws_sessions" -> Events.q17Sql,
     "q215_compacted_zorder" -> Layout.q72Sql,
     "q216_index_vacuum" -> StreamingQ.q216Sql,
+    "q217_tws_transitions" -> Events.q139Sql,
+    "q218_tws_scd2" -> Temporal.q194Sql,
   )
 }

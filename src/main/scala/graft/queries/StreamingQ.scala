@@ -890,7 +890,18 @@ object StreamingQ {
     * land in a parquet sink; the census is q194's. Oracle: q194Sql —
     * a green row means the streaming state machine reproduced the
     * batch SCD2 build µs-exactly, open intervals included. */
-  def q196IncrementalScd2(s: SparkSession, dir: String): DataFrame = {
+  def q196IncrementalScd2(s: SparkSession, dir: String): DataFrame =
+    scd2Census(s, dir, "graft_q196", rocksdb = false)(
+      graft.streaming.StatefulScd2.intervals(_, _))
+
+  /** The q196 harness parameterized by the SCD2 state machine (the
+    * transitionsCensus discipline, interval edition). */
+  private def scd2Census(s: SparkSession, dir: String, tag: String,
+                         rocksdb: Boolean)(
+      machine: (org.apache.spark.sql.Dataset[
+          graft.streaming.StatefulScd2.SEvent], Long) =>
+        org.apache.spark.sql.Dataset[
+          graft.streaming.StatefulScd2.Interval]): DataFrame = {
     import graft.streaming.{StatefulScd2, StatefulTransitions}
     import graft.streaming.StatefulScd2.SEvent
     import org.apache.spark.sql.streaming.OutputMode
@@ -904,7 +915,7 @@ object StreamingQ {
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType.fromDDL("event_type string, intervals bigint, " +
           "closed bigint, dur_us_sum bigint, dur_us_max bigint"))
-    val work = Streams.scratchDir("graft_q196")
+    val work = Streams.scratchDir(tag)
     val flushUser = -1L
     StatefulTransitions.stageOrderedFeed(s, dir, s"$work/feed", 4)
     val maxTs = maxRow.getTimestamp(0)
@@ -919,9 +930,14 @@ object StreamingQ {
           .toDF(),
         s"$work/feed", 1, col("ts"))
     }
-    val feed = StatefulTransitions.feedStream(streamSession(s), s"$work/feed")
+    val ss = streamSession(s)
+    if (rocksdb) // transformWithState: multi-column-family state
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state" +
+          ".RocksDBStateStoreProvider")
+    val feed = StatefulTransitions.feedStream(ss, s"$work/feed")
       .map(e => SEvent(e.user_id, e.ts, e.event_type, e.event_id))(ee)
-    StatefulScd2.intervals(feed, flushUs).writeStream
+    machine(feed, flushUs).writeStream
       .format("parquet").option("path", s"$work/intervals")
       .option("checkpointLocation", s"$work/ckpt")
       .outputMode(OutputMode.Append())
@@ -934,6 +950,17 @@ object StreamingQ {
         sum(col("to_us") - col("from_us")).as("dur_us_sum"),
         max(col("to_us") - col("from_us")).as("dur_us_max"))
   }
+
+  /** q218: the `transformWithState` SCD2 builder on the oracle board —
+    * the last of the three custom state machines to get its Spark-4
+    * twin oracle-gated: [[graft.streaming.StatefulScd2.TwsScd2]]
+    * (named ValueState open-run carry, the absolute quiesce timer as
+    * an explicit registered timer) runs the q196 harness verbatim and
+    * must reproduce batch q194's gaps-and-islands intervals µs-exactly
+    * — open intervals, quiesce-closed runs and all. */
+  def q218TwsScd2(s: SparkSession, dir: String): DataFrame =
+    scd2Census(s, dir, "graft_q218", rocksdb = true)(
+      graft.streaming.StatefulScd2.intervalsTws(_, _))
 
   /** q198: the q197 snapshot diff AT INGEST — the new crawl lands as a
     * stream, each micro-batch reduced scan-side to its fingerprint
@@ -1314,13 +1341,29 @@ object StreamingQ {
     * conflicting-reference workaround and its O(T²) driver collect
     * are both gone). The state path is hash-partitioned by user_id
     * as on a cluster. */
-  def q147IncrementalTransitions(s: SparkSession, dir: String): DataFrame = {
+  def q147IncrementalTransitions(s: SparkSession, dir: String): DataFrame =
+    transitionsCensus(s, dir, "graft_q147", rocksdb = false)(
+      graft.streaming.StatefulTransitions.transitions(_))
+
+  /** The q147 harness parameterized by the transition state machine —
+    * ONE feed/sink/census spelling for the classic and TWS paths, so
+    * the two oracle rows can only differ in the operator under test. */
+  private def transitionsCensus(s: SparkSession, dir: String, tag: String,
+                                rocksdb: Boolean)(
+      machine: org.apache.spark.sql.Dataset[
+          graft.streaming.StatefulTransitions.TEvent] =>
+        org.apache.spark.sql.Dataset[
+          graft.streaming.StatefulTransitions.Transition]): DataFrame = {
     import graft.streaming.StatefulTransitions
     import org.apache.spark.sql.streaming.OutputMode
-    val work = Streams.scratchDir("graft_q147")
+    val work = Streams.scratchDir(tag)
     StatefulTransitions.stageOrderedFeed(s, dir, s"$work/feed", 6)
-    StatefulTransitions.transitions(
-        StatefulTransitions.feedStream(streamSession(s), s"$work/feed"))
+    val ss = streamSession(s)
+    if (rocksdb) // transformWithState: multi-column-family state
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state" +
+          ".RocksDBStateStoreProvider")
+    machine(StatefulTransitions.feedStream(ss, s"$work/feed"))
       .writeStream
       .format("parquet").option("path", s"$work/trans")
       .option("checkpointLocation", s"$work/ckpt")
@@ -1335,6 +1378,19 @@ object StreamingQ {
       .select(col("from_type"), col("to_type"), col("transitions"),
         expr("transitions * 1000000 div from_total").as("prob_ppm"))
   }
+
+  /** q217: the `transformWithState` TRANSITION extractor on the oracle
+    * board — q214's discipline applied to the second state machine:
+    * [[graft.streaming.StatefulTransitions.TwsTransitions]] (named
+    * ValueState carry, one absolute event-time timer re-armed per
+    * batch) runs the q147 harness verbatim and must reproduce batch
+    * q139's Markov matrix bit-for-bit, conditional ppm included. With
+    * q214 (sessions) and q218 (SCD2), every custom stateful operator
+    * in the engine now has its Spark-4 successor-API twin
+    * oracle-gated, not just StreamsSpec-diffed. */
+  def q217TwsTransitions(s: SparkSession, dir: String): DataFrame =
+    transitionsCensus(s, dir, "graft_q217", rocksdb = true)(
+      graft.streaming.StatefulTransitions.transitionsTws(_))
 
   /** q156: q155's sampled length quantiles with the SAMPLE side
     * computed from the incremental monitor's landed per-batch
