@@ -512,6 +512,10 @@ object SparkEntry {
     // every custom state machine now has its Spark-4 twin on the board
     "q217_tws_transitions" -> (StreamingQ.q217TwsTransitions _),
     "q218_tws_scd2" -> (StreamingQ.q218TwsScd2 _),
+    // the q216 vacuum protocol on the other two named artifacts: the
+    // vector-carrying ANN index and the q178 scored manifest
+    "q219_ann_vacuum" -> (StreamingQ.q219AnnVacuum _),
+    "q220_manifest_vacuum" -> (StreamingQ.q220ManifestVacuum _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -736,5 +740,7 @@ object SparkEntry {
     "q216_index_vacuum" -> StreamingQ.q216Sql,
     "q217_tws_transitions" -> Events.q139Sql,
     "q218_tws_scd2" -> Temporal.q194Sql,
+    "q219_ann_vacuum" -> StreamingQ.q219Sql,
+    "q220_manifest_vacuum" -> StreamingQ.q220Sql,
   )
 }

@@ -42,13 +42,18 @@ object Selection {
 
   /** The scored-docs CTE both oracles share (DuckDB spelling of
     * [[ttrScored]] — q127Sql's score arithmetic verbatim). */
-  private val scoredCte: String =
-    """scored AS (
-      |  SELECT doc_id, source,
-      |         CAST(len(str_split(text, ' ')) AS BIGINT) AS t,
-      |         CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT)
-      |           * 1000 // CAST(len(str_split(text, ' ')) AS BIGINT) AS r
-      |  FROM documents)""".stripMargin
+  /** The scored-manifest CTE over an arbitrary documents relation —
+    * parameterized so the q220 vacuum oracle can pass the live-rows
+    * subquery (the verifiedPairsSqlCtes pattern). */
+  private def scoredCteFrom(from: String): String =
+    s"""scored AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(str_split(text, ' ')) AS BIGINT) AS t,
+       |         CAST(len(list_distinct(str_split(text, ' '))) AS BIGINT)
+       |           * 1000 // CAST(len(str_split(text, ' ')) AS BIGINT) AS r
+       |  FROM $from)""".stripMargin
+
+  private val scoredCte: String = scoredCteFrom("documents")
 
   /** Bucket width for the frontier's coarse grid on the token axis.
     * Data-independent (a fixed integer divisor of t), so bucketing is
@@ -245,9 +250,10 @@ object Selection {
   }
 
   /** q169 oracle — the straight-line spelling: one global cumsum in
-    * (r DESC, doc_id) order, keep while within budget. */
-  val q169Sql: String =
-    s"""WITH $scoredCte,
+    * (r DESC, doc_id) order, keep while within budget. Parameterized
+    * over the corpus relation for the q220 vacuum oracle. */
+  def q169SqlFrom(from: String): String =
+    s"""WITH ${scoredCteFrom(from)},
        |b AS (SELECT CAST(sum(t) AS BIGINT) * $BudgetPct // 100 AS budget
        |      FROM scored),
        |w AS (SELECT *, CAST(sum(t) OVER (ORDER BY r DESC, doc_id) AS BIGINT)
@@ -264,6 +270,8 @@ object Selection {
        |       CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens,
        |       (SELECT min(r) FROM k) AS cut_score
        |FROM t2 LEFT JOIN k2 ON t2.source = k2.source""".stripMargin
+
+  val q169Sql: String = q169SqlFrom("documents")
 
   /** Per-source token budgets (q170) — q169's fairness twin: each
     * SOURCE keeps its own best-quality prefix to [[BudgetPct]]% of its

@@ -851,8 +851,11 @@ object Similarity {
         round(cosine(col("a.v"), col("b.v")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= 0.35)
   }
-  val q31Sql: String =
-    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** [[q31Sql]] over an arbitrary embeddings relation — the
+    * verifiedPairsSqlCtes pattern, vector edition (the q219 vacuum
+    * oracle passes the live-rows subquery). */
+  def q31SqlFrom(from: String): String =
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $from),
        |bucketed AS (SELECT vec_id, v, ($bucketSql) AS bucket FROM emb)
        |SELECT a.bucket AS bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
        |       round(list_dot_product(a.v, b.v) /
@@ -863,6 +866,8 @@ object Similarity {
        |WHERE round(list_dot_product(a.v, b.v) /
        |            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
        |      >= 0.35""".stripMargin
+
+  val q31Sql: String = q31SqlFrom("embeddings")
 
   /** The composed EMBEDDING pipeline (q85) — the third composed
     * pipeline next to text-dedup (q50) and curation (q84), covering

@@ -1658,7 +1658,8 @@ object StreamingQ {
         "ts timestamp_ltz, event_type string, value double"))
       .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
     stream.withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+      .groupBy(window(col("ts"), s"$SlideLenSec seconds",
+          s"$SlideStepSec seconds").as("w"),
         col("event_type"))
       .agg(count(lit(1)).as("event_count"),
         sum(floor(col("value") * 100).cast("long")).as("value_cents"))
@@ -1674,20 +1675,29 @@ object StreamingQ {
       .filter(col("event_type") =!= flushType)
   }
 
+  /** Sliding-census geometry (q213): a [[SlideLenSec]] window every
+    * [[SlideStepSec]] — each event multi-assigns to [[SlideFanout]]
+    * windows. ONE constant set shared by the streaming window spec,
+    * the oracle SQL (interpolated) and QueriesSpec's batch twin, so a
+    * geometry retune can't silently desynchronize the three. */
+  val SlideLenSec = 3600L
+  val SlideStepSec = 900L
+  val SlideFanout: Long = SlideLenSec / SlideStepSec
+
   /** q213 oracle — the batch spelling of the sliding census: each
-    * event fans out to its 4 overlapping windows (start = its 15-min
-    * floor minus k slides, k∈[0,4)), integer-cents quantization
-    * identical. The 15-min floor runs on INTEGER epoch µs (never a
-    * float epoch), so sub-second event times can't drift the window
-    * boundary. */
+    * event fans out to its [[SlideFanout]] overlapping windows (start
+    * = its slide floor minus k slides, k∈[0,fanout)), integer-cents
+    * quantization identical. The slide floor runs on INTEGER epoch µs
+    * (never a float epoch), so sub-second event times can't drift the
+    * window boundary. */
   val q213Sql: String =
-    """SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 900000000 - t.k) * 900
-      |         AS win_start,
-      |       event_type, count(*) AS event_count,
-      |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
-      |         AS value_cents
-      |FROM events, range(4) t(k)
-      |GROUP BY 1, 2""".stripMargin
+    s"""SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // ${SlideStepSec * 1000000L}
+       |          - t.k) * $SlideStepSec AS win_start,
+       |       event_type, count(*) AS event_count,
+       |       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+       |         AS value_cents
+       |FROM events, range($SlideFanout) t(k)
+       |GROUP BY 1, 2""".stripMargin
 
   /** q214: the `transformWithState` sessionizer on the oracle board —
     * Spark 4's arbitrary-state successor API run END-TO-END against
@@ -1808,8 +1818,8 @@ object StreamingQ {
       Streams.incrementalLshDedup(docs, s"$work/index", s"$work/pairs",
         s"$work/ckpt").trigger(Trigger.AvailableNow()).start().awaitTermination()
     }
-    val tombs = Tables.documents(s, dir).filter(col("doc_id") % 10 === 3)
-      .select(col("doc_id"))
+    val tombs = Tables.documents(s, dir)
+      .filter(col("doc_id") % TombMod === TombResidue).select(col("doc_id"))
     Streams.vacuumTombstoned(s, s"$work/index", tombs,
       Seq("doc_id"), Seq("band", "batch_id"))
     Streams.vacuumTombstoned(s, s"$work/pairs", tombs,
@@ -1823,14 +1833,96 @@ object StreamingQ {
     Dedup.jaccardVerify(
       s.read.parquet(s"$work/pairs")
         .select(col("doc_a"), col("doc_b")).distinct(),
-      Tables.documents(s, dir).filter(col("doc_id") % 10 =!= 3))
+      Tables.documents(s, dir).filter(col("doc_id") % TombMod =!= TombResidue))
   }
+
+  /** The erasure-request stand-in for the vacuum family (q216/q219/
+    * q220): every id ≡ [[TombResidue]] (mod [[TombMod]]) is tombstoned
+    * — ONE rule shared by the Scala queries and (interpolated) their
+    * oracles, so the two sides can't drift. */
+  val TombMod = 10
+  val TombResidue = 3
+
+  /** `<id> % TombMod <> TombResidue` — the oracle-side live predicate. */
+  private def liveSql(table: String, idCol: String): String =
+    s"(SELECT * FROM $table WHERE $idCol % $TombMod <> $TombResidue)"
 
   /** q216 oracle — the batch LSH ladder over the corpus with the
     * tombstoned docs REMOVED: what the index must look like after the
     * vacuum, as if the erased docs had never arrived. */
   val q216Sql: String =
-    s"""WITH live AS (SELECT * FROM documents WHERE doc_id % 10 <> 3),
+    s"""WITH live AS ${liveSql("documents", "doc_id")},
        |${Dedup.verifiedPairsSqlCtes("live")}
        |SELECT doc_a, doc_b, jaccard FROM scored""".stripMargin
+
+  /** q219: the tombstone vacuum on the ANN index family — q216's
+    * protocol applied to the artifact where it costs the most (the
+    * incremental ANN index rows CARRY the vectors, so un-vacuumed
+    * erased embeddings are both a privacy and a storage liability).
+    * Full corpus ingests through the q152 ladder; tombstoned vec_ids
+    * vacuum from the (bucket_grp, batch_id)-partitioned index and the
+    * pair log (either endpoint), residuals measured zero, and the
+    * surviving pair census must equal the batch hyperplane self-join
+    * over the live embeddings — exact for the same reason as q216:
+    * bucket codes and cosines are per-vector/per-pair, so a live
+    * pair's existence is corpus-independent. */
+  def q219AnnVacuum(s: SparkSession, dir: String): DataFrame = {
+    val work = streamedFrame(s,
+      Tables.embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")),
+      "vec_id bigint, v array<double>") { (emb, work) =>
+      Streams.incrementalAnnNearDups(emb, s"$work/index", s"$work/pairs",
+        s"$work/ckpt").trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    val tombs = Tables.embeddings(s, dir)
+      .filter(col("vec_id") % TombMod === TombResidue).select(col("vec_id"))
+    Streams.vacuumTombstoned(s, s"$work/index", tombs,
+      Seq("vec_id"), Seq("bucket_grp", "batch_id"))
+    Streams.vacuumTombstoned(s, s"$work/pairs", tombs,
+      Seq("vec_a", "vec_b"), Seq("batch_id"))
+    val residual =
+      Streams.tombstoneResiduals(s, s"$work/index", tombs, Seq("vec_id")) +
+        Streams.tombstoneResiduals(s, s"$work/pairs", tombs,
+          Seq("vec_a", "vec_b"))
+    require(residual == 0L,
+      s"ANN vacuum left $residual tombstoned references — audit failed")
+    s.read.parquet(s"$work/pairs")
+      .select(col("bucket"), col("vec_a"), col("vec_b"), col("cos_sim"))
+      .distinct()
+  }
+
+  /** q219 oracle — batch q31 over the live embeddings. */
+  val q219Sql: String =
+    Similarity.q31SqlFrom(liveSql("embeddings", "vec_id"))
+
+  /** q220: the tombstone vacuum on the selection MONITOR's scored
+    * manifest — the q178 monitor's landed state is doc-grain metadata
+    * that outlives a purge exactly like an index does (the verdict's
+    * right-to-be-forgotten list names it explicitly). The manifest
+    * ingests as usual, tombstoned doc_ids vacuum from the batch_id
+    * partitions, the residual audit measures zero, and the budget
+    * snapshot over the vacuumed manifest must equal batch q169 over
+    * the live corpus — INCLUDING the budget itself (B = pct of the
+    * LIVE token mass: a correct vacuum shrinks the pot, not just the
+    * candidate list). */
+  def q220ManifestVacuum(s: SparkSession, dir: String): DataFrame = {
+    val work = streamed(s, dir, Seq("doc_id", "source", "text"),
+      "doc_id bigint, source string, text string") { (docs, work) =>
+      Streams.incrementalBudgetSelection(docs, s"$work/scored", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    val tombs = Tables.documents(s, dir)
+      .filter(col("doc_id") % TombMod === TombResidue).select(col("doc_id"))
+    Streams.vacuumTombstoned(s, s"$work/scored", tombs,
+      Seq("doc_id"), Seq("batch_id"))
+    val residual =
+      Streams.tombstoneResiduals(s, s"$work/scored", tombs, Seq("doc_id"))
+    require(residual == 0L,
+      s"manifest vacuum left $residual tombstoned rows — audit failed")
+    Streams.budgetSnapshot(s, s"$work/scored")
+  }
+
+  /** q220 oracle — batch q169 over the live corpus. */
+  val q220Sql: String =
+    Selection.q169SqlFrom(liveSql("documents", "doc_id"))
 }

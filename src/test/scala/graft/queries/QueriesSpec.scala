@@ -1645,24 +1645,26 @@ class QueriesSpec extends SparkSpec {
 
   test("q213 streamed sliding census equals the batch multi-assign spelling") {
     import org.apache.spark.sql.functions._
-    // batch twin: every event fans out to its 4 overlapping windows —
-    // integer-µs floor to the 15-min slide, k∈[0,4) starts back
+    import StreamingQ.{SlideFanout, SlideStepSec}
+    // batch twin: every event fans out to its SlideFanout overlapping
+    // windows — integer-µs floor to the slide, k∈[0,fanout) starts back
     val batch = graft.Tables.events(spark, sf)
       .select(col("ts").cast("timestamp_ltz").as("ts"),
         col("event_type"), col("value"))
-      .select(explode(sequence(lit(0L), lit(3L))).as("k"),
-        expr("unix_micros(ts) div 900000000").as("slot"),
+      .select(explode(sequence(lit(0L), lit(SlideFanout - 1))).as("k"),
+        expr(s"unix_micros(ts) div ${SlideStepSec * 1000000L}").as("slot"),
         col("event_type"), floor(col("value") * 100).cast("long").as("cents"))
-      .select(((col("slot") - col("k")) * 900).as("win_start"),
+      .select(((col("slot") - col("k")) * SlideStepSec).as("win_start"),
         col("event_type"), col("cents"))
       .groupBy(col("win_start"), col("event_type"))
       .agg(count(lit(1)).as("event_count"), sum(col("cents")).as("value_cents"))
     val got = StreamingQ.q213StreamSlidingCounts(spark, sf)
     assert(rowsOf(got) === rowsOf(batch))
-    // the multi-assign law: streamed census carries exactly 4× the
-    // event mass of the corpus
+    // the multi-assign law: streamed census carries exactly fanout×
+    // the event mass of the corpus
     val events = graft.Tables.events(spark, sf).count()
-    assert(got.agg(sum(col("event_count"))).head.getLong(0) === 4 * events)
+    assert(got.agg(sum(col("event_count"))).head.getLong(0) ===
+      SlideFanout * events)
   }
 
   test("q117 attribution equals an in-memory last-touch reference; purchases conserved") {
