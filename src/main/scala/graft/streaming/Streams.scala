@@ -2045,17 +2045,15 @@ object Streams {
     val affected = spark.read.parquet(path).join(tomb, hit, "left_semi")
       .select(partCols.map(col): _*).distinct().collect()
     if (affected.isEmpty) return
-    val affFilter = affected.map(r => partCols.zipWithIndex
-        .map { case (c, i) => col(c) === lit(r.get(i)) }.reduce(_ && _))
-      .reduce(_ || _)
     val stage = new org.apache.hadoop.fs.Path(root, VacuumStageDir)
     val old = new org.apache.hadoop.fs.Path(root, VacuumOldDir)
     fs.delete(stage, true)
     fs.delete(old, true)
     // kept rows of the affected partitions only: the read is
-    // partition-pruned by the literal filter, the anti-join drops
-    // every row referencing a tombstoned id
-    spark.read.parquet(path).filter(affFilter)
+    // partition-pruned by the literal filter (plan-asserted in
+    // StreamsSpec), the anti-join drops every row referencing a
+    // tombstoned id
+    vacuumAffectedRead(spark, path, affected.toSeq, partCols)
       .join(tomb, hit, "left_anti")
       .write.mode("overwrite").partitionBy(partCols: _*)
       .parquet(stage.toString)
@@ -2080,6 +2078,20 @@ object Streams {
     fs.delete(stage, true)
     fs.delete(old, true)
   }
+
+  /** The vacuum's read of the affected partitions: an OR-of-ANDs of
+    * LITERAL partition-column equalities, so the scan prunes to
+    * exactly the affected directories (PartitionFilters) — the
+    * unaffected bulk of a 100 TB index is never read, which is the
+    * other half of "rewrite affected partitions only" (the no-rewrite
+    * half is the same-files-same-mtimes spec). Package-visible so the
+    * spec asserts the plan, not just the outcome. */
+  private[streaming] def vacuumAffectedRead(spark: SparkSession,
+      path: String, affected: Seq[Row], partCols: Seq[String]): DataFrame =
+    spark.read.parquet(path).filter(
+      affected.map(r => partCols.zipWithIndex
+          .map { case (c, i) => col(c) === lit(r.get(i)) }.reduce(_ && _))
+        .reduce(_ || _))
 
   /** The q193 residual-audit discipline applied to a landed artifact:
     * rows still referencing a tombstoned id — a MEASURED zero after a

@@ -2358,6 +2358,34 @@ class StreamsSpec extends SparkSpec {
     assert(files("batch_id=0") ++ files("batch_id=1") === after)
   }
 
+  test("tombstone vacuum reads ONLY the affected partitions (literal PartitionFilters)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vprune")
+    val log = s"$dir/log"
+    (0L to 3L).flatMap(b => Seq((b * 10 + 1, b), (b * 10 + 2, b)))
+      .toDF("doc_id", "batch_id")
+      .write.partitionBy("batch_id").parquet(log)
+    val affected = spark.read.parquet(log)
+      .filter(col("batch_id") === 1 || col("batch_id") === 3)
+      .select(col("batch_id")).distinct().collect().toSeq
+    val read = Streams.vacuumAffectedRead(spark, log, affected,
+      Seq("batch_id"))
+    // the pruning claim, asserted at the PLAN: the literal predicate
+    // reaches PartitionFilters, and the scan lists 2 of 4 directories
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan.take(1500))
+    val pf = plan.substring(plan.indexOf("PartitionFilters: ["))
+      .takeWhile(_ != ']')
+    assert(pf.contains("batch_id"), pf)
+    val scanned: Int = read.queryExecution.executedPlan.collectLeaves()
+      .collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }.sum
+    assert(scanned === 2, s"must list 2 affected dirs, scanned $scanned")
+    assert(rowsOf(read.select(col("doc_id"))) ===
+      Seq(Seq("11"), Seq("12"), Seq("31"), Seq("32")))
+  }
+
   test("tombstone vacuum crash recovery: complete stage rolls forward, incomplete rolls back") {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
