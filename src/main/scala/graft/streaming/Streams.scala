@@ -323,11 +323,16 @@ object Streams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("event_count"))
 
-  /** Sliding-window variant. */
+  /** Sliding-window variant — the same geometry constants as the q213
+    * oracle row ([[graft.queries.StreamingQ.SlideLenSec]]/
+    * [[graft.queries.StreamingQ.SlideStepSec]]), so the spec-level
+    * wrapper and the oracle-gated census can't drift. */
   def slidingEventCounts(events: DataFrame, watermark: String = "10 minutes")
       : DataFrame =
     events.withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+      .groupBy(window(col("ts"),
+        s"${graft.queries.StreamingQ.SlideLenSec} seconds",
+        s"${graft.queries.StreamingQ.SlideStepSec} seconds").as("w"),
         col("event_type"))
       .agg(count(lit(1)).as("event_count"))
       .select(col("w.start").as("window_start"), col("event_type"),

@@ -98,6 +98,7 @@ class PlanSpec extends SparkSpec {
     "q168_association_rules",   // × 1-row basket-count agg
     "q169_token_budget",        // × 1-row min-kept-score agg
     "q178_incremental_budget",  // q169's cut cross over the landed manifest
+    "q220_manifest_vacuum",     // q169's cut cross over the VACUUMED manifest
     "q185_incremental_curriculum", // × 1-row corpus-n agg (the histogram tail)
     "q190_incremental_signatures", // q81's broadcast |sources|-row pair cross
     "q171_sketch_overlap",      // × broadcast |sources|-row sketch frame
