@@ -516,6 +516,10 @@ object SparkEntry {
     // vector-carrying ANN index and the q178 scored manifest
     "q219_ann_vacuum" -> (StreamingQ.q219AnnVacuum _),
     "q220_manifest_vacuum" -> (StreamingQ.q220ManifestVacuum _),
+    // the RTBF lifecycle composed: erasure mid-crawl — vacuum the
+    // landed index, resume from the checkpoint behind the write-path
+    // gate; final log indistinguishable from never having crawled them
+    "q221_vacuum_resume" -> (StreamingQ.q221VacuumResume _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -742,5 +746,6 @@ object SparkEntry {
     "q218_tws_scd2" -> Temporal.q194Sql,
     "q219_ann_vacuum" -> StreamingQ.q219Sql,
     "q220_manifest_vacuum" -> StreamingQ.q220Sql,
+    "q221_vacuum_resume" -> StreamingQ.q216Sql,
   )
 }

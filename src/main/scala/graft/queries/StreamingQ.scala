@@ -1925,4 +1925,61 @@ object StreamingQ {
   /** q220 oracle — batch q169 over the live corpus. */
   val q220Sql: String =
     Selection.q169SqlFrom(liveSql("documents", "doc_id"))
+
+  /** q221: the RTBF LIFECYCLE composed in one row — erasure requests
+    * arrive MID-CRAWL, which is how they arrive in production: half
+    * the corpus ingests through the q107 ladder (tombstoned docs
+    * included — they weren't erased yet), the erasure lands and the
+    * vacuum rewrites the index + pair log (q216's protocol), and the
+    * crawl RESUMES FROM THE SAME CHECKPOINT with the write-path gate
+    * now filtering the tombstoned ids (q199's stream-static broadcast
+    * anti-join) so they never land again. The property under test is
+    * vacuum TRANSPARENCY to the resumed pairing (q162's
+    * compaction-transparency, erasure edition): a live second-half
+    * doc must still pair against live history through the vacuumed
+    * index, and must NOT pair against vacuumed docs — so the final
+    * log is indistinguishable from a crawl the erased docs never
+    * entered. Halves split on doc_id % 4 (tombstoned ids ≡ 3 mod 10
+    * are all odd, so a parity split would put every erasure in one
+    * half and prove nothing — this split spreads them across both).
+    * Oracle: q216Sql, the batch ladder over the live corpus. */
+  def q221VacuumResume(s: SparkSession, dir: String): DataFrame = {
+    val work = Streams.scratchDir("graft_q221")
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    def tombsOf(sess: SparkSession) = Tables.documents(sess, dir)
+      .filter(col("doc_id") % TombMod === TombResidue).select(col("doc_id"))
+    def run(gate: DataFrame => DataFrame): Unit = {
+      val stream = streamSession(s).readStream
+        .schema(StructType.fromDDL("doc_id bigint, text string"))
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+      Streams.incrementalLshDedup(gate(stream), s"$work/index",
+        s"$work/pairs", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Streams.orderedChunkFeed(docs.filter(col("doc_id") % 4 <= 1),
+      s"$work/feed", 2, col("doc_id"))
+    run(identity) // pre-erasure: tombstoned docs land like any other
+    Streams.vacuumTombstoned(s, s"$work/index", tombsOf(s),
+      Seq("doc_id"), Seq("band", "batch_id"))
+    Streams.vacuumTombstoned(s, s"$work/pairs", tombsOf(s),
+      Seq("doc_a", "doc_b"), Seq("batch_id"))
+    Streams.orderedChunkFeed(docs.filter(col("doc_id") % 4 > 1),
+      s"$work/feed", 2, col("doc_id"))
+    // post-erasure: the write-path gate drops tombstoned arrivals
+    // before they sign (q199's stream-static broadcast anti-join)
+    run(st => st.join(broadcast(tombsOf(st.sparkSession))
+        .withColumnRenamed("doc_id", "t_id"),
+      col("doc_id") === col("t_id"), "left_anti"))
+    val residual =
+      Streams.tombstoneResiduals(s, s"$work/index", tombsOf(s),
+        Seq("doc_id")) +
+        Streams.tombstoneResiduals(s, s"$work/pairs", tombsOf(s),
+          Seq("doc_a", "doc_b"))
+    require(residual == 0L,
+      s"mid-crawl vacuum left $residual tombstoned references")
+    Dedup.jaccardVerify(
+      s.read.parquet(s"$work/pairs")
+        .select(col("doc_a"), col("doc_b")).distinct(),
+      Tables.documents(s, dir).filter(col("doc_id") % TombMod =!= TombResidue))
+  }
 }
