@@ -517,7 +517,7 @@ object PipelineQ {
         s"gate benchmark has $n distinct shingles — past the" +
           s" $maxBroadcastShingles plan-literal bound; screen with q56's" +
           " shuffle-join spelling per batch instead of a driver pull")
-      sh.agg(array_sort(collect_list(col("sh")))).head.getSeq[String](0)
+      sh.agg(array_sort(collect_list(col("sh")))).head().getSeq[String](0)
     } finally { sh.unpersist(); () }
   }
 

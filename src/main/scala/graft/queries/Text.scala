@@ -364,7 +364,7 @@ object Text {
         s"benchmark has $n distinct shingles — past the $maxBroadcastShingles" +
           " plan-literal bound; screen at this size with q56's shuffle-join" +
           " spelling per batch instead of a driver pull")
-      sh.agg(array_sort(collect_list(col("shingle")))).head.getSeq[String](0)
+      sh.agg(array_sort(collect_list(col("shingle")))).head().getSeq[String](0)
     } finally { sh.unpersist(); () }
   }
 
