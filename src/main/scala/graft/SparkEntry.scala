@@ -520,6 +520,9 @@ object SparkEntry {
     // landed index, resume from the checkpoint behind the write-path
     // gate; final log indistinguishable from never having crawled them
     "q221_vacuum_resume" -> (StreamingQ.q221VacuumResume _),
+    // storage limitation next to RTBF: age-based retention on the
+    // hourly monitor log, census exact over the retained horizon
+    "q222_retention_vacuum" -> (StreamingQ.q222RetentionVacuum _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -747,5 +750,6 @@ object SparkEntry {
     "q219_ann_vacuum" -> StreamingQ.q219Sql,
     "q220_manifest_vacuum" -> StreamingQ.q220Sql,
     "q221_vacuum_resume" -> StreamingQ.q216Sql,
+    "q222_retention_vacuum" -> StreamingQ.q222Sql,
   )
 }

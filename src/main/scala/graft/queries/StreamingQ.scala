@@ -1982,4 +1982,62 @@ object StreamingQ {
         .select(col("doc_a"), col("doc_b")).distinct(),
       Tables.documents(s, dir).filter(col("doc_id") % TombMod =!= TombResidue))
   }
+
+  /** Retention horizon for q222: hours kept live in the monitor log.
+    * ONE constant shared by the vacuum predicate and the oracle. */
+  val RetainHours = 168L // 7 days of a ~30-day corpus — real mass drops
+
+  /** q222: AGE-based retention on a landed monitor log — the other
+    * half of the round-12 verdict's retention item (the tombstone
+    * family is right-to-be-forgotten; this is storage limitation: the
+    * hourly-counts partials grow with ingest age even when nothing is
+    * erased). The events table ingests through the q90-family hourly
+    * monitor, [[Streams.retentionVacuum]] then expires every hour
+    * older than [[RetainHours]] behind the corpus max (whole expired
+    * batch partitions vanish; the straddling partition rewrites
+    * through the staged swap), the expired audit measures ZERO
+    * remaining old rows, and the re-summed census must equal the
+    * batch hourly census over ONLY the retained horizon — exact
+    * because the partials are keyed by hour, so dropping whole
+    * expired hours drops exactly their events. Oracle: the batch
+    * spelling with the same data-derived cutoff. */
+  def q222RetentionVacuum(s: SparkSession, dir: String): DataFrame = {
+    val outSchema = "hour_start bigint, event_type string, cnt bigint"
+    val work = streamedEvents(s, dir, Seq("ts", "event_type"),
+      "ts timestamp_ntz, event_type string") { (events, work) =>
+      Streams.incrementalHourlyCounts(events, s"$work/hours", s"$work/ckpt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    val log = s.read.schema(StructType.fromDDL(
+      outSchema + ", batch_id bigint")).parquet(s"$work/hours")
+    val maxRow = log.agg(max(col("hour_start"))).head()
+    if (maxRow.isNullAt(0))
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL(outSchema))
+    val cutoff = maxRow.getLong(0) - (RetainHours - 1) * 3600L
+    Streams.retentionVacuum(s, s"$work/hours",
+      col("hour_start") < cutoff, Seq("batch_id"))
+    val retained = s.read.schema(StructType.fromDDL(
+      outSchema + ", batch_id bigint")).parquet(s"$work/hours")
+    val residual = retained.filter(col("hour_start") < cutoff).count()
+    require(residual == 0L,
+      s"retention left $residual expired hourly partials — audit failed")
+    retained.groupBy(col("hour_start"), col("event_type"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** q222 oracle — the batch hourly census restricted to the same
+    * data-derived retention horizon. */
+  val q222Sql: String =
+    s"""WITH h AS (
+       |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600
+       |           AS hour_start,
+       |         event_type
+       |  FROM events),
+       |m AS (SELECT max(hour_start) AS mx FROM h)
+       |SELECT hour_start, event_type, count(*) AS cnt
+       |FROM h
+       |WHERE hour_start >= (SELECT mx - ($RetainHours - 1) * 3600 FROM m)
+       |GROUP BY 1, 2""".stripMargin
 }

@@ -2050,17 +2050,60 @@ object Streams {
     val affected = spark.read.parquet(path).join(tomb, hit, "left_semi")
       .select(partCols.map(col): _*).distinct().collect()
     if (affected.isEmpty) return
-    val stage = new org.apache.hadoop.fs.Path(root, VacuumStageDir)
-    val old = new org.apache.hadoop.fs.Path(root, VacuumOldDir)
-    fs.delete(stage, true)
-    fs.delete(old, true)
     // kept rows of the affected partitions only: the read is
     // partition-pruned by the literal filter (plan-asserted in
     // StreamsSpec), the anti-join drops every row referencing a
     // tombstoned id
-    vacuumAffectedRead(spark, path, affected.toSeq, partCols)
-      .join(tomb, hit, "left_anti")
-      .write.mode("overwrite").partitionBy(partCols: _*)
+    stageAndSwapAffected(spark, root, fs,
+      vacuumAffectedRead(spark, path, affected.toSeq, partCols)
+        .join(tomb, hit, "left_anti"),
+      affected.toSeq, partCols)
+  }
+
+  /** Age-based retention for landed partial logs (q222) — the other
+    * half of verdict-r12 item 6 next to the tombstone vacuum: monitor
+    * logs grow with ingest AGE even when nothing is erased
+    * (storage-limitation, not right-to-be-forgotten). Rewrites only
+    * the partitions containing at least one `expired` row through the
+    * SAME per-partition staged swap (a partition whose every row
+    * expired vanishes — e.g. a whole old micro-batch of hourly
+    * partials), and is idempotent exactly like the tombstone vacuum:
+    * a crashed run's unswapped partitions still hold expired rows and
+    * the rerun re-detects them. Valid for any log whose snapshot
+    * semantics are per-key over the retained horizon (time-keyed
+    * partials: dropping whole expired hours = dropping their events);
+    * composes with compaction — after a fold, retention rewrites the
+    * one merged partition. */
+  def retentionVacuum(spark: SparkSession, path: String,
+                      expired: org.apache.spark.sql.Column,
+                      partCols: Seq[String]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverVacuum(fs, root)
+    if (!fs.exists(root)) return
+    val affected = spark.read.parquet(path).filter(expired)
+      .select(partCols.map(col): _*).distinct().collect()
+    if (affected.isEmpty) return
+    stageAndSwapAffected(spark, root, fs,
+      vacuumAffectedRead(spark, path, affected.toSeq, partCols)
+        .filter(!expired),
+      affected.toSeq, partCols)
+  }
+
+  /** The vacuum family's shared commit: stage `kept` as the full
+    * replacement content of the affected partitions (dot-dir stage +
+    * completion marker), then swap per partition — rename live→old,
+    * staged→live (no staged leaf = every row dropped = the
+    * rename-away IS the vacuum), delete stage+old. Crash recovery:
+    * [[recoverVacuum]]. */
+  private def stageAndSwapAffected(spark: SparkSession,
+      root: org.apache.hadoop.fs.Path, fs: org.apache.hadoop.fs.FileSystem,
+      kept: DataFrame, affected: Seq[Row], partCols: Seq[String]): Unit = {
+    val stage = new org.apache.hadoop.fs.Path(root, VacuumStageDir)
+    val old = new org.apache.hadoop.fs.Path(root, VacuumOldDir)
+    fs.delete(stage, true)
+    fs.delete(old, true)
+    kept.write.mode("overwrite").partitionBy(partCols: _*)
       .parquet(stage.toString)
     fs.create(new org.apache.hadoop.fs.Path(stage, StageCompleteMarker)).close()
     affected.foreach { r =>
@@ -2072,13 +2115,13 @@ object Streams {
       fs.mkdirs(aside.getParent)
       if (fs.exists(live))
         require(fs.rename(live, aside),
-          s"vacuumTombstoned: cannot move $live aside")
+          s"vacuum: cannot move $live aside")
       if (fs.exists(staged)) {
         fs.mkdirs(live.getParent)
         require(fs.rename(staged, live),
-          s"vacuumTombstoned: commit rename $staged -> $live failed; " +
+          s"vacuum: commit rename $staged -> $live failed; " +
             "recoverVacuum rolls forward from the completed stage")
-      } // no staged leaf: every row was tombstoned — gone is correct
+      } // no staged leaf: every row was dropped — gone is correct
     }
     fs.delete(stage, true)
     fs.delete(old, true)
