@@ -2386,6 +2386,42 @@ class StreamsSpec extends SparkSpec {
       Seq(Seq("11"), Seq("12"), Seq("31"), Seq("32")))
   }
 
+  test("retention composes with compaction: fold first, then expire from the merged partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_retcompact")
+    val log = s"$dir/hours"
+    // three "micro-batches" of hourly partials, 6 hours of history
+    def hour(h: Int): Long = 1700000000L / 3600 * 3600 + h * 3600L
+    Seq(
+      (hour(0), "a", 5L, 0L), (hour(1), "a", 3L, 0L),
+      (hour(2), "a", 2L, 1L), (hour(3), "b", 7L, 1L),
+      (hour(4), "a", 1L, 2L), (hour(5), "b", 4L, 2L),
+      (hour(2), "a", 9L, 2L)) // hour 2 re-observed in a later batch
+      .toDF("hour_start", "event_type", "cnt", "batch_id")
+      .write.partitionBy("batch_id").parquet(log)
+    val sumMerge = (df: org.apache.spark.sql.DataFrame) =>
+      df.groupBy(col("hour_start"), col("event_type"))
+        .agg(sum(col("cnt")).as("cnt"))
+    Streams.compactSummedPartials(spark, log, sumMerge)
+    // batches 0/1 folded into batch_id=-1; latest (2) stays live
+    assert(!new java.io.File(s"$log/batch_id=0").exists)
+    // expire hours < hour(3): rewrites the MERGED partition (and the
+    // live one carries no expired rows... hour(2) in batch 2 does —
+    // both rewrite), whole-expired partitions would vanish
+    Streams.retentionVacuum(spark, log, col("hour_start") < hour(3),
+      Seq("batch_id"))
+    val after = spark.read.parquet(log)
+    assert(after.filter(col("hour_start") < hour(3)).count() === 0L)
+    // census over retained horizon survives fold + expiry exactly
+    assert(rowsOf(sumMerge(after.drop("batch_id"))) ===
+      Seq(Seq(hour(3).toString, "b", "7"),
+        Seq(hour(4).toString, "a", "1"),
+        Seq(hour(5).toString, "b", "4")))
+    // idempotent follow-up: nothing expired remains → no-op
+    Streams.retentionVacuum(spark, log, col("hour_start") < hour(3),
+      Seq("batch_id"))
+    assert(rowsOf(sumMerge(spark.read.parquet(log).drop("batch_id"))).size === 3)
+  }
+
   test("tombstone vacuum crash recovery: complete stage rolls forward, incomplete rolls back") {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
