@@ -141,7 +141,11 @@ object StreamBench {
     (0 until timed).map(once)
   }
 
-  private def medianOf(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+  private def medianOf(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2 // true median for even runs
+  }
 
   def main(args: Array[String]): Unit = {
     val pages = if (args.nonEmpty) args(0).toInt else 500

@@ -40,9 +40,9 @@ object Selection {
       .withColumn("r", expr("types * 1000 div t"))
       .drop("types")
 
-  /** The scored-docs CTE both oracles share (DuckDB spelling of
-    * [[ttrScored]] — q127Sql's score arithmetic verbatim). */
-  /** The scored-manifest CTE over an arbitrary documents relation —
+  /** The scored-manifest CTE over an arbitrary documents relation
+    * (DuckDB spelling of [[ttrScored]] — q127Sql's score arithmetic
+    * verbatim) —
     * parameterized so the q220 vacuum oracle can pass the live-rows
     * subquery (the verifiedPairsSqlCtes pattern). */
   private def scoredCteFrom(from: String): String =

@@ -2084,9 +2084,12 @@ object Streams {
     val affected = spark.read.parquet(path).filter(expired)
       .select(partCols.map(col): _*).distinct().collect()
     if (affected.isEmpty) return
+    // three-valued logic: a row where `expired` evaluates to NULL is
+    // not detected above, so the rewrite must RETAIN it — a bare
+    // !expired would silently drop it from the rewritten partition
     stageAndSwapAffected(spark, root, fs,
       vacuumAffectedRead(spark, path, affected.toSeq, partCols)
-        .filter(!expired),
+        .filter(not(coalesce(expired, lit(false)))),
       affected.toSeq, partCols)
   }
 
@@ -2107,8 +2110,16 @@ object Streams {
       .parquet(stage.toString)
     fs.create(new org.apache.hadoop.fs.Path(stage, StageCompleteMarker)).close()
     affected.foreach { r =>
-      val rel = partCols.zipWithIndex
-        .map { case (c, i) => s"$c=${r.get(i)}" }.mkString("/")
+      // Hive-escaped path segments (ExternalCatalogUtils handles the
+      // characters Spark escapes on write — space/':'/'%'/… — and maps
+      // null to __HIVE_DEFAULT_PARTITION__): raw interpolation would
+      // miss the on-disk escaped directory for any string partition
+      // value and silently no-op that partition's swap.
+      val rel = partCols.zipWithIndex.map { case (c, i) =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(c,
+            Option(r.get(i)).map(_.toString).orNull)
+      }.mkString("/")
       val live = new org.apache.hadoop.fs.Path(root, rel)
       val aside = new org.apache.hadoop.fs.Path(old, rel)
       val staged = new org.apache.hadoop.fs.Path(stage, rel)

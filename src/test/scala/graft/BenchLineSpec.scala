@@ -55,6 +55,18 @@ class BenchLineSpec extends AnyFunSuite {
     assert(line.length <= 1900, s"line is ${line.length} bytes")
   }
 
+  test("load stamps ride INSIDE the object, and survive a budget cut") {
+    // BENCH_r13 lesson: the stderr load stamp never reached the
+    // driver's record, so a contended sweep had no in-artifact proof
+    val extra = ""","load_avg_start":0.08,"load_avg_end":0.10,"cores":32"""
+    val small = Bench.compactLine(mkResults(20), "1.2", "/x", extra)
+    assert(parseable(small) && small.contains("\"load_avg_start\":0.08"))
+    val big = Bench.compactLine(mkResults(400), "9.9", "/x", extra)
+    assert(parseable(big), big)
+    assert(big.length <= 1900, s"line is ${big.length} bytes")
+    assert(big.contains("\"load_avg_end\":0.10"))
+  }
+
   test("failed queries (-1) keep their unambiguous marker when kept") {
     val res = Seq("q1_a" -> -1.0, "q2_b" -> 5.0)
     val line = Bench.compactLine(res, "5.0", "/x")

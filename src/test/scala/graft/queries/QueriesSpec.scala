@@ -1647,7 +1647,14 @@ class QueriesSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import StreamingQ.{SlideFanout, SlideStepSec}
     // batch twin: every event fans out to its SlideFanout overlapping
-    // windows — integer-µs floor to the slide, k∈[0,fanout) starts back
+    // windows — integer-µs floor to the slide, k∈[0,fanout) starts back.
+    // `div` truncates toward zero, which equals floor only for
+    // non-negative epochs (Spark's window() and DuckDB's // both floor)
+    // — guard the assumption rather than silently rely on the fixture
+    val minUs = graft.Tables.events(spark, sf)
+      .agg(min(expr("unix_micros(cast(ts as timestamp_ltz))"))).head.getLong(0)
+    assert(minUs >= 0L,
+      "pre-1970 event in fixture: the div-based twin would diverge from floor")
     val batch = graft.Tables.events(spark, sf)
       .select(col("ts").cast("timestamp_ltz").as("ts"),
         col("event_type"), col("value"))

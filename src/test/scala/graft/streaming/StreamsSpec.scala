@@ -2460,6 +2460,41 @@ class StreamsSpec extends SparkSpec {
     assert(!fs.exists(p(s"$log2/.graft_vacuum_stage")))
   }
 
+  test("tombstone vacuum swaps STRING partitions with Hive-escaped values") {
+    // a partition value containing characters Spark escapes on write
+    // (space, ':') lands on disk as src=web%20crawl%3Av2 — the swap must
+    // derive the SAME escaped directory or it silently no-ops
+    val dir = java.nio.file.Files.createTempDirectory("graft_vescape")
+    val log = s"$dir/log"
+    Seq((1L, "web crawl:v2"), (2L, "web crawl:v2"), (3L, "books"))
+      .toDF("doc_id", "src")
+      .write.partitionBy("src").parquet(log)
+    Streams.vacuumTombstoned(spark, log, Seq(2L).toDF("doc_id"),
+      Seq("doc_id"), Seq("src"))
+    assert(Streams.tombstoneResiduals(spark, log, Seq(2L).toDF("doc_id"),
+      Seq("doc_id")) === 0L,
+      "escaped partition dir missed: the vacuum no-opped on it")
+    assert(rowsOf(spark.read.parquet(log).select(col("doc_id"))) ===
+      Seq(Seq("1"), Seq("3")))
+    assert(!new java.io.File(s"$log/.graft_vacuum_stage").exists &&
+      !new java.io.File(s"$log/.graft_vacuum_old").exists)
+  }
+
+  test("retention vacuum RETAINS rows whose expiry predicate is NULL") {
+    // three-valued logic: null hour_start is neither expired nor live
+    // under `<` — it must survive the rewrite, not silently vanish
+    val dir = java.nio.file.Files.createTempDirectory("graft_retnull")
+    val log = s"$dir/hours"
+    Seq((Some(100L), "a", 0L), (None, "b", 0L), (Some(900L), "c", 0L))
+      .toDF("hour_start", "event_type", "batch_id")
+      .write.partitionBy("batch_id").parquet(log)
+    Streams.retentionVacuum(spark, log, col("hour_start") < 500L,
+      Seq("batch_id"))
+    assert(rowsOf(spark.read.parquet(log).select(col("event_type"))) ===
+      Seq(Seq("b"), Seq("c")),
+      "the NULL-predicate row must be retained by the rewrite")
+  }
+
   // Streams.kafkaSource mirrors the reference's Kafka options 1:1
   // (Consumer.scala:50-56) but the spark-sql-kafka connector jar is not
   // shipped in this container, so `.load()` is untestable offline; the
