@@ -2495,6 +2495,99 @@ class StreamsSpec extends SparkSpec {
       "the NULL-predicate row must be retained by the rewrite")
   }
 
+  test("vacuum detection consults _refs: bloom candidates only, verify read touches only them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vrefs")
+    val log = s"$dir/log"
+    // land 4 batches through the REAL landing path (sidecar maintained)
+    (0L to 3L).foreach { b =>
+      Streams.writeBatchPartition(Seq(b * 10 + 1, b * 10 + 2).toDF("doc_id"),
+        b, log, refCols = Seq("doc_id"))
+    }
+    assert(new java.io.File(s"$log/_refs").isDirectory, "sidecar must exist")
+    // the sidecar never leaks into a read of the artifact itself
+    assert(spark.read.parquet(log).columns.toSeq.sorted ===
+      Seq("batch_id", "doc_id"))
+    val tomb = Seq(11L).toDF("__t") // lives in batch_id=1 only
+    // 1) the consult: O(partitions) summary rows, bloom prunes to the
+    //    one hit partition, nothing uncovered
+    val Some((cands, uncov)) =
+      Streams.refsCandidatePartitions(spark, log, tomb, Seq("batch_id"))
+    assert(uncov.isEmpty, s"all partitions are summarized: $uncov")
+    assert(cands.map(_.getLong(0)).toSet === Set(1L),
+      s"bloom must prune to the hit partition, got $cands")
+    // 2) the verify read's files-read footprint — the rewrite's
+    //    discipline applied to DETECTION (verdict-r13 What's-wrong #1)
+    val touched = Streams.vacuumDetectRead(spark, log, cands, uncov,
+      Seq("batch_id")).get
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(touched.nonEmpty && touched.forall(_.contains("batch_id=1")),
+      s"detection must read only candidate partitions: ${touched.toSeq}")
+    // 3) end-to-end detection equals the legacy full scan's answer
+    val hit = col("doc_id") === col("__t")
+    assert(Streams.detectAffected(spark, log, broadcast(tomb), hit,
+      Seq("batch_id")).map(_.get(0).toString.toLong) === Seq(1L))
+    // 4) the vacuum itself, and the post-swap sidecar refresh: the
+    //    erased id no longer flags its old partition on later vacuums
+    Streams.vacuumTombstoned(spark, log, Seq(11L).toDF("doc_id"),
+      Seq("doc_id"), Seq("batch_id"))
+    assert(Streams.tombstoneResiduals(spark, log, Seq(11L).toDF("doc_id"),
+      Seq("doc_id")) === 0L)
+    val Some((cands2, uncov2)) =
+      Streams.refsCandidatePartitions(spark, log, tomb, Seq("batch_id"))
+    assert(cands2.isEmpty && uncov2.isEmpty,
+      "refresh must drop the erased id's positions from the sidecar")
+  }
+
+  test("vacuum detection is conservative for partitions the sidecar has never seen") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vrefs_cons")
+    val log = s"$dir/log"
+    (0L to 1L).foreach { b =>
+      Streams.writeBatchPartition(Seq(b * 10 + 1).toDF("doc_id"), b, log,
+        refCols = Seq("doc_id"))
+    }
+    // a pre-summary slice: landed with NO sidecar row (a legacy batch,
+    // or a merged partition from a fold that predates the sidecar)
+    Streams.writeBatchPartition(Seq(41L).toDF("doc_id"), 4L, log)
+    val tomb = Seq(41L).toDF("__t")
+    val Some((cands, uncov)) =
+      Streams.refsCandidatePartitions(spark, log, tomb, Seq("batch_id"))
+    assert(cands.isEmpty, "41 is in no summarized partition")
+    assert(uncov.map(_.getName) === Seq("batch_id=4"),
+      "the unsummarized leaf must stay a candidate")
+    assert(Streams.detectAffected(spark, log, broadcast(tomb),
+      col("doc_id") === col("__t"), Seq("batch_id"))
+      .map(_.get(0).toString.toLong) === Seq(4L))
+    Streams.vacuumTombstoned(spark, log, Seq(41L).toDF("doc_id"),
+      Seq("doc_id"), Seq("batch_id"))
+    assert(Streams.tombstoneResiduals(spark, log, Seq(41L).toDF("doc_id"),
+      Seq("doc_id")) === 0L)
+    assert(rowsOf(spark.read.parquet(log).select(col("doc_id"))) ===
+      Seq(Seq("1"), Seq("11")))
+  }
+
+  test("compaction folds the sidecar too: merged partition stays covered and detectable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vrefs_fold")
+    val log = s"$dir/log"
+    (0L to 2L).foreach { b =>
+      Streams.writeBatchPartition(Seq(b * 10 + 1, b * 10 + 2).toDF("doc_id"),
+        b, log, refCols = Seq("doc_id"))
+    }
+    Streams.compactMinMergePartials(spark, log, _.distinct())
+    assert(spark.read.parquet(log).select("batch_id").distinct().collect()
+      .map(_.get(0).toString.toLong).sorted.toSeq === Seq(-1L, 2L))
+    val tomb = Seq(1L).toDF("__t") // landed in batch 0, now inside -1
+    val Some((cands, uncov)) =
+      Streams.refsCandidatePartitions(spark, log, tomb, Seq("batch_id"))
+    assert(uncov.isEmpty,
+      s"refsFoldBatches must cover the merged partition, got $uncov")
+    assert(cands.map(_.getLong(0)).toSet === Set(-1L))
+    Streams.vacuumTombstoned(spark, log, Seq(1L).toDF("doc_id"),
+      Seq("doc_id"), Seq("batch_id"))
+    assert(Streams.tombstoneResiduals(spark, log, Seq(1L).toDF("doc_id"),
+      Seq("doc_id")) === 0L)
+    assert(spark.read.parquet(log).count() === 5L)
+  }
+
   // Streams.kafkaSource mirrors the reference's Kafka options 1:1
   // (Consumer.scala:50-56) but the spark-sql-kafka connector jar is not
   // shipped in this container, so `.load()` is untestable offline; the
