@@ -523,6 +523,10 @@ object SparkEntry {
     // storage limitation next to RTBF: age-based retention on the
     // hourly monitor log, census exact over the retained horizon
     "q222_retention_vacuum" -> (StreamingQ.q222RetentionVacuum _),
+    // RTBF for KEYED STREAMING STATE: mid-crawl erasure clears the
+    // subjects' open-session state (TWS clear + timer delete), vacuums
+    // their landed sessions, resumes behind the write-path gate
+    "q223_state_eviction" -> (StreamingQ.q223StateEviction _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -751,5 +755,6 @@ object SparkEntry {
     "q220_manifest_vacuum" -> StreamingQ.q220Sql,
     "q221_vacuum_resume" -> StreamingQ.q216Sql,
     "q222_retention_vacuum" -> StreamingQ.q222Sql,
+    "q223_state_eviction" -> StreamingQ.q223Sql,
   )
 }

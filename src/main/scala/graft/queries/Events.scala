@@ -66,15 +66,18 @@ object Events {
       .agg(count(lit(1)).as("session_count"),
         max(col("events_in_session")).as("max_session_events"))
   }
-  val q17Sql: String =
-    """WITH flagged AS (
+  /** q17's census over an arbitrary events relation — parameterized so
+    * the q223 RTBF oracle can pass the live-users subquery (the q216
+    * live-predicate pattern). */
+  def q17SqlFrom(from: String): String =
+    s"""WITH flagged AS (
       |  SELECT user_id, ts,
       |         -- epoch_us, not epoch: integer micros match Spark's
       |         -- unix_micros exactly; double seconds round at ~1e-7 s
       |         CASE WHEN lag(ts) OVER w IS NULL
       |                OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
       |              THEN 1 ELSE 0 END AS new_session
-      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |  FROM $from WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
       |sessions AS (
       |  SELECT user_id,
       |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
@@ -86,6 +89,8 @@ object Events {
       |SELECT user_id, count(*) AS session_count,
       |       max(events_in_session) AS max_session_events
       |FROM per_session GROUP BY 1""".stripMargin
+
+  val q17Sql: String = q17SqlFrom("events")
 
   /** Schema-on-read JSON decode (reference F2, Consumer.scala:59): the
     * props payload is parsed with from_json against a declared schema;

@@ -58,6 +58,21 @@ object StreamingQ {
     ss
   }
 
+  /** [[streamSession]] on the RocksDB provider — transformWithState
+    * needs multi-column-family state — WITH changelog checkpointing,
+    * the round-13 A/B's measured prescription (cuts RocksDB commit
+    * cost ~15% and collapses run variance; PLANS.md StreamBench ×R
+    * table). One helper so every TWS row runs the same store config. */
+  private def rocksSession(s: SparkSession): SparkSession = {
+    val ss = streamSession(s)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+    ss.conf.set("spark.sql.streaming.stateStore.rocksdb" +
+      ".changelogCheckpointing.enabled", "true")
+    ss
+  }
+
   /** Stream a base frame through `run` in ~4 micro-batches (file
     * source, one file per trigger), then hand the work dir to the
     * caller's snapshot — ONE chunking/readStream scaffold for every
@@ -930,11 +945,7 @@ object StreamingQ {
           .toDF(),
         s"$work/feed", 1, col("ts"))
     }
-    val ss = streamSession(s)
-    if (rocksdb) // transformWithState: multi-column-family state
-      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state" +
-          ".RocksDBStateStoreProvider")
+    val ss = if (rocksdb) rocksSession(s) else streamSession(s)
     val feed = StatefulTransitions.feedStream(ss, s"$work/feed")
       .map(e => SEvent(e.user_id, e.ts, e.event_type, e.event_id))(ee)
     machine(feed, flushUs).writeStream
@@ -1358,11 +1369,7 @@ object StreamingQ {
     import org.apache.spark.sql.streaming.OutputMode
     val work = Streams.scratchDir(tag)
     StatefulTransitions.stageOrderedFeed(s, dir, s"$work/feed", 6)
-    val ss = streamSession(s)
-    if (rocksdb) // transformWithState: multi-column-family state
-      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state" +
-          ".RocksDBStateStoreProvider")
+    val ss = if (rocksdb) rocksSession(s) else streamSession(s)
     machine(StatefulTransitions.feedStream(ss, s"$work/feed"))
       .writeStream
       .format("parquet").option("path", s"$work/trans")
@@ -1739,11 +1746,7 @@ object StreamingQ {
         s.createDataset(Seq(Event(flushUser, t)))(ee).toDF(),
         s"$work/feed", 1, col("ts"))
     }
-    val ss = streamSession(s)
-    // transformWithState needs multi-column-family state — RocksDB only
-    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state" +
-        ".RocksDBStateStoreProvider")
+    val ss = rocksSession(s) // transformWithState: multi-CF state
     val stream = ss.readStream
       .schema(StructType.fromDDL("user_id bigint, ts timestamp_ltz"))
       .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
@@ -2040,4 +2043,120 @@ object StreamingQ {
        |FROM h
        |WHERE hour_start >= (SELECT mx - ($RetainHours - 1) * 3600 FROM m)
        |GROUP BY 1, 2""".stripMargin
+
+  /** q223: RTBF for KEYED STREAMING STATE — the one hole verdict-r13
+    * left in the governance loop: the vacuum family (q216/q219/q220)
+    * erases every LANDED artifact, but an erased subject's rows can
+    * still live inside a running query's CHECKPOINT state (an open
+    * session here). The events table streams through the
+    * `transformWithState` sessionizer on RocksDB in event-time halves
+    * split at the corpus midpoint; mid-crawl, erasure CONTROL rows for
+    * every tombstoned user (user_id ≡ [[TombResidue]] mod [[TombMod]])
+    * ride the same keyed feed and
+    * [[graft.streaming.StatefulSessions.TwsSessionizerCtl]] clears the
+    * key's named ValueState AND deletes its live timer — the open
+    * session never happened, it does not "close". The composed
+    * lifecycle around the eviction is q221's: sessions that CLOSED
+    * pre-erasure already landed, so the sessions log (batch_id
+    * partitions + `_refs` sidecar) is tombstone-vacuumed; the crawl
+    * resumes from the same checkpoint with the q199 write-path gate
+    * dropping the subjects' later events (the operator itself keeps no
+    * per-key tombstone memory — that would be unbounded state). The
+    * residual audit measures zero landed references, and the census
+    * must equal batch q17 over the LIVE users only — erased subjects
+    * are GONE from state, log and output alike, not merely filtered.
+    * (The mid-stream state-store audit — erased keys absent from the
+    * checkpoint while live keys persist, via the statestore reader —
+    * needs a paused stream, so it lives in StreamsSpec, where the
+    * classic flatMapGroupsWithState twin is also diffed row-for-row.)
+    * Oracle: q17Sql over the live predicate (the q216 pattern). */
+  def q223StateEviction(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StatefulSessions
+    import graft.streaming.StatefulSessions.CEvent
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ce = org.apache.spark.sql.Encoders.product[CEvent]
+    val work = Streams.scratchDir("graft_q223")
+    val events = Tables.events(s, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp_ltz").as("ts"))
+    val flushUser = -1L
+    val outSchema =
+      "user_id bigint, session_count bigint, max_session_events bigint"
+    val bounds = events.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts")))).head()
+    if (bounds.isNullAt(0))
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL(outSchema))
+    // event-time midpoint: the erasure arrives mid-crawl, with every
+    // tombstoned user active on both sides of it
+    val cutUs = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    def tombsOf(sess: SparkSession) = Tables.events(sess, dir)
+      .select(col("user_id").cast("long").as("user_id")).distinct()
+      .filter(col("user_id") % TombMod === TombResidue)
+    def run(gated: Boolean): Unit = {
+      val ss = rocksSession(s) // transformWithState: multi-CF state
+      val stream = ss.readStream
+        .schema(StructType.fromDDL(
+          "user_id bigint, ts timestamp_ltz, erase boolean"))
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+      // the write-path gate (q199): drop the erased subjects' DATA
+      // rows post-erasure; control rows pass (the !erase leg of the
+      // anti-join condition exempts them). ONE source either way — a
+      // union of two stream filters would register a second source and
+      // break the checkpoint's offset contract on resume.
+      val fed = if (!gated) stream else
+        stream.join(broadcast(tombsOf(stream.sparkSession)
+            .withColumnRenamed("user_id", "t_id")),
+          col("user_id") === col("t_id") && !col("erase"), "left_anti")
+      Streams.appendParquetSink(
+        StatefulSessions.sessionizeCtlTws(fed.as[CEvent]).toDF(),
+        s"$work/sessions", s"$work/ckpt", refCols = Seq("user_id"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    // one chunk per half: the cross-RESTART state carry (plus the
+    // erase batch between) is what this row tests; multi-batch folding
+    // within a run is q113/q214's covered ground — extra micro-batches
+    // here only add RocksDB commit rounds
+    Streams.orderedChunkFeed(
+      events.filter(unix_micros(col("ts")) <= cutUs)
+        .withColumn("erase", lit(false)),
+      s"$work/feed", 1, col("ts"))
+    run(gated = false) // pre-erasure: subjects stream like any user
+    // landed half of the erasure: sessions that closed pre-request
+    Streams.vacuumTombstoned(s, s"$work/sessions", tombsOf(s),
+      Seq("user_id"), Seq("batch_id"))
+    // the erasure requests themselves, one control row per subject,
+    // stamped just past the half-1 horizon so the watermark admits them
+    val eraseTs = new java.sql.Timestamp(cutUs / 1000 + 1)
+    Streams.orderedChunkFeed(
+      tombsOf(s).withColumn("ts", lit(eraseTs).cast("timestamp_ltz"))
+        .withColumn("erase", lit(true)),
+      s"$work/feed", 1, col("ts"))
+    Streams.orderedChunkFeed(
+      events.filter(unix_micros(col("ts")) > cutUs)
+        .withColumn("erase", lit(false)),
+      s"$work/feed", 1, col("ts"))
+    val far = new java.sql.Timestamp(bounds.getLong(1) / 1000 +
+      48L * 3600 * 1000)
+    Seq(far, new java.sql.Timestamp(far.getTime + 60000)).foreach { t =>
+      Streams.orderedChunkFeed(
+        s.createDataset(Seq(CEvent(flushUser, t, erase = false)))(ce).toDF(),
+        s"$work/feed", 1, col("ts"))
+    }
+    run(gated = true) // erase batch, resumed crawl, sentinel flushes
+    val residual = Streams.tombstoneResiduals(s, s"$work/sessions",
+      tombsOf(s), Seq("user_id"))
+    require(residual == 0L,
+      s"state eviction left $residual landed subject sessions — audit failed")
+    s.read.parquet(s"$work/sessions")
+      .filter(col("user_id") =!= flushUser)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("session_count"),
+        max(col("event_count")).as("max_session_events"))
+  }
+
+  /** q223 oracle — batch q17 over the live users only. */
+  val q223Sql: String =
+    Events.q17SqlFrom(liveSql("events", "user_id"))
 }

@@ -18,6 +18,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StatefulSessions {
 
   case class Event(user_id: Long, ts: java.sql.Timestamp)
+  /** Control-aware event for the RTBF eviction path (q223): `erase`
+    * rows are erasure requests riding the SAME keyed stream as data —
+    * they clear the key's state instead of folding into it. */
+  case class CEvent(user_id: Long, ts: java.sql.Timestamp, erase: Boolean)
   /** start/last are epoch MICROseconds: the gap comparison must run at
     * the event-time column's native precision — 999/1000 driver
     * testdata events carry sub-ms micros, and an ms-truncated diff can
@@ -98,6 +102,34 @@ object StatefulSessions {
     }
   }
 
+  /** [[updateSessions]] with the control branch (the classic-API twin
+    * of [[TwsSessionizerCore]]'s eviction): an erase row removes the
+    * key's state — GroupState.remove() drops the value AND its timeout
+    * — and swallows the batch's own rows for the key. Semantics
+    * otherwise identical to [[updateSessions]] via the shared
+    * [[mergeBatch]] fold. */
+  def updateSessionsCtl(userId: Long, events: Iterator[CEvent],
+                        state: GroupState[SessionState]): Iterator[ClosedSession] =
+    if (state.hasTimedOut) {
+      val closed = state.getOption.map(asClosed(userId, _)).iterator
+      state.remove()
+      closed
+    } else {
+      val evs = events.toSeq
+      if (evs.exists(_.erase)) {
+        state.remove() // value + timeout, gone together
+        Iterator.empty
+      } else {
+        val (closed, cur) =
+          mergeBatch(state.getOption, evs.map(e => micros(e.ts)))
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(timeoutMs(s))
+        }
+        closed.iterator.map(asClosed(userId, _))
+      }
+    }
+
   /** Wire over an event stream; the watermark bounds state and drives
     * the event-time timeouts that close idle sessions. (In batch
     * execution timeouts never fire — open sessions are not emitted —
@@ -113,6 +145,17 @@ object StatefulSessions {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(updateSessions)
   }
 
+  /** [[sessionize]] over a control-aware stream (q223). */
+  def sessionizeCtl(events: Dataset[CEvent],
+                    watermark: String = "10 minutes"): Dataset[ClosedSession] = {
+    implicit val se = Encoders.product[SessionState]
+    implicit val ce = Encoders.product[ClosedSession]
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(updateSessionsCtl)
+  }
+
   /** The same sessionizer on the NEW arbitrary-state API
     * (transformWithState, Spark 4): named state variables instead of
     * one opaque state object, explicit event-time timers instead of
@@ -122,11 +165,20 @@ object StatefulSessions {
     * The processor keeps exactly one timer per key (registered at
     * last+gap, re-registered on extension), so timer state is O(1)
     * per in-flight session, like the value state.
+    *
+    * [[TwsSessionizerCore]] carries the whole machine generically over
+    * the input type; [[TwsSessionizer]] (plain events, q214) and
+    * [[TwsSessionizerCtl]] (control-aware, q223's RTBF eviction) are
+    * its two instantiations — one fold, no drift between them.
     */
-  class TwsSessionizer
+  sealed abstract class TwsSessionizerCore[I]
       extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Long, Event, ClosedSession] {
+        Long, I, ClosedSession] {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    /** Is this row an erasure request for its key? */
+    protected def eraseOf(i: I): Boolean
+    protected def tsOf(i: I): java.sql.Timestamp
 
     @transient private var state: ValueState[SessionState] = _
 
@@ -134,19 +186,37 @@ object StatefulSessions {
       state = getHandle.getValueState[SessionState](
         "session", Encoders.product[SessionState], TTLConfig.NONE)
 
-    override def handleInputRows(key: Long, rows: Iterator[Event],
+    override def handleInputRows(key: Long, rows: Iterator[I],
                                  tv: TimerValues): Iterator[ClosedSession] = {
-      val prev = if (state.exists()) Some(state.get()) else None
-      val (closed, cur) = mergeBatch(prev, rows.map(e => micros(e.ts)).toSeq)
-      cur.foreach { s =>
-        // one live timer per key: drop the stale one before arming
-        prev.filter(_.last != s.last)
-          .foreach(p => getHandle.deleteTimer(timeoutMs(p)))
-        state.update(s)
-        if (prev.forall(_.last != s.last))
-          getHandle.registerTimer(timeoutMs(s))
+      val evs = rows.toSeq
+      if (evs.exists(eraseOf)) {
+        // RTBF eviction (q223): the subject's OPEN session is erased —
+        // value state cleared AND its live timer deleted (a leftover
+        // timer would keep firing against empty state forever), and
+        // the batch's own rows for the key vanish with it. Nothing is
+        // emitted: erasure means the session never happened, not that
+        // it closed. Point-in-time semantics — the operator keeps no
+        // per-key tombstone memory (that would be unbounded state
+        // growth); KEEPING the subject out is the write-path gate's
+        // job (q199), exactly as for landed artifacts.
+        if (state.exists()) {
+          getHandle.deleteTimer(timeoutMs(state.get()))
+          state.clear()
+        }
+        Iterator.empty
+      } else {
+        val prev = if (state.exists()) Some(state.get()) else None
+        val (closed, cur) = mergeBatch(prev, evs.map(e => micros(tsOf(e))))
+        cur.foreach { s =>
+          // one live timer per key: drop the stale one before arming
+          prev.filter(_.last != s.last)
+            .foreach(p => getHandle.deleteTimer(timeoutMs(p)))
+          state.update(s)
+          if (prev.forall(_.last != s.last))
+            getHandle.registerTimer(timeoutMs(s))
+        }
+        closed.iterator.map(asClosed(key, _))
       }
-      closed.iterator.map(asClosed(key, _))
     }
 
     override def handleExpiredTimer(key: Long, tv: TimerValues,
@@ -160,6 +230,17 @@ object StatefulSessions {
     }
   }
 
+  class TwsSessionizer extends TwsSessionizerCore[Event] {
+    protected def eraseOf(i: Event): Boolean = false
+    protected def tsOf(i: Event): java.sql.Timestamp = i.ts
+  }
+
+  /** Control-aware twin for the RTBF path (q223). */
+  class TwsSessionizerCtl extends TwsSessionizerCore[CEvent] {
+    protected def eraseOf(i: CEvent): Boolean = i.erase
+    protected def tsOf(i: CEvent): java.sql.Timestamp = i.ts
+  }
+
   /** [[sessionize]] on transformWithState — identical output contract. */
   def sessionizeTws(events: Dataset[Event],
                     watermark: String = "10 minutes"): Dataset[ClosedSession] = {
@@ -168,6 +249,18 @@ object StatefulSessions {
     events.withWatermark("ts", watermark)
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .transformWithState(new TwsSessionizer,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** [[sessionizeCtl]] on transformWithState — identical output
+    * contract, eviction via named-state clear() + timer delete. */
+  def sessionizeCtlTws(events: Dataset[CEvent],
+                       watermark: String = "10 minutes"): Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    implicit val ce = Encoders.product[ClosedSession]
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new TwsSessionizerCtl,
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -229,13 +229,14 @@ object Streams {
   /** foreachBatch append sink with batch id partition — the reference's
     * append tables carry batch_id the same way (init.sql:43,51), but
     * replay-idempotent (see writeBatchPartition). */
-  def appendParquetSink(df: DataFrame, path: String, checkpoint: String)
+  def appendParquetSink(df: DataFrame, path: String, checkpoint: String,
+                        refCols: Seq[String] = Nil)
       : DataStreamWriter[Row] =
     df.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeBatchPartition(batch, batchId, path)
+        writeBatchPartition(batch, batchId, path, refCols = refCols)
       }
 
   /** Update-mode upsert sink: writes only the keys whose aggregate

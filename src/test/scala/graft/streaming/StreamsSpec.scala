@@ -605,6 +605,114 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("RTBF eviction (classic): erase removes the KEY from the state store, not just its output") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_evictc").toString
+    val in = MemoryStream[StatefulSessions.CEvent]
+    def t(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    def ce(u: Long, ts: Timestamp, er: Boolean = false) =
+      StatefulSessions.CEvent(u, ts, er)
+    val q = StatefulSessions.sessionizeCtl(in.toDS()).writeStream
+      .format("memory").queryName("evict_classic")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append()).start()
+    // the store audit the q223 scaladoc points here for: keyed state
+    // read straight from the checkpoint via the statestore source
+    def stateKeys(): Set[Long] =
+      spark.read.format("statestore").load(s"$dir/ckpt")
+        .select("key.*").collect().map(_.getLong(0)).toSet
+    try {
+      in.addData(ce(3L, t("10:00")), ce(3L, t("10:05")), ce(7L, t("10:02")))
+      q.processAllAvailable()
+      assert(stateKeys() === Set(3L, 7L),
+        "both users hold OPEN sessions in the checkpoint before erasure")
+      in.addData(ce(3L, t("10:06"), er = true))
+      q.processAllAvailable()
+      // gone, not silenced: the live key persists, the erased one doesn't
+      assert(stateKeys() === Set(7L),
+        "the erased key must be GONE from the state store")
+      // flush user 7 via the watermark and drain
+      in.addData(ce(9L, t("14:00"))); q.processAllAvailable()
+      in.addData(ce(9L, t("15:30"))); q.processAllAvailable()
+      val out = sql("SELECT * FROM evict_classic")
+        .as[StatefulSessions.ClosedSession].collect()
+      assert(!out.exists(_.user_id == 3L),
+        "an erased open session never happened — it must not 'close'")
+      assert(out.filter(_.user_id == 7L).map(_.event_count).toSeq === Seq(1L),
+        "a bystander key's session must close normally")
+    } finally q.stop()
+  }
+
+  test("RTBF eviction (TWS): clear+timer-delete matches the classic twin; re-arrival starts fresh") {
+    implicit val sc = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def t(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    def ce(u: Long, ts: Timestamp, er: Boolean = false) =
+      StatefulSessions.CEvent(u, ts, er)
+    // merge, erase mid-session, POST-ERASE RE-ARRIVAL (ungated — the
+    // operator keeps no tombstone memory, so a fresh session starts:
+    // point-in-time semantics, the write-path gate owns the future),
+    // then watermark-driven closes
+    val batches: Seq[Seq[StatefulSessions.CEvent]] = Seq(
+      Seq(ce(3L, t("10:00")), ce(3L, t("10:10")), ce(7L, t("10:05"))),
+      Seq(ce(3L, t("10:20"), er = true)),
+      Seq(ce(3L, t("10:25"))), // re-arrival: new session of exactly 1
+      Seq(ce(9L, t("14:00"))),
+      Seq(ce(9L, t("15:30"))))
+    // audit: mid-run keyed-state reads straight from the checkpoint
+    def run(name: String,
+            wire: org.apache.spark.sql.Dataset[StatefulSessions.CEvent] =>
+              org.apache.spark.sql.Dataset[StatefulSessions.ClosedSession],
+            ckpt: String,
+            audit: Int => Unit) = {
+      val in = MemoryStream[StatefulSessions.CEvent]
+      val q = wire(in.toDS()).writeStream.format("memory")
+        .queryName(name).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        batches.zipWithIndex.foreach { case (b, i) =>
+          in.addData(b); q.processAllAvailable(); audit(i)
+        }
+        sql(s"SELECT * FROM $name")
+          .as[StatefulSessions.ClosedSession].collect()
+          .map(s => (s.user_id, s.session_start.getTime,
+            s.session_end.getTime, s.event_count)).toSet
+      } finally q.stop()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_evictt").toString
+    def twsKeys(): Set[Long] =
+      spark.read.format("statestore").option("stateVarName", "session")
+        .load(s"$dir/ckpt_t")
+        .select("key.*").collect().map(_.getLong(0)).toSet
+    try {
+      val classic = run("evict_twin_classic",
+        StatefulSessions.sessionizeCtl(_), s"$dir/ckpt_c", _ => ())
+      val tws = run("evict_twin_tws",
+        StatefulSessions.sessionizeCtlTws(_), s"$dir/ckpt_t", {
+          // the store audit, at the moments it is meaningful: before
+          // the erase both keys hold open sessions; right after it the
+          // erased key is GONE while the bystander persists
+          case 0 => assert(twsKeys() === Set(3L, 7L))
+          case 1 => assert(twsKeys() === Set(7L),
+            "clear()+deleteTimer must remove the key, not silence it")
+          case _ => ()
+        })
+      assert(tws === classic, "one fold, two APIs, one answer")
+      // the pre-erase span (10:00-10:10, 2 events) must be absent; the
+      // post-erase re-arrival closes as a fresh 1-event session
+      assert(!classic.exists(s => s._1 == 3L && s._4 == 2L),
+        "the erased open session leaked to the output")
+      assert(classic.count(s => s._1 == 3L) === 1)
+      assert(classic.exists(s => s._1 == 3L && s._4 == 1L &&
+        s._2 == t("10:25").getTime))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream interval join matches within the window, drops outside it") {
     implicit val sc = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, String)]
