@@ -527,6 +527,9 @@ object SparkEntry {
     // subjects' open-session state (TWS clear + timer delete), vacuums
     // their landed sessions, resumes behind the write-path gate
     "q223_state_eviction" -> (StreamingQ.q223StateEviction _),
+    // read-side serving: q51's multiprobe top-K against the LANDED
+    // (compacted + vacuumed) ANN index, probe buckets partition-pruned
+    "q224_index_serve" -> (StreamingQ.q224IndexServe _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -756,5 +759,6 @@ object SparkEntry {
     "q221_vacuum_resume" -> StreamingQ.q216Sql,
     "q222_retention_vacuum" -> StreamingQ.q222Sql,
     "q223_state_eviction" -> StreamingQ.q223Sql,
+    "q224_index_serve" -> StreamingQ.q224Sql,
   )
 }

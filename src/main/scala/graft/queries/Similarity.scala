@@ -201,10 +201,14 @@ object Similarity {
     * `e` = corpus, `q` = queries) — shared by q51Sql and q129Sql. */
   private val probePredSql: String =
     "e.vec_id <> q.query_id AND bit_count(xor(e.cb, q.qb)) <= 1"
-  val q51Sql: String =
-    s"""WITH emb0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** The multi-probe search oracle over an arbitrary embeddings
+    * relation and query predicate — parameterized so q224's
+    * serve-from-the-maintained-index oracle can pass the live-rows
+    * subquery and its own query-id cut (the q216 pattern). */
+  def q51SqlFrom(from: String, queryPred: String): String =
+    s"""WITH emb0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM $from),
        |emb AS (SELECT vec_id, v, ($bucketSql) AS cb FROM emb0),
-       |q AS (SELECT vec_id AS query_id, v AS qv, cb AS qb FROM emb WHERE vec_id < 5),
+       |q AS (SELECT vec_id AS query_id, v AS qv, cb AS qb FROM emb WHERE $queryPred),
        |scored AS (
        |  SELECT query_id, e.vec_id AS neighbor_id,
        |         round(list_dot_product(qv, v) /
@@ -219,6 +223,8 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, neighbor_id, cos_sim, rk FROM ranked
        |WHERE rk <= $AnnTopK""".stripMargin
+
+  val q51Sql: String = q51SqlFrom("embeddings", "vec_id < 5")
 
   /** Scalar int8 quantization of an embedding column: per-vector
     * min/max affine map to [0,255] stored as smallint + (lo, scale) —

@@ -2159,4 +2159,56 @@ object StreamingQ {
   /** q223 oracle — batch q17 over the live users only. */
   val q223Sql: String =
     Events.q17SqlFrom(liveSql("events", "user_id"))
+
+  /** q224: READ-SIDE SERVING over the maintained ANN index — the
+    * payoff of the whole index lifecycle. The embeddings ingest
+    * through the q152 ladder, the index is COMPACTED (q163's fold) and
+    * then VACUUMED (q219's erasure, residual-audited zero), and a
+    * query-vector batch — the first five LIVE vec_ids, the request a
+    * retrieval service would carry — runs q51's multiprobe top-K
+    * against the LANDED index: probe buckets become literal
+    * PartitionFilters on the bucket-group partitions
+    * ([[graft.streaming.Streams.annServeRead]], plan spec-asserted),
+    * candidates verify with the native cosine, deterministic tie-break
+    * (cos desc, neighbor asc). Oracle: the SAME multiprobe search over
+    * the live embeddings (q51Sql parameterized, the q216 transparency
+    * pattern) — green means land → fold → erase → serve returns
+    * exactly what a fresh search over the live corpus returns, i.e.
+    * the maintenance story is invisible to the reader. (LSH-served
+    * top-K is not brute-force top-K in general — recall vs the exact
+    * q29 scan is measured separately by q129; the exactness a
+    * maintained index CAN promise, and the one that gates this row, is
+    * serve ≡ fresh-search.) */
+  def q224IndexServe(s: SparkSession, dir: String): DataFrame = {
+    val work = streamedFrame(s,
+      Tables.embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")),
+      "vec_id bigint, v array<double>") { (emb, work) =>
+      Streams.incrementalAnnNearDups(emb, s"$work/index", s"$work/pairs",
+        s"$work/ckpt").trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    // the full maintenance cycle lands BEFORE the read: fold the batch
+    // partitions, then erase the tombstoned subjects
+    Streams.compactLshIndex(s, s"$work/index", bandCols = Seq("bucket_grp"))
+    val tombs = Tables.embeddings(s, dir)
+      .filter(col("vec_id") % TombMod === TombResidue).select(col("vec_id"))
+    Streams.vacuumTombstoned(s, s"$work/index", tombs,
+      Seq("vec_id"), Seq("bucket_grp", "batch_id"))
+    val residual =
+      Streams.tombstoneResiduals(s, s"$work/index", tombs, Seq("vec_id"))
+    require(residual == 0L,
+      s"serving index still holds $residual erased vectors — audit failed")
+    val queries = Tables.embeddings(s, dir)
+      .filter(col("vec_id") < 6 && col("vec_id") % TombMod =!= TombResidue)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qb", Similarity.bucketCode(col("qv")))
+    Streams.annServeTopK(s, s"$work/index", queries, Similarity.AnnTopK)
+  }
+
+  /** q224 oracle — the multiprobe search over the live embeddings
+    * with the same query cut. */
+  val q224Sql: String = Similarity.q51SqlFrom(
+    liveSql("embeddings", "vec_id"),
+    s"vec_id < 6 AND vec_id % $TombMod <> $TombResidue")
 }

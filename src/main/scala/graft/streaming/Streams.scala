@@ -1622,6 +1622,62 @@ object Streams {
         col("bucket").isin(buckets: _*) &&
         col("batch_id") =!= excludeBatchId)
 
+  /** QUERY-TIME read of the ANN index for a probe-bucket set — the
+    * serving twin of [[annIndexHistory]]: literal bucket-group isin →
+    * parquet PartitionFilters, exact bucket isin as a pushed data
+    * filter (row-group min/max inside each group dir; the ingest sorts
+    * by bucket within partitions precisely so THIS read's stats are
+    * tight). No batch_id exclusion: serving reads the whole maintained
+    * history — merged batch_id=-1 partitions included. Package-visible
+    * so the spec asserts the plan of the EXACT read q224 performs. */
+  private[streaming] def annServeRead(spark: SparkSession, indexPath: String,
+                                      buckets: Seq[Long]): DataFrame =
+    spark.read.parquet(indexPath)
+      .filter(col("bucket_grp")
+          .isin(buckets.map(b => math.floorMod(b, AnnBucketGroups.toLong))
+            .distinct: _*) &&
+        col("bucket").isin(buckets: _*))
+
+  /** Top-K neighbor SERVING against the landed ANN index (q224) — the
+    * read payoff of the whole maintenance story (land → compact →
+    * vacuum): each query probes its own hyperplane bucket plus every
+    * Hamming-distance-1 bucket (q51's multiprobe), the index read
+    * prunes to exactly those buckets' group partitions, candidates
+    * verify with the native cosine, and the per-query top-K keeps a
+    * deterministic tie-break (cos desc, neighbor asc). `queries` must
+    * carry (query_id, qv, qb) and is O(request batch): collected once
+    * for the probe-bucket literals, broadcast into the verify join —
+    * the index never shuffles, the request never exceeds driver
+    * bounds. */
+  def annServeTopK(spark: SparkSession, indexPath: String,
+                   queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the request batch is O(queries) BY CONTRACT (a serving call, not
+    // a corpus): evaluate it once, keep it driver-local, broadcast it —
+    // the serving analog of the ingest path's bounded batchBuckets
+    // collect, and the index side never shuffles
+    val proj = queries.select(col("query_id"), col("qv"), col("qb"))
+    val qRows = proj.collect().toSeq
+    val qs = spark.createDataFrame(
+      spark.sparkContext.parallelize(qRows, 1), proj.schema)
+    // probe fan-out per query: own bucket + 8 single-bit flips
+    val probeBuckets = qRows.map(_.getLong(2))
+      .flatMap(b => b +: (0 until 8).map(p => b ^ (1L << p)))
+      .distinct
+    val hits = annServeRead(spark, indexPath, probeBuckets)
+      .join(broadcast(qs),
+        col("vec_id") =!= col("query_id") &&
+          bit_count(col("bucket").bitwiseXOR(col("qb"))) <= 1)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(graft.queries.Similarity.cosine(col("qv"), col("v")), 6)
+          .as("cos_sim"))
+    hits.withColumn("rk", row_number().over(Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+  }
+
   /** Hadoop-FS check (portable across s3a/hdfs/local) that a
     * partitioned index already has `prefix`-partition directories.
     * An index whose top-level partitions exist but do NOT match the

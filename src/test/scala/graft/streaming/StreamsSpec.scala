@@ -2233,6 +2233,46 @@ class StreamsSpec extends SparkSpec {
       "identical vector ingested later must pair with its history copy")
   }
 
+  test("ANN serving: read prunes to probe buckets; serve over the landed index equals the fresh multiprobe search") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_annserve")
+    val sf = "/root/testdata/sf0.001"
+    val corpus = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = Streams.incrementalAnnNearDups(
+      in.toDF().toDF("vec_id", "v"), s"$dir/index", s"$dir/pairs", s"$dir/ckpt")
+      .start()
+    try corpus.grouped(300).foreach { g => in.addData(g.toSeq: _*); q.processAllAvailable() }
+    finally q.stop()
+    Streams.compactLshIndex(spark, s"$dir/index", bandCols = Seq("bucket_grp"))
+    // the serving read's plan: probe-bucket groups reach
+    // PartitionFilters, the exact buckets push into the scan
+    val read = Streams.annServeRead(spark, s"$dir/index", Seq(0L, 7L, 33L))
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan.take(2000))
+    val pf = plan.substring(plan.indexOf("PartitionFilters: ["))
+    assert(pf.takeWhile(_ != ']').contains("bucket_grp#"),
+      s"bucket_grp must partition-prune the serving read: ${pf.take(300)}")
+    assert(plan.contains("PushedFilters: ") &&
+      plan.substring(plan.indexOf("PushedFilters: ")).takeWhile(_ != ']')
+        .contains("bucket"),
+      "exact buckets must reach the scan as a pushed filter")
+    // serve ≡ fresh search: top-K from the compacted landed index must
+    // equal q51's multiprobe over the table, row for row
+    val queries = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qb", graft.queries.Similarity.bucketCode(col("qv")))
+    val served = Streams.annServeTopK(spark, s"$dir/index", queries,
+      graft.queries.Similarity.AnnTopK)
+    assert(rowsOf(served) ===
+      rowsOf(graft.queries.Similarity.q51MultiprobeAnn(spark, sf)))
+  }
+
   test("incremental hourly counts: merged snapshot verdicts equal batch q90 on the union") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_incanom")
