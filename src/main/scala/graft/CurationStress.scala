@@ -785,7 +785,80 @@ object CurationStress {
         s" vs expected ${expectedClusters.size}")
     pairLog.unpersist()
 
-    println(f"""{"metric":"curation_stress","reps":$reps,"q200_sec":$tRoots%.2f,"q202_sec":$tExp%.2f,"q206_ingest_sec":$tIngest%.2f,"q206_pairs":$gotPairs,"q206_cluster_sec":$tCluster%.2f,"q206_clusters":${gotClusters.size},"q169_sec":$tBudget%.2f,"q170_sec":$tSrcBudget%.2f,"q171_sec":$tOverlapFull%.2f,"q171_sketch_sec":$tOverlapSketch%.2f,"q172_sec":$tCap%.2f,"q142_sec":$tPack%.2f,"q149_sec":$tCard%.2f,"q150_sec":$tDecon%.2f,"q134_sec":$tSeg%.2f,"q137_sec":$tPmi%.2f,"q139_sec":$tTrans%.2f,"q194_sec":$tScd%.2f,"q197_sec":$tDiff%.2f,"q193_sec":$tPurge%.2f,"q121_sec":$tChunk%.2f,"q122_sec":$tLocf%.2f,"q126_sec":$tMask%.2f,"q127_sec":$tCur%.2f,"q108_sec":$tLex%.2f,"q109_sec":$tGaps%.2f,"q111_sec":$tMad%.2f,"q112_sec":$tGrid%.2f,"q114_sec":$tTri%.2f,"q114_cc_ppm":${rep114.getLong(4)},"q74_sec":$tSpan%.2f,"q74_rows":$spanRows,"q81_sec":$tOverlap%.2f,"q81_full_matches":$q81Full,"q79_sec":$tTrain%.2f,"q80_sec":$tApply%.2f,"q95_sec":$tBigram%.2f,"q98_sec":$tMix%.2f,"q98_surviving_tokens":$survTok,"q104_sec":$tSkew%.2f,"q99_sec":$tHeldout%.2f,"q101_sec":$tReid%.2f,"q102_sec":$tBoot%.2f,"q103_sec":$tBootFused%.2f,"bigram_types_base":$baseTypes,"bigram_types_train_r":$trainTypesR,"q95_skewcorpus_sec":$tFlatSkew%.2f,"q104_skewcorpus_sec":$tSplitSkew%.2f,"q99_skewcorpus_sec":$tFlatHeld%.2f,"q153_skewcorpus_sec":$tSplitHeld%.2f,"sf":"$sfDir"}""")
+    // VACUUM R-law (round-14): erase a FIXED base-subject set (every
+    // rep-0 doc_id ≡ TombResidue mod TombMod — the same absolute
+    // erasure requests at every R) from the R×-inflated landed index +
+    // pair log. The claim under measurement: rewrite cost tracks the
+    // TOMBSTONES' partition fan-out, never the index size — partitions
+    // rewritten must equal exactly the partitions holding a subject
+    // reference (computed independently by a direct scan), every other
+    // partition must keep its files and mtimes, and the surviving pair
+    // census must equal the pre-vacuum R-law mass minus the exact hit
+    // arithmetic (P1·R + P2·(2R-1) cross hits + T·(R-1) same-doc hits).
+    val tombIds = signedArr.filter(d =>
+      d % queries.StreamingQ.TombMod == queries.StreamingQ.TombResidue).toSeq
+    val tombDf = { import spark.implicits._; tombIds.toDF("doc_id") }
+    def leafState(root: String): Map[String, Set[(String, Long)]] = {
+      def walk(f: java.io.File, rel: String): Seq[(String, Set[(String, Long)])] = {
+        val kids = Option(f.listFiles()).getOrElse(Array.empty)
+          .filterNot(k => k.getName.startsWith("_") || k.getName.startsWith("."))
+        val files = kids.filter(_.isFile).map(k => k.getName -> k.lastModified()).toSet
+        val subs = kids.filter(_.isDirectory)
+          .flatMap(d => walk(d, s"$rel/${d.getName}")).toSeq
+        (if (files.nonEmpty) Seq(rel -> files) else Nil) ++ subs
+      }
+      walk(new java.io.File(root), "").toMap
+    }
+    val idxPre = spark.read.parquet(s"$ingestDir/index")
+    val pairsPre = spark.read.parquet(s"$ingestDir/pairs")
+    val expIdxParts = idxPre.filter(col("doc_id").isin(tombIds: _*))
+      .select(col("band"), col("batch_id")).distinct().count()
+    val expPairParts = pairsPre
+      .filter(col("doc_a").isin(tombIds: _*) || col("doc_b").isin(tombIds: _*))
+      .select(col("batch_id")).distinct().count()
+    val idxBefore = leafState(s"$ingestDir/index")
+    val pairsBefore = leafState(s"$ingestDir/pairs")
+    val (_, tVacuum) = time {
+      graft.streaming.Streams.vacuumTombstoned(spark, s"$ingestDir/index",
+        tombDf, Seq("doc_id"), Seq("band", "batch_id"))
+      graft.streaming.Streams.vacuumTombstoned(spark, s"$ingestDir/pairs",
+        tombDf, Seq("doc_a", "doc_b"), Seq("batch_id"))
+    }
+    assert(graft.streaming.Streams.tombstoneResiduals(spark,
+        s"$ingestDir/index", tombDf, Seq("doc_id")) +
+      graft.streaming.Streams.tombstoneResiduals(spark,
+        s"$ingestDir/pairs", tombDf, Seq("doc_a", "doc_b")) == 0L,
+      s"vacuum left residuals at R=$reps")
+    def rewritten(before: Map[String, Set[(String, Long)]],
+                  after: Map[String, Set[(String, Long)]]): Int =
+      before.count { case (d, fs) => !after.get(d).contains(fs) }
+    val idxAfter = leafState(s"$ingestDir/index")
+    val pairsAfter = leafState(s"$ingestDir/pairs")
+    val gotIdxParts = rewritten(idxBefore, idxAfter)
+    val gotPairParts = rewritten(pairsBefore, pairsAfter)
+    assert(gotIdxParts.toLong == expIdxParts,
+      s"index vacuum rewrote $gotIdxParts partitions; subjects touch " +
+        s"exactly $expIdxParts — rewrite must track tombstone fan-out")
+    assert(gotPairParts.toLong == expPairParts,
+      s"pair-log vacuum rewrote $gotPairParts partitions, expected $expPairParts")
+    // exact surviving-census law: pre-vacuum R-law mass minus the hits
+    val tombSet = tombIds.toSet
+    val basePairsArr = Dedup.lshCandidates(baseDocs)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val p2 = basePairsArr.count { case (a, b) => tombSet(a) && tombSet(b) }
+    val p1 = basePairsArr.count { case (a, b) => tombSet(a) ^ tombSet(b) }
+    val wantAfterVacuum = wantPairs -
+      p1.toLong * reps - p2.toLong * (2L * reps - 1) -
+      tombSet.size.toLong * (reps - 1)
+    val gotAfterVacuum = spark.read.parquet(s"$ingestDir/pairs")
+      .select(col("doc_a"), col("doc_b")).distinct().count()
+    assert(gotAfterVacuum == wantAfterVacuum,
+      s"vacuumed pair census broken at R=$reps: got $gotAfterVacuum, " +
+        s"want $wantPairs - ($p1)R - ($p2)(2R-1) - (${tombSet.size})(R-1) " +
+        s"= $wantAfterVacuum")
+
+    println(f"""{"metric":"curation_stress","reps":$reps,"q200_sec":$tRoots%.2f,"q202_sec":$tExp%.2f,"q206_ingest_sec":$tIngest%.2f,"q206_pairs":$gotPairs,"q206_cluster_sec":$tCluster%.2f,"q206_clusters":${gotClusters.size},"vacuum_sec":$tVacuum%.2f,"vacuum_idx_parts_rewritten":$gotIdxParts,"vacuum_idx_parts_total":${idxBefore.size},"vacuum_pair_parts_rewritten":$gotPairParts,"vacuum_pair_parts_total":${pairsBefore.size},"vacuum_surviving_pairs":$gotAfterVacuum,"q169_sec":$tBudget%.2f,"q170_sec":$tSrcBudget%.2f,"q171_sec":$tOverlapFull%.2f,"q171_sketch_sec":$tOverlapSketch%.2f,"q172_sec":$tCap%.2f,"q142_sec":$tPack%.2f,"q149_sec":$tCard%.2f,"q150_sec":$tDecon%.2f,"q134_sec":$tSeg%.2f,"q137_sec":$tPmi%.2f,"q139_sec":$tTrans%.2f,"q194_sec":$tScd%.2f,"q197_sec":$tDiff%.2f,"q193_sec":$tPurge%.2f,"q121_sec":$tChunk%.2f,"q122_sec":$tLocf%.2f,"q126_sec":$tMask%.2f,"q127_sec":$tCur%.2f,"q108_sec":$tLex%.2f,"q109_sec":$tGaps%.2f,"q111_sec":$tMad%.2f,"q112_sec":$tGrid%.2f,"q114_sec":$tTri%.2f,"q114_cc_ppm":${rep114.getLong(4)},"q74_sec":$tSpan%.2f,"q74_rows":$spanRows,"q81_sec":$tOverlap%.2f,"q81_full_matches":$q81Full,"q79_sec":$tTrain%.2f,"q80_sec":$tApply%.2f,"q95_sec":$tBigram%.2f,"q98_sec":$tMix%.2f,"q98_surviving_tokens":$survTok,"q104_sec":$tSkew%.2f,"q99_sec":$tHeldout%.2f,"q101_sec":$tReid%.2f,"q102_sec":$tBoot%.2f,"q103_sec":$tBootFused%.2f,"bigram_types_base":$baseTypes,"bigram_types_train_r":$trainTypesR,"q95_skewcorpus_sec":$tFlatSkew%.2f,"q104_skewcorpus_sec":$tSplitSkew%.2f,"q99_skewcorpus_sec":$tFlatHeld%.2f,"q153_skewcorpus_sec":$tSplitHeld%.2f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2333,20 +2333,29 @@ object Streams {
       .persist()
     try {
       // tombstone bloom positions via the SAME kernel (never a driver
-      // reimplementation of the hash); O(erasure requests), bounded by
-      // the same contract that lets the vacuum broadcast them
+      // reimplementation of the hash). The candidate test — "some
+      // tombstone has ALL its k positions in the partition's set" — is
+      // an equi-JOIN on position then a per-(partition, tombstone)
+      // hit count, NOT a literal OR-of-ANDs predicate: a predicate
+      // grows O(|tombstones|·k) Catalyst terms and its analysis alone
+      // dominated the vacuum at a 500-request stress batch. Both join
+      // sides are tiny (O(partitions·positions) and O(requests·k)).
       val tombPos = tomb
-        .select(refsPositions(col(tomb.columns.head)).as("ps")).distinct()
-        .collect().map(_.getSeq[Int](0).distinct)
-      val candidates =
-        if (tombPos.isEmpty) Nil
-        else {
-          val pred = tombPos.map(ps =>
-            ps.map(p => array_contains(col("positions"), lit(p)))
-              .reduce(_ && _)).reduce(_ || _)
-          summary.filter(pred).select(partCols.map(col): _*)
-            .collect().toSeq
-        }
+        .select(col(tomb.columns.head).cast("string").as("__t"))
+        .distinct()
+        .select(col("__t"), explode(refsPositions(col("__t"))).as("__p"))
+        .distinct()
+      val kOf = tombPos.groupBy(col("__t"))
+        .agg(count(lit(1)).as("__k"))
+      val sumPos = summary
+        .select(partCols.map(col) :+ explode(col("positions")).as("__p"): _*)
+      val candidates = sumPos.join(broadcast(tombPos), "__p")
+        .groupBy(partCols.map(col) :+ col("__t"): _*)
+        .agg(count(lit(1)).as("__hits"))
+        .join(broadcast(kOf), "__t")
+        .filter(col("__hits") === col("__k"))
+        .select(partCols.map(col): _*).distinct()
+        .collect().toSeq
       // coverage diff: O(partitions) keys + FS listing, both metadata
       val covered = summary.select(partCols.map(col): _*).collect()
         .map(relOfRow(_, partCols)).toSet

@@ -104,7 +104,8 @@ class PlanSpec extends SparkSpec {
     "q171_sketch_overlap",      // × broadcast |sources|-row sketch frame
     "q174_incremental_overlap", // × the same pair join over the merged log
     "q193_deletion_propagation", // × three 1-row census aggs per relation
-    "q199_incremental_purge"    // × two 1-row total/kept count aggs (q193's shape)
+    "q199_incremental_purge",   // × two 1-row total/kept count aggs (q193's shape)
+    "q224_index_serve"          // × broadcast bounded request batch (q51's probe pred over the landed index)
   )
 
   test("no query plans a CartesianProduct; nested-loop joins only where documented") {
