@@ -530,6 +530,9 @@ object SparkEntry {
     // read-side serving: q51's multiprobe top-K against the LANDED
     // (compacted + vacuumed) ANN index, probe buckets partition-pruned
     "q224_index_serve" -> (StreamingQ.q224IndexServe _),
+    // dedup-at-admission serving: near-dup probe of a request batch
+    // against the LANDED (compacted + vacuumed) LSH signature index
+    "q225_dedup_serve" -> (StreamingQ.q225DedupServe _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -760,5 +763,6 @@ object SparkEntry {
     "q222_retention_vacuum" -> StreamingQ.q222Sql,
     "q223_state_eviction" -> StreamingQ.q223Sql,
     "q224_index_serve" -> StreamingQ.q224Sql,
+    "q225_dedup_serve" -> StreamingQ.q225Sql,
   )
 }

@@ -2211,4 +2211,59 @@ object StreamingQ {
   val q224Sql: String = Similarity.q51SqlFrom(
     liveSql("embeddings", "vec_id"),
     s"vec_id < 6 AND vec_id % $TombMod <> $TombResidue")
+
+  /** Request cut for q225's admission batch: live docs below this id.
+    * ONE constant shared by the Scala query and the oracle; chosen so
+    * the request set carries real near-dup mass at every driver SF
+    * (11 / 4 / 16 live pairs touch it at sf0.001/0.01/0.1). */
+  val ServeReqCut = 50
+
+  /** q225: dedup-at-ADMISSION serving over the maintained LSH index —
+    * q224's read-payoff story on the MinHash family: "is this document
+    * a near-dup of something already in the corpus?" answered at query
+    * time. The corpus ingests through the q107 ladder, the signature
+    * index COMPACTS (q162's fold) and VACUUMS (q216's erasure,
+    * residual-audited), then an admission batch — the live docs below
+    * [[ServeReqCut]] — probes the LANDED index:
+    * [[graft.streaming.Streams.lshServePairs]] reads only the touched
+    * band partitions (literal PartitionFilters) with the request's
+    * exact signatures pushed into the scan, candidates verify with the
+    * true Jaccard against the live corpus (the ladder's one
+    * verification bar, composed as everywhere). Oracle: the batch
+    * verified-pairs census over the live corpus RESTRICTED to pairs
+    * touching the request set — serve ≡ fresh-search, the q216/q224
+    * transparency pattern (exact for the same per-doc-signature law
+    * that makes q216's oracle exact). */
+  def q225DedupServe(s: SparkSession, dir: String): DataFrame = {
+    val work = streamed(s, dir, Seq("doc_id", "text"),
+      "doc_id bigint, text string") { (docs, work) =>
+      Streams.incrementalLshDedup(docs, s"$work/index", s"$work/pairs",
+        s"$work/ckpt").trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Streams.compactLshIndex(s, s"$work/index")
+    val tombs = Tables.documents(s, dir)
+      .filter(col("doc_id") % TombMod === TombResidue).select(col("doc_id"))
+    Streams.vacuumTombstoned(s, s"$work/index", tombs,
+      Seq("doc_id"), Seq("band", "batch_id"))
+    val residual =
+      Streams.tombstoneResiduals(s, s"$work/index", tombs, Seq("doc_id"))
+    require(residual == 0L,
+      s"serving index still holds $residual erased signatures — audit failed")
+    val liveDocs = Tables.documents(s, dir)
+      .filter(col("doc_id") % TombMod =!= TombResidue)
+      .select(col("doc_id"), col("text"))
+    val request = liveDocs.filter(col("doc_id") < ServeReqCut)
+    Dedup.jaccardVerify(
+      Streams.lshServePairs(s, s"$work/index",
+        Dedup.bandedSignatures(request)),
+      liveDocs)
+  }
+
+  /** q225 oracle — the batch verified-pairs census over the live
+    * corpus, restricted to pairs touching the request set. */
+  val q225Sql: String =
+    s"""WITH live AS ${liveSql("documents", "doc_id")},
+       |${Dedup.verifiedPairsSqlCtes("live")}
+       |SELECT doc_a, doc_b, jaccard FROM scored
+       |WHERE doc_a < $ServeReqCut OR doc_b < $ServeReqCut""".stripMargin
 }

@@ -32,7 +32,7 @@ object Streams {
   /** Kafka source, reference-identical options (Consumer.scala:50-56).
     *
     * Runtime constraint, verified round 5 (re-censused every round
-    * since, latest round 13: zero kafka jars in /opt/spark/jars, none
+    * since, latest round 14: zero kafka jars in /opt/spark/jars, none
     * in the coursier cache): the connector is a separate
     * artifact (`spark-sql-kafka-0-10` + `kafka-clients`) that is NOT in
     * `/opt/spark/jars`, not in the offline
@@ -1676,6 +1676,46 @@ object Streams {
         .orderBy(col("cos_sim").desc, col("neighbor_id").asc)))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"))
+  }
+
+  /** QUERY-TIME read of the LSH signature index for a probe set (the
+    * MinHash twin of [[annServeRead]]): literal band isin → parquet
+    * PartitionFilters, the request's exact signatures as a pushed data
+    * filter. Package-visible so the spec asserts the plan of the EXACT
+    * read q225 performs. */
+  private[streaming] def lshServeRead(spark: SparkSession, indexPath: String,
+                                      bands: Seq[Int], sigs: Seq[String])
+      : DataFrame =
+    spark.read.parquet(indexPath)
+      .filter(col("band").isin(bands: _*) && col("sig").isin(sigs: _*))
+
+  /** Dedup-at-ADMISSION serving against the landed LSH index (q225):
+    * "is this document a near-dup of the corpus?" answered at query
+    * time from the maintained (compacted + vacuumed) signature index —
+    * the MinHash family's read payoff next to [[annServeTopK]]. The
+    * request batch arrives as its banded signatures (O(requests ×
+    * bands) BY CONTRACT — an admission check, not a corpus), is
+    * collected once for the probe literals and broadcast into the
+    * candidate join; the index read prunes to the touched band
+    * partitions with the request signatures pushed into the scan.
+    * Returns normalized distinct candidate pairs (doc_a < doc_b) —
+    * verification (true Jaccard) stays the caller's composition, as
+    * everywhere in the dedup ladder. */
+  def lshServePairs(spark: SparkSession, indexPath: String,
+                    reqSigs: DataFrame): DataFrame = {
+    val proj = reqSigs.select(col("doc_id").as("query_id"),
+      col("band").as("qband"), col("sig").as("qsig"))
+    val rows = proj.collect().toSeq
+    val qs = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), proj.schema)
+    val hits = lshServeRead(spark, indexPath,
+      rows.map(_.getInt(1)).distinct, rows.map(_.getString(2)).distinct)
+    hits.join(broadcast(qs),
+        col("band") === col("qband") && col("sig") === col("qsig") &&
+          col("doc_id") =!= col("query_id"))
+      .select(least(col("doc_id"), col("query_id")).as("doc_a"),
+        greatest(col("doc_id"), col("query_id")).as("doc_b"))
+      .distinct()
   }
 
   /** Hadoop-FS check (portable across s3a/hdfs/local) that a

@@ -2273,6 +2273,44 @@ class StreamsSpec extends SparkSpec {
       rowsOf(graft.queries.Similarity.q51MultiprobeAnn(spark, sf)))
   }
 
+  test("LSH admission serving: read prunes to request bands/sigs; pairs equal the restricted batch census") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshserve")
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.incrementalLshDedup(
+      in.toDF().toDF("doc_id", "text"), s"$dir/index", s"$dir/pairs",
+      s"$dir/ckpt").start()
+    try corpus.grouped(25).foreach { g => in.addData(g.toSeq: _*); q.processAllAvailable() }
+    finally q.stop()
+    Streams.compactLshIndex(spark, s"$dir/index")
+    // the serving read's plan: request bands reach PartitionFilters,
+    // the request signatures push into the scan
+    val plan = Streams.lshServeRead(spark, s"$dir/index", Seq(0, 2), Seq("x"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan.take(2000))
+    assert(plan.substring(plan.indexOf("PartitionFilters: ["))
+        .takeWhile(_ != ']').contains("band#"),
+      "request bands must partition-prune the serving read")
+    assert(plan.contains("PushedFilters: ") &&
+      plan.substring(plan.indexOf("PushedFilters: ")).takeWhile(_ != ']')
+        .contains("sig"),
+      "request signatures must reach the scan as a pushed filter")
+    // serve ≡ fresh search, restricted to pairs touching the request
+    val request = docs.filter(col("doc_id") < 10)
+    val served = graft.queries.Dedup.jaccardVerify(
+      Streams.lshServePairs(spark, s"$dir/index",
+        graft.queries.Dedup.bandedSignatures(request)), docs)
+    val reference = graft.queries.Dedup.jaccardVerify(
+      graft.queries.Dedup.lshCandidates(docs)
+        .filter(col("doc_a") < 10 || col("doc_b") < 10), docs)
+    assert(rowsOf(served) === rowsOf(reference))
+    assert(rowsOf(served).nonEmpty, "request must carry near-dup mass")
+  }
+
   test("incremental hourly counts: merged snapshot verdicts equal batch q90 on the union") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_incanom")
