@@ -533,6 +533,13 @@ object SparkEntry {
     // dedup-at-admission serving: near-dup probe of a request batch
     // against the LANDED (compacted + vacuumed) LSH signature index
     "q225_dedup_serve" -> (StreamingQ.q225DedupServe _),
+    // RTBF eviction on the SCD2 machine: the open run never happened —
+    // state + flush timer cleared mid-crawl, landed intervals vacuumed
+    "q226_scd2_eviction" -> (StreamingQ.q226Scd2Eviction _),
+    // RTBF eviction on the transition machine: the carry (the per-user
+    // monitor state the verdict named) clears mid-crawl; with q223 and
+    // q226 every keyed-state machine has an oracle-gated eviction twin
+    "q227_transitions_eviction" -> (StreamingQ.q227TransitionsEviction _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -764,5 +771,7 @@ object SparkEntry {
     "q223_state_eviction" -> StreamingQ.q223Sql,
     "q224_index_serve" -> StreamingQ.q224Sql,
     "q225_dedup_serve" -> StreamingQ.q225Sql,
+    "q226_scd2_eviction" -> StreamingQ.q226Sql,
+    "q227_transitions_eviction" -> StreamingQ.q227Sql,
   )
 }

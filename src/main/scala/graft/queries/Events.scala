@@ -1048,15 +1048,17 @@ object Events {
       .select(col("from_type"), col("to_type"), col("transitions"),
         expr("transitions * 1000000 div from_total").as("prob_ppm"))
   }
-  val q139Sql: String =
-    """WITH flagged AS (
+  /** q139's matrix over an arbitrary events relation — parameterized
+    * so the q227 RTBF oracle can pass the live-users subquery. */
+  def q139SqlFrom(from: String): String =
+    s"""WITH flagged AS (
       |  SELECT user_id, ts, event_id, event_type,
       |         CASE WHEN lag(ts) OVER w IS NULL
       |                OR epoch_us(CAST(ts AS TIMESTAMP))
       |                   - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
       |                   > 1800000000
       |              THEN 1 ELSE 0 END AS new_session
-      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |  FROM $from WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sessioned AS (
       |  SELECT user_id, ts, event_id, event_type,
       |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -1078,6 +1080,8 @@ object Events {
       |SELECT from_type, to_type, transitions,
       |       transitions * 1000000 // from_total AS prob_ppm
       |FROM matrix JOIN ft USING (from_type)""".stripMargin
+
+  val q139Sql: String = q139SqlFrom("events")
 
   // -------------------------------------------------- deletion (q193)
 

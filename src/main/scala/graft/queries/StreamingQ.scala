@@ -1379,6 +1379,12 @@ object StreamingQ {
     val matrix = s.read.parquet(s"$work/trans")
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("transitions"))
+    matrixPpm(matrix)
+  }
+
+  /** q139's conditional-ppm tail over a (from_type, to_type,
+    * transitions) matrix — shared by the q147/q217 harness and q227. */
+  private def matrixPpm(matrix: DataFrame): DataFrame = {
     val fromTotals = matrix.groupBy(col("from_type"))
       .agg(sum(col("transitions")).as("from_total"))
     matrix.join(broadcast(fromTotals), Seq("from_type"))
@@ -2266,4 +2272,187 @@ object StreamingQ {
        |${Dedup.verifiedPairsSqlCtes("live")}
        |SELECT doc_a, doc_b, jaccard FROM scored
        |WHERE doc_a < $ServeReqCut OR doc_b < $ServeReqCut""".stripMargin
+
+  /** q226: RTBF eviction on the SCD2 DIMENSION machine — the second
+    * named case in verdict-r13's keyed-state list ("an open SCD2
+    * run"), q223's lifecycle on the machine whose state is warehouse
+    * dimension history. Events stream through the `transformWithState`
+    * SCD2 builder on RocksDB in event-time halves; mid-crawl, erasure
+    * control rows clear each subject's open RUN — named ValueState
+    * cleared, the armed flush timer deleted via `listTimers` (robust
+    * to the quiesce clamp: the armed value needn't be recomputable) —
+    * so the run neither closes nor flushes as "open": it never
+    * happened. Landed intervals of the subjects vacuum from the
+    * batch_id-partitioned log (+ `_refs` sidecar); the crawl resumes
+    * from the same checkpoint behind the write-path gate; the live
+    * users' intervals — including their OPEN runs flushed at the
+    * quiesce point — must equal batch q194 over live events only.
+    * Oracle: q194Sql over the live predicate. */
+  def q226Scd2Eviction(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StatefulScd2
+    import graft.streaming.StatefulScd2.CSEvent
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ce = org.apache.spark.sql.Encoders.product[CSEvent]
+    val work = Streams.scratchDir("graft_q226")
+    val events = Tables.events(s, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp_ltz").as("ts"),
+        col("event_type"), col("event_id"))
+    val flushUser = -1L
+    val outSchema = "event_type string, intervals bigint, " +
+      "closed bigint, dur_us_sum bigint, dur_us_max bigint"
+    val bounds = events.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts")))).head()
+    if (bounds.isNullAt(0))
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL(outSchema))
+    val cutUs = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val flushUs = bounds.getLong(1) + 3600L * 1000000L
+    def tombsOf(sess: SparkSession) = Tables.events(sess, dir)
+      .select(col("user_id").cast("long").as("user_id")).distinct()
+      .filter(col("user_id") % TombMod === TombResidue)
+    def run(gated: Boolean): Unit = {
+      val ss = rocksSession(s) // transformWithState: multi-CF state
+      val stream = ss.readStream
+        .schema(StructType.fromDDL("user_id bigint, ts timestamp_ltz, " +
+          "event_type string, event_id bigint, erase boolean"))
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+      val fed = if (!gated) stream else
+        stream.join(broadcast(tombsOf(stream.sparkSession)
+            .withColumnRenamed("user_id", "t_id")),
+          col("user_id") === col("t_id") && !col("erase"), "left_anti")
+      Streams.appendParquetSink(
+        StatefulScd2.intervalsCtlTws(fed.as[CSEvent], flushUs).toDF(),
+        s"$work/intervals", s"$work/ckpt", refCols = Seq("user_id"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Streams.orderedChunkFeed(
+      events.filter(unix_micros(col("ts")) <= cutUs)
+        .withColumn("erase", lit(false)),
+      s"$work/feed", 1, col("ts"))
+    run(gated = false)
+    Streams.vacuumTombstoned(s, s"$work/intervals", tombsOf(s),
+      Seq("user_id"), Seq("batch_id"))
+    val eraseTs = new java.sql.Timestamp(cutUs / 1000 + 1)
+    Streams.orderedChunkFeed(
+      tombsOf(s).withColumn("ts", lit(eraseTs).cast("timestamp_ltz"))
+        .withColumn("event_type", lit("__erase"))
+        .withColumn("event_id", lit(-1L))
+        .withColumn("erase", lit(true)),
+      s"$work/feed", 1, col("ts"))
+    Streams.orderedChunkFeed(
+      events.filter(unix_micros(col("ts")) > cutUs)
+        .withColumn("erase", lit(false)),
+      s"$work/feed", 1, col("ts"))
+    val far = new java.sql.Timestamp(bounds.getLong(1) / 1000 +
+      48L * 3600 * 1000)
+    Seq(far, new java.sql.Timestamp(far.getTime + 60000)).foreach { t =>
+      Streams.orderedChunkFeed(
+        s.createDataset(Seq(
+          CSEvent(flushUser, t, "__flush", -1L, erase = false)))(ce).toDF(),
+        s"$work/feed", 1, col("ts"))
+    }
+    run(gated = true)
+    val residual = Streams.tombstoneResiduals(s, s"$work/intervals",
+      tombsOf(s), Seq("user_id"))
+    require(residual == 0L,
+      s"SCD2 eviction left $residual landed subject intervals — audit failed")
+    s.read.parquet(s"$work/intervals")
+      .filter(col("user_id") =!= flushUser)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("intervals"),
+        sum(when(col("to_us").isNull, 0L).otherwise(1L)).as("closed"),
+        sum(col("to_us") - col("from_us")).as("dur_us_sum"),
+        max(col("to_us") - col("from_us")).as("dur_us_max"))
+  }
+
+  /** q226 oracle — batch q194 over the live users only. */
+  val q226Sql: String =
+    graft.queries.Temporal.q194SqlFrom(liveSql("events", "user_id"))
+
+  /** q227: RTBF eviction on the TRANSITION machine — the third and
+    * last keyed-state case in verdict-r13's list ("per-user monitor
+    * state": the transition extractor's carry IS the per-user monitor
+    * the verdict names; the aggregate monitors key by
+    * source/type/hour, never by user — no per-subject state exists to
+    * erase there, by design). Same composed lifecycle on the
+    * `transformWithState` path: erase control rows clear the subject's
+    * carry (no timers exist on this machine — clear() is the whole
+    * eviction; the pending hand-off into the subject's next event dies
+    * with it), the landed per-user transition log vacuums, the crawl
+    * resumes behind the gate. No sentinels: transitions need no flush
+    * — the machine emits on arrival, never on watermark. Census: the
+    * q139 matrix with conditional ppm over the live rows; oracle =
+    * q139Sql over the live users (the denominators re-normalize to the
+    * live mass — a vacuum that only filtered the numerators would
+    * hash-fail). */
+  def q227TransitionsEviction(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StatefulTransitions
+    import graft.streaming.StatefulTransitions.CTEvent
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ce = org.apache.spark.sql.Encoders.product[CTEvent]
+    val work = Streams.scratchDir("graft_q227")
+    val events = Tables.events(s, dir)
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp_ltz").as("ts"),
+        col("event_type"), col("event_id"))
+    val outSchema = "from_type string, to_type string, " +
+      "transitions bigint, prob_ppm bigint"
+    val bounds = events.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts")))).head()
+    if (bounds.isNullAt(0))
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL(outSchema))
+    val cutUs = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    def tombsOf(sess: SparkSession) = Tables.events(sess, dir)
+      .select(col("user_id").cast("long").as("user_id")).distinct()
+      .filter(col("user_id") % TombMod === TombResidue)
+    def run(gated: Boolean): Unit = {
+      val ss = rocksSession(s) // transformWithState: multi-CF state
+      val stream = ss.readStream
+        .schema(StructType.fromDDL("user_id bigint, ts timestamp_ltz, " +
+          "event_type string, event_id bigint, erase boolean"))
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+      val fed = if (!gated) stream else
+        stream.join(broadcast(tombsOf(stream.sparkSession)
+            .withColumnRenamed("user_id", "t_id")),
+          col("user_id") === col("t_id") && !col("erase"), "left_anti")
+      Streams.appendParquetSink(
+        StatefulTransitions.transitionsCtlTws(fed.as[CTEvent]).toDF(),
+        s"$work/trans", s"$work/ckpt", refCols = Seq("user_id"))
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Streams.orderedChunkFeed(
+      events.filter(unix_micros(col("ts")) <= cutUs)
+        .withColumn("erase", lit(false)),
+      s"$work/feed", 1, col("ts"))
+    run(gated = false)
+    Streams.vacuumTombstoned(s, s"$work/trans", tombsOf(s),
+      Seq("user_id"), Seq("batch_id"))
+    val eraseTs = new java.sql.Timestamp(cutUs / 1000 + 1)
+    Streams.orderedChunkFeed(
+      tombsOf(s).withColumn("ts", lit(eraseTs).cast("timestamp_ltz"))
+        .withColumn("event_type", lit("__erase"))
+        .withColumn("event_id", lit(-1L))
+        .withColumn("erase", lit(true)),
+      s"$work/feed", 1, col("ts"))
+    Streams.orderedChunkFeed(
+      events.filter(unix_micros(col("ts")) > cutUs)
+        .withColumn("erase", lit(false)),
+      s"$work/feed", 1, col("ts"))
+    run(gated = true)
+    val residual = Streams.tombstoneResiduals(s, s"$work/trans",
+      tombsOf(s), Seq("user_id"))
+    require(residual == 0L,
+      s"transition eviction left $residual landed subject rows — audit failed")
+    matrixPpm(s.read.parquet(s"$work/trans")
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("transitions")))
+  }
+
+  /** q227 oracle — batch q139 over the live users only. */
+  val q227Sql: String =
+    Events.q139SqlFrom(liveSql("events", "user_id"))
 }

@@ -118,8 +118,11 @@ object Temporal {
         sum(col("to_us") - col("from_us")).as("dur_us_sum"),
         max(col("to_us") - col("from_us")).as("dur_us_max"))
   }
-  val q194Sql: String =
-    """WITH e AS (
+  /** q194's census over an arbitrary events relation — parameterized
+    * so the q226 RTBF oracle can pass the live-users subquery (the
+    * q216/q223 live-predicate pattern). */
+  def q194SqlFrom(from: String): String =
+    s"""WITH e AS (
       |  SELECT user_id, event_type, event_id,
       |         epoch_us(CAST(ts AS TIMESTAMP)) AS us,
       |         row_number() OVER (PARTITION BY user_id
@@ -128,7 +131,7 @@ object Temporal {
       |         row_number() OVER (PARTITION BY user_id, event_type
       |                            ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC,
       |                                     event_id ASC) AS rns
-      |  FROM events),
+      |  FROM $from),
       |runs AS (
       |  SELECT user_id, event_type, rn - rns AS grp, min(us) AS from_us,
       |         arg_min(event_id, rn) AS first_eid
@@ -144,4 +147,6 @@ object Temporal {
       |       CAST(sum(to_us - from_us) AS BIGINT) AS dur_us_sum,
       |       CAST(max(to_us - from_us) AS BIGINT) AS dur_us_max
       |FROM scd GROUP BY 1""".stripMargin
+
+  val q194Sql: String = q194SqlFrom("events")
 }

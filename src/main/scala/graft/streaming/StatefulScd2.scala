@@ -42,6 +42,10 @@ object StatefulScd2 {
 
   case class SEvent(user_id: Long, ts: java.sql.Timestamp,
                     event_type: String, event_id: Long)
+  /** Control-aware event for the RTBF eviction path (q226): an
+    * `erase` row clears the key's open RUN instead of folding. */
+  case class CSEvent(user_id: Long, ts: java.sql.Timestamp,
+                     event_type: String, event_id: Long, erase: Boolean)
   /** The O(1) carry: the open run. */
   case class RunState(cur_type: String, from_us: Long, last_us: Long,
                       last_id: Long)
@@ -103,6 +107,38 @@ object StatefulScd2 {
     }
   }
 
+  /** [[updateRuns]] with the control branch (q226's RTBF eviction,
+    * the [[StatefulSessions.updateSessionsCtl]] discipline on the
+    * dimension machine): an erase row removes the key's open run —
+    * `GroupState.remove()` drops the carry AND its flush timeout — and
+    * swallows the batch's own rows for the key. The run never
+    * happened; it does not flush as "open". */
+  def updateRunsCtl(flushUs: Long)(userId: Long, events: Iterator[CSEvent],
+                                   state: GroupState[RunState])
+      : Iterator[Interval] = {
+    if (state.hasTimedOut) {
+      val open = state.getOption
+        .map(r => Interval(userId, r.cur_type, r.from_us, None)).iterator
+      state.remove()
+      open
+    } else {
+      val evs = events.toSeq
+      if (evs.exists(_.erase)) {
+        state.remove() // carry + flush timeout, gone together
+        Iterator.empty
+      } else {
+        val (closed, cur) = foldBatch(state.getOption,
+          evs.map(e => (micros(e.ts), e.event_id, e.event_type)))
+        cur.foreach { r =>
+          state.update(r)
+          state.setTimeoutTimestamp(
+            flushTimerMs(flushUs, state.getCurrentWatermarkMs()))
+        }
+        closed.iterator.map(_.copy(user_id = userId))
+      }
+    }
+  }
+
   /** Wire over an event stream; `flushUs` is the quiesce point whose
     * watermark passage emits every open interval. */
   def intervals(events: Dataset[SEvent], flushUs: Long,
@@ -125,10 +161,17 @@ object StatefulScd2 {
     * (the quiesce flush), registered when the key's state is first
     * created — the timer is a constant, so no re-arm churn on run
     * extension, unlike the sessionizer's sliding last+gap timer. */
-  class TwsScd2(flushUs: Long)
+  /** [[TwsScd2Core]] carries the machine generically over the input
+    * type (the [[StatefulSessions.TwsSessionizerCore]] discipline):
+    * [[TwsScd2]] (plain, q218) and [[TwsScd2Ctl]] (control-aware,
+    * q226's RTBF eviction) are its two instantiations — one fold. */
+  sealed abstract class TwsScd2Core[I](flushUs: Long)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Long, SEvent, Interval] {
+        Long, I, Interval] {
     import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig, TimeMode, TimerValues, ValueState}
+
+    protected def eraseOf(i: I): Boolean
+    protected def rowOf(i: I): (Long, Long, String) // (us, id, type)
 
     @transient private var state: ValueState[RunState] = _
 
@@ -136,19 +179,31 @@ object StatefulScd2 {
       state = getHandle.getValueState[RunState](
         "run", Encoders.product[RunState], TTLConfig.NONE)
 
-    override def handleInputRows(key: Long, rows: Iterator[SEvent],
+    override def handleInputRows(key: Long, rows: Iterator[I],
                                  tv: TimerValues): Iterator[Interval] = {
-      val prev = if (state.exists()) Some(state.get()) else None
-      val (closed, cur) = foldBatch(prev,
-        rows.map(e => (StatefulSessions.micros(e.ts), e.event_id,
-          e.event_type)).toSeq)
-      cur.foreach { r =>
-        state.update(r)
-        if (prev.isEmpty)
-          getHandle.registerTimer(
-            flushTimerMs(flushUs, tv.getCurrentWatermarkInMs()))
+      val evs = rows.toSeq
+      if (evs.exists(eraseOf)) {
+        // RTBF eviction (q226): the subject's open RUN is erased —
+        // value state cleared AND the armed flush timer(s) deleted
+        // via listTimers (robust to the clamp: the timer value armed
+        // under an earlier watermark needn't be recomputable), and
+        // the batch's own rows vanish with it. Nothing is emitted —
+        // the run never happened, it does not flush as "open".
+        // Point-in-time semantics; the write-path gate owns re-arrivals.
+        getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+        state.clear()
+        Iterator.empty
+      } else {
+        val prev = if (state.exists()) Some(state.get()) else None
+        val (closed, cur) = foldBatch(prev, evs.map(rowOf))
+        cur.foreach { r =>
+          state.update(r)
+          if (prev.isEmpty)
+            getHandle.registerTimer(
+              flushTimerMs(flushUs, tv.getCurrentWatermarkInMs()))
+        }
+        closed.iterator.map(_.copy(user_id = key))
       }
-      closed.iterator.map(_.copy(user_id = key))
     }
 
     override def handleExpiredTimer(key: Long, tv: TimerValues,
@@ -160,6 +215,19 @@ object StatefulScd2 {
     }
   }
 
+  class TwsScd2(flushUs: Long) extends TwsScd2Core[SEvent](flushUs) {
+    protected def eraseOf(i: SEvent): Boolean = false
+    protected def rowOf(i: SEvent): (Long, Long, String) =
+      (StatefulSessions.micros(i.ts), i.event_id, i.event_type)
+  }
+
+  /** Control-aware twin for the RTBF path (q226). */
+  class TwsScd2Ctl(flushUs: Long) extends TwsScd2Core[CSEvent](flushUs) {
+    protected def eraseOf(i: CSEvent): Boolean = i.erase
+    protected def rowOf(i: CSEvent): (Long, Long, String) =
+      (StatefulSessions.micros(i.ts), i.event_id, i.event_type)
+  }
+
   /** [[intervals]] on transformWithState — identical output contract. */
   def intervalsTws(events: Dataset[SEvent], flushUs: Long,
                    watermark: String = "10 minutes"): Dataset[Interval] = {
@@ -168,6 +236,29 @@ object StatefulScd2 {
     events.withWatermark("ts", watermark)
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .transformWithState(new TwsScd2(flushUs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** [[intervals]] over a control-aware stream (classic API, q226). */
+  def intervalsCtl(events: Dataset[CSEvent], flushUs: Long,
+                   watermark: String = "10 minutes"): Dataset[Interval] = {
+    implicit val rs = Encoders.product[RunState]
+    implicit val ie = Encoders.product[Interval]
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[RunState, Interval](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        updateRunsCtl(flushUs))
+  }
+
+  /** [[intervalsCtl]] on transformWithState (q226's registered path). */
+  def intervalsCtlTws(events: Dataset[CSEvent], flushUs: Long,
+                      watermark: String = "10 minutes"): Dataset[Interval] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    implicit val ie = Encoders.product[Interval]
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new TwsScd2Ctl(flushUs),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -33,6 +33,10 @@ object StatefulTransitions {
 
   case class TEvent(user_id: Long, ts: java.sql.Timestamp,
                     event_type: String, event_id: Long)
+  /** Control-aware event for the RTBF eviction path (q227): an
+    * `erase` row clears the key's carry instead of folding. */
+  case class CTEvent(user_id: Long, ts: java.sql.Timestamp,
+                     event_type: String, event_id: Long, erase: Boolean)
   case class TransState(last_us: Long, last_id: Long, last_type: String)
   case class Transition(user_id: Long, from_type: String, to_type: String)
 
@@ -103,6 +107,25 @@ object StatefulTransitions {
     emitted.iterator.map(_.copy(user_id = userId))
   }
 
+  /** [[updateTransitions]] with the control branch (q227's RTBF
+    * eviction): an erase row removes the key's carry — the pending
+    * hand-off INTO the subject's next event dies with it — and
+    * swallows the batch's own rows for the key. No timers exist on
+    * this machine, so `GroupState.remove()` is the whole eviction. */
+  def updateTransitionsCtl(userId: Long, events: Iterator[CTEvent],
+                           state: GroupState[TransState]): Iterator[Transition] = {
+    val evs = events.toSeq
+    if (evs.exists(_.erase)) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val (emitted, cur) = foldBatch(state.getOption,
+        evs.map(e => (micros(e.ts), e.event_id, e.event_type)))
+      cur.foreach(state.update)
+      emitted.iterator.map(_.copy(user_id = userId))
+    }
+  }
+
   /** Wire over an event stream. NOTE the watermark is a PRE-FILTER:
     * `withWatermark` silently DROPS any row older than the watermark
     * before it ever reaches the stateful operator, so [[foldBatch]]'s
@@ -132,10 +155,17 @@ object StatefulTransitions {
     * replaces the classic path's event-time-timeout reclamation (an
     * expired carry can never lose a transition — see the lifecycle
     * note above). */
-  class TwsTransitions
+  /** [[TwsTransitionsCore]] carries the machine generically over the
+    * input type ([[StatefulSessions.TwsSessionizerCore]]'s pattern):
+    * [[TwsTransitions]] (plain, q217) and [[TwsTransitionsCtl]]
+    * (control-aware, q227's RTBF eviction) — one fold, no drift. */
+  sealed abstract class TwsTransitionsCore[I]
       extends org.apache.spark.sql.streaming.StatefulProcessor[
-        Long, TEvent, Transition] {
+        Long, I, Transition] {
     import org.apache.spark.sql.streaming.{TTLConfig, TimeMode, TimerValues, ValueState}
+
+    protected def eraseOf(i: I): Boolean
+    protected def rowOf(i: I): (Long, Long, String)
 
     @transient private var state: ValueState[TransState] = _
 
@@ -143,14 +173,35 @@ object StatefulTransitions {
       state = getHandle.getValueState[TransState](
         "carry", Encoders.product[TransState], TTLConfig.NONE)
 
-    override def handleInputRows(key: Long, rows: Iterator[TEvent],
+    override def handleInputRows(key: Long, rows: Iterator[I],
                                  tv: TimerValues): Iterator[Transition] = {
-      val prev = if (state.exists()) Some(state.get()) else None
-      val (emitted, cur) = foldBatch(prev,
-        rows.map(e => (micros(e.ts), e.event_id, e.event_type)).toSeq)
-      cur.foreach(state.update)
-      emitted.iterator.map(_.copy(user_id = key))
+      val evs = rows.toSeq
+      if (evs.exists(eraseOf)) {
+        // RTBF eviction (q227): the carry — and the pending hand-off
+        // into the subject's next event — vanishes; nothing emits. No
+        // timers exist on this machine, so clear() is the eviction.
+        state.clear()
+        Iterator.empty
+      } else {
+        val prev = if (state.exists()) Some(state.get()) else None
+        val (emitted, cur) = foldBatch(prev, evs.map(rowOf))
+        cur.foreach(state.update)
+        emitted.iterator.map(_.copy(user_id = key))
+      }
     }
+  }
+
+  class TwsTransitions extends TwsTransitionsCore[TEvent] {
+    protected def eraseOf(i: TEvent): Boolean = false
+    protected def rowOf(i: TEvent): (Long, Long, String) =
+      (micros(i.ts), i.event_id, i.event_type)
+  }
+
+  /** Control-aware twin for the RTBF path (q227). */
+  class TwsTransitionsCtl extends TwsTransitionsCore[CTEvent] {
+    protected def eraseOf(i: CTEvent): Boolean = i.erase
+    protected def rowOf(i: CTEvent): (Long, Long, String) =
+      (micros(i.ts), i.event_id, i.event_type)
   }
 
   /** [[transitions]] on transformWithState — identical output contract. */
@@ -161,6 +212,30 @@ object StatefulTransitions {
     events.withWatermark("ts", watermark)
       .groupByKey(_.user_id)(Encoders.scalaLong)
       .transformWithState(new TwsTransitions,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** [[transitions]] over a control-aware stream (classic API, q227). */
+  def transitionsCtl(events: Dataset[CTEvent],
+                     watermark: String = "10 minutes"): Dataset[Transition] = {
+    implicit val se = Encoders.product[TransState]
+    implicit val te = Encoders.product[Transition]
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[TransState, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        updateTransitionsCtl)
+  }
+
+  /** [[transitionsCtl]] on transformWithState (q227's registered
+    * path). */
+  def transitionsCtlTws(events: Dataset[CTEvent],
+                        watermark: String = "10 minutes"): Dataset[Transition] = {
+    import org.apache.spark.sql.streaming.TimeMode
+    implicit val te = Encoders.product[Transition]
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new TwsTransitionsCtl,
         TimeMode.EventTime(), OutputMode.Append())
   }
 

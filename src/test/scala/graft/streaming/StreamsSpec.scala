@@ -713,6 +713,140 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("RTBF eviction (SCD2): erase removes the open RUN + flush timer; twins agree; bystanders flush") {
+    implicit val sc = spark.sqlContext
+    import graft.streaming.StatefulScd2
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def t(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    def ce(u: Long, ts: Timestamp, ty: String, id: Long, er: Boolean = false) =
+      StatefulScd2.CSEvent(u, ts, ty, id, er)
+    val flushUs = StatefulSessions.micros(t("16:00"))
+    // user 3: a run that changes state (one CLOSED interval lands in
+    // the sink) then stays open; the erase must kill the OPEN run and
+    // its flush timer while the already-closed interval (the "landed"
+    // half, vacuumed in q226's composed row) and user 7's runs survive
+    val batches: Seq[Seq[StatefulScd2.CSEvent]] = Seq(
+      Seq(ce(3L, t("10:00"), "view", 1), ce(3L, t("10:05"), "click", 2),
+        ce(7L, t("10:02"), "view", 3)),
+      Seq(ce(3L, t("10:20"), "click", 4, er = true)),
+      Seq(ce(9L, t("17:10"), "view", 5)), // watermark over the quiesce
+      Seq(ce(9L, t("17:40"), "view", 6)))
+    def run(name: String,
+            wire: (org.apache.spark.sql.Dataset[StatefulScd2.CSEvent], Long) =>
+              org.apache.spark.sql.Dataset[StatefulScd2.Interval],
+            ckpt: String, audit: Int => Unit) = {
+      val in = MemoryStream[StatefulScd2.CSEvent]
+      val q = wire(in.toDS(), flushUs).writeStream.format("memory")
+        .queryName(name).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        batches.zipWithIndex.foreach { case (b, i) =>
+          in.addData(b); q.processAllAvailable(); audit(i)
+        }
+        sql(s"SELECT * FROM $name").as[StatefulScd2.Interval].collect()
+          .map(s => (s.user_id, s.event_type, s.from_us, s.to_us)).toSet
+      } finally q.stop()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_evicts").toString
+    def runKeys(): Set[Long] =
+      spark.read.format("statestore").option("stateVarName", "run")
+        .load(s"$dir/ckpt_t")
+        .select("key.*").collect().map(_.getLong(0)).toSet
+    try {
+      val classic = run("scd2_evict_classic",
+        StatefulScd2.intervalsCtl(_, _), s"$dir/ckpt_c", _ => ())
+      val tws = run("scd2_evict_tws",
+        StatefulScd2.intervalsCtlTws(_, _), s"$dir/ckpt_t", {
+          case 0 => assert(runKeys() === Set(3L, 7L))
+          case 1 => assert(runKeys() === Set(7L),
+            "the erased key's run must be GONE from the store")
+          case _ => ()
+        })
+      assert(tws === classic, "one fold, two APIs, one answer")
+      // user 3's CLOSED interval (view 10:00→10:05) landed pre-erase —
+      // that is the landed half q226's vacuum owns; the OPEN click run
+      // must NOT appear (neither closed nor flushed)
+      assert(classic.count(_._1 == 3L) === 1)
+      assert(classic.exists(i => i._1 == 3L && i._2 == "view" &&
+        i._4.contains(StatefulSessions.micros(t("10:05")))))
+      assert(!classic.exists(i => i._1 == 3L && i._2 == "click"),
+        "the erased open run leaked to the output")
+      // bystander flushes its open run at the quiesce point
+      assert(classic.exists(i => i._1 == 7L && i._4.isEmpty))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("RTBF eviction (transitions): erase clears the carry; pending hand-off dies; twins agree") {
+    implicit val sc = spark.sqlContext
+    import graft.streaming.StatefulTransitions
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def t(hhmm: String) = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    def ce(u: Long, ts: Timestamp, ty: String, id: Long, er: Boolean = false) =
+      StatefulTransitions.CTEvent(u, ts, ty, id, er)
+    // user 3 emits one transition pre-erase (view→click, landed — the
+    // vacuum's half in q227's composed row), then the erase kills the
+    // carry; a post-erase re-arrival emits NO transition (fresh carry,
+    // point-in-time semantics) and only chains from there on
+    val batches: Seq[Seq[StatefulTransitions.CTEvent]] = Seq(
+      Seq(ce(3L, t("10:00"), "view", 1), ce(3L, t("10:05"), "click", 2),
+        ce(7L, t("10:02"), "view", 3)),
+      Seq(ce(3L, t("10:10"), "view", 4, er = true)),
+      Seq(ce(3L, t("10:12"), "purchase", 5), ce(7L, t("10:15"), "click", 6)),
+      Seq(ce(3L, t("10:20"), "view", 7)))
+    def run(name: String,
+            wire: org.apache.spark.sql.Dataset[StatefulTransitions.CTEvent] =>
+              org.apache.spark.sql.Dataset[StatefulTransitions.Transition],
+            ckpt: String, audit: Int => Unit) = {
+      val in = MemoryStream[StatefulTransitions.CTEvent]
+      val q = wire(in.toDS()).writeStream.format("memory")
+        .queryName(name).option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        batches.zipWithIndex.foreach { case (b, i) =>
+          in.addData(b); q.processAllAvailable(); audit(i)
+        }
+        sql(s"SELECT * FROM $name").as[StatefulTransitions.Transition]
+          .collect().map(x => (x.user_id, x.from_type, x.to_type)).toList
+          .sorted
+      } finally q.stop()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_evictt2").toString
+    def carryKeys(): Set[Long] =
+      spark.read.format("statestore").option("stateVarName", "carry")
+        .load(s"$dir/ckpt_t")
+        .select("key.*").collect().map(_.getLong(0)).toSet
+    try {
+      val classic = run("trans_evict_classic",
+        StatefulTransitions.transitionsCtl(_), s"$dir/ckpt_c", _ => ())
+      val tws = run("trans_evict_tws",
+        StatefulTransitions.transitionsCtlTws(_), s"$dir/ckpt_t", {
+          case 0 => assert(carryKeys() === Set(3L, 7L))
+          case 1 => assert(carryKeys() === Set(7L),
+            "the erased key's carry must be GONE from the store")
+          case _ => ()
+        })
+      assert(tws === classic, "one fold, two APIs, one answer")
+      // pre-erase hand-off landed; the hand-off INTO the first
+      // post-erase event must NOT exist; chaining resumes after it
+      assert(classic.count(_._1 == 3L) === 2, classic.toString)
+      assert(classic.contains((3L, "view", "click")))
+      assert(!classic.contains((3L, "click", "purchase")),
+        "the pending hand-off must die with the erased carry")
+      assert(classic.contains((3L, "purchase", "view")))
+      assert(classic.contains((7L, "view", "click")))
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("stream-stream interval join matches within the window, drops outside it") {
     implicit val sc = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp, String)]
