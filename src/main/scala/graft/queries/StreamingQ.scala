@@ -2076,6 +2076,43 @@ object StreamingQ {
     * needs a paused stream, so it lives in StreamsSpec, where the
     * classic flatMapGroupsWithState twin is also diffed row-for-row.)
     * Oracle: q17Sql over the live predicate (the q216 pattern). */
+  /** The erased SUBJECTS of the keyed-state eviction family
+    * (q223/q226/q227): every event user ≡ [[TombResidue]] mod
+    * [[TombMod]] — the same one rule as the landed-artifact vacuums,
+    * derived per-session so stream-static joins build on the stream's
+    * own session. */
+  private def evictionTombs(sess: SparkSession, dir: String): DataFrame =
+    Tables.events(sess, dir)
+      .select(col("user_id").cast("long").as("user_id")).distinct()
+      .filter(col("user_id") % TombMod === TombResidue)
+
+  /** The write-path gate of the eviction family: ONE stream-static
+    * broadcast anti-join whose condition exempts control rows
+    * (`user_id = t_id AND NOT erase`) — a union of two stream filters
+    * would register a second source and break checkpoint resume. */
+  private def evictionGate(stream: DataFrame, dir: String): DataFrame =
+    stream.join(broadcast(evictionTombs(stream.sparkSession, dir)
+        .withColumnRenamed("user_id", "t_id")),
+      col("user_id") === col("t_id") && !col("erase"), "left_anti")
+
+  /** The eviction family's landed-log erasure (runs MID-lifecycle,
+    * between the ungated and gated halves): vacuum the subjects' rows
+    * from the batch_id-partitioned log. */
+  private def evictionVacuum(s: SparkSession, dir: String,
+                             path: String): Unit =
+    Streams.vacuumTombstoned(s, path, evictionTombs(s, dir),
+      Seq("user_id"), Seq("batch_id"))
+
+  /** The eviction family's measured-zero audit (runs at the END, after
+    * the gated resume — q193's discipline). */
+  private def evictionAudit(s: SparkSession, dir: String, path: String,
+                            what: String): Unit = {
+    val residual = Streams.tombstoneResiduals(s, path,
+      evictionTombs(s, dir), Seq("user_id"))
+    require(residual == 0L,
+      s"$what eviction left $residual landed subject rows — audit failed")
+  }
+
   def q223StateEviction(s: SparkSession, dir: String): DataFrame = {
     import graft.streaming.StatefulSessions
     import graft.streaming.StatefulSessions.CEvent
@@ -2097,9 +2134,6 @@ object StreamingQ {
     // event-time midpoint: the erasure arrives mid-crawl, with every
     // tombstoned user active on both sides of it
     val cutUs = (bounds.getLong(0) + bounds.getLong(1)) / 2
-    def tombsOf(sess: SparkSession) = Tables.events(sess, dir)
-      .select(col("user_id").cast("long").as("user_id")).distinct()
-      .filter(col("user_id") % TombMod === TombResidue)
     def run(gated: Boolean): Unit = {
       val ss = rocksSession(s) // transformWithState: multi-CF state
       val stream = ss.readStream
@@ -2107,14 +2141,8 @@ object StreamingQ {
           "user_id bigint, ts timestamp_ltz, erase boolean"))
         .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
       // the write-path gate (q199): drop the erased subjects' DATA
-      // rows post-erasure; control rows pass (the !erase leg of the
-      // anti-join condition exempts them). ONE source either way — a
-      // union of two stream filters would register a second source and
-      // break the checkpoint's offset contract on resume.
-      val fed = if (!gated) stream else
-        stream.join(broadcast(tombsOf(stream.sparkSession)
-            .withColumnRenamed("user_id", "t_id")),
-          col("user_id") === col("t_id") && !col("erase"), "left_anti")
+      // rows post-erasure; control rows pass — [[evictionGate]]
+      val fed = if (!gated) stream else evictionGate(stream, dir)
       Streams.appendParquetSink(
         StatefulSessions.sessionizeCtlTws(fed.as[CEvent]).toDF(),
         s"$work/sessions", s"$work/ckpt", refCols = Seq("user_id"))
@@ -2130,13 +2158,13 @@ object StreamingQ {
       s"$work/feed", 1, col("ts"))
     run(gated = false) // pre-erasure: subjects stream like any user
     // landed half of the erasure: sessions that closed pre-request
-    Streams.vacuumTombstoned(s, s"$work/sessions", tombsOf(s),
-      Seq("user_id"), Seq("batch_id"))
+    evictionVacuum(s, dir, s"$work/sessions")
     // the erasure requests themselves, one control row per subject,
     // stamped just past the half-1 horizon so the watermark admits them
     val eraseTs = new java.sql.Timestamp(cutUs / 1000 + 1)
     Streams.orderedChunkFeed(
-      tombsOf(s).withColumn("ts", lit(eraseTs).cast("timestamp_ltz"))
+      evictionTombs(s, dir)
+        .withColumn("ts", lit(eraseTs).cast("timestamp_ltz"))
         .withColumn("erase", lit(true)),
       s"$work/feed", 1, col("ts"))
     Streams.orderedChunkFeed(
@@ -2151,10 +2179,7 @@ object StreamingQ {
         s"$work/feed", 1, col("ts"))
     }
     run(gated = true) // erase batch, resumed crawl, sentinel flushes
-    val residual = Streams.tombstoneResiduals(s, s"$work/sessions",
-      tombsOf(s), Seq("user_id"))
-    require(residual == 0L,
-      s"state eviction left $residual landed subject sessions — audit failed")
+    evictionAudit(s, dir, s"$work/sessions", "session")
     s.read.parquet(s"$work/sessions")
       .filter(col("user_id") =!= flushUser)
       .groupBy(col("user_id"))
@@ -2309,19 +2334,13 @@ object StreamingQ {
         StructType.fromDDL(outSchema))
     val cutUs = (bounds.getLong(0) + bounds.getLong(1)) / 2
     val flushUs = bounds.getLong(1) + 3600L * 1000000L
-    def tombsOf(sess: SparkSession) = Tables.events(sess, dir)
-      .select(col("user_id").cast("long").as("user_id")).distinct()
-      .filter(col("user_id") % TombMod === TombResidue)
     def run(gated: Boolean): Unit = {
       val ss = rocksSession(s) // transformWithState: multi-CF state
       val stream = ss.readStream
         .schema(StructType.fromDDL("user_id bigint, ts timestamp_ltz, " +
           "event_type string, event_id bigint, erase boolean"))
         .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
-      val fed = if (!gated) stream else
-        stream.join(broadcast(tombsOf(stream.sparkSession)
-            .withColumnRenamed("user_id", "t_id")),
-          col("user_id") === col("t_id") && !col("erase"), "left_anti")
+      val fed = if (!gated) stream else evictionGate(stream, dir)
       Streams.appendParquetSink(
         StatefulScd2.intervalsCtlTws(fed.as[CSEvent], flushUs).toDF(),
         s"$work/intervals", s"$work/ckpt", refCols = Seq("user_id"))
@@ -2332,11 +2351,11 @@ object StreamingQ {
         .withColumn("erase", lit(false)),
       s"$work/feed", 1, col("ts"))
     run(gated = false)
-    Streams.vacuumTombstoned(s, s"$work/intervals", tombsOf(s),
-      Seq("user_id"), Seq("batch_id"))
+    evictionVacuum(s, dir, s"$work/intervals")
     val eraseTs = new java.sql.Timestamp(cutUs / 1000 + 1)
     Streams.orderedChunkFeed(
-      tombsOf(s).withColumn("ts", lit(eraseTs).cast("timestamp_ltz"))
+      evictionTombs(s, dir)
+        .withColumn("ts", lit(eraseTs).cast("timestamp_ltz"))
         .withColumn("event_type", lit("__erase"))
         .withColumn("event_id", lit(-1L))
         .withColumn("erase", lit(true)),
@@ -2354,10 +2373,7 @@ object StreamingQ {
         s"$work/feed", 1, col("ts"))
     }
     run(gated = true)
-    val residual = Streams.tombstoneResiduals(s, s"$work/intervals",
-      tombsOf(s), Seq("user_id"))
-    require(residual == 0L,
-      s"SCD2 eviction left $residual landed subject intervals — audit failed")
+    evictionAudit(s, dir, s"$work/intervals", "SCD2")
     s.read.parquet(s"$work/intervals")
       .filter(col("user_id") =!= flushUser)
       .groupBy(col("event_type"))
@@ -2406,19 +2422,13 @@ object StreamingQ {
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType.fromDDL(outSchema))
     val cutUs = (bounds.getLong(0) + bounds.getLong(1)) / 2
-    def tombsOf(sess: SparkSession) = Tables.events(sess, dir)
-      .select(col("user_id").cast("long").as("user_id")).distinct()
-      .filter(col("user_id") % TombMod === TombResidue)
     def run(gated: Boolean): Unit = {
       val ss = rocksSession(s) // transformWithState: multi-CF state
       val stream = ss.readStream
         .schema(StructType.fromDDL("user_id bigint, ts timestamp_ltz, " +
           "event_type string, event_id bigint, erase boolean"))
         .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
-      val fed = if (!gated) stream else
-        stream.join(broadcast(tombsOf(stream.sparkSession)
-            .withColumnRenamed("user_id", "t_id")),
-          col("user_id") === col("t_id") && !col("erase"), "left_anti")
+      val fed = if (!gated) stream else evictionGate(stream, dir)
       Streams.appendParquetSink(
         StatefulTransitions.transitionsCtlTws(fed.as[CTEvent]).toDF(),
         s"$work/trans", s"$work/ckpt", refCols = Seq("user_id"))
@@ -2429,11 +2439,11 @@ object StreamingQ {
         .withColumn("erase", lit(false)),
       s"$work/feed", 1, col("ts"))
     run(gated = false)
-    Streams.vacuumTombstoned(s, s"$work/trans", tombsOf(s),
-      Seq("user_id"), Seq("batch_id"))
+    evictionVacuum(s, dir, s"$work/trans")
     val eraseTs = new java.sql.Timestamp(cutUs / 1000 + 1)
     Streams.orderedChunkFeed(
-      tombsOf(s).withColumn("ts", lit(eraseTs).cast("timestamp_ltz"))
+      evictionTombs(s, dir)
+        .withColumn("ts", lit(eraseTs).cast("timestamp_ltz"))
         .withColumn("event_type", lit("__erase"))
         .withColumn("event_id", lit(-1L))
         .withColumn("erase", lit(true)),
@@ -2443,10 +2453,7 @@ object StreamingQ {
         .withColumn("erase", lit(false)),
       s"$work/feed", 1, col("ts"))
     run(gated = true)
-    val residual = Streams.tombstoneResiduals(s, s"$work/trans",
-      tombsOf(s), Seq("user_id"))
-    require(residual == 0L,
-      s"transition eviction left $residual landed subject rows — audit failed")
+    evictionAudit(s, dir, s"$work/trans", "transition")
     matrixPpm(s.read.parquet(s"$work/trans")
       .groupBy(col("from_type"), col("to_type"))
       .agg(count(lit(1)).as("transitions")))
