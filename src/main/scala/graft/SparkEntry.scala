@@ -540,6 +540,9 @@ object SparkEntry {
     // monitor state the verdict named) clears mid-crawl; with q223 and
     // q226 every keyed-state machine has an oracle-gated eviction twin
     "q227_transitions_eviction" -> (StreamingQ.q227TransitionsEviction _),
+    // schema evolution on a landed partial log: the monitor's fold
+    // upgrades mid-life on the same checkpoint; mergeSchema snapshot
+    "q228_schema_evolution" -> (StreamingQ.q228SchemaEvolution _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -773,5 +776,6 @@ object SparkEntry {
     "q225_dedup_serve" -> StreamingQ.q225Sql,
     "q226_scd2_eviction" -> StreamingQ.q226Sql,
     "q227_transitions_eviction" -> StreamingQ.q227Sql,
+    "q228_schema_evolution" -> StreamingQ.q228Sql,
   )
 }

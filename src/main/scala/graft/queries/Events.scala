@@ -317,6 +317,18 @@ object Events {
         col("event_type"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** The UPGRADED hourly fold (q228's pipeline v2): same keys and cnt,
+    * plus the integer-cents value mass — the column a monitoring
+    * pipeline grows mid-life. Same hour derivation as [[hourlyCounts]]
+    * so v1 and v2 partials merge on identical keys. */
+  def hourlyCountsWithValue(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        (expr("unix_timestamp(ts) div 3600") * 3600L).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(floor(col("value") * 100).cast("long")).as("value_cents"))
+
   /** The verdict window over an hourly-counts frame — shared by batch
     * q90 and the streaming snapshot so the two can never drift. */
   def anomalyVerdicts(hourly: DataFrame): DataFrame = {

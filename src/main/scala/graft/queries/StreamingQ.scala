@@ -2462,4 +2462,77 @@ object StreamingQ {
   /** q227 oracle — batch q139 over the live users only. */
   val q227Sql: String =
     Events.q139SqlFrom(liveSql("events", "user_id"))
+
+  /** q228: SCHEMA EVOLUTION on a landed partial log — the lake
+    * concern every long-lived monitor hits: the pipeline UPGRADES
+    * mid-life (here the hourly monitor grows a value_cents column)
+    * and the landed log must stay one readable, census-exact artifact
+    * across the version boundary. The events stream in event-time
+    * halves through [[graft.streaming.Streams.incrementalPartials]];
+    * run 1 lands v1 partials (hour, type, cnt), run 2 RESUMES THE SAME
+    * CHECKPOINT with the upgraded fold (the fold lives inside
+    * foreachBatch, so the streaming plan — and the checkpoint's offset
+    * contract — is untouched by the upgrade) and lands v2 partials
+    * with the extra column. The snapshot reads the mixed-schema log
+    * with mergeSchema: v1 rows carry NULL value_cents, the census sums
+    * cnt across BOTH versions and cents over the v2 mass only — an
+    * hour straddling the upgrade reports its full event count and
+    * exactly its post-upgrade cents. Oracle: the batch census with the
+    * same data-derived upgrade point (cents = NULL for fully-pre-
+    * upgrade hours — the CASE-without-ELSE/null-sum law on both
+    * sides). */
+  def q228SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val work = Streams.scratchDir("graft_q228")
+    val events = Tables.events(s, dir)
+      .select(col("ts").cast("timestamp_ltz").as("ts"),
+        col("event_type"), col("value"))
+    val outSchema = "hour_start bigint, event_type string, " +
+      "events bigint, value_cents bigint"
+    val bounds = events.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts")))).head()
+    if (bounds.isNullAt(0))
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL(outSchema))
+    val cutUs = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    def run(fold: DataFrame => DataFrame): Unit = {
+      val stream = streamSession(s).readStream
+        .schema(StructType.fromDDL(
+          "ts timestamp_ltz, event_type string, value double"))
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+      Streams.incrementalPartials(stream, s"$work/hours", s"$work/ckpt")(fold)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    Streams.orderedChunkFeed(
+      events.filter(unix_micros(col("ts")) <= cutUs), s"$work/feed", 2,
+      col("ts"))
+    run(Events.hourlyCounts) // pipeline v1
+    Streams.orderedChunkFeed(
+      events.filter(unix_micros(col("ts")) > cutUs), s"$work/feed", 2,
+      col("ts"))
+    run(Events.hourlyCountsWithValue) // the upgrade, same checkpoint
+    // the merged read IS the point: without mergeSchema a snapshot
+    // could infer the v1 schema and silently drop the new column
+    s.read.option("mergeSchema", "true").parquet(s"$work/hours")
+      .groupBy(col("hour_start"), col("event_type"))
+      .agg(sum(col("cnt")).as("events"),
+        sum(col("value_cents")).as("value_cents"))
+  }
+
+  /** q228 oracle — the batch census with the same data-derived
+    * upgrade point; cents NULL for fully-pre-upgrade hours. */
+  val q228Sql: String =
+    """WITH h AS (
+      |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600
+      |           AS hour_start,
+      |         event_type,
+      |         CAST(floor(value * 100) AS BIGINT) AS cents,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |c AS (SELECT (min(us) + max(us)) // 2 AS cut FROM h)
+      |SELECT hour_start, event_type,
+      |       CAST(count(*) AS BIGINT) AS events,
+      |       CAST(sum(CASE WHEN us > (SELECT cut FROM c) THEN cents END)
+      |            AS BIGINT) AS value_cents
+      |FROM h GROUP BY 1, 2""".stripMargin
 }

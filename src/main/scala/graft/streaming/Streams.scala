@@ -1420,15 +1420,29 @@ object Streams {
     * partition, replay-idempotent. Counts are mergeable, so the live
     * hourly table is a per-key sum; state is O(types·hours observed),
     * never the event log. */
-  def incrementalHourlyCounts(events: DataFrame, countsPath: String,
-                              checkpoint: String): DataStreamWriter[Row] =
-    events.writeStream
+  /** Per-batch partial writer parameterized by the FOLD — the
+    * schema-evolution hook (q228): a pipeline upgrade swaps the fold
+    * (e.g. the hourly counts gain a value_cents column) while the SAME
+    * checkpoint and landed log continue. The fold runs inside
+    * foreachBatch, so the streaming plan is just the source — changing
+    * the fold between restarts is checkpoint-compatible by
+    * construction. Older batch partitions keep the v1 schema, newer
+    * ones the v2; snapshot readers merge schemas
+    * (`option("mergeSchema", true)`) and see v1 rows with the new
+    * columns NULL — the lake-evolution contract at any scale. */
+  def incrementalPartials(rows: DataFrame, path: String, checkpoint: String)
+                         (fold: DataFrame => DataFrame): DataStreamWriter[Row] =
+    rows.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        writeBatchPartition(
-          graft.queries.Events.hourlyCounts(batch), batchId, countsPath)
+        writeBatchPartition(fold(batch), batchId, path)
       }
+
+  def incrementalHourlyCounts(events: DataFrame, countsPath: String,
+                              checkpoint: String): DataStreamWriter[Row] =
+    incrementalPartials(events, countsPath, checkpoint)(
+      graft.queries.Events.hourlyCounts)
 
   /** Live anomaly verdicts: merge the hourly partials (per-key sum),
     * then run the SAME verdict window as batch q90

@@ -2780,6 +2780,33 @@ class StreamsSpec extends SparkSpec {
     assert(!fs.exists(p(s"$log2/.graft_vacuum_stage")))
   }
 
+  test("schema-evolving partial log: merged read sees v1 rows with NULL new columns; census exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve")
+    val log = s"$dir/hours"
+    // v1 batch: (hour_start, event_type, cnt); v2 adds value_cents
+    Streams.writeBatchPartition(
+      Seq((3600L, "view", 5L)).toDF("hour_start", "event_type", "cnt"),
+      0L, log)
+    Streams.writeBatchPartition(
+      Seq((3600L, "view", 2L, 730L), (7200L, "click", 1L, 99L))
+        .toDF("hour_start", "event_type", "cnt", "value_cents"),
+      1L, log)
+    val snap = spark.read.option("mergeSchema", "true").parquet(log)
+    assert(snap.columns.contains("value_cents"),
+      "the merged read must surface the evolved column")
+    // v1 rows carry NULL for the new column — never a fabricated zero
+    assert(snap.filter(col("batch_id") === 0L)
+      .select(col("value_cents")).collect().forall(_.isNullAt(0)))
+    // census: cnt sums across BOTH versions; cents over v2 mass only,
+    // NULL where no v2 row contributes (null-sum semantics)
+    val census = rowsOf(snap.groupBy(col("hour_start"), col("event_type"))
+      .agg(sum(col("cnt")).as("events"),
+        sum(col("value_cents")).as("value_cents")))
+    assert(census === Seq(
+      Seq("3600", "view", "7", "730"),
+      Seq("7200", "click", "1", "99")))
+  }
+
   test("tombstone vacuum swaps STRING partitions with Hive-escaped values") {
     // a partition value containing characters Spark escapes on write
     // (space, ':') lands on disk as src=web%20crawl%3Av2 — the swap must
