@@ -102,11 +102,17 @@ object Bench {
     // landing after the final JSON line in the driver's tail capture.
     // Silence the state-store loggers and let in-flight async shutdown
     // work drain BEFORE printing, so the JSON line is provably last.
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.streaming.state",
-      org.apache.logging.log4j.Level.OFF)
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark", org.apache.logging.log4j.Level.ERROR)
+    // The silencing is scoped to the shutdown window only: prior levels
+    // are restored after the final println, so the process-wide logger
+    // config is not left mutated if main() ever gains post-print work —
+    // and any later real failure still gets its evidence logged.
+    val silenced = Seq("org.apache.spark.sql.execution.streaming.state" ->
+        org.apache.logging.log4j.Level.OFF,
+      "org.apache.spark" -> org.apache.logging.log4j.Level.ERROR)
+    val prior = silenced.map { case (name, _) =>
+      name -> org.apache.logging.log4j.LogManager.getLogger(name).getLevel }
+    silenced.foreach { case (name, lvl) =>
+      org.apache.logging.log4j.core.config.Configurator.setLevel(name, lvl) }
     spark.stop()
     Thread.sleep(2000) // quiesce: async maintenance threads finish dying
     println(json)
@@ -127,6 +133,8 @@ object Bench {
     require(results.map(_._1.takeWhile(_ != '_')).distinct.size == results.size,
       "duplicate short query ids — rename the colliding query")
     println(compactLine(results, total, sfDir, loadJson))
+    prior.foreach { case (name, lvl) =>
+      org.apache.logging.log4j.core.config.Configurator.setLevel(name, lvl) }
   }
 
   /** The driver-parsed final line, guaranteed under `budget` bytes.

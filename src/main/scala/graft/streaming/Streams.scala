@@ -2169,8 +2169,23 @@ object Streams {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverVacuum(fs, root)
     if (!fs.exists(root)) return
+    // Cast the tombstone side to the ref columns' OWN type before
+    // anything hashes or compares it: the `_refs` bloom hashes string
+    // forms while the verify read compares natively, so a type pairing
+    // whose numeric coercion matches but whose string forms differ
+    // (double 11.0 vs long 11) would otherwise give the bloom a FALSE
+    // negative — a skipped partition the legacy full scan would have
+    // vacuumed. One common type is required so there is exactly one
+    // equality semantics for detection, verify, and rewrite alike.
+    val refTypes = spark.read.option("mergeSchema", "true").parquet(path)
+      .schema.fields
+      .filter(f => refCols.contains(f.name)).map(_.dataType).distinct
+    require(refTypes.length == 1,
+      s"vacuumTombstoned: refCols $refCols span types " +
+        s"${refTypes.mkString(",")} — one equality semantics required")
     val tomb = broadcast(
-      tombstones.select(col(tombstones.columns.head).as("__t")).distinct())
+      tombstones.select(col(tombstones.columns.head)
+        .cast(refTypes.head).as("__t")).distinct())
     val hit = refCols.map(c => col(c) === col("__t")).reduce(_ || _)
     // O(affected partitions) driver list — bounded by the purge
     // fan-out, the same bounded-collect contract as lshIndexHistory.
@@ -2212,7 +2227,8 @@ object Streams {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverVacuum(fs, root)
     if (!fs.exists(root)) return
-    val affected = spark.read.parquet(path).filter(expired)
+    val affected = spark.read.option("mergeSchema", "true").parquet(path)
+      .filter(expired)
       .select(partCols.map(col): _*).distinct().collect()
     if (affected.isEmpty) return
     // three-valued logic: a row where `expired` evaluates to NULL is
@@ -2275,12 +2291,27 @@ object Streams {
     * unaffected bulk of a 100 TB index is never read, which is the
     * other half of "rewrite affected partitions only" (the no-rewrite
     * half is the same-files-same-mtimes spec). Package-visible so the
-    * spec asserts the plan, not just the outcome. */
+    * spec asserts the plan, not just the outcome.
+    *
+    * Null-SAFE equality (`<=>`): the swap renders a null partition
+    * value as __HIVE_DEFAULT_PARTITION__ and finds the on-disk dir, so
+    * the read must select that partition too — a bare `===` can never
+    * match null and the rename-away would delete the whole null-valued
+    * partition including its non-tombstoned rows. `<=>` with a literal
+    * still partition-prunes (the file index evaluates any deterministic
+    * predicate over partition values; the 2-of-4-dirs spec holds).
+    *
+    * mergeSchema: a landed log can carry mixed batch schemas after a
+    * mid-life pipeline upgrade (q228's v1/v2 partials contract). A
+    * single-footer inference could sample a v1 file and rewrite
+    * affected partitions with the evolved column silently dropped;
+    * merging keeps every column (v1 rows null in v2 columns — the same
+    * never-fabricate law the readers follow). */
   private[streaming] def vacuumAffectedRead(spark: SparkSession,
       path: String, affected: Seq[Row], partCols: Seq[String]): DataFrame =
-    spark.read.parquet(path).filter(
+    spark.read.option("mergeSchema", "true").parquet(path).filter(
       affected.map(r => partCols.zipWithIndex
-          .map { case (c, i) => col(c) === lit(r.get(i)) }.reduce(_ && _))
+          .map { case (c, i) => col(c) <=> lit(r.get(i)) }.reduce(_ && _))
         .reduce(_ || _))
 
   // ------------------------------ refs summaries (vacuum detection pruning)
@@ -2429,7 +2460,8 @@ object Streams {
       tomb: DataFrame, hit: Column, partCols: Seq[String]): Seq[Row] =
     refsCandidatePartitions(spark, path, tomb, partCols) match {
       case None =>
-        spark.read.parquet(path).join(tomb, hit, "left_semi")
+        spark.read.option("mergeSchema", "true").parquet(path)
+          .join(tomb, hit, "left_semi")
           .select(partCols.map(col): _*).distinct().collect().toSeq
       case Some((candidates, uncovered)) =>
         vacuumDetectRead(spark, path, candidates, uncovered, partCols) match {
@@ -2453,9 +2485,14 @@ object Streams {
       else None,
       if (uncovered.nonEmpty)
         Some(spark.read.option("basePath", path)
+          .option("mergeSchema", "true")
           .parquet(uncovered.map(_.toString): _*))
       else None).flatten
-    reads.reduceOption(_ unionByName _)
+    // allowMissingColumns: on a schema-evolved log the candidate read
+    // merges the whole root's columns while the uncovered-leaf read
+    // merges only its leaves — absent columns fill as null, the same
+    // law every evolved-log reader follows
+    reads.reduceOption(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Post-swap sidecar refresh: recompute the affected partitions'
@@ -2472,8 +2509,10 @@ object Streams {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val refs = new org.apache.hadoop.fs.Path(root, RefsDir)
     if (!refsHasData(fs, refs)) return
+    // `<=>`: same null-safe spelling as vacuumAffectedRead, so a
+    // null-valued affected partition's summary row is replaced too
     val affectedPred = affected.map(r => partCols.zipWithIndex
-        .map { case (c, i) => col(c) === lit(r.get(i)) }.reduce(_ && _))
+        .map { case (c, i) => col(c) <=> lit(r.get(i)) }.reduce(_ && _))
       .reduce(_ || _)
     val keepOld = spark.read.parquet(refs.toString).filter(!affectedPred)
       .select(partCols.map(col) :+ col("positions"): _*)
@@ -2540,7 +2579,7 @@ object Streams {
                          tombstones: DataFrame, refCols: Seq[String]): Long = {
     val tomb = broadcast(
       tombstones.select(col(tombstones.columns.head).as("__t")).distinct())
-    spark.read.parquet(path)
+    spark.read.option("mergeSchema", "true").parquet(path)
       .join(tomb, refCols.map(c => col(c) === col("__t")).reduce(_ || _),
         "left_semi")
       .count()

@@ -2780,6 +2780,47 @@ class StreamsSpec extends SparkSpec {
     assert(!fs.exists(p(s"$log2/.graft_vacuum_stage")))
   }
 
+  test("tombstone vacuum on a NULL-valued partition keeps its non-tombstoned rows") {
+    // the swap renders null as __HIVE_DEFAULT_PARTITION__ and finds the
+    // dir; the read must select it too (null-safe `<=>`) — with a bare
+    // `===` the kept-rows read is empty, no staged leaf is written, and
+    // the rename-away silently deletes the bystander rows
+    val dir = java.nio.file.Files.createTempDirectory("graft_vnull")
+    val log = s"$dir/log"
+    Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (3L, Some("a")))
+      .toDF("doc_id", "grp")
+      .write.partitionBy("grp").parquet(log)
+    Streams.vacuumTombstoned(spark, log, Seq(2L).toDF("doc_id"),
+      Seq("doc_id"), Seq("grp"))
+    assert(Streams.tombstoneResiduals(spark, log,
+      Seq(2L).toDF("doc_id"), Seq("doc_id")) === 0L)
+    assert(rowsOf(spark.read.parquet(log).select(col("doc_id"))) ===
+      Seq(Seq("1"), Seq("3")),
+      "null-partition bystander must survive the vacuum")
+  }
+
+  test("tombstone vacuum coerces tombstone type to the ref column's before bloom hashing") {
+    // double ref column, long tombstone: native equality coerces
+    // (11.0 == 11) but the string forms differ ("11.0" vs "11") — an
+    // uncoerced bloom would FALSE-NEGATIVE and silently skip the
+    // partition the legacy full scan would have vacuumed
+    val dir = java.nio.file.Files.createTempDirectory("graft_vcoerce")
+    val log = s"$dir/log"
+    Streams.writeBatchPartition(
+      Seq((11.0, "x"), (12.0, "y")).toDF("ref_id", "payload"),
+      0L, log, refCols = Seq("ref_id"))
+    Streams.writeBatchPartition(
+      Seq((13.0, "z")).toDF("ref_id", "payload"),
+      1L, log, refCols = Seq("ref_id"))
+    Streams.vacuumTombstoned(spark, log, Seq(11L).toDF("doc_id"),
+      Seq("ref_id"), Seq("batch_id"))
+    assert(spark.read.parquet(log).filter(col("ref_id") === 11.0)
+      .count() === 0L,
+      "coerced bloom must flag the partition; erased row must be gone")
+    assert(spark.read.parquet(log).count() === 2L)
+  }
+
   test("schema-evolving partial log: merged read sees v1 rows with NULL new columns; census exact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_evolve")
     val log = s"$dir/hours"
