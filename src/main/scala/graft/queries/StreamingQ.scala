@@ -2025,8 +2025,12 @@ object StreamingQ {
         s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType.fromDDL(outSchema))
     val cutoff = maxRow.getLong(0) - (RetainHours - 1) * 3600L
-    Streams.retentionVacuum(s, s"$work/hours",
-      col("hour_start") < cutoff, Seq("batch_id"))
+    // keyed flavor: detection consults the zone-map sidecar the hourly
+    // ingest maintains (per-partition min/max of hour_start) instead
+    // of reading every row's retention key — O(partitions) metadata +
+    // a verify read pruned to candidates, the tombstone discipline
+    Streams.retentionVacuumKeyed(s, s"$work/hours",
+      "hour_start", lit(cutoff), Seq("batch_id"))
     val retained = s.read.schema(StructType.fromDDL(
       outSchema + ", batch_id bigint")).parquet(s"$work/hours")
     val residual = retained.filter(col("hour_start") < cutoff).count()

@@ -2926,6 +2926,81 @@ class StreamsSpec extends SparkSpec {
       "refresh must drop the erased id's positions from the sidecar")
   }
 
+  test("retention detection consults zone maps: candidates only, verify read touches only them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zrefs")
+    val log = s"$dir/hours"
+    // 4 batches through the REAL landing path, zone sidecar maintained:
+    // batch b holds hours {10b, 10b+5}
+    (0L to 3L).foreach { b =>
+      Streams.writeBatchPartition(
+        Seq((b * 10, 1L), (b * 10 + 5, 1L)).toDF("hour_start", "cnt"),
+        b, log, zoneCols = Seq("hour_start"))
+    }
+    // zone-only sidecar: tombstone detection must NOT claim it
+    assert(Streams.refsCandidatePartitions(spark, log, Seq(0L).toDF("t"),
+      Seq("batch_id")).isEmpty)
+    // 1) the consult: zmin < 15 flags batches 0 and 1 only, all covered
+    val Some((cands, uncov)) = Streams.refsZoneCandidates(spark, log,
+      "hour_start", (zmin, _) => zmin < 15L, Seq("batch_id"))
+    assert(uncov.isEmpty, s"all partitions are zone-summarized: $uncov")
+    assert(cands.map(_.getLong(0)).toSet === Set(0L, 1L),
+      s"zone map must prune to expired-range partitions, got $cands")
+    // 2) the verify read's files-read footprint (the tombstone
+    //    discipline, retention edition)
+    val touched = Streams.vacuumDetectRead(spark, log, cands, uncov,
+      Seq("batch_id")).get
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(touched.nonEmpty && touched.forall(f =>
+      f.contains("batch_id=0") || f.contains("batch_id=1")),
+      s"detection must read only candidate partitions: ${touched.toSeq}")
+    // 3) the keyed vacuum end-to-end: batch 0 vanishes wholesale,
+    //    batch 1 rewrites (10 expired, 15 kept), 2/3 untouched
+    Streams.retentionVacuumKeyed(spark, log, "hour_start", lit(15L),
+      Seq("batch_id"))
+    assert(rowsOf(spark.read.parquet(log).select(col("hour_start"))) ===
+      Seq(Seq("15"), Seq("20"), Seq("25"), Seq("30"), Seq("35")))
+    assert(!new java.io.File(s"$log/batch_id=0").exists)
+    // 4) the post-swap refresh: the same cutoff no longer flags
+    //    anything — batch 0's row is gone, batch 1's zmin moved up
+    val Some((cands2, uncov2)) = Streams.refsZoneCandidates(spark, log,
+      "hour_start", (zmin, _) => zmin < 15L, Seq("batch_id"))
+    assert(cands2.isEmpty && uncov2.isEmpty,
+      s"refresh must re-zone the rewritten partition: $cands2 $uncov2")
+    // idempotent follow-up
+    Streams.retentionVacuumKeyed(spark, log, "hour_start", lit(15L),
+      Seq("batch_id"))
+    assert(spark.read.parquet(log).count() === 5L)
+  }
+
+  test("summed-partials compaction carries the zone sidecar across its root swap, folded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zfold")
+    val log = s"$dir/hours"
+    (0L to 2L).foreach { b =>
+      Streams.writeBatchPartition(
+        Seq((b * 10, 1L), (b * 10 + 5, 1L)).toDF("hour_start", "cnt"),
+        b, log, zoneCols = Seq("hour_start"))
+    }
+    Streams.compactSummedPartials(spark, log,
+      _.groupBy(col("hour_start")).agg(sum(col("cnt")).as("cnt")))
+    assert(new java.io.File(s"$log/_refs").isDirectory,
+      "sidecar must survive the whole-root compaction swap")
+    // folded rows: batches 0/1 merged under batch_id=-1 with the
+    // min/max union; latest (2) keeps its own row
+    val refs = spark.read.parquet(s"$log/_refs")
+      .select(col("batch_id"), col("zmin_hour_start"), col("zmax_hour_start"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(refs === Set((-1L, 0L, 15L), (2L, 20L, 25L)), refs.toString)
+    // detection still prunes on the compacted artifact: cutoff 20
+    // flags the merged partition only, nothing uncovered
+    val Some((cands, uncov)) = Streams.refsZoneCandidates(spark, log,
+      "hour_start", (zmin, _) => zmin < 20L, Seq("batch_id"))
+    assert(uncov.isEmpty && cands.map(_.getLong(0)).toSet === Set(-1L))
+    Streams.retentionVacuumKeyed(spark, log, "hour_start", lit(20L),
+      Seq("batch_id"))
+    assert(rowsOf(spark.read.parquet(log).select(col("hour_start"))) ===
+      Seq(Seq("20"), Seq("25")))
+  }
+
   test("vacuum detection is conservative for partitions the sidecar has never seen") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vrefs_cons")
     val log = s"$dir/log"
