@@ -226,6 +226,28 @@ object Streams {
     if (refCols.nonEmpty || zoneCols.nonEmpty)
       refsAppend(landed, path, refCols, prefixPartitionCols :+ "batch_id",
         zoneCols)
+    // a manifest-enabled artifact stays snapshot-consistent across
+    // continued ingest: publish (previous files minus this batch's
+    // replaced partitions) + the just-written files. O(touched dirs)
+    // metadata per batch. The dynamic overwrite itself only replaces
+    // THIS batch's partitions — a replayed batch rewriting its own
+    // files is the one place the no-overwrite staging rule yields to
+    // replay idempotence.
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(
+      landed.sparkSession.sparkContext.hadoopConfiguration)
+    if (Manifests.isEnabled(fs, root)) {
+      val partCols = prefixPartitionCols :+ "batch_id"
+      val dirs = landed.select(partCols.map(col): _*).distinct()
+        .collect().map(relOfRow(_, partCols)).toSet
+      val prev = Manifests.resolveFiles(fs, root).get
+        .filterNot(f => dirs.exists(d => f.startsWith(d + "/")))
+      val added = dirs.toSeq.flatMap { d =>
+        Manifests.dataFilesUnder(fs, new org.apache.hadoop.fs.Path(root, d))
+          .map(f => s"$d/$f")
+      }
+      Manifests.commit(fs, root, prev ++ added)
+    }
   }
 
   /** foreachBatch append sink with batch id partition — the reference's
@@ -260,7 +282,7 @@ object Streams {
   def latestSnapshot(spark: SparkSession, path: String, keyCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("batch_id").desc)
-    spark.read.parquet(path)
+    Manifests.read(spark, path) // snapshot-pinned when enabled
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "batch_id")
@@ -1654,7 +1676,7 @@ object Streams {
     * so the spec asserts the plan of the EXACT read q224 performs. */
   private[streaming] def annServeRead(spark: SparkSession, indexPath: String,
                                       buckets: Seq[Long]): DataFrame =
-    spark.read.parquet(indexPath)
+    Manifests.read(spark, indexPath) // snapshot-pinned when enabled
       .filter(col("bucket_grp")
           .isin(buckets.map(b => math.floorMod(b, AnnBucketGroups.toLong))
             .distinct: _*) &&
@@ -1708,7 +1730,7 @@ object Streams {
   private[streaming] def lshServeRead(spark: SparkSession, indexPath: String,
                                       bands: Seq[Int], sigs: Seq[String])
       : DataFrame =
-    spark.read.parquet(indexPath)
+    Manifests.read(spark, indexPath) // snapshot-pinned when enabled
       .filter(col("band").isin(bands: _*) && col("sig").isin(sigs: _*))
 
   /** Dedup-at-ADMISSION serving against the landed LSH index (q225):
@@ -1927,6 +1949,13 @@ object Streams {
     */
   def compactLshIndex(spark: SparkSession, indexPath: String,
                       bandCols: Seq[String] = Seq("band")): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // manifest-enabled index: repair + physical cleanup BEFORE listing
+    if (Manifests.isEnabled(fs, root)) {
+      Manifests.recoverGroup(fs, root)
+      Manifests.cleanupUnreferenced(fs, root)
+    }
     val idx = spark.read.parquet(indexPath)
     val batchIds = idx.select(col("batch_id")).distinct()
       .collect().map(_.get(0).toString.toLong)
@@ -1936,13 +1965,24 @@ object Streams {
     val merged = idx.filter(col("batch_id") =!= latest)
       .drop("batch_id").distinct()
       .localCheckpoint(true)
+    // manifest mode: the merged partition lands as FRESH files (the
+    // in-place dynamic overwrite below would replace batch_id=-1 files
+    // a published snapshot still references); the publish keeps the
+    // latest batch's files and swaps everything older for the merge
+    if (Manifests.isEnabled(fs, root)) {
+      val newFiles = stageNewFiles(spark, root, fs,
+        merged.withColumn("batch_id", lit(-1L)), bandCols :+ "batch_id")
+      val keep = Manifests.resolveFiles(fs, root).get
+        .filter(_.contains(s"batch_id=$latest/"))
+      Manifests.commitGroup(fs, Seq((root, keep ++ newFiles)))
+      refsFoldBatches(spark, indexPath, bandCols, latest)
+      return
+    }
     merged.withColumn("batch_id", lit(-1L))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(bandCols :+ "batch_id": _*)
       .parquet(indexPath)
-    val root = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(root).filter(s => s.isDirectory &&
         s.getPath.getName.contains("=")).foreach { bandDir =>
       foldable.foreach { b =>
@@ -1979,8 +2019,12 @@ object Streams {
     // contract, maintenance edition): a fold scheduled ahead of the
     // monitor's first batch is a no-op, not an AnalysisException
     val root0 = new org.apache.hadoop.fs.Path(path)
-    if (!root0.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .exists(root0)) return
+    val fs0 = root0.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs0.exists(root0)) return
+    if (Manifests.isEnabled(fs0, root0)) {
+      Manifests.recoverGroup(fs0, root0)
+      Manifests.cleanupUnreferenced(fs0, root0)
+    }
     val idx = spark.read.parquet(path)
     val batchIds = idx.select(col("batch_id")).distinct()
       .collect().map(_.get(0).toString.toLong)
@@ -1992,6 +2036,17 @@ object Streams {
     // inside one plan
     val merged = merge(idx.filter(col("batch_id") =!= latest)
       .drop("batch_id")).localCheckpoint(true)
+    // manifest mode: fresh-file staging + one publish instead of the
+    // in-place -1 overwrite (see [[compactLshIndex]]'s branch)
+    if (Manifests.isEnabled(fs0, root0)) {
+      val newFiles = stageNewFiles(spark, root0, fs0,
+        merged.withColumn("batch_id", lit(-1L)), Seq("batch_id"))
+      val keep = Manifests.resolveFiles(fs0, root0).get
+        .filter(_.contains(s"batch_id=$latest/"))
+      Manifests.commitGroup(fs0, Seq((root0, keep ++ newFiles)))
+      refsFoldBatches(spark, path, Nil, latest)
+      return
+    }
     merged.withColumn("batch_id", lit(-1L))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
@@ -2069,6 +2124,12 @@ object Streams {
     fs.delete(stage, true) // a stale stage from an earlier mid-stage crash
     fs.delete(old, true)
     if (!fs.exists(root)) return // poll-safe before the first commit
+    // manifest-enabled logs: repair + physical cleanup BEFORE the read
+    // below lists directories, so the fold's input is the snapshot
+    if (Manifests.isEnabled(fs, root)) {
+      Manifests.recoverGroup(fs, root)
+      Manifests.cleanupUnreferenced(fs, root)
+    }
     val idx = spark.read.parquet(path)
       .withColumn("batch_id", col("batch_id").cast("long"))
     val batchIds = idx.select(col("batch_id")).distinct()
@@ -2076,6 +2137,24 @@ object Streams {
     val latest = batchIds.max
     val foldable = batchIds.filter(b => b != latest && b != -1L)
     if (foldable.isEmpty) return
+    // Manifest mode replaces the whole-root rename swap with the
+    // no-move protocol: the folded content lands as fresh files next
+    // to the old ones, ONE manifest publish (content = the new files
+    // only — compaction rewrites the whole artifact) flips readers,
+    // the sidecar folds in place, old files reap at the next entry.
+    // Mid-flight readers keep their resolved snapshot throughout —
+    // the isolation the rename swap could never give them.
+    if (Manifests.isEnabled(fs, root)) {
+      val content = merge(idx.filter(col("batch_id") =!= latest)
+          .drop("batch_id"))
+        .withColumn("batch_id", lit(-1L))
+        .unionByName(idx.filter(col("batch_id") === latest))
+      val newFiles = stageNewFiles(spark, root, fs, content,
+        prefixCols :+ "batch_id")
+      Manifests.commitGroup(fs, Seq((root, newFiles)))
+      refsFoldBatches(spark, path, prefixCols, latest)
+      return
+    }
     merge(idx.filter(col("batch_id") =!= latest).drop("batch_id"))
       .withColumn("batch_id", lit(-1L))
       .unionByName(idx.filter(col("batch_id") === latest))
@@ -2185,6 +2264,14 @@ object Streams {
                        partCols: Seq[String]): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // manifest-carrying artifacts publish through the snapshot layer
+    // (readers mid-flight keep their resolved file set) — the group
+    // protocol with a single member
+    if (Manifests.isEnabled(fs, root)) {
+      vacuumTombstonedGroup(spark, Seq((path, refCols, partCols)),
+        tombstones)
+      return
+    }
     recoverVacuum(fs, root)
     if (!fs.exists(root)) return
     // Cast the tombstone side to the ref columns' OWN type before
@@ -2195,16 +2282,7 @@ object Streams {
     // negative — a skipped partition the legacy full scan would have
     // vacuumed. One common type is required so there is exactly one
     // equality semantics for detection, verify, and rewrite alike.
-    val refTypes = spark.read.option("mergeSchema", "true").parquet(path)
-      .schema.fields
-      .filter(f => refCols.contains(f.name)).map(_.dataType).distinct
-    require(refTypes.length == 1,
-      s"vacuumTombstoned: refCols $refCols span types " +
-        s"${refTypes.mkString(",")} — one equality semantics required")
-    val tomb = broadcast(
-      tombstones.select(col(tombstones.columns.head)
-        .cast(refTypes.head).as("__t")).distinct())
-    val hit = refCols.map(c => col(c) === col("__t")).reduce(_ || _)
+    val (tomb, hit) = tombPrep(spark, path, tombstones, refCols)
     // O(affected partitions) driver list — bounded by the purge
     // fan-out, the same bounded-collect contract as lshIndexHistory.
     // Detection consults the `_refs` sidecar when the artifact carries
@@ -2222,6 +2300,118 @@ object Streams {
         .join(tomb, hit, "left_anti"),
       affected, partCols)
     refsRefresh(spark, path, affected, refCols, partCols)
+  }
+
+  /** The tombstone side, prepared once per artifact: cast to the ref
+    * columns' own type (see [[vacuumTombstoned]]'s coercion note) and
+    * broadcast, plus the hit predicate. */
+  private def tombPrep(spark: SparkSession, path: String,
+                       tombstones: DataFrame, refCols: Seq[String])
+      : (DataFrame, Column) = {
+    val refTypes = spark.read.option("mergeSchema", "true").parquet(path)
+      .schema.fields
+      .filter(f => refCols.contains(f.name)).map(_.dataType).distinct
+    require(refTypes.length == 1,
+      s"vacuum: refCols $refCols span types ${refTypes.mkString(",")} — " +
+        "one equality semantics required")
+    val tomb = broadcast(
+      tombstones.select(col(tombstones.columns.head)
+        .cast(refTypes.head).as("__t")).distinct())
+    (tomb, refCols.map(c => col(c) === col("__t")).reduce(_ || _))
+  }
+
+  /** One artifact's staged (not yet published) manifest-mode vacuum. */
+  private case class StagedVacuum(path: String,
+      root: org.apache.hadoop.fs.Path, content: Seq[String],
+      affected: Seq[Row], refCols: Seq[String], partCols: Seq[String],
+      survivors: DataFrame)
+
+  /** Tombstone vacuum over MULTIPLE manifest-carrying artifacts with
+    * ONE atomic publish — the index and its pair log move together
+    * (verdict-r14 "Next round" #1: a crash between the two separate
+    * vacuums left them mutually inconsistent until a rerun converged;
+    * a concurrent reader could see a half-swapped artifact).
+    *
+    * Protocol per artifact: finish any crashed group publish
+    * ([[Manifests.recoverGroup]]), delete unreferenced files (the
+    * previous snapshot's replaced files and any crashed stage's
+    * orphans — after this the directory listing equals the snapshot,
+    * so the detection and kept-rows reads below are snapshot-
+    * consistent), detect affected partitions exactly like the legacy
+    * path, materialize the survivors (localCheckpoint — the refresh
+    * below must not re-read dirs that then hold old AND new files),
+    * and stage them as fresh uniquely-named files NEXT TO the old ones
+    * ([[stageNewFiles]] — nothing renamed away, mid-flight readers
+    * keep their snapshot). Then ONE [[Manifests.commitGroup]] flips
+    * every artifact to its new snapshot, and the `_refs` sidecars
+    * refresh from the already-materialized survivors.
+    *
+    * Crash anywhere before the group publish: no manifest changed —
+    * readers saw nothing, the rerun cleans the orphaned stage files
+    * and converges. Crash inside the publish: the intent rolls it
+    * forward at the next touch of ANY member. Residuals measured zero
+    * either way (the q193 audit discipline). */
+  def vacuumTombstonedGroup(spark: SparkSession,
+      artifacts: Seq[(String, Seq[String], Seq[String])],
+      tombstones: DataFrame): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val staged = artifacts.flatMap { case (path, refCols, partCols) =>
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(hconf)
+      require(Manifests.isEnabled(fs, root),
+        s"$path carries no manifest — enable one or use vacuumTombstoned")
+      Manifests.recoverGroup(fs, root)
+      Manifests.cleanupUnreferenced(fs, root)
+      val (tomb, hit) = tombPrep(spark, path, tombstones, refCols)
+      val affected = detectAffected(spark, path, tomb, hit, partCols)
+      if (affected.isEmpty) None
+      else {
+        val survivors = vacuumAffectedRead(spark, path, affected, partCols)
+          .join(tomb, hit, "left_anti")
+          .localCheckpoint(true)
+        val newFiles = stageNewFiles(spark, root, fs, survivors, partCols)
+        val affectedDirs = affected.map(relOfRow(_, partCols)).toSet
+        val prev = Manifests.resolveFiles(fs, root).get
+        val content = prev.filterNot(f =>
+          affectedDirs.exists(d => f.startsWith(d + "/"))) ++ newFiles
+        Some(StagedVacuum(path, root, content, affected, refCols,
+          partCols, survivors))
+      }
+    }
+    if (staged.isEmpty) return
+    val fs = staged.head.root.getFileSystem(hconf)
+    Manifests.commitGroup(fs, staged.map(s => (s.root, s.content)))
+    staged.foreach(s => refsRefresh(spark, s.path, s.affected, s.refCols,
+      s.partCols, survivors = Some(s.survivors)))
+  }
+
+  /** Manifest-mode staging: write `kept` (partitioned) into a hidden
+    * stage dir, then MOVE each data file into its live partition dir
+    * under a fresh unique name — never overwriting, never renaming
+    * existing files away, so every file a published snapshot lists
+    * stays readable. Returns the new files' root-relative paths (the
+    * commit's content delta). A crash mid-move leaves unreferenced
+    * files only; [[Manifests.cleanupUnreferenced]] reaps them at the
+    * next mutator entry. */
+  private def stageNewFiles(spark: SparkSession,
+      root: org.apache.hadoop.fs.Path, fs: org.apache.hadoop.fs.FileSystem,
+      kept: DataFrame, partCols: Seq[String]): Seq[String] = {
+    val stage = new org.apache.hadoop.fs.Path(root, ".graft_mstage")
+    fs.delete(stage, true)
+    kept.write.partitionBy(partCols: _*).parquet(stage.toString)
+    val moved = Manifests.dataFilesUnder(fs, stage).map { f =>
+      val slash = f.lastIndexOf('/')
+      val dir = if (slash < 0) "" else f.substring(0, slash)
+      val tgt = (if (dir.isEmpty) "" else dir + "/") +
+        s"graft-${java.util.UUID.randomUUID()}.parquet"
+      val live = new org.apache.hadoop.fs.Path(root, tgt)
+      fs.mkdirs(live.getParent)
+      require(fs.rename(new org.apache.hadoop.fs.Path(stage, f), live),
+        s"manifest stage: move $f -> $tgt failed")
+      tgt
+    }
+    fs.delete(stage, true)
+    moved
   }
 
   /** Age-based retention for landed partial logs (q222) — the other
@@ -2281,6 +2471,38 @@ object Streams {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverVacuum(fs, root)
     if (!fs.exists(root)) return
+    // manifest-carrying artifacts: the same zone-pruned detection, but
+    // committed through the snapshot layer (stage fresh files next to
+    // the old, ONE atomic manifest publish, deferred physical cleanup)
+    if (Manifests.isEnabled(fs, root)) {
+      Manifests.recoverGroup(fs, root)
+      Manifests.cleanupUnreferenced(fs, root)
+      val affected = refsZoneCandidates(spark, path, keyCol,
+        (zmin, _) => zmin < cutoff, partCols) match {
+        case None =>
+          spark.read.option("mergeSchema", "true").parquet(path)
+            .filter(expired)
+            .select(partCols.map(col): _*).distinct().collect().toSeq
+        case Some((cands, uncov)) =>
+          vacuumDetectRead(spark, path, cands, uncov, partCols)
+            .map(_.filter(expired).select(partCols.map(col): _*)
+              .distinct().collect().toSeq)
+            .getOrElse(Nil)
+      }
+      if (affected.isEmpty) return
+      val survivors = vacuumAffectedRead(spark, path, affected, partCols)
+        .filter(not(coalesce(expired, lit(false))))
+        .localCheckpoint(true)
+      val newFiles = stageNewFiles(spark, root, fs, survivors, partCols)
+      val affectedDirs = affected.map(relOfRow(_, partCols)).toSet
+      val prev = Manifests.resolveFiles(fs, root).get
+      Manifests.commitGroup(fs, Seq((root,
+        prev.filterNot(f =>
+          affectedDirs.exists(d => f.startsWith(d + "/"))) ++ newFiles)))
+      refsRefresh(spark, path, affected, Nil, partCols,
+        survivors = Some(survivors))
+      return
+    }
     refsZoneCandidates(spark, path, keyCol,
       (zmin, _) => zmin < cutoff, partCols) match {
       case None => retentionVacuum(spark, path, expired, partCols)
@@ -2632,7 +2854,8 @@ object Streams {
     * replace is stage-and-rename: a crash leaves the old sidecar
     * (conservative) or none (legacy full-scan fallback). */
   private def refsRefresh(spark: SparkSession, path: String,
-      affected: Seq[Row], refCols: Seq[String], partCols: Seq[String]): Unit = {
+      affected: Seq[Row], refCols: Seq[String], partCols: Seq[String],
+      survivors: Option[DataFrame] = None): Unit = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val refs = new org.apache.hadoop.fs.Path(root, RefsDir)
@@ -2654,14 +2877,21 @@ object Streams {
     val zoneCols = old.columns.filter(_.startsWith("zmin_"))
       .map(_.stripPrefix("zmin_")).toSeq
     val keepOld = old.filter(!affectedPred)
-    // survivors of the affected partitions only (pruned read); if every
+    // survivors of the affected partitions: a pre-materialized frame
+    // when the caller has one (the manifest path, where a post-commit
+    // directory re-read would see old AND new files until cleanup),
+    // else a pruned re-read of the swapped partitions; if every
     // partition vanished there is nothing left to summarize
     val freshDf =
-      if (partitionLeafDirs(fs, root).isEmpty ||
-          (refCols.isEmpty && zoneCols.isEmpty)) None
-      else Some(refsSummaryOf(
-        vacuumAffectedRead(spark, path, affected, partCols),
-        refCols, partCols, zoneCols))
+      if (refCols.isEmpty && zoneCols.isEmpty) None
+      else survivors match {
+        case Some(df) => Some(refsSummaryOf(df, refCols, partCols, zoneCols))
+        case None =>
+          if (partitionLeafDirs(fs, root).isEmpty) None
+          else Some(refsSummaryOf(
+            vacuumAffectedRead(spark, path, affected, partCols),
+            refCols, partCols, zoneCols))
+      }
     refsReplace(fs, root, freshDf.fold(keepOld)(
       keepOld.unionByName(_, allowMissingColumns = true)))
   }
@@ -2729,7 +2959,10 @@ object Streams {
                          tombstones: DataFrame, refCols: Seq[String]): Long = {
     val tomb = broadcast(
       tombstones.select(col(tombstones.columns.head).as("__t")).distinct())
-    spark.read.option("mergeSchema", "true").parquet(path)
+    // snapshot-aware: on a manifest artifact the audit reads the LIVE
+    // file set (replaced files awaiting physical cleanup are not
+    // residuals — no reader can resolve them anymore)
+    Manifests.read(spark, path, mergeSchema = true)
       .join(tomb, refCols.map(c => col(c) === col("__t")).reduce(_ || _),
         "left_semi")
       .count()
