@@ -543,6 +543,10 @@ object SparkEntry {
     // schema evolution on a landed partial log: the monitor's fold
     // upgrades mid-life on the same checkpoint; mergeSchema snapshot
     "q228_schema_evolution" -> (StreamingQ.q228SchemaEvolution _),
+    // the q216 erasure through the snapshot-manifest layer: ONE atomic
+    // group publish covers index + pair log; a pre-resolved reader
+    // keeps its census through the swap (asserted in-row)
+    "q229_manifest_lifecycle" -> (StreamingQ.q229ManifestLifecycle _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -777,5 +781,6 @@ object SparkEntry {
     "q226_scd2_eviction" -> StreamingQ.q226Sql,
     "q227_transitions_eviction" -> StreamingQ.q227Sql,
     "q228_schema_evolution" -> StreamingQ.q228Sql,
+    "q229_manifest_lifecycle" -> StreamingQ.q216Sql,
   )
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.streaming.Streams
+import graft.streaming.{Manifests, Streams}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -2539,4 +2539,57 @@ object StreamingQ {
       |       CAST(sum(CASE WHEN us > (SELECT cut FROM c) THEN cents END)
       |            AS BIGINT) AS value_cents
       |FROM h GROUP BY 1, 2""".stripMargin
+
+  /** q229: the q216 erasure lifecycle through the SNAPSHOT-MANIFEST
+    * layer — the atomic-commit / reader-isolation story (verdict-r14
+    * "Next round" #1) as an oracle row, not just a spec. The corpus
+    * ingests through the q107 ladder exactly as q216; then both
+    * landed artifacts get a manifest ([[Manifests.enableFromListing]])
+    * and the erasure runs as ONE [[Streams.vacuumTombstonedGroup]]:
+    * index and pair log stage fresh files next to the old and flip in
+    * a single intent-guarded group publish — a crash between the two
+    * artifacts can no longer leave them mutually inconsistent, and a
+    * reader that resolved its snapshot before the erasure keeps
+    * reading the COMPLETE pre-erasure census while the vacuum stages,
+    * commits, and even after (physical cleanup is deferred) — asserted
+    * in-row: the pre-resolved pair reader re-counts its full census
+    * AFTER the group publish. Residuals measured zero through the new
+    * snapshot. Oracle: q216Sql — the vacuumed snapshot must be
+    * indistinguishable from an index the erased docs never entered,
+    * same law as q216; green here means the manifest path changes the
+    * COMMIT protocol, not the answer. */
+  def q229ManifestLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val work = streamed(s, dir, Seq("doc_id", "text"),
+      "doc_id bigint, text string") { (docs, work) =>
+      Streams.incrementalLshDedup(docs, s"$work/index", s"$work/pairs",
+        s"$work/ckpt").trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def hp(p: String) = new org.apache.hadoop.fs.Path(p)
+    val fs = hp(work).getFileSystem(s.sparkContext.hadoopConfiguration)
+    Manifests.enableFromListing(fs, hp(s"$work/index"))
+    Manifests.enableFromListing(fs, hp(s"$work/pairs"))
+    // the concurrent reader: resolves its snapshot BEFORE the erasure
+    val preReader = Manifests.read(s, s"$work/pairs")
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val preCount = preReader.count()
+    val tombs = Tables.documents(s, dir)
+      .filter(col("doc_id") % TombMod === TombResidue).select(col("doc_id"))
+    Streams.vacuumTombstonedGroup(s, Seq(
+      (s"$work/index", Seq("doc_id"), Seq("band", "batch_id")),
+      (s"$work/pairs", Seq("doc_a", "doc_b"), Seq("batch_id"))), tombs)
+    val post = preReader.count()
+    require(post == preCount,
+      s"snapshot isolation broken: pre-vacuum reader saw $post of " +
+        s"$preCount pairs after the group publish")
+    val residual =
+      Streams.tombstoneResiduals(s, s"$work/index", tombs, Seq("doc_id")) +
+        Streams.tombstoneResiduals(s, s"$work/pairs", tombs,
+          Seq("doc_a", "doc_b"))
+    require(residual == 0L,
+      s"manifest vacuum left $residual tombstoned references — audit failed")
+    Dedup.jaccardVerify(
+      Manifests.read(s, s"$work/pairs")
+        .select(col("doc_a"), col("doc_b")).distinct(),
+      Tables.documents(s, dir).filter(col("doc_id") % TombMod =!= TombResidue))
+  }
 }
