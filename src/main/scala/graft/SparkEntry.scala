@@ -547,6 +547,10 @@ object SparkEntry {
     // group publish covers index + pair log; a pre-resolved reader
     // keeps its census through the swap (asserted in-row)
     "q229_manifest_lifecycle" -> (StreamingQ.q229ManifestLifecycle _),
+    // dedup-at-admission as the write-path gate: near-dups quarantine
+    // at the door with their earliest collider; chains exact because
+    // every presented signature registers
+    "q230_admission_gate" -> (StreamingQ.q230AdmissionGate _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -782,5 +786,6 @@ object SparkEntry {
     "q227_transitions_eviction" -> StreamingQ.q227Sql,
     "q228_schema_evolution" -> StreamingQ.q228Sql,
     "q229_manifest_lifecycle" -> StreamingQ.q216Sql,
+    "q230_admission_gate" -> StreamingQ.q230Sql,
   )
 }

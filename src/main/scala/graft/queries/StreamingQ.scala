@@ -2558,6 +2558,59 @@ object StreamingQ {
     * indistinguishable from an index the erased docs never entered,
     * same law as q216; green here means the manifest path changes the
     * COMMIT protocol, not the answer. */
+  /** q230: dedup-at-admission as the WRITE-PATH gate (verdict-r14
+    * "Next round" #3) — q225's serve answered "is this a near-dup?"
+    * read-only; here the crawler REJECTS at the door. The corpus
+    * streams in doc_id order ([[Streams.orderedChunkFeed]] — the
+    * pinned arrival-order-equals-id-order contract), each micro-batch
+    * probes the landed signature index through the serve path and
+    * routes: colliders of a smaller-id doc quarantine to the reasons
+    * log with their earliest collider (dup_of), the rest land; EVERY
+    * presented signature registers, which is what makes collision
+    * chains batch-boundary-independent (see
+    * [[Streams.gatedLshIngest]]'s law note). Output: the doc-grain
+    * admission census — (doc_id, status, dup_of) — read back from the
+    * two landed logs. Oracle: the batch spelling of the same law
+    * (quarantined iff LSH-collides with ANY smaller doc_id; dup_of =
+    * min collider), exact INCLUDING chains because the gate registers
+    * quarantined signatures too. */
+  def q230AdmissionGate(s: SparkSession, dir: String): DataFrame = {
+    val work = Streams.scratchDir("graft_q230")
+    Streams.orderedChunkFeed(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      s"$work/feed", 4, col("doc_id"))
+    val stream = streamSession(s).readStream
+      .schema(StructType.fromDDL("doc_id bigint, text string"))
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/feed")
+    Streams.gatedLshIngest(stream, s"$work/corpus", s"$work/quarantine",
+      s"$work/index", s"$work/pairs", s"$work/ckpt")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val admitted = s.read.schema(StructType.fromDDL(
+        "doc_id bigint, text string, batch_id bigint"))
+      .parquet(s"$work/corpus")
+      .select(col("doc_id"), lit("admitted").as("status"),
+        lit(null).cast("bigint").as("dup_of"))
+    val quarantined = s.read.schema(StructType.fromDDL(
+        "doc_id bigint, dup_of bigint, batch_id bigint"))
+      .parquet(s"$work/quarantine")
+      .select(col("doc_id"), lit("quarantined").as("status"),
+        col("dup_of"))
+    admitted.unionByName(quarantined)
+  }
+
+  /** q230 oracle — the batch admission law: the `pairs` CTE is the
+    * exact candidate set (q44's spelling), a doc quarantines iff it is
+    * the LATER member of any pair, dup_of = its earliest collider. */
+  val q230Sql: String =
+    s"""WITH ${Dedup.verifiedPairsSqlCtes("documents")},
+       |coll AS (SELECT doc_b AS doc_id, min(doc_a) AS dup_of
+       |         FROM pairs GROUP BY 1)
+       |SELECT d.doc_id,
+       |       CASE WHEN c.doc_id IS NULL THEN 'admitted'
+       |            ELSE 'quarantined' END AS status,
+       |       c.dup_of AS dup_of
+       |FROM documents d LEFT JOIN coll c ON d.doc_id = c.doc_id""".stripMargin
+
   def q229ManifestLifecycle(s: SparkSession, dir: String): DataFrame = {
     val work = streamed(s, dir, Seq("doc_id", "text"),
       "doc_id bigint, text string") { (docs, work) =>

@@ -1561,6 +1561,92 @@ object Streams {
     ()
   }
 
+  /** Dedup-at-admission as the WRITE-PATH gate (verdict-r14 "Next
+    * round" #3) — q225 answered "is this a near-dup?" as a read-only
+    * serve; a real crawler REJECTS at admission. Each micro-batch of
+    * (doc_id, text, …) documents:
+    *  1. signs itself (the q107 kernel — per-batch O(new docs));
+    *  2. probes the LANDED signature index through the SERVE path
+    *     ([[lshServePairs]]: the request is O(batch) by contract,
+    *     the index read prunes to the touched band partitions with the
+    *     request signatures pushed into the scan — admission cost
+    *     tracks the request batch, never the corpus), and pairs
+    *     within-batch exactly like [[lshDedupStep]];
+    *  3. routes: a doc with any candidate collider of SMALLER doc_id
+    *     is QUARANTINED to a reasons log — (doc_id, dup_of = its
+    *     earliest collider) — instead of landing; the rest land in the
+    *     admitted corpus log;
+    *  4. registers the WHOLE batch's signatures and logs the candidate
+    *     pairs, as the ungated ladder does.
+    *
+    * THE PINNED DEDUP LAW (the tie-break the oracle shares): a doc is
+    * quarantined iff it LSH-collides with ANY smaller-id doc —
+    * first-WRITER-wins, where the first presenter of a signature key
+    * owns it whether or not it was itself admitted. Registering every
+    * presented signature (step 4) is what makes the law exact under
+    * collision CHAINS: if B is quarantined as a dup of A, a later C
+    * colliding only with B still quarantines (dup region remembered by
+    * its first writer) — had only admitted docs registered, C's fate
+    * would depend on batch boundaries and no batch oracle could
+    * reproduce it. Requires the feed ordered by doc_id (arrival order
+    * = id order), which the registered row pins; an out-of-order
+    * arrival degrades conservatively (both members of a late-arriving
+    * smaller-id collision stay landed — admission never retracts).
+    * Candidate-level gating is deliberate: a crawler quarantines
+    * suspects cheaply at the door; Jaccard verification stays the
+    * reviewer's composition, as everywhere in the dedup ladder. */
+  def gatedLshIngest(docs: DataFrame, corpusPath: String,
+                     quarantinePath: String, indexPath: String,
+                     pairsPath: String, checkpoint: String)
+      : DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        gatedAdmissionStep(batch, batchId, corpusPath, quarantinePath,
+          indexPath, pairsPath)
+      }
+
+  /** One micro-batch of [[gatedLshIngest]] — package-visible so the
+    * spec drives single batches and asserts the probe's plan. */
+  private[streaming] def gatedAdmissionStep(batch: DataFrame, batchId: Long,
+      corpusPath: String, quarantinePath: String, indexPath: String,
+      pairsPath: String): Unit = {
+    val spark = batch.sparkSession
+    val sigs = graft.queries.Dedup.bandedSignatures(batch).persist()
+    val withinBatch = sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val candidates =
+      (if (partitionedIndexHasHistory(spark, indexPath, "band="))
+        withinBatch.unionByName(lshServePairs(spark, indexPath, sigs))
+      else withinBatch).distinct().persist()
+    // the routing: dup_of = the earliest collider (reasons-log grain).
+    // Only pairs whose LATER member is in this batch quarantine here —
+    // an already-landed doc flagged by a late-arriving smaller id is
+    // never retracted (see the law note above).
+    val dupOf = candidates.groupBy(col("doc_b"))
+      .agg(min(col("doc_a")).as("dup_of"))
+    val quarantined = batch.join(dupOf,
+      batch("doc_id") === dupOf("doc_b"))
+      .select(batch("doc_id"), col("dup_of"))
+    val admitted = batch.join(dupOf,
+      batch("doc_id") === dupOf("doc_b"), "left_anti")
+    writeBatchPartition(quarantined, batchId, quarantinePath,
+      refCols = Seq("doc_id", "dup_of"))
+    writeBatchPartition(admitted, batchId, corpusPath,
+      refCols = Seq("doc_id"))
+    writeBatchPartition(candidates, batchId, pairsPath,
+      refCols = Seq("doc_a", "doc_b"))
+    writeBatchPartition(sigs, batchId, indexPath,
+      prefixPartitionCols = Seq("band"), refCols = Seq("doc_id"))
+    candidates.unpersist()
+    sigs.unpersist()
+    ()
+  }
+
   /** Incremental hyperplane-LSH ANN near-dup detection against a
     * persistent bucket index — the ingest-side twin of batch q31
     * (graft.queries.Similarity.q31EmbeddingNearDups), completing

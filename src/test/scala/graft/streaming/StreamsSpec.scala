@@ -2926,6 +2926,84 @@ class StreamsSpec extends SparkSpec {
       "refresh must drop the erased id's positions from the sidecar")
   }
 
+  test("admission gate routes near-dups to quarantine; quarantined signatures still register (chain law)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate")
+    def p(s: String) = s"$dir/$s"
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "one two three four five six seven eight nine"
+    val t4 = "lorem ipsum dolor sit amet consectetur adipiscing"
+    // batch 0: doc 3 duplicates doc 1 within the batch
+    Streams.gatedAdmissionStep(
+      Seq((1L, t1), (2L, t2), (3L, t1), (4L, t4)).toDF("doc_id", "text"),
+      0L, p("corpus"), p("quar"), p("index"), p("pairs"))
+    assert(rowsOf(spark.read.parquet(p("corpus")).select(col("doc_id"))) ===
+      Seq(Seq("1"), Seq("2"), Seq("4")))
+    assert(rowsOf(spark.read.parquet(p("quar"))
+      .select(col("doc_id"), col("dup_of"))) === Seq(Seq("3", "1")))
+    // batch 1: doc 5 duplicates the QUARANTINED doc 3's text — the
+    // register-all law: 3's signatures are in the index, so 5
+    // quarantines against the dup region's first writer (dup_of = 1)
+    // and the pair log shows BOTH colliders
+    Streams.gatedAdmissionStep(
+      Seq((5L, t1), (6L, "unique text nothing shares these tokens here"))
+        .toDF("doc_id", "text"),
+      1L, p("corpus"), p("quar"), p("index"), p("pairs"))
+    assert(rowsOf(spark.read.parquet(p("quar"))
+      .select(col("doc_id"), col("dup_of"))) ===
+      Seq(Seq("3", "1"), Seq("5", "1")))
+    assert(rowsOf(spark.read.parquet(p("corpus")).select(col("doc_id"))) ===
+      Seq(Seq("1"), Seq("2"), Seq("4"), Seq("6")))
+    val pairs = spark.read.parquet(p("pairs"))
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L)) && pairs.contains((3L, 5L)),
+      s"quarantined doc 3's registered signatures must pair with 5: $pairs")
+    // the index carries EVERY presented doc's signatures — the
+    // mechanism behind chain exactness
+    assert(spark.read.parquet(p("index")).select(col("doc_id"))
+      .distinct().count() === 6L)
+    // replayed batch: same routing, no duplicates (overwrite semantics)
+    Streams.gatedAdmissionStep(
+      Seq((5L, t1), (6L, "unique text nothing shares these tokens here"))
+        .toDF("doc_id", "text"),
+      1L, p("corpus"), p("quar"), p("index"), p("pairs"))
+    assert(spark.read.parquet(p("quar")).count() === 2L)
+    assert(spark.read.parquet(p("corpus")).count() === 4L)
+  }
+
+  test("gated ingest census equals the batch admission law over the union corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gatediff")
+    def p(s: String) = s"$dir/$s"
+    // dup groups spanning batch boundaries, fed in doc_id order
+    val texts = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "one two three four five six seven",
+      3L -> "alpha beta gamma delta epsilon zeta", // dup of 1
+      4L -> "completely different tokens in this document here",
+      5L -> "one two three four five six seven",   // dup of 2
+      6L -> "alpha beta gamma delta epsilon zeta", // dup of 1
+      7L -> "yet another unique stretch of words for the corpus")
+    texts.grouped(3).zipWithIndex.foreach { case (chunk, b) =>
+      Streams.gatedAdmissionStep(chunk.toDF("doc_id", "text"),
+        b.toLong, p("corpus"), p("quar"), p("index"), p("pairs"))
+    }
+    val all = texts.toDF("doc_id", "text")
+    val sigs = graft.queries.Dedup.bandedSignatures(all)
+    val law = sigs.as("a").join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("b.doc_id").as("doc_id"))
+      .agg(min(col("a.doc_id")).as("dup_of"))
+    assert(rowsOf(spark.read.parquet(p("quar"))
+        .select(col("doc_id"), col("dup_of"))) ===
+      rowsOf(law.select(col("doc_id"), col("dup_of"))),
+      "gated quarantine must equal the batch law")
+    assert(rowsOf(spark.read.parquet(p("corpus")).select(col("doc_id"))) ===
+      rowsOf(all.join(law, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))),
+      "gated survivors must equal the batch law's admitted set")
+  }
+
   test("retention detection consults zone maps: candidates only, verify read touches only them") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zrefs")
     val log = s"$dir/hours"
