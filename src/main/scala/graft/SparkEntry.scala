@@ -551,6 +551,9 @@ object SparkEntry {
     // at the door with their earliest collider; chains exact because
     // every presented signature registers
     "q230_admission_gate" -> (StreamingQ.q230AdmissionGate _),
+    // index geometry migration: v2 build streams in while v1 serves,
+    // one atomic cutover, serve == fresh search before/during/after
+    "q231_reindex_serving" -> (StreamingQ.q231ReindexServing _),
   )
 
   /** DuckDB-equivalent SQL per query key (same parquet tables). */
@@ -787,5 +790,6 @@ object SparkEntry {
     "q228_schema_evolution" -> StreamingQ.q228Sql,
     "q229_manifest_lifecycle" -> StreamingQ.q216Sql,
     "q230_admission_gate" -> StreamingQ.q230Sql,
+    "q231_reindex_serving" -> StreamingQ.q231Sql,
   )
 }

@@ -56,7 +56,16 @@ object Dedup {
     * kernel's scaladoc for why a shared-slope family is wrong — one
     * scan-stage pass, no explode, no per-hash salting passes.
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesGeom(docs, NumBands, RowsPerBand)
+
+  /** [[minhashSignatures]] with the band GEOMETRY as a parameter —
+    * the reindex-while-serving migration (q231) rebuilds the index
+    * under a different (b, r) point on the s-curve from the same
+    * 8-hash kernel family (b·r ≤ 8: the hash functions are fixed and
+    * oracle-inlined; geometry only regroups them into bands). */
+  def minhashSignaturesGeom(docs: DataFrame, numBands: Int,
+                            rowsPerBand: Int): DataFrame = {
     // PERF: tokens and shingles are staged as real columns, NOT inlined
     // into the kernel call. An expression inside a higher-order-
     // function lambda is re-evaluated per array element, so inlining
@@ -65,9 +74,11 @@ object Dedup {
     // As attributes, the lambda body reads a row field in O(1), and
     // CollapseProject keeps the staging (non-cheap exprs referenced
     // more than once are never collapsed back).
-    val bandCols = (0 until NumBands).map { b =>
-      concat_ws("|", (0 until RowsPerBand).map { r =>
-        col("mh").getItem(b * RowsPerBand + r).cast("string")
+    require(numBands * rowsPerBand <= graft.functions.MinHashKernel.A.length,
+      s"geometry $numBands×$rowsPerBand exceeds the fixed hash family")
+    val bandCols = (0 until numBands).map { b =>
+      concat_ws("|", (0 until rowsPerBand).map { r =>
+        col("mh").getItem(b * rowsPerBand + r).cast("string")
       }: _*).as(s"band$b")
     }
     // shingling is FUSED into the kernel (bandsOfGrams): each 3-gram
@@ -77,7 +88,7 @@ object Dedup {
     docs.withColumn("toks", TextOps.tokens(col("text")))
       .filter(size(col("toks")) >= 3)
       .withColumn("mh", graft.functions.MinHashFunctions.ngram_minhash_bands(
-        col("toks"), 3, NumBands * RowsPerBand))
+        col("toks"), 3, numBands * rowsPerBand))
       .select(col("doc_id") +: bandCols: _*)
   }
 
@@ -87,8 +98,14 @@ object Dedup {
     * signatures are reduced scan-side, so what blows up is 4 short
     * hash strings per doc, never text or shingles. */
   def bandedSignatures(docs: DataFrame): DataFrame =
-    minhashSignatures(docs).select(col("doc_id"),
-      explode(array((0 until NumBands).map(b =>
+    bandedSignaturesGeom(docs, NumBands, RowsPerBand)
+
+  /** [[bandedSignatures]] under an explicit (b, r) geometry — q231's
+    * migration signs the same corpus at a different s-curve point. */
+  def bandedSignaturesGeom(docs: DataFrame, numBands: Int,
+                           rowsPerBand: Int): DataFrame =
+    minhashSignaturesGeom(docs, numBands, rowsPerBand).select(col("doc_id"),
+      explode(array((0 until numBands).map(b =>
         struct(lit(b).as("band"), col(s"band$b").as("sig"))): _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
 
@@ -106,7 +123,14 @@ object Dedup {
   /** DuckDB spelling of [[bandedSignatures]] — the `stacked` CTE body
     * shared by the q26/q44/q46 oracles, parametrized by the corpus
     * relation so composed pipelines (q50) can band a filtered set. */
-  private def stackedSqlCteFrom(from: String): String = {
+  private def stackedSqlCteFrom(from: String): String =
+    stackedSqlCteGeom(from, NumBands, RowsPerBand)
+
+  /** [[stackedSqlCteFrom]] under an explicit (b, r) geometry — the
+    * oracle spelling of [[bandedSignaturesGeom]] (q231's migration
+    * target geometry). */
+  private def stackedSqlCteGeom(from: String, numBands: Int,
+                                rowsPerBand: Int): String = {
     val toks = "str_split(text, ' ')"
     val shingles =
       s"""list_transform(range(1, len($toks) - 1),
@@ -117,14 +141,24 @@ object Dedup {
     def hash(k: Int): String =
       s"(${A(k)} * CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) + ${B(k)}) % $Prime"
     def band(b: Int): String = {
-      val rows = (0 until RowsPerBand).map { r =>
-        s"CAST(list_min(list_transform($shingles, g -> ${hash(b * RowsPerBand + r)})) AS VARCHAR)"
+      val rows = (0 until rowsPerBand).map { r =>
+        s"CAST(list_min(list_transform($shingles, g -> ${hash(b * rowsPerBand + r)})) AS VARCHAR)"
       }.mkString(" || '|' || ")
       s"""SELECT doc_id, $b AS band, $rows AS sig
          |FROM $from WHERE len($toks) >= 3""".stripMargin
     }
-    (0 until NumBands).map(band).mkString("\nUNION ALL\n")
+    (0 until numBands).map(band).mkString("\nUNION ALL\n")
   }
+
+  /** `stacked, pairs` CTE chain under an explicit geometry — the
+    * candidate set [[bandedSignaturesGeom]] induces, as SQL. */
+  def candidatePairsSqlCtesGeom(from: String, numBands: Int,
+                                rowsPerBand: Int): String =
+    s"""stacked AS (${stackedSqlCteGeom(from, numBands, rowsPerBand)}),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM stacked a JOIN stacked b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
   private val stackedSqlCte: String = stackedSqlCteFrom("documents")
 
   val q26Sql: String =

@@ -2611,6 +2611,77 @@ object StreamingQ {
        |       c.dup_of AS dup_of
        |FROM documents d LEFT JOIN coll c ON d.doc_id = c.doc_id""".stripMargin
 
+  /** The q231 serve-request sample: ONE rule shared by the Scala row
+    * and (interpolated) its oracle. */
+  val ServeReqMod = 20
+  val ServeReqResidue = 1
+
+  /** q231: INDEX GEOMETRY MIGRATION, reindex-while-serving (verdict-
+    * r14 "Next round" #4) — q228 evolved a log's columns; the harder
+    * lake event is the signature index changing its s-curve point
+    * (band count × rows per band). The corpus streams into a v1 build
+    * (b=4, r=2 — the q26 geometry) under `build=1`, a cutover
+    * publishes it, and serving begins. Then the SAME corpus streams
+    * into a v2 build (b=2, r=4 — the precision upgrade: candidates at
+    * low Jaccard collapse) under `build=2` while v1 KEEPS SERVING —
+    * asserted in-row: the mid-migration serve equals the fresh v1
+    * search exactly (the building v2 is invisible: the manifest
+    * references only build=1, and [[Streams.lshServeVersioned]]
+    * refuses any snapshot referencing two builds, so v1/v2 rows can
+    * never mix). One atomic [[Streams.reindexCutover]] then flips the
+    * snapshot; the returned (oracle-checked) result is the post-
+    * cutover serve, which must equal the fresh v2 search — one
+    * manifest resolution pins file set AND geometry, so the request is
+    * signed with exactly the banding the snapshot carries. */
+  def q231ReindexServing(s: SparkSession, dir: String): DataFrame = {
+    val work = Streams.scratchDir("graft_q231")
+    val root = s"$work/index"
+    val corpus = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val req = corpus.filter(col("doc_id") % ServeReqMod === ServeReqResidue)
+    def build(id: Int, bands: Int, rows: Int): Unit = {
+      Streams.orderedChunkFeed(corpus, s"$work/feed$id", 3, col("doc_id"))
+      val stream = streamSession(s).readStream
+        .schema(StructType.fromDDL("doc_id bigint, text string"))
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/feed$id")
+      Streams.incrementalIndexBuild(stream, root, id, bands, rows,
+        s"$work/ckpt$id")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    // the fresh-search law at a given geometry, restricted to the
+    // request sample (either endpoint) — the serve must equal this
+    def fresh(bands: Int, rows: Int): DataFrame = {
+      val sigs = Dedup.bandedSignaturesGeom(corpus, bands, rows)
+      sigs.as("a").join(sigs.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .filter(col("doc_a") % ServeReqMod === ServeReqResidue ||
+          col("doc_b") % ServeReqMod === ServeReqResidue)
+        .distinct()
+    }
+    def assertSame(label: String, a: DataFrame, b: DataFrame): Unit = {
+      val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+      require(diff == 0L, s"$label: serve and fresh search differ by $diff")
+    }
+    build(1, 4, 2)
+    Streams.reindexCutover(s, root, 1)
+    assertSame("pre-migration (v1)",
+      Streams.lshServeVersioned(s, root, req), fresh(4, 2))
+    build(2, 2, 4) // v2 streams in while v1 serves
+    assertSame("mid-migration (still v1)",
+      Streams.lshServeVersioned(s, root, req), fresh(4, 2))
+    Streams.reindexCutover(s, root, 2)
+    Streams.lshServeVersioned(s, root, req)
+  }
+
+  /** q231 oracle — the fresh v2-geometry search over the corpus,
+    * restricted to the request sample. */
+  val q231Sql: String =
+    s"""WITH ${Dedup.candidatePairsSqlCtesGeom("documents", 2, 4)}
+       |SELECT doc_a, doc_b FROM pairs
+       |WHERE doc_a % $ServeReqMod = $ServeReqResidue
+       |   OR doc_b % $ServeReqMod = $ServeReqResidue""".stripMargin
+
   def q229ManifestLifecycle(s: SparkSession, dir: String): DataFrame = {
     val work = streamed(s, dir, Seq("doc_id", "text"),
       "doc_id bigint, text string") { (docs, work) =>

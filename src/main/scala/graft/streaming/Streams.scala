@@ -1848,6 +1848,115 @@ object Streams {
       .distinct()
   }
 
+  // ------------------------- index geometry migration (reindex-while-serving)
+
+  /** Geometry stamp of one index BUILD: a `.geom` file inside the
+    * build dir (hidden from data reads) holding "bands rows". Written
+    * when the build starts, immutable after — the snapshot that
+    * references a build thereby pins its geometry, so one manifest
+    * resolution fixes BOTH the file set and the signature function a
+    * serve must use on its requests. */
+  private[streaming] def writeGeom(fs: org.apache.hadoop.fs.FileSystem,
+      buildDir: org.apache.hadoop.fs.Path, bands: Int, rows: Int): Unit = {
+    fs.mkdirs(buildDir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(buildDir, ".geom"), true)
+    try out.write(s"$bands $rows".getBytes("UTF-8")) finally out.close()
+  }
+
+  private[streaming] def readGeom(fs: org.apache.hadoop.fs.FileSystem,
+      buildDir: org.apache.hadoop.fs.Path): (Int, Int) = {
+    val in = fs.open(new org.apache.hadoop.fs.Path(buildDir, ".geom"))
+    val line = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    val parts = line.split(' ')
+    (parts(0).toInt, parts(1).toInt)
+  }
+
+  /** Streamed, checkpointed build of ONE signature-index version under
+    * `root/build=<id>` at an explicit (b, r) geometry — the register
+    * half of the q107 ladder, re-signable. The build dir is geometry-
+    * stamped up front and is INVISIBLE to serving until a cutover
+    * publishes it: the root's manifest keeps referencing the old build
+    * while this one streams in. */
+  def incrementalIndexBuild(docs: DataFrame, rootPath: String,
+      buildId: Int, bands: Int, rows: Int, checkpoint: String)
+      : DataStreamWriter[Row] = {
+    val buildDir = new org.apache.hadoop.fs.Path(rootPath, s"build=$buildId")
+    writeGeom(buildDir.getFileSystem(
+      docs.sparkSession.sparkContext.hadoopConfiguration), buildDir,
+      bands, rows)
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatchPartition(
+          graft.queries.Dedup.bandedSignaturesGeom(batch, bands, rows),
+          batchId, buildDir.toString,
+          prefixPartitionCols = Seq("band"), refCols = Seq("doc_id"))
+      }
+  }
+
+  /** The CUTOVER: one atomic manifest publish makes `buildId` the
+    * served snapshot of the index root — the entire geometry migration
+    * commits in a single rename (q228 evolved a log's COLUMNS; this
+    * swaps the index's s-curve point while requests keep arriving).
+    * Serves resolved before keep the old build's files (still on
+    * disk); serves resolved after get the new build AND its geometry;
+    * nobody can observe a mix ([[lshServeVersioned]] refuses a
+    * snapshot referencing two builds). The old build's files reap at
+    * the next mutator entry, like every superseded snapshot. */
+  def reindexCutover(spark: SparkSession, rootPath: String,
+                     buildId: Int): Unit = {
+    val root = new org.apache.hadoop.fs.Path(rootPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Manifests
+      .dataFilesUnder(fs, new org.apache.hadoop.fs.Path(root, s"build=$buildId"))
+      .map(f => s"build=$buildId/$f")
+    require(files.nonEmpty, s"reindexCutover: build=$buildId has no data")
+    Manifests.commit(fs, root, files)
+  }
+
+  /** Geometry-versioned dedup serving over a migrating index root —
+    * [[lshServePairs]] where the SNAPSHOT picks the signature
+    * function: ONE manifest resolution pins the file set, the build,
+    * and (via the build's geometry stamp) the banding the request is
+    * signed with; the probe then runs exactly like q225 (request
+    * collected once and broadcast, band/sig literals pushed into the
+    * pruned read of the resolved files). A snapshot referencing more
+    * than one build is refused loudly — v1 and v2 signatures must
+    * never pair, mid-migration or ever. */
+  def lshServeVersioned(spark: SparkSession, rootPath: String,
+                        reqDocs: DataFrame): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(rootPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Manifests.resolveFiles(fs, root).getOrElse(
+      throw new IllegalStateException(
+        s"$rootPath: versioned serving needs a manifest-published build"))
+    val builds = files.map(_.takeWhile(_ != '/')).distinct
+    require(builds.length == 1 && builds.head.startsWith("build="),
+      s"serve snapshot must reference exactly ONE index build, got " +
+        s"$builds — mixing geometries would pair incomparable signatures")
+    val (bands, rows) = readGeom(fs,
+      new org.apache.hadoop.fs.Path(root, builds.head))
+    val reqSigs = graft.queries.Dedup
+      .bandedSignaturesGeom(reqDocs, bands, rows)
+    val proj = reqSigs.select(col("doc_id").as("query_id"),
+      col("band").as("qband"), col("sig").as("qsig"))
+    val reqRows = proj.collect().toSeq
+    val qs = spark.createDataFrame(
+      spark.sparkContext.parallelize(reqRows, 1), proj.schema)
+    val hits = spark.read.option("basePath", rootPath)
+      .parquet(files.map(f => s"$rootPath/$f"): _*)
+      .filter(col("band").isin(reqRows.map(_.getInt(1)).distinct: _*) &&
+        col("sig").isin(reqRows.map(_.getString(2)).distinct: _*))
+    hits.join(broadcast(qs),
+        col("band") === col("qband") && col("sig") === col("qsig") &&
+          col("doc_id") =!= col("query_id"))
+      .select(least(col("doc_id"), col("query_id")).as("doc_a"),
+        greatest(col("doc_id"), col("query_id")).as("doc_b"))
+      .distinct()
+  }
+
   /** Hadoop-FS check (portable across s3a/hdfs/local) that a
     * partitioned index already has `prefix`-partition directories.
     * An index whose top-level partitions exist but do NOT match the

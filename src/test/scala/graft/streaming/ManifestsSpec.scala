@@ -146,6 +146,49 @@ class ManifestsSpec extends SparkSpec {
       Manifests.latestVersion(fs, hp(pairs)) === vp)
   }
 
+  test("reindex migration: mid-migration serves come from ONE build; a two-build snapshot is refused") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mreidx")
+    val root = s"$dir/index"
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val fs = fsOf(root)
+    // v1 build (4x2) lands directly through the batch writer
+    Streams.writeGeom(fs, hp(s"$root/build=1"), 4, 2)
+    Streams.writeBatchPartition(
+      graft.queries.Dedup.bandedSignaturesGeom(docs, 4, 2), 0L,
+      s"$root/build=1", prefixPartitionCols = Seq("band"))
+    Streams.reindexCutover(spark, root, 1)
+    val req = docs.filter(col("doc_id") === 2L)
+    val v1Serve = Streams.lshServeVersioned(spark, root, req)
+    assert(rowsOf(v1Serve) === Seq(Seq("1", "2")))
+    // v2 (2x4) builds ALONGSIDE — serving must not change…
+    Streams.writeGeom(fs, hp(s"$root/build=2"), 2, 4)
+    Streams.writeBatchPartition(
+      graft.queries.Dedup.bandedSignaturesGeom(docs, 2, 4), 0L,
+      s"$root/build=2", prefixPartitionCols = Seq("band"))
+    assert(rowsOf(Streams.lshServeVersioned(spark, root, req)) ===
+      Seq(Seq("1", "2")), "mid-migration serve must still be v1")
+    // …and every row the mid-migration serve reads is a build=1 file
+    val resolved = Manifests.resolveFiles(fs, hp(root)).get
+    assert(resolved.nonEmpty && resolved.forall(_.startsWith("build=1/")),
+      s"mid-migration snapshot must reference only build=1: $resolved")
+    // a snapshot that references BOTH builds is refused loudly
+    Manifests.commit(fs, hp(root),
+      Manifests.dataFilesUnder(fs, hp(root)))
+    val err = intercept[IllegalArgumentException] {
+      Streams.lshServeVersioned(spark, root, req)
+    }
+    assert(err.getMessage.contains("exactly ONE index build"))
+    // the cutover: one publish, v2 geometry serves
+    Streams.reindexCutover(spark, root, 2)
+    assert(rowsOf(Streams.lshServeVersioned(spark, root, req)) ===
+      Seq(Seq("1", "2")))
+    assert(Manifests.resolveFiles(fs, hp(root)).get
+      .forall(_.startsWith("build=2/")))
+  }
+
   test("continued ingest and compaction keep an enabled manifest current") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ming")
     val log = s"$dir/log"
