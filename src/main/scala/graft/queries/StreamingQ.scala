@@ -1829,14 +1829,15 @@ object StreamingQ {
     }
     val tombs = Tables.documents(s, dir)
       .filter(col("doc_id") % TombMod === TombResidue).select(col("doc_id"))
-    Streams.vacuumTombstoned(s, s"$work/index", tombs,
-      Seq("doc_id"), Seq("band", "batch_id"))
-    Streams.vacuumTombstoned(s, s"$work/pairs", tombs,
-      Seq("doc_a", "doc_b"), Seq("batch_id"))
-    val residual =
-      Streams.tombstoneResiduals(s, s"$work/index", tombs, Seq("doc_id")) +
-        Streams.tombstoneResiduals(s, s"$work/pairs", tombs,
-          Seq("doc_a", "doc_b"))
+    // the two artifacts are independent (no manifest coupling here —
+    // q229 covers the grouped publish): vacuum them concurrently and
+    // audit both in one action (guide §2.6), same per-artifact protocol
+    Streams.vacuumTombstonedPar(s, Seq(
+      (s"$work/index", Seq("doc_id"), Seq("band", "batch_id")),
+      (s"$work/pairs", Seq("doc_a", "doc_b"), Seq("batch_id"))), tombs)
+    val residual = Streams.tombstoneResidualsMany(s, Seq(
+      (s"$work/index", Seq("doc_id")),
+      (s"$work/pairs", Seq("doc_a", "doc_b"))), tombs)
     require(residual == 0L,
       s"index vacuum left $residual tombstoned references — audit failed")
     Dedup.jaccardVerify(
@@ -1885,14 +1886,14 @@ object StreamingQ {
     }
     val tombs = Tables.embeddings(s, dir)
       .filter(col("vec_id") % TombMod === TombResidue).select(col("vec_id"))
-    Streams.vacuumTombstoned(s, s"$work/index", tombs,
-      Seq("vec_id"), Seq("bucket_grp", "batch_id"))
-    Streams.vacuumTombstoned(s, s"$work/pairs", tombs,
-      Seq("vec_a", "vec_b"), Seq("batch_id"))
-    val residual =
-      Streams.tombstoneResiduals(s, s"$work/index", tombs, Seq("vec_id")) +
-        Streams.tombstoneResiduals(s, s"$work/pairs", tombs,
-          Seq("vec_a", "vec_b"))
+    // independent artifacts: concurrent vacuums + one-action audit
+    // (guide §2.6), same per-artifact protocol as the sequential calls
+    Streams.vacuumTombstonedPar(s, Seq(
+      (s"$work/index", Seq("vec_id"), Seq("bucket_grp", "batch_id")),
+      (s"$work/pairs", Seq("vec_a", "vec_b"), Seq("batch_id"))), tombs)
+    val residual = Streams.tombstoneResidualsMany(s, Seq(
+      (s"$work/index", Seq("vec_id")),
+      (s"$work/pairs", Seq("vec_a", "vec_b"))), tombs)
     require(residual == 0L,
       s"ANN vacuum left $residual tombstoned references — audit failed")
     s.read.parquet(s"$work/pairs")
@@ -1968,10 +1969,11 @@ object StreamingQ {
     Streams.orderedChunkFeed(docs.filter(col("doc_id") % 4 <= 1),
       s"$work/feed", 2, col("doc_id"))
     run(identity) // pre-erasure: tombstoned docs land like any other
-    Streams.vacuumTombstoned(s, s"$work/index", tombsOf(s),
-      Seq("doc_id"), Seq("band", "batch_id"))
-    Streams.vacuumTombstoned(s, s"$work/pairs", tombsOf(s),
-      Seq("doc_a", "doc_b"), Seq("batch_id"))
+    // independent artifacts: concurrent vacuums (guide §2.6), same
+    // per-artifact protocol as the sequential calls
+    Streams.vacuumTombstonedPar(s, Seq(
+      (s"$work/index", Seq("doc_id"), Seq("band", "batch_id")),
+      (s"$work/pairs", Seq("doc_a", "doc_b"), Seq("batch_id"))), tombsOf(s))
     Streams.orderedChunkFeed(docs.filter(col("doc_id") % 4 > 1),
       s"$work/feed", 2, col("doc_id"))
     // post-erasure: the write-path gate drops tombstoned arrivals
@@ -1979,11 +1981,9 @@ object StreamingQ {
     run(st => st.join(broadcast(tombsOf(st.sparkSession))
         .withColumnRenamed("doc_id", "t_id"),
       col("doc_id") === col("t_id"), "left_anti"))
-    val residual =
-      Streams.tombstoneResiduals(s, s"$work/index", tombsOf(s),
-        Seq("doc_id")) +
-        Streams.tombstoneResiduals(s, s"$work/pairs", tombsOf(s),
-          Seq("doc_a", "doc_b"))
+    val residual = Streams.tombstoneResidualsMany(s, Seq(
+      (s"$work/index", Seq("doc_id")),
+      (s"$work/pairs", Seq("doc_a", "doc_b"))), tombsOf(s))
     require(residual == 0L,
       s"mid-crawl vacuum left $residual tombstoned references")
     Dedup.jaccardVerify(
@@ -2659,8 +2659,14 @@ object StreamingQ {
           col("doc_b") % ServeReqMod === ServeReqResidue)
         .distinct()
     }
-    def assertSame(label: String, a: DataFrame, b: DataFrame): Unit = {
-      val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+    def assertSame(label: String, a0: DataFrame, b0: DataFrame): Unit = {
+      // materialize each side ONCE (both feed two exceptAll legs — the
+      // un-checkpointed spelling recomputed the full fresh search and
+      // the serve twice each), then both legs in one action
+      val a = a0.localCheckpoint(true)
+      val b = b0.localCheckpoint(true)
+      val diff = a.exceptAll(b).select(lit(1L).as("__one"))
+        .unionByName(b.exceptAll(a).select(lit(1L).as("__one"))).count()
       require(diff == 0L, s"$label: serve and fresh search differ by $diff")
     }
     build(1, 4, 2)
@@ -2705,10 +2711,9 @@ object StreamingQ {
     require(post == preCount,
       s"snapshot isolation broken: pre-vacuum reader saw $post of " +
         s"$preCount pairs after the group publish")
-    val residual =
-      Streams.tombstoneResiduals(s, s"$work/index", tombs, Seq("doc_id")) +
-        Streams.tombstoneResiduals(s, s"$work/pairs", tombs,
-          Seq("doc_a", "doc_b"))
+    val residual = Streams.tombstoneResidualsMany(s, Seq(
+      (s"$work/index", Seq("doc_id")),
+      (s"$work/pairs", Seq("doc_a", "doc_b"))), tombs)
     require(residual == 0L,
       s"manifest vacuum left $residual tombstoned references — audit failed")
     Dedup.jaccardVerify(

@@ -27,6 +27,37 @@ import org.apache.spark.sql.Row
   */
 object Streams {
 
+  /** Opt-in sub-phase timing (`-Dgraft.phaseLog=1`): prints wall time
+    * of the machinery steps inside the hot helpers so lifecycle-row
+    * costs are attributable to a step, not a whole row. Dev-only; the
+    * guard is a static boolean so the disabled path costs nothing. */
+  private val PhaseLog = sys.props.get("graft.phaseLog").contains("1")
+  @inline private def phase[A](label: String)(f: => A): A =
+    if (!PhaseLog) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[phase] $label%-30s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+
+  /** Runs independent Spark actions CONCURRENTLY and waits for all
+    * (optimization guide §2.6: actions are only sequential because the
+    * driver calls them sequentially; overlapping lets the next job's
+    * tasks back-fill executors the current job's tail leaves idle).
+    * Only for actions with no data dependency — e.g. one micro-batch's
+    * writes to DISTINCT artifact paths off already-persisted frames.
+    * Failures propagate: the first exception rethrows after all tasks
+    * settle, so no write is silently abandoned mid-flight. */
+  private def inParallel(tasks: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fs = tasks.map(t => Future(t()))
+    val results = fs.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    results.collectFirst { case scala.util.Failure(e) => throw e }
+    ()
+  }
+
   // ---------------------------------------------------------------- sources
 
   /** Kafka source, reference-identical options (Consumer.scala:50-56).
@@ -218,14 +249,27 @@ object Streams {
                                   prefixPartitionCols: Seq[String] = Nil,
                                   refCols: Seq[String] = Nil,
                                   zoneCols: Seq[String] = Nil): Unit = {
-    val landed = batch.withColumn("batch_id", lit(batchId))
-    landed.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(prefixPartitionCols :+ "batch_id": _*)
-      .parquet(path)
-    if (refCols.nonEmpty || zoneCols.nonEmpty)
-      refsAppend(landed, path, refCols, prefixPartitionCols :+ "batch_id",
-        zoneCols)
+    // when a sidecar append follows, the landed frame is evaluated
+    // TWICE (data write, then summary aggregation) — persist it so the
+    // summary aggregates the cached batch instead of re-running the
+    // whole batch plan (measured: the pairs sidecar append otherwise
+    // re-runs the LSH candidate joins and costs as much as the write
+    // itself). O(batch) rows, released before return. (guide §1.2:
+    // don't compute things twice)
+    val wantRefs = refCols.nonEmpty || zoneCols.nonEmpty
+    val landed0 = batch.withColumn("batch_id", lit(batchId))
+    val landed = if (wantRefs) landed0.persist() else landed0
+    phase(s"wbp write $path") {
+      landed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(prefixPartitionCols :+ "batch_id": _*)
+        .parquet(path)
+    }
+    if (wantRefs)
+      try phase(s"wbp refsAppend $path") {
+        refsAppend(landed, path, refCols, prefixPartitionCols :+ "batch_id",
+          zoneCols)
+      } finally landed.unpersist()
     // a manifest-enabled artifact stays snapshot-consistent across
     // continued ingest: publish (previous files minus this batch's
     // replaced partitions) + the just-written files. O(touched dirs)
@@ -604,18 +648,21 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.persist()
-        writeBatchPartition(graft.queries.PipelineQ.cardBase(b), batchId,
-          s"$work/base")
-        writeBatchPartition(b.select(col("source")).distinct(), batchId,
-          s"$work/sources")
-        writeBatchPartition(b.select(col("lang")).distinct(), batchId,
-          s"$work/langs")
-        writeBatchPartition(b.select(
-            graft.ops.TextOps.fingerprint(col("text")).as("fp"),
-            graft.queries.Text.splitLabel(col("doc_id")).as("split"))
-          .distinct(), batchId, s"$work/fps")
-        lshDedupStep(b.select(col("doc_id"), col("text")), batchId,
-          s"$work/index", s"$work/pairs")
+        // five independent landings (distinct member paths, all off
+        // the persisted batch) — overlap them (guide §2.6)
+        inParallel(
+          () => writeBatchPartition(graft.queries.PipelineQ.cardBase(b),
+            batchId, s"$work/base"),
+          () => writeBatchPartition(b.select(col("source")).distinct(),
+            batchId, s"$work/sources"),
+          () => writeBatchPartition(b.select(col("lang")).distinct(),
+            batchId, s"$work/langs"),
+          () => writeBatchPartition(b.select(
+              graft.ops.TextOps.fingerprint(col("text")).as("fp"),
+              graft.queries.Text.splitLabel(col("doc_id")).as("split"))
+            .distinct(), batchId, s"$work/fps"),
+          () => lshDedupStep(b.select(col("doc_id"), col("text")), batchId,
+            s"$work/index", s"$work/pairs"))
         b.unpersist()
         ()
       }
@@ -1540,8 +1587,10 @@ object Streams {
         // the bands this batch actually touched — a bounded collect
         // (≤ the band fan-out, 4 here) that becomes a LITERAL
         // partition filter on the history read
-        val batchBands = sigs.select(col("band")).distinct()
-          .collect().map(_.getInt(0)).toSeq
+        val batchBands = phase("lsh batchBands collect") {
+          sigs.select(col("band")).distinct()
+            .collect().map(_.getInt(0)).toSeq
+        }
         val hist = lshIndexHistory(spark, indexPath, batchBands, batchId)
         val vsHistory = sigs.as("n")
           .join(hist.as("h"),
@@ -1553,10 +1602,17 @@ object Streams {
             greatest(col("n.doc_id"), col("h.doc_id")).as("doc_b"))
         withinBatch.unionByName(vsHistory)
       } else withinBatch
-    writeBatchPartition(candidates.distinct(), batchId, pairsPath,
-      refCols = Seq("doc_a", "doc_b"))
-    writeBatchPartition(sigs, batchId, indexPath,
-      prefixPartitionCols = Seq("band"), refCols = Seq("doc_id"))
+    // the two landings are independent (distinct artifact paths; the
+    // candidate plan reads only batch_id < this one from the index, a
+    // partition filter the concurrent index landing can't touch) —
+    // overlap them so the second write's fixed job costs back-fill the
+    // first's tail (guide §2.6). Both consume the persisted `sigs`;
+    // concurrent cache materialization is block-locked, not duplicated.
+    inParallel(
+      () => writeBatchPartition(candidates.distinct(), batchId, pairsPath,
+        refCols = Seq("doc_a", "doc_b")),
+      () => writeBatchPartition(sigs, batchId, indexPath,
+        prefixPartitionCols = Seq("band"), refCols = Seq("doc_id")))
     sigs.unpersist()
     ()
   }
@@ -1634,14 +1690,17 @@ object Streams {
       .select(batch("doc_id"), col("dup_of"))
     val admitted = batch.join(dupOf,
       batch("doc_id") === dupOf("doc_b"), "left_anti")
-    writeBatchPartition(quarantined, batchId, quarantinePath,
-      refCols = Seq("doc_id", "dup_of"))
-    writeBatchPartition(admitted, batchId, corpusPath,
-      refCols = Seq("doc_id"))
-    writeBatchPartition(candidates, batchId, pairsPath,
-      refCols = Seq("doc_a", "doc_b"))
-    writeBatchPartition(sigs, batchId, indexPath,
-      prefixPartitionCols = Seq("band"), refCols = Seq("doc_id"))
+    // four independent landings (distinct artifact paths, all off the
+    // persisted sigs/candidates) — overlap them (guide §2.6)
+    inParallel(
+      () => writeBatchPartition(quarantined, batchId, quarantinePath,
+        refCols = Seq("doc_id", "dup_of")),
+      () => writeBatchPartition(admitted, batchId, corpusPath,
+        refCols = Seq("doc_id")),
+      () => writeBatchPartition(candidates, batchId, pairsPath,
+        refCols = Seq("doc_a", "doc_b")),
+      () => writeBatchPartition(sigs, batchId, indexPath,
+        prefixPartitionCols = Seq("band"), refCols = Seq("doc_id")))
     candidates.unpersist()
     sigs.unpersist()
     ()
@@ -1723,16 +1782,21 @@ object Streams {
                 col("n.v").as("av"), col("h.v").as("bv")))
             withinBatch.unionByName(vsHistory)
           } else withinBatch
-        writeBatchPartition(candidates.distinct(), batchId, pairsPath,
-          refCols = Seq("vec_a", "vec_b"))
-        // sort by bucket inside each task: rows of one bucket_grp dir
-        // otherwise interleave buckets {g, g+16, ...} in arrival order
-        // and every row group's bucket min/max spans the whole group —
-        // the pushed bucket-isin filter would prune nothing. Sorted,
-        // the row-group stats the history read relies on are tight.
-        writeBatchPartition(coded.sortWithinPartitions(col("bucket")),
-          batchId, indexPath, prefixPartitionCols = Seq("bucket_grp"),
-          refCols = Seq("vec_id"))
+        // independent landings off the persisted `coded` — overlap
+        // (guide §2.6; same disjoint-partition argument as lshDedupStep).
+        // Index-landing note kept: sort by bucket inside each task —
+        // rows of one bucket_grp dir otherwise interleave buckets
+        // {g, g+16, ...} in arrival order and every row group's bucket
+        // min/max spans the whole group, so the pushed bucket-isin
+        // filter would prune nothing. Sorted, the row-group stats the
+        // history read relies on are tight.
+        inParallel(
+          () => writeBatchPartition(candidates.distinct(), batchId,
+            pairsPath, refCols = Seq("vec_a", "vec_b")),
+          () => writeBatchPartition(
+            coded.sortWithinPartitions(col("bucket")),
+            batchId, indexPath, prefixPartitionCols = Seq("bucket_grp"),
+            refCols = Seq("vec_id")))
         coded.unpersist()
         ()
       }
@@ -2069,13 +2133,19 @@ object Streams {
               fpIndexHistory(spark, fpIndexPath, prefixes, batchId),
               Seq("fp"), "left_anti")
           } else inBatch).persist()
-        writeBatchPartition(survivors.select(col("fp_prefix"), col("fp")),
-          batchId, fpIndexPath, prefixPartitionCols = Seq("fp_prefix"))
-        writeBatchPartition(
-          survivors.select(col("source"), col("doc_id"), col("text"), col("n_chars")),
-          batchId, survivorsPath)
-        lshDedupStep(survivors.select(col("doc_id"), col("text")),
-          batchId, lshIndexPath, pairsPath)
+        // three independent landings (distinct artifact paths, all off
+        // the persisted survivors) — overlap them (guide §2.6); the
+        // lshDedupStep leg parallelizes its own two landings again
+        inParallel(
+          () => writeBatchPartition(
+            survivors.select(col("fp_prefix"), col("fp")),
+            batchId, fpIndexPath, prefixPartitionCols = Seq("fp_prefix")),
+          () => writeBatchPartition(
+            survivors.select(col("source"), col("doc_id"), col("text"),
+              col("n_chars")),
+            batchId, survivorsPath),
+          () => lshDedupStep(survivors.select(col("doc_id"), col("text")),
+            batchId, lshIndexPath, pairsPath))
         survivors.unpersist()
         quality.unpersist()
         ()
@@ -2477,24 +2547,39 @@ object Streams {
     // negative — a skipped partition the legacy full scan would have
     // vacuumed. One common type is required so there is exactly one
     // equality semantics for detection, verify, and rewrite alike.
-    val (tomb, hit) = tombPrep(spark, path, tombstones, refCols)
+    val (tomb, hit) = phase(s"vac tombPrep $path") {
+      tombPrep(spark, path, tombstones, refCols)
+    }
     // O(affected partitions) driver list — bounded by the purge
     // fan-out, the same bounded-collect contract as lshIndexHistory.
     // Detection consults the `_refs` sidecar when the artifact carries
     // one (O(partitions) summary rows + a verify read pruned to bloom
     // candidates — the full-index detection scan of verdict-r13
     // "What's wrong #1" happens only on legacy sidecar-less artifacts).
-    val affected = detectAffected(spark, path, tomb, hit, partCols)
+    val affected = phase(s"vac detect $path") {
+      detectAffected(spark, path, tomb, hit, partCols)
+    }
     if (affected.isEmpty) return
     // kept rows of the affected partitions only: the read is
     // partition-pruned by the literal filter (plan-asserted in
     // StreamsSpec), the anti-join drops every row referencing a
-    // tombstoned id
-    stageAndSwapAffected(spark, root, fs,
+    // tombstoned id. Materialized ONCE (localCheckpoint — the group
+    // path's discipline): the stage write and the sidecar refresh both
+    // consume it, where re-deriving it per consumer would re-read the
+    // affected partitions and re-run the anti-join a second time.
+    // O(purge fan-out) rows, the same bound the staging already holds.
+    val survivors = phase(s"vac survivors $path") {
       vacuumAffectedRead(spark, path, affected, partCols)
-        .join(tomb, hit, "left_anti"),
-      affected, partCols)
-    refsRefresh(spark, path, affected, refCols, partCols)
+        .join(tomb, hit, "left_anti")
+        .localCheckpoint(true)
+    }
+    phase(s"vac stage+swap $path") {
+      stageAndSwapAffected(spark, root, fs, survivors, affected, partCols)
+    }
+    phase(s"vac refsRefresh $path") {
+      refsRefresh(spark, path, affected, refCols, partCols,
+        survivors = Some(survivors))
+    }
   }
 
   /** The tombstone side, prepared once per artifact: cast to the ref
@@ -2503,15 +2588,32 @@ object Streams {
   private def tombPrep(spark: SparkSession, path: String,
                        tombstones: DataFrame, refCols: Seq[String])
       : (DataFrame, Column) = {
-    val refTypes = spark.read.option("mergeSchema", "true").parquet(path)
-      .schema.fields
-      .filter(f => refCols.contains(f.name)).map(_.dataType).distinct
+    // ref-column types from a single-footer schema probe first: ref
+    // columns are core data columns present in every file, so the
+    // default inference (one sampled footer, no distributed
+    // footer-merge job) finds them; only if a ref column is MISSING
+    // from the sampled footer (an evolved log where the column arrived
+    // mid-life) pay for the full mergeSchema pass.
+    def refTypesOf(schema: org.apache.spark.sql.types.StructType) =
+      schema.fields.filter(f => refCols.contains(f.name))
+        .map(_.dataType).distinct
+    val sampled = spark.read.parquet(path).schema
+    val refTypes =
+      if (refCols.forall(sampled.fieldNames.contains)) refTypesOf(sampled)
+      else refTypesOf(
+        spark.read.option("mergeSchema", "true").parquet(path).schema)
     require(refTypes.length == 1,
       s"vacuum: refCols $refCols span types ${refTypes.mkString(",")} — " +
         "one equality semantics required")
+    // materialize the (small, O(erasure batch)) tombstone set ONCE:
+    // detection, the verify read, the survivors anti-join and the
+    // residual audit each put it on the build side of a join, and
+    // without the checkpoint every one of those jobs re-runs the
+    // caller's tombstone derivation (often a corpus scan + distinct)
     val tomb = broadcast(
       tombstones.select(col(tombstones.columns.head)
-        .cast(refTypes.head).as("__t")).distinct())
+        .cast(refTypes.head).as("__t")).distinct()
+        .localCheckpoint(true))
     (tomb, refCols.map(c => col(c) === col("__t")).reduce(_ || _))
   }
 
@@ -2550,7 +2652,12 @@ object Streams {
       artifacts: Seq[(String, Seq[String], Seq[String])],
       tombstones: DataFrame): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    val staged = artifacts.flatMap { case (path, refCols, partCols) =>
+    // per-artifact staging is independent (each touches only its own
+    // root; nothing publishes until the single group commit below) —
+    // stage the members CONCURRENTLY (guide §2.6), then ONE atomic
+    // publish flips all of them together exactly as before.
+    def stageOne(path: String, refCols: Seq[String],
+                 partCols: Seq[String]): Option[StagedVacuum] = {
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(hconf)
       require(Manifests.isEnabled(fs, root),
@@ -2573,11 +2680,60 @@ object Streams {
           partCols, survivors))
       }
     }
+    val staged = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      artifacts.map { case (path, refCols, partCols) =>
+        Future(stageOne(path, refCols, partCols))
+      }.map(Await.result(_, Duration.Inf)).flatten
+    }
     if (staged.isEmpty) return
     val fs = staged.head.root.getFileSystem(hconf)
     Manifests.commitGroup(fs, staged.map(s => (s.root, s.content)))
     staged.foreach(s => refsRefresh(spark, s.path, s.affected, s.refCols,
       s.partCols, survivors = Some(s.survivors)))
+  }
+
+  /** Independent per-artifact tombstone vacuums run CONCURRENTLY
+    * (optimization guide §2.6 — overlap independent jobs: actions are
+    * only sequential because the driver calls them sequentially). Each
+    * artifact's detect/stage/swap touches only its own root, so the
+    * jobs share nothing but the scheduler; the second artifact's small
+    * detection jobs back-fill executor slots the first one's tail
+    * leaves idle. Semantics identical to calling [[vacuumTombstoned]]
+    * once per artifact — same code path per artifact, same residuals.
+    * NOTE: for MANIFEST-carrying artifacts that must move together use
+    * [[vacuumTombstonedGroup]] (one atomic publish), not this. */
+  def vacuumTombstonedPar(spark: SparkSession,
+      artifacts: Seq[(String, Seq[String], Seq[String])],
+      tombstones: DataFrame): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fs = artifacts.map { case (path, refCols, partCols) =>
+      Future(vacuumTombstoned(spark, path, tombstones, refCols, partCols))
+    }
+    fs.foreach(Await.result(_, Duration.Inf))
+  }
+
+  /** The residual audit over SEVERAL artifacts as ONE Spark action:
+    * the per-artifact semi-join counts are independent, so summing
+    * them in one job replaces N sequential small jobs (each with its
+    * own fixed scheduling + tombstone-side evaluation). Returns the
+    * total residual count — the same number as summing
+    * [[tombstoneResiduals]] per artifact. */
+  def tombstoneResidualsMany(spark: SparkSession,
+      artifacts: Seq[(String, Seq[String])], tombstones: DataFrame): Long = {
+    val tomb = broadcast(
+      tombstones.select(col(tombstones.columns.head).as("__t")).distinct()
+        .localCheckpoint(true))
+    artifacts.map { case (path, refCols) =>
+      Manifests.read(spark, path, mergeSchema = true)
+        .join(tomb, refCols.map(c => col(c) === col("__t")).reduce(_ || _),
+          "left_semi")
+        .select(lit(1L).as("__one"))
+    }.reduce(_.unionByName(_)).count()
   }
 
   /** Manifest-mode staging: write `kept` (partitioned) into a hidden
@@ -2904,54 +3060,58 @@ object Streams {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val refs = new org.apache.hadoop.fs.Path(root, RefsDir)
     if (!refsHasData(fs, refs)) return None
+    // ONE read of the sidecar (footer merge + file listing happen once;
+    // a second spark.read of the same path re-lists and re-merges)
+    val all = spark.read.option("mergeSchema", "true")
+      .parquet(refs.toString)
     // a zone-only sidecar (retention artifacts) carries no bloom
     // positions — tombstone detection treats it as absent (full scan)
-    if (!spark.read.option("mergeSchema", "true").parquet(refs.toString)
-        .columns.contains("positions")) return None
+    if (!all.columns.contains("positions")) return None
     // positions per partition, duplicates from replays/appends unioned.
     // Rows with NULL positions (zone-only rows on a mixed-family
     // sidecar) summarize nothing bloom-wise: dropping them here makes
     // their partitions UNCOVERED below — a conservative candidate, not
     // a silent never-matches row.
-    val summary = spark.read.option("mergeSchema", "true")
-      .parquet(refs.toString)
-      .filter(col("positions").isNotNull)
-      .groupBy(partCols.map(col): _*)
-      .agg(array_distinct(flatten(collect_list(col("positions"))))
-        .as("positions"))
-      .persist()
-    try {
-      // tombstone bloom positions via the SAME kernel (never a driver
-      // reimplementation of the hash). The candidate test — "some
-      // tombstone has ALL its k positions in the partition's set" — is
-      // an equi-JOIN on position then a per-(partition, tombstone)
-      // hit count, NOT a literal OR-of-ANDs predicate: a predicate
-      // grows O(|tombstones|·k) Catalyst terms and its analysis alone
-      // dominated the vacuum at a 500-request stress batch. Both join
-      // sides are tiny (O(partitions·positions) and O(requests·k)).
-      val tombPos = tomb
-        .select(col(tomb.columns.head).cast("string").as("__t"))
+    //
+    // ONE bounded collect (O(partitions) rows of ≤[[RefsBloomBits]]
+    // bits each — the same driver-size class as the candidate/coverage
+    // lists this function always returned), then the candidate test —
+    // "some tombstone has ALL its k positions in the partition's set"
+    // — runs as driver bitset lookups. History of this spelling: a
+    // literal OR-of-ANDs predicate was measured 4.6× slower at a
+    // 500-request batch (Catalyst analysis dominated, round-14 A/B); a
+    // position equi-join + hit-count fixed that but still paid three
+    // small-stage jobs (summary agg + join-agg + coverage collect,
+    // ~0.7 s of a ~2 s vacuum at sf0.1); the collect-and-test spelling
+    // is one job + O(partitions × tombstones × k) driver bit-tests —
+    // both factors contract-bounded (partition fan-out / erasure
+    // batch). The tombstone positions still come from the SAME Catalyst
+    // kernel ([[refsPositions]]), never a driver reimplementation.
+    val summaryRows = phase(s"consult candidates $path") {
+      all.filter(col("positions").isNotNull)
+        .groupBy(partCols.map(col): _*)
+        .agg(array_distinct(flatten(collect_list(col("positions"))))
+          .as("positions"))
+        .collect()
+    }
+    val tombPosRows = phase(s"consult tombpos $path") {
+      tomb.select(col(tomb.columns.head).cast("string").as("__t"))
         .distinct()
-        .select(col("__t"), explode(refsPositions(col("__t"))).as("__p"))
-        .distinct()
-      val kOf = tombPos.groupBy(col("__t"))
-        .agg(count(lit(1)).as("__k"))
-      val sumPos = summary
-        .select(partCols.map(col) :+ explode(col("positions")).as("__p"): _*)
-      val candidates = sumPos.join(broadcast(tombPos), "__p")
-        .groupBy(partCols.map(col) :+ col("__t"): _*)
-        .agg(count(lit(1)).as("__hits"))
-        .join(broadcast(kOf), "__t")
-        .filter(col("__hits") === col("__k"))
-        .select(partCols.map(col): _*).distinct()
-        .collect().toSeq
-      // coverage diff: O(partitions) keys + FS listing, both metadata
-      val covered = summary.select(partCols.map(col): _*).collect()
-        .map(relOfRow(_, partCols)).toSet
-      val uncovered = partitionLeafDirs(fs, root)
-        .filterNot(l => covered.contains(relPath(root, l)))
-      Some((candidates, uncovered))
-    } finally summary.unpersist()
+        .select(refsPositions(col("__t")).as("__ps"))
+        .collect()
+        .map(_.getSeq[Int](0))
+    }
+    val candidates = summaryRows.filter { r =>
+      val bits = new java.util.BitSet(RefsBloomBits)
+      r.getSeq[Int](r.length - 1).foreach(bits.set)
+      tombPosRows.exists(_.forall(bits.get))
+    }.map(r => Row.fromSeq(r.toSeq.dropRight(1))).toSeq
+    // coverage diff: O(partitions) keys + FS listing, both metadata
+    val covered = summaryRows
+      .map(r => relOfRow(Row.fromSeq(r.toSeq.dropRight(1)), partCols)).toSet
+    val uncovered = partitionLeafDirs(fs, root)
+      .filterNot(l => covered.contains(relPath(root, l)))
+    Some((candidates, uncovered))
   }
 
   /** Zone-map consult — [[refsCandidatePartitions]]' sibling for RANGE
@@ -3003,7 +3163,9 @@ object Streams {
     * Without a sidecar: the legacy full-index scan. */
   private[streaming] def detectAffected(spark: SparkSession, path: String,
       tomb: DataFrame, hit: Column, partCols: Seq[String]): Seq[Row] =
-    refsCandidatePartitions(spark, path, tomb, partCols) match {
+    phase(s"det consult $path") {
+      refsCandidatePartitions(spark, path, tomb, partCols)
+    } match {
       case None =>
         spark.read.option("mergeSchema", "true").parquet(path)
           .join(tomb, hit, "left_semi")
@@ -3011,8 +3173,10 @@ object Streams {
       case Some((candidates, uncovered)) =>
         vacuumDetectRead(spark, path, candidates, uncovered, partCols) match {
           case None => Nil
-          case Some(read) => read.join(tomb, hit, "left_semi")
-            .select(partCols.map(col): _*).distinct().collect().toSeq
+          case Some(read) => phase(s"det verify $path") {
+            read.join(tomb, hit, "left_semi")
+              .select(partCols.map(col): _*).distinct().collect().toSeq
+          }
         }
     }
 
@@ -3092,18 +3256,20 @@ object Streams {
   }
 
   /** Replaces the sidecar's contents wholesale (it is O(partitions)
-    * tiny rows — one file). localCheckpoint first: the staged write
-    * replaces the very sidecar the plan reads. Stage-and-rename: a
-    * crash leaves the old sidecar (stale = position superset =
-    * conservative) or none (legacy full-scan fallback) — never a
-    * false negative. */
+    * tiny rows — one file). The staged write may READ the very sidecar
+    * it replaces, which is safe without materializing first: the plan
+    * executes DURING the stage write, while the old `_refs` files
+    * still exist — the delete+rename happen strictly after. (A
+    * localCheckpoint here was one extra job per refresh for nothing.)
+    * Stage-and-rename: a crash leaves the old sidecar (stale =
+    * position superset = conservative) or none (legacy full-scan
+    * fallback) — never a false negative. */
   private def refsReplace(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, rows: DataFrame): Unit = {
     val refs = new org.apache.hadoop.fs.Path(root, RefsDir)
-    val staged = rows.localCheckpoint(true)
     val stage = new org.apache.hadoop.fs.Path(root, ".graft_refs_stage")
     fs.delete(stage, true)
-    staged.coalesce(1).write.parquet(stage.toString)
+    rows.coalesce(1).write.parquet(stage.toString)
     fs.delete(refs, true)
     require(fs.rename(stage, refs),
       s"refs replace: rename $stage -> $refs failed")
