@@ -85,6 +85,19 @@ object PipeProbe {
         Streams.lshDedupStep(survivors.select(col("doc_id"), col("text")),
           0L, s"$work/lsh", s"$work/pairs")
       }
+      t("m fp write c1") {
+        survivors.select(col("fp_prefix"), col("fp"))
+          .withColumn("batch_id", lit(1L)).coalesce(1)
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("fp_prefix", "batch_id").parquet(s"$work/fp")
+      }
+      t("m sig write c1") {
+        graft.queries.Dedup.bandedSignatures(
+            survivors.select(col("doc_id"), col("text")))
+          .withColumn("batch_id", lit(1L)).coalesce(1)
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("band", "batch_id").parquet(s"$work/lsh")
+      }
       spark.conf.set("spark.sql.shuffle.partitions", "32")
     }
     spark.stop()

@@ -30,6 +30,19 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamingQ {
 
+  /** Opt-in sub-phase timing (`-Dgraft.phaseLog=1`) — the row-level
+    * twin of [[graft.streaming.Streams]]' internal phase logger, for
+    * attributing composed-lifecycle costs (feed / stream run / vacuum /
+    * audit) inside a single registered row. Dev-only; zero-cost off. */
+  private val PhaseLog = sys.props.get("graft.phaseLog").contains("1")
+  @inline private def qphase[A](label: String)(f: => A): A =
+    if (!PhaseLog) f
+    else {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[qphase] $label%-30s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+
   /** A CHILD session pinned to 8 shuffle partitions for the streaming
     * runs (SQL configs are session-scoped; `newSession` shares the
     * SparkContext and catalog but gets its own conf). The monitors'
@@ -2156,34 +2169,40 @@ object StreamingQ {
     // erase batch between) is what this row tests; multi-batch folding
     // within a run is q113/q214's covered ground — extra micro-batches
     // here only add RocksDB commit rounds
-    Streams.orderedChunkFeed(
-      events.filter(unix_micros(col("ts")) <= cutUs)
-        .withColumn("erase", lit(false)),
-      s"$work/feed", 1, col("ts"))
-    run(gated = false) // pre-erasure: subjects stream like any user
+    qphase("q223 feed half1") {
+      Streams.orderedChunkFeed(
+        events.filter(unix_micros(col("ts")) <= cutUs)
+          .withColumn("erase", lit(false)),
+        s"$work/feed", 1, col("ts"))
+    }
+    qphase("q223 run1")(run(gated = false)) // pre-erasure
     // landed half of the erasure: sessions that closed pre-request
-    evictionVacuum(s, dir, s"$work/sessions")
+    qphase("q223 vacuum")(evictionVacuum(s, dir, s"$work/sessions"))
     // the erasure requests themselves, one control row per subject,
     // stamped just past the half-1 horizon so the watermark admits them
     val eraseTs = new java.sql.Timestamp(cutUs / 1000 + 1)
-    Streams.orderedChunkFeed(
-      evictionTombs(s, dir)
-        .withColumn("ts", lit(eraseTs).cast("timestamp_ltz"))
-        .withColumn("erase", lit(true)),
-      s"$work/feed", 1, col("ts"))
-    Streams.orderedChunkFeed(
-      events.filter(unix_micros(col("ts")) > cutUs)
-        .withColumn("erase", lit(false)),
-      s"$work/feed", 1, col("ts"))
-    val far = new java.sql.Timestamp(bounds.getLong(1) / 1000 +
-      48L * 3600 * 1000)
-    Seq(far, new java.sql.Timestamp(far.getTime + 60000)).foreach { t =>
+    qphase("q223 feed erase+half2") {
       Streams.orderedChunkFeed(
-        s.createDataset(Seq(CEvent(flushUser, t, erase = false)))(ce).toDF(),
+        evictionTombs(s, dir)
+          .withColumn("ts", lit(eraseTs).cast("timestamp_ltz"))
+          .withColumn("erase", lit(true)),
+        s"$work/feed", 1, col("ts"))
+      Streams.orderedChunkFeed(
+        events.filter(unix_micros(col("ts")) > cutUs)
+          .withColumn("erase", lit(false)),
         s"$work/feed", 1, col("ts"))
     }
-    run(gated = true) // erase batch, resumed crawl, sentinel flushes
-    evictionAudit(s, dir, s"$work/sessions", "session")
+    val far = new java.sql.Timestamp(bounds.getLong(1) / 1000 +
+      48L * 3600 * 1000)
+    qphase("q223 feed sentinels") {
+      Seq(far, new java.sql.Timestamp(far.getTime + 60000)).foreach { t =>
+        Streams.orderedChunkFeed(
+          s.createDataset(Seq(CEvent(flushUser, t, erase = false)))(ce).toDF(),
+          s"$work/feed", 1, col("ts"))
+      }
+    }
+    qphase("q223 run2")(run(gated = true)) // erase, resume, flushes
+    qphase("q223 audit")(evictionAudit(s, dir, s"$work/sessions", "session"))
     s.read.parquet(s"$work/sessions")
       .filter(col("user_id") =!= flushUser)
       .groupBy(col("user_id"))
